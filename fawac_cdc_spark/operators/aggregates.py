@@ -1,0 +1,282 @@
+"""Aggregation operators (SURVEY.md §2 M2).
+
+Re-expresses the reference's aggregation semantics as Spark hash
+aggregations (partial + final handled by Catalyst):
+
+- expectile / asymmetric-L2 loss (``fawac.py:99-100`` — A7)
+- MSE-style means and batch stats mean/max (``fawac.py:368,392-397`` — A20, A23)
+- weighted mean (``fawac.py:450`` — A29)
+- distribution stats incl. median (``fawac.py:456-513`` — A30)
+- grouped mean/stddev episode stats (``fawac.py:585-595`` — A34)
+- grouping sets (rollup/cube), exact distinct counts (§2 Part B)
+
+Exactness: money columns aggregate in DECIMAL (bit-identical to DuckDB);
+averages are `CAST(decimal_sum AS DOUBLE) / count`; stddev/median round on
+both sides (order-of-summation differs across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .helpers import money
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(14,4))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(14,4))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("m2", "agg"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary (A20/A23 mean-style aggregation).
+
+    One shuffle on (returnflag, linestatus); map-side partial aggregation
+    makes the shuffle tiny (4 groups). All sums exact via DECIMAL.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(14,4)"
+    )
+    charge = disc_price * (F.lit(1) + money("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(money("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(money("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(money("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "expectile_loss_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST((l_quantity - 25.0) * (l_quantity - 25.0) AS DECIMAL(18,2))
+                * CASE WHEN l_quantity - 25.0 < 0
+                       THEN CAST(0.3 AS DECIMAL(2,1))
+                       ELSE CAST(0.7 AS DECIMAL(2,1)) END) AS DOUBLE) / COUNT(*)
+           AS expectile_loss,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("m2", "agg", "reference"),
+)
+def expectile_loss_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric L2 (expectile) loss, reference ``fawac.py:99-100`` (A7).
+
+    ``mean(|tau - 1[u<0]| * u^2)`` with tau=0.7, u = l_quantity - 25.
+    Quantities are integral so u^2 is exact; the 0.3/0.7 weights are exact
+    decimals — the whole aggregation is exact decimal arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    u = F.col("l_quantity") - F.lit(25.0)
+    u2 = (u * u).cast("decimal(18,2)")
+    w = F.when(u < 0, F.lit(0.3).cast("decimal(2,1)")).otherwise(
+        F.lit(0.7).cast("decimal(2,1)")
+    )
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(u2 * w).cast("double") / F.count(F.lit(1))).alias("expectile_loss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "weighted_avg_discount",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))
+            AS DOUBLE)
+       / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_avg_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_wx,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_w
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("m2", "agg", "reference"),
+)
+def weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean, reference ``fawac.py:450`` (A29): sum(w*x)/sum(w)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wx = F.sum(money("l_quantity") * money("l_discount")).cast("double")
+    w = F.sum(money("l_quantity")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (wx / w).alias("w_avg_disc"), wx.alias("sum_wx"), w.alias("sum_w")
+    )
+
+
+@register(
+    "order_stats_with_median",
+    oracle="""
+SELECT o_orderstatus,
+       MAX(o_totalprice) AS max_price,
+       MIN(o_totalprice) AS min_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("m2", "agg", "reference"),
+)
+def order_stats_with_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats incl. exact median, reference ``fawac.py:456-513`` (A30).
+
+    Uses exact ``percentile`` (not percentile_approx) to match DuckDB's
+    MEDIAN; rounded to 4 on both sides because the two engines' linear
+    interpolation differs in the last ulp. At 100 TB scale the exact
+    percentile becomes a per-group sort — swap in percentile_approx when
+    an epsilon is acceptable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+        (F.sum(money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "eval_stats_mean_stddev",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+       ROUND(STDDEV_SAMP(value), 6) AS std_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+    tags=("m2", "agg", "reference"),
+)
+def eval_stats_mean_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean+stddev, reference ``evaluate`` ``fawac.py:585-595`` (A34).
+
+    stddev is order-of-summation dependent → rounded to 6 on both sides.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("m2", "agg", "groupingsets"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over lineitem (Part B aggregation surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_order_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("m2", "agg", "groupingsets"),
+)
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (Part B aggregation surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "distinct_parts_per_flag",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("m2", "agg"),
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (Part B; approx_count_distinct is the scale
+    path but is not oracle-comparable, so the declared query is exact)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "event_value_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       MAX(value) AS max_value,
+       MIN(value) AS min_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("m2", "agg", "reference"),
+)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch stat logging shape, reference ``fawac.py:392-397`` (A23)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )

@@ -1,0 +1,64 @@
+"""Shared expression helpers for oracle-exact cross-engine arithmetic.
+
+The driver compares Spark results against DuckDB with an order-insensitive
+value hash, so floating-point aggregation must be *bit-identical* across
+engines. Two tools make that possible:
+
+1. DECIMAL-cast aggregation. The fixture money columns are exact 2-decimal
+   values stored as doubles (verified: max |x - round(x,2)| == 0 at sf0.01).
+   Casting to DECIMAL(18,2) recovers the exact decimal in both engines;
+   sums/products in decimal are exact integers arithmetic; casting the final
+   decimal back to double is deterministic IEEE-754 nearest — identical bits
+   in Spark and DuckDB regardless of row order. Doing `CAST(sum AS DOUBLE) /
+   count` keeps averages exact too (one double division of identical inputs).
+
+2. Portable md5-based hashing. Spark's `hash()` (murmur3) and DuckDB's
+   `hash()` disagree, so any hash-dependent operator (sampling, MinHash,
+   SimHash, fingerprints) uses md5 hex prefixes converted to integers:
+   Spark `conv(substr(md5(s),1,8),16,10)`, DuckDB `CAST('0x'||substr(md5(s)
+   ,1,8) AS BIGINT)` — same 32-bit value in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,2)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def money(col: Column | str) -> Column:
+    """Exact decimal view of a 2-decimal money column stored as double."""
+    return _c(col).cast(MONEY)
+
+
+def dmoney_sql(col: str) -> str:
+    """DuckDB-side equivalent of :func:`money`."""
+    return f"CAST({col} AS DECIMAL(18,2))"
+
+
+def sum_money_as_double(col: Column | str) -> Column:
+    """Exact decimal sum surfaced as double (bit-identical across engines)."""
+    return F.sum(money(col)).cast("double")
+
+
+def avg_money_as_double(col: Column | str) -> Column:
+    """Exact average: decimal sum cast to double, divided by count."""
+    return F.sum(money(col)).cast("double") / F.count(F.lit(1))
+
+
+def md5_int32(col: Column | str, prefix_len: int = 8) -> Column:
+    """First ``prefix_len`` hex chars of md5 as a non-negative bigint.
+
+    Portable across Spark and DuckDB (see module docstring).
+    """
+    return F.conv(F.substring(F.md5(_c(col)), 1, prefix_len), 16, 10).cast("bigint")
+
+
+def md5_int32_sql(expr: str, prefix_len: int = 8) -> str:
+    """DuckDB-side equivalent of :func:`md5_int32`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, {prefix_len}) AS BIGINT)"

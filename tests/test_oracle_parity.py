@@ -1,0 +1,46 @@
+"""Mirror of the driver's correctness gate at sf0.001 (fast smoke scale).
+
+Every registered query with an oracle must match DuckDB exactly:
+row count, columns, and values (order-insensitive). The driver runs the
+same comparison at sf0.01; tools/parity.py runs it at any scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fawac_cdc_spark.registry import all_specs
+from tools.parity import compare_frames, make_duckdb
+
+_SPECS = all_specs()
+_ORACLED = sorted(name for name, s in _SPECS.items() if s.oracle is not None)
+_ROWS_ONLY = sorted(name for name, s in _SPECS.items() if s.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    return make_duckdb(sf_dir)
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    spec = _SPECS[name]
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    oracle_pdf = duck.execute(spec.oracle).df()
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = _SPECS[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"n_name", "order_month", "revenue", "n_lines"} == set(df.columns)

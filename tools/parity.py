@@ -1,0 +1,125 @@
+"""Local mirror of the driver's Spark-vs-DuckDB correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names/kinds, and exact
+values (columns sorted by name, rows sorted by all columns) — the same
+shape as the driver's order-insensitive value-hash.
+
+Usage:
+    python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fawac_cdc_spark.catalog import TABLE_NAMES  # noqa: E402
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if isinstance(df[c].dtype, pd.CategoricalDtype):
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype) in ("float32",):
+            df[c] = df[c].astype("float64")
+        elif str(df[c].dtype).startswith(("int", "uint", "Int", "UInt")):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+    sort_cols = list(df.columns)
+    return df.sort_values(sort_cols, na_position="first").reset_index(drop=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty == parity)."""
+    problems: list[str] = []
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    if list(a.columns) != list(b.columns):
+        return [f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"]
+    if len(a) != len(b):
+        return [f"row count differs: spark={len(a)} oracle={len(b)}"]
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            both_nan = np.isnan(av) & np.isnan(bv)
+            eq = (av == bv) | both_nan
+            if not eq.all():
+                bad = np.flatnonzero(~eq)[:5]
+                diffs = np.abs(av[~eq] - bv[~eq])
+                problems.append(
+                    f"col {c}: {len(np.flatnonzero(~eq))} value diffs, "
+                    f"max abs diff {np.nanmax(diffs):.3e}, first rows {bad.tolist()} "
+                    f"spark={av[bad].tolist()} oracle={bv[bad].tolist()}"
+                )
+        else:
+            eq = (av == bv) | (pd.isna(av) & pd.isna(bv))
+            if not eq.all():
+                bad = np.flatnonzero(~eq)[:5]
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} value diffs, first rows {bad.tolist()} "
+                    f"spark={av[bad].tolist()} oracle={bv[bad].tolist()}"
+                )
+    return problems
+
+
+def make_duckdb(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = make_duckdb(sf_dir)
+    results: dict[str, list[str]] = {}
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        if name not in oracles:
+            try:
+                n = fn(spark, sf_dir).count()
+                results[name] = [] if n >= 0 else ["negative count?"]
+                print(f"[rows-only] {name}: {n} rows")
+            except Exception as exc:  # noqa: BLE001
+                results[name] = [f"EXCEPTION {exc}"]
+            continue
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            odf = con.execute(oracles[name]).df()
+            results[name] = compare_frames(spdf, odf)
+        except Exception as exc:  # noqa: BLE001
+            results[name] = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+        status = "OK" if not results[name] else "FAIL"
+        print(f"[{status}] {name}" + ("" if not results[name] else f" -> {results[name]}"))
+    return results
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or None
+    from fawac_cdc_spark.session import get_spark
+
+    spark = get_spark("parity")
+    res = run_parity(spark, sf_dir, names)
+    bad = {k: v for k, v in res.items() if v}
+    print(f"\n{len(res) - len(bad)}/{len(res)} queries at parity")
+    sys.exit(1 if bad else 0)
