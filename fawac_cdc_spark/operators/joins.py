@@ -1,1 +1,230 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators (SURVEY.md §2 M3).
+
+The reference has no joins; this is the Part-B mandated join surface,
+generalizing its lookup/diff semantics (config diff ``train_fawac_iql.py:
+28-32`` → anti join; normalization lookup ``train_fawac_iql.py:147`` →
+broadcast join):
+
+- broadcast hash join (dimension tables)
+- shuffle / sort-merge join (fact ⋈ fact)
+- left-semi and left-anti (EXISTS / NOT EXISTS)
+- range join (equi key + time-range predicate)
+- as-of join (most recent prior event per key) via union + running MAX
+  window — no O(n²) cross join, scales as one shuffle + one sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .helpers import money
+
+
+@register(
+    "dim_denormalize_supplier",
+    oracle="""
+SELECT s_suppkey, s_name, n_name AS nation, r_name AS region, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+""",
+    tags=("m3", "join", "broadcast"),
+)
+def dim_denormalize_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash dimension denormalization (A43 lookup shape).
+
+    nation (25 rows) and region (5 rows) are broadcast — zero shuffles;
+    the plan is scan → BroadcastHashJoin ×2.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "s_acctbal",
+        )
+    )
+
+
+@register(
+    "orders_lineitem_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("m3", "join", "smj"),
+)
+def orders_lineitem_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join (orders⋈lineitem): Catalyst picks SMJ/shuffle-hash;
+    at 100 TB both sides would be bucketed on orderkey to avoid the
+    shuffle entirely. AQE handles skewed order keys."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "semi_join_urgent_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+    tags=("m3", "join", "semi"),
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    tags=("m3", "join", "anti"),
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — the config-diff shape of reference
+    ``train_fawac_iql.py:28-32`` (A36): keep keys absent from the other side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       COUNT(c.event_id) AS n_prior_clicks,
+       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS clicked_value
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+ AND c.ts <  p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+""",
+    tags=("m3", "join", "range"),
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within the 10 minutes before each purchase.
+
+    The equi-key (user_id) makes this a shuffle join with a range
+    residual — NOT a nested-loop cross join; per-user partitions keep the
+    quadratic term bounded by per-user event counts at scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("value").alias("c_value"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count("c_event_id").alias("n_prior_clicks"),
+        F.sum(money("c_value")).cast("double").alias("clicked_value"),
+    )
+
+
+@register(
+    "asof_join_last_signup_before_purchase",
+    oracle="""
+WITH tagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tag,
+           event_type
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+), scanned AS (
+    SELECT user_id, ts, event_id, event_type,
+           MAX(CASE WHEN tag = 0 THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_signup_ts
+    FROM tagged
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, last_signup_ts
+FROM scanned
+WHERE event_type = 'purchase'
+""",
+    tags=("m3", "join", "asof"),
+)
+def asof_join_last_signup_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: most recent signup at-or-before each purchase, per user.
+
+    Spark has no native ASOF JOIN; the scalable pattern is union + one
+    ordered window scan per key (running MAX of the left stream's ts) —
+    a single shuffle on user_id, no range self-join blowup. At 100 TB the
+    sort is per-key within partitions; skewed users are split by AQE.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = tagged.withColumn(
+        "last_signup_ts", F.max(F.when(F.col("tag") == 0, F.col("ts"))).over(w)
+    )
+    return scanned.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_signup_ts",
+    )

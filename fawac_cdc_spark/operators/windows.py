@@ -1,1 +1,301 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function operators (SURVEY.md §2 M4).
+
+Covers the reference's sequential/episode semantics:
+
+- ranking + top-k per group, constraint-filtered selection
+  (``train_fawac_iql.py:152-160`` — A44, A48)
+- lag/lead TD-target projection (``fawac.py:357-373`` — A19)
+- running accumulation per session (``fawac.py:597-611`` — A35)
+- reverse discounted cumulative sum (``fawac.py:88-96`` — A6) — exact
+  sequential recurrence via Arrow-batched ``applyInPandas`` per episode
+- EWMA smoothing (``make_plots.ipynb`` cell 5 — A49) — same pattern
+
+Scale notes: all windows partition by a key (user_id / status / custkey),
+so the sort is per-partition after one hash shuffle — no global sort. The
+pandas-UDF recurrences move one episode per group through Arrow; episodes
+are bounded (reference episode_len ≤ 300), so group state stays small.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .helpers import money
+
+GAMMA = 0.99  # reference discount, fawac_configs.py:38
+EWMA_ALPHA = 0.5  # reference smoothing, make_plots.ipynb cell 5
+
+
+@register(
+    "topk_orders_per_status",
+    oracle="""
+SELECT o_orderstatus, rank, o_orderkey, o_totalprice
+FROM (
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+) t
+WHERE rank <= 3
+""",
+    tags=("m4", "window", "topk"),
+)
+def topk_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (A44/A48 selection shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderstatus", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "constrained_best_order_per_priority",
+    oracle="""
+SELECT o_orderpriority, o_orderkey AS best_orderkey, o_totalprice AS best_price
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    WHERE o_totalprice < 150000 AND o_orderstatus = 'F'
+) t
+WHERE rn = 1
+""",
+    tags=("m4", "window", "reference"),
+)
+def constrained_best_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-filtered top-1, reference checkpoint selection
+    ``train_fawac_iql.py:152-160`` (A44): best value subject to a cost
+    bound, deterministic tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.where((F.col("o_totalprice") < 150000) & (F.col("o_orderstatus") == "F"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.col("o_totalprice").alias("best_price"),
+        )
+    )
+
+
+@register(
+    "running_customer_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("m4", "window", "reference"),
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session running accumulation, reference ``rollout``
+    ``fawac.py:597-611`` (A35). DECIMAL running sum → exact at any order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(money("o_totalprice")).over(wf).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "td_target_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       LAG(value)  OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       value + 0.99 * COALESCE(LEAD(value) OVER w, 0.0)
+             * (1 - CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS td_target
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("m4", "window", "reference"),
+)
+def td_target_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TD-target projection, reference ``fawac.py:357-373`` (A19):
+    ``target = r + (1 - done) * gamma * next_v`` — lead/lag over the
+    per-user event sequence; 'error' events are terminal (done=1)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    done = F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
+    nxt = F.lead("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        nxt.alias("next_value"),
+        (F.col("value") + F.lit(0.99) * F.coalesce(nxt, F.lit(0.0)) * (F.lit(1) - done)).alias(
+            "td_target"
+        ),
+    )
+
+
+@register(
+    "prefix_half_per_user",
+    oracle="""
+SELECT user_id, event_id, rn
+FROM (
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+) t
+WHERE rn <= n // 2 + 1
+""",
+    tags=("m4", "window", "reference"),
+)
+def prefix_half_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix truncation ``[:len//2+1]``, reference ``make_plots.ipynb``
+    cell 4 (A48), per series."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .where(F.col("rn") <= F.floor(F.col("n") / 2) + 1)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+# --- exact sequential recurrences (pandas-UDF path) -----------------------
+
+_DISC_SCHEMA = "user_id long, event_id long, disc_return double"
+
+
+def _discounted_cumsum_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact reverse recurrence c[t] = v[t] + gamma * c[t+1] (fawac.py:88-96)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    vals = pdf["value"].to_numpy()
+    out = vals.copy()
+    for i in range(len(out) - 2, -1, -1):
+        out[i] = vals[i] + GAMMA * out[i + 1]
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy(),
+            "event_id": pdf["event_id"].to_numpy(),
+            "disc_return": (out + 1e-9).round(2),
+        }
+    )
+
+
+@register(
+    "discounted_cumsum_per_user",
+    oracle="""
+WITH t AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS k
+    FROM events
+)
+SELECT user_id, event_id,
+       ROUND(SUM(value * POW(0.99, k)) OVER (
+                 PARTITION BY user_id ORDER BY k
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             / POW(0.99, k) + 1e-9, 2) AS disc_return
+FROM t
+""",
+    tags=("m4", "window", "reference", "pandas-udf"),
+)
+def discounted_cumsum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse discounted cumsum, reference ``discounted_cumsum``
+    ``fawac.py:88-96`` (A6), exact per-episode recurrence.
+
+    Implementation is Arrow-batched ``applyInPandas`` per user (exact,
+    numerically stable for any episode length); the oracle uses the
+    closed-form suffix-sum rescaling, so both sides round to 4.
+    The closed form is also available as a pure-window Spark plan, but
+    the recurrence is the semantically-pinned variant (SURVEY §4.2.1).
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return e.groupBy("user_id").applyInPandas(_discounted_cumsum_pdf, _DISC_SCHEMA)
+
+
+_EWMA_SCHEMA = "user_id long, event_id long, rn int, ewma double"
+_EWMA_PREFIX = 50
+
+
+def _ewma_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact EWMA s[i] = a*x[i] + (1-a)*s[i-1], seeded s[0] = x[0]
+    (make_plots.ipynb cell 5, alpha=0.5)."""
+    pdf = pdf.sort_values("rn")
+    s = (
+        pdf["value"]
+        .ewm(alpha=EWMA_ALPHA, adjust=False)
+        .mean()
+        .to_numpy()
+    )
+    # alpha=0.5 makes EWMA values dyadic rationals that land exactly on
+    # round-half boundaries (numpy rounds half-to-even, DuckDB half-away);
+    # both sides nudge by 1e-9 to step off the boundary grid before rounding.
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy(),
+            "event_id": pdf["event_id"].to_numpy(),
+            "rn": pdf["rn"].to_numpy(),
+            "ewma": (s + 1e-9).round(6),
+        }
+    )
+
+
+@register(
+    "ewma_user_values",
+    oracle=f"""
+WITH t AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), limited AS (
+    SELECT * FROM t WHERE rn <= {_EWMA_PREFIX}
+)
+SELECT user_id, event_id, CAST(rn AS INT) AS rn,
+       ROUND(SUM(value * POW(2, CASE WHEN rn = 1 THEN 1 ELSE rn - 1 END)) OVER (
+                 PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / POW(2, rn) + 1e-9, 6) AS ewma
+FROM limited
+""",
+    tags=("m4", "window", "reference", "pandas-udf"),
+)
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing, reference ``smooth_data`` ``make_plots.ipynb`` cell 5
+    (A49), alpha=0.5, over the first 50 events per user.
+
+    Exact recurrence via ``applyInPandas``; the oracle is the alpha=0.5
+    closed form ``s_i = sum_j x_j * 2^(max(j-1,1)) / 2^i`` (both sides
+    round to 6 — FP noise is ~1e-13).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    limited = (
+        e.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _EWMA_PREFIX)
+        .select("user_id", "event_id", "rn", "value")
+    )
+    return limited.groupBy("user_id").applyInPandas(_ewma_pdf, _EWMA_SCHEMA)
