@@ -1,1 +1,267 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over ``documents`` (north_star LLM-data surface).
+
+Four industry-standard dedup strategies, each as a declarative Spark plan:
+
+- **exact**: md5 fingerprint groupBy — one shuffle on the hash, keep
+  min(doc_id) per group (deterministic survivor).
+- **n-gram Jaccard**: 3-token shingles → explode → equi-join on shingle →
+  pair-count aggregation. The shingle equi-join bounds the candidate set;
+  there is never an O(n²) cross join.
+- **MinHash**: k=8 portable hash functions ``(a_j * H + b_j) mod P`` over
+  md5-derived 32-bit shingle hashes; LSH banding (4 bands × 2 rows) turns
+  near-dup search into an equi-join on band keys — the 100 TB-scale path.
+- **SimHash**: 16-bit sign-aggregated token-hash fingerprint; hamming
+  buckets give another near-dup candidate generator.
+
+All hashes are md5-prefix based (see ``operators/helpers.py``) so the
+DuckDB oracles compute identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# MinHash parameters: k=8 affine hashes mod a Mersenne prime.
+MINHASH_P = 2147483647
+MINHASH_A = [131, 137, 139, 149, 151, 157, 163, 167]
+MINHASH_B = [7, 11, 13, 17, 19, 23, 29, 31]
+N_BANDS = 4  # 4 bands x 2 rows per band
+
+SIMHASH_BITS = 16
+
+# --- shared expression builders (Spark side) ------------------------------
+
+_SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(0, size(toks) - 3), "
+    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+)
+
+# DuckDB equivalent (1-indexed lists, exclusive range stop).
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) pairs — distinct 3-token shingles per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle"))
+    )
+
+
+_SHINGLED_SQL = f"""
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE len(string_split(text, ' ')) >= 3)
+"""
+
+
+def minhash_sig_exprs() -> list[F.Column]:
+    """min((a_j * H(shingle) + b_j) mod P) aggregation expressions."""
+    h = "cast(conv(substr(md5(shingle), 1, 8), 16, 10) as bigint)"
+    return [
+        F.expr(f"min(({a} * {h} + {b}) % {MINHASH_P})").alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def _minhash_sig_sql_cols() -> str:
+    h = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
+    return ",\n       ".join(
+        f"MIN(({a} * {h} + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+
+
+_MINHASH_SIG_SQL = f"""
+SELECT doc_id,
+       {_minhash_sig_sql_cols()}
+FROM ({_SHINGLED_SQL}) s
+GROUP BY doc_id
+"""
+
+
+def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingled(spark, sf_dir).groupBy("doc_id").agg(*minhash_sig_exprs())
+
+
+# --- registered queries ----------------------------------------------------
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+SELECT md5(lower(text)) AS fp,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(lower(text))
+""",
+    tags=("dedup", "llm"),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized fingerprint, keep the
+    smallest doc_id. One shuffle keyed on a 128-bit hash — uniform keys,
+    no skew, scales linearly."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.lower(F.col("text"))).alias("fp")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_SHINGLED_SQL}),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.05
+""",
+    tags=("dedup", "llm"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by 3-gram shingle Jaccard >= 0.05.
+
+    Plan shape: explode → shuffle on shingle (equi-join) → pair groupBy.
+    Candidate generation is bounded by shared-shingle frequency; hot
+    shingles (stop-phrases) would be the skew risk at 100 TB — cap them
+    by document-frequency filtering before the join in that regime.
+    """
+    sh = _shingled(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= 0.05)
+        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=_MINHASH_SIG_SQL,
+    tags=("dedup", "llm", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 MinHash signature per document over 3-gram shingles.
+
+    Portable affine hashes over md5-int32 shingle hashes — deterministic
+    across engines, seeds fixed (MINHASH_A/B). One explode + one groupBy.
+    """
+    return minhash_signatures_df(spark, sf_dir)
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+bands AS (
+    SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS key FROM sig
+    UNION ALL
+    SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) FROM sig
+    UNION ALL
+    SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR) FROM sig
+    UNION ALL
+    SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""",
+    tags=("dedup", "llm", "minhash"),
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows): near-dup candidates are pairs
+    sharing any band key — an equi-join on (band, key), never a cross
+    join. This is the O(n)-ish scale path for 100 TB near-dedup."""
+    sig = minhash_signatures_df(spark, sf_dir)
+    band_structs = []
+    for band in range(N_BANDS):
+        lo, hi = 2 * band, 2 * band + 1
+        key = F.concat_ws(":", F.col(f"mh{lo}").cast("string"), F.col(f"mh{hi}").cast("string"))
+        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _simhash_sql() -> str:
+    h = "CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT)"
+    bit_sums = ",\n       ".join(
+        f"SUM(CASE WHEN ({h} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+    FROM documents
+), sums AS (
+    SELECT doc_id,
+       {bit_sums}
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@register("simhash_fingerprints", oracle=_simhash_sql(), tags=("dedup", "llm", "simhash"))
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: sign of per-bit ±1 sums over distinct
+    token hashes. Arithmetic (div/mod) bit extraction keeps the expression
+    portable to the oracle engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = "cast(conv(substr(md5(tok), 1, 4), 16, 10) as bigint)"
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum(case when ({h} div {1 << b}) % 2 = 1 then 1 else -1 end)").alias(
+                f"s{b}"
+            )
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    combine = " + ".join(
+        f"(case when s{b} > 0 then {1 << b} else 0 end)" for b in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", F.expr(f"cast({combine} as bigint)").alias("simhash"))

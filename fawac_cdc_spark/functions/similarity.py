@@ -1,1 +1,222 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over ``embeddings`` (north_star LLM-data surface).
+
+- brute-force cosine top-k (the correctness baseline): one pass over all
+  vectors with JVM-side higher-order array math — no Python in the loop.
+- random-projection LSH bucketing (the 100 TB scale path): 4 fixed
+  hyperplanes → 16 buckets; candidate generation becomes an equi-join on
+  bucket id, then brute-force cosine only within the candidate bucket.
+  (An IVF variant is the same shape with learned centroids.)
+
+Hyperplanes are fixed literals derived from numpy RandomState(42), so
+Spark and the DuckDB oracle score identical projections.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+EMB_DIM = 64
+N_PLANES = 4
+_RNG = np.random.RandomState(42)
+HYPERPLANES: list[list[float]] = _RNG.standard_normal((N_PLANES, EMB_DIM)).round(4).tolist()
+
+
+def _dot_expr_spark(vec_col: str, plane: list[float]) -> str:
+    arr = ", ".join(f"{x}D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), "
+        f"(x, y) -> double(x) * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _dot_sql_duck(vec_col: str, plane: list[float]) -> str:
+    arr = ", ".join(str(x) for x in plane)
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> CAST({vec_col}[i] AS DOUBLE) * ([{arr}])[i]))"
+    )
+
+
+def _bucket_expr_spark(vec_col: str = "embedding") -> str:
+    terms = [
+        f"(case when ({_dot_expr_spark(vec_col, p)}) > 0 then {1 << h} else 0 end)"
+        for h, p in enumerate(HYPERPLANES)
+    ]
+    return "cast(" + " + ".join(terms) + " as int)"
+
+
+def _bucket_sql_duck(vec_col: str = "embedding") -> str:
+    terms = [
+        f"(CASE WHEN ({_dot_sql_duck(vec_col, p)}) > 0 THEN {1 << h} ELSE 0 END)"
+        for h, p in enumerate(HYPERPLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+_NORM_SPARK = "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> double(x) * double(y)), 0D, (acc, t) -> acc + t))"
+_NORM_DUCK = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))))"
+)
+_DOTQ_SPARK = "aggregate(zip_with(embedding, qvec, (x, y) -> double(x) * double(y)), 0D, (acc, t) -> acc + t)"
+_DOTQ_DUCK = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "cosine_topk_query0",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id,
+           ROUND(({_DOTQ_DUCK})
+                 / (({_NORM_DUCK.format(v='embedding')})
+                    * ({_NORM_DUCK.format(v='qv')})), 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    tags=("similarity", "llm"),
+)
+def cosine_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0.
+
+    One broadcast of the single query row; scoring is a JVM higher-order
+    fold (zip_with + aggregate), fully codegen'd — the baseline every ANN
+    variant is validated against. Rounded to 6 before ranking so the
+    ordering is engine-stable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(_DOTQ_SPARK)
+                / (F.expr(_NORM_SPARK.format(v="embedding")) * F.expr(_NORM_SPARK.format(v="qvec"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "rp_lsh_bucket_stats",
+    oracle=f"""
+SELECT {_bucket_sql_duck()} AS bucket,
+       COUNT(*) AS n_vecs,
+       ROUND(SUM({_NORM_DUCK.format(v='embedding')}) / COUNT(*), 6) AS avg_norm
+FROM embeddings
+GROUP BY 1
+""",
+    tags=("similarity", "llm", "lsh"),
+)
+def rp_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH bucket assignment (4 hyperplanes → 16
+    buckets) with per-bucket stats. Bucketing is a pure map — at 100 TB
+    the bucket id becomes the partition/cluster key for ANN equi-joins."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            F.expr(_bucket_expr_spark()).alias("bucket"),
+            F.expr(_NORM_SPARK.format(v="embedding")).alias("norm"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("norm") / F.count(F.lit(1)), 6).alias("avg_norm"),
+        )
+    )
+
+
+@register(
+    "rp_lsh_topk_query0",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_bucket_sql_duck()} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id, bucket,
+           ROUND(({_DOTQ_DUCK})
+                 / (({_NORM_DUCK.format(v='embedding')})
+                    * ({_NORM_DUCK.format(v='qv')})), 6) AS cos_sim
+    FROM b, q
+    WHERE vec_id <> 0 AND bucket = qbucket
+)
+SELECT vec_id, bucket, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+""",
+    tags=("similarity", "llm", "lsh"),
+)
+def rp_lsh_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 for vec_id=0: score only the query's LSH bucket.
+
+    Same scoring as the brute-force baseline but the candidate set is
+    ~1/16th of the corpus — the recall/cost dial is bands × hyperplanes.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", F.expr(_bucket_expr_spark()).alias("bucket"))
+    q = b.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        b.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(
+                F.expr(_DOTQ_SPARK)
+                / (F.expr(_NORM_SPARK.format(v="embedding")) * F.expr(_NORM_SPARK.format(v="qvec"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(5)
+
+
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+SELECT label,
+       COUNT(*) AS n,
+       ROUND(SUM({_NORM_DUCK.format(v='embedding')}) / COUNT(*), 6) AS avg_norm,
+       ROUND(SUM(CAST(embedding[1] AS DOUBLE)) / COUNT(*), 6) AS avg_dim0
+FROM embeddings
+GROUP BY label
+""",
+    tags=("similarity", "llm"),
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding stats (vector-column aggregation shape)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.expr(_NORM_SPARK.format(v="embedding")).alias("norm"),
+            F.expr("double(embedding[0])").alias("dim0"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("norm") / F.count(F.lit(1)), 6).alias("avg_norm"),
+            F.round(F.sum("dim0") / F.count(F.lit(1)), 6).alias("avg_dim0"),
+        )
+    )

@@ -1,1 +1,175 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over ``documents`` (north_star LLM-data surface).
+
+Everything here is built from JVM-side built-ins (split / higher-order
+array functions / regexp) — no Python UDFs in the hot path, so the whole
+stage is codegen'd and scales linearly with no shuffle except the final
+aggregations. Operators:
+
+- token counting (whitespace + regex-token variants)
+- per-document quality scoring (length / stopword ratio / distinct ratio)
+- per-language and per-source corpus stats
+- document fingerprinting (exact + whitespace-normalized md5)
+- heuristic language ID (stopword-list n-gram scoring; rows-only check)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# Tiny per-language stopword lists for the heuristic language scorer.
+# The fixture's `lang` labels are synthetic, so this is a demonstration of
+# the operator shape (score = stopword-hit ratio per language, argmax).
+_LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "zu"],
+}
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def tokens_col(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "token_stats_by_source",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MIN(len(string_split(text, ' '))) AS min_tokens,
+       MAX(len(string_split(text, ' '))) AS max_tokens
+FROM documents
+GROUP BY source
+""",
+    tags=("text", "llm"),
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting aggregated per source (integer-exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens_col())
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min(ntok).alias("min_tokens"),
+        F.max(ntok).alias("max_tokens"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS uniq_ratio,
+       CAST(len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+            AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+           / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+""",
+    tags=("text", "llm"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts, distinct-token ratio,
+    stopword ratio, mean token length — the standard pre-training corpus
+    quality signals, all as higher-order array expressions (no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    ntok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    nstop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    nuniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        nuniq.alias("n_uniq_tokens"),
+        (nuniq.cast("double") / ntok).alias("uniq_ratio"),
+        (nstop.cast("double") / ntok).alias("stop_ratio"),
+        ((F.length("text") - ntok + 1).cast("double") / ntok).alias("avg_token_len"),
+    )
+
+
+@register(
+    "lang_corpus_stats",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY lang
+""",
+    tags=("text", "llm"),
+)
+def lang_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (A34 grouped-stats shape over text)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens_col())
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS fp,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_fp,
+       substr(md5(text), 1, 8) AS fp_prefix
+FROM documents
+""",
+    tags=("text", "llm", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 + whitespace-normalized md5
+    (the cheap pre-filter stage of every dedup pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.md5(norm).alias("norm_fp"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("fp_prefix"),
+    )
+
+
+@register("lang_id_heuristic", tags=("text", "llm", "rows-only"))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio per candidate language,
+    argmax with deterministic tie-break. Rows-only check (the scoring
+    table literal is awkward to mirror in one oracle query); semantics are
+    pinned by unit test instead."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    def _contains(arr):
+        # single-arg lambda: a two-arg lambda would be read as (element, index)
+        return lambda x: F.array_contains(arr, x)
+
+    scores = []
+    for lang, words in _LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, _contains(arr)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        best["lang"].alias("guessed_lang"),
+        best["score"].alias("guess_score"),
+    )

@@ -1,1 +1,166 @@
-"""Placeholder — populated in a later milestone."""
+"""Batch-mode equivalents of the streaming CDC pipelines (SURVEY.md §2 M6).
+
+Each query here is the *exact batch semantics* of a Structured Streaming
+pipeline in ``streaming/cdc.py`` — the driver's DuckDB oracle checks the
+batch form, and ``tests/test_streaming.py`` asserts stream-batch parity,
+which transitively pins the streaming implementations to the oracle:
+
+- CDC upsert materialization → latest row per key (A17/A32 north_star)
+- stateful stream dedup → first event per (key, kind)
+  (``dropDuplicatesWithinWatermark`` analog)
+- tumbling-window rollup → hour bucket aggregation
+- sessionization with 30-min gap → ``session_window`` analog
+  (reference episodes, ``fawac.py:597-611`` — A35)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.helpers import money
+from ..registry import register
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "cdc_latest_state_per_user",
+    oracle="""
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM (
+    SELECT user_id, ts, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) t
+WHERE rn = 1
+""",
+    tags=("m6", "cdc", "streaming-equiv"),
+)
+def cdc_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert materialization: latest event per key — the batch
+    semantics of the ``foreachBatch`` upsert sink in ``streaming/cdc.py``.
+    One shuffle on user_id; at scale this is the MERGE-on-key pattern."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "stream_dedup_first_event",
+    oracle="""
+SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+FROM (
+    SELECT user_id, event_type, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+) t
+WHERE rn = 1
+""",
+    tags=("m6", "cdc", "streaming-equiv"),
+)
+def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup on (user_id, event_type), keep-first — the batch
+    semantics of ``dropDuplicatesWithinWatermark``."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+@register(
+    "hourly_event_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("m6", "cdc", "streaming-equiv"),
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — batch semantics of the
+    watermarked ``window(ts, '1 hour')`` streaming rollup."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "session_agg_30min_gap",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), sessions AS (
+    SELECT user_id, ts, event_id, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+    FROM gaps
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+    tags=("m6", "cdc", "streaming-equiv", "reference"),
+)
+def session_agg_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) + per-session running totals
+    — the reference's episode accumulation (``rollout`` ``fawac.py:597-611``,
+    A35) and the batch analog of ``session_window(ts, '30 minutes')``.
+
+    lag → gap flag → running sum assigns session ids in one windowed pass
+    (single shuffle on user_id).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES"))
+    ).cast("int")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = e.withColumn("new_session", new_session).withColumn(
+        "session_seq", F.sum("new_session").over(wrun)
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+    )

@@ -1,0 +1,221 @@
+"""Structured Streaming CDC pipelines (SURVEY.md §2 M6, BASELINE north_star).
+
+The events table is the CDC stream: ``readStream`` file source →
+watermark → windowed/stateful operators → ``foreachBatch`` upsert
+materialization. Batch equivalents live in ``streaming/batch_equiv.py``
+(oracle-checked); ``tests/test_streaming.py`` asserts stream-batch parity.
+
+Reference anchors:
+- micro-batch orchestration (``fawac.py:521-551`` — A32) → trigger loop
+- EWMA soft target update (``fawac.py:15-17`` — A17) → ``soft_update_run``
+- episode accumulation (``fawac.py:597-611`` — A35) → ``session_window``
+- checkpoint serialize/restore (``fawac.py:555-583`` — A33) → versioned
+  snapshot state dirs + streaming checkpointLocation
+
+Scale notes: every pipeline keys its state by user_id/event_type so the
+state store partitions horizontally; watermarks bound state size; the
+upsert sink writes versioned snapshots (swap-on-commit) — the plain-
+parquet stand-in for Delta/Iceberg MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.helpers import money
+
+# Schema handed to readStream (file sources require one). Matches the
+# catalog contract: events.ts already converted to TIMESTAMP_NTZ micros
+# by the chunk-writer (tests) or upstream ingestion.
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream source over a directory of event parquet chunks.
+
+    ``maxFilesPerTrigger=1`` makes each chunk one micro-batch — the local
+    stand-in for a Kafka/CDC feed's incremental arrival."""
+    return (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def _with_event_time(events: DataFrame) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); event time is the NTZ wall
+    clock cast in the session zone (pinned UTC in session.py), cast back
+    to NTZ on emit so outputs match the batch equivalents."""
+    return events.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup (batch equiv: hourly_event_rollup)."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts_ltz", watermark)
+        .groupBy(F.window("ts_ltz", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def dedup_first_stream(events: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """Stateful keep-first dedup on (user_id, event_type).
+
+    ``dropDuplicates`` keeps the first arrival per key; the watermark
+    bounds state retention (batch equiv: stream_dedup_first_event)."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts_ltz", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows — the reference's episode abstraction (A35).
+
+    (batch equiv: session_agg_30min_gap, modulo the closed/open boundary
+    at an exact-gap arrival)."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts_ltz", "1 day")
+        .groupBy(F.session_window("ts_ltz", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
+# --- CDC upsert materialization (foreachBatch + versioned snapshots) -------
+
+
+def _latest_per_key(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+
+
+def _state_versions(state_dir: str) -> list[int]:
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Read the newest committed snapshot (A33 restore semantics)."""
+    versions = _state_versions(state_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+
+
+def cdc_upsert_run(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Run the CDC upsert pipeline to completion over a finite stream.
+
+    Each micro-batch MERGEs into the latest-per-user state and commits a
+    new versioned snapshot — the plain-parquet emulation of Delta MERGE
+    (SURVEY §4.2.2): read latest version → union batch → keep newest row
+    per key → write v{epoch}. Returns the final materialized state.
+    """
+    events = read_event_stream(spark, source_dir)
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        current = read_upsert_state(sess, state_dir)
+        merged = batch_df if current is None else current.unionByName(batch_df)
+        latest = _latest_per_key(merged)
+        latest.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{epoch_id}"))
+
+    q = (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = read_upsert_state(spark, state_dir)
+    assert final is not None, "no micro-batches processed"
+    return final.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# --- A17: EWMA soft-update of an aggregate state ---------------------------
+
+
+def soft_update_run(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    tau: float = 0.1,
+) -> dict[str, float]:
+    """Streaming soft update: ``target = (1 - tau) * target + tau * batch_mean``
+    per event_type — the reference's target-network EWMA merge
+    (``soft_update``, ``fawac.py:15-17``, A17) as incremental state over
+    micro-batches. Returns the final target values.
+    """
+    events = read_event_stream(spark, source_dir)
+    target: dict[str, float] = {}
+
+    def update(batch_df: DataFrame, epoch_id: int) -> None:
+        means = (
+            batch_df.groupBy("event_type")
+            .agg((F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("m"))
+            .collect()
+        )
+        for row in means:
+            k, m = row["event_type"], row["m"]
+            target[k] = m if k not in target else (1 - tau) * target[k] + tau * m
+
+    q = (
+        events.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dict(target)

@@ -1,0 +1,136 @@
+"""Stream-batch parity tests for the Structured Streaming CDC pipelines.
+
+The batch equivalents in ``streaming/batch_equiv.py`` are oracle-checked
+against DuckDB; these tests pin the streaming implementations to those
+same results, closing the loop streaming == batch == oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from fawac_cdc_spark.catalog import load_table
+from fawac_cdc_spark.streaming import cdc
+from fawac_cdc_spark.streaming.batch_equiv import (
+    cdc_latest_state_per_user,
+    hourly_event_rollup,
+    session_agg_30min_gap,
+    stream_dedup_first_event,
+)
+from tools.parity import compare_frames
+
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark, sf_dir, tmp_path_factory):
+    """Split events into N ts-ordered parquet chunks — each chunk becomes
+    one micro-batch (arrival order == event-time order, like a CDC feed)."""
+    out = tmp_path_factory.mktemp("event_chunks")
+    e = load_table(spark, sf_dir, "events").orderBy("ts", "event_id").collect()
+    schema = load_table(spark, sf_dir, "events").schema
+    per = (len(e) + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        rows = e[i * per : (i + 1) * per]
+        if not rows:
+            continue
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(
+            str(out / f"chunk_{i}")
+        )
+    # flatten: move part files up so the source dir is a flat file list.
+    # FileStreamSource orders by modification time — stamp strictly
+    # increasing mtimes so arrival order == chunk order.
+    import os
+    import time
+
+    files = sorted(out.rglob("part-*.parquet"))
+    flat = tmp_path_factory.mktemp("event_stream")
+    base = time.time() - 3600
+    for i, f in enumerate(files):
+        dest = flat / f"{i:04d}.parquet"
+        dest.write_bytes(f.read_bytes())
+        os.utime(dest, (base + 10 * i, base + 10 * i))
+    return str(flat)
+
+
+def _run_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir, chunk_dir):
+    events = cdc.read_event_stream(spark, chunk_dir)
+    got = _run_to_memory(
+        spark, cdc.hourly_rollup_stream(events), "hourly_out", "complete"
+    ).toPandas()
+    want = (
+        hourly_event_rollup(spark, sf_dir)
+        .withColumn("hour", F.col("hour").cast("timestamp_ntz"))
+        .toPandas()
+    )
+    got["hour"] = pd.to_datetime(got["hour"])
+    assert not compare_frames(got, want)
+
+
+def test_dedup_first_stream_matches_batch(spark, sf_dir, chunk_dir):
+    events = cdc.read_event_stream(spark, chunk_dir)
+    got = _run_to_memory(
+        spark, cdc.dedup_first_stream(events), "dedup_out", "append"
+    ).toPandas()
+    want = stream_dedup_first_event(spark, sf_dir).toPandas()
+    assert not compare_frames(got, want)
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, chunk_dir):
+    events = cdc.read_event_stream(spark, chunk_dir)
+    got = _run_to_memory(
+        spark, cdc.session_window_stream(events), "session_out", "complete"
+    ).toPandas()
+    want = (
+        session_agg_30min_gap(spark, sf_dir)
+        .select("user_id", "session_start", "n_events", "total_value")
+        .toPandas()
+    )
+    assert not compare_frames(got, want)
+
+
+def test_cdc_upsert_matches_batch(spark, sf_dir, chunk_dir, tmp_path):
+    final = cdc.cdc_upsert_run(
+        spark,
+        chunk_dir,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    ).toPandas()
+    want = cdc_latest_state_per_user(spark, sf_dir).toPandas()
+    assert not compare_frames(final, want)
+
+
+def test_soft_update_sequential_semantics(spark, chunk_dir, tmp_path):
+    """Streaming EWMA equals the sequential recurrence over micro-batch means."""
+    tau = 0.1
+    got = cdc.soft_update_run(spark, chunk_dir, str(tmp_path / "ckpt2"), tau=tau)
+
+    # recompute sequentially from the chunk files in arrival order
+    import glob
+
+    expected: dict[str, float] = {}
+    for f in sorted(glob.glob(f"{chunk_dir}/*.parquet")):
+        pdf = pd.read_parquet(f)
+        means = pdf.groupby("event_type")["value"].apply(
+            lambda s: float(round(s.astype("float64").sum(), 2)) / len(s)
+        )
+        for k, m in means.items():
+            expected[k] = m if k not in expected else (1 - tau) * expected[k] + tau * m
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])

@@ -101,6 +101,7 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
                 print(f"[rows-only] {name}: {n} rows")
             except Exception as exc:  # noqa: BLE001
                 results[name] = [f"EXCEPTION {exc}"]
+                print(f"[FAIL] {name} -> EXCEPTION: {exc}")
             continue
         try:
             spdf = fn(spark, sf_dir).toPandas()
