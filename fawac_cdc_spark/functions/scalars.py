@@ -1,0 +1,222 @@
+"""Scalar-function surface: JSON, date/time, regexp, pivot, normalization,
+quantile outlier filtering, config-diff (SURVEY.md §2 Part B "Scalar fns"
+plus A36/A38/A43 semantics).
+
+All JVM built-ins — the queries exist to pin the scalar-function surface
+against the oracle engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.helpers import money
+from ..registry import register
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+""",
+    tags=("scalar", "json"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string parsing (driver fixture `events.props`): Spark uses
+    schema-ful ``from_json`` (vectorized JVM path); oracle uses DuckDB's
+    JSON extension."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "pivot_event_type_counts",
+    oracle="""
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY user_id
+""",
+    tags=("scalar", "pivot"),
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list so Catalyst skips the distinct-values
+    pre-pass — mandatory at scale) with 0-fill to match SUM(CASE)."""
+    e = load_table(spark, sf_dir, "events")
+    pivoted = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+@register(
+    "order_date_parts",
+    oracle="""
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+       CAST(extract(month FROM o_orderdate) AS INT) AS mon,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       date_trunc('quarter', o_orderdate) AS quarter_start
+FROM orders
+WHERE extract(year FROM o_orderdate) = 1997
+""",
+    tags=("scalar", "datetime"),
+)
+def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + truncation (Part B date/time surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("quarter", F.col("o_orderdate")).alias("quarter_start"),
+    )
+
+
+@register(
+    "regexp_extract_source_num",
+    oracle="""
+SELECT doc_id, source,
+       CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS src_num,
+       upper(lang) AS lang_uc,
+       length(text) AS text_len
+FROM documents
+WHERE regexp_matches(source, 'src\\d+')
+""",
+    tags=("scalar", "string"),
+)
+def regexp_extract_source_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extraction + string functions (Part B string surface)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(F.col("source").rlike(r"src\d+")).select(
+        "doc_id",
+        "source",
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("src_num"),
+        F.upper("lang").alias("lang_uc"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@register(
+    "config_diff_overlay",
+    oracle="""
+WITH user_cfg AS (
+    SELECT p_brand AS key, CAST(MAX(p_size) AS DOUBLE) AS value
+    FROM part WHERE p_type LIKE '%BRASS%' GROUP BY p_brand
+), default_cfg AS (
+    SELECT p_brand AS key, CAST(MAX(p_size) AS DOUBLE) AS value
+    FROM part GROUP BY p_brand
+)
+SELECT u.key, u.value AS user_value, d.value AS default_value
+FROM user_cfg u JOIN default_cfg d ON u.key = d.key
+WHERE u.value <> d.value
+""",
+    tags=("scalar", "reference"),
+)
+def config_diff_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-diff semantics, reference ``train_fawac_iql.py:28-32`` (A36):
+    keep keys whose user value differs from the default, for overlay."""
+    p = load_table(spark, sf_dir, "part")
+    user_cfg = (
+        p.where(F.col("p_type").like("%BRASS%"))
+        .groupBy(F.col("p_brand").alias("key"))
+        .agg(F.max("p_size").cast("double").alias("user_value"))
+    )
+    default_cfg = p.groupBy(F.col("p_brand").alias("key")).agg(
+        F.max("p_size").cast("double").alias("default_value")
+    )
+    return (
+        user_cfg.join(default_cfg, "key")
+        .where(F.col("user_value") != F.col("default_value"))
+        .select("key", "user_value", "default_value")
+    )
+
+
+@register(
+    "outlier_filtered_totals",
+    oracle="""
+WITH bounds AS (
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+    FROM lineitem
+)
+SELECT COUNT(*) AS n_kept,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS kept_total,
+       MIN(l_extendedprice) AS kept_min,
+       MAX(l_extendedprice) AS kept_max
+FROM lineitem, bounds
+WHERE l_extendedprice BETWEEN lo AND hi
+""",
+    tags=("scalar", "reference"),
+)
+def outlier_filtered_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile outlier removal, reference pre-processing
+    ``train_fawac_iql.py:59-75`` (A38): drop rows outside [p05, p95].
+
+    Exact percentile bounds rounded to the data's 2-decimal grid on both
+    sides so boundary rows classify identically. At 100 TB swap in
+    ``approxQuantile`` — same plan shape, bounded memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 2).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("hi"),
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .where(F.col("l_extendedprice").between(F.col("lo"), F.col("hi")))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(money("l_extendedprice")).cast("double").alias("kept_total"),
+            F.min("l_extendedprice").alias("kept_min"),
+            F.max("l_extendedprice").alias("kept_max"),
+        )
+    )
+
+
+@register(
+    "normalize_minmax_events",
+    oracle="""
+WITH stats AS (
+    SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       (value - vmin) / (vmax - vmin) AS value_norm
+FROM events e JOIN stats USING (event_type)
+""",
+    tags=("scalar", "reference"),
+)
+def normalize_minmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization projection against a broadcast stats table, reference
+    ``get_normalized_score`` ``train_fawac_iql.py:147`` (A43). min/max are
+    exact; the per-row normalization is deterministic IEEE — no rounding."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    return e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        ((F.col("value") - F.col("vmin")) / (F.col("vmax") - F.col("vmin"))).alias(
+            "value_norm"
+        ),
+    )

@@ -173,3 +173,44 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["lang"].alias("guessed_lang"),
         best["score"].alias("guess_score"),
     )
+
+
+@register(
+    "tfidf_source_terms",
+    oracle="""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term
+), df AS (
+    SELECT term, COUNT(DISTINCT source) AS df FROM toks GROUP BY term
+), n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
+SELECT tf.source, tf.term, tf.tf, df.df,
+       ROUND(tf.tf * ln(CAST(n_sources AS DOUBLE) / df.df), 10) AS tfidf
+FROM tf JOIN df USING (term), n
+""",
+    tags=("text", "llm", "tfidf"),
+)
+def tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over (source, term): tf = in-source term count, idf =
+    ln(N_sources / df). Relational formulation (explode -> two aggs ->
+    join) rather than HashingTF so term identities survive and the oracle
+    can recompute it; ln() rounded 10 (libm ulp)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_sources = d.select(F.countDistinct("source").alias("n_sources"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")), 10
+            ).alias("tfidf"),
+        )
+    )

@@ -280,3 +280,18 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
         F.min("value").alias("min_value"),
     )
+
+
+@register("approx_stats_lineitem", tags=("m2", "agg", "approx", "rows-only"))
+def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregation scale path (rows-only check: sketch
+    results are engine-specific): HLL distinct counts + approximate
+    quantiles. At 100 TB these replace exact countDistinct / percentile --
+    bounded memory, one pass, mergeable partial sketches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95_price"),
+    )

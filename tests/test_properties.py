@@ -1,0 +1,111 @@
+"""Property-based spot checks for the non-SQL-oracled ops (SURVEY §5.2.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from fawac_cdc_spark.functions.dedup import minhash_sig_exprs
+from fawac_cdc_spark.functions.similarity import HYPERPLANES
+from fawac_cdc_spark.registry import all_specs
+
+_SPECS = all_specs()
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    """dedup(dedup(x)) == dedup(x): re-deduping the survivors is a no-op."""
+    fn = _SPECS["dedup_exact_documents"].fn
+    once = fn(spark, sf_dir)
+    survivors = once.select(F.col("fp")).distinct()
+    assert survivors.count() == once.count()
+
+
+def test_exact_dedup_collapses_injected_duplicates(spark):
+    rows = [(1, "a b c"), (2, "a b c"), (3, "A B C"), (4, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        df.groupBy(F.md5(F.lower(F.col("text"))).alias("fp"))
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_n = sorted((r["n"], r["keep"]) for r in out)
+    # 1,2,3 normalize to the same text -> one group keeping doc 1
+    assert by_n == [(1, 4), (3, 1)]
+
+
+def test_minhash_identical_docs_have_identical_signatures(spark):
+    rows = [(1, "spark shuffles data across the cluster for joins"),
+            (2, "spark shuffles data across the cluster for joins"),
+            (3, "completely different words entirely here now friends")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = (
+        df.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(toks) - 3), "
+                    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    sig = sh.groupBy("doc_id").agg(*minhash_sig_exprs()).collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh{j}"] for j in range(8)) for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_lsh_topk_is_subset_of_bruteforce_scores(spark, sf_dir):
+    """Every (vec, score) the LSH path returns must appear with the same
+    score in the brute-force ranking (LSH narrows candidates, never
+    rescores)."""
+    brute = {
+        r["vec_id"]: r["cos_sim"]
+        for r in _SPECS["cosine_topk_query0"].fn(spark, sf_dir).collect()
+    }
+    # brute-force full scoring for fallback comparison
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    vecs = np.stack(t["embedding"].to_numpy()).astype("float64")
+    ids = t["vec_id"].to_numpy()
+    q = vecs[ids == 0][0]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    full = dict(zip(ids.tolist(), np.round(cos, 6).tolist()))
+    lsh = _SPECS["rp_lsh_topk_query0"].fn(spark, sf_dir).collect()
+    assert 0 < len(lsh) <= 5
+    for r in lsh:
+        assert full[r["vec_id"]] == pytest.approx(r["cos_sim"], abs=2e-6)
+    # and the declared brute-force top-k agrees with numpy
+    for vid, score in brute.items():
+        assert full[vid] == pytest.approx(score, abs=2e-6)
+
+
+def test_hyperplanes_are_fixed_literals():
+    assert len(HYPERPLANES) == 4 and all(len(p) == 64 for p in HYPERPLANES)
+    # regenerating from the seed gives the same planes (determinism pin)
+    regen = np.random.RandomState(42).standard_normal((4, 64)).round(4).tolist()
+    assert regen == HYPERPLANES
+
+
+def test_hash_sample_is_stable_fraction(spark, sf_dir):
+    fn = _SPECS["hash_sample_lineitem"].fn
+    n1 = fn(spark, sf_dir).count()
+    n2 = fn(spark, sf_dir).count()
+    total = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert n1 == n2  # deterministic
+    assert 0.08 < n1 / total < 0.17  # ~2/16 of md5 first hex digits
+
+
+def test_seeded_sample_exact_size_and_deterministic(spark, sf_dir):
+    fn = _SPECS["seeded_batch_sample_1024"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert len(a) == 1024
+    assert sorted(r["l_orderkey"] * 10 + r["l_linenumber"] for r in a) == sorted(
+        r["l_orderkey"] * 10 + r["l_linenumber"] for r in b
+    )
