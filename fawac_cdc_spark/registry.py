@@ -33,6 +33,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.functions.dedup",
     "fawac_cdc_spark.functions.similarity",
     "fawac_cdc_spark.functions.multimodal",
+    "fawac_cdc_spark.sources.connectors",
     "fawac_cdc_spark.plans.reference",
     "fawac_cdc_spark.streaming.batch_equiv",
 ]
