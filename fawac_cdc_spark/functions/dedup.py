@@ -265,3 +265,67 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(case when s{b} > 0 then {1 << b} else 0 end)" for b in range(SIMHASH_BITS)
     )
     return sums.select("doc_id", F.expr(f"cast({combine} as bigint)").alias("simhash"))
+
+
+# --- embedding-cosine near-duplicates --------------------------------------
+
+NEAR_DUP_COS = 0.4
+
+
+def _near_dup_sql() -> str:
+    from .similarity import _bucket_sql_duck, _dot2_duck, _NORM_DUCK
+
+    return f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_bucket_sql_duck()} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+       ROUND(({_dot2_duck('a.embedding', 'c.embedding')})
+             / (({_NORM_DUCK.format(v='a.embedding')})
+                * ({_NORM_DUCK.format(v='c.embedding')})), 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ({_dot2_duck('a.embedding', 'c.embedding')})
+      / (({_NORM_DUCK.format(v='a.embedding')})
+         * ({_NORM_DUCK.format(v='c.embedding')})) >= {NEAR_DUP_COS}
+"""
+
+
+@register(
+    "embedding_cosine_near_dup",
+    oracle=_near_dup_sql(),
+    tags=("dedup", "llm", "similarity"),
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    generation (equi-join on the random-projection bucket — never an
+    O(n²) cross join), then exact cosine >= 0.4 within candidates.
+
+    Semantics are explicitly "bucketed near-dup": pairs whose LSH buckets
+    differ are not candidates (the recall dial is the hyperplane count;
+    more bands = higher recall). The oracle replays the identical
+    bucket-join, so parity pins both the bucketing and the scoring.
+    """
+    from .similarity import _bucket_expr_spark, _dot2_spark, _NORM_SPARK
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", F.expr(_bucket_expr_spark()).alias("bucket"))
+    a = b.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "bucket",
+    )
+    cos = F.expr(_dot2_spark("a_emb", "b_emb")) / (
+        F.expr(_NORM_SPARK.format(v="a_emb")) * F.expr(_NORM_SPARK.format(v="b_emb"))
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_raw", cos)
+        .where(F.col("cos_raw") >= NEAR_DUP_COS)
+        .select("a_id", "b_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )

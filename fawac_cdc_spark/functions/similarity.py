@@ -192,6 +192,120 @@ def rp_lsh_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(5)
 
 
+# --- IVF (inverted-file) ANN variant ---------------------------------------
+#
+# Coarse quantizer: the first N_CENTROIDS vectors act as fixed seed
+# centroids (IVF-flat with seed init — deterministic, so the oracle can
+# replay it; a production build would k-means these). Every vector is
+# assigned to its nearest centroid by cosine; a query probes only its own
+# centroid's inverted list. Same shape as the LSH path — candidate
+# generation is an equi-join on a precomputable integer key — but with
+# data-dependent cells instead of fixed hyperplanes.
+
+N_CENTROIDS = 8
+IVF_QUERY_ID = 1
+
+
+def _dot2_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _dot2_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+@register(
+    "ivf_topk_query1",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), scored_cents AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(({_dot2_duck('e.embedding', 'c.cvec')})
+                              / (({_NORM_DUCK.format(v='e.embedding')})
+                                 * ({_NORM_DUCK.format(v='c.cvec')})), 6) DESC,
+                        c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+    SELECT vec_id, embedding, cent_id FROM scored_cents WHERE rn = 1
+), q AS (
+    SELECT embedding AS qv, cent_id AS qcent
+    FROM assigned WHERE vec_id = {IVF_QUERY_ID}
+)
+SELECT a.vec_id, a.cent_id,
+       ROUND(({_dot2_duck('a.embedding', 'qv')})
+             / (({_NORM_DUCK.format(v='a.embedding')})
+                * ({_NORM_DUCK.format(v='qv')})), 6) AS cos_sim
+FROM assigned a, q
+WHERE a.vec_id <> {IVF_QUERY_ID} AND a.cent_id = q.qcent
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+""",
+    tags=("similarity", "llm", "ivf"),
+)
+def ivf_topk_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5 for vec_id=1: assign every vector to its nearest
+    seed centroid (broadcast of N_CENTROIDS rows + one windowed argmax),
+    then score only the query's inverted list.
+
+    At 100 TB the assignment is a map-side broadcast pass and cent_id
+    becomes the partition key — probing k lists touches k partitions.
+    Cosines round to 6 before ranking so the argmax is engine-stable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    from pyspark.sql import Window
+
+    cos_to_cent = F.round(
+        F.expr(_dot2_spark("embedding", "cvec"))
+        / (
+            F.expr(_NORM_SPARK.format(v="embedding"))
+            * F.expr(_NORM_SPARK.format(v="cvec"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_to_cent"), F.asc("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cos_to_cent", cos_to_cent)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = assigned.where(F.col("vec_id") == IVF_QUERY_ID).select(
+        F.col("embedding").alias("qv"), F.col("cent_id").alias("qcent")
+    )
+    scored = (
+        assigned.where(F.col("vec_id") != IVF_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("cent_id") == F.col("qcent"))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(
+                F.expr(_dot2_spark("embedding", "qv"))
+                / (
+                    F.expr(_NORM_SPARK.format(v="embedding"))
+                    * F.expr(_NORM_SPARK.format(v="qv"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(5)
+
+
 @register(
     "embedding_label_stats",
     oracle=f"""
