@@ -164,3 +164,104 @@ def session_agg_30min_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(money("value")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "sliding_1h_15min_rollup",
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+           AS win_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+GROUP BY 1, 2
+""",
+    tags=("m6", "cdc", "streaming-equiv"),
+)
+def sliding_1h_15min_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1-hour window, 15-min slide): every event
+    lands in exactly 4 overlapping windows — batch semantics of the
+    watermarked ``window(ts, '1 hour', '15 minutes')`` stream. The oracle
+    replays the overlap explicitly (bucket minus k slides).
+
+    At scale the expansion factor is window/slide (here 4x) — Spark's
+    window() does the same expansion map-side before the shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+CAP_TOTAL = 1000  # accumulation cap (money units) for the early-stop op
+
+
+@register(
+    "capped_user_totals",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CAST(value AS DECIMAL(18,2)) AS v,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER w AS run
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), flagged AS (
+    SELECT user_id, v,
+           COALESCE(MAX(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING),
+                    0) AS prev_run
+    FROM ordered
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS total_value
+FROM flagged
+WHERE prev_run < {CAP_TOTAL}
+GROUP BY user_id
+""",
+    tags=("m6", "cdc", "streaming-equiv", "reference"),
+)
+def capped_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped running accumulation with early stop — the reference's
+    episode rollout (``fawac.py:597-611``, A35): per user, accumulate
+    value in event-time order and stop permanently once the running total
+    reaches CAP_TOTAL (the crossing event is included).
+
+    Batch form: running decimal sum, keep rows whose *previous* running
+    maximum is still below the cap (sticky stop — correct even if values
+    could be negative). The streaming form is the
+    ``applyInPandasWithState`` operator in ``streaming/cdc.py``."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = F.sum(money("value")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        e.withColumn("run", run)
+        .withColumn(
+            "prev_run",
+            F.coalesce(
+                F.max("run").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("decimal(18,2)"),
+            ),
+        )
+        .where(F.col("prev_run") < CAP_TOTAL)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+    )

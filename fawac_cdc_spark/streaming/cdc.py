@@ -219,3 +219,95 @@ def soft_update_run(
     )
     q.awaitTermination()
     return dict(target)
+
+
+def sliding_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked sliding-window rollup, 1-hour window advancing every 15
+    minutes (batch equiv: sliding_1h_15min_rollup). Each event expands
+    into window/slide = 4 overlapping windows map-side."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts_ltz", watermark)
+        .groupBy(
+            F.window("ts_ltz", "1 hour", "15 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --- A35 as a custom stateful operator (applyInPandasWithState) ------------
+
+CAP_TOTAL_CENTS = 1000 * 100  # mirror batch_equiv.CAP_TOTAL in integer cents
+
+CAPPED_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+CAPPED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("stopped", T.BooleanType()),
+    ]
+)
+
+
+def capped_totals_stream(events: DataFrame) -> DataFrame:
+    """The reference's episode rollout (``rollout``, ``fawac.py:597-611``,
+    A35) as a *custom stateful streaming operator*: per-user running
+    accumulation with permanent early stop once the total reaches the cap
+    (crossing event included), via ``applyInPandasWithState``.
+
+    State per key is three scalars (integer cents — exact — plus a count
+    and the stop flag), so the state store stays tiny and partitions by
+    user. Arrow moves each group's micro-batch rows in one batch; rows are
+    re-sorted by (ts, event_id) inside the batch because intra-batch file
+    order is not guaranteed, while cross-batch order is the arrival order
+    of the CDC feed (batch equiv: capped_user_totals)."""
+    import pandas as pd
+
+    def accumulate(key, pdf_iter, state):
+        (user_id,) = key
+        total_cents, n, stopped = state.get if state.exists else (0, 0, False)
+        for pdf in pdf_iter:
+            if stopped:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                if stopped:
+                    break
+                total_cents += int(round(float(v) * 100))
+                n += 1
+                if total_cents >= CAP_TOTAL_CENTS:
+                    stopped = True
+        state.update((total_cents, n, stopped))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total_cents / 100.0],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        accumulate,
+        outputStructType=CAPPED_OUTPUT_SCHEMA,
+        stateStructType=CAPPED_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

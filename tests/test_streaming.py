@@ -134,3 +134,36 @@ def test_soft_update_sequential_semantics(spark, chunk_dir, tmp_path):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+
+def test_sliding_rollup_stream_matches_batch(spark, sf_dir, chunk_dir):
+    from fawac_cdc_spark.streaming.batch_equiv import sliding_1h_15min_rollup
+
+    events = cdc.read_event_stream(spark, chunk_dir)
+    got = _run_to_memory(
+        spark, cdc.sliding_rollup_stream(events), "sliding_out", "complete"
+    ).toPandas()
+    want = (
+        sliding_1h_15min_rollup(spark, sf_dir)
+        .withColumn("win_start", F.col("win_start").cast("timestamp_ntz"))
+        .toPandas()
+    )
+    got["win_start"] = pd.to_datetime(got["win_start"])
+    assert not compare_frames(got, want)
+
+
+def test_capped_totals_stream_matches_batch(spark, sf_dir, chunk_dir):
+    """The applyInPandasWithState accumulator converges to the batch
+    sticky-stop semantics: take each user's final (max-n) emitted row."""
+    from fawac_cdc_spark.streaming.batch_equiv import capped_user_totals
+
+    events = cdc.read_event_stream(spark, chunk_dir)
+    emitted = _run_to_memory(
+        spark, cdc.capped_totals_stream(events), "capped_out", "update"
+    ).toPandas()
+    got = (
+        emitted.sort_values("n_events")
+        .drop_duplicates("user_id", keep="last")
+        .reset_index(drop=True)
+    )
+    want = capped_user_totals(spark, sf_dir).toPandas()
+    assert not compare_frames(got, want)
