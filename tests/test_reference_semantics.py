@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from fawac_cdc_spark.operators.windows import (
     GAMMA,
-    _discounted_cumsum_pdf,
+    _disc_scan_block,
     _ewma_pdf,
 )
 
@@ -30,7 +30,7 @@ def test_discounted_cumsum_hand_computed():
             "value": [1.0, 2.0, 3.0],
         }
     )
-    out = _discounted_cumsum_pdf(pdf).sort_values("event_id")
+    out = _disc_scan_block(pdf).sort_values("event_id")
     # c2 = 3; c1 = 2 + 0.99*3 = 4.97; c0 = 1 + 0.99*4.97 = 5.9203 -> 5.92
     assert out["disc_return"].tolist() == [5.92, 4.97, 3.0]
 
@@ -46,7 +46,7 @@ def test_discounted_cumsum_doubling_scan_equals_sequential_loop():
             "value": vals,
         }
     )
-    got = _discounted_cumsum_pdf(pdf)["disc_return"].to_numpy()
+    got = _disc_scan_block(pdf)["disc_return"].to_numpy()
     seq = vals.astype("float64").copy()
     for i in range(len(seq) - 2, -1, -1):
         seq[i] = vals[i] + GAMMA * seq[i + 1]
@@ -111,3 +111,32 @@ def test_constrained_selection_hand_computed(spark):
         .collect()[0]
     )
     assert best["ckpt"] == 2  # 100.0 excluded by constraint; 90/90 tie -> ckpt 2
+
+
+def test_disc_scan_stream_carries_partial_episodes():
+    """Arrow batch boundaries don't respect episodes: the stream wrapper
+    must carry a split episode into the next batch and still compute the
+    same scan as one whole-block pass."""
+    from fawac_cdc_spark.operators.windows import _disc_scan_stream
+
+    rng = np.random.RandomState(11)
+    frames = []
+    for uid in (1, 2, 3):
+        n = rng.randint(5, 40)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "user_id": uid,
+                    "event_id": np.arange(n),
+                    "ts": pd.to_datetime("2024-01-01")
+                    + pd.to_timedelta(np.arange(n), "min"),
+                    "value": rng.uniform(0, 100, size=n).round(2),
+                }
+            )
+        )
+    full = pd.concat(frames, ignore_index=True)
+    want = _disc_scan_block(full).reset_index(drop=True)
+    for cut in (1, 7, len(full) // 2, len(full) - 1):
+        batches = [full.iloc[:cut], full.iloc[cut:]]
+        got = pd.concat(list(_disc_scan_stream(iter(batches))), ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)
