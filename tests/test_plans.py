@@ -1,0 +1,100 @@
+"""Physical-plan quality gates (SURVEY.md §4.2; the 100 TB design point).
+
+Correctness tests prove the operators right; these prove the *plans*
+right, and keep them right: filters and projections must reach the
+parquet scans, dimension joins must broadcast, candidate generation must
+never degenerate into a cartesian product, and the hot relational path
+must stay inside whole-stage codegen. A regression here means a future
+edit silently de-optimized a plan even though its results still match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fawac_cdc_spark.registry import all_specs
+
+_SPECS = all_specs()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _SPECS[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_revenue_by_nation_month")
+    # the l_shipdate range predicate must reach the lineitem scan
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:", 1)[1][:500]
+    # the lineitem scan must not read money columns it doesn't need
+    scan = next(s for s in plan.split("(1) Scan")[1:] if "lineitem" in s[:400])
+    read_schema = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_tax" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "flagship_revenue_by_nation_month")
+    # dims (customer, nation, region) broadcast; no dim reaches a sort-merge
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_filter_range_scan_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_range_scan")
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:", 1)[1][:500]
+    assert "GreaterThan" in pushed or "LessThan" in pushed or "l_" in pushed
+
+
+def test_no_unintended_cartesian_products(spark, sf_dir):
+    """Cross joins are legal only where a single broadcast row/stats frame
+    is intentionally attached; candidate generation (dedup, similarity)
+    must stay equi-join shaped."""
+    for name in (
+        "minhash_lsh_candidates",
+        "ngram_jaccard_pairs",
+        "embedding_cosine_near_dup",
+        "orders_lineitem_by_priority",
+        "asof_join_last_signup_before_purchase",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_relational_hot_path_is_codegen(spark, sf_dir):
+    """The TPC-H-ish relational queries must execute inside whole-stage
+    codegen (no interpreted row-at-a-time operators on the hot path)."""
+    # AQE defers physical planning, so the pre-execution codegen explain
+    # reports 0 subtrees; disable it for the inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("pricing_summary", "orders_lineitem_by_priority"):
+            df = _SPECS[name].fn(spark, sf_dir)
+            plan = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "codegen"
+            )
+            assert "WholeStageCodegen subtrees" in plan, name
+            assert "Found 0 WholeStageCodegen" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_aggregates_are_partial_final(spark, sf_dir):
+    """groupBy aggregations must map-side combine (partial_ functions
+    before the shuffle) — at 100 TB this bounds shuffle volume."""
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "partial_" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["cosine_topk_query0", "rp_lsh_topk_query0", "ivf_topk_query1"],
+)
+def test_topk_uses_takeordered_not_global_sort(spark, sf_dir, name):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject —
+    a per-partition heap + driver merge, never a full global sort."""
+    plan = _plan(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan
