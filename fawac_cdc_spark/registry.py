@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.operators.sampling",
     "fawac_cdc_spark.functions.text",
     "fawac_cdc_spark.functions.scalars",
+    "fawac_cdc_spark.functions.preprocess",
     "fawac_cdc_spark.functions.dedup",
     "fawac_cdc_spark.functions.similarity",
     "fawac_cdc_spark.functions.multimodal",
