@@ -295,3 +295,32 @@ def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("approx_p95_price"),
     )
+
+
+@register(
+    "grouping_sets_mixed",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+""",
+    tags=("m2", "agg", "groupingsets"),
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (a set list ROLLUP/CUBE cannot express:
+    (flag, status), (status), ()) with GROUPING() disambiguating real
+    NULLs from subtotal rows — via the SQL API to pin SQL-surface parity."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
