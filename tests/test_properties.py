@@ -109,3 +109,66 @@ def test_seeded_sample_exact_size_and_deterministic(spark, sf_dir):
     assert sorted(r["l_orderkey"] * 10 + r["l_linenumber"] for r in a) == sorted(
         r["l_orderkey"] * 10 + r["l_linenumber"] for r in b
     )
+
+
+def _load_embeddings(spark, sf_dir):
+    from fawac_cdc_spark.catalog import load_table
+
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    return ids, V
+
+
+def test_near_dup_pairs_precise_and_ordered(spark, sf_dir):
+    """Every reported near-dup pair really has cosine >= threshold
+    (precision 1.0 — bucket pruning may only lower recall), and pairs are
+    canonical (a_id < b_id, no duplicates)."""
+    from fawac_cdc_spark.functions.dedup import NEAR_DUP_COS
+
+    got = _SPECS["embedding_cosine_near_dup"].fn(spark, sf_dir).toPandas()
+    assert (got["a_id"] < got["b_id"]).all()
+    assert not got.duplicated(["a_id", "b_id"]).any()
+    ids, V = _load_embeddings(spark, sf_dir)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for row in got.itertuples():
+        cos = float(n[idx[row.a_id]] @ n[idx[row.b_id]])
+        assert cos >= NEAR_DUP_COS - 1e-9, (row.a_id, row.b_id, cos)
+
+
+def test_ivf_topk_scores_match_bruteforce(spark, sf_dir):
+    """IVF results score identically to an independent numpy brute force
+    (the approximation is WHICH candidates are scored, never the score)."""
+    from fawac_cdc_spark.functions.similarity import IVF_QUERY_ID
+
+    got = _SPECS["ivf_topk_query1"].fn(spark, sf_dir).toPandas()
+    assert len(got) == 5
+    ids, V = _load_embeddings(spark, sf_dir)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    q = n[idx[IVF_QUERY_ID]]
+    for row in got.itertuples():
+        cos = float(n[idx[row.vec_id]] @ q)
+        assert abs(cos - row.cos_sim) < 1e-5, (row.vec_id, cos, row.cos_sim)
+    # descending, tie-broken ranking
+    assert (got["cos_sim"].diff().dropna() <= 1e-12).all()
+
+
+def test_capped_totals_respect_cap_semantics(spark, sf_dir):
+    """Each user either crossed the cap (total >= cap, crossing event
+    included) or ran out of events (n_events == all their events)."""
+    from fawac_cdc_spark.catalog import load_table
+    from fawac_cdc_spark.streaming.batch_equiv import CAP_TOTAL
+
+    got = _SPECS["capped_user_totals"].fn(spark, sf_dir).toPandas()
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_all"))
+        .toPandas()
+        .set_index("user_id")["n_all"]
+    )
+    assert set(got["user_id"]) == set(per_user.index)
+    for row in got.itertuples():
+        assert row.total_value >= CAP_TOTAL or row.n_events == per_user[row.user_id]
