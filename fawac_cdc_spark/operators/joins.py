@@ -241,3 +241,28 @@ def asof_join_last_signup_before_purchase(spark: SparkSession, sf_dir: str) -> D
         F.col("ts").alias("purchase_ts"),
         "last_signup_ts",
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    scatter_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-mitigating inner equi-join (SURVEY Part B "Joins"; the manual
+    fallback when AQE's skew split can't apply, e.g. skewed
+    aggregation-input or a skew AQE can't see at plan time).
+
+    One hot key otherwise lands on one reducer; salting scatters the big
+    side's rows across ``n_salts`` sub-keys (deterministically, by hashing
+    ``scatter_col`` — repartition-stable) and replicates the small side
+    once per salt, so the hot key spreads over ``n_salts`` tasks. Cost:
+    small side shuffles n_salts copies — keep it the dimension side.
+    """
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    right_rep = right.withColumn("_salt", F.explode(salts))
+    left_s = left.withColumn(
+        "_salt", F.pmod(F.hash(F.col(scatter_col)), F.lit(n_salts)).cast("int")
+    )
+    return left_s.join(right_rep, [key, "_salt"]).drop("_salt")
