@@ -214,3 +214,86 @@ def tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+WITH per_doc AS (
+    SELECT source,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_tokens
+    FROM documents
+)
+SELECT source,
+       SUM(ws_tokens) AS total_ws_tokens,
+       SUM(bpe_tokens) AS total_bpe_tokens,
+       CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens) AS bpe_per_ws
+FROM per_doc
+GROUP BY source
+""",
+    tags=("text", "llm", "tokenize"),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs /
+    punctuation runs — the pre-tokenization split a BPE tokenizer
+    applies) next to whitespace counts. Integer-exact aggregation; the
+    ratio is one double division of identical inputs."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        (F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens")).alias("bpe_per_ws"),
+    )
+
+
+WINNOW_K = 8  # character-window width for the rolling fingerprint
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id,
+           list_transform(range(1, len(text) - {WINNOW_K - 2}),
+                          i -> CAST('0x' || substr(md5(substr(text, i, {WINNOW_K})), 1, 8)
+                                   AS BIGINT)) AS hashes
+    FROM documents
+    WHERE len(text) >= {WINNOW_K}
+)
+SELECT doc_id,
+       list_min(hashes) AS min_gram_hash,
+       len(list_distinct(hashes)) AS n_distinct_grams
+FROM grams
+""",
+    tags=("text", "llm", "dedup", "fingerprint"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing/Rabin-Karp family):
+    hash every sliding 8-char window, keep the minimum window hash as the
+    fingerprint plus the distinct-window count. In an imperative engine
+    the rolling hash updates in O(1) per shift; set-based engines
+    evaluate all windows as one higher-order array expression — same
+    fingerprint, embarrassingly parallel. md5-derived hashes keep Spark
+    and the oracle bit-identical."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= WINNOW_K)
+    hashes = F.expr(
+        f"transform(sequence(0, length(text) - {WINNOW_K}), "
+        f"i -> cast(conv(substr(md5(substring(text, i + 1, {WINNOW_K})), 1, 8), 16, 10)"
+        f" as bigint))"
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("min_gram_hash"),
+        F.size(F.array_distinct(hashes)).alias("n_distinct_grams"),
+    )
