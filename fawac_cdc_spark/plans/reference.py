@@ -17,7 +17,7 @@ events = cost signal, user = episode):
 
 Everything is built from window functions + exact DECIMAL window
 averages, so the whole pipeline is oracle-exact except the exp() weight
-(rounded 12, libm ulp).
+(rounded 6, libm ulp).
 """
 
 from __future__ import annotations
@@ -64,7 +64,7 @@ SELECT event_id, user_id,
                      * GREATEST(-(cost - vc), -1.0) AS net_adv,
        ROUND(LEAST(EXP({BETA} * ((value - v)
              + CASE WHEN vc - {COST_EPS} > 0 THEN {MAX_LAG} ELSE 0.0 END
-               * GREATEST(-(cost - vc), -1.0))), {W_CAP}), 12) AS weight
+               * GREATEST(-(cost - vc), -1.0))), {W_CAP}), 6) AS weight
 FROM seq
 """,
     tags=("m8", "reference", "pipeline"),
@@ -75,7 +75,10 @@ def reference_td_advantage_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
     events-as-transitions: q = value, v = per-episode exact mean (DECIMAL
     window), cost = error indicator, vc = per-episode cost rate. One
     shuffle on user_id feeds every window; all downstream math is
-    per-row and oracle-exact (exp rounded 12).
+    per-row and oracle-exact. The exp() weight is the one libm value:
+    rounded 6 on both sides — at finer grids a 1-ulp engine difference
+    crosses a rounding boundary with non-trivial probability per ~1e5
+    rows (observed at 12 at sf0.1).
     """
     e = load_table(spark, sf_dir, "events")
     wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -121,7 +124,7 @@ def reference_td_advantage_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("safety_mask"),
         lagr.alias("lagr"),
         net_adv.alias("net_adv"),
-        F.round(F.least(F.exp(F.lit(BETA) * net_adv), F.lit(W_CAP)), 12).alias("weight"),
+        F.round(F.least(F.exp(F.lit(BETA) * net_adv), F.lit(W_CAP)), 6).alias("weight"),
     )
 
 
