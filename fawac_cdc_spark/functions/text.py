@@ -186,7 +186,7 @@ WITH toks AS (
     SELECT term, COUNT(DISTINCT source) AS df FROM toks GROUP BY term
 ), n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
 SELECT tf.source, tf.term, tf.tf, df.df,
-       ROUND(tf.tf * ln(CAST(n_sources AS DOUBLE) / df.df), 10) AS tfidf
+       ROUND(tf.tf * ln(CAST(n_sources AS DOUBLE) / df.df), 6) AS tfidf
 FROM tf JOIN df USING (term), n
 """,
     tags=("text", "llm", "tfidf"),
@@ -195,7 +195,7 @@ def tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over (source, term): tf = in-source term count, idf =
     ln(N_sources / df). Relational formulation (explode -> two aggs ->
     join) rather than HashingTF so term identities survive and the oracle
-    can recompute it; ln() rounded 10 (libm ulp)."""
+    can recompute it; ln() rounded 6 (libm-ulp-safe grid)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -210,7 +210,7 @@ def tfidf_source_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
             "df",
             F.round(
-                F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")), 10
+                F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")), 6
             ).alias("tfidf"),
         )
     )

@@ -182,7 +182,7 @@ def filter_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exp_weight_capped",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       ROUND(LEAST(EXP(2.0 * (l_discount - 0.05)), 2.5), 12) AS adv_weight
+       ROUND(LEAST(EXP(2.0 * (l_discount - 0.05)), 2.5), 6) AS adv_weight
 FROM lineitem
 WHERE l_linestatus = 'O'
 """,
@@ -199,7 +199,7 @@ def exp_weight_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.where(F.col("l_linestatus") == "O").select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.least(F.exp(2.0 * (F.col("l_discount") - 0.05)), F.lit(2.5)), 12).alias(
+        F.round(F.least(F.exp(2.0 * (F.col("l_discount") - 0.05)), F.lit(2.5)), 6).alias(
             "adv_weight"
         ),
     )
