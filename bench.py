@@ -25,6 +25,8 @@ HEADLINE = [
     "flagship_revenue_by_nation_month",  # 5-table join + agg + top-k
     "pricing_summary",                   # TPC-H Q1 shape
     "orders_lineitem_by_priority",       # fact-fact SMJ + agg
+    "q3_shipping_priority",              # TPC-H Q3 shape
+    "q10_returned_items",                # TPC-H Q10 shape
     "topk_orders_per_status",            # ranking window
     "cdc_latest_state_per_user",         # CDC upsert batch form
     "session_agg_30min_gap",             # sessionization (episodes)
