@@ -167,3 +167,48 @@ def test_capped_totals_stream_matches_batch(spark, sf_dir, chunk_dir):
     )
     want = capped_user_totals(spark, sf_dir).toPandas()
     assert not compare_frames(got, want)
+
+
+def test_cdc_upsert_resumes_from_checkpoint(spark, sf_dir, chunk_dir, tmp_path):
+    """A33 restore semantics: stop after the first half of the feed, then
+    restart against the full feed with the same checkpoint — the second
+    run must process only unseen files (epoch ids continue, snapshots
+    accumulate) and converge to the same final state."""
+    import glob
+    import os
+    import shutil
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    files = sorted(glob.glob(f"{chunk_dir}/*.parquet"))
+    assert len(files) >= 2
+
+    def arrive(fs):
+        for f in fs:
+            dest = feed_dir / os.path.basename(f)
+            shutil.copy(f, dest)
+            st = os.stat(f)
+            os.utime(dest, (st.st_mtime, st.st_mtime))
+
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: only half the feed has arrived
+    arrive(files[: len(files) // 2])
+    cdc.cdc_upsert_run(spark, str(feed_dir), state_dir, ckpt)
+    versions_after_half = sorted(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+
+    # phase 2: the rest arrives; restart with the SAME checkpoint — only
+    # the unseen files replay
+    arrive(files[len(files) // 2 :])
+    final = cdc.cdc_upsert_run(spark, str(feed_dir), state_dir, ckpt).toPandas()
+    versions_after_full = sorted(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    assert len(versions_after_full) > len(versions_after_half)
+    assert versions_after_full[: len(versions_after_half)] == versions_after_half
+
+    want = cdc_latest_state_per_user(spark, sf_dir).toPandas()
+    assert not compare_frames(final, want)
