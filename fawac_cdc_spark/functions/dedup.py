@@ -90,7 +90,32 @@ GROUP BY doc_id
 
 
 def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shingled(spark, sf_dir).groupBy("doc_id").agg(*minhash_sig_exprs())
+    """Per-doc MinHash signature with NO shuffle: shingle→hash→affine→min
+    runs entirely inside one higher-order array expression per row, so
+    signatures are a pure map over the documents scan. (The equivalent
+    explode → groupBy(doc_id) plan shuffles every shingle — ~50x the
+    document count — for the same result; the oracle keeps that
+    formulation because DuckDB lacks mutable lambda state, and the values
+    are identical either way.)"""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform({_SHINGLES_EXPR}, s -> "
+                f"cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
+            ).alias("hs"),
+        )
+    )
+    cols = [
+        F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))").alias(
+            f"mh{j}"
+        )
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return base.select("doc_id", *cols)
 
 
 # --- registered queries ----------------------------------------------------
