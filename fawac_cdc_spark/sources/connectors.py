@@ -205,3 +205,39 @@ def metrics_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             out,
         )
     return read_metrics(spark, out)
+
+
+@register(
+    "partitioned_sink_pruned_scan",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    tags=("sink", "source", "partitioned", "roundtrip"),
+)
+def partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned scan back:
+    events written ``partitionBy(event_type)``, then one partition read
+    with the predicate pruning at the directory level (PartitionFilters —
+    asserted in tests/test_plans.py). At 100 TB partitioning on the
+    dominant filter column turns full scans into single-partition reads."""
+    out = _io_dir(sf_dir, "events_parted")
+    (
+        load_table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+    )

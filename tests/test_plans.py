@@ -98,3 +98,13 @@ def test_topk_uses_takeordered_not_global_sort(spark, sf_dir, name):
     a per-partition heap + driver merge, never a full global sort."""
     plan = _plan(spark, sf_dir, name)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, sf_dir):
+    """The partitioned-sink roundtrip's read side must prune at the
+    directory level: the event_type predicate appears as a
+    PartitionFilter, not a data filter."""
+    plan = _plan(spark, sf_dir, "partitioned_sink_pruned_scan")
+    assert "PartitionFilters:" in plan
+    part_section = plan.split("PartitionFilters:", 1)[1][:300]
+    assert "event_type" in part_section
