@@ -43,3 +43,47 @@ def test_salt_scatters_hot_key(spark):
     counts = [r["count"] for r in buckets]
     # ~9000 hot rows over 16 salts: no bucket should exceed 2x the mean
     assert max(counts) < 2 * (sum(counts) / len(counts))
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """With AQE skew handling on, the hot key's oversized shuffle
+    partition is split: the joined output materializes with MORE
+    partitions than spark.sql.shuffle.partitions. (The salted_join above
+    is the manual fallback for where this rule can't reach.)"""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    try:
+        big = spark.range(400000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("p"),
+        )
+        right = spark.range(200000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("rid")
+        )
+        joined = big.join(right.hint("merge"), "k")
+        n_parts = joined.rdd.getNumPartitions()
+        assert n_parts > 8, n_parts
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
