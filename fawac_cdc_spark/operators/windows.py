@@ -382,3 +382,46 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "rn", "value")
     )
     return limited.groupBy("user_id").applyInPandas(_ewma_pdf, _EWMA_SCHEMA)
+
+
+@register(
+    "range_frame_trailing_hour",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour,
+       FIRST_VALUE(event_id) OVER w AS window_start_event,
+       LAST_VALUE(event_id) OVER w AS window_end_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("m4", "window", "rangeframe"),
+)
+def range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding aggregate: per event, stats over the trailing
+    hour of the same user's events (value-based frame bounds, unlike the
+    ROWS frames elsewhere) plus FIRST_VALUE/LAST_VALUE analytics.
+
+    Spark's rangeBetween needs a numeric ordering column, so the frame
+    orders by integer *microsecond* epochs — exact, and unique per user
+    in the fixture, so frame membership and FIRST/LAST_VALUE are fully
+    deterministic on both engines (second-truncated epochs would collide
+    and leave peer order engine-defined). Same single shuffle on user_id
+    as every other per-user window; decimal windowed SUM keeps money
+    exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(money("value")).over(w).cast("double").alias("sum_last_hour"),
+        F.first("event_id").over(w).alias("window_start_event"),
+        F.last("event_id").over(w).alias("window_end_event"),
+    )
