@@ -311,3 +311,26 @@ def capped_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rate_source_stream(spark: SparkSession, rows_per_second: int = 500) -> DataFrame:
+    """Built-in rate source shaped like the events feed — the local
+    stand-in for a constant-throughput CDC/Kafka topic when no file feed
+    exists (load tests, soak tests). Deterministic columns derived from
+    the monotonically increasing ``value``."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").cast("timestamp_ntz").alias("ts"),
+        F.pmod(F.col("value"), F.lit(100)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "view", "purchase")]),
+            (F.pmod(F.col("value"), F.lit(3)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("value"), F.lit(500)) / 10.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )

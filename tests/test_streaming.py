@@ -212,3 +212,32 @@ def test_cdc_upsert_resumes_from_checkpoint(spark, sf_dir, chunk_dir, tmp_path):
 
     want = cdc_latest_state_per_user(spark, sf_dir).toPandas()
     assert not compare_frames(final, want)
+
+
+def test_rate_source_produces_event_shaped_rows(spark):
+    """The rate source emits rows matching the events schema contract
+    (minus nanos), so every streaming pipeline here can soak-test
+    against it without a file feed."""
+    stream = cdc.rate_source_stream(spark, rows_per_second=1000)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) n FROM rate_out").collect()[0]["n"] > 0:
+                break
+            time.sleep(0.5)
+        out = spark.sql("SELECT * FROM rate_out")
+        assert out.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        assert out.count() > 0
+        types = {r["event_type"] for r in out.select("event_type").distinct().collect()}
+        assert types <= {"click", "view", "purchase"}
+    finally:
+        q.stop()
