@@ -354,3 +354,66 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos_raw") >= NEAR_DUP_COS)
         .select("a_id", "b_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "near_dedup_survivors",
+    oracle=f"""
+WITH sh AS ({_SHINGLED_SQL}),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+dropped AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.05
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+    tags=("dedup", "llm"),
+)
+def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT stage: materialize the surviving
+    corpus. Survivor rule: for every verified near-dup pair (Jaccard >=
+    0.05), the larger doc_id is dropped — a deterministic single-pass
+    approximation of connected-component dedup (the min-id canonical
+    member of any clique always survives; at 100 TB the full transitive
+    closure would be iterative connected components over the pair graph).
+
+    Plan: candidate pairs (shingle equi-join) → drop-list (distinct) →
+    broadcast anti-join against documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingled(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    dropped = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= 0.05
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return d.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "source", "lang"
+    )
