@@ -222,11 +222,12 @@ def _disc_scan_block(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _disc_scan_stream(batches):
-    """mapInPandas body: Arrow batch boundaries do not respect group
-    boundaries, so the trailing (possibly incomplete) episode of each
+def _stream_whole_groups(batches, process_block):
+    """mapInPandas carry loop: Arrow batch boundaries do not respect
+    group boundaries, so the trailing (possibly incomplete) group of each
     batch is carried into the next; memory stays bounded by one Arrow
-    batch + one episode."""
+    batch + one group. ``process_block`` receives only whole groups,
+    sorted as the partition was."""
     carry: pd.DataFrame | None = None
     for pdf in batches:
         if carry is not None:
@@ -235,9 +236,13 @@ def _disc_scan_stream(batches):
         first_of_last = int((pdf["user_id"] != last_uid).to_numpy().sum())
         complete, carry = pdf.iloc[:first_of_last], pdf.iloc[first_of_last:]
         if len(complete):
-            yield _disc_scan_block(complete)
+            yield process_block(complete)
     if carry is not None and len(carry):
-        yield _disc_scan_block(carry)
+        yield process_block(carry)
+
+
+def _disc_scan_stream(batches):
+    return _stream_whole_groups(batches, _disc_scan_block)
 
 
 @register(
@@ -326,12 +331,11 @@ _EWMA_PREFIX = 50
 
 def _ewma_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Exact EWMA s[i] = a*x[i] + (1-a)*s[i-1], seeded s[0] = x[0]
-    (make_plots.ipynb cell 5, alpha=0.5)."""
-    pdf = pdf.sort_values("rn")
+    (make_plots.ipynb cell 5, alpha=0.5), over a block of whole
+    user groups sorted by (user_id, rn)."""
     s = (
-        pdf["value"]
-        .ewm(alpha=EWMA_ALPHA, adjust=False)
-        .mean()
+        pdf.groupby("user_id", sort=False)["value"]
+        .transform(lambda v: v.ewm(alpha=EWMA_ALPHA, adjust=False).mean())
         .to_numpy()
     )
     # alpha=0.5 makes EWMA values dyadic rationals that land exactly on
@@ -345,6 +349,10 @@ def _ewma_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             "ewma": (s + 1e-9).round(6),
         }
     )
+
+
+def _ewma_stream(batches):
+    return _stream_whole_groups(batches, _ewma_pdf)
 
 
 @register(
@@ -370,9 +378,13 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA smoothing, reference ``smooth_data`` ``make_plots.ipynb`` cell 5
     (A49), alpha=0.5, over the first 50 events per user.
 
-    Exact recurrence via ``applyInPandas``; the oracle is the alpha=0.5
-    closed form ``s_i = sum_j x_j * 2^(max(j-1,1)) / 2^i`` (both sides
-    round to 6 — FP noise is ~1e-13).
+    Exact recurrence via the same secondary-sort ``mapInPandas`` pattern
+    as the discounted cumsum (repartition on user, sort within
+    partitions, stream whole groups per Arrow batch with a carry across
+    batch boundaries — per-group Arrow round-trips would dominate on
+    these tiny 50-row groups). The oracle is the alpha=0.5 closed form
+    ``s_i = sum_j x_j * 2^(max(j-1,1)) / 2^i`` (both sides round to 6 —
+    FP noise is ~1e-13).
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -380,8 +392,10 @@ def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= _EWMA_PREFIX)
         .select("user_id", "event_id", "rn", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "rn")
     )
-    return limited.groupBy("user_id").applyInPandas(_ewma_pdf, _EWMA_SCHEMA)
+    return limited.mapInPandas(_ewma_stream, _EWMA_SCHEMA)
 
 
 @register(
