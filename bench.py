@@ -31,6 +31,7 @@ HEADLINE = [
     "cdc_latest_state_per_user",         # CDC upsert batch form
     "session_agg_30min_gap",             # sessionization (episodes)
     "minhash_lsh_candidates",            # near-dedup LSH
+    "llm_corpus_pipeline",               # composed corpus-prep pipeline
     "cosine_topk_query0",                # similarity search
     "hourly_event_rollup",               # streaming rollup batch form
     "discounted_cumsum_closed_form",     # recurrence, pure-JVM window form

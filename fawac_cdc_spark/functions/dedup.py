@@ -417,3 +417,99 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(dropped), "doc_id", "left_anti").select(
         "doc_id", "source", "lang"
     )
+
+
+@register(
+    "llm_corpus_pipeline",
+    oracle=f"""
+WITH quality AS (
+    SELECT doc_id, text, source, lang,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 5
+),
+exact_kept AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM quality
+    GROUP BY md5(lower(text))
+),
+sh AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM quality WHERE doc_id IN (SELECT doc_id FROM exact_kept))
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+near_dropped AS (
+    SELECT DISTINCT b.doc_id AS doc_id
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN counts ca ON ca.doc_id = a.doc_id
+    JOIN counts cb ON cb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+    HAVING CAST(COUNT(*) AS DOUBLE) / (ca.n + cb.n - COUNT(*)) >= 0.05
+)
+SELECT q.source, q.lang,
+       COUNT(*) AS n_docs,
+       SUM(q.n_tokens) AS total_tokens
+FROM quality q
+WHERE q.doc_id IN (SELECT doc_id FROM exact_kept)
+  AND q.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+GROUP BY q.source, q.lang
+""",
+    tags=("dedup", "llm", "pipeline"),
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline as ONE Catalyst plan:
+    quality filter (>= 5 tokens) → exact dedup (min doc_id per normalized
+    fingerprint) → near-dup drop (3-gram Jaccard >= 0.05, larger id
+    loses) → per-(source, lang) corpus stats.
+
+    This is the composition story: every stage is the registered operator
+    above, chained as DataFrames, and Catalyst still sees one plan to
+    optimize across stage boundaries (the quality filter prunes the
+    shingle explosion's input, fingerprint dedup prunes the pair join).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.where(F.size(F.split("text", " ")) >= 5).select(
+        "doc_id",
+        "text",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    exact_kept = quality.groupBy(F.md5(F.lower(F.col("text"))).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
+
+    sh = (
+        kept.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    near_dropped = (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared"))
+            >= 0.05
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(F.broadcast(near_dropped), "doc_id", "left_anti")
+    return survivors.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
