@@ -265,3 +265,47 @@ def capped_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(money("value")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "click_purchase_pairs",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       c.value AS click_value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+ AND c.ts <  p.ts
+WHERE p.event_type = 'purchase'
+""",
+    tags=("m6", "cdc", "streaming-equiv", "join"),
+)
+def click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the stream-stream interval self-join
+    (``streaming/cdc.py::click_purchase_join_stream``): every
+    (purchase, click-within-prior-10-minutes) pair per user."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user_id") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        )
+        .select("purchase_id", "click_id", "user_id", "click_value")
+    )

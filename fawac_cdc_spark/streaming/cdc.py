@@ -334,3 +334,42 @@ def rate_source_stream(spark: SparkSession, rows_per_second: int = 500) -> DataF
         (F.pmod(F.col("value"), F.lit(500)) / 10.0).alias("value"),
         F.lit(None).cast("string").alias("props"),
     )
+
+
+def click_purchase_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream interval self-join: purchases matched to the same
+    user's clicks in the prior 10 minutes (batch equiv:
+    click_purchase_pairs).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state and expire rows — the
+    canonical funnel/attribution shape. State is keyed by user_id and
+    bounded to the watermark + 10-minute interval window.
+    """
+    e = _with_event_time(events)
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts_ltz").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts_ltz").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = user_id AND "
+            "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"
+        ),
+    ).select("purchase_id", "click_id", "user_id", "click_value")

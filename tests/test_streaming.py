@@ -241,3 +241,15 @@ def test_rate_source_produces_event_shaped_rows(spark):
         assert types <= {"click", "view", "purchase"}
     finally:
         q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, chunk_dir):
+    """Watermarked stream-stream interval self-join == batch range join."""
+    from fawac_cdc_spark.streaming.batch_equiv import click_purchase_pairs
+
+    events = cdc.read_event_stream(spark, chunk_dir)
+    got = _run_to_memory(
+        spark, cdc.click_purchase_join_stream(events), "ssj_out", "append"
+    ).toPandas()
+    want = click_purchase_pairs(spark, sf_dir).toPandas()
+    assert not compare_frames(got, want)
