@@ -20,3 +20,17 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .catalog import load_table, load_tables, register_views, run_sql  # noqa: E402
+from .registry import all_specs, oracle_sql, queries  # noqa: E402
+
+__all__ = [
+    "load_table",
+    "load_tables",
+    "register_views",
+    "run_sql",
+    "all_specs",
+    "queries",
+    "oracle_sql",
+    "__version__",
+]

@@ -169,3 +169,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """The engine's ad-hoc SQL entry point: register every fixture table
+    as a view, then hand the query string to Spark SQL (full ANSI surface,
+    Catalyst-optimized). This is how a reference user runs arbitrary
+    queries that aren't in the curated registry."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -18,3 +18,29 @@ def test_register_views(spark, sf_dir):
     catalog.register_views(spark, sf_dir)
     n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
     assert n == 6000
+
+
+def test_run_sql_entry_point(spark, sf_dir):
+    """Ad-hoc SQL over the registered views — the escape hatch for
+    queries outside the curated registry."""
+    import fawac_cdc_spark as engine
+
+    out = engine.run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT r_name, COUNT(*) AS n_nations
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+    ).collect()
+    assert len(out) == 5
+    assert sum(r["n_nations"] for r in out) == 25
+
+
+def test_package_public_api():
+    import fawac_cdc_spark as engine
+
+    assert callable(engine.run_sql)
+    assert len(engine.queries()) >= 80
+    assert set(engine.oracle_sql()) <= set(engine.queries())
