@@ -110,3 +110,65 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+
+
+# --- A9-A11: model-inference-shaped batch scoring --------------------------
+#
+# The reference's MLP/actor forward passes (fawac.py:112-162) are matmul
+# chains over row batches. The Spark-native shape is a vectorized pandas
+# UDF: Arrow delivers a whole column batch, numpy does one matrix-vector
+# product per batch, no per-row Python. Weights here are fixed literals
+# (numpy RandomState(7)) so the DuckDB oracle can recompute the scores.
+
+import numpy as np
+
+_W = np.random.RandomState(7).standard_normal(64).round(4)
+_B = 0.1
+
+
+def _scores_sql() -> str:
+    arr = ", ".join(str(x) for x in _W.tolist())
+    dot = (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ([{arr}])[i]))"
+    )
+    return f"""
+SELECT vec_id,
+       ROUND(1.0 / (1.0 + exp(-(({dot}) + {_B}))) + 1e-9, 6) AS score,
+       CASE WHEN 1.0 / (1.0 + exp(-(({dot}) + {_B}))) > 0.5
+            THEN 1 ELSE 0 END AS pred
+FROM embeddings
+"""
+
+
+@register(
+    "mlp_inference_scores",
+    oracle=_scores_sql(),
+    tags=("multimodal", "llm", "pandas-udf", "inference"),
+)
+def mlp_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference over the embedding column (reference
+    ``MLP.forward``/``SafeActor.act``, ``fawac.py:112-162``, A9-A11):
+    a vectorized pandas UDF computes sigmoid(w.x + b) one Arrow batch at
+    a time — ``np.stack`` + one matvec per batch, never per-row Python.
+    A real model swaps the matvec for its framework's forward pass; the
+    plumbing (Arrow batching, fixed output schema, partition parallelism)
+    is identical. Deterministic literal weights keep it oracle-checkable.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    w = _W.copy()
+
+    @pandas_udf("double")
+    def score_udf(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy())  # (batch, 64) float32
+        z = X.astype("float64") @ w + _B
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    raw = e.select("vec_id", score_udf("embedding").alias("raw_score"))
+    return raw.select(
+        "vec_id",
+        F.round(F.col("raw_score") + 1e-9, 6).alias("score"),
+        F.when(F.col("raw_score") > 0.5, 1).otherwise(0).alias("pred"),
+    )
