@@ -449,7 +449,7 @@ near_dropped AS (
 )
 SELECT q.source, q.lang,
        COUNT(*) AS n_docs,
-       SUM(q.n_tokens) AS total_tokens
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens
 FROM quality q
 WHERE q.doc_id IN (SELECT doc_id FROM exact_kept)
   AND q.doc_id NOT IN (SELECT doc_id FROM near_dropped)

@@ -92,9 +92,11 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle="""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+       CAST(COALESCE(TRY_CAST('0x' || substr(to_hex(encode(text)), 1, 2) AS INT), 0)
+            AS INT) AS first_byte,
        CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS fake_width,
-       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS fake_height
+       CAST(COALESCE(TRY_CAST('0x' || substr(to_hex(encode(text)), 1, 2) AS INT), 0)
+            % 64 + 1 AS INT) AS fake_height
 FROM documents
 """,
     tags=("multimodal", "llm", "pandas-udf"),

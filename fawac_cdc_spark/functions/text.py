@@ -41,7 +41,7 @@ def tokens_col(col: str = "text") -> F.Column:
     oracle="""
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
        MIN(len(string_split(text, ' '))) AS min_tokens,
        MAX(len(string_split(text, ' '))) AS max_tokens
@@ -107,7 +107,7 @@ SELECT lang,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT source) AS n_sources,
        CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang
 """,
@@ -229,8 +229,8 @@ WITH per_doc AS (
     FROM documents
 )
 SELECT source,
-       SUM(ws_tokens) AS total_ws_tokens,
-       SUM(bpe_tokens) AS total_bpe_tokens,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
        CAST(SUM(bpe_tokens) AS DOUBLE) / SUM(ws_tokens) AS bpe_per_ws
 FROM per_doc
 GROUP BY source

@@ -192,7 +192,7 @@ def exp_weight_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped exponential advantage weight (reference ``fawac.py:446``, A27).
 
     ``w = min(exp(beta * adv), cap)`` — per-row transcendental. libm exp()
-    may differ from the JVM's in the last ulp, so both sides round to 12
+    may differ from the JVM's in the last ulp, so both sides round to 6
     decimals before hashing.
     """
     li = load_table(spark, sf_dir, "lineitem")

@@ -139,7 +139,7 @@ WITH seq AS (
 SELECT user_id,
        COUNT(*) AS episode_len,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS episode_return,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS episode_cost,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS episode_cost,
        MIN(CASE WHEN event_type = 'error' THEN rn END) AS first_error_step
 FROM seq
 GROUP BY user_id

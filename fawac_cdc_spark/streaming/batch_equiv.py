@@ -124,9 +124,9 @@ WITH gaps AS (
     FROM events
 ), sessions AS (
     SELECT user_id, ts, event_id, value,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_seq
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_seq
     FROM gaps
 )
 SELECT user_id, session_seq,

@@ -39,14 +39,60 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(sort_cols, na_position="first").reset_index(drop=True)
 
 
+def _dtype_kind(dtype) -> str:
+    """Coarse dtype kind for representation-strict comparison."""
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s in ("bool", "boolean"):
+        return "bool"
+    return "object"
+
+
+def dtype_problems(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Representation-strict pre-check mirroring the driver's value hash.
+
+    The driver hashes the raw pandas representation, so a DuckDB HUGEINT
+    (int128 -> float64 in pandas) vs a Spark BIGINT hash-mismatches even
+    when every value is identical.  ``_normalize`` deliberately coerces
+    those away for value comparison, which made the local gate strictly
+    weaker than the driver (VERDICT r1 #3) — this check restores parity:
+    any int-vs-float (or other kind) disagreement on a shared column is a
+    failure, independent of values.
+    """
+    problems: list[str] = []
+    shared = set(spark_pdf.columns) & set(oracle_pdf.columns)
+    for c in sorted(shared):
+        ka, kb = _dtype_kind(spark_pdf[c].dtype), _dtype_kind(oracle_pdf[c].dtype)
+        if ka != kb:
+            # Nullable ints surface as float64 on EITHER side when NaNs are
+            # present — only then is int-vs-float representationally benign.
+            if {ka, kb} == {"int", "float"} and (
+                spark_pdf[c].isna().any() or oracle_pdf[c].isna().any()
+            ):
+                continue
+            problems.append(
+                f"col {c}: dtype kind differs: spark={spark_pdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype} (driver hash is representation-"
+                f"sensitive — cast the oracle, e.g. CAST(SUM(...) AS BIGINT))"
+            )
+    return problems
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
-    problems: list[str] = []
+    problems: list[str] = list(dtype_problems(spark_pdf, oracle_pdf))
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     if list(a.columns) != list(b.columns):
-        return [f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"]
+        return problems + [
+            f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"
+        ]
     if len(a) != len(b):
-        return [f"row count differs: spark={len(a)} oracle={len(b)}"]
+        return problems + [f"row count differs: spark={len(a)} oracle={len(b)}"]
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
@@ -71,6 +117,32 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
                     f"spark={av[bad].tolist()} oracle={bv[bad].tolist()}"
                 )
     return problems
+
+
+def sweep_oracle_types(sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
+    """DESCRIBE every oracle in DuckDB and flag declared output types that
+    hash differently from every possible Spark type: HUGEINT/UHUGEINT
+    (int128 -> float64 in pandas, while Spark sums are BIGINT -> int64).
+    DECIMAL is NOT flagged: DuckDB DECIMAL converts to float64, identical
+    to Spark double output (verified: r1 hash passes on DECIMAL oracles).
+    Cheap (no query execution) — run after editing any oracle."""
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    con = make_duckdb(sf_dir)
+    flagged: dict[str, list[str]] = {}
+    for name, sql in oracles.items():
+        if names and name not in names:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as exc:  # noqa: BLE001
+            flagged[name] = [f"DESCRIBE failed: {exc}"]
+            continue
+        bad = [f"{col}: {typ}" for col, typ, *_ in desc if "HUGEINT" in typ.upper()]
+        if bad:
+            flagged[name] = bad
+    return flagged
 
 
 def make_duckdb(sf_dir: str):
@@ -115,6 +187,13 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep-types":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+        flagged = sweep_oracle_types(sf_dir)
+        for name, cols in flagged.items():
+            print(f"[TYPE] {name}: {cols}")
+        print(f"{len(flagged)} oracles with hash-risky declared types")
+        sys.exit(1 if flagged else 0)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or None
     from fawac_cdc_spark.session import get_spark
