@@ -33,6 +33,18 @@ N_BANDS = 4  # 4 bands x 2 rows per band
 
 SIMHASH_BITS = 16
 
+# Hot-shingle document-frequency cap for the Jaccard pair family.  A
+# shingle shared by more than MAX_SHINGLE_DF documents (a stop-phrase,
+# boilerplate header, license text) contributes O(df²) candidate pairs to
+# the shingle self-join — the one quadratic term in an otherwise linear
+# plan.  Dropping those shingles BEFORE the join bounds every join key at
+# df ≤ cap, so the candidate set is ≤ cap²/2 pairs per shingle regardless
+# of corpus size.  Jaccard is then computed over the capped shingle
+# universe on BOTH engines (per-doc set sizes are post-cap), so the oracle
+# stays exact.  At 100 TB the hot list (shingles with df > cap) is tiny by
+# construction, so the anti-join against it broadcasts.
+MAX_SHINGLE_DF = 100
+
 # --- shared expression builders (Spark side) ------------------------------
 
 _SHINGLES_EXPR = (
@@ -61,6 +73,65 @@ _SHINGLED_SQL = f"""
     SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
     FROM (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents WHERE len(string_split(text, ' ')) >= 3)
+"""
+
+
+def capped_shingles(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The hot list is computed with one aggregation on the shingle key
+    (map-side partial agg shrinks it to per-partition distinct shingles)
+    and is small by construction — only stop-phrases exceed the cap — so
+    the anti-join broadcasts and the shingle stream itself never
+    reshuffles.  ``sh`` must be one row per distinct (doc_id, shingle).
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def jaccard_candidate_pairs(
+    sh: DataFrame, threshold: float = 0.05, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Near-dup candidate pairs (doc_a, doc_b, shared, jaccard) from a
+    (doc_id, shingle) stream: DF-cap hot shingles, equi-join on shingle,
+    pair-count aggregation, Jaccard over the capped shingle universe.
+
+    Shared by ``ngram_jaccard_pairs`` / ``near_dedup_survivors`` /
+    ``llm_corpus_pipeline`` so the skew-bounding semantics stay identical
+    across the family (and unit-testable on synthetic frames).
+    """
+    sh = capped_shingles(sh, max_df)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
+    )
+
+
+def _capped_sh_sql(shingled_sql: str, max_df: int = MAX_SHINGLE_DF) -> str:
+    """Oracle mirror of ``capped_shingles``: CTE text defining sh_all/df/sh."""
+    return f"""
+sh_all AS ({shingled_sql}),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {max_df}),
+sh AS (SELECT doc_id, shingle FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot))
 """
 
 
@@ -146,7 +217,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-WITH sh AS ({_SHINGLED_SQL}),
+WITH {_capped_sh_sql(_SHINGLED_SQL)},
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -165,30 +236,12 @@ WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.05
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by 3-gram shingle Jaccard >= 0.05.
 
-    Plan shape: explode → shuffle on shingle (equi-join) → pair groupBy.
-    Candidate generation is bounded by shared-shingle frequency; hot
-    shingles (stop-phrases) would be the skew risk at 100 TB — cap them
-    by document-frequency filtering before the join in that regime.
+    Plan shape: explode → hot-shingle DF cap (broadcast anti-join, see
+    ``MAX_SHINGLE_DF``) → shuffle on shingle (equi-join) → pair groupBy.
+    The cap bounds every join key at df ≤ 100, so candidate generation
+    stays near-linear even when the corpus contains stop-phrase shingles.
     """
-    sh = _shingled(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, ["shingle"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .where(jac >= 0.05)
-        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
-    )
+    return jaccard_candidate_pairs(_shingled(spark, sf_dir))
 
 
 @register(
@@ -359,7 +412,7 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dedup_survivors",
     oracle=f"""
-WITH sh AS ({_SHINGLED_SQL}),
+WITH {_capped_sh_sql(_SHINGLED_SQL)},
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -382,35 +435,17 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's OUTPUT stage: materialize the surviving
     corpus. Survivor rule: for every verified near-dup pair (Jaccard >=
-    0.05), the larger doc_id is dropped — a deterministic single-pass
-    approximation of connected-component dedup (the min-id canonical
-    member of any clique always survives; at 100 TB the full transitive
-    closure would be iterative connected components over the pair graph).
+    0.05 over DF-capped shingles), the larger doc_id is dropped — a
+    deterministic single-pass approximation of connected-component dedup
+    (the min-id canonical member of any clique always survives; see
+    ``connected_component_survivors`` for the full transitive closure).
 
-    Plan: candidate pairs (shingle equi-join) → drop-list (distinct) →
-    broadcast anti-join against documents.
+    Plan: candidate pairs (DF-capped shingle equi-join) → drop-list
+    (distinct) → broadcast anti-join against documents.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingled(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     dropped = (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .where(
-            F.col("shared").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("shared"))
-            >= 0.05
-        )
+        jaccard_candidate_pairs(_shingled(spark, sf_dir))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -433,11 +468,14 @@ exact_kept AS (
     FROM quality
     GROUP BY md5(lower(text))
 ),
-sh AS (
+sh_all AS (
     SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
     FROM (SELECT doc_id, string_split(text, ' ') AS toks
           FROM quality WHERE doc_id IN (SELECT doc_id FROM exact_kept))
 ),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+sh AS (SELECT doc_id, shingle FROM sh_all
+       WHERE shingle NOT IN (SELECT shingle FROM hot)),
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 near_dropped AS (
     SELECT DISTINCT b.doc_id AS doc_id
@@ -486,25 +524,8 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle"))
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     near_dropped = (
-        pairs.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .where(
-            F.col("shared").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("shared"))
-            >= 0.05
-        )
+        jaccard_candidate_pairs(sh)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -512,4 +533,114 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# --- transitive-closure near-dedup (connected components) -------------------
+
+
+def connected_components_min_label(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``vertices`` is (doc_id,), ``edges`` is undirected (doc_a, doc_b).
+    Every vertex starts labeled with its own id; each round every vertex
+    takes the min of its own label and its neighbors' labels.  Converges
+    in O(graph diameter) rounds — near-dup clusters are dense, so the
+    diameter is small in practice; the O(log n) alternative for adversarial
+    chains is the large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14), which this loop's
+    edge-join structure would extend to.
+
+    Each round is one shuffle (join + groupBy on the vertex key);
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    with iterations, and the convergence check is a driver-side count of
+    changed labels (an aggregate, never a data collect).
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = vertices.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "connected_component_survivors",
+    oracle=f"""
+WITH RECURSIVE
+{_capped_sh_sql(_SHINGLED_SQL).strip()},
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+good AS (
+    SELECT doc_a, doc_b
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.05
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM good
+    UNION ALL
+    SELECT doc_b, doc_a FROM good
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       MIN(dst) AS component,
+       CAST(MIN(dst) = src AS INT) AS survivor
+FROM reach
+GROUP BY src
+""",
+    tags=("dedup", "llm", "graph"),
+)
+def connected_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dedup: label every document with its
+    connected component over the verified near-dup pair graph (Jaccard >=
+    0.05 over DF-capped shingles) and keep the min-id member per
+    component.  Unlike ``near_dedup_survivors``'s single-pass rule, a
+    chain a–b, b–c with no direct a–c candidate still collapses to one
+    survivor.  Iterative (label propagation), so no single-plan oracle —
+    the DuckDB mirror uses a recursive CTE over the same edge set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    edges = jaccard_candidate_pairs(_shingled(spark, sf_dir)).select("doc_a", "doc_b")
+    labels = connected_components_min_label(edges, d.select("doc_id"))
+    return d.join(labels, "doc_id").select(
+        "doc_id",
+        "component",
+        (F.col("component") == F.col("doc_id")).cast("int").alias("survivor"),
     )

@@ -61,6 +61,7 @@ _PRIORITY = [
     "simhash_fingerprints",
     "embedding_cosine_near_dup",
     "near_dedup_survivors",
+    "connected_component_survivors",
     "llm_corpus_pipeline",
     # Similarity / ANN family (north star).
     "cosine_topk_query0",
@@ -111,7 +112,6 @@ _PRIORITY = [
     "range_join_clicks_before_purchase",
     "td_target_lag_lead",
     "discounted_cumsum_per_user",
-    "grouping_sets_mixed",
 ]
 
 

@@ -1,0 +1,94 @@
+"""Scale-hardening properties of the near-dedup family:
+
+- hot-shingle DF cap bounds candidate generation under stop-phrase skew
+- connected-component survivors collapse transitive chains the
+  single-pass min-id rule cannot
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fawac_cdc_spark.functions.dedup import (
+    MAX_SHINGLE_DF,
+    capped_shingles,
+    connected_components_min_label,
+    jaccard_candidate_pairs,
+)
+
+
+def _shingle_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, shingle string")
+
+
+def test_df_cap_drops_stop_phrase_shingle(spark):
+    """One stop-phrase shingle across 100 docs would alone contribute
+    C(100,2)=4950 candidate pairs; with the cap at 10 it contributes 0."""
+    rows = [(i, "the quick brown") for i in range(100)]
+    # each doc also carries a unique shingle so docs stay non-empty
+    rows += [(i, f"unique shingle {i}") for i in range(100)]
+    sh = _shingle_frame(spark, rows)
+    capped = capped_shingles(sh, max_df=10)
+    kept = {r["shingle"] for r in capped.select("shingle").distinct().collect()}
+    assert "the quick brown" not in kept
+    assert len(kept) == 100  # all unique shingles survive
+    pairs = jaccard_candidate_pairs(sh, threshold=0.0, max_df=10)
+    assert pairs.count() == 0
+
+
+def test_df_cap_bounds_candidates_but_keeps_real_dups(spark):
+    """Real near-dups (sharing several below-cap shingles) still pair up
+    while the injected hot shingle adds no pairs."""
+    rows = []
+    # docs 0 and 1 share 3 rare shingles -> jaccard 3/3 = 1.0
+    for s in ("alpha beta gamma", "beta gamma delta", "gamma delta epsilon"):
+        rows += [(0, s), (1, s)]
+    # 100 unrelated docs all sharing one stop-phrase shingle
+    rows += [(i, "the quick brown") for i in range(2, 102)]
+    rows += [(i, f"unique shingle {i}") for i in range(2, 102)]
+    sh = _shingle_frame(spark, rows)
+    pairs = jaccard_candidate_pairs(sh, threshold=0.5, max_df=10).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["doc_a"], pairs[0]["doc_b"]) == (0, 1)
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_default_cap_is_scale_safe():
+    """With the default cap, a single hot join key contributes at most
+    cap*(cap-1)/2 pairs — constant, independent of corpus size."""
+    assert MAX_SHINGLE_DF * (MAX_SHINGLE_DF - 1) / 2 <= 5000
+
+
+def test_connected_components_collapse_chain(spark):
+    """Chain a-b, b-c WITHOUT a direct a-c candidate must still land in
+    one component with the min id as the label (the case the single-pass
+    drop rule under-merges)."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    vertices = spark.range(1, 6).select(F.col("id").alias("doc_id"))
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_min_label(edges, vertices).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_connected_components_two_components_and_isolated(spark):
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "doc_a long, doc_b long"
+    )
+    vertices = spark.createDataFrame(
+        [(10,), (20,), (30,), (40,), (50,), (60,)], "doc_id long"
+    )
+    labels = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_min_label(edges, vertices).collect()
+    }
+    assert labels == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40, 60: 60}
+
+
+def test_capped_shingles_plan_broadcasts_hot_list(spark):
+    """The anti-join against the hot-shingle list must broadcast (the hot
+    list is tiny by construction) — no shuffle of the shingle stream."""
+    sh = _shingle_frame(spark, [(i, f"s{i % 7}") for i in range(100)])
+    plan = capped_shingles(sh, max_df=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
