@@ -35,6 +35,9 @@ HEADLINE = [
     "cosine_topk_query0",                # similarity search
     "hourly_event_rollup",               # streaming rollup batch form
     "discounted_cumsum_closed_form",     # recurrence, pure-JVM window form
+    "ngram_jaccard_pairs",               # DF-capped shingle pair join
+    "reference_td_advantage_pipeline",   # reference end-to-end showcase
+    "rp_lsh_topk_query0",                # bucketed ANN top-k
     "discounted_cumsum_per_user",        # exact recurrence via secondary-sort
                                          # mapInPandas (last: owns the
                                          # Python-worker startup)

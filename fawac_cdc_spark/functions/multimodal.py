@@ -174,3 +174,50 @@ def mlp_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("raw_score") + 1e-9, 6).alias("score"),
         F.when(F.col("raw_score") > 0.5, 1).otherwise(0).alias("pred"),
     )
+
+
+# --- model-artifact loading path -------------------------------------------
+#
+# Production inference loads weights from a serialized checkpoint, not
+# source literals.  The Spark-native distribution pattern: the DRIVER
+# reads the artifact once, then ships it to every executor via a
+# broadcast variable — the UDF closure captures only the broadcast
+# handle, so N tasks share one copy per executor instead of re-reading
+# the file N times (or worse, serializing the array into every task).
+# ``mlp_inference_scores`` above keeps literal weights so the DuckDB
+# oracle can recompute the scores; this path is the same UDF fed from a
+# file and is pinned equal to it by tests/test_reference_semantics.py.
+
+
+def save_model_artifact(path: str, w: np.ndarray | None = None, b: float = _B) -> str:
+    """Serialize model weights (reference checkpoint save, A33 shape)."""
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             w=(_W if w is None else w), b=np.float64(b))
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def scores_from_artifact(
+    spark: SparkSession, embeddings: DataFrame, artifact_path: str
+) -> DataFrame:
+    """Batched inference with weights loaded from a file artifact and
+    broadcast to executors.  Same Arrow-batched matvec as
+    ``mlp_inference_scores``; only the weight source differs."""
+    from pyspark.sql.functions import pandas_udf
+
+    with np.load(artifact_path) as npz:
+        params = {"w": npz["w"].astype("float64"), "b": float(npz["b"])}
+    bc = spark.sparkContext.broadcast(params)
+
+    @pandas_udf("double")
+    def score_udf(emb: pd.Series) -> pd.Series:
+        w, b = bc.value["w"], bc.value["b"]
+        X = np.stack(emb.to_numpy())
+        z = X.astype("float64") @ w + b
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
+
+    raw = embeddings.select("vec_id", score_udf("embedding").alias("raw_score"))
+    return raw.select(
+        "vec_id",
+        F.round(F.col("raw_score") + 1e-9, 6).alias("score"),
+        F.when(F.col("raw_score") > 0.5, 1).otherwise(0).alias("pred"),
+    )

@@ -84,14 +84,20 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
 
 
 def dedup_first_stream(events: DataFrame, watermark: str = "30 days") -> DataFrame:
-    """Stateful keep-first dedup on (user_id, event_type).
-
-    ``dropDuplicates`` keeps the first arrival per key; the watermark
-    bounds state retention (batch equiv: stream_dedup_first_event)."""
+    """Stateful keep-first dedup on (user_id, event_type) with BOUNDED
+    state: ``dropDuplicatesWithinWatermark`` keeps the first arrival per
+    key and — unlike plain ``dropDuplicates``, whose per-key state lives
+    forever even while the key keeps arriving — expires a key's dedup
+    state once the watermark passes its event time, so the state store
+    size tracks the watermark horizon instead of the all-time key
+    cardinality.  Duplicates are only guaranteed dropped when they arrive
+    within the watermark delta of the first event — the honest contract
+    for an unbounded CDC feed (batch equiv: stream_dedup_first_event,
+    exact on any finite replay shorter than the horizon)."""
     return (
         _with_event_time(events)
         .withWatermark("ts_ltz", watermark)
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select(
             "user_id",
             "event_type",
@@ -119,7 +125,20 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
-# --- CDC upsert materialization (foreachBatch + versioned snapshots) -------
+# --- CDC upsert materialization (foreachBatch + incremental snapshots) -----
+#
+# The snapshot is hash-bucketed on the merge key and committed via
+# per-version manifests, so a micro-batch rewrites ONLY the buckets its
+# keys hash into — O(touched-bucket bytes) per batch instead of O(total
+# state) — while untouched buckets stay byte-identical on disk (the new
+# manifest re-references their existing files).  This is the plain-parquet
+# emulation of Delta/Iceberg MERGE + transaction log (SURVEY §4.2.2):
+# data files are immutable, a commit is one atomic manifest rename, and
+# readers resolve the newest manifest to a file list.  At 100 TB the
+# bucket count is sized so one bucket ≈ one executor-comfortable rewrite
+# (e.g. 4096 buckets over 100 TB ≈ 25 GB/bucket).
+
+N_STATE_BUCKETS = 16
 
 
 def _latest_per_key(df: DataFrame) -> DataFrame:
@@ -129,20 +148,51 @@ def _latest_per_key(df: DataFrame) -> DataFrame:
     )
 
 
+def _bucket_col(n_buckets: int) -> F.Column:
+    return F.pmod(F.hash(F.col("user_id")), F.lit(n_buckets)).cast("int")
+
+
 def _state_versions(state_dir: str) -> list[int]:
+    """Committed manifest epochs, ascending."""
     if not os.path.isdir(state_dir):
         return []
-    return sorted(
-        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v") and d[1:].isdigit()
-    )
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("v") and d.endswith(".json") and d[1:-5].isdigit():
+            out.append(int(d[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(state_dir: str) -> dict[str, str]:
+    """bucket id (str) -> state_dir-relative data directory."""
+    import json
+
+    versions = _state_versions(state_dir)
+    if not versions:
+        return {}
+    with open(os.path.join(state_dir, f"v{versions[-1]}.json")) as f:
+        return json.load(f)["buckets"]
+
+
+def _commit_manifest(state_dir: str, epoch_id: int, buckets: dict[str, str]) -> None:
+    """Atomic swap-on-commit: write sidecar, rename into place."""
+    import json
+
+    path = os.path.join(state_dir, f"v{epoch_id}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch_id, "buckets": buckets}, f, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Read the newest committed snapshot (A33 restore semantics)."""
-    versions = _state_versions(state_dir)
-    if not versions:
+    """Read the newest committed snapshot (A33 restore semantics): resolve
+    the latest manifest to its per-bucket data directories."""
+    buckets = _read_manifest(state_dir)
+    if not buckets:
         return None
-    return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+    paths = [os.path.join(state_dir, rel) for rel in buckets.values()]
+    return spark.read.parquet(*paths)
 
 
 def cdc_upsert_run(
@@ -150,22 +200,51 @@ def cdc_upsert_run(
     source_dir: str,
     state_dir: str,
     checkpoint_dir: str,
+    n_buckets: int = N_STATE_BUCKETS,
 ) -> DataFrame:
     """Run the CDC upsert pipeline to completion over a finite stream.
 
-    Each micro-batch MERGEs into the latest-per-user state and commits a
-    new versioned snapshot — the plain-parquet emulation of Delta MERGE
-    (SURVEY §4.2.2): read latest version → union batch → keep newest row
-    per key → write v{epoch}. Returns the final materialized state.
+    Each micro-batch MERGEs into the latest-per-user state incrementally:
+    bucket the batch keys, read ONLY the previously committed data of the
+    touched buckets, keep the newest row per key, write those buckets to
+    an epoch-scoped directory, and commit a manifest that re-references
+    every untouched bucket's existing files unchanged.  Returns the final
+    materialized state.
     """
     events = read_event_stream(spark, source_dir)
 
     def upsert(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
-        current = read_upsert_state(sess, state_dir)
-        merged = batch_df if current is None else current.unionByName(batch_df)
-        latest = _latest_per_key(merged)
-        latest.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{epoch_id}"))
+        manifest = _read_manifest(state_dir)
+        batch = batch_df.withColumn("bucket", _bucket_col(n_buckets))
+        touched = sorted(
+            r["bucket"] for r in batch.select("bucket").distinct().collect()
+        )
+        if not touched:
+            _commit_manifest(state_dir, epoch_id, manifest)
+            return
+        prev_paths = [
+            os.path.join(state_dir, manifest[str(k)])
+            for k in touched
+            if str(k) in manifest
+        ]
+        merged = batch
+        if prev_paths:
+            prev = sess.read.parquet(*prev_paths).withColumn(
+                "bucket", _bucket_col(n_buckets)
+            )
+            merged = prev.unionByName(batch)
+        epoch_rel = f"data/e{epoch_id}"
+        (
+            _latest_per_key(merged)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(state_dir, epoch_rel))
+        )
+        new_manifest = dict(manifest)
+        for k in touched:
+            new_manifest[str(k)] = f"{epoch_rel}/bucket={k}"
+        _commit_manifest(state_dir, epoch_id, new_manifest)
 
     q = (
         events.writeStream.foreachBatch(upsert)

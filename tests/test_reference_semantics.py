@@ -140,3 +140,34 @@ def test_disc_scan_stream_carries_partial_episodes():
         batches = [full.iloc[:cut], full.iloc[cut:]]
         got = pd.concat(list(_disc_scan_stream(iter(batches))), ignore_index=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_artifact_inference_matches_literal_weights(spark, tmp_path):
+    """Weights loaded from a file artifact + broadcast must score exactly
+    like the literal-weight oracle-checked query (A9-A11 checkpoint-load
+    semantics)."""
+    from fawac_cdc_spark.catalog import load_table
+    from fawac_cdc_spark.functions.multimodal import (
+        mlp_inference_scores,
+        save_model_artifact,
+        scores_from_artifact,
+    )
+    from tests.conftest import SF0001
+
+    path = save_model_artifact(str(tmp_path / "model"))
+    emb = load_table(spark, SF0001, "embeddings")
+    got = scores_from_artifact(spark, emb, path).toPandas().sort_values("vec_id")
+    want = mlp_inference_scores(spark, SF0001).toPandas().sort_values("vec_id")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
+def test_artifact_roundtrips_custom_weights(tmp_path):
+    from fawac_cdc_spark.functions.multimodal import save_model_artifact
+
+    w = np.arange(64, dtype="float64") / 64.0
+    path = save_model_artifact(str(tmp_path / "m2"), w=w, b=0.25)
+    with np.load(path) as npz:
+        assert np.array_equal(npz["w"], w)
+        assert float(npz["b"]) == 0.25

@@ -115,6 +115,82 @@ def test_cdc_upsert_matches_batch(spark, sf_dir, chunk_dir, tmp_path):
     assert not compare_frames(final, want)
 
 
+def test_cdc_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """Incremental MERGE contract: a micro-batch whose keys hash into one
+    bucket must leave every other bucket's data files untouched on disk —
+    the new manifest re-references them byte-identically."""
+    import glob
+    import hashlib
+    import json
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    scratch = tmp_path / "scratch"
+    schema = cdc.EVENT_STREAM_SCHEMA
+
+    def write_chunk(name, rows, mtime):
+        # FileStreamSource wants a flat file list ordered by mtime
+        d = scratch / name
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(str(d))
+        (part,) = sorted(d.rglob("part-*.parquet"))
+        dest = feed_dir / name
+        dest.write_bytes(part.read_bytes())
+        os.utime(dest, (mtime, mtime))
+
+    def ts(s):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    base = time.time() - 3600
+    # chunk 1: users 0..63 (spread over all 16 buckets)
+    write_chunk(
+        "c1.parquet",
+        [(i, ts(1), i, "click", 1.0, None) for i in range(64)],
+        base,
+    )
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    cdc.cdc_upsert_run(spark, str(feed_dir), state_dir, ckpt)
+
+    with open(sorted(glob.glob(f"{state_dir}/v*.json"))[-1]) as f:
+        m1 = json.load(f)["buckets"]
+
+    def file_hashes(reldir):
+        out = {}
+        for p in sorted(glob.glob(os.path.join(state_dir, reldir, "*.parquet"))):
+            with open(p, "rb") as fh:
+                out[p] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    pre = {k: file_hashes(rel) for k, rel in m1.items()}
+
+    # chunk 2: a single user -> exactly one bucket touched
+    write_chunk("c2.parquet", [(1000, ts(2), 0, "purchase", 2.0, None)], base + 10)
+    final = cdc.cdc_upsert_run(spark, str(feed_dir), state_dir, ckpt)
+
+    versions = cdc._state_versions(state_dir)
+    with open(os.path.join(state_dir, f"v{versions[-1]}.json")) as f:
+        m2 = json.load(f)["buckets"]
+
+    changed = [k for k in m2 if m2[k] != m1.get(k)]
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+    for k in m2:
+        if k in changed:
+            continue
+        assert m2[k] == m1[k]
+        assert file_hashes(m2[k]) == pre[k], f"bucket {k} data files changed"
+
+    # and the merge itself is correct: user 0 now maps to the purchase
+    row = {r["user_id"]: r for r in final.collect()}
+    assert row[0]["last_type"] == "purchase" and row[0]["last_value"] == 2.0
+    assert len(row) == 64
+
+
 def test_soft_update_sequential_semantics(spark, chunk_dir, tmp_path):
     """Streaming EWMA equals the sequential recurrence over micro-batch means."""
     tau = 0.1
@@ -196,17 +272,13 @@ def test_cdc_upsert_resumes_from_checkpoint(spark, sf_dir, chunk_dir, tmp_path):
     # phase 1: only half the feed has arrived
     arrive(files[: len(files) // 2])
     cdc.cdc_upsert_run(spark, str(feed_dir), state_dir, ckpt)
-    versions_after_half = sorted(
-        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
-    )
+    versions_after_half = cdc._state_versions(state_dir)
 
     # phase 2: the rest arrives; restart with the SAME checkpoint — only
     # the unseen files replay
     arrive(files[len(files) // 2 :])
     final = cdc.cdc_upsert_run(spark, str(feed_dir), state_dir, ckpt).toPandas()
-    versions_after_full = sorted(
-        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
-    )
+    versions_after_full = cdc._state_versions(state_dir)
     assert len(versions_after_full) > len(versions_after_half)
     assert versions_after_full[: len(versions_after_half)] == versions_after_half
 
