@@ -1,0 +1,353 @@
+"""Training-data pipeline operators over ``documents``/``embeddings``
+(north_star LLM-data surface, beyond the dedup/similarity families).
+
+The operations a pre-training data pipeline runs between "deduped corpus"
+and "tokens on the trainer": chunking documents into context windows,
+packing chunks into fixed token budgets, deterministic train/val/test
+splits, per-source mixture sampling, vocabulary construction, repetition
+quality scoring, and int8 embedding quantization.  Everything is JVM
+built-ins (higher-order array exprs / window functions) — map-dominant,
+shuffle only where an aggregation genuinely needs one — and every query
+is oracle-exact (integer arithmetic or IEEE-identical expression trees;
+md5-derived uniforms for anything "random").
+
+Reference anchors: the reference consumes fixed-window transition batches
+(``fawac.py:77-85``) and epoch-shuffled minibatches
+(``train_fawac_iql.py:90-104``); chunking/packing/splitting generalize
+that batch-assembly semantics to document corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+CHUNK_WINDOW = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 16)
+PACK_BUDGET = 2048  # tokens per packed sequence
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the rest
+
+
+@register(
+    "doc_token_chunks",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS ntok
+    FROM documents
+), c AS (
+    SELECT doc_id, ntok,
+           unnest(range(0, CASE WHEN ntok <= {CHUNK_WINDOW} THEN 1
+                           ELSE ((ntok - {CHUNK_WINDOW}) + {CHUNK_STRIDE} - 1)
+                                // {CHUNK_STRIDE} + 1 END)) AS chunk_id,
+           toks
+    FROM t
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                           least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, ntok)))
+            AS INT) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                           least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, ntok)), ' '))
+           AS chunk_fp
+FROM c
+""",
+    tags=("traindata", "llm", "chunking"),
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking: window=64 tokens, stride=48
+    (16-token overlap), last chunk keeps the tail.  One higher-order
+    array expression per document — a pure map over the scan, no shuffle,
+    so it scales with input bytes.  Emits the md5 of each chunk (not the
+    text) to keep the verified output narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("ntok"),
+    )
+    n_chunks = F.expr(
+        f"case when ntok <= {CHUNK_WINDOW} then 1 "
+        f"else ((ntok - {CHUNK_WINDOW}) + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE} + 1 end"
+    )
+    c = t.select(
+        "doc_id",
+        "ntok",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_WINDOW)
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+@register(
+    "packed_sequences",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS ntok
+    FROM documents
+), seq AS (
+    SELECT source, doc_id, ntok,
+           COALESCE(CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS tok_before
+    FROM t
+)
+SELECT source,
+       CAST(tok_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS pack_tokens
+FROM seq
+GROUP BY source, tok_before // {PACK_BUDGET}
+""",
+    tags=("traindata", "llm", "packing"),
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: fill 2048-token training sequences with whole
+    documents per source, in deterministic doc_id order.  The pack id is
+    ``floor(running-tokens-before / budget)`` — one window cumsum + one
+    aggregation, both on the source partition key, so packing a 100 TB
+    corpus is two shuffles on a uniform key (and the window never
+    materializes per-doc state).  Straddling documents overflow their
+    pack (best-effort boundaries), the standard trade against splitting
+    documents mid-sequence."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("ntok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = t.withColumn(
+        "tok_before", F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
+    )
+    pack = (F.col("tok_before") / PACK_BUDGET).cast("long")
+    return (
+        seq.groupBy("source", pack.alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("pack_tokens"),
+        )
+        .select("source", "pack_id", "n_docs", "pack_tokens")
+    )
+
+
+@register(
+    "dataset_hash_split",
+    oracle=f"""
+WITH assign AS (
+    SELECT source,
+           len(string_split(text, ' ')) AS ntok,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS bucket
+    FROM documents
+)
+SELECT source,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens
+FROM assign
+GROUP BY source, 2
+""",
+    tags=("traindata", "llm", "split"),
+)
+def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket of
+    the document id — stable across runs, engines, and re-partitioning
+    (the property a random split lacks), so the holdout never leaks when
+    the corpus is rebuilt.  Pure map + one aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("ntok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "source_mixture_sample",
+    oracle="""
+WITH rates AS (
+    SELECT doc_id, source, lang,
+           (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 5 + 1) / 10.0 AS rate,
+           (CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+            % 1000000) / 1000000.0 AS u
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       MAX(rate) AS rate
+FROM rates
+WHERE u < rate
+GROUP BY source
+""",
+    tags=("traindata", "llm", "mixture"),
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus sampling: each source gets a target rate
+    (derived here from its id; in production, the mixture weights file)
+    and documents are kept where an md5-uniform < rate.  Deterministic,
+    engine-portable, no shuffle before the final count — how a 100 TB
+    pipeline hits 'x% web, y% code' mixtures reproducibly."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        (F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 5 + 1) / 10.0
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+    return (
+        d.select("doc_id", "source", rate.alias("rate"), u.alias("u"))
+        .where(F.col("u") < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.max("rate").alias("rate"))
+    )
+
+
+VOCAB_K = 500
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT {VOCAB_K}
+""",
+    tags=("traindata", "llm", "vocab"),
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: global top-K terms by frequency with a
+    deterministic (count desc, term asc) tie-break.  explode → groupBy →
+    TakeOrderedAndProject: the top-K never materializes a full sort at
+    scale (each partition keeps K candidates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(VOCAB_K)
+    )
+
+
+@register(
+    "repetition_quality_scores",
+    oracle="""
+WITH g AS (
+    SELECT doc_id,
+           list_transform(range(1, len(string_split(text, ' '))),
+                          i -> string_split(text, ' ')[i] || ' ' ||
+                               string_split(text, ' ')[i+1]) AS grams
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+)
+SELECT doc_id,
+       CAST(len(grams) AS INT) AS n_bigrams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS rep_ratio
+FROM g
+""",
+    tags=("traindata", "llm", "quality"),
+)
+def repetition_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring — the 'repeated n-gram ratio' quality filter
+    every pre-training pipeline runs: 1 − distinct/total over sliding
+    2-grams, as one array expression per document (no explode, no
+    shuffle)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 2
+    )
+    grams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1]))"
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("int").alias("n_bigrams"),
+        F.size(F.array_distinct("grams")).cast("int").alias("n_distinct"),
+        (
+            1.0 - F.size(F.array_distinct("grams")).cast("double") / F.size("grams")
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "embedding_int8_quant",
+    oracle="""
+WITH s AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+    FROM embeddings
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       CAST(list_sum(list_transform(embedding,
+                x -> abs(round(CAST(x AS DOUBLE) / scale)))) AS BIGINT) AS q_l1,
+       CAST(round(CAST(embedding[1] AS DOUBLE) / scale) AS BIGINT) AS q_first
+FROM s
+""",
+    tags=("traindata", "llm", "quantization"),
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (scale =
+    max|x|/127, q = round(x/scale)) — the storage/ANN-serving compression
+    step.  Pure per-row array math; verified via the quantized L1 norm
+    and first component so the checked output stays narrow while pinning
+    every element's rounding."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.expr(
+        "array_max(transform(embedding, x -> abs(double(x)))) / 127.0D"
+    )
+    s = e.select("vec_id", "embedding", scale.alias("scale"))
+    return s.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.expr(
+            "cast(aggregate(transform(embedding, x -> abs(round(double(x) / scale))), "
+            "0D, (acc, v) -> acc + v) as bigint)"
+        ).alias("q_l1"),
+        F.expr("cast(round(double(embedding[0]) / scale) as bigint)").alias("q_first"),
+    )

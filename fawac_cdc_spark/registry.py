@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.functions.dedup",
     "fawac_cdc_spark.functions.similarity",
     "fawac_cdc_spark.functions.multimodal",
+    "fawac_cdc_spark.functions.traindata",
     "fawac_cdc_spark.sources.connectors",
     "fawac_cdc_spark.plans.reference",
     "fawac_cdc_spark.streaming.batch_equiv",
@@ -90,6 +91,10 @@ _PRIORITY = [
     "sliding_1h_15min_rollup",
     "capped_user_totals",
     "click_purchase_pairs",
+    # Training-data pipeline ops (chunking / packing / deterministic split).
+    "doc_token_chunks",
+    "packed_sequences",
+    "dataset_hash_split",
     # Preprocess suite (A38) — driver-unchecked in round 1.
     "noise_injected_values",
     "inpaint_range_filter",
@@ -104,13 +109,11 @@ _PRIORITY = [
     "lang_corpus_stats",
     "bpe_token_stats",
     "pivot_event_type_counts",
-    # One representative per classic family (rest were green in round 1).
+    # One representative per classic family (rest were green in round 1 —
+    # their variants keep local-parity + test coverage outside the window).
     "pricing_summary",
-    "scalar_transform_lineitem",
     "orders_lineitem_by_priority",
     "asof_join_last_signup_before_purchase",
-    "range_join_clicks_before_purchase",
-    "td_target_lag_lead",
     "discounted_cumsum_per_user",
 ]
 
