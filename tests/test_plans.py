@@ -108,3 +108,31 @@ def test_partitioned_sink_scan_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters:" in plan
     part_section = plan.split("PartitionFilters:", 1)[1][:300]
     assert "event_type" in part_section
+
+
+def test_traindata_map_ops_have_no_shuffle(spark, sf_dir):
+    """Chunking, quantization, and repetition scoring are per-row array
+    math — their plans must contain ZERO exchanges (pure map over the
+    scan), the property that makes them free at 100 TB."""
+    for name in (
+        "doc_token_chunks",
+        "embedding_int8_quant",
+        "repetition_quality_scores",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+
+
+def test_packing_reuses_source_partitioning(spark, sf_dir):
+    """The pack aggregation groups on (source, pack_id); the window
+    already hash-partitioned by source, which co-locates every (source,
+    pack_id) group — so the plan must contain exactly ONE exchange."""
+    plan = _plan(spark, sf_dir, "packed_sequences")
+    # formatted explain prints each node in the tree AND the details
+    # section — "Exchange (" matches the tree form only
+    assert plan.count("Exchange (") == 1
+
+
+def test_vocab_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "vocab_top_terms")
+    assert "TakeOrderedAndProject" in plan
