@@ -75,6 +75,46 @@ _SHINGLED_SQL = f"""
           FROM documents WHERE len(string_split(text, ' ')) >= 3)
 """
 
+# 60-bit shingle hashing for the Jaccard pair family: the pair join only
+# needs shingle IDENTITY, so shuffling an 8-byte int instead of a ~24-byte
+# string cuts shuffle volume ~3x (at sf0.1 on one host the md5 CPU offsets
+# the I/O win; on a real cluster shuffle bytes are the bottleneck and the
+# hash is free — production would use xxhash64(), kept md5 here only so
+# the oracle engine computes bit-identical hashes).  Hashing happens INSIDE the per-row
+# array expression with an in-array distinct (collisions within a doc
+# collapse before the explode), so the (doc_id, hash) stream is distinct
+# per doc with zero extra shuffle and both engines see the identical
+# md5-derived multiset.  Cross-doc collisions (~n²/2^61) negligibly
+# perturb Jaccard — standard shingle-hashing practice — and are mirrored
+# exactly by the oracle.
+
+_HASHED_SHINGLES_EXPR = (
+    f"array_distinct(transform({_SHINGLES_EXPR}, "
+    f"s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)))"
+)
+
+_HASHED_SHINGLES_SQL = (
+    f"list_distinct(list_transform({_SHINGLES_SQL}, "
+    f"s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))"
+)
+
+
+def _shingled_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle-hash) pairs — distinct 60-bit 3-gram hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle"))
+    )
+
+
+_HASHED_SHINGLED_SQL = f"""
+    SELECT doc_id, unnest({_HASHED_SHINGLES_SQL}) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE len(string_split(text, ' ')) >= 3)
+"""
+
 
 def capped_shingles(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df``.
@@ -242,7 +282,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-WITH {_capped_sh_sql(_SHINGLED_SQL)},
+WITH {_capped_sh_sql(_HASHED_SHINGLED_SQL)},
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -266,7 +306,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cap bounds every join key at df ≤ 100, so candidate generation
     stays near-linear even when the corpus contains stop-phrase shingles.
     """
-    return jaccard_candidate_pairs(_shingled(spark, sf_dir))
+    return jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
 
 
 @register(
@@ -437,7 +477,7 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dedup_survivors",
     oracle=f"""
-WITH {_capped_sh_sql(_SHINGLED_SQL)},
+WITH {_capped_sh_sql(_HASHED_SHINGLED_SQL)},
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -470,7 +510,7 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     dropped = (
-        jaccard_candidate_pairs(_shingled(spark, sf_dir))
+        jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -494,7 +534,7 @@ exact_kept AS (
     GROUP BY md5(lower(text))
 ),
 sh_all AS (
-    SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle
+    SELECT doc_id, unnest({_HASHED_SHINGLES_SQL}) AS shingle
     FROM (SELECT doc_id, string_split(text, ' ') AS toks
           FROM quality WHERE doc_id IN (SELECT doc_id FROM exact_kept))
 ),
@@ -547,7 +587,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         kept.select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
-        .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle"))
+        .select("doc_id", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle"))
     )
     near_dropped = (
         jaccard_candidate_pairs(sh)
@@ -620,7 +660,7 @@ def connected_components_min_label(
     "connected_component_survivors",
     oracle=f"""
 WITH RECURSIVE
-{_capped_sh_sql(_SHINGLED_SQL).strip()},
+{_capped_sh_sql(_HASHED_SHINGLED_SQL).strip()},
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -662,7 +702,7 @@ def connected_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     the DuckDB mirror uses a recursive CTE over the same edge set.
     """
     d = load_table(spark, sf_dir, "documents")
-    edges = jaccard_candidate_pairs(_shingled(spark, sf_dir)).select("doc_a", "doc_b")
+    edges = jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select("doc_a", "doc_b")
     labels = connected_components_min_label(edges, d.select("doc_id"))
     return d.join(labels, "doc_id").select(
         "doc_id",

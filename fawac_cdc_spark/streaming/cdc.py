@@ -300,6 +300,76 @@ def soft_update_run(
     return dict(target)
 
 
+# --- A17 EWMA as a DISTRIBUTED stateful operator (transformWithState) ------
+#
+# ``soft_update_run`` above mirrors the reference's driver-side scalar
+# state (fine at ≤5 keys, noted ceiling).  This is the horizontally
+# scalable form: the EWMA target lives in per-key VALUE STATE inside the
+# state store (partitioned by event_type, checkpointed, rocksdb-backed on
+# a real cluster), updated through Spark 4's transformWithStateInPandas —
+# no driver round-trip, any key cardinality.
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("target", T.DoubleType()),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+
+
+def ewma_target_stream(events: DataFrame, tau: float = 0.1) -> DataFrame:
+    """``target = (1 - tau) * target + tau * batch_mean`` per event_type
+    (reference ``soft_update``, ``fawac.py:15-17``, A17) with the target
+    held in keyed value state.  Means are computed over integer cents so
+    the recurrence is float-exact vs the sequential replay.
+
+    NOTE: transformWithStateInPandas requires pyspark's protobuf
+    dependency at runtime; the parity test skips where it is absent
+    (this container) and runs on any standard pyspark install.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ewma", "target double, n_batches bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cents = 0
+            n = 0
+            for pdf in rows:
+                cents += int(pdf["value"].map(lambda v: int(round(float(v) * 100))).sum())
+                n += len(pdf)
+            if n == 0:
+                return iter(())
+            mean = (cents / 100.0) / n
+            prev = self._state.get() if self._state.exists() else None
+            if prev is None:
+                target, batches = mean, 1
+            else:
+                target, batches = (1 - tau) * prev[0] + tau * mean, prev[1] + 1
+            self._state.update((target, batches))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "target": [target], "n_batches": [batches]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def sliding_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked sliding-window rollup, 1-hour window advancing every 15
     minutes (batch equiv: sliding_1h_15min_rollup). Each event expands

@@ -325,3 +325,48 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, chunk_dir):
     ).toPandas()
     want = click_purchase_pairs(spark, sf_dir).toPandas()
     assert not compare_frames(got, want)
+
+
+def test_ewma_target_stream_matches_sequential(spark, chunk_dir, tmp_path):
+    """The distributed transformWithStateInPandas EWMA must equal the
+    sequential recurrence over micro-batch means (and therefore also the
+    driver-side soft_update_run it replaces at scale)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent in this "
+        "container); the operator is exercised wherever pyspark's full "
+        "streaming deps are installed",
+    )
+    import glob
+
+    tau = 0.1
+    events = cdc.read_event_stream(spark, chunk_dir)
+    q = (
+        cdc.ewma_target_stream(events, tau=tau)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM ewma_out").toPandas()
+    # last emission per key = final target
+    got = {
+        r["event_type"]: r["target"]
+        for _, r in out.sort_values("n_batches").iterrows()
+    }
+
+    expected: dict[str, float] = {}
+    for f in sorted(glob.glob(f"{chunk_dir}/*.parquet")):
+        pdf = pd.read_parquet(f)
+        means = pdf.groupby("event_type")["value"].apply(
+            lambda s: float(round(s.astype("float64").sum(), 2)) / len(s)
+        )
+        for k, m in means.items():
+            expected[k] = m if k not in expected else (1 - tau) * expected[k] + tau * m
+
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9), k
