@@ -10,8 +10,9 @@ Four industry-standard dedup strategies, each as a declarative Spark plan:
 - **MinHash**: k=8 portable hash functions ``(a_j * H + b_j) mod P`` over
   md5-derived 32-bit shingle hashes; LSH banding (4 bands × 2 rows) turns
   near-dup search into an equi-join on band keys — the 100 TB-scale path.
-- **SimHash**: 16-bit sign-aggregated token-hash fingerprint; hamming
-  buckets give another near-dup candidate generator.
+- **SimHash**: 16-bit sign-aggregated token-hash fingerprint (demo
+  width), plus a 60-bit wide fingerprint banded into 4×15-bit LSH keys
+  with an exact ``bit_count(xor)`` Hamming verify on the candidates.
 
 All hashes are md5-prefix based (see ``operators/helpers.py``) so the
 DuckDB oracles compute identical values.
@@ -408,6 +409,135 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(case when s{b} > 0 then {1 << b} else 0 end)" for b in range(SIMHASH_BITS)
     )
     return sums.select("doc_id", F.expr(f"cast({combine} as bigint)").alias("simhash"))
+
+
+# --- wide SimHash + banded Hamming-ball candidate pairs --------------------
+#
+# The 16-bit fingerprint above is the reference-parity demo width; for
+# CANDIDATE GENERATION it is useless at scale (16-bit space saturates at
+# ~10^3 docs, so any band key collides with n/2^bits of the corpus and the
+# band join goes quadratic).  The production shape is a WIDE fingerprint
+# banded into band keys large enough that unrelated docs almost never
+# collide: 60 bits in 4 bands x 15 bits.  Pigeonhole guarantees every pair
+# with hamming <= 3 shares at least one intact band; pairs further apart
+# are found with the usual LSH probability decay.  Both engines compute
+# the identical md5-derived fingerprint, so the oracle is exact.
+
+SIMHASH_WIDE_BITS = 60
+SIMHASH_WIDE_BANDS = 4
+SIMHASH_BAND_BITS = 15  # 32768 key values per band — collision-sparse
+SIMHASH_MAX_HAMMING = 6
+
+_WIDE_TOKEN_HASHES_EXPR = (
+    "transform(array_distinct(split(text, ' ')), "
+    "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
+)
+
+_WIDE_TOKEN_HASHES_SQL = (
+    "list_transform(list_distinct(string_split(text, ' ')), "
+    "t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
+)
+
+
+def wide_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) with a 60-bit fingerprint, as a ZERO-SHUFFLE pure
+    map: token-hash array materialized once per row, then per-bit ±1 sums
+    and the sign-combine all run inside higher-order array expressions
+    (same shuffle-free idiom as ``minhash_signatures_df``)."""
+    one = "cast(1 as bigint)"
+    sim = (
+        f"aggregate(transform(sequence(0, {SIMHASH_WIDE_BITS - 1}), b -> "
+        f"IF(aggregate(hs, cast(0 as bigint), (acc, h) -> "
+        f"acc + IF(((h div shiftleft({one}, b)) % 2) = 1, "
+        f"cast(1 as bigint), cast(-1 as bigint))) > 0, "
+        f"shiftleft({one}, b), cast(0 as bigint))), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr(_WIDE_TOKEN_HASHES_EXPR).alias("hs")
+    ).select("doc_id", F.expr(sim).alias("simhash"))
+
+
+_WIDE_SIMHASH_SQL = f"""
+hs AS (
+    SELECT doc_id, {_WIDE_TOKEN_HASHES_SQL} AS hs FROM documents
+),
+fp AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {SIMHASH_WIDE_BITS}), b ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN ((h // (CAST(1 AS BIGINT) << b)) % 2) = 1
+                        THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM hs
+)
+"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+WITH {_WIDE_SIMHASH_SQL.strip()},
+bands AS (
+    SELECT doc_id, simhash, b.band,
+           (simhash // (CAST(1 AS BIGINT) << (band * {SIMHASH_BAND_BITS})))
+               % {1 << SIMHASH_BAND_BITS} AS key
+    FROM fp, (SELECT unnest(range(0, {SIMHASH_WIDE_BANDS})) AS band) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM bands a JOIN bands c
+      ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+)
+SELECT cand.doc_a, cand.doc_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = cand.doc_a
+JOIN fp fb ON fb.doc_id = cand.doc_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_MAX_HAMMING}
+""",
+    tags=("dedup", "llm", "simhash"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit fingerprints, LSH-banded into 4
+    equi-join keys of 15 bits, exact ``bit_count(xor)`` Hamming verify on
+    the candidates. Fingerprinting is a pure map; candidate generation is
+    an equi-join on (band, key) — never a cross join — and the Hamming
+    filter runs on candidate pairs only. Generalizes the reference's
+    duplicate-row detection to fuzzy matching (SURVEY §2 Part B LLM-ops)."""
+    fp = wide_simhash_df(spark, sf_dir)
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band"),
+            F.expr(
+                f"(simhash div {1 << (SIMHASH_BAND_BITS * k)}) % {1 << SIMHASH_BAND_BITS}"
+            ).alias("key"),
+        )
+        for k in range(SIMHASH_WIDE_BANDS)
+    ]
+    bands = fp.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .where(hamming <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
 
 
 # --- embedding-cosine near-duplicates --------------------------------------

@@ -221,3 +221,68 @@ def scores_from_artifact(
         F.round(F.col("raw_score") + 1e-9, 6).alias("score"),
         F.when(F.col("raw_score") > 0.5, 1).otherwise(0).alias("pred"),
     )
+
+
+# --- A/V frame sampling ----------------------------------------------------
+
+NUM_FRAMES = 4
+
+_FRAME_SCHEMA = "doc_id long, frame_idx int, offset int, sample_byte int"
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler: evenly-spaced byte probes standing in for
+    video frame extraction / audio resampling.
+
+    A production pipeline would hand each payload to a codec (ffmpeg /
+    torchaudio) and emit decoded frames at these offsets; the codec libs
+    are absent, so the "frame" is the payload byte at the sampled offset.
+    The offset math, one-row-in/k-rows-out expansion, Arrow batching, and
+    output schema are exactly the real pipeline's."""
+    for pdf in batches:
+        out_doc, out_idx, out_off, out_val = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            if n < NUM_FRAMES:
+                continue
+            for i in range(NUM_FRAMES):
+                off = i * n // NUM_FRAMES
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_off.append(off)
+                out_val.append(payload[off])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "offset": pd.Series(out_off, dtype="int32"),
+                "sample_byte": pd.Series(out_val, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+SELECT doc_id,
+       CAST(i.frame_idx AS INT) AS frame_idx,
+       CAST(i.frame_idx * octet_length(encode(text)) // {NUM_FRAMES} AS INT) AS offset,
+       CAST(COALESCE(TRY_CAST('0x' || substr(to_hex(encode(text)),
+                2 * (i.frame_idx * octet_length(encode(text)) // {NUM_FRAMES}) + 1, 2)
+            AS INT), 0) AS INT) AS sample_byte
+FROM documents,
+     (SELECT unnest(range(0, {NUM_FRAMES})) AS frame_idx) i
+WHERE octet_length(encode(text)) >= {NUM_FRAMES}
+""",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via ``mapInPandas`` (SURVEY §2
+    Part B multimodal: decode / frame-sample as Pandas UDFs): each blob
+    expands to {NUM_FRAMES} evenly-spaced probes — the 1:k row expansion a
+    video frame-sampler produces. Pure map, no shuffle; at 100 TB this
+    runs as wide as the scan. The oracle recomputes every probe
+    relationally from the same bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_frame_sample_batches, _FRAME_SCHEMA)

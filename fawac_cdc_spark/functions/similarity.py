@@ -334,3 +334,135 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dim0") / F.count(F.lit(1)), 6).alias("avg_dim0"),
         )
     )
+
+
+# --- k-means-refined IVF centroids (Lloyd iteration) -----------------------
+#
+# ``ivf_topk_query1`` probes lists built from SEED centroids; a production
+# index k-means-refines them first.  One Lloyd step, Spark-native shape:
+# assignment is a broadcast-8-rows pass over the data (the scalable part);
+# the centroid update collects exactly N_CENTROIDS x EMB_DIM aggregated
+# values to the driver and re-broadcasts them — the same driver-side
+# centroid cycle pyspark.ml's KMeans runs per iteration, O(k·d) driver
+# bytes, never O(n).  Every distance and every updated centroid component
+# is rounded to 6 decimals on BOTH engines, so argmin decisions and the
+# re-assignment replay bit-identically in the oracle.
+
+_L2SQ_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (double(x) - double(y)) "
+    "* (double(x) - double(y))), 0D, (acc, v) -> acc + v)"
+)
+_L2SQ_DUCK = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+def _assign_min_l2(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cid): nearest centroid by rounded L2², ties to
+    the lower cid — broadcast join + windowed argmin, never a shuffle of
+    the vectors themselves."""
+    from pyspark.sql import Window
+
+    d2 = F.round(F.expr(_L2SQ_SPARK.format(a="embedding", b="cvec")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+@register(
+    "kmeans_refined_ivf_cells",
+    oracle=f"""
+WITH init AS (
+    SELECT vec_id AS cid,
+           list_transform(range(1, {EMB_DIM + 1}),
+                          i -> ROUND(CAST(embedding[i] AS DOUBLE), 6)) AS cvec
+    FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, i.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_L2SQ_DUCK.format(a='e.embedding', b='i.cvec')}, 6),
+                            i.cid) AS rn
+        FROM embeddings e CROSS JOIN init i
+    ) WHERE rn = 1
+),
+c1 AS (
+    SELECT cid, list(cval ORDER BY dim) AS cvec FROM (
+        SELECT a1.cid, d.dim,
+               ROUND(AVG(CAST(e.embedding[d.dim] AS DOUBLE)), 6) AS cval
+        FROM embeddings e
+        JOIN a1 USING (vec_id),
+             (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim) d
+        GROUP BY a1.cid, d.dim
+    ) GROUP BY cid
+),
+a2 AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_L2SQ_DUCK.format(a='e.embedding', b='c.cvec')}, 6),
+                            c.cid) AS rn
+        FROM embeddings e CROSS JOIN c1 c
+    ) WHERE rn = 1
+)
+SELECT a2.cid, COUNT(*) AS n,
+       ROUND(sqrt(list_sum(list_transform(c1.cvec, x -> x * x))), 6) AS centroid_norm
+FROM a2 JOIN c1 ON a2.cid = c1.cid
+GROUP BY a2.cid, c1.cvec
+""",
+    tags=("similarity", "llm", "ivf", "kmeans", "iterative"),
+)
+def kmeans_refined_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement of the IVF coarse quantizer: seed-assign,
+    recompute centroids as per-dim means, re-assign, and report each
+    refined cell's population and centroid norm.
+
+    Generalizes the reference's iterative update loop (``fawac.py:521-551``
+    train steps / A41) to index training. The driver round-trip is
+    O(k·d) — 8×64 doubles — per iteration; vectors never leave executors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    rounded = f"transform(embedding, x -> round(double(x), 6))"
+    init = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.expr(rounded).alias("cvec")
+    )
+
+    a1 = _assign_min_l2(e, init)
+
+    # centroid update: per-dim mean over members, rounded — k·d aggregated
+    # values collected to the driver (pyspark.ml KMeans' per-iteration cycle)
+    dims = (
+        a1.select("cid", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cval"))
+    )
+    rows = dims.collect()
+    by_cid: dict[int, list[float]] = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], [0.0] * EMB_DIM)[r["dim"]] = r["cval"]
+    c1 = spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(by_cid.items())],
+        "cid bigint, cvec array<double>",
+    )
+
+    a2 = _assign_min_l2(e, c1)
+
+    norm = F.round(
+        F.sqrt(F.expr("aggregate(cvec, 0D, (acc, x) -> acc + x * x)")), 6
+    ).alias("centroid_norm")
+    return (
+        a2.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(c1, "cid")
+        .select("cid", "n", norm)
+    )

@@ -60,6 +60,7 @@ _PRIORITY = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash_fingerprints",
+    "simhash_hamming_pairs",
     "embedding_cosine_near_dup",
     "near_dedup_survivors",
     "connected_component_survivors",
@@ -112,7 +113,6 @@ _PRIORITY = [
     # One representative per classic family (rest were green in round 1 —
     # their variants keep local-parity + test coverage outside the window).
     "pricing_summary",
-    "orders_lineitem_by_priority",
     "asof_join_last_signup_before_purchase",
     "discounted_cumsum_per_user",
 ]

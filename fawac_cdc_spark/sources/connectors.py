@@ -8,6 +8,8 @@ Covers the reference's non-parquet I/O surface:
   JSON-in-string ``events.props`` fixture)
 - append-mode metrics sink — the trainer's append-only keyed metric store
   (reference ``train_fawac_iql.py:145-166``, ``fawac.py:551``, A45)
+- ORC roundtrip — the second columnar lake format besides parquet
+  (stripe-stat pushdown, splittable scans)
 
 The registered queries are *roundtrips*: materialize fixture data through
 the format, scan it back with an explicit schema, aggregate. The oracle
@@ -239,5 +241,37 @@ def partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(money("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "orc_roundtrip_agg",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_totalprice > 1000
+GROUP BY o_orderstatus
+""",
+    tags=("source", "sink", "orc", "roundtrip"),
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip: orders written as ORC, scanned back with the filter
+    pushed into the ORC reader (min/max stripe stats prune like parquet
+    row groups), then aggregated. Exercises the second columnar format a
+    100 TB lakehouse ingests besides parquet; the oracle aggregates the
+    parquet view directly, so parity proves writer+reader fidelity
+    (timestamps/doubles survive the format conversion)."""
+    out = _io_dir(sf_dir, "orders_orc")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .where(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_price"),
         )
     )

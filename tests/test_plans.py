@@ -55,6 +55,7 @@ def test_no_unintended_cartesian_products(spark, sf_dir):
     for name in (
         "minhash_lsh_candidates",
         "ngram_jaccard_pairs",
+        "simhash_hamming_pairs",
         "embedding_cosine_near_dup",
         "orders_lineitem_by_priority",
         "asof_join_last_signup_before_purchase",
@@ -136,3 +137,21 @@ def test_packing_reuses_source_partitioning(spark, sf_dir):
 def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "vocab_top_terms")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_wide_simhash_fingerprint_is_pure_map(spark, sf_dir):
+    """The 60-bit fingerprint must be a zero-exchange map over the scan —
+    per-bit sums run inside higher-order array expressions, never an
+    explode + 60-column groupBy."""
+    from fawac_cdc_spark.functions.dedup import wide_simhash_df
+
+    df = wide_simhash_df(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+
+
+def test_frame_sample_is_pure_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_frame_sample")
+    assert "Exchange" not in plan
