@@ -309,3 +309,34 @@ def click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "click_id", "user_id", "click_value")
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
+    tags=("m6", "streaming-equiv", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: every event joined to its customer's
+    dimension row, rolled up per (segment, event_type) — the batch
+    semantics of ``cdc.enrich_stream``. In streaming form the dimension
+    side is a static broadcast: each micro-batch map-joins against it
+    with no shuffle and no state store, the standard shape for decorating
+    a 100 TB event feed with slowly-changing dims."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+    )

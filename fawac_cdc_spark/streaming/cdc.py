@@ -522,3 +522,18 @@ def click_purchase_join_stream(events: DataFrame) -> DataFrame:
             "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"
         ),
     ).select("purchase_id", "click_id", "user_id", "click_value")
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + rollup (batch equiv:
+    stream_static_enrich). The static side broadcasts into every
+    micro-batch — a map-side join, no watermark or state store needed
+    because the dimension is not a stream."""
+    return (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

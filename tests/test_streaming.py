@@ -370,3 +370,15 @@ def test_ewma_target_stream_matches_sequential(spark, chunk_dir, tmp_path):
     assert set(got) == set(expected)
     for k in expected:
         assert got[k] == pytest.approx(expected[k], abs=1e-9), k
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, chunk_dir):
+    from fawac_cdc_spark.streaming.batch_equiv import stream_static_enrich
+
+    events = cdc.read_event_stream(spark, chunk_dir)
+    dim = load_table(spark, sf_dir, "customer")
+    got = _run_to_memory(
+        spark, cdc.enrich_stream(events, dim), "enrich_out", "complete"
+    ).toPandas()
+    want = stream_static_enrich(spark, sf_dir).toPandas()
+    assert not compare_frames(got, want)
