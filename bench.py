@@ -38,6 +38,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",               # DF-capped shingle pair join
     "reference_td_advantage_pipeline",   # reference end-to-end showcase
     "rp_lsh_topk_query0",                # bucketed ANN top-k
+    "simhash_hamming_pairs",             # wide-simhash banded Hamming dedup
+    "kmeans_refined_ivf_cells",          # Lloyd-refined IVF index training
     "discounted_cumsum_per_user",        # exact recurrence via secondary-sort
                                          # mapInPandas (last: owns the
                                          # Python-worker startup)

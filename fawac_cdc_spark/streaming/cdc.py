@@ -20,6 +20,7 @@ parquet stand-in for Delta/Iceberg MERGE.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -163,14 +164,19 @@ def _state_versions(state_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(state_dir: str) -> dict[str, str]:
-    """bucket id (str) -> state_dir-relative data directory."""
-    import json
+def _read_manifest(state_dir: str, version: int | None = None) -> dict[str, str]:
+    """bucket id (str) -> state_dir-relative data directory.
 
+    ``version`` selects a specific committed epoch (time travel); default
+    is the newest commit."""
     versions = _state_versions(state_dir)
     if not versions:
         return {}
-    with open(os.path.join(state_dir, f"v{versions[-1]}.json")) as f:
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"no committed version {version}; have {versions}")
+    with open(os.path.join(state_dir, f"v{version}.json")) as f:
         return json.load(f)["buckets"]
 
 
@@ -185,14 +191,23 @@ def _commit_manifest(state_dir: str, epoch_id: int, buckets: dict[str, str]) -> 
     os.replace(tmp, path)
 
 
-def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Read the newest committed snapshot (A33 restore semantics): resolve
-    the latest manifest to its per-bucket data directories."""
-    buckets = _read_manifest(state_dir)
+def read_upsert_state(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Read a committed snapshot (A33 restore semantics): resolve the
+    manifest — newest by default, or any committed epoch via ``version``
+    (time travel; data files are immutable, so every historical manifest
+    stays readable until its epochs are vacuumed)."""
+    buckets = _read_manifest(state_dir, version)
     if not buckets:
         return None
     paths = [os.path.join(state_dir, rel) for rel in buckets.values()]
     return spark.read.parquet(*paths)
+
+
+def state_versions(state_dir: str) -> list[int]:
+    """Public list of committed snapshot epochs, ascending (time travel)."""
+    return _state_versions(state_dir)
 
 
 def cdc_upsert_run(

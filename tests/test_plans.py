@@ -139,19 +139,29 @@ def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_wide_simhash_fingerprint_is_pure_map(spark, sf_dir):
-    """The 60-bit fingerprint must be a zero-exchange map over the scan —
-    per-bit sums run inside higher-order array expressions, never an
-    explode + 60-column groupBy."""
+def test_wide_simhash_fingerprint_partial_aggregates(spark, sf_dir):
+    """The 60-bit fingerprint's per-bit sums must map-side combine, so
+    the shuffle carries one 60-value row per document — never the raw
+    token stream — and the md5 must be projected before the aggregate
+    (one hash per token, codegen'd case-whens per bit)."""
     from fawac_cdc_spark.functions.dedup import wide_simhash_df
 
     df = wide_simhash_df(spark, sf_dir)
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "Exchange" not in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange (") == 1
 
 
 def test_frame_sample_is_pure_map(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multimodal_frame_sample")
     assert "Exchange" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rank()<=k filters must push into WindowGroupLimit — a per-partition
+    top-k heap BEFORE the window shuffle, so only k rows per group reach
+    the exchange instead of every row."""
+    plan = _plan(spark, sf_dir, "topk_orders_per_status")
+    assert "WindowGroupLimit" in plan

@@ -382,3 +382,30 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, chunk_dir):
     ).toPandas()
     want = stream_static_enrich(spark, sf_dir).toPandas()
     assert not compare_frames(got, want)
+
+
+def test_snapshot_time_travel(spark, chunk_dir, tmp_path):
+    """Every committed manifest stays readable: version k must replay the
+    exact latest-per-key state after the first k+1 micro-batches."""
+    import glob
+
+    cdc.cdc_upsert_run(
+        spark, chunk_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    versions = cdc.state_versions(str(tmp_path / "state"))
+    assert len(versions) == N_CHUNKS
+
+    files = sorted(glob.glob(f"{chunk_dir}/*.parquet"))
+    mid = versions[1]
+    got = (
+        cdc.read_upsert_state(spark, str(tmp_path / "state"), version=mid)
+        .select("user_id", "ts", "event_type", "value", "event_id")
+        .toPandas()
+    )
+    want = (
+        pd.concat([pd.read_parquet(f) for f in files[:2]])
+        .sort_values(["ts", "event_id"])
+        .groupby("user_id", as_index=False)
+        .last()[["user_id", "ts", "event_type", "value", "event_id"]]
+    )
+    assert not compare_frames(got, want)
