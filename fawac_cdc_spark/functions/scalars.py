@@ -224,3 +224,41 @@ def normalize_minmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_norm"
         ),
     )
+
+
+_SPINE_SQL = """
+WITH RECURSIVE spine(day) AS (
+    SELECT date_trunc('day', (SELECT MIN(ts) FROM {src}))
+    UNION ALL
+    SELECT day + INTERVAL 1 DAY FROM spine
+    WHERE day < date_trunc('day', (SELECT MAX(ts) FROM {src}))
+),
+daily AS (
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM {src}
+    GROUP BY date_trunc('day', ts)
+)
+SELECT s.day,
+       COALESCE(d.n, 0) AS n_events,
+       COALESCE(d.total, 0.0) AS total_value
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+@register(
+    "daily_event_spine",
+    oracle=_SPINE_SQL.format(src="events"),
+    tags=("scalar", "recursive-cte", "timeseries"),
+)
+def daily_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily time series via a RECURSIVE CTE date spine
+    (Spark 4 ``WITH RECURSIVE``): days with zero events still appear,
+    zero-filled — the series shape every monitoring/plotting consumer
+    needs (reference ``make_plots.ipynb`` reads such per-step series).
+    The recursion depth is the day span (driver-side plan growth only);
+    the per-day aggregate underneath stays a normal partial+final
+    shuffle, so scale is unaffected by the spine."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_spine_src")
+    return spark.sql(_SPINE_SQL.format(src="events_spine_src"))

@@ -324,3 +324,70 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         """
     )
+
+
+_TREND_BASE_US = 1_704_067_200_000_000  # 2024-01-01 UTC, keeps x small
+
+
+@register(
+    "correlation_stats_lineitem",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "statistics"),
+)
+def correlation_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (Pearson correlation + sample
+    covariance) per return flag — the moment-based single-pass family
+    every warehouse exposes; partial+final aggregation keeps it one
+    shuffle of 3 moment rows per group at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+@register(
+    "linear_trend_by_type",
+    oracle=f"""
+SELECT event_type,
+       ROUND(regr_slope(value, (epoch_us(ts) - {_TREND_BASE_US}) / 86400000000.0), 6)
+           AS slope_per_day,
+       ROUND(regr_intercept(value, (epoch_us(ts) - {_TREND_BASE_US}) / 86400000000.0), 6)
+           AS intercept,
+       ROUND(regr_r2(value, (epoch_us(ts) - {_TREND_BASE_US}) / 86400000000.0), 6)
+           AS r2
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "statistics", "reference"),
+)
+def linear_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend of event value over time via the
+    ``regr_*`` aggregate family (the eval-metric drift curves the
+    reference plots in ``make_plots.ipynb``, computed in-engine). Event
+    time is rebased to days since a fixed epoch so the regression moments
+    stay well-conditioned in double precision on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_TREND_BASE_US))
+        / F.lit(86400000000.0)
+    ).alias("x")
+    return (
+        e.select("event_type", F.col("value"), x)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("value", "x"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("value", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("value", "x"), 6).alias("r2"),
+        )
+    )
