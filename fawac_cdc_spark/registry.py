@@ -37,6 +37,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.functions.multimodal",
     "fawac_cdc_spark.functions.traindata",
     "fawac_cdc_spark.sources.connectors",
+    "fawac_cdc_spark.sources.npz_source",
     "fawac_cdc_spark.plans.reference",
     "fawac_cdc_spark.streaming.batch_equiv",
 ]

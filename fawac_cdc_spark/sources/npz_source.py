@@ -1,0 +1,134 @@
+"""Custom Python DataSource: D4RL-style dict-of-arrays (.npz) ingest.
+
+The reference's native input format is a dict of equal-length numpy
+arrays (``load_d4rl_dataset``, reference ``fawac.py:56-73`` A1, fetched
+by ``env.get_dataset()`` ``train_fawac_iql.py:56`` A37). This connector
+ingests that format through Spark 4's Python DataSource API — the
+idiomatic way to register a new source so it composes with the whole
+engine (``spark.read.format("d4rl_npz")``, works under filters,
+projections, joins, AQE).
+
+Scale shape: ``partitions()`` splits the row range into even chunks, so
+the scan parallelizes like any splittable source; each task emits Arrow
+``RecordBatch``es (zero row-at-a-time Python). A production build would
+back this with per-chunk files or an object-store range read instead of
+re-opening the archive per task — the partition/batch plumbing is
+identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..catalog import load_table
+from ..operators.helpers import money
+from ..registry import register
+
+N_SCAN_PARTITIONS = 8
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class NpzDataSourceReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        self.columns = [f.name for f in schema.fields]
+
+    def partitions(self):
+        import numpy as np
+
+        with np.load(self.path, allow_pickle=False) as data:
+            n = len(data[self.columns[0]])
+        per = (n + N_SCAN_PARTITIONS - 1) // N_SCAN_PARTITIONS
+        return [
+            _RangePartition(i * per, min((i + 1) * per, n))
+            for i in range(N_SCAN_PARTITIONS)
+            if i * per < n
+        ]
+
+    def read(self, partition: _RangePartition):
+        import numpy as np
+        import pyarrow as pa
+
+        with np.load(self.path, allow_pickle=False) as data:
+            arrays = [
+                pa.array(data[c][partition.start : partition.end])
+                for c in self.columns
+            ]
+        yield pa.RecordBatch.from_arrays(arrays, names=self.columns)
+
+
+class NpzDataSource(DataSource):
+    """``spark.read.format("d4rl_npz").schema(...).option("path", ...)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "d4rl_npz"
+
+    def reader(self, schema) -> DataSourceReader:
+        return NpzDataSourceReader(schema, self.options)
+
+
+def _npz_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as a dict-of-arrays archive (the reference's
+    on-disk shape) for the roundtrip query."""
+    import numpy as np
+
+    slug = sf_dir.strip("/").replace("/", "_")
+    out_dir = os.path.join(tempfile.gettempdir(), "fawac_cdc_spark_io", slug)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "events.npz")
+    if not os.path.exists(path):
+        pdf = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .toPandas()
+        )
+        np.savez(
+            path,
+            event_id=pdf["event_id"].to_numpy("int64"),
+            user_id=pdf["user_id"].to_numpy("int64"),
+            event_type=pdf["event_type"].to_numpy("U"),
+            value=pdf["value"].to_numpy("float64"),
+        )
+    return path
+
+
+@register(
+    "npz_scan_events_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("source", "npz", "python-datasource", "reference"),
+)
+def npz_scan_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-of-arrays ingest roundtrip: events exported to the
+    reference's .npz shape, read back through the registered custom
+    Python data source (partitioned Arrow-batch scan), aggregated. The
+    oracle aggregates the parquet view directly, so parity proves the
+    connector's fidelity."""
+    path = _npz_fixture(spark, sf_dir)
+    spark.dataSource.register(NpzDataSource)
+    df = (
+        spark.read.format("d4rl_npz")
+        .schema("event_id bigint, user_id bigint, event_type string, value double")
+        .option("path", path)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("value")).cast("double").alias("total_value"),
+    )
