@@ -849,3 +849,48 @@ def connected_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
         "component",
         (F.col("component") == F.col("doc_id")).cast("int").alias("survivor"),
     )
+
+
+# --- blocked fuzzy matching (entity resolution) ----------------------------
+
+FUZZY_MAX_DIST = 3
+
+
+@register(
+    "fuzzy_name_match_pairs",
+    oracle=f"""
+WITH names AS (
+    SELECT DISTINCT p_name FROM part
+), blocked AS (
+    SELECT p_name, string_split(p_name, ' ')[2] AS blk FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+""",
+    tags=("dedup", "llm", "fuzzy", "entity-resolution"),
+)
+def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (record linkage): DISTINCT names first — the
+    step that collapses the exact-duplicate mass so the quadratic term
+    runs over unique keys only — then an equi-join on a blocking key (the
+    head noun) and Levenshtein ≤ {FUZZY_MAX_DIST} inside each block.
+    Edit distances are integers, so parity is exact. At 100 TB the
+    blocking key gets finer (noun + first char, or an LSH band) to bound
+    per-block cardinality; the distinct-block-verify shape is unchanged.
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), 2).alias("blk")
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), "blk")
+    b = blocked.select(F.col("p_name").alias("name_b"), "blk")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(dist <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", dist.alias("edit_dist"))
+    )
