@@ -516,7 +516,14 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on (band, key) — never a cross join — and the Hamming
     filter runs on candidate pairs only. Generalizes the reference's
     duplicate-row detection to fuzzy matching (SURVEY §2 Part B LLM-ops)."""
-    fp = wide_simhash_df(spark, sf_dir)
+    # The fingerprint rides along the band explode, so the self-join's
+    # two sides are the ONLY references to the fingerprint subtree and no
+    # join-back to the fingerprint table is needed for the Hamming verify.
+    # The subtree is still referenced twice (Catalyst plans the self-join
+    # without exchange reuse here), so materialize it once — at scale the
+    # fingerprint table is a persisted artifact anyway, like MinHash
+    # signature tables.
+    fp = wide_simhash_df(spark, sf_dir).localCheckpoint(eager=False)
     band_structs = [
         F.struct(
             F.lit(k).alias("band"),
@@ -527,26 +534,23 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(SIMHASH_WIDE_BANDS)
     ]
     bands = fp.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-        .join(
-            bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
-            ["band", "key"],
-        )
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "key"
+    )
     hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
         .where(hamming <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
     )
 
 

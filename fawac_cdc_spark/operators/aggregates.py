@@ -391,3 +391,98 @@ def linear_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_r2("value", "x"), 6).alias("r2"),
         )
     )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "percentile"),
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (``percentile`` ==
+    ``quantile_cont`` semantics: linear interpolation between order
+    statistics — both engines agree bit-for-bit after rounding).
+    Complements the exact-median (A30) and approx families; at 100 TB the
+    exact form is for per-key cardinalities that fit a sort buffer, with
+    ``approx_percentile`` as the sketch path (approx_stats_lineitem)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "conversion_funnel_counts",
+    oracle="""
+WITH stage1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+stage2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN stage1 s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts > s.t1
+    GROUP BY e.user_id
+),
+stage3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN stage2 s ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s.t2
+    GROUP BY e.user_id
+)
+SELECT 'view' AS stage, 1 AS stage_idx, COUNT(*) AS users FROM stage1
+UNION ALL
+SELECT 'click', 2, COUNT(*) FROM stage2
+UNION ALL
+SELECT 'purchase', 3, COUNT(*) FROM stage3
+""",
+    tags=("agg", "funnel", "sessionization"),
+)
+def conversion_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → later click → later purchase):
+    each stage keeps users whose stage event strictly follows their first
+    event of the previous stage. Expressed as per-stage min-ts aggregates
+    chained by equi-joins on user_id — every stage is one partial+final
+    aggregation plus a key-local join, so the funnel scales as three
+    narrow shuffles on user_id (co-partitioned after the first), not a
+    self-join of the event log."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, out: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "click", "t1", "t2")
+    s3 = first_after(s2, "purchase", "t2", "t3")
+
+    def stage_count(df: DataFrame, name: str, idx: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        stage_count(s1, "view", 1)
+        .unionByName(stage_count(s2, "click", 2))
+        .unionByName(stage_count(s3, "purchase", 3))
+    )
