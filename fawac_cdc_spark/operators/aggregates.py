@@ -17,7 +17,7 @@ both sides (order-of-summation differs across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -485,4 +485,32 @@ def conversion_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_count(s1, "view", 1)
         .unionByName(stage_count(s2, "click", 2))
         .unionByName(stage_count(s3, "purchase", 3))
+    )
+
+
+@register(
+    "modal_event_type_per_user",
+    oracle="""
+SELECT user_id, event_type AS modal_type, n FROM (
+    SELECT user_id, event_type, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type) AS rn
+    FROM events GROUP BY user_id, event_type
+) t WHERE rn = 1
+""",
+    tags=("agg", "mode"),
+)
+def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: each user's most frequent event type, ties
+    broken lexicographically (the built-in ``mode()`` is tie-arbitrary in
+    both engines, so the portable form is count + rank). Two shuffles on
+    progressively smaller keys; WindowGroupLimit keeps the rank filter
+    a per-partition top-1 heap."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
     )

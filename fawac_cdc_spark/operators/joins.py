@@ -266,3 +266,29 @@ def salted_join(
         "_salt", F.pmod(F.hash(F.col(scatter_col)), F.lit(n_salts)).cast("int")
     )
     return left_s.join(right_rep, [key, "_salt"]).drop("_salt")
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM {customer} c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM {orders} o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    oracle=_LATERAL_TOPK_SQL.format(customer="customer", orders="orders"),
+    tags=("join", "lateral", "topk"),
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two most expensive
+    orders, deterministic tie-break on order key. The language-level dual
+    of the ranking-window top-k (`topk_orders_per_status`); Catalyst
+    rewrites the correlated limit into the same windowed plan, so the
+    two formulations share the WindowGroupLimit scale path."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(_LATERAL_TOPK_SQL.format(customer="lat_customer", orders="lat_orders"))
