@@ -435,7 +435,12 @@ _WIDE_TOKEN_HASHES_SQL = (
 
 
 def wide_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) with a 60-bit fingerprint.
+    """60-bit fingerprints for the ``documents`` table."""
+    return wide_simhash_from(load_table(spark, sf_dir, "documents"))
+
+
+def wide_simhash_from(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) with a 60-bit fingerprint from (doc_id, text).
 
     Shape: explode distinct tokens, hash each ONCE (projection before the
     aggregate, so codegen never repeats the md5), then 60 codegen'd
@@ -444,10 +449,7 @@ def wide_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     was measured 6x slower here: Catalyst interprets lambda bodies per
     array element, while the groupBy runs whole-stage-codegen primitive
     long ops and map-side partial aggregation shrinks the shuffle to one
-    60-value row per document — which also gives the pair query's three
-    references to this frame a reusable exchange instead of three
-    re-executions of the fingerprint map."""
-    d = load_table(spark, sf_dir, "documents")
+    60-value row per document."""
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).select(

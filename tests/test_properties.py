@@ -172,3 +172,38 @@ def test_capped_totals_respect_cap_semantics(spark, sf_dir):
     assert set(got["user_id"]) == set(per_user.index)
     for row in got.itertuples():
         assert row.total_value >= CAP_TOTAL or row.n_events == per_user[row.user_id]
+
+
+def test_wide_simhash_properties(spark):
+    """Identical token sets -> identical fingerprints (hamming 0); token
+    order does not matter (bag-of-words); disjoint vocabularies -> far
+    fingerprints."""
+    from fawac_cdc_spark.functions.dedup import wide_simhash_from
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "epsilon delta gamma beta alpha"),   # same set, reordered
+        (3, "zeta eta theta iota kappa"),        # disjoint vocabulary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in wide_simhash_from(df).collect()}
+    assert fp[1] == fp[2]
+    hamming = bin(fp[1] ^ fp[3]).count("1")
+    assert hamming > 10  # ~30 expected for independent 60-bit fingerprints
+
+
+def test_simhash_banding_finds_close_pairs(spark, sf_dir):
+    """Pigeonhole guarantee: every pair within the Hamming verify
+    threshold that shares an intact 15-bit band is emitted with the
+    exact distance; exact duplicates (hamming 0) must always appear."""
+    from fawac_cdc_spark.functions.dedup import wide_simhash_from
+    from fawac_cdc_spark.registry import all_specs
+
+    pairs = all_specs()["simhash_hamming_pairs"].fn(spark, sf_dir).collect()
+    assert pairs, "fixture corpus contains exact dups -> hamming-0 pairs"
+    assert all(0 <= r["hamming"] <= 6 for r in pairs)
+
+    d = all_specs()["dedup_exact_documents"].fn(spark, sf_dir)
+    dup_groups = d.where(F.col("n_copies") >= 2).count()
+    zero = sum(1 for r in pairs if r["hamming"] == 0)
+    assert dup_groups == 0 or zero > 0
