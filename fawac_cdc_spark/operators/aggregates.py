@@ -514,3 +514,39 @@ def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), "n")
     )
+
+
+@register(
+    "hll_user_sketch_rollup",
+    # no oracle: DuckDB's approx_count_distinct uses a different HLL
+    # implementation, so estimates cannot hash-match; rows-only driver
+    # check + a unit test pinning estimates against exact counts.
+    tags=("agg", "sketch", "approx"),
+)
+def hll_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    sketch per event_type, plus the UNION of the per-type sketches as the
+    'all' row — the property that matters at 100 TB: partial sketches
+    combine associatively across partitions/days/tables without rescanning
+    (unlike exact COUNT DISTINCT, whose shuffle grows with cardinality).
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("hll_events")
+    return spark.sql(
+        """
+        WITH per_type AS (
+            SELECT event_type, hll_sketch_agg(user_id) AS sk,
+                   COUNT(*) AS n_events
+            FROM hll_events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(hll_sketch_estimate(sk) AS BIGINT) AS approx_users,
+               n_events
+        FROM per_type
+        UNION ALL
+        SELECT 'all' AS event_type,
+               CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS approx_users,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM per_type
+        """
+    )

@@ -207,3 +207,26 @@ def test_simhash_banding_finds_close_pairs(spark, sf_dir):
     dup_groups = d.where(F.col("n_copies") >= 2).count()
     zero = sum(1 for r in pairs if r["hamming"] == 0)
     assert dup_groups == 0 or zero > 0
+
+
+def test_hll_sketch_estimates_match_exact_at_low_cardinality(spark, sf_dir):
+    """At the fixture's tiny user cardinality the HLL estimate must be
+    exact, and the merged 'all' row must equal the union estimate."""
+    from fawac_cdc_spark.registry import all_specs
+    from fawac_cdc_spark.catalog import load_table
+
+    out = {
+        r["event_type"]: r["approx_users"]
+        for r in all_specs()["hll_user_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact_all = e.select("user_id").distinct().count()
+    exact_by = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert out["all"] == exact_all
+    for k, v in exact_by.items():
+        assert out[k] == v, k
