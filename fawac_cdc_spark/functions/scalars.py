@@ -262,3 +262,38 @@ def daily_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, so scale is unaffected by the spine."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_spine_src")
     return spark.sql(_SPINE_SQL.format(src="events_spine_src"))
+
+
+@register(
+    "sql_udf_revenue_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("scalar", "sql-udf"),
+)
+def sql_udf_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``):
+    the discounted-price formula defined once as a catalog function and
+    reused in queries. Unlike Python UDFs, a SQL UDF inlines into the
+    plan — full codegen, pushdown, and DECIMAL-exact money math; the
+    oracle inlines the identical expression (a macro IS its expansion)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DECIMAL(38,4) "
+        "RETURN CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM sqludf_lineitem
+        GROUP BY l_returnflag
+        """
+    )

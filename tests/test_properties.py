@@ -230,3 +230,25 @@ def test_hll_sketch_estimates_match_exact_at_low_cardinality(spark, sf_dir):
     assert out["all"] == exact_all
     for k, v in exact_by.items():
         assert out[k] == v, k
+
+
+def test_observe_metrics_on_corpus_pipeline(spark, sf_dir):
+    """df.observe(): free runtime counters riding an existing action —
+    the idiomatic way to meter a production pipeline (rows kept, tokens
+    emitted) without a second scan."""
+    from pyspark.sql import Observation
+    from fawac_cdc_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.where(F.size(F.split("text", " ")) >= 3)
+    obs = Observation("corpus")
+    metered = kept.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum(F.size(F.split("text", " "))).alias("tokens"),
+    )
+    n = metered.count()
+    got = obs.get
+    assert got["docs_kept"] == n
+    exact_tokens = kept.agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert got["tokens"] == exact_tokens
