@@ -1,0 +1,73 @@
+"""Pandas API on Spark: the reference notebook's analytics flow.
+
+The reference consumes training curves with pandas (``make_plots.ipynb``
+A46-A49: ``pd.read_csv`` → positional column select → tagged multi-source
+union → prefix truncation → EWMA α=0.5 smoothing). A notebook user
+migrating to this engine keeps that exact code shape on
+``pyspark.pandas`` — same API, distributed execution. These tests pin
+the pandas-on-Spark flow to plain pandas run on identical input.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def curve_csvs(tmp_path_factory):
+    """Two algorithms' (step, value) metric curves, as the notebook's
+    per-algorithm CSV pairs (A46-A47)."""
+    out = tmp_path_factory.mktemp("curves")
+    rng = np.random.RandomState(11)
+    paths = {}
+    for algo in ("fawac", "fisor"):
+        pdf = pd.DataFrame(
+            {
+                "step": np.arange(40),
+                "value": rng.standard_normal(40).round(4).cumsum(),
+                "extra": rng.standard_normal(40).round(4),
+            }
+        )
+        p = out / f"{algo}.csv"
+        pdf.to_csv(p, index=False)
+        paths[algo] = str(p)
+    return paths
+
+
+def _notebook_flow(pd_mod, read_csv, paths):
+    """The A46-A49 flow, parameterized by pandas implementation."""
+    frames = []
+    for algo, path in paths.items():
+        df = read_csv(path)
+        df = df.iloc[:, [0, 1]]  # A46: positional (step, value) select
+        df["algo"] = algo  # A47: tagged union
+        if algo == "fisor":
+            df = df.iloc[: len(df) // 2 + 1]  # A48: prefix truncation
+        # A49: EWMA alpha=0.5 (pandas-default adjusted weighting on both
+        # implementations; the reference's seeded recurrence form is
+        # oracle-checked separately as ewma_user_values)
+        df["smooth"] = df["value"].ewm(alpha=0.5).mean()
+        frames.append(df)
+    return pd_mod.concat(frames).reset_index(drop=True)
+
+
+def test_notebook_flow_matches_pandas(spark, curve_csvs):
+    warnings.filterwarnings("ignore")
+    import pyspark.pandas as ps
+
+    got = (
+        _notebook_flow(ps, ps.read_csv, curve_csvs)
+        .to_pandas()
+        .sort_values(["algo", "step"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _notebook_flow(pd, pd.read_csv, curve_csvs)
+        .sort_values(["algo", "step"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
