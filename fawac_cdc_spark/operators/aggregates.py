@@ -550,3 +550,37 @@ def hll_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_type
         """
     )
+
+
+N_AGG_SALTS = 8
+
+
+@register(
+    "salted_user_event_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("agg", "skew", "salted"),
+)
+def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: stage 1 groups on
+    (user_id, salt) so a hot key's rows spread across N_AGG_SALTS
+    reducers; stage 2 combines the per-salt partials. Results are
+    identical to the direct groupBy (the oracle's form) — this is the
+    manual decomposition AQE's skew handling automates for joins, applied
+    to aggregation hot keys (a power-law user at 100 TB). DECIMAL partials
+    keep both stages exact."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(N_AGG_SALTS)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(money("value")).alias("pv"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.helpers import money
 from ..registry import register
 
 
@@ -83,3 +84,34 @@ def nations_customers_intersect_suppliers(spark: SparkSession, sf_dir: str) -> D
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+@register(
+    "unpivot_pricing_metrics",
+    oracle="""
+WITH s AS (
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM s
+UNPIVOT (value FOR metric IN (sum_qty, sum_price))
+""",
+    tags=("reshape", "unpivot"),
+)
+def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (the inverse of pivot_event_type_counts): the
+    per-flag metric columns melt into (metric, value) rows via
+    ``unpivot`` — a zero-shuffle projection over the aggregated frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(money("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
