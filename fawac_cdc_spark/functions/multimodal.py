@@ -286,3 +286,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_frame_sample_batches, _FRAME_SCHEMA)
+
+
+# --- image resize (nearest-neighbor resample) ------------------------------
+
+RESIZE_TARGET = 4  # 4x4 output grid
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: nearest-neighbor resample of the fake decoded frame.
+
+    Treats the payload as a fake_width x fake_height frame (the decode
+    stub's geometry) and emits a RESIZE_TARGET² grid of nearest-neighbor
+    byte probes — the index arithmetic, 1:k² expansion, and Arrow batch
+    path of a real resampler, with the codec stubbed as elsewhere."""
+    k = RESIZE_TARGET
+    for pdf in batches:
+        doc, row, col, off, val = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            w = n % 64 + 1
+            h = (payload[0] if n else 0) % 64 + 1
+            if n < w * h:  # fake frame must fit the payload
+                continue
+            for r in range(k):
+                for c in range(k):
+                    src = (r * h // k) * w + (c * w // k)
+                    doc.append(doc_id)
+                    row.append(r)
+                    col.append(c)
+                    off.append(src)
+                    val.append(payload[src])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "out_row": pd.Series(row, dtype="int32"),
+                "out_col": pd.Series(col, dtype="int32"),
+                "src_offset": pd.Series(off, dtype="int32"),
+                "sample_byte": pd.Series(val, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_resize_grid",
+    oracle=f"""
+WITH geo AS (
+    SELECT doc_id, encode(text) AS blob,
+           octet_length(encode(text)) AS n,
+           octet_length(encode(text)) % 64 + 1 AS w,
+           COALESCE(TRY_CAST('0x' || substr(to_hex(encode(text)), 1, 2) AS INT), 0)
+               % 64 + 1 AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(r.r AS INT) AS out_row,
+       CAST(c.c AS INT) AS out_col,
+       CAST((r.r * h // {RESIZE_TARGET}) * w + (c.c * w // {RESIZE_TARGET}) AS INT)
+           AS src_offset,
+       CAST(COALESCE(TRY_CAST('0x' || substr(to_hex(blob),
+            2 * ((r.r * h // {RESIZE_TARGET}) * w + (c.c * w // {RESIZE_TARGET})) + 1,
+            2) AS INT), 0) AS INT) AS sample_byte
+FROM geo,
+     (SELECT unnest(range(0, {RESIZE_TARGET})) AS r) r,
+     (SELECT unnest(range(0, {RESIZE_TARGET})) AS c) c
+WHERE n >= w * h
+""",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the multimodal pipeline (SURVEY §2 Part B:
+    decode / feature-extract / resize / frame-sample): nearest-neighbor
+    resample of each fake decoded frame to a {RESIZE_TARGET}x{RESIZE_TARGET}
+    grid via ``mapInPandas`` — pure map, 1:k² row expansion, oracle
+    recomputes every probe relationally."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(
+        _resize_batches,
+        "doc_id long, out_row int, out_col int, src_offset int, sample_byte int",
+    )
