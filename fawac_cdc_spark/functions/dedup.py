@@ -154,8 +154,12 @@ def jaccard_candidate_pairs(
     ``llm_corpus_pipeline`` so the skew-bounding semantics stay identical
     across the family (and unit-testable on synthetic frames).
     """
-    # one aggregation subtree feeds both branches below — identical plans,
-    # so the shuffle is computed once and reused (ReusedExchange/AQE)
+    # one aggregation subtree feeds both branches below (pairs + per-doc
+    # counts).  Catalyst does not reliably reuse the exchange across the
+    # branches; a localCheckpoint here was measured a wash at sf0.1
+    # (counts is the cheap branch) and lazy checkpoints emit accumulator
+    # noise when reused, so the recomputation is accepted — at 100 TB the
+    # capped shingle-group table would be a persisted intermediate.
     groups = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
