@@ -297,3 +297,37 @@ def sql_udf_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+       MAX(CAST(props->>'k' AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+""",
+    tags=("scalar", "variant", "json"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through the VARIANT type (Spark 4):
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction — the shredded lakehouse path for
+    JSON columns, cheaper than per-access string re-parsing
+    (``json_extract_props`` keeps the classic ``get_json_object`` form
+    for comparison). The oracle uses DuckDB's JSON operators on the same
+    strings."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("pv")
+    ).select(
+        "event_type",
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.max("k").alias("k_max"),
+    )

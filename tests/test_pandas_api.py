@@ -71,3 +71,51 @@ def test_notebook_flow_matches_pandas(spark, curve_csvs):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_merge_asof_matches_manual_asof_join(spark, sf_dir):
+    """pandas-on-Spark merge_asof == the engine's manual union+window
+    as-of join (asof_join_last_signup_before_purchase)."""
+    warnings.filterwarnings("ignore")
+    import pyspark.pandas as ps
+
+    from fawac_cdc_spark.registry import all_specs
+
+    want = (
+        all_specs()["asof_join_last_signup_before_purchase"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "purchase_ts"])
+        .reset_index(drop=True)
+    )
+
+    from fawac_cdc_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = (
+        e.where("event_type = 'purchase'")
+        .select(
+            e.event_id.alias("purchase_id"), "user_id", e.ts.alias("purchase_ts")
+        )
+        .pandas_api()
+    )
+    signups = (
+        e.where("event_type = 'signup'")
+        .select("user_id", e.ts.alias("last_signup_ts"))
+        .pandas_api()
+    )
+    got = (
+        ps.merge_asof(
+            purchases.sort_values("purchase_ts"),
+            signups.sort_values("last_signup_ts"),
+            left_on="purchase_ts",
+            right_on="last_signup_ts",
+            by="user_id",
+            allow_exact_matches=True,  # the manual scan is at-or-before
+        )
+        .to_pandas()
+        .sort_values(["user_id", "purchase_ts"])
+        .reset_index(drop=True)
+    )
+    got = got[want.columns]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
