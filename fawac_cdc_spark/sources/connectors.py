@@ -275,3 +275,48 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("o_totalprice")).cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "schema_evolution_scan",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM (
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+)
+GROUP BY o_orderstatus
+""",
+    tags=("source", "schema-evolution", "roundtrip"),
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 (even keys)
+    was written before ``o_orderstatus`` existed; generation 2 (odd keys)
+    carries it. ``mergeSchema`` reconciles the generations into one union
+    schema with NULLs for the missing column — the additive-column
+    migration every long-lived lake table goes through. The oracle
+    reproduces the generation split relationally."""
+    out = _io_dir(sf_dir, "orders_evolving")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "gen=1"))
+    )
+    (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "gen=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+    )

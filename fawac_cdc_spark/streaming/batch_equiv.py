@@ -340,3 +340,37 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("value")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "cdc_state_with_tombstones",
+    oracle="""
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM (
+    SELECT user_id, ts, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) t
+WHERE rn = 1 AND event_type <> 'error'
+""",
+    tags=("m6", "cdc", "streaming-equiv", "tombstone"),
+)
+def cdc_state_with_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware CDC materialization: the latest row per key wins, but
+    a key whose newest event is a tombstone ('error' here stands in for a
+    CDC DELETE record) disappears from the state entirely — the full
+    upsert+delete MERGE semantics, one windowed scan per key, same single
+    shuffle as the plain upsert."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
