@@ -409,3 +409,59 @@ def test_snapshot_time_travel(spark, chunk_dir, tmp_path):
         .last()[["user_id", "ts", "event_type", "value", "event_id"]]
     )
     assert not compare_frames(got, want)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg under a watermark: once the watermark has
+    passed a window's end, a straggler for that window is DROPPED — the
+    bounded-state contract that makes 100 TB streaming aggregation
+    feasible. A 2-hour watermark, four micro-batches: on-time hour-0
+    data, a fast-forward to hour 6, one more hour-6 batch (the watermark
+    commit lags one batch, so this is what locks it at hour 4), then a
+    late hour-0 event. The closed hour-0 window must reflect only the
+    on-time rows."""
+    import datetime as dt
+    import os
+    import time
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def mk(event_id, hour_off, minute, value):
+        return (
+            event_id,
+            base + dt.timedelta(hours=hour_off, minutes=minute),
+            7,
+            "click",
+            float(value),
+            "{}",
+        )
+
+    chunks = [
+        [mk(1, 0, 5, 10.0), mk(2, 0, 25, 5.0)],   # on-time hour 0
+        [mk(3, 6, 0, 1.0)],                        # event time -> 06:00
+        [mk(5, 6, 10, 2.0)],                       # watermark commits at 04:00
+        [mk(4, 0, 45, 100.0)],                     # LATE hour-0 straggler
+    ]
+    src = tmp_path / "late_stream"
+    src.mkdir()
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    t0 = time.time() - 3600
+    for i, rows in enumerate(chunks):
+        tmp = tmp_path / f"c{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        dest = src / f"{i:04d}.parquet"
+        dest.write_bytes(part.read_bytes())
+        os.utime(dest, (t0 + 10 * i, t0 + 10 * i))
+
+    events = cdc.read_event_stream(spark, str(src))
+    got = _run_to_memory(
+        spark, cdc.hourly_rollup_stream(events), "late_drop_out", "append"
+    ).toPandas()
+
+    # only the hour-0 window has closed; the late event must be absent
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert pd.to_datetime(row["hour"]) == pd.Timestamp(base)
+    assert row["n"] == 2
+    assert row["total_value"] == pytest.approx(15.0)
