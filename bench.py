@@ -40,6 +40,7 @@ HEADLINE = [
     "rp_lsh_topk_query0",                # bucketed ANN top-k
     "simhash_hamming_pairs",             # wide-simhash banded Hamming dedup
     "kmeans_refined_ivf_cells",          # Lloyd-refined IVF index training
+    "traindata_end_to_end",              # full corpus-prep -> chunk -> pack plan
     "discounted_cumsum_per_user",        # exact recurrence via secondary-sort
                                          # mapInPandas (last: owns the
                                          # Python-worker startup)

@@ -669,6 +669,74 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared CTE text: quality -> exact dedup -> near-dedup survivors.  Reused
+# by llm_corpus_pipeline and traindata_end_to_end so both oracles replay
+# the identical survivor set.
+SURVIVORS_CTE_SQL = f"""quality AS (
+    SELECT doc_id, text, source, lang,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 5
+),
+exact_kept AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM quality
+    GROUP BY md5(lower(text))
+),
+sh_all AS (
+    SELECT doc_id, unnest({_HASHED_SHINGLES_SQL}) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM quality WHERE doc_id IN (SELECT doc_id FROM exact_kept))
+),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+sh AS (SELECT doc_id, shingle FROM sh_all
+       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+near_dropped AS (
+    SELECT DISTINCT b.doc_id AS doc_id
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN counts ca ON ca.doc_id = a.doc_id
+    JOIN counts cb ON cb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+    HAVING CAST(COUNT(*) AS DOUBLE) / (ca.n + cb.n - COUNT(*)) >= 0.05
+),
+survivors AS (
+    SELECT q.* FROM quality q
+    WHERE q.doc_id IN (SELECT doc_id FROM exact_kept)
+      AND q.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+)"""
+
+
+def corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, source, lang, n_tokens) after quality filter (>= 5
+    tokens), exact dedup (min doc_id per normalized fingerprint), and
+    near-dup drop (3-gram Jaccard >= 0.05, larger id loses) — the shared
+    front half of the corpus-prep pipelines, one Catalyst plan."""
+    d = load_table(spark, sf_dir, "documents")
+    quality = d.where(F.size(F.split("text", " ")) >= 5).select(
+        "doc_id",
+        "text",
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    exact_kept = quality.groupBy(F.md5(F.lower(F.col("text"))).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
+    sh = (
+        kept.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle"))
+    )
+    near_dropped = (
+        jaccard_candidate_pairs(sh)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return kept.join(F.broadcast(near_dropped), "doc_id", "left_anti")
+
+
 @register(
     "llm_corpus_pipeline",
     oracle=f"""
@@ -721,30 +789,7 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimize across stage boundaries (the quality filter prunes the
     shingle explosion's input, fingerprint dedup prunes the pair join).
     """
-    d = load_table(spark, sf_dir, "documents")
-    quality = d.where(F.size(F.split("text", " ")) >= 5).select(
-        "doc_id",
-        "text",
-        "source",
-        "lang",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-    )
-    exact_kept = quality.groupBy(F.md5(F.lower(F.col("text"))).alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    kept = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
-
-    sh = (
-        kept.select("doc_id", F.split("text", " ").alias("toks"))
-        .where(F.size("toks") >= 3)
-        .select("doc_id", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle"))
-    )
-    near_dropped = (
-        jaccard_candidate_pairs(sh)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    survivors = kept.join(F.broadcast(near_dropped), "doc_id", "left_anti")
+    survivors = corpus_survivors(spark, sf_dir)
     return survivors.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -351,3 +351,91 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_l1"),
         F.expr("cast(round(double(embedding[0]) / scale) as bigint)").alias("q_first"),
     )
+
+
+from .dedup import SURVIVORS_CTE_SQL, corpus_survivors  # noqa: E402
+
+
+@register(
+    "traindata_end_to_end",
+    oracle=f"""
+WITH {SURVIVORS_CTE_SQL},
+chunks AS (
+    SELECT doc_id, source, n_tokens,
+           unnest(range(0, CASE WHEN n_tokens <= {CHUNK_WINDOW} THEN 1
+                          ELSE ((n_tokens - {CHUNK_WINDOW}) + {CHUNK_STRIDE} - 1)
+                               // {CHUNK_STRIDE} + 1 END)) AS chunk_id
+    FROM survivors
+),
+sized AS (
+    SELECT source, doc_id, chunk_id,
+           least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n_tokens)
+               - chunk_id * {CHUNK_STRIDE} AS chunk_tokens
+    FROM chunks
+),
+seq AS (
+    SELECT source, chunk_tokens,
+           COALESCE(CAST(SUM(chunk_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id, chunk_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS tok_before
+    FROM sized
+)
+SELECT source,
+       CAST(tok_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens
+FROM seq
+GROUP BY source, tok_before // {PACK_BUDGET}
+""",
+    tags=("traindata", "llm", "pipeline"),
+)
+def traindata_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data pipeline as one Catalyst plan: quality
+    filter → exact dedup → near-dup drop (the ``corpus_survivors`` front
+    half shared with llm_corpus_pipeline) → overlapping context-window
+    chunking (64/48) → sequence packing into 2048-token budgets per
+    source. Chunk sizes are pure arithmetic on (n_tokens, chunk_id) — no
+    token arrays survive past the dedup stage — so the back half is an
+    explode plus one window cumsum and one aggregation, both partitioned
+    on the uniform source key. This is the query a 100 TB pre-training
+    ingest actually runs end to end."""
+    survivors = corpus_survivors(spark, sf_dir)
+    n_chunks_sql = (
+        f"case when n_tokens <= {CHUNK_WINDOW} then 1 "
+        f"else ((n_tokens - {CHUNK_WINDOW}) + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE} + 1 end"
+    )
+    chunks = survivors.select(
+        "doc_id", "source", "n_tokens",
+        F.explode(
+            F.expr(f"sequence(0, cast({n_chunks_sql} as int) - 1)")
+        ).alias("chunk_id"),
+    )
+    sized = chunks.select(
+        "source", "doc_id", "chunk_id",
+        (
+            F.least(
+                F.col("chunk_id") * CHUNK_STRIDE + CHUNK_WINDOW, F.col("n_tokens")
+            )
+            - F.col("chunk_id") * CHUNK_STRIDE
+        ).alias("chunk_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = sized.withColumn(
+        "tok_before", F.coalesce(F.sum("chunk_tokens").over(w), F.lit(0)).cast("long")
+    )
+    pack = (F.col("tok_before") / PACK_BUDGET).cast("long")
+    return (
+        seq.groupBy("source", pack.alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("pack_tokens"),
+        )
+        .select("source", "pack_id", "n_chunks", "pack_tokens")
+    )

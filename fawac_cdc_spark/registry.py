@@ -97,6 +97,7 @@ _PRIORITY = [
     "doc_token_chunks",
     "packed_sequences",
     "dataset_hash_split",
+    "traindata_end_to_end",
     # Preprocess suite (A38) — driver-unchecked in round 1.
     "noise_injected_values",
     "inpaint_range_filter",
@@ -115,7 +116,6 @@ _PRIORITY = [
     # their variants keep local-parity + test coverage outside the window).
     "pricing_summary",
     "asof_join_last_signup_before_purchase",
-    "discounted_cumsum_per_user",
 ]
 
 
