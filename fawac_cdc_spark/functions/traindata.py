@@ -439,3 +439,61 @@ def traindata_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "pack_id", "n_chunks", "pack_tokens")
     )
+
+
+OOV_VOCAB_K = 100
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+vocab AS (
+    SELECT term FROM (
+        SELECT term, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+        FROM toks GROUP BY term
+    ) WHERE rn <= {OOV_VOCAB_K}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS oov_tokens,
+       CAST(SUM(CASE WHEN term IN (SELECT term FROM vocab)
+                     THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM toks
+GROUP BY source
+""",
+    tags=("traindata", "llm", "text", "vocab"),
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage analysis: share of token occurrences per source
+    that fall outside the corpus top-{OOV_VOCAB_K} vocabulary
+    (deterministic tie-break: count desc, term asc). The vocab frame is
+    tiny by construction, so membership is a broadcast join against the
+    token stream — at 100 TB this is one scan plus a map-side lookup, and
+    the per-source rates are one partial+final aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    from pyspark.sql import Window
+
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term"))),
+        )
+        .where(F.col("rn") <= OOV_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "term", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("oov_tokens"),
+        (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )
