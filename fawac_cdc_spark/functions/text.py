@@ -297,3 +297,58 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(hashes).alias("min_gram_hash"),
         F.size(F.array_distinct(hashes)).alias("n_distinct_grams"),
     )
+
+
+@register(
+    "unigram_logprob_by_source",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+freq AS (
+    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+),
+total AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM freq),
+scored AS (
+    SELECT toks.doc_id, toks.source,
+           -ln(freq.n / total.t) AS nll
+    FROM toks JOIN freq USING (term), total
+),
+per_doc AS (
+    SELECT doc_id, source, AVG(nll) AS doc_nll
+    FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(doc_nll), 6) AS avg_doc_nll,
+       ROUND(MIN(doc_nll), 6) AS min_doc_nll,
+       ROUND(MAX(doc_nll), 6) AS max_doc_nll
+FROM per_doc
+GROUP BY source
+""",
+    tags=("text", "llm", "quality", "lm"),
+)
+def unigram_logprob_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signal (the CCNet-style perplexity proxy):
+    per-document mean negative log-probability of its tokens under the
+    corpus unigram distribution, summarized per source. Low = common
+    boilerplate, high = rare-token noise; real pipelines band on this
+    score. The unigram table aggregates once and broadcasts into the
+    token stream — one scan, two narrow shuffles, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").cast("double").alias("t"))
+    scored = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "source", (-F.log(F.col("n") / F.col("t"))).alias("nll"))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(F.avg("nll").alias("doc_nll"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_nll"), 6).alias("avg_doc_nll"),
+        F.round(F.min("doc_nll"), 6).alias("min_doc_nll"),
+        F.round(F.max("doc_nll"), 6).alias("max_doc_nll"),
+    )
