@@ -34,6 +34,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.functions.scalars",
     "fawac_cdc_spark.functions.preprocess",
     "fawac_cdc_spark.functions.dedup",
+    "fawac_cdc_spark.functions.decontam",
     "fawac_cdc_spark.functions.similarity",
     "fawac_cdc_spark.functions.multimodal",
     "fawac_cdc_spark.functions.traindata",

@@ -212,3 +212,21 @@ def test_tpch_ext_q17_correlated_avg_is_single_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q17_small_qty_revenue")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontam_broadcasts_eval_grams(spark, sf_dir):
+    """The benchmark gram set is small by construction — it must broadcast
+    into the overlap join (corpus side never shuffles for the join), and
+    candidate generation must stay equi-join shaped."""
+    plan = _plan(spark, sf_dir, "benchmark_decontam_flags")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scrub_is_pure_map_plus_one_aggregate(spark, sf_dir):
+    """Regex scrubbing is a per-row map: the only exchange is the final
+    per-source aggregate; no join, no Python."""
+    plan = _plan(spark, sf_dir, "blocklist_scrub_stats")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
