@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.operators.sampling",
     "fawac_cdc_spark.operators.tpch",
     "fawac_cdc_spark.operators.tpch_ext",
+    "fawac_cdc_spark.operators.layout",
     "fawac_cdc_spark.functions.text",
     "fawac_cdc_spark.functions.scalars",
     "fawac_cdc_spark.functions.preprocess",
