@@ -137,25 +137,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     filter/column pushdown on the native path. ``SCHEMAS`` is the contract
     we assert in tests and the schema handed to ``readStream``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    natively: we read it as raw nanos (``legacy.parquet.nanosAsLong``) and
-    truncate to microseconds with integer division — the same truncation
-    DuckDB applies when it surfaces the column as a µs TIMESTAMP, so both
-    engines see identical values.
+    ``events.ts`` has shipped in two physical layouts across fixture
+    generations: parquet TIMESTAMP(NANOS) (which Spark cannot read
+    natively — surfaced as raw int64 nanos via ``legacy.parquet.nanosAsLong``)
+    and native TIMESTAMP(MICROS) NTZ. We branch on the decoded type: a
+    LongType ``ts`` is nanos and gets truncated to µs with integer
+    division — the same truncation DuckDB applies — while a native
+    timestamp passes through untouched. Both paths yield the
+    ``TimestampNTZType`` declared in ``SCHEMAS``.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        # NTZ via pure integer arithmetic — independent of session timezone,
-        # matching the naive wall-clock values DuckDB reads.
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # NTZ via pure integer arithmetic — independent of session
+            # timezone, matching the naive wall-clock values DuckDB reads.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
