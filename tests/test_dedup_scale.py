@@ -92,3 +92,44 @@ def test_capped_shingles_plan_broadcasts_hot_list(spark):
     sh = _shingle_frame(spark, [(i, f"s{i % 7}") for i in range(100)])
     plan = capped_shingles(sh, max_df=10)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_simhash_banding_recall_guarantee_and_miss(spark):
+    """Pigeonhole recall: any pair with hamming <= n_bands-1 is always
+    found; a pair with differing bits touching ALL bands is missed even
+    when hamming <= max_hamming (the documented ANN recall caveat,
+    simhash_candidate_pairs docstring)."""
+    from fawac_cdc_spark.functions.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_WIDE_BANDS,
+        simhash_candidate_pairs,
+    )
+
+    base = 0x0123_4567_89AB_CDE  # arbitrary 60-bit fingerprint
+    # hamming=3 <= n_bands-1: bits 0,1,2 all fall in band 0 -> bands 1-3
+    # intact -> guaranteed hit.
+    guaranteed = base ^ 0b111
+    # hamming=6 spread over ALL 4 bands (2+2+1+1): no band intact -> miss.
+    spread = (
+        base
+        ^ (0b11)  # band 0: bits 0,1
+        ^ (0b11 << SIMHASH_BAND_BITS)  # band 1: bits 15,16
+        ^ (1 << (2 * SIMHASH_BAND_BITS))  # band 2: bit 30
+        ^ (1 << (3 * SIMHASH_BAND_BITS))  # band 3: bit 45
+    )
+    assert bin(base ^ spread).count("1") == 6
+    fp = spark.createDataFrame(
+        [(1, base), (2, guaranteed), (3, spread)], "doc_id long, simhash long"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_candidate_pairs(fp).collect()
+    }
+    assert (1, 2, 3) in pairs  # h=3: guaranteed by pigeonhole
+    assert not any(p[:2] == (1, 3) for p in pairs)  # h=6 all-bands spread: missed
+    # Raising n_bands to 7 x 8-bit bands restores the guarantee for h=6.
+    wide = simhash_candidate_pairs(fp, n_bands=7, band_bits=8, max_hamming=6)
+    assert any(
+        (r["doc_a"], r["doc_b"]) == (1, 3) for r in wide.collect()
+    ), "7 bands (h <= 6 guaranteed) must find the spread pair"
+    assert SIMHASH_WIDE_BANDS * SIMHASH_BAND_BITS == 60
