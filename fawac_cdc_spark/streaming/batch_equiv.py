@@ -374,3 +374,65 @@ def cdc_state_with_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+EWMA_TAU = 0.1  # reference soft_update tau (fawac.py:15-17)
+EWMA_BATCH = 1024  # reference batch size (fawac_configs.py batch_size)
+
+
+@register(
+    "ewma_state_batch_equiv",
+    oracle=f"""
+WITH bm AS (
+    SELECT event_id // {EWMA_BATCH} AS batch_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m
+    FROM events
+    GROUP BY 1, 2
+),
+idx AS (
+    SELECT event_type, m,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY batch_id) AS j,
+           COUNT(*) OVER (PARTITION BY event_type) AS jn
+    FROM bm
+)
+SELECT event_type,
+       ROUND(SUM(m * CASE WHEN j = 1 THEN power({1 - EWMA_TAU}, jn - j)
+                          ELSE {EWMA_TAU} * power({1 - EWMA_TAU}, jn - j) END),
+             6) AS target,
+       MAX(jn) AS n_batches
+FROM idx
+GROUP BY event_type
+""",
+    tags=("m6", "cdc", "streaming-equiv", "ewma", "a17"),
+)
+def ewma_state_batch_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the distributed EWMA target state (A17,
+    reference ``soft_update`` ``fawac.py:15-17``): deterministic
+    micro-batches of ``event_id div 1024`` (the reference batch size),
+    per-batch per-event_type cents-exact means, then the recurrence
+    ``target = (1-tau)*target + tau*mean`` folded across batches in batch
+    order — written as its closed form (first batch weighted
+    ``(1-tau)^(J-1)``, batch j>1 weighted ``tau*(1-tau)^(J-j)``), so the
+    whole thing is two hash aggregations and one window — no iteration,
+    no driver state. Streams pinned to this query:
+    ``ewma_target_stream_gs`` (applyInPandasWithState, in-container test)
+    and ``ewma_target_stream`` (transformWithStateInPandas). Rounded to
+    6dp on both engines per the float-parity convention."""
+    return _ewma_batch_fold(load_table(spark, sf_dir, "events"))
+
+
+def _ewma_batch_fold(e: DataFrame, batch: int = EWMA_BATCH) -> DataFrame:
+    bm = e.groupBy(
+        F.expr(f"event_id div {batch}").alias("batch_id"), "event_type"
+    ).agg((F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("m"))
+    w = Window.partitionBy("event_type").orderBy("batch_id")
+    wa = Window.partitionBy("event_type")
+    idx = bm.withColumn("j", F.row_number().over(w)).withColumn(
+        "jn", F.count(F.lit(1)).over(wa)
+    )
+    decay = F.pow(F.lit(1 - EWMA_TAU), F.col("jn") - F.col("j"))
+    weight = F.when(F.col("j") == 1, decay).otherwise(F.lit(EWMA_TAU) * decay)
+    return idx.groupBy("event_type").agg(
+        F.round(F.sum(F.col("m") * weight), 6).alias("target"),
+        F.max("jn").alias("n_batches"),
+    )

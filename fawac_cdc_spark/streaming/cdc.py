@@ -385,6 +385,60 @@ def ewma_target_stream(events: DataFrame, tau: float = 0.1) -> DataFrame:
     )
 
 
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("target", T.DoubleType()),
+        T.StructField("n_batches", T.LongType()),
+    ]
+)
+
+
+def ewma_target_stream_gs(events: DataFrame, tau: float = 0.1) -> DataFrame:
+    """Same EWMA recurrence as ``ewma_target_stream`` on the
+    ``applyInPandasWithState`` API (Spark >= 3.4's GroupState): keyed
+    state in the state store, no driver round-trip, any key cardinality —
+    and no protobuf runtime dependency, so THIS distributed form is
+    exercised by the in-container parity test
+    (tests/test_streaming.py::test_ewma_gs_stream_matches_sequential)
+    while the transformWithState form runs wherever pyspark's full
+    streaming deps are installed.  Semantics (reference ``soft_update``,
+    ``fawac.py:15-17``, A17): per micro-batch and key,
+    ``target = (1 - tau) * target + tau * batch_mean`` with the batch mean
+    computed over integer cents so the recurrence is float-exact vs a
+    sequential replay.
+    """
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        cents = 0
+        n = 0
+        for pdf in pdf_iter:
+            cents += int(pdf["value"].map(lambda v: int(round(float(v) * 100))).sum())
+            n += len(pdf)
+        if n == 0:
+            return
+        mean = (cents / 100.0) / n
+        if state.exists:
+            prev_target, prev_batches = state.get
+            target, batches = (1 - tau) * prev_target + tau * mean, prev_batches + 1
+        else:
+            target, batches = mean, 1
+        state.update((target, batches))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "target": [target], "n_batches": [batches]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sliding_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked sliding-window rollup, 1-hour window advancing every 15
     minutes (batch equiv: sliding_1h_15min_rollup). Each event expands

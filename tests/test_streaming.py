@@ -372,6 +372,104 @@ def test_ewma_target_stream_matches_sequential(spark, chunk_dir, tmp_path):
         assert got[k] == pytest.approx(expected[k], abs=1e-9), k
 
 
+def test_ewma_gs_stream_matches_sequential(spark, chunk_dir, tmp_path):
+    """The applyInPandasWithState EWMA (no protobuf dependency — runs in
+    THIS container, unlike the transformWithState form) must equal the
+    sequential recurrence over micro-batch means, exercising the
+    horizontally scalable A17 path end-to-end."""
+    import glob
+
+    tau = 0.1
+    events = cdc.read_event_stream(spark, chunk_dir)
+    q = (
+        cdc.ewma_target_stream_gs(events, tau=tau)
+        .writeStream.format("memory")
+        .queryName("ewma_gs_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ewma_gs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM ewma_gs_out").toPandas()
+    assert out["n_batches"].max() > 1, "feed must span multiple micro-batches"
+    got = {
+        r["event_type"]: r["target"]
+        for _, r in out.sort_values("n_batches").iterrows()
+    }
+
+    expected: dict[str, float] = {}
+    for f in sorted(glob.glob(f"{chunk_dir}/*.parquet")):
+        pdf = pd.read_parquet(f)
+        means = pdf.groupby("event_type")["value"].apply(
+            lambda s: float(round(s.astype("float64").sum(), 2)) / len(s)
+        )
+        for k, m in means.items():
+            expected[k] = m if k not in expected else (1 - tau) * expected[k] + tau * m
+
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9), k
+
+
+def test_ewma_gs_stream_matches_batch_equiv(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState EWMA stream, fed deterministic
+    event_id-div-N micro-batches, equals the registered (driver-oracled)
+    closed-form batch fold ``ewma_state_batch_equiv`` — pinning the
+    streaming implementation to the DuckDB oracle transitively."""
+    import os
+    import time
+
+    from fawac_cdc_spark.streaming.batch_equiv import _ewma_batch_fold
+
+    batch = 100
+    e = load_table(spark, sf_dir, "events")
+    feed = tmp_path / "ewma_feed"
+    feed.mkdir()
+    rows = e.collect()
+    schema = e.schema
+    by_batch: dict[int, list] = {}
+    for r in rows:
+        by_batch.setdefault(r["event_id"] // batch, []).append(r)
+    t0 = time.time() - 3600
+    for i, bid in enumerate(sorted(by_batch)):
+        d = feed / f"b{bid:04d}"
+        spark.createDataFrame(by_batch[bid], schema=schema).coalesce(1).write.parquet(
+            str(d)
+        )
+        for part in d.rglob("part-*.parquet"):
+            dest = feed / f"b{bid:04d}.parquet"
+            part.rename(dest)
+            os.utime(dest, (t0 + i, t0 + i))
+
+    events = cdc.read_event_stream(spark, str(feed))
+    q = (
+        cdc.ewma_target_stream_gs(events, tau=0.1)
+        .writeStream.format("memory")
+        .queryName("ewma_gs_be_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ewma_gs_be_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM ewma_gs_be_out").toPandas()
+    got = (
+        out.sort_values("n_batches")
+        .drop_duplicates("event_type", keep="last")
+        .reset_index(drop=True)
+    )
+    want = {
+        r["event_type"]: (r["target"], r["n_batches"])
+        for r in _ewma_batch_fold(e, batch=batch).collect()
+    }
+    assert set(got["event_type"]) == set(want)
+    for _, r in got.iterrows():
+        wt, wn = want[r["event_type"]]
+        assert r["n_batches"] == wn, r["event_type"]
+        assert round(r["target"], 6) == pytest.approx(wt, abs=1e-6), r["event_type"]
+
+
 def test_stream_static_enrich_matches_batch(spark, sf_dir, chunk_dir):
     from fawac_cdc_spark.streaming.batch_equiv import stream_static_enrich
 
