@@ -352,3 +352,51 @@ def unigram_logprob_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("doc_nll"), 6).alias("min_doc_nll"),
         F.round(F.max("doc_nll"), 6).alias("max_doc_nll"),
     )
+
+
+# --- Python UDTF surface (SURVEY §2 Part B, UDF/UDTF category) -------------
+
+N_SPAN_TRIGRAMS = 8  # cap spans per doc: bounded 1:k expansion
+
+
+@register(
+    "udtf_doc_ngram_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(u.i AS INT) AS start_idx,
+       array_to_string(list_slice(toks, u.i + 1, u.i + 3), ' ') AS ngram
+FROM t, (SELECT unnest(range(0, {N_SPAN_TRIGRAMS})) AS i) u
+WHERE u.i < least({N_SPAN_TRIGRAMS}, len(toks) - 2)
+""",
+    tags=("text", "llm", "udtf"),
+)
+def udtf_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token trigram spans via a Python UDTF in a LATERAL join — the
+    one-row-in / k-rows-out table-function shape (span generation for
+    training-data pipelines). Closes the UDTF gap in SURVEY §2 Part B:
+    the registered class yields up to {N_SPAN_TRIGRAMS} trigram spans per
+    document. UDTFs are the slow path by policy (the same result is a
+    posexplode over slice() in pure codegen — see ``doc_token_chunks``);
+    this entry exists to pin the API surface and its driver-checked
+    correctness, and the expansion is a pure map: no shuffle, runs as
+    wide as the scan."""
+    from pyspark.sql.functions import udtf
+
+    cap = N_SPAN_TRIGRAMS
+
+    @udtf(returnType="start_idx int, ngram string")
+    class NGramSpans:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(min(max(len(toks) - 2, 0), cap)):
+                yield i, " ".join(toks[i : i + 3])
+
+    spark.udtf.register("doc_ngram_spans", NGramSpans)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs_src"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.start_idx, s.ngram "
+        "FROM __udtf_docs_src d, LATERAL doc_ngram_spans(d.text) s"
+    )

@@ -119,3 +119,39 @@ def test_merge_asof_matches_manual_asof_join(spark, sf_dir):
     )
     got = got[want.columns]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ppm_decoder_is_generic():
+    """The P6 parser decodes arbitrary comment-bearing PPM bytes it did
+    not generate — it is a real decoder, not a replay of the generator."""
+    from fawac_cdc_spark.functions.multimodal import decode_ppm
+
+    raster = bytes(range(2 * 3 * 3))  # 3x2 image, bytes 0..17
+    payload = b"P6\n# a comment\n3 2\n# another\n255\n" + raster
+    w, h, px = decode_ppm(payload)
+    assert (w, h) == (3, 2)
+    assert px.shape == (2, 3, 3)
+    assert px[0, 0, 0] == 0 and px[1, 2, 2] == 17
+
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00")
+
+
+def test_ppm_pipeline_stage_boundary(spark, sf_dir):
+    """The generator stage emits valid standalone PPM files (parseable by
+    the generic decoder outside Spark) — pinning the seam where a codec
+    library would plug in."""
+    from fawac_cdc_spark.functions.multimodal import (
+        _ppm_payload_batches,
+        decode_ppm,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 7, 123]})
+    (out,) = list(_ppm_payload_batches(iter([pdf])))
+    for doc_id, payload in zip(out["doc_id"], out["payload"]):
+        w, h, px = decode_ppm(payload)
+        assert (w, h) == (8 + doc_id % 5, 6 + doc_id % 3)
+        assert px.shape == (h, w, 3)
+        assert px[0, 0, 0] == (doc_id * 7) % 256
