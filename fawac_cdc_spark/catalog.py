@@ -129,6 +129,9 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+_TS_LAYOUT_CACHE: dict[str, object] = {}
+
+
 def _events_ts_layout(path: str):
     """Decode the physical parquet type of ``events.ts`` from the footer.
 
@@ -137,7 +140,11 @@ def _events_ts_layout(path: str):
     ships plain int64 (no logical type) is ambiguous (nanos? micros?) and
     must fail loudly at load time rather than be silently misscaled
     (the round-2 regression class, see VERDICT r3 "what's wrong" #1).
+    Cached per path: fixtures are immutable, and load_table is on the
+    construction path of every events query.
     """
+    if path in _TS_LAYOUT_CACHE:
+        return _TS_LAYOUT_CACHE[path]
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -148,6 +155,7 @@ def _events_ts_layout(path: str):
             "TIMESTAMP (NANOS or MICROS). Plain integers are ambiguous — "
             "refusing to guess a unit."
         )
+    _TS_LAYOUT_CACHE[path] = t
     return t
 
 
