@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from fawac_cdc_spark.registry import all_specs  # noqa: E402
 from fawac_cdc_spark.session import get_spark  # noqa: E402
 
+# FROZEN since round 3 (20 queries) so cross-round numbers stay
+# comparable — gate regressions with tools/bench_compare.py, don't grow
+# this list.
 HEADLINE = [
     "flagship_revenue_by_nation_month",  # 5-table join + agg + top-k
     "pricing_summary",                   # TPC-H Q1 shape

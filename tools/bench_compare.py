@@ -1,0 +1,58 @@
+"""Bench regression gate: compare a bench JSON line against a baseline.
+
+The headline list is FROZEN (bench.py HEADLINE, 20 queries since round 3)
+so rounds are comparable; this tool enforces the budget agreed in
+VERDICT r3 item 7: total <= baseline total, no per-query regression
+beyond a tolerance (default 20%).
+
+Usage:
+    python bench.py | tail -1 > /tmp/bench_now.json
+    python tools/bench_compare.py BENCH_r03.json /tmp/bench_now.json [tol_pct]
+
+The baseline may be a driver BENCH_r{N}.json (numbers under "parsed") or
+a raw bench.py output line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        doc = json.load(f)
+    if "parsed" in doc:  # driver wrapper
+        doc = doc["parsed"]
+    return doc
+
+
+def main() -> int:
+    base_path, now_path = sys.argv[1], sys.argv[2]
+    tol = float(sys.argv[3]) / 100.0 if len(sys.argv) > 3 else 0.20
+    base, now = load(base_path), load(now_path)
+    failures: list[str] = []
+    common = sorted(set(base["queries"]) & set(now["queries"]))
+    for name in common:
+        b, n = base["queries"][name], now["queries"][name]
+        delta = (n - b) / b
+        flag = "REGRESS" if delta > tol else "ok"
+        if delta > tol:
+            failures.append(f"{name}: {b:.3f}s -> {n:.3f}s (+{delta:.0%})")
+        print(f"[{flag}] {name}: {b:.3f} -> {n:.3f} ({delta:+.0%})")
+    missing = set(base["queries"]) - set(now["queries"])
+    if missing:
+        failures.append(f"queries missing from current run: {sorted(missing)}")
+    bt, nt = base["value"], now["value"]
+    print(f"total: {bt:.3f} -> {nt:.3f} ({(nt - bt) / bt:+.0%})")
+    if nt > bt * (1 + tol / 4):  # total gets a tighter band than per-query
+        failures.append(f"total budget exceeded: {nt:.3f} > {bt:.3f}")
+    for f_ in failures:
+        print(f"FAIL {f_}")
+    print(f"{len(common) - sum(1 for f_ in failures if ':' in f_)}"
+          f"/{len(common)} within budget")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
