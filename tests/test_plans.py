@@ -65,6 +65,41 @@ def test_no_unintended_cartesian_products(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+# Queries that intentionally attach ONE broadcast scalar/tiny frame via a
+# cross join (corpus totals, stddev bounds, a single query vector, k=8
+# centroids): the planner correctly picks BroadcastNestedLoopJoin with the
+# tiny side broadcast — O(n) work, canonical scalar-subquery shape.  Every
+# OTHER registered query must be free of both BNLJ and CartesianProduct.
+_SCALAR_BROADCAST_OK = {
+    "q22_inactive_customers",  # avg(acctbal) scalar
+    "unigram_logprob_by_source",  # corpus token total
+    "tfidf_source_terms",  # n_docs scalar
+    "outlier_filtered_totals",  # mean/stddev bounds row
+    "cosine_topk_query0",  # 1 query vector
+    "ivf_topk_query1",  # 1 query vector + 8 centroids
+    "kmeans_refined_ivf_cells",  # 8 centroids per iteration
+}
+
+
+def test_registry_wide_no_cartesian_no_stray_nlj(spark, sf_dir):
+    """Repo-wide plan sweep: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin may appear only in the
+    allowlisted scalar-broadcast patterns above. Pins the 100 TB join
+    discipline for every current and future registry entry."""
+    flagged = {}
+    for name in _SPECS:
+        try:
+            plan = _plan(spark, sf_dir, name)
+        except Exception as exc:  # noqa: BLE001 — explain must never fail
+            flagged[name] = f"explain failed: {exc}"
+            continue
+        if "CartesianProduct" in plan:
+            flagged[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _SCALAR_BROADCAST_OK:
+            flagged[name] = "unallowlisted BroadcastNestedLoopJoin"
+    assert not flagged, flagged
+
+
 def test_relational_hot_path_is_codegen(spark, sf_dir):
     """The TPC-H-ish relational queries must execute inside whole-stage
     codegen (no interpreted row-at-a-time operators on the hot path)."""
