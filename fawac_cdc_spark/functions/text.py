@@ -9,7 +9,8 @@ aggregations. Operators:
 - per-document quality scoring (length / stopword ratio / distinct ratio)
 - per-language and per-source corpus stats
 - document fingerprinting (exact + whitespace-normalized md5)
-- heuristic language ID (stopword-list n-gram scoring; rows-only check)
+- heuristic language ID (stopword-list scoring; full value-checked oracle
+  generated from the same stopword table)
 """
 
 from __future__ import annotations
@@ -149,12 +150,41 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id_heuristic", tags=("text", "llm", "rows-only"))
+def _lang_id_sql() -> str:
+    """Oracle generated from the same ``_LANG_STOPWORDS`` table the Spark
+    side uses: per-language struct {score, lang}, list_sort, take last —
+    identical (score, then lang) lexicographic argmax as Spark's
+    ``greatest`` over structs."""
+    structs = ",\n               ".join(
+        "{'score': len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"], x))), 'lang': '{lang}'}}"
+        for lang, words in _LANG_STOPWORDS.items()
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, labeled_lang,
+           list_sort([
+               {structs}
+           ])[-1] AS best
+    FROM t
+)
+SELECT doc_id, labeled_lang, best.lang AS guessed_lang,
+       CAST(best.score AS INT) AS guess_score
+FROM scored
+"""
+
+
+@register("lang_id_heuristic", oracle=_lang_id_sql(), tags=("text", "llm"))
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: stopword-hit ratio per candidate language,
-    argmax with deterministic tie-break. Rows-only check (the scoring
-    table literal is awkward to mirror in one oracle query); semantics are
-    pinned by unit test instead."""
+    """Heuristic language ID: stopword-hit count per candidate language,
+    argmax with deterministic (score, lang) tie-break — ``greatest`` over
+    structs on the Spark side, ``list_sort(...)[-1]`` on the DuckDB side,
+    both generated from the one ``_LANG_STOPWORDS`` literal."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
     def _contains(arr):
