@@ -44,3 +44,15 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"n_name", "order_month", "revenue", "n_lines"} == set(df.columns)
+
+
+def test_no_hash_risky_oracle_types(sf_dir):
+    """Every oracle's declared output types must hash-match a possible
+    Spark type: a DuckDB HUGEINT (uncast integer SUM) becomes float64 in
+    pandas while Spark BIGINT stays int64, failing the driver's
+    representation-sensitive value hash even on identical values — the
+    round-2 regression class. DESCRIBE-only, no query execution."""
+    from tools.parity import sweep_oracle_types
+
+    flagged = sweep_oracle_types(sf_dir)
+    assert not flagged, flagged
