@@ -466,3 +466,188 @@ def kmeans_refined_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c1, "cid")
         .select("cid", "n", norm)
     )
+
+
+# --- Product Quantization (PQ) ---------------------------------------------
+#
+# The compression tier between raw vectors and IVF for billion-scale ANN:
+# split each 64-dim vector into PQ_M=4 subvectors of 16 dims, quantize
+# each against its own PQ_K=4 centroid codebook (2-bit codes -> one byte
+# per vector, a 256x compression of float32x64). Assignment is a PURE MAP
+# (argmin over 4 centroids per subvector) so encoding runs as wide as the
+# scan; search uses asymmetric distance (ADC): the query builds a 4x4
+# lookup table of exact query-subvector -> centroid distances and every
+# candidate is scored by 4 table lookups instead of a 64-dim dot product.
+# Codebooks are fixed literals (RandomState(11)) so the DuckDB oracle
+# recomputes identical codes; a production pipeline would Lloyd-train
+# them per subvector exactly like kmeans_refined_ivf_cells trains IVF
+# centroids (same O(k*d) driver cycle, vectors never leave executors).
+
+PQ_M = 4  # subvectors
+PQ_SUB = 16  # dims per subvector
+PQ_K = 4  # centroids per codebook (2-bit codes)
+PQ_CODEBOOKS = (
+    np.random.RandomState(11).standard_normal((PQ_M, PQ_K, PQ_SUB)).round(4)
+)
+
+
+def _pq_dist_spark(m: int, k: int, vec: str = "embedding") -> str:
+    cs = ", ".join(f"{x}D" for x in PQ_CODEBOOKS[m][k])
+    return (
+        f"aggregate(zip_with(slice({vec}, {m * PQ_SUB + 1}, {PQ_SUB}), "
+        f"array({cs}), (x, y) -> (double(x) - y) * (double(x) - y)), "
+        f"0D, (a, v) -> a + v)"
+    )
+
+
+def _pq_dist_duck(m: int, k: int, vec: str = "embedding") -> str:
+    cs = ", ".join(str(x) for x in PQ_CODEBOOKS[m][k])
+    elem = f"(CAST({vec}[{m * PQ_SUB} + i] AS DOUBLE) - ([{cs}])[i])"
+    return (
+        f"list_sum(list_transform(range(1, {PQ_SUB + 1}), "
+        f"i -> {elem} * {elem}))"
+    )
+
+
+def _argmin_case(d: list[str], sql: bool) -> str:
+    """Deterministic argmin over distance expressions (first-lowest-index
+    tie-break), identical CASE chain on both engines."""
+    kw = ("CASE ", " WHEN ", " THEN ", " ELSE ", " END") if sql else (
+        "case ", " when ", " then ", " else ", " end")
+    case, when, then, els, end = kw
+    parts = [case]
+    for k in range(len(d) - 1):
+        cond = " AND ".join(f"{d[k]} <= {d[j]}" for j in range(len(d)) if j != k)
+        parts.append(f"{when}{cond}{then}{k}")
+    parts.append(f"{els}{len(d) - 1}{end}")
+    return "".join(parts)
+
+
+def _pq_dists_sql(vec: str = "embedding") -> str:
+    return ",\n           ".join(
+        f"{_pq_dist_duck(m, k, vec)} AS d{m}_{k}"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    )
+
+
+def _pq_codes_sql() -> str:
+    cols = []
+    for m in range(PQ_M):
+        d = [f"d{m}_{k}" for k in range(PQ_K)]
+        cols.append(f"({_argmin_case(d, sql=True)}) AS c{m}")
+        cols.append(f"least({', '.join(d)}) AS e{m}")
+    return ",\n           ".join(cols)
+
+
+@register(
+    "pq_code_stats",
+    oracle=f"""
+WITH dists AS (
+    SELECT vec_id,
+           {_pq_dists_sql()}
+    FROM embeddings
+),
+codes AS (
+    SELECT vec_id,
+           {_pq_codes_sql()}
+    FROM dists
+)
+SELECT CAST({" + ".join(f"c{m} * {PQ_K ** m}" for m in range(PQ_M))} AS INT)
+           AS pq_code,
+       COUNT(*) AS n_vecs,
+       ROUND(SUM({" + ".join(f"e{m}" for m in range(PQ_M))}) / COUNT(*), 6)
+           AS avg_qerr
+FROM codes
+GROUP BY 1
+""",
+    tags=("similarity", "llm", "pq"),
+)
+def pq_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of every embedding + per-code stats: codes are a pure
+    map (argmin over fixed literal codebooks), so at 100 TB the encode
+    stage is shuffle-free and the single shuffle here is the 256-key code
+    histogram. avg_qerr is the mean total quantization error — the
+    quantity PQ training minimizes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            e = e.withColumn(f"d{m}_{k}", F.expr(_pq_dist_spark(m, k)))
+    for m in range(PQ_M):
+        d = [f"d{m}_{k}" for k in range(PQ_K)]
+        e = e.withColumn(f"c{m}", F.expr(_argmin_case(d, sql=False)))
+        e = e.withColumn(f"e{m}", F.least(*[F.col(x) for x in d]))
+    code = sum(F.col(f"c{m}") * (PQ_K**m) for m in range(PQ_M))
+    qerr = sum(F.col(f"e{m}") for m in range(PQ_M))
+    return (
+        e.select(code.cast("int").alias("pq_code"), qerr.alias("qerr"))
+        .groupBy("pq_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("qerr") / F.count(F.lit(1)), 6).alias("avg_qerr"),
+        )
+    )
+
+
+@register(
+    "pq_adc_topk_query0",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dists AS (
+    SELECT vec_id,
+           {_pq_dists_sql()}
+    FROM embeddings
+    WHERE vec_id <> 0
+),
+codes AS (
+    SELECT vec_id,
+           {_pq_codes_sql()}
+    FROM dists
+),
+lut AS (
+    SELECT {", ".join(f"{_pq_dist_duck(m, k, 'qv')} AS q{m}_{k}"
+                      for m in range(PQ_M) for k in range(PQ_K))}
+    FROM q
+)
+SELECT vec_id,
+       ROUND({" + ".join(
+           "(CASE c%d %s END)" % (
+               m,
+               " ".join(f"WHEN {k} THEN q{m}_{k}" for k in range(PQ_K)),
+           )
+           for m in range(PQ_M)
+       )}, 6) AS adc_dist
+FROM codes, lut
+ORDER BY adc_dist, vec_id
+LIMIT 10
+""",
+    tags=("similarity", "llm", "pq", "ann"),
+)
+def pq_adc_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search: the query (vec_id=0) computes a
+    {PQ_M}x{PQ_K} lookup table of exact subvector->centroid distances
+    (one tiny broadcast row), and every candidate is scored by {PQ_M}
+    table lookups on its stored code — the billion-scale ANN scoring
+    shape, where candidates never touch their original vectors. Top-10
+    by approximate distance, deterministically rounded and tie-broken."""
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = e.where(F.col("vec_id") != 0)
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            docs = docs.withColumn(f"d{m}_{k}", F.expr(_pq_dist_spark(m, k)))
+    for m in range(PQ_M):
+        d = [f"d{m}_{k}" for k in range(PQ_K)]
+        docs = docs.withColumn(f"c{m}", F.expr(_argmin_case(d, sql=False)))
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            q = q.withColumn(f"q{m}_{k}", F.expr(_pq_dist_spark(m, k, "qv")))
+    joined = docs.crossJoin(F.broadcast(q.drop("qv")))
+    adc = None
+    for m in range(PQ_M):
+        lookup = F.when(F.col(f"c{m}") == 0, F.col(f"q{m}_0"))
+        for k in range(1, PQ_K):
+            lookup = lookup.when(F.col(f"c{m}") == k, F.col(f"q{m}_{k}"))
+        adc = lookup if adc is None else adc + lookup
+    scored = joined.select("vec_id", F.round(adc, 6).alias("adc_dist"))
+    return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)

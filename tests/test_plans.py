@@ -78,6 +78,7 @@ _SCALAR_BROADCAST_OK = {
     "cosine_topk_query0",  # 1 query vector
     "ivf_topk_query1",  # 1 query vector + 8 centroids
     "kmeans_refined_ivf_cells",  # 8 centroids per iteration
+    "pq_adc_topk_query0",  # 1-row PQ lookup table
 }
 
 
