@@ -252,3 +252,44 @@ def test_observe_metrics_on_corpus_pipeline(spark, sf_dir):
     assert got["docs_kept"] == n
     exact_tokens = kept.agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
     assert got["tokens"] == exact_tokens
+
+
+def test_ppm_decode_roundtrip_property():
+    """Property: encode(w, h, raster) -> decode recovers exactly the
+    geometry and every pixel, for arbitrary small images (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fawac_cdc_spark.functions.multimodal import decode_ppm
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, seed):
+        raster = np.random.RandomState(seed).randint(
+            0, 256, size=w * h * 3, dtype=np.uint8
+        )
+        payload = b"P6\n%d %d\n255\n" % (w, h) + raster.tobytes()
+        dw, dh, px = decode_ppm(payload)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(px.reshape(-1), raster)
+
+    check()
+
+
+def test_pq_code_range_and_qerr_positive(spark, sf_dir):
+    """PQ codes stay in [0, K^M) and quantization error is non-negative;
+    ADC top-k is a subset of all vec_ids minus the query."""
+    from fawac_cdc_spark.functions.similarity import PQ_K, PQ_M
+
+    stats = _SPECS["pq_code_stats"].fn(spark, sf_dir).collect()
+    assert all(0 <= r["pq_code"] < PQ_K**PQ_M for r in stats)
+    assert all(r["avg_qerr"] >= 0 for r in stats)
+    topk = _SPECS["pq_adc_topk_query0"].fn(spark, sf_dir).collect()
+    assert len(topk) == 10
+    assert 0 not in {r["vec_id"] for r in topk}
+    dists = [r["adc_dist"] for r in topk]
+    assert dists == sorted(dists)
