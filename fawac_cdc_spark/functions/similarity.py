@@ -651,3 +651,109 @@ def pq_adc_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc = lookup if adc is None else adc + lookup
     scored = joined.select("vec_id", F.round(adc, 6).alias("adc_dist"))
     return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "ivfpq_topk_query1",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), scored_cents AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(({_dot2_duck('e.embedding', 'c.cvec')})
+                              / (({_NORM_DUCK.format(v='e.embedding')})
+                                 * ({_NORM_DUCK.format(v='c.cvec')})), 6) DESC,
+                        c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+    SELECT vec_id, embedding, cent_id FROM scored_cents WHERE rn = 1
+), dists AS (
+    SELECT vec_id, cent_id,
+           {_pq_dists_sql()}
+    FROM assigned
+), codes AS (
+    SELECT vec_id, cent_id,
+           {_pq_codes_sql()}
+    FROM dists
+), q AS (
+    SELECT embedding AS qv, cent_id AS qcent
+    FROM assigned WHERE vec_id = {IVF_QUERY_ID}
+), lut AS (
+    SELECT qcent,
+           {", ".join(f"{_pq_dist_duck(m, k, 'qv')} AS q{m}_{k}"
+                      for m in range(PQ_M) for k in range(PQ_K))}
+    FROM q
+)
+SELECT c.vec_id, c.cent_id,
+       ROUND({" + ".join(
+           "(CASE c%d %s END)" % (
+               m,
+               " ".join(f"WHEN {k} THEN q{m}_{k}" for k in range(PQ_K)),
+           )
+           for m in range(PQ_M)
+       )}, 6) AS adc_dist
+FROM codes c, lut
+WHERE c.vec_id <> {IVF_QUERY_ID} AND c.cent_id = lut.qcent
+ORDER BY adc_dist, vec_id
+LIMIT 5
+""",
+    tags=("similarity", "llm", "ivf", "pq", "ann"),
+)
+def ivfpq_topk_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composed billion-scale index shape. Vectors are routed
+    to inverted lists by nearest centroid (broadcast assign, cell id as
+    the partition key at scale) AND stored as one-byte PQ codes; a query
+    probes only its own cell and scores candidates with its ADC lookup
+    table — never touching a full vector at search time. Candidate
+    generation is an equi-join on cent_id, scoring is {PQ_M} table
+    lookups per candidate (faiss-IVFPQ shape, raw-vector codebooks).
+    Deterministic rounding/tie-breaks keep it oracle-exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    cos_to_cent = F.round(
+        F.expr(_dot2_spark("embedding", "cvec"))
+        / (
+            F.expr(_NORM_SPARK.format(v="embedding"))
+            * F.expr(_NORM_SPARK.format(v="cvec"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_to_cent"), F.asc("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cos_to_cent", cos_to_cent)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    docs = assigned.where(F.col("vec_id") != IVF_QUERY_ID)
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            docs = docs.withColumn(f"d{m}_{k}", F.expr(_pq_dist_spark(m, k)))
+    for m in range(PQ_M):
+        d = [f"d{m}_{k}" for k in range(PQ_K)]
+        docs = docs.withColumn(f"c{m}", F.expr(_argmin_case(d, sql=False)))
+    q = assigned.where(F.col("vec_id") == IVF_QUERY_ID).select(
+        F.col("embedding").alias("qv"), F.col("cent_id").alias("qcent")
+    )
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            q = q.withColumn(f"q{m}_{k}", F.expr(_pq_dist_spark(m, k, "qv")))
+    joined = docs.join(
+        F.broadcast(q.drop("qv")), docs.cent_id == F.col("qcent")
+    )
+    adc = None
+    for m in range(PQ_M):
+        lookup = F.when(F.col(f"c{m}") == 0, F.col(f"q{m}_0"))
+        for k in range(1, PQ_K):
+            lookup = lookup.when(F.col(f"c{m}") == k, F.col(f"q{m}_{k}"))
+        adc = lookup if adc is None else adc + lookup
+    scored = joined.select("vec_id", "cent_id", F.round(adc, 6).alias("adc_dist"))
+    return scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(5)

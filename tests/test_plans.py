@@ -79,6 +79,7 @@ _SCALAR_BROADCAST_OK = {
     "ivf_topk_query1",  # 1 query vector + 8 centroids
     "kmeans_refined_ivf_cells",  # 8 centroids per iteration
     "pq_adc_topk_query0",  # 1-row PQ lookup table
+    "ivfpq_topk_query1",  # 8 centroids assign + 1-row lookup table
 }
 
 
