@@ -436,3 +436,48 @@ def _ewma_batch_fold(e: DataFrame, batch: int = EWMA_BATCH) -> DataFrame:
         F.round(F.sum(F.col("m") * weight), 6).alias("target"),
         F.max("jn").alias("n_batches"),
     )
+
+
+@register(
+    "purchase_click_left_pairs",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       c.value AS click_value,
+       p.ts AS purchase_ts
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+ AND c.ts <  p.ts
+WHERE p.event_type = 'purchase'
+""",
+    tags=("m6", "cdc", "streaming-equiv", "join", "outer"),
+)
+def purchase_click_left_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of the LEFT OUTER stream-stream interval join
+    (``streaming/cdc.py::click_purchase_left_join_stream``): every
+    purchase, with its prior-10-minute clicks where they exist and NULL
+    click columns where none do — attributed and un-attributed
+    conversions in one result."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("purchase_ts")),
+        "left",
+    ).select("purchase_id", "click_id", "user_id", "click_value", "purchase_ts")

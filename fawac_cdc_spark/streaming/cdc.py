@@ -593,6 +593,49 @@ def click_purchase_join_stream(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id", "user_id", "click_value")
 
 
+def click_purchase_left_join_stream(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (batch equiv:
+    purchase_click_left_pairs): every purchase emits, matched pairs
+    immediately and click-less purchases with NULL click columns once the
+    watermark passes the end of their 10-minute lookback — the state
+    store can then prove no match can arrive. The attribution shape where
+    un-attributed conversions matter as much as attributed ones.
+
+    Outer-join caveat baked into the API: unmatched rows whose interval
+    the watermark has NOT yet closed are withheld, so a finite feed's
+    tail purchases (within the 1-hour delay of the feed's max event time)
+    produce no NULL row — tests compare inside the closable region.
+    """
+    e = _with_event_time(events)
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts_ltz").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts_ltz").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = user_id AND "
+            "c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts < p_ts"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id", "click_value", "p_ts")
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join + rollup (batch equiv:
     stream_static_enrich). The static side broadcasts into every

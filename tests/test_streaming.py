@@ -327,6 +327,37 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, chunk_dir):
     assert not compare_frames(got, want)
 
 
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, chunk_dir):
+    """LEFT OUTER stream-stream join == batch left join within the
+    closable region: unmatched purchases whose 10-minute interval the
+    final watermark (max event time - 1 hour) has not passed are withheld
+    by the state store, so both sides are filtered to purchases the
+    stream could provably close."""
+    from fawac_cdc_spark.streaming.batch_equiv import purchase_click_left_pairs
+
+    events = cdc.read_event_stream(spark, chunk_dir)
+    got = _run_to_memory(
+        spark, cdc.click_purchase_left_join_stream(events), "ssloj_out", "append"
+    ).toPandas()
+    batch = purchase_click_left_pairs(spark, sf_dir)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    # well clear of the eviction boundary (watermark delay 1h + 10-min
+    # interval + state-watermark rounding): exact-boundary rows are
+    # implementation-defined, the interior is not
+    cutoff = max_ts - pd.Timedelta(hours=2)
+    want = batch.toPandas()
+    want = want[want["purchase_ts"] < cutoff].reset_index(drop=True)
+    got["p_ts"] = pd.to_datetime(got["p_ts"])
+    got = (
+        got[got["p_ts"] < cutoff]
+        .rename(columns={"p_ts": "purchase_ts"})
+        .reset_index(drop=True)
+    )
+    # null-click rows must actually appear (un-attributed purchases exist)
+    assert got["click_id"].isna().any()
+    assert not compare_frames(got, want)
+
+
 def test_ewma_target_stream_matches_sequential(spark, chunk_dir, tmp_path):
     """The distributed transformWithStateInPandas EWMA must equal the
     sequential recurrence over micro-batch means (and therefore also the
