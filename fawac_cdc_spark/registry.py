@@ -113,10 +113,10 @@ _PRIORITY = [
     "ppm_decode_pixel_stats",
     "udtf_doc_ngram_spans",
     "ewma_state_batch_equiv",
+    "ivfpq_topk_query1",
     # Round-3 sentinels — regression canaries from the prior window.
     "llm_corpus_pipeline",
     "cdc_latest_state_per_user",
-    "pricing_summary",
 ]
 
 
