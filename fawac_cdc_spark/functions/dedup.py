@@ -684,7 +684,12 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``connected_component_survivors`` for the full transitive closure).
 
     Plan: candidate pairs (DF-capped shingle equi-join) → drop-list
-    (distinct) → broadcast anti-join against documents.
+    (distinct) → anti-join against documents.  The drop-list is
+    deliberately UNHINTED: it is O(duplicate mass) — at the 100 TB design
+    point it can reach billions of ids, so a forced broadcast would OOM
+    the executors.  A plain ``left_anti`` shuffles on ``doc_id`` (fine at
+    any scale); at small scale AQE still converts it to a broadcast join
+    at runtime when the built side is under the threshold.
     """
     d = load_table(spark, sf_dir, "documents")
     dropped = (
@@ -692,7 +697,7 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return d.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+    return d.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "source", "lang"
     )
 
@@ -762,7 +767,10 @@ def corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return kept.join(F.broadcast(near_dropped), "doc_id", "left_anti")
+    # Unhinted anti-join: the near-dup drop-list grows with duplicate mass
+    # (unbounded at 100 TB), so we must not force a broadcast — AQE picks
+    # one at runtime only when the list is actually small.
+    return kept.join(near_dropped, "doc_id", "left_anti")
 
 
 @register(

@@ -267,3 +267,23 @@ def test_scrub_is_pure_map_plus_one_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "blocklist_scrub_stats")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["near_dedup_survivors", "llm_corpus_pipeline"])
+def test_near_dup_drop_list_is_not_force_broadcast(spark, sf_dir, name):
+    """The near-dup drop-list is O(duplicate mass) — unbounded at the
+    100 TB design point — so the survivor anti-join must NOT carry an
+    explicit broadcast hint.  We assert on the optimized LOGICAL plan
+    (no ``rightHint=(strategy=broadcast)`` on the doc_id anti-join):
+    AQE is still free to pick a broadcast join physically when the list
+    is actually small, which is exactly the desired behavior."""
+    df = _SPECS[name].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    anti_lines = [
+        line
+        for line in opt.splitlines()
+        if "Join LeftAnti" in line and "doc_id" in line
+    ]
+    assert anti_lines, "expected a doc_id anti-join in the survivor plan"
+    for line in anti_lines:
+        assert "broadcast" not in line.lower(), line
