@@ -50,6 +50,93 @@ HEADLINE = [
 ]
 
 
+def skew_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Skew-join evidence at bench scale (VERDICT r4 item 6) — NOT part of
+    the frozen headline suite; reported under the separate "extras" key so
+    cross-round totals stay comparable.
+
+    A deliberately skewed fact-fact join at sf0.1: 90% of lineitem rows
+    hash to ONE join key; the other side is a 20k-key frame too large to
+    model as broadcast-able at the 100 TB design point (broadcast disabled
+    to emulate that). Three variants:
+      - skew_join_unmitigated: AQE skew split OFF — one reducer owns the
+        hot key (the naive plan that dies at scale)
+      - skew_join_aqe:         AQE skew split ON (engine default) — the
+        oversized partition is split at runtime
+      - skew_join_salted:      manual 16-way salting (salted_join) — the
+        fallback for skew AQE can't see or reach
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fawac_cdc_spark.catalog import load_table
+    from fawac_cdc_spark.operators.joins import salted_join
+
+    n_keys = 20000
+    left = load_table(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(10)) < 9, F.lit(0)
+        )
+        .otherwise(F.pmod(F.hash("l_orderkey"), F.lit(n_keys)))
+        .cast("int")
+        .alias("k"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_orderkey").alias("scatter"),
+    )
+    right = spark.range(n_keys).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 97).cast("double").alias("weight"),
+    )
+
+    def run(df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # sf0.1 partitions are far below the 256 MB default skew threshold, so
+    # scale the knobs down to keep the *plan shape* the one a 100 TB run
+    # would see (oversized-partition split vs one hot reducer).
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1048576"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1048576")
+    out: dict[str, float] = {}
+    try:
+        plain = (
+            left.join(right, "k")
+            .agg(F.sum(F.col("price") * F.col("weight")).alias("s"))
+        )
+        salted = (
+            salted_join(left, right, "k", scatter_col="scatter")
+            .agg(F.sum(F.col("price") * F.col("weight")).alias("s"))
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["skew_join_unmitigated"] = run(plain)
+        out["skew_join_salted"] = run(salted)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        out["skew_join_aqe"] = run(plain)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -63,7 +150,9 @@ def main() -> None:
     specs["pricing_summary"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # min of N runs per query: the host is shared, single runs are noisy.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # 3 runs (r5, was 2): min-of-2 still showed ±25% per-query bounce on
+    # this host, which made the regression gate cry wolf (VERDICT r4).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
@@ -75,6 +164,9 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Non-frozen side experiments: separate key, excluded from "value" so
+    # the frozen-suite totals stay comparable across rounds.
+    extras = skew_experiment(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -82,6 +174,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

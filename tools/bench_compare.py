@@ -2,12 +2,14 @@
 
 The headline list is FROZEN (bench.py HEADLINE, 20 queries since round 3)
 so rounds are comparable; this tool enforces the budget agreed in
-VERDICT r3 item 7: total <= baseline total, no per-query regression
-beyond a tolerance (default 20%).
+VERDICT r3 item 7 and retuned in VERDICT r4 item 2: per-query tolerance
+35% (min-of-3 on a shared 32-core host still has real per-query bounce —
+the tight signal is the TOTAL, which gets its own 5% band).
 
 Usage:
     python bench.py | tail -1 > /tmp/bench_now.json
-    python tools/bench_compare.py BENCH_r03.json /tmp/bench_now.json [tol_pct]
+    python tools/bench_compare.py BENCH_r04.json /tmp/bench_now.json \
+        [per_query_tol_pct] [total_tol_pct]
 
 The baseline may be a driver BENCH_r{N}.json (numbers under "parsed") or
 a raw bench.py output line.
@@ -29,15 +31,18 @@ def load(path: str) -> dict:
 
 def main() -> int:
     base_path, now_path = sys.argv[1], sys.argv[2]
-    tol = float(sys.argv[3]) / 100.0 if len(sys.argv) > 3 else 0.20
+    tol = float(sys.argv[3]) / 100.0 if len(sys.argv) > 3 else 0.35
+    total_tol = float(sys.argv[4]) / 100.0 if len(sys.argv) > 4 else 0.05
     base, now = load(base_path), load(now_path)
     failures: list[str] = []
+    n_regressed = 0
     common = sorted(set(base["queries"]) & set(now["queries"]))
     for name in common:
         b, n = base["queries"][name], now["queries"][name]
         delta = (n - b) / b
         flag = "REGRESS" if delta > tol else "ok"
         if delta > tol:
+            n_regressed += 1
             failures.append(f"{name}: {b:.3f}s -> {n:.3f}s (+{delta:.0%})")
         print(f"[{flag}] {name}: {b:.3f} -> {n:.3f} ({delta:+.0%})")
     missing = set(base["queries"]) - set(now["queries"])
@@ -45,12 +50,11 @@ def main() -> int:
         failures.append(f"queries missing from current run: {sorted(missing)}")
     bt, nt = base["value"], now["value"]
     print(f"total: {bt:.3f} -> {nt:.3f} ({(nt - bt) / bt:+.0%})")
-    if nt > bt * (1 + tol / 4):  # total gets a tighter band than per-query
+    if nt > bt * (1 + total_tol):  # total gets a tighter band than per-query
         failures.append(f"total budget exceeded: {nt:.3f} > {bt:.3f}")
     for f_ in failures:
         print(f"FAIL {f_}")
-    print(f"{len(common) - sum(1 for f_ in failures if ':' in f_)}"
-          f"/{len(common)} within budget")
+    print(f"{len(common) - n_regressed}/{len(common)} within budget")
     return 1 if failures else 0
 
 
