@@ -20,6 +20,7 @@ parquet stand-in for Delta/Iceberg MERGE.
 
 from __future__ import annotations
 
+import decimal
 import json
 import os
 
@@ -28,6 +29,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.helpers import money
+
+
+def _money_cents(v) -> int:
+    """Money double → integer cents with SQL HALF_UP semantics.
+
+    Matches the batch oracles' ``CAST(value AS DECIMAL(18,2))`` exactly
+    (decimal-over-str, ROUND_HALF_UP). Python's ``round()`` is banker's
+    rounding and would diverge on a value whose double is exactly half a
+    cent — unreachable with the 2-decimal money fixtures, but the stateful
+    ops must not depend on that fixture precondition."""
+    return int(
+        decimal.Decimal(str(v)).quantize(
+            decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+        )
+        * 100
+    )
 
 # Schema handed to readStream (file sources require one). Matches the
 # catalog contract: events.ts already converted to TIMESTAMP_NTZ micros
@@ -359,7 +376,7 @@ def ewma_target_stream(events: DataFrame, tau: float = 0.1) -> DataFrame:
             cents = 0
             n = 0
             for pdf in rows:
-                cents += int(pdf["value"].map(lambda v: int(round(float(v) * 100))).sum())
+                cents += int(pdf["value"].map(_money_cents).sum())
                 n += len(pdf)
             if n == 0:
                 return iter(())
@@ -413,7 +430,7 @@ def ewma_target_stream_gs(events: DataFrame, tau: float = 0.1) -> DataFrame:
         cents = 0
         n = 0
         for pdf in pdf_iter:
-            cents += int(pdf["value"].map(lambda v: int(round(float(v) * 100))).sum())
+            cents += int(pdf["value"].map(_money_cents).sum())
             n += len(pdf)
         if n == 0:
             return
@@ -507,7 +524,7 @@ def capped_totals_stream(events: DataFrame) -> DataFrame:
             for v in pdf["value"]:
                 if stopped:
                     break
-                total_cents += int(round(float(v) * 100))
+                total_cents += _money_cents(v)
                 n += 1
                 if total_cents >= CAP_TOTAL_CENTS:
                     stopped = True
