@@ -410,12 +410,15 @@ def udtf_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode over slice() in pure codegen — see ``doc_token_chunks``);
     this entry exists to pin the API surface and its driver-checked
     correctness, and the expansion is a pure map: no shuffle, runs as
-    wide as the scan."""
+    wide as the scan. ``useArrow=True`` (Spark 4): rows cross the
+    Python boundary in Arrow batches instead of pickled one-at-a-time —
+    same eval-per-row semantics, ~batch-size fewer serialization round
+    trips."""
     from pyspark.sql.functions import udtf
 
     cap = N_SPAN_TRIGRAMS
 
-    @udtf(returnType="start_idx int, ngram string")
+    @udtf(returnType="start_idx int, ngram string", useArrow=True)
     class NGramSpans:
         def eval(self, text: str):
             toks = text.split(" ")
