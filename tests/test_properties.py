@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from fawac_cdc_spark.functions.dedup import minhash_sig_exprs
 from fawac_cdc_spark.functions.similarity import HYPERPLANES
 from fawac_cdc_spark.registry import all_specs
+from tests.conftest import SF0001, SF001
 
 _SPECS = all_specs()
 
@@ -209,17 +210,20 @@ def test_simhash_banding_finds_close_pairs(spark, sf_dir):
     assert dup_groups == 0 or zero > 0
 
 
-def test_hll_sketch_estimates_match_exact_at_low_cardinality(spark, sf_dir):
-    """At the fixture's tiny user cardinality the HLL estimate must be
-    exact, and the merged 'all' row must equal the union estimate."""
+@pytest.mark.parametrize("sf", [SF0001, SF001])
+def test_hll_sketch_estimates_match_exact_at_low_cardinality(spark, sf):
+    """At fixture user cardinality (both test scales) the HLL sketch is
+    still in exact coupon mode, so the estimate must equal the exact
+    distinct count, and the merged 'all' row must equal the union
+    estimate."""
     from fawac_cdc_spark.registry import all_specs
     from fawac_cdc_spark.catalog import load_table
 
     out = {
         r["event_type"]: r["approx_users"]
-        for r in all_specs()["hll_user_sketch_rollup"].fn(spark, sf_dir).collect()
+        for r in all_specs()["hll_user_sketch_rollup"].fn(spark, sf).collect()
     }
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf, "events")
     exact_all = e.select("user_id").distinct().count()
     exact_by = {
         r["event_type"]: r["n"]
