@@ -364,24 +364,41 @@ def test_ewma_target_stream_matches_sequential(spark, chunk_dir, tmp_path):
     driver-side soft_update_run it replaces at scale)."""
     pytest.importorskip(
         "google.protobuf",
-        reason="transformWithStateInPandas needs protobuf (absent in this "
-        "container); the operator is exercised wherever pyspark's full "
-        "streaming deps are installed",
+        reason="transformWithStateInPandas needs protobuf (no installed "
+        "copy and no Cloud SDK fallback for the conftest shim); the "
+        "operator is exercised wherever pyspark's full streaming deps "
+        "are installed",
     )
     import glob
 
     tau = 0.1
     events = cdc.read_event_stream(spark, chunk_dir)
-    q = (
-        cdc.ewma_target_stream(events, tau=tau)
-        .writeStream.format("memory")
-        .queryName("ewma_out")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    # transformWithState keeps each state variable in its own column
+    # family — only the RocksDB provider supports that (the default
+    # HDFS-backed provider refuses). Scoped to this query; restored after.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    q.awaitTermination()
+    try:
+        q = (
+            cdc.ewma_target_stream(events, tau=tau)
+            .writeStream.format("memory")
+            .queryName("ewma_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     out = spark.sql("SELECT * FROM ewma_out").toPandas()
     # last emission per key = final target
     got = {
