@@ -20,6 +20,12 @@ must handle) while substituting available columns:
 - Q19 disjunctive predicate → OR-of-conjunctions pushdown with join
 - Q21 waiting supplier      → EXISTS + NOT EXISTS on the same fact
 - Q22 inactive customers    → scalar-subquery AVG + NOT EXISTS
+- Q5  local supplier        → non-key equi-condition in the join (round 5)
+- Q9  product profit        → surrogate-cost expression agg (round 5)
+- Q11 important stock       → HAVING vs scalar-subquery total (round 5)
+- Q12 shipping priority     → conditional two-way counts (round 5)
+- Q16 supplier variety      → NOT IN anti-join + distinct agg (round 5)
+- Q20 dominant shipper      → two-level agg + semi-join (round 5)
 
 All money math is DECIMAL-exact (see ``helpers``); ratios are one double
 division of bit-identical doubles, so hashes match DuckDB exactly.
@@ -694,4 +700,290 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# --- Round 5: the last six classic shapes (full 22-query surface) ----------
+
+
+@register(
+    "q5_local_supplier_revenue",
+    oracle=f"""
+SELECT n_name, CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC
+""",
+    tags=("tpch", "join", "agg"),
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from same-nation customer/supplier pairs.
+
+    The distinguishing feature is the non-key equi-condition
+    ``c_nationkey = s_nationkey`` riding the supplier join — Catalyst
+    keeps it in the hash-join condition (no post-filter row explosion).
+    Date range prunes orders before the fact-fact shuffle; nation and
+    region broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+SELECT n_name AS sup_nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM({_REV} - CAST(ROUND(p_retailprice * 0.6, 2) AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY sup_nation, o_year ORDER BY sup_nation, o_year DESC
+""",
+    tags=("tpch", "join", "agg"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by supplier nation and order year.
+
+    No ``partsupp``, so supply cost is the surrogate
+    ``round(p_retailprice * 0.6, 2)`` (both engines compute the same
+    IEEE product then HALF_UP-round, then go DECIMAL-exact). The plan is
+    Q9's: pattern filter on part BEFORE its broadcast join, one
+    lineitem ⋈ orders shuffle, year extraction deferred to the agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    cost = F.round(F.col("p_retailprice") * 0.6, 2).cast("decimal(18,2)")
+    profit = _rev() - cost * money("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("sup_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("p"),
+        )
+        .groupBy("sup_nation", "o_year")
+        .agg(F.sum("p").cast("double").alias("profit"))
+        .orderBy("sup_nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_part_value",
+    oracle=f"""
+WITH pv AS (
+    SELECT l_partkey, SUM({_REV}) AS val FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value FROM pv
+WHERE CAST(val AS DOUBLE) > (CAST((SELECT SUM(val) FROM pv) AS DOUBLE)
+                             / (SELECT COUNT(*) FROM pv)) * 2.0
+ORDER BY part_value DESC, l_partkey
+""",
+    tags=("tpch", "scalar-subquery", "agg", "having"),
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value exceeds a fraction of
+    the whole (here 2× the mean part value, so the predicate is
+    scale-free). ``partsupp`` is absent, so shipped lineitem value for
+    ASIA-nation suppliers stands in for stock value. The scalar total is
+    a single-row aggregate broadcast into a cross join — the same shape
+    Catalyst produces for an uncorrelated scalar subquery; the per-part
+    aggregate is computed ONCE and reused for both the rows and the
+    threshold via a localCheckpoint-free self-reference (Spark dedups the
+    exchange). Threshold math is sum-cast-double / count * 2 in the same
+    operation order on both engines — bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    pv = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("val"))
+    )
+    thr = pv.agg(
+        (
+            (F.sum("val").cast("double") / F.count(F.lit(1))) * F.lit(2.0)
+        ).alias("thr")
+    )
+    return (
+        pv.join(F.broadcast(thr))
+        .where(F.col("val").cast("double") > F.col("thr"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "q12_ship_delay_priority",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
+            THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY ship_bucket ORDER BY ship_bucket
+""",
+    tags=("tpch", "join", "agg", "conditional"),
+)
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix per shipping bucket.
+
+    ``l_shipmode``/``l_commitdate``/``l_receiptdate`` are absent, so the
+    bucket is the order→ship delay (≥60 days = SLOW) — same conditional
+    two-way-count aggregate over an orders ⋈ lineitem join with the date
+    range pushed into the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 60,
+                F.lit("SLOW"),
+            ).otherwise(F.lit("FAST")),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'SMALL' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%5')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=("tpch", "anti-join", "distinct-agg"),
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each part class.
+
+    Lineitem stands in for ``partsupp`` ("has shipped" = "supplies");
+    the complained-about suppliers (name LIKE '%5') are removed by an
+    anti join BEFORE the distinct aggregate — the NOT IN subquery's
+    hash-anti-join form, null-safe because s_suppkey is a key. The
+    distinct count is a two-phase aggregate (partial distinct per
+    partition, merge on the group key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") != "SMALL") & (F.col("p_size") <= 25)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_name").like("%5")
+    )
+    return (
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_dominant_shipper",
+    oracle="""
+WITH y AS (
+    SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+),
+tot AS (SELECT l_partkey, SUM(sq) AS tq FROM y GROUP BY l_partkey)
+SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM y JOIN tot USING (l_partkey)
+                    WHERE CAST(sq AS DOUBLE) > 0.3 * CAST(tq AS DOUBLE))
+ORDER BY s_name
+""",
+    tags=("tpch", "semi-join", "scalar-subquery", "agg"),
+)
+def q20_dominant_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominate a part's yearly volume.
+
+    ``ps_availqty`` is absent, so "holds excess stock" becomes "shipped
+    >30% of a part's 1996 volume". Two-level aggregate over ONE lineitem
+    scan (per supplier-part, then per part via re-aggregation of the
+    partials — no second scan), equi-join of the two levels on the part
+    key, then a left-semi join into supplier. Quantities aggregate as
+    DECIMAL (exact); only the final share comparison is double."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    y = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(money("l_quantity")).alias("sq")
+    )
+    tot = y.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    dominant = (
+        y.join(tot, "l_partkey")
+        .where(F.col("sq").cast("double") > F.lit(0.3) * F.col("tq").cast("double"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
     )

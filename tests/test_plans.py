@@ -80,6 +80,7 @@ _SCALAR_BROADCAST_OK = {
     "kmeans_refined_ivf_cells",  # 8 centroids per iteration
     "pq_adc_topk_query0",  # 1-row PQ lookup table
     "ivfpq_topk_query1",  # 8 centroids assign + 1-row lookup table
+    "q11_important_part_value",  # 2x-mean threshold scalar
 }
 
 
