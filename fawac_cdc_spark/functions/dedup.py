@@ -887,9 +887,11 @@ def connected_components_min_label(
     return labels
 
 
-@register(
-    "connected_component_survivors",
-    oracle=f"""
+# Shared recursive-CTE oracle: exact transitive closure over the verified
+# near-dup pair graph.  Used by BOTH iterative CC implementations (min-label
+# and large-star/small-star) — same edge set, same labels, two engines'
+# worth of evidence that the distributed algorithms match the exact answer.
+_CC_ORACLE_SQL = f"""
 WITH RECURSIVE
 {_capped_sh_sql(_HASHED_SHINGLED_SQL).strip()},
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -920,7 +922,12 @@ SELECT src AS doc_id,
        CAST(MIN(dst) = src AS INT) AS survivor
 FROM reach
 GROUP BY src
-""",
+"""
+
+
+@register(
+    "connected_component_survivors",
+    oracle=_CC_ORACLE_SQL,
     tags=("dedup", "llm", "graph"),
 )
 def connected_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,6 +942,120 @@ def connected_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load_table(spark, sf_dir, "documents")
     edges = jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select("doc_a", "doc_b")
     labels = connected_components_min_label(edges, d.select("doc_id"))
+    return d.join(labels, "doc_id").select(
+        "doc_id",
+        "component",
+        (F.col("component") == F.col("doc_id")).cast("int").alias("survivor"),
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-insensitive hash-sum) of an edge set — a cheap
+    driver-side convergence probe (one aggregate, never a collect)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.hash("src", "dst")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 16
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round alternative to min-label propagation's
+    O(diameter), so adversarial chain graphs (diameter ~ n) converge in
+    logarithmically many shuffles instead of linearly many.
+
+    - large-star(u): every *strictly larger* neighbor of u re-attaches to
+      ``min(Γ(u) ∪ {u})``
+    - small-star(u): every *smaller* neighbor (edges oriented big→small),
+      plus u itself, re-attaches to the minimum smaller neighbor
+
+    Each half-round is one groupBy + one join on the vertex key (the same
+    shuffle shape as a round of min-label), edges stay deduplicated, and
+    convergence is an edge-set fingerprint comparison. At convergence the
+    edge set is a union of stars centered at each component's minimum;
+    labels read directly off the big→small orientation. Returns
+    ``(labels, rounds_used)``.
+    """
+    cur = (
+        edges.where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fp = _edge_fingerprint(cur)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star over the symmetric orientation
+        sym = cur.unionAll(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+        center = F.least(F.col("src"), F.col("nbr_min")).alias("m")
+        large = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), center.alias("dst"))
+        )
+        # small-star over the big→small orientation of large's output
+        oriented = (
+            large.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        small_min = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            oriented.join(small_min, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .unionAll(small_min.select("src", F.col("m").alias("dst")))
+        )
+        cur = (
+            small.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = _edge_fingerprint(cur)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # stars point big→small at the component min; isolated vertices self-label
+    star_labels = cur.groupBy("src").agg(F.min("dst").alias("component"))
+    labels = vertices.join(
+        star_labels, vertices["doc_id"] == star_labels["src"], "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    return labels, rounds
+
+
+@register(
+    "cc_star_survivors",
+    oracle=_CC_ORACLE_SQL,
+    tags=("dedup", "llm", "graph"),
+)
+def cc_star_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dedup labeled by the large-star/small-star
+    algorithm — same verified near-dup edge set and same exact
+    recursive-CTE oracle as ``connected_component_survivors``, different
+    distributed algorithm: O(log n) rounds instead of O(diameter), the
+    shape that survives adversarial duplicate chains at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+    labels, _ = connected_components_star(edges, d.select("doc_id"))
     return d.join(labels, "doc_id").select(
         "doc_id",
         "component",

@@ -133,3 +133,47 @@ def test_simhash_banding_recall_guarantee_and_miss(spark):
         (r["doc_a"], r["doc_b"]) == (1, 3) for r in wide.collect()
     ), "7 bands (h <= 6 guaranteed) must find the spread pair"
     assert SIMHASH_WIDE_BANDS * SIMHASH_BAND_BITS == 60
+
+
+def test_star_cc_matches_min_label_on_fixture_graph(spark):
+    """Both CC algorithms must produce identical labels on the real
+    near-dup pair graph (and on a random graph with multiple components)."""
+    from fawac_cdc_spark.functions.dedup import (
+        connected_components_min_label,
+        connected_components_star,
+    )
+
+    # random-ish multi-component graph: 60 vertices, edges within 6 groups
+    rows = [(i,) for i in range(60)]
+    verts = spark.createDataFrame(rows, "doc_id long")
+    edges = [
+        (g * 10 + (i * 7 + 3) % 10, g * 10 + (i * 3 + 1) % 10)
+        for g in range(6)
+        for i in range(8)
+    ]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long"
+    )
+    want = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_min_label(e, verts).collect()
+    }
+    got_df, _ = connected_components_star(e, verts)
+    got = {r["doc_id"]: r["component"] for r in got_df.collect()}
+    assert got == want
+
+
+def test_star_cc_collapses_adversarial_chain_in_log_rounds(spark):
+    """A path graph 0-1-...-63 has diameter 63: min-label needs ~63
+    shuffle rounds, large-star/small-star must close it in O(log n)."""
+    from fawac_cdc_spark.functions.dedup import connected_components_star
+
+    n = 64
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components_star(chain, verts, max_iter=16)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10, f"expected O(log n) rounds, used {rounds}"
