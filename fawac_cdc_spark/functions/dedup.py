@@ -887,13 +887,10 @@ def connected_components_min_label(
     return labels
 
 
-# Shared recursive-CTE oracle: exact transitive closure over the verified
-# near-dup pair graph.  Used by BOTH iterative CC implementations (min-label
-# and large-star/small-star) — same edge set, same labels, two engines'
-# worth of evidence that the distributed algorithms match the exact answer.
-_CC_ORACLE_SQL = f"""
-WITH RECURSIVE
-{_capped_sh_sql(_HASHED_SHINGLED_SQL).strip()},
+# Shared recursive-CTE fragment: exact transitive closure over the verified
+# near-dup pair graph, up through ``reach``.  Composed by the CC oracles
+# (min-label and large-star/small-star) and the leakage-safe split oracle.
+_CC_REACH_CTE_SQL = f"""{_capped_sh_sql(_HASHED_SHINGLED_SQL).strip()},
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -916,7 +913,13 @@ reach(src, dst) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-)
+)"""
+
+# Exact CC labels + survivor flag — used by both iterative CC queries, so
+# two distributed algorithms are checked against one exact answer.
+_CC_ORACLE_SQL = f"""
+WITH RECURSIVE
+{_CC_REACH_CTE_SQL}
 SELECT src AS doc_id,
        MIN(dst) AS component,
        CAST(MIN(dst) = src AS INT) AS survivor

@@ -497,3 +497,86 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("bigint").alias("oov_tokens"),
         (F.sum(oov).cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+# --- leakage-safe splitting (round 5) --------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    from .dedup import _CC_REACH_CTE_SQL
+
+    return f"""
+WITH RECURSIVE
+{_CC_REACH_CTE_SQL},
+labels AS (
+    SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+),
+assign AS (
+    SELECT doc_id, component,
+           CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4) AS INT)
+               % 100 AS bucket
+    FROM labels
+)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+FROM assign
+GROUP BY split
+ORDER BY split
+"""
+
+
+def _register_leakage_safe_split() -> None:
+    # deferred registration: the oracle composes dedup's recursive CTE,
+    # and importing dedup at module top would be circular.
+    @register(
+        "leakage_safe_split_counts",
+        oracle=_leakage_split_oracle(),
+        tags=("traindata", "llm", "split", "graph"),
+    )
+    def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Contamination-aware train/val/test split: the md5 bucket is
+        taken over the near-dup CONNECTED COMPONENT id, not the document
+        id, so every member of a duplicate cluster lands in the same
+        split — a per-document hash split would leak near-copies of
+        training documents into the eval set. Labels come from the
+        O(log n)-round large-star/small-star CC; the oracle replays the
+        exact transitive closure with a recursive CTE. One extra shuffle
+        over ``dataset_hash_split`` (the CC label join); the rest is the
+        same pure-map bucket assignment."""
+        from .dedup import (
+            _shingled_hashed,
+            connected_components_star,
+            jaccard_candidate_pairs,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        edges = jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select(
+            "doc_a", "doc_b"
+        )
+        labels, _ = connected_components_star(edges, d.select("doc_id"))
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("component").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 100
+        )
+        split = (
+            F.when(bucket < SPLIT_TRAIN_PCT, "train")
+            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+            .otherwise("test")
+        )
+        return (
+            labels.select(split.alias("split"), "component")
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("component").alias("n_components"),
+            )
+            .orderBy("split")
+        )
+
+
+_register_leakage_safe_split()
