@@ -433,3 +433,82 @@ def udtf_doc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.start_idx, s.ngram "
         "FROM __udtf_docs_src d, LATERAL doc_ngram_spans(d.text) s"
     )
+
+
+# --- PMI collocations (round 5) --------------------------------------------
+
+PMI_MIN_PAIR = 3  # minimum bigram frequency before PMI is meaningful
+PMI_TOP_K = 20
+
+
+@register(
+    "pmi_bigram_collocations",
+    oracle=f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+uni AS (SELECT unnest(toks) AS term FROM t),
+uc AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+bi AS (SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> {{'a': toks[i], 'b': toks[i+1]}})) AS bg FROM t),
+bc AS (SELECT bg.a AS a, bg.b AS b, COUNT(*) AS cab FROM bi GROUP BY 1, 2),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM bi)
+SELECT a, b, CAST(cab AS BIGINT) AS pair_count,
+       ROUND(LN((CAST(cab AS DOUBLE) / m) / ((ca.c / n) * (cb.c / n))), 6) AS pmi
+FROM bc JOIN uc ca ON bc.a = ca.term JOIN uc cb ON bc.b = cb.term, m, tot
+WHERE cab >= {PMI_MIN_PAIR}
+ORDER BY pmi DESC, a, b LIMIT {PMI_TOP_K}
+""",
+    tags=("text", "llm", "collocations"),
+)
+def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K adjacent-bigram collocations by pointwise mutual information
+    ``ln(P(a,b) / (P(a)·P(b)))`` — the classic corpus-analysis signal for
+    multi-word expressions (and for spotting boilerplate phrases worth a
+    stop-list). Unigram and bigram counts are two shuffles over one scan
+    family; the corpus totals are single-row aggregates broadcast into
+    the scoring join; the count-vs-count joins stay unhinted (the vocab
+    grows with the corpus — AQE picks the strategy). The PMI expression
+    applies the exact same IEEE operation order on both engines, so the
+    rounded values hash-match."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    uni = t.select(F.explode("toks").alias("term"))
+    uc = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_tot = uni.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    bi = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] AS a, toks[i+1] AS b))"
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    bc = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    m_tot = bi.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    ca = uc.select(F.col("term").alias("a"), F.col("c").alias("ca"))
+    cb = uc.select(F.col("term").alias("b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("cab").cast("double") / F.col("m"))
+            / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
+        ),
+        6,
+    )
+    return (
+        bc.where(F.col("cab") >= PMI_MIN_PAIR)
+        .join(ca, "a")
+        .join(cb, "b")
+        .join(F.broadcast(m_tot))
+        .join(F.broadcast(n_tot))
+        .select(
+            "a",
+            "b",
+            F.col("cab").cast("long").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(PMI_TOP_K)
+    )

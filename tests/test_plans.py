@@ -81,6 +81,7 @@ _SCALAR_BROADCAST_OK = {
     "pq_adc_topk_query0",  # 1-row PQ lookup table
     "ivfpq_topk_query1",  # 8 centroids assign + 1-row lookup table
     "q11_important_part_value",  # 2x-mean threshold scalar
+    "pmi_bigram_collocations",  # corpus token/bigram totals (2 scalars)
 }
 
 
