@@ -12,6 +12,7 @@ clearly marked below.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -488,3 +489,140 @@ def ppm_decode_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ppm_payload_batches, "doc_id long, payload binary"
     )
     return payloads.mapInPandas(_ppm_decode_batches, _PPM_SCHEMA)
+
+
+# --- real audio decode through the multimodal seam (round 5) ---------------
+
+_WAV_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, duration_ms double, "
+    "mean_amp double, rms_amp double, peak_amp int"
+)
+
+
+def _wav_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Synthesize a valid RIFF/WAVE (PCM16 mono, 8 kHz) per document:
+    n_samples derived from doc_id, sample i = ((doc_id*31 + i*97) % 4001)
+    - 2000. A junk LIST chunk sits between fmt and data so only a real
+    chunk-walker decodes it."""
+    import struct
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 64 + d % 33
+            samples = [((d * 31 + i * 97) % 4001) - 2000 for i in range(n)]
+            data = struct.pack(f"<{n}h", *samples)
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            junk = b"pad"  # odd-sized on purpose: exercises RIFF padding
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"LIST" + struct.pack("<I", len(junk)) + junk + b"\x00"
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def decode_wav(payload: bytes):
+    """Minimal but GENERIC RIFF/WAVE parser: validates the RIFF header,
+    walks chunks (honoring the odd-size pad byte), reads fmt and data,
+    and rejects anything but uncompressed PCM16 mono. Returns
+    (sample_rate, ndarray[int16]). A real decoder — unknown chunks are
+    skipped by size, not assumed absent."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(f"unsupported format {fmt}")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def _wav_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "n_samples", "sample_rate", "duration_ms",
+            "mean_amp", "rms_amp", "peak_amp",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, s = decode_wav(bytes(payload))
+            n = len(s)
+            s64 = s.astype("int64")
+            rows["doc_id"].append(doc_id)
+            rows["n_samples"].append(n)
+            rows["sample_rate"].append(rate)
+            rows["duration_ms"].append(float(n) * 1000.0 / rate)
+            # exact integer sums, then one double division — bit-identical
+            # to the oracle's arithmetic
+            rows["mean_amp"].append(int(s64.sum()) / n)
+            rows["rms_amp"].append(math.sqrt(int((s64 * s64).sum()) / n))
+            rows["peak_amp"].append(int(np.abs(s64).max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="int32"),
+                "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                "duration_ms": pd.Series(rows["duration_ms"], dtype="float64"),
+                "mean_amp": pd.Series(rows["mean_amp"], dtype="float64"),
+                "rms_amp": pd.Series(rows["rms_amp"], dtype="float64"),
+                "peak_amp": pd.Series(rows["peak_amp"], dtype="int32"),
+            }
+        )
+
+
+@register(
+    "wav_decode_sample_stats",
+    oracle="""
+WITH geo AS (
+    SELECT doc_id, 64 + doc_id % 33 AS n FROM documents
+),
+s AS (
+    SELECT doc_id, n,
+           list_transform(range(0, n),
+                          i -> (doc_id * 31 + i * 97) % 4001 - 2000) AS smp
+    FROM geo
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS DOUBLE) * 1000.0 / 8000 AS duration_ms,
+       CAST(list_sum(smp) AS DOUBLE) / n AS mean_amp,
+       sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / n)
+           AS rms_amp,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak_amp
+FROM s
+""",
+    tags=("multimodal", "llm", "pandas-udf", "decode", "audio"),
+)
+def wav_decode_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the multimodal seam: binary RIFF/WAVE
+    payloads (PCM16 mono with a junk LIST chunk in the middle) are built
+    per document in one ``mapInPandas`` stage and genuinely parsed — RIFF
+    chunk walk + numpy sample buffer — in a second, emitting duration and
+    amplitude statistics. Both stages are pure maps (no shuffle, runs as
+    wide as the scan at 100 TB); the oracle recomputes the deterministic
+    sample arithmetic relationally, so every decoded amplitude statistic
+    is value-checked. Companion to ``ppm_decode_pixel_stats`` on the
+    image side."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id").mapInPandas(
+        _wav_payload_batches, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(_wav_decode_batches, _WAV_SCHEMA)

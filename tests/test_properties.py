@@ -297,3 +297,41 @@ def test_pq_code_range_and_qerr_positive(spark, sf_dir):
     assert 0 not in {r["vec_id"] for r in topk}
     dists = [r["adc_dist"] for r in topk]
     assert dists == sorted(dists)
+
+
+def test_wav_decode_roundtrip_property():
+    """Property: a synthesized RIFF/WAVE (with unknown chunks of odd and
+    even sizes interleaved) decodes to exactly the original samples, for
+    arbitrary sample vectors (hypothesis)."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fawac_cdc_spark.functions.multimodal import decode_wav
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=1, max_size=200
+        ),
+        junk=st.binary(min_size=0, max_size=9),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(samples, junk, rate):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        pad = b"\x00" if len(junk) % 2 else b""
+        body = (
+            b"WAVE"
+            + b"JUNK" + struct.pack("<I", len(junk)) + junk + pad
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(junk)) + junk + pad
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        drate, ds = decode_wav(payload)
+        assert drate == rate
+        assert list(ds) == samples
+
+    check()
