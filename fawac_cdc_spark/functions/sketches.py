@@ -1,0 +1,266 @@
+"""Mergeable-sketch aggregates (Apache DataSketches, Spark 4 SQL surface).
+
+The 100 TB aggregation story is PARTIAL sketches: per-partition /
+per-day / per-table sketches combine associatively without rescanning
+raw data, so distinct counts, quantiles, set algebra, and heavy hitters
+stay one cheap merge away no matter how much history accumulates.
+Spark 4.1 exposes DataSketches HLL (``operators/aggregates.py``), theta,
+KLL, and an approx-top-k summary; this module covers the latter three.
+
+Verification strategy (the sketch estimate itself cannot hash-match a
+different engine's implementation):
+
+- **exact-mode oracles** — a theta sketch below its nominal-entries
+  capacity is exact, so at fixture cardinality the set-algebra estimates
+  equal DuckDB's exact COUNT(DISTINCT) (documented RSE takes over at
+  scale).
+- **error-bound oracles** — KLL guarantees a RANK error bound; the query
+  outputs the boolean "estimated quantile's true rank is within the
+  bound", which the oracle asserts as TRUE per cell (the same pattern as
+  ``hll_estimate_error_bound``).
+- **tie-proof projections** — top-k COUNT vectors are deterministic even
+  when equal counts make the top-k ITEM set ambiguous, so count-only
+  outputs hash-match exactly.
+
+Reference anchor: the reference logs batch statistics over full columns
+(``fawac.py:456-513`` — A30 distribution stats incl. median); sketches
+are how those statistics survive the jump from 1024-row batches to
+petabyte tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# KLL with the default k=200 has ~1.65% one-sided rank error at 99%
+# confidence; 3% keeps the gate honest and non-flaky at any fixture n.
+KLL_RANK_BOUND = 0.03
+KLL_QUANTILES = (0.25, 0.5, 0.75)
+
+TOPK_K = 5
+TOPK_MAX_TRACKED = 10000  # >= fixture vocab, so tracked counts are exact
+
+
+@register(
+    "kll_quantile_rank_bound",
+    oracle=f"""
+SELECT event_type, q,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS within_bound
+FROM events,
+     (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in KLL_QUANTILES)}]) AS q)
+GROUP BY event_type, q
+ORDER BY event_type, q
+""",
+    tags=("agg", "sketch", "approx", "quantile"),
+)
+def kll_quantile_rank_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches with a driver-checkable accuracy gate.
+
+    Per event_type, a KLL(double) sketch of ``value`` estimates the
+    quartiles; the query then computes each estimate's TRUE rank with a
+    second aggregation over the raw column and asserts it lies within
+    the sketch's documented rank-error bound. KLL's guarantee is on
+    rank, not value, so this is the honest check — and it is exactly
+    what survives at 100 TB, where per-partition KLL sketches merge
+    without reranking raw data. Output carries (event_type, q, n,
+    within_bound); the oracle asserts TRUE per cell."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("kll_events")
+    # the sketch probe requires a foldable rank, so each quantile is its
+    # own literal call, stacked into (q, est_q) rows
+    stack_args = ", ".join(
+        f"CAST({q} AS DOUBLE), kll_sketch_get_quantile_double(sk, {q}D)"
+        for q in KLL_QUANTILES
+    )
+    return spark.sql(
+        f"""
+        WITH sk AS (
+            SELECT event_type,
+                   kll_sketch_agg_double(value) AS sk,
+                   COUNT(*) AS n_events
+            FROM kll_events GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type, n_events,
+                   stack({len(KLL_QUANTILES)}, {stack_args}) AS (q, est_q)
+            FROM sk
+        ),
+        ranked AS (
+            SELECT est.event_type, est.q, est.n_events,
+                   SUM(CASE WHEN ev.value <= est.est_q THEN 1 ELSE 0 END)
+                       / CAST(est.n_events AS DOUBLE) AS true_rank
+            FROM est JOIN kll_events ev ON est.event_type = ev.event_type
+            GROUP BY est.event_type, est.q, est.n_events
+        )
+        SELECT event_type, q, n_events,
+               ABS(true_rank - q) <= {KLL_RANK_BOUND} AS within_bound
+        FROM ranked
+        ORDER BY event_type, q
+        """
+    )
+
+
+@register(
+    "theta_user_set_algebra",
+    # Theta sketches stay in exact mode below their nominal-entries
+    # capacity (4096 by default), so at fixture cardinality every
+    # estimate equals the exact distinct count and the oracle compares
+    # the true set algebra. At scale the estimates carry the documented
+    # ~1.6% RSE; the query shape (sketch once per cohort, then pure
+    # sketch algebra) is what makes cohort overlap O(sketches), not
+    # O(data), at 100 TB.
+    oracle="""
+WITH buyers AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND value >= 40
+),
+signups AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'signup' AND value < 20
+)
+SELECT CAST((SELECT COUNT(*) FROM buyers) AS BIGINT) AS n_buyers,
+       CAST((SELECT COUNT(*) FROM signups) AS BIGINT) AS n_signups,
+       CAST((SELECT COUNT(*) FROM buyers WHERE user_id IN
+             (SELECT user_id FROM signups)) AS BIGINT) AS n_both,
+       CAST((SELECT COUNT(*) FROM (SELECT user_id FROM buyers UNION
+             SELECT user_id FROM signups)) AS BIGINT) AS n_either,
+       CAST((SELECT COUNT(*) FROM buyers WHERE user_id NOT IN
+             (SELECT user_id FROM signups)) AS BIGINT) AS n_buyers_only
+""",
+    tags=("agg", "sketch", "approx", "setops"),
+)
+def theta_user_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over user cohorts: build ONE sketch per
+    cohort (high-value buyers, low-value signups), then answer
+    intersection / union / difference cardinalities purely from the
+    sketches — no joins over raw events, and the sketches themselves
+    merge across days/partitions. This is the mergeable-set-operation
+    counterpart of HLL (which can only union)."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("theta_events")
+    return spark.sql(
+        """
+        WITH a AS (
+            SELECT theta_sketch_agg(user_id) AS sk FROM theta_events
+            WHERE event_type = 'purchase' AND value >= 40
+        ),
+        b AS (
+            SELECT theta_sketch_agg(user_id) AS sk FROM theta_events
+            WHERE event_type = 'signup' AND value < 20
+        )
+        SELECT
+            CAST(theta_sketch_estimate(a.sk) AS BIGINT) AS n_buyers,
+            CAST(theta_sketch_estimate(b.sk) AS BIGINT) AS n_signups,
+            CAST(theta_sketch_estimate(theta_intersection(a.sk, b.sk))
+                 AS BIGINT) AS n_both,
+            CAST(theta_sketch_estimate(theta_union(a.sk, b.sk))
+                 AS BIGINT) AS n_either,
+            CAST(theta_sketch_estimate(theta_difference(a.sk, b.sk))
+                 AS BIGINT) AS n_buyers_only
+        FROM a, b
+        """
+    )
+
+
+@register(
+    "approx_topk_event_types",
+    oracle="""
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+FROM events GROUP BY event_type
+ORDER BY est_count DESC, item LIMIT 3
+""",
+    tags=("agg", "sketch", "approx", "topk"),
+)
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k``: the top-3 event types with
+    their counts. The event-type domain is far below maxItemsTracked, so
+    tracked counts are exact and the oracle compares true counts; at
+    100 TB the same expression degrades gracefully to a bounded-memory
+    frequency summary instead of a full groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("topk_events")
+    return spark.sql(
+        """
+        SELECT t.item, t.count AS est_count
+        FROM (SELECT explode(approx_top_k(event_type, 3)) AS t
+              FROM topk_events)
+        ORDER BY est_count DESC, item
+        """
+    )
+
+
+@register(
+    "topk_sketch_term_counts",
+    # counts-only output: the top-k COUNT vector is deterministic even
+    # where equal counts make the k-th ITEM ambiguous, so the projection
+    # hash-matches the exact oracle without depending on the sketch's
+    # tie order.
+    oracle=f"""
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tc AS (SELECT source, term, COUNT(*) AS n FROM toks GROUP BY source, term),
+rk AS (
+    SELECT source, n,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, term) AS rnk
+    FROM tc
+),
+gc AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term),
+grk AS (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk FROM gc
+)
+SELECT source, CAST(rnk AS INT) AS rnk, CAST(n AS BIGINT) AS est_count
+FROM rk WHERE rnk <= {TOPK_K}
+UNION ALL
+SELECT '__all__' AS source, CAST(rnk AS INT) AS rnk, CAST(n AS BIGINT) AS est_count
+FROM grk WHERE rnk <= {TOPK_K}
+ORDER BY source, rnk
+""",
+    tags=("agg", "sketch", "approx", "topk", "llm"),
+)
+def topk_sketch_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable heavy-hitter pipeline: per-source top-k summaries
+    built with ``approx_top_k_accumulate``, then COMBINED into a global
+    summary with ``approx_top_k_combine`` — the partial-aggregate shape
+    that turns per-day/per-shard vocabulary scans into one sketch merge
+    at 100 TB. Emits the top-5 term-count vectors per source plus the
+    merged '__all__' row; counts only, so the output is tie-proof (the
+    tracked counts are exact below maxItemsTracked)."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("topk_docs")
+    return spark.sql(
+        f"""
+        WITH toks AS (
+            SELECT source, explode(split(text, ' ')) AS term FROM topk_docs
+        ),
+        acc AS (
+            SELECT source,
+                   approx_top_k_accumulate(term, {TOPK_MAX_TRACKED}) AS st
+            FROM toks GROUP BY source
+        ),
+        per_src AS (
+            SELECT source,
+                   posexplode(approx_top_k_estimate(st, {TOPK_K}))
+                       AS (pos, t)
+            FROM acc
+        ),
+        merged AS (
+            SELECT posexplode(approx_top_k_estimate(
+                       approx_top_k_combine(st, {TOPK_MAX_TRACKED}), {TOPK_K}))
+                       AS (pos, t)
+            FROM acc
+        )
+        SELECT source, CAST(pos + 1 AS INT) AS rnk, t.count AS est_count
+        FROM per_src
+        UNION ALL
+        SELECT '__all__' AS source, CAST(pos + 1 AS INT) AS rnk,
+               t.count AS est_count
+        FROM merged
+        ORDER BY source, rnk
+        """
+    )

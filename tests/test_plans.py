@@ -82,6 +82,7 @@ _SCALAR_BROADCAST_OK = {
     "ivfpq_topk_query1",  # 8 centroids assign + 1-row lookup table
     "q11_important_part_value",  # 2x-mean threshold scalar
     "pmi_bigram_collocations",  # corpus token/bigram totals (2 scalars)
+    "theta_user_set_algebra",  # two 1-row cohort sketches joined
 }
 
 
