@@ -666,3 +666,123 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+# --- A35 with event-time timers (transformWithState, round 5) --------------
+
+SESSION_GAP_MIN = 30  # mirror batch_equiv.SESSION_GAP_MIN
+
+SESSION_CLOSE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampNTZType()),
+        T.StructField("session_end", T.TimestampNTZType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def session_close_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Inactivity-closed sessions via ``transformWithStateInPandas`` with
+    EVENT-TIME TIMERS — the reference's episode rollout with early stop
+    (``fawac.py:597-611``, A35) as a push-based stateful operator: a
+    session row is EMITTED the moment the watermark passes
+    ``last_event + gap``, instead of being recomputed by a batch query.
+
+    Per user, a ValueState holds (start, last, n, cents, armed timer);
+    each batch folds its rows in (ts, event_id) order, emitting any
+    sessions already closed by an in-batch gap, then re-arms one timer at
+    ``last + gap`` (the previous timer is deleted — exactly one timer per
+    key). ``handleExpiredTimer`` emits the final session and clears
+    state; a stale-timer guard ignores expiries that newer events have
+    superseded. State is per-user scalars in the state store (RocksDB —
+    transformWithState keeps state variables in column families), so the
+    operator partitions horizontally like every other keyed pipeline.
+
+    Batch equivalence: ``session_agg_30min_gap`` — every session whose
+    close (last + gap) the final watermark passes is emitted with
+    identical aggregates (tests/test_streaming.py pins it).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_min * 60_000_000
+    gap_ms = gap_min * 60_000
+
+    def _emit(user_id, start_us, last_us, n, cents):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": pd.Series([n], dtype="int64"),
+                "total_value": pd.Series([cents / 100.0], dtype="float64"),
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._state = handle.getValueState(
+                "sess",
+                "start_us bigint, last_us bigint, n bigint, cents bigint, "
+                "timer_ms bigint",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                start_us, last_us, n, cents, timer_ms = self._state.get()
+            else:
+                start_us = last_us = timer_ms = None
+                n = cents = 0
+            frames = [pdf[["ts_ltz", "event_id", "value"]] for pdf in rows]
+            pdf = pd.concat(frames).sort_values(["ts_ltz", "event_id"])
+            closed = []
+            for ts, v in zip(pdf["ts_ltz"], pdf["value"]):
+                t_us = ts.value // 1000
+                if start_us is None:
+                    start_us, last_us = t_us, t_us
+                elif t_us > last_us + gap_us:
+                    closed.append((start_us, last_us, n, cents))
+                    start_us, last_us, n, cents = t_us, t_us, 0, 0
+                n += 1
+                cents += _money_cents(v)
+                last_us = max(last_us, t_us)
+            if timer_ms is not None:
+                self._h.deleteTimer(timer_ms)
+            new_timer = last_us // 1000 + gap_ms
+            self._h.registerTimer(new_timer)
+            self._state.update((start_us, last_us, n, cents, new_timer))
+            for s in closed:
+                yield _emit(user_id, *s)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._state.exists():
+                return
+            (user_id,) = key
+            start_us, last_us, n, cents, _ = self._state.get()
+            # stale-timer guard: only the timer matching the CURRENT
+            # session end may close it
+            if expiredTimerInfo.getExpiryTimeInMs() >= last_us // 1000 + gap_ms:
+                self._state.clear()
+                yield _emit(user_id, start_us, last_us, n, cents)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        _with_event_time(events)
+        .withWatermark("ts_ltz", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=SESSION_CLOSE_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -611,3 +611,69 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert pd.to_datetime(row["hour"]) == pd.Timestamp(base)
     assert row["n"] == 2
     assert row["total_value"] == pytest.approx(15.0)
+
+
+def test_session_close_stream_matches_batch_sessions(spark, chunk_dir, tmp_path):
+    """The event-time-timer sessionizer must emit exactly the sessions the
+    batch gap-sessionization computes, for every session the final
+    watermark closes (last_event + gap <= max event time), with identical
+    aggregates."""
+    pytest.importorskip("google.protobuf")
+    from fawac_cdc_spark.registry import all_specs
+    from tests.conftest import SF0001
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        events = cdc.read_event_stream(spark, chunk_dir)
+        q = (
+            cdc.session_close_stream(events)
+            .writeStream.format("memory")
+            .queryName("session_close_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    got = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, total_value "
+        "FROM session_close_out"
+    ).toPandas()
+
+    batch = (
+        all_specs()["session_agg_30min_gap"]
+        .fn(spark, SF0001)
+        .toPandas()
+    )
+    max_ts = pd.read_parquet(f"{SF0001}/events.parquet")["ts"].max()
+    gap = pd.Timedelta(minutes=cdc.SESSION_GAP_MIN)
+    want = batch[pd.to_datetime(batch["session_end"]) + gap <= max_ts][
+        ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    ]
+
+    assert len(got) > 0, "no sessions emitted — timers never fired"
+    key = ["user_id", "session_start"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s), (len(got_s), len(want_s))
+    for col in ("user_id", "n_events"):
+        assert got_s[col].tolist() == want_s[col].tolist(), col
+    for col in ("session_start", "session_end"):
+        assert (
+            pd.to_datetime(got_s[col]).tolist()
+            == pd.to_datetime(want_s[col]).tolist()
+        ), col
+    assert got_s["total_value"].tolist() == pytest.approx(
+        want_s["total_value"].tolist(), abs=1e-9
+    )
