@@ -786,3 +786,88 @@ def session_close_stream(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> D
             timeMode="eventTime",
         )
     )
+
+
+# --- typed composite state: ListState + MapState (round 5) -----------------
+
+PROFILE_TOP_K = 3
+
+PROFILE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("upd_seq", T.LongType()),
+        T.StructField("top_purchases", T.ArrayType(T.DoubleType())),
+        T.StructField("n_types", T.IntegerType()),
+        T.StructField("n_total", T.LongType()),
+    ]
+)
+
+
+def stateful_user_profile_stream(events: DataFrame) -> DataFrame:
+    """Running per-user profile on ``transformWithStateInPandas`` with
+    TYPED COMPOSITE STATE — the state-variable surface beyond a single
+    value: a ListState holds the running top-{PROFILE_TOP_K} purchase
+    values, a MapState counts events per type, and a ValueState numbers
+    the emissions so consumers can identify the newest row in update
+    mode. Each state variable lives in its own RocksDB column family and
+    partitions by user like every keyed pipeline; the top-k list is
+    bounded, the map is bounded by the event-type domain, so state size
+    is O(1) per user regardless of stream length.
+
+    Batch equivalence: the final emission per user equals the one-shot
+    batch profile (top-k purchase values, distinct type count, total
+    events) — pinned in tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("top_vals", "value double")
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n bigint"
+            )
+            self._seq = handle.getValueState("seq", "upd_seq bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            top = [r[0] for r in self._top.get()] if self._top.exists() else []
+            for pdf in rows:
+                for et, v in zip(pdf["event_type"], pdf["value"]):
+                    cur = (
+                        self._counts.getValue((et,))[0]
+                        if self._counts.containsKey((et,))
+                        else 0
+                    )
+                    self._counts.updateValue((et,), (cur + 1,))
+                    if et == "purchase":
+                        top.append(float(v))
+            top = sorted(top, reverse=True)[:PROFILE_TOP_K]
+            self._top.put([(v,) for v in top])
+            n_types, n_total = 0, 0
+            for _, (n,) in self._counts.iterator():
+                n_types += 1
+                n_total += n
+            seq = (self._seq.get()[0] if self._seq.exists() else 0) + 1
+            self._seq.update((seq,))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id], dtype="int64"),
+                    "upd_seq": pd.Series([seq], dtype="int64"),
+                    "top_purchases": [top],
+                    "n_types": pd.Series([n_types], dtype="int32"),
+                    "n_total": pd.Series([n_total], dtype="int64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

@@ -677,3 +677,59 @@ def test_session_close_stream_matches_batch_sessions(spark, chunk_dir, tmp_path)
     assert got_s["total_value"].tolist() == pytest.approx(
         want_s["total_value"].tolist(), abs=1e-9
     )
+
+
+def test_stateful_profile_stream_matches_batch(spark, chunk_dir, tmp_path):
+    """The composite-state profile operator's NEWEST emission per user
+    (ListState top-k + MapState counts + ValueState seq) must equal the
+    one-shot batch profile."""
+    pytest.importorskip("google.protobuf")
+    from tests.conftest import SF0001
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        events = cdc.read_event_stream(spark, chunk_dir)
+        q = (
+            cdc.stateful_user_profile_stream(events)
+            .writeStream.format("memory")
+            .queryName("profile_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "prof_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    out = spark.sql("SELECT * FROM profile_out").toPandas()
+    latest = out.loc[out.groupby("user_id")["upd_seq"].idxmax()]
+    got = {
+        int(r["user_id"]): (
+            [round(v, 2) for v in r["top_purchases"]],
+            int(r["n_types"]),
+            int(r["n_total"]),
+        )
+        for _, r in latest.iterrows()
+    }
+
+    e = pd.read_parquet(f"{SF0001}/events.parquet")
+    want = {}
+    for uid, g in e.groupby("user_id"):
+        tops = sorted(
+            g[g["event_type"] == "purchase"]["value"].tolist(), reverse=True
+        )[: cdc.PROFILE_TOP_K]
+        want[int(uid)] = (
+            [round(v, 2) for v in tops],
+            g["event_type"].nunique(),
+            len(g),
+        )
+    assert got == want
