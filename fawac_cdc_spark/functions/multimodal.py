@@ -3,11 +3,14 @@
 Treats non-text modalities as opaque ``binary`` payloads with typed
 metadata riding alongside (the documents⋈embeddings join is the
 text+vector multimodal row). The decode/feature-extract stage is the
-Spark-side plumbing that a real pipeline would run through
-``mapInPandas`` — schema, batch iteration, and partitioning are real;
-the actual image/audio decoding is STUBBED (the codec libraries are not
-in this container) behind a deterministic byte-level feature extractor,
-clearly marked below.
+Spark-side plumbing a real pipeline would run through ``mapInPandas``.
+Formats with a parseable-in-stdlib container are REALLY decoded:
+P6 PPM images (``decode_ppm``), concatenated-P6 frame streams
+(``decode_ppm_stream`` — demux + frame sampling), RIFF/WAVE PCM audio
+(``decode_wav``), plus a real nearest-neighbor resize — each with
+oracle-checked output statistics. Only the codec-library formats
+(JPEG/MP4/...) remain stubbed behind a deterministic byte-level feature
+extractor, clearly marked below; their Arrow plumbing is identical.
 """
 
 from __future__ import annotations
@@ -398,16 +401,13 @@ def _ppm_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
-def decode_ppm(payload: bytes):
-    """Minimal but GENERIC P6 parser: magic, whitespace/comment-tolerant
-    header (width, height, maxval), then the raw RGB raster. Returns
-    (width, height, ndarray[h, w, 3] uint8). Raises on malformed input —
-    this is a real decoder, not a lookup of known geometry."""
-    import numpy as np
-
-    if payload[:2] != b"P6":
+def _parse_ppm_header(payload: bytes, pos: int = 0):
+    """Parse one P6 header starting at ``pos``: magic,
+    whitespace/comment-tolerant (width, height, maxval). Returns
+    (w, h, maxval, raster_offset)."""
+    if payload[pos : pos + 2] != b"P6":
         raise ValueError("not a P6 PPM")
-    pos, vals = 2, []
+    pos, vals = pos + 2, []
     while len(vals) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -423,8 +423,38 @@ def decode_ppm(payload: bytes):
     w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    return w, h, maxval, pos
+
+
+def decode_ppm(payload: bytes):
+    """Minimal but GENERIC P6 parser: magic, whitespace/comment-tolerant
+    header (width, height, maxval), then the raw RGB raster. Returns
+    (width, height, ndarray[h, w, 3] uint8). Raises on malformed input —
+    this is a real decoder, not a lookup of known geometry."""
+    import numpy as np
+
+    w, h, _, pos = _parse_ppm_header(payload)
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, raster.reshape(h, w, 3)
+
+
+def decode_ppm_stream(payload: bytes):
+    """Demux a concatenated-P6 stream (the simplest real video container:
+    frames back to back, each with its own header). Yields
+    (frame_idx, w, h, ndarray[h, w, 3]) until the payload is exhausted —
+    a real demuxer walking header-declared frame sizes, not a fixed-size
+    splitter."""
+    import numpy as np
+
+    pos, idx = 0, 0
+    while pos < len(payload):
+        w, h, _, off = _parse_ppm_header(payload, pos)
+        end = off + w * h * 3
+        if end > len(payload):
+            raise ValueError(f"truncated frame {idx}")
+        raster = np.frombuffer(payload[off:end], dtype=np.uint8)
+        yield idx, w, h, raster.reshape(h, w, 3)
+        pos, idx = end, idx + 1
 
 
 def _ppm_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -626,3 +656,167 @@ def wav_decode_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _wav_payload_batches, "doc_id long, payload binary"
     )
     return payloads.mapInPandas(_wav_decode_batches, _WAV_SCHEMA)
+
+
+# --- real demux + frame sampling, real resize (round 5) --------------------
+
+FRAME_STRIDE = 2  # sample every 2nd frame
+RESIZE_TO = 4  # resize decoded images to RESIZE_TO x RESIZE_TO
+
+
+def _ppm_stream_payload_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Synthesize a concatenated-P6 'video' per document: 4 + doc_id % 5
+    frames of w = 6 + doc_id % 3, h = 4 + doc_id % 2; frame f pixel byte
+    i = (doc_id*7 + f*11 + i*13) % 256."""
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            nf, w, h = 4 + d % 5, 6 + d % 3, 4 + d % 2
+            chunks = []
+            for f in range(nf):
+                raster = bytes(
+                    (d * 7 + f * 11 + i * 13) % 256 for i in range(w * h * 3)
+                )
+                chunks.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
+            payloads.append(b"".join(chunks))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _ppm_stream_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc, fidx, width, height, mean = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for idx, w, h, px in decode_ppm_stream(bytes(payload)):
+                if idx % FRAME_STRIDE:
+                    continue
+                doc.append(doc_id)
+                fidx.append(idx)
+                width.append(w)
+                height.append(h)
+                mean.append(int(px.astype("int64").sum()) / (w * h * 3))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int32"),
+                "width": pd.Series(width, dtype="int32"),
+                "height": pd.Series(height, dtype="int32"),
+                "mean_byte": pd.Series(mean, dtype="float64"),
+            }
+        )
+
+
+@register(
+    "ppm_stream_frame_stats",
+    oracle=f"""
+WITH geo AS (
+    SELECT doc_id, 4 + doc_id % 5 AS nf, 6 + doc_id % 3 AS w,
+           4 + doc_id % 2 AS h
+    FROM documents
+),
+frames AS (
+    SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM geo
+)
+SELECT doc_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, w * h * 3),
+            i -> (doc_id * 7 + f * 11 + i * 13) % 256)) AS DOUBLE)
+           / (w * h * 3) AS mean_byte
+FROM frames
+WHERE f % {FRAME_STRIDE} = 0
+""",
+    tags=("multimodal", "llm", "pandas-udf", "decode", "video"),
+)
+def ppm_stream_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling through the multimodal seam — upgrades the
+    byte-probe stub (``multimodal_frame_sample``) to an actual demuxer:
+    each document carries a concatenated-P6 stream (the simplest real
+    video container), ``decode_ppm_stream`` walks header-declared frame
+    boundaries, every {FRAME_STRIDE}nd frame is decoded and its mean
+    pixel byte computed. 1:k expansion as a pure map — no shuffle, runs
+    as wide as the scan; the oracle recomputes the deterministic frame
+    arithmetic relationally."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id").mapInPandas(
+        _ppm_stream_payload_batches, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _ppm_stream_decode_batches,
+        "doc_id long, frame_idx int, width int, height int, mean_byte double",
+    )
+
+
+def _ppm_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    t = RESIZE_TO
+    for pdf in batches:
+        doc, mr, mg, mb = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_ppm(bytes(payload))
+            # nearest-neighbor: target (x, y) <- source (x*w//t, y*h//t)
+            xs = (np.arange(t) * w) // t
+            ys = (np.arange(t) * h) // t
+            small = px[np.ix_(ys, xs)].astype("int64")
+            chan = small.reshape(-1, 3).sum(axis=0)
+            doc.append(doc_id)
+            mr.append(chan[0] / (t * t))
+            mg.append(chan[1] / (t * t))
+            mb.append(chan[2] / (t * t))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "mean_r": pd.Series(mr, dtype="float64"),
+                "mean_g": pd.Series(mg, dtype="float64"),
+                "mean_b": pd.Series(mb, dtype="float64"),
+            }
+        )
+
+
+@register(
+    "ppm_resize_pixel_stats",
+    oracle=f"""
+WITH geo AS (
+    SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+),
+tgt AS (
+    SELECT doc_id, w, h,
+           ((y.y * h) // {RESIZE_TO}) * w + ((x.x * w) // {RESIZE_TO}) AS p
+    FROM geo,
+         (SELECT unnest(range(0, {RESIZE_TO})) AS x) x,
+         (SELECT unnest(range(0, {RESIZE_TO})) AS y) y
+)
+SELECT doc_id,
+       CAST(SUM((doc_id * 7 + (3 * p + 0) * 13) % 256) AS DOUBLE)
+           / {RESIZE_TO * RESIZE_TO} AS mean_r,
+       CAST(SUM((doc_id * 7 + (3 * p + 1) * 13) % 256) AS DOUBLE)
+           / {RESIZE_TO * RESIZE_TO} AS mean_g,
+       CAST(SUM((doc_id * 7 + (3 * p + 2) * 13) % 256) AS DOUBLE)
+           / {RESIZE_TO * RESIZE_TO} AS mean_b
+FROM tgt
+GROUP BY doc_id
+""",
+    tags=("multimodal", "llm", "pandas-udf", "decode", "resize"),
+)
+def ppm_resize_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the multimodal seam — upgrades the
+    byte-probe stub (``multimodal_resize_grid``): the P6 payload is
+    genuinely decoded, nearest-neighbor-resampled to
+    {RESIZE_TO}×{RESIZE_TO} with integer index math
+    (src = (dst * src_dim) // {RESIZE_TO}), and the resized image's
+    per-channel means are emitted. Pure map; the oracle replays the
+    same index arithmetic relationally, so every resampled pixel is
+    value-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id").mapInPandas(
+        _ppm_payload_batches, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _ppm_resize_batches, "doc_id long, mean_r double, mean_g double, mean_b double"
+    )

@@ -55,14 +55,14 @@ _QUERY_MODULES = [
 # purchase_click_left_pairs) + 5 re-checks (lang_id_heuristic, whose
 # oracle became value-checked in r4 after its last window appearance, and
 # the 4 rows-only-by-design queries whose no_oracle rows are the driver's
-# run evidence) + 26 sentinels, at least one per module family, sampled
-# across the r1-r4 windows.  1 + 18 + 5 + 26 = 50.  Everything
+# run evidence) + 24 sentinels, at least one per module family, sampled
+# across the r1-r4 windows.  1 + 20 + 5 + 24 = 50.  Everything
 # outside the window stays covered by tools/parity.py +
 # tests/test_oracle_parity.py.
 _PRIORITY = [
     # flagship first — same query as __spark_entry__.entry()'s smoke check.
     "flagship_revenue_by_nation_month",
-    # Never driver-checked (18): round-5 additions + r4 backlog.
+    # Never driver-checked (20): round-5 additions + r4 backlog.
     "q5_local_supplier_revenue",
     "q9_product_type_profit",
     "q11_important_part_value",
@@ -74,6 +74,8 @@ _PRIORITY = [
     "cc_star_survivors",
     "leakage_safe_split_counts",
     "wav_decode_sample_stats",
+    "ppm_stream_frame_stats",
+    "ppm_resize_pixel_stats",
     "kll_quantile_rank_bound",
     "theta_user_set_algebra",
     "approx_topk_event_types",
@@ -87,7 +89,7 @@ _PRIORITY = [
     "approx_stats_lineitem",
     "seeded_batch_sample_1024",
     "stratified_sample_events",
-    # Sentinels (26): every module family, sampled across r1-r4 windows.
+    # Sentinels (24): every module family, sampled across r1-r4 windows.
     "case_when_order_priority",
     "q7_volume_shipping",
     "pricing_summary",
@@ -101,12 +103,10 @@ _PRIORITY = [
     "traindata_end_to_end",
     "dataset_hash_split",
     "ivfpq_topk_query1",
-    "kmeans_refined_ivf_cells",
     "llm_corpus_pipeline",
     "minhash_lsh_candidates",
     "benchmark_decontam_flags",
     "ppm_decode_pixel_stats",
-    "mlp_inference_scores",
     "metrics_sink_roundtrip",
     "npz_scan_events_agg",
     "cdc_latest_state_per_user",
