@@ -331,3 +331,36 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("k_sum"),
         F.max("k").alias("k_max"),
     )
+
+
+@register(
+    "listagg_status_profile",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("scalar", "agg", "string"),
+)
+def listagg_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via Spark 4's ANSI ``LISTAGG ... WITHIN
+    GROUP`` — the deterministic (explicitly ordered, DISTINCT) form, so
+    the concatenated value is reproducible across partitionings and
+    engines; the unordered variant would be nondeterministic under
+    parallel aggregation and could never hash-match."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               COUNT(*) AS n_orders
+        FROM listagg_orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
