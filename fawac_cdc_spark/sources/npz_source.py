@@ -93,6 +93,9 @@ class NpzDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return NpzDataSourceArrowWriter(schema, self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return NpzStreamArrowWriter(schema, self.options)
+
 
 def _npz_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize events as a dict-of-arrays archive (the reference's
@@ -271,3 +274,76 @@ def npz_write_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(money("value")).cast("double").alias("total_value"),
     )
+
+
+# --- Python DataSource STREAMING writer (round 5) --------------------------
+#
+# The streaming half of the connector: each micro-batch stages shards on
+# the executors, and the driver-side commit(batchId) renames them into a
+# batch-scoped directory and appends one line to a stream manifest.  The
+# batchId in the manifest makes replays idempotent (a re-committed batch
+# replaces its own entry, never duplicates it) — exactly-once on top of
+# at-least-once task execution, the same contract a Kafka/Delta sink
+# implements.
+
+from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+
+class NpzStreamArrowWriter(DataSourceStreamArrowWriter):
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        self.columns = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+
+        batches = list(iterator)
+        n = sum(b.num_rows for b in batches)
+        if n == 0:
+            return _NpzShardCommit(staged=None, n_rows=0)
+        tbl = pa.Table.from_batches(batches)
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}.npz")
+        cols = {}
+        for c in self.columns:
+            arr = tbl.column(c).to_numpy(zero_copy_only=False)
+            if arr.dtype == object:
+                arr = arr.astype("U")
+            cols[c] = arr
+        np.savez(staged, **cols)
+        return _NpzShardCommit(staged=staged, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        shards = [m for m in messages if m is not None and m.staged]
+        batch_dir = os.path.join(self.path, f"batch-{batchId:05d}")
+        os.makedirs(batch_dir, exist_ok=True)
+        names = []
+        for i, m in enumerate(sorted(shards, key=lambda m: m.staged)):
+            name = f"part-{i:05d}.npz"
+            os.replace(m.staged, os.path.join(batch_dir, name))
+            names.append(name)
+        manifest = os.path.join(self.path, "_STREAM_MANIFEST.json")
+        log = {}
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                log = json.load(f)
+        # idempotent replay: a batch re-commit replaces its own entry
+        log[str(batchId)] = {
+            "dir": f"batch-{batchId:05d}",
+            "shards": names,
+            "n_rows": sum(m.n_rows for m in shards),
+        }
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)

@@ -733,3 +733,42 @@ def test_stateful_profile_stream_matches_batch(spark, chunk_dir, tmp_path):
             len(g),
         )
     assert got == want
+
+
+def test_npz_stream_sink_writes_all_events_exactly_once(spark, chunk_dir, tmp_path):
+    """Streaming the CDC feed into the custom npz stream sink must land
+    every event exactly once across the per-batch shard directories, with
+    the stream manifest accounting for all rows."""
+    import glob
+    import json
+
+    import numpy as np
+
+    from fawac_cdc_spark.sources.npz_source import NpzDataSource
+    from tests.conftest import SF0001
+
+    spark.dataSource.register(NpzDataSource)
+    out = str(tmp_path / "npz_stream_sink")
+    events = cdc.read_event_stream(spark, chunk_dir)
+    q = (
+        events.select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("d4rl_npz")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "npz_sink_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    with open(f"{out}/_STREAM_MANIFEST.json") as f:
+        manifest = json.load(f)
+    got_ids = []
+    n_manifest = 0
+    for entry in manifest.values():
+        n_manifest += entry["n_rows"]
+        for shard in entry["shards"]:
+            with np.load(f"{out}/{entry['dir']}/{shard}", allow_pickle=False) as d:
+                got_ids.extend(d["event_id"].tolist())
+    want = pd.read_parquet(f"{SF0001}/events.parquet")
+    assert n_manifest == len(want)
+    assert sorted(got_ids) == sorted(want["event_id"].tolist())
