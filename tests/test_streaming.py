@@ -772,3 +772,64 @@ def test_npz_stream_sink_writes_all_events_exactly_once(spark, chunk_dir, tmp_pa
     want = pd.read_parquet(f"{SF0001}/events.parquet")
     assert n_manifest == len(want)
     assert sorted(got_ids) == sorted(want["event_id"].tolist())
+
+
+def test_npz_stream_reader_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    """The npz streaming READER must deliver each batch directory exactly
+    once across separate availableNow runs sharing a checkpoint: run 1
+    reads the initial batches, new batches land, run 2 reads ONLY those."""
+    import numpy as np
+
+    from fawac_cdc_spark.sources.npz_source import NpzDataSource
+    from tests.conftest import SF0001
+
+    spark.dataSource.register(NpzDataSource)
+    src = tmp_path / "npz_feed"
+    src.mkdir()
+    events = pd.read_parquet(f"{SF0001}/events.parquet")[
+        ["event_id", "user_id", "event_type", "value"]
+    ]
+
+    def write_batch(i, lo, hi):
+        d = src / f"batch-{i:05d}"
+        d.mkdir()
+        part = events.iloc[lo:hi]
+        np.savez(
+            d / "part-00000.npz",
+            event_id=part["event_id"].to_numpy("int64"),
+            user_id=part["user_id"].to_numpy("int64"),
+            event_type=part["event_type"].to_numpy("U"),
+            value=part["value"].to_numpy("float64"),
+        )
+
+    out = str(tmp_path / "npz_read_out")
+    ckpt = str(tmp_path / "npz_read_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("d4rl_npz")
+            .schema(
+                "event_id bigint, user_id bigint, event_type string, value double"
+            )
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    n = len(events)
+    write_batch(0, 0, 400)
+    write_batch(1, 400, 700)
+    run_once()
+    got1 = pd.read_parquet(out)
+    assert sorted(got1["event_id"]) == sorted(events["event_id"][:700])
+
+    write_batch(2, 700, n)
+    run_once()
+    got2 = pd.read_parquet(out)
+    # every event exactly once: nothing re-read, nothing skipped
+    assert sorted(got2["event_id"]) == sorted(events["event_id"])
