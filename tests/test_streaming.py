@@ -833,3 +833,87 @@ def test_npz_stream_reader_resumes_from_checkpoint_exactly_once(spark, tmp_path)
     got2 = pd.read_parquet(out)
     # every event exactly once: nothing re-read, nothing skipped
     assert sorted(got2["event_id"]) == sorted(events["event_id"])
+
+
+def test_watermark_drops_late_events_in_append_rollup(spark, tmp_path):
+    """Late-data contract: once the watermark has FINALIZED a window (its
+    state emitted and evicted at the end of an earlier batch), a late
+    event for that window is guaranteed dropped — the finalized row is
+    never re-emitted or amended in append mode. (Within the same batch
+    where the watermark crosses, Spark's drop is best-effort only, so the
+    late arrival here lands in a later batch.) Pins the semantics the
+    100 TB CDC pipeline relies on to bound state."""
+    import os
+    import time
+
+    feed = tmp_path / "late_feed"
+    feed.mkdir()
+    scratch = tmp_path / "late_scratch"
+    schema = cdc.EVENT_STREAM_SCHEMA
+
+    def ts(h, m=0):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    def write_chunk(name, rows, mtime):
+        d = scratch / name
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(str(d))
+        (part,) = sorted(d.rglob("part-*.parquet"))
+        dest = feed / name
+        dest.write_bytes(part.read_bytes())
+        os.utime(dest, (mtime, mtime))
+
+    base = time.time() - 3600
+    # batch 1: three events in hour 0, one in hour 5 — at the end of this
+    # batch the watermark reaches 04:50, so hour 0 finalizes (emit+evict)
+    write_chunk(
+        "c1.parquet",
+        [
+            (1, ts(0, 10), 1, "click", 1.0, None),
+            (2, ts(0, 20), 2, "click", 1.0, None),
+            (3, ts(0, 40), 3, "click", 1.0, None),
+            (4, ts(5, 0), 4, "click", 1.0, None),
+        ],
+        base,
+    )
+    # batch 2: on-time hour-5 event
+    write_chunk(
+        "c2.parquet",
+        [(6, ts(5, 30), 6, "click", 1.0, None)],
+        base + 10,
+    )
+    # batch 3: a LATE event for the long-finalized hour 0 — guaranteed
+    # dropped (its state is gone) — plus an event that advances the
+    # watermark past hour 5 so that window finalizes too
+    write_chunk(
+        "c3.parquet",
+        [
+            (5, ts(0, 50), 5, "click", 1.0, None),  # late -> dropped
+            (7, ts(9, 0), 7, "click", 1.0, None),
+        ],
+        base + 20,
+    )
+
+    events = cdc.read_event_stream(spark, str(feed))
+    stream = cdc.hourly_rollup_stream(events, watermark="10 minutes")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM late_out").toPandas()
+    # exactly one finalized row per window — the late event neither
+    # re-emitted hour 0 nor amended it
+    hours = [pd.Timestamp(h).hour for h in out["hour"]]
+    assert sorted(hours) == [0, 5]
+    got = {
+        (pd.Timestamp(r["hour"]).hour, r["event_type"]): r["n"]
+        for _, r in out.iterrows()
+    }
+    assert got[(0, "click")] == 3
+    assert got[(5, "click")] == 2
