@@ -364,3 +364,44 @@ def listagg_status_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "pipe_syntax_returnflag_profile",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+HAVING COUNT(*) > 10
+ORDER BY l_returnflag
+""",
+    tags=("scalar", "sql", "pipe-syntax"),
+)
+def pipe_syntax_returnflag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operator chaining): the same
+    logical plan as the ANSI form — Catalyst parses pipes into the
+    identical tree, so pushdown/codegen are unchanged — but each stage
+    reads in execution order, which is how exploratory pipelines get
+    written. The oracle is the plain ANSI equivalent, proving the two
+    syntaxes agree to the bit."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_li")
+    return spark.sql(
+        """
+        FROM pipe_li
+        |> WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         AS total_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / COUNT(*) AS avg_price
+           GROUP BY l_returnflag
+        |> WHERE n_lines > 10
+        |> SELECT l_returnflag, n_lines, total_qty, avg_price
+        |> ORDER BY l_returnflag
+        """
+    )

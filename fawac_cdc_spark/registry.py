@@ -49,20 +49,20 @@ _QUERY_MODULES = [
 # Registry emission order.  The driver's correctness gate evaluates the
 # FIRST 50 entries in insertion order (verified rounds 1-4: CORRECTNESS_rNN
 # keys == names[:50]), so ordering is part of the verification contract.
-# Round-5 rotation (the closing one): flagship + the 22 queries that have
+# Round-5 rotation (the closing one): flagship + the 23 queries that have
 # never had a driver row (round-5 additions incl. the sketch family, plus
 # the r4 backlog: pq_code_stats, pq_adc_topk_query0,
 # purchase_click_left_pairs) + 5 re-checks (lang_id_heuristic, whose
 # oracle became value-checked in r4 after its last window appearance, and
 # the 4 rows-only-by-design queries whose no_oracle rows are the driver's
-# run evidence) + 22 sentinels, at least one per module family, sampled
-# across the r1-r4 windows.  1 + 22 + 5 + 22 = 50.  Everything
+# run evidence) + 21 sentinels, at least one per module family (flagship covers relational), sampled
+# across the r1-r4 windows.  1 + 23 + 5 + 21 = 50.  Everything
 # outside the window stays covered by tools/parity.py +
 # tests/test_oracle_parity.py.
 _PRIORITY = [
     # flagship first — same query as __spark_entry__.entry()'s smoke check.
     "flagship_revenue_by_nation_month",
-    # Never driver-checked (22): round-5 additions + r4 backlog.
+    # Never driver-checked (23): round-5 additions + r4 backlog.
     "q5_local_supplier_revenue",
     "q9_product_type_profit",
     "q11_important_part_value",
@@ -85,14 +85,14 @@ _PRIORITY = [
     "pq_code_stats",
     "pq_adc_topk_query0",
     "purchase_click_left_pairs",
+    "pipe_syntax_returnflag_profile",
     # Re-checks (5): upgraded oracle + the rows-only-by-design set.
     "lang_id_heuristic",
     "hll_user_sketch_rollup",
     "approx_stats_lineitem",
     "seeded_batch_sample_1024",
     "stratified_sample_events",
-    # Sentinels (22): every module family, sampled across r1-r4 windows.
-    "case_when_order_priority",
+    # Sentinels (21): every module family, sampled across r1-r4 windows.
     "q7_volume_shipping",
     "pricing_summary",
     "salted_user_event_totals",
