@@ -26,6 +26,13 @@ def get_spark(app_name: str = "fawac-cdc-spark", *, cpus: int | None = None) -> 
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory target instead of maximizing parallelism:
+        # iterative loops (connected components) otherwise run every tiny
+        # per-round shuffle at full session width and pay ~2.5x wall
+        # clock in task overhead (measured at sf0.1); scans/joins still
+        # fan out by size.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
