@@ -96,8 +96,8 @@ class NpzDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool):
         return NpzStreamArrowWriter(schema, self.options)
 
-    def simpleStreamReader(self, schema):
-        return NpzSimpleStreamReader(schema, self.options)
+    def streamReader(self, schema):
+        return NpzStreamReader(schema, self.options)
 
 
 def _npz_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -355,18 +355,19 @@ class NpzStreamArrowWriter(DataSourceStreamArrowWriter):
 # --- Python DataSource STREAMING reader (round 5) --------------------------
 #
 # The last quadrant of the connector matrix (batch/stream x read/write):
-# tail a sharded npz directory as a stream.  The offset is the sorted
-# batch-directory watermark, so each micro-batch reads exactly the
-# directories that appeared since the last committed offset — restart
-# from a checkpoint resumes without re-reading or skipping (the
-# replayability contract `readBetweenOffsets` backs).  Simple (driver)
-# reader by design at fixture scale; the partition-reader upgrade simply
-# maps each new shard to an InputPartition like the batch reader.
+# tail a sharded npz directory as a stream, fully PARTITIONED — the
+# driver only lists batch directories (the offset is the count of the
+# sorted, monotonically named `batch-NNNNN` dirs the idempotent sink
+# commits); every shard in the admitted range becomes an InputPartition
+# whose Arrow read runs on the executors, exactly like the batch scan.
+# A checkpoint restart replays `partitions(start, end)` for the
+# committed-but-unprocessed range, so delivery is exactly-once without
+# any driver-side row buffering.
 
-from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.datasource import DataSourceStreamReader
 
 
-class NpzSimpleStreamReader(SimpleDataSourceStreamReader):
+class NpzStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         self.path = options["path"]
         self.columns = [f.name for f in schema.fields]
@@ -381,35 +382,31 @@ class NpzSimpleStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"seen": []}
+        return {"idx": 0}
 
-    def _rows_for(self, dirs):
+    def latestOffset(self) -> dict:
+        return {"idx": len(self._batch_dirs())}
+
+    def partitions(self, start: dict, end: dict):
+        import glob
+
+        parts = []
+        for d in self._batch_dirs()[start["idx"] : end["idx"]]:
+            parts.extend(
+                _ShardPartition(p)
+                for p in sorted(
+                    glob.glob(os.path.join(self.path, d, "part-*.npz"))
+                )
+            )
+        return parts
+
+    def read(self, partition: _ShardPartition):
         import numpy as np
+        import pyarrow as pa
 
-        for d in dirs:
-            import glob
-
-            for shard in sorted(
-                glob.glob(os.path.join(self.path, d, "part-*.npz"))
-            ):
-                with np.load(shard, allow_pickle=False) as data:
-                    cols = [data[c] for c in self.columns]
-                    for i in range(len(cols[0])):
-                        yield tuple(c[i].item() for c in cols)
-
-    def read(self, start: dict):
-        seen = set(start.get("seen", []))
-        now = self._batch_dirs()
-        new = [d for d in now if d not in seen]
-        # a LIST, not a generator: the engine caches the batch's rows for
-        # replay-on-failure, which requires a picklable sequence
-        return list(self._rows_for(new)), {"seen": now}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        seen = set(start.get("seen", []))
-        return list(
-            self._rows_for([d for d in end.get("seen", []) if d not in seen])
-        )
+        with np.load(partition.path, allow_pickle=False) as data:
+            arrays = [pa.array(data[c]) for c in self.columns]
+        yield pa.RecordBatch.from_arrays(arrays, names=self.columns)
 
     def commit(self, end: dict) -> None:
         pass
