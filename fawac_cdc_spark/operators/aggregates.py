@@ -623,3 +623,43 @@ def salted_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "hour_bitmap_user_activity",
+    oracle="""
+WITH bm AS (
+    SELECT user_id,
+           bit_or(CAST(1 AS BIGINT) << EXTRACT(hour FROM ts)) AS hour_bits
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(hour_bits AS BIGINT) AS hour_bits,
+       CAST(bit_count(hour_bits) AS INT) AS n_active_hours
+FROM bm
+ORDER BY user_id
+""",
+    tags=("agg", "bitwise"),
+)
+def hour_bitmap_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregation: one 24-bit activity bitmap per user
+    (``bit_or`` of ``1 << hour``), plus its popcount. Bitmaps are the
+    compact mergeable representation for presence-style rollups at
+    100 TB — per-day bitmaps OR together across partitions and periods
+    in constant space per key, and membership questions become bit
+    tests instead of joins."""
+    e = load_table(spark, sf_dir, "events")
+    # shiftleft's Python signature wants a literal shift; the column-shift
+    # form is SQL-only
+    bits = F.expr("shiftleft(CAST(1 AS BIGINT), hour(ts))")
+    return (
+        e.groupBy("user_id")
+        .agg(F.bit_or(bits).alias("hour_bits"))
+        .select(
+            "user_id",
+            "hour_bits",
+            F.bit_count("hour_bits").cast("int").alias("n_active_hours"),
+        )
+        .orderBy("user_id")
+    )
