@@ -31,6 +31,35 @@ PACK_BUDGET = 2048  # tokens per packed sequence
 SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 10  # test gets the rest
 
+# Sequence packing runs its cumulative-sum window per (source, shard), not
+# per source: a real pre-training corpus is power-law over sources (one
+# crawl source is most of the bytes), so a source-only window partition is
+# ONE task sequentially scanning ~all chunk rows at 100 TB — a straggler by
+# construction. Sharding by an md5 bucket of doc_id bounds every window
+# partition to ~1/N of the hottest source while keeping packs doc-contiguous
+# within a shard; the cost is at most one partially-filled pack per shard
+# (boundary waste <= N_PACK_SHARDS * PACK_BUDGET tokens per source, ~0 at
+# corpus scale). The md5 bucket (not Spark's hash()) keeps the shard id
+# engine-portable so the DuckDB oracles replay it exactly.
+N_PACK_SHARDS = 8
+
+
+def _pack_shard_col() -> "F.Column":
+    """Engine-portable shard id: md5(doc_id) first 4 hex digits % N."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % N_PACK_SHARDS
+    )
+
+
+# Same bucket in DuckDB SQL (identical to the dataset_hash_split pattern,
+# which is driver-verified hash-exact against the Spark conv/md5 form).
+PACK_SHARD_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)"
+    f" % {N_PACK_SHARDS}"
+)
+
 
 @register(
     "doc_token_chunks",
@@ -95,41 +124,48 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "packed_sequences",
     oracle=f"""
 WITH t AS (
-    SELECT doc_id, source, len(string_split(text, ' ')) AS ntok
+    SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
+           CAST({PACK_SHARD_SQL} AS INT) AS pack_shard
     FROM documents
 ), seq AS (
-    SELECT source, doc_id, ntok,
-           COALESCE(CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+    SELECT source, pack_shard, doc_id, ntok,
+           COALESCE(CAST(SUM(ntok) OVER (PARTITION BY source, pack_shard
+                         ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     AS BIGINT), 0) AS tok_before
     FROM t
 )
-SELECT source,
+SELECT source, pack_shard,
        CAST(tok_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(ntok) AS BIGINT) AS pack_tokens
 FROM seq
-GROUP BY source, tok_before // {PACK_BUDGET}
+GROUP BY source, pack_shard, tok_before // {PACK_BUDGET}
 """,
     tags=("traindata", "llm", "packing"),
 )
 def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: fill 2048-token training sequences with whole
-    documents per source, in deterministic doc_id order.  The pack id is
-    ``floor(running-tokens-before / budget)`` — one window cumsum + one
-    aggregation, both on the source partition key, so packing a 100 TB
-    corpus is two shuffles on a uniform key (and the window never
-    materializes per-doc state).  Straddling documents overflow their
-    pack (best-effort boundaries), the standard trade against splitting
-    documents mid-sequence."""
+    documents per (source, shard), in deterministic doc_id order.  The
+    pack id is ``floor(running-tokens-before / budget)`` — one window
+    cumsum + one aggregation, both on the (source, pack_shard) key, so
+    packing a 100 TB corpus is two shuffles whose largest task is bounded
+    by the hottest source / N_PACK_SHARDS (see the shard rationale above;
+    a source-only window is a single-task straggler on a power-law
+    corpus).  Straddling documents overflow their pack (best-effort
+    boundaries), the standard trade against splitting documents
+    mid-sequence; shard boundaries waste at most one pack each."""
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
     t = d.select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("ntok")
+        "doc_id",
+        "source",
+        _pack_shard_col().alias("pack_shard"),
+        F.size(F.split("text", " ")).alias("ntok"),
     )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "pack_shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -138,12 +174,12 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pack = (F.col("tok_before") / PACK_BUDGET).cast("long")
     return (
-        seq.groupBy("source", pack.alias("pack_id"))
+        seq.groupBy("source", "pack_shard", pack.alias("pack_id"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("ntok").cast("long").alias("pack_tokens"),
         )
-        .select("source", "pack_id", "n_docs", "pack_tokens")
+        .select("source", "pack_shard", "pack_id", "n_docs", "pack_tokens")
     )
 
 
@@ -362,31 +398,32 @@ from .dedup import SURVIVORS_CTE_SQL, corpus_survivors  # noqa: E402
 WITH {SURVIVORS_CTE_SQL},
 chunks AS (
     SELECT doc_id, source, n_tokens,
+           CAST({PACK_SHARD_SQL} AS INT) AS pack_shard,
            unnest(range(0, CASE WHEN n_tokens <= {CHUNK_WINDOW} THEN 1
                           ELSE ((n_tokens - {CHUNK_WINDOW}) + {CHUNK_STRIDE} - 1)
                                // {CHUNK_STRIDE} + 1 END)) AS chunk_id
     FROM survivors
 ),
 sized AS (
-    SELECT source, doc_id, chunk_id,
+    SELECT source, pack_shard, doc_id, chunk_id,
            least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n_tokens)
                - chunk_id * {CHUNK_STRIDE} AS chunk_tokens
     FROM chunks
 ),
 seq AS (
-    SELECT source, chunk_tokens,
+    SELECT source, pack_shard, chunk_tokens,
            COALESCE(CAST(SUM(chunk_tokens) OVER (
-                PARTITION BY source ORDER BY doc_id, chunk_id
+                PARTITION BY source, pack_shard ORDER BY doc_id, chunk_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS BIGINT), 0) AS tok_before
     FROM sized
 )
-SELECT source,
+SELECT source, pack_shard,
        CAST(tok_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
        CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens
 FROM seq
-GROUP BY source, tok_before // {PACK_BUDGET}
+GROUP BY source, pack_shard, tok_before // {PACK_BUDGET}
 """,
     tags=("traindata", "llm", "pipeline"),
 )
@@ -395,11 +432,14 @@ def traindata_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter → exact dedup → near-dup drop (the ``corpus_survivors`` front
     half shared with llm_corpus_pipeline) → overlapping context-window
     chunking (64/48) → sequence packing into 2048-token budgets per
-    source. Chunk sizes are pure arithmetic on (n_tokens, chunk_id) — no
-    token arrays survive past the dedup stage — so the back half is an
-    explode plus one window cumsum and one aggregation, both partitioned
-    on the uniform source key. This is the query a 100 TB pre-training
-    ingest actually runs end to end."""
+    (source, md5-shard of doc_id). Chunk sizes are pure arithmetic on
+    (n_tokens, chunk_id) — no token arrays survive past the dedup stage —
+    so the back half is an explode plus one window cumsum and one
+    aggregation, both partitioned on (source, pack_shard): sharding keeps
+    a doc's chunks together (the shard hashes doc_id) while bounding the
+    largest window task to ~1/N_PACK_SHARDS of the hottest source, the
+    property a source-only partition lacks on a power-law corpus. This is
+    the query a 100 TB pre-training ingest actually runs end to end."""
     survivors = corpus_survivors(spark, sf_dir)
     n_chunks_sql = (
         f"case when n_tokens <= {CHUNK_WINDOW} then 1 "
@@ -407,12 +447,13 @@ def traindata_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = survivors.select(
         "doc_id", "source", "n_tokens",
+        _pack_shard_col().alias("pack_shard"),
         F.explode(
             F.expr(f"sequence(0, cast({n_chunks_sql} as int) - 1)")
         ).alias("chunk_id"),
     )
     sized = chunks.select(
-        "source", "doc_id", "chunk_id",
+        "source", "pack_shard", "doc_id", "chunk_id",
         (
             F.least(
                 F.col("chunk_id") * CHUNK_STRIDE + CHUNK_WINDOW, F.col("n_tokens")
@@ -423,7 +464,7 @@ def traindata_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "pack_shard")
         .orderBy("doc_id", "chunk_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -432,12 +473,12 @@ def traindata_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pack = (F.col("tok_before") / PACK_BUDGET).cast("long")
     return (
-        seq.groupBy("source", pack.alias("pack_id"))
+        seq.groupBy("source", "pack_shard", pack.alias("pack_id"))
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("chunk_tokens").cast("long").alias("pack_tokens"),
         )
-        .select("source", "pack_id", "n_chunks", "pack_tokens")
+        .select("source", "pack_shard", "pack_id", "n_chunks", "pack_tokens")
     )
 
 

@@ -165,13 +165,31 @@ def test_traindata_map_ops_have_no_shuffle(spark, sf_dir):
 
 
 def test_packing_reuses_source_partitioning(spark, sf_dir):
-    """The pack aggregation groups on (source, pack_id); the window
-    already hash-partitioned by source, which co-locates every (source,
-    pack_id) group — so the plan must contain exactly ONE exchange."""
+    """The pack aggregation groups on (source, pack_shard, pack_id); the
+    window already hash-partitioned by (source, pack_shard), which
+    co-locates every pack group — so the plan must contain exactly ONE
+    exchange."""
     plan = _plan(spark, sf_dir, "packed_sequences")
     # formatted explain prints each node in the tree AND the details
     # section — "Exchange (" matches the tree form only
     assert plan.count("Exchange (") == 1
+
+
+@pytest.mark.parametrize("name", ["packed_sequences", "traindata_end_to_end"])
+def test_packing_window_is_shard_bounded(spark, sf_dir, name):
+    """The cumsum window must partition on (source, pack_shard), never on
+    source alone: a power-law corpus makes a source-only window ONE task
+    scanning most of 100 TB. Assert every window spec in the plan that
+    partitions by source also carries pack_shard."""
+    plan = _plan(spark, sf_dir, name)
+    specs = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition(" in line and "source" in line
+    ]
+    assert specs, f"no window spec found in {name} plan"
+    for line in specs:
+        assert "pack_shard" in line, line
 
 
 def test_vocab_topk_avoids_global_sort(spark, sf_dir):

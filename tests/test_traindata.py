@@ -73,24 +73,43 @@ def test_chunks_cover_every_token(chunk_fn):
         assert covered == set(range(ntok)), f"ntok={ntok}"
 
 
+def _py_pack_shard(doc_id: int) -> int:
+    import hashlib
+
+    from fawac_cdc_spark.functions.traindata import N_PACK_SHARDS
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % N_PACK_SHARDS
+
+
 def test_packing_fills_budget(spark):
-    """Docs of 600 tokens pack ~3-4 per 2048-token budget in id order."""
+    """Shard-aware exact replay: within each (source, pack_shard), docs
+    pack in doc_id order by cumsum-before // budget; totals are lossless."""
     import fawac_cdc_spark.functions.traindata as td
     from unittest import mock
 
-    rows = [(i, "srcA", " ".join(["x"] * 600)) for i in range(10)]
+    ntok = 600
+    rows = [(i, "srcA", " ".join(["x"] * ntok)) for i in range(10)]
     df = _docs(spark, rows)
     with mock.patch.object(td, "load_table", lambda s, d, t: df):
         packs = {
-            r["pack_id"]: (r["n_docs"], r["pack_tokens"])
+            (r["pack_shard"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
             for r in td.packed_sequences(spark, "unused").collect()
         }
-    # cumsum-before thresholds: docs 0-3 (0,600,1200,1800 < 2048*1=2048)
-    # -> pack 0; docs 4-6 (2400,3000,3600 < 4096) -> pack 1; etc.
-    assert packs[0] == (4, 2400)
-    assert packs[1] == (3, 1800)
+    # Python replay of the exact semantics (md5 shard, cumsum-before pack).
+    expected: dict[tuple[int, int], tuple[int, int]] = {}
+    by_shard: dict[int, list[int]] = {}
+    for i in range(10):
+        by_shard.setdefault(_py_pack_shard(i), []).append(i)
+    for shard, ids in by_shard.items():
+        before = 0
+        for _ in sorted(ids):
+            pid = before // td.PACK_BUDGET
+            n, t = expected.get((shard, pid), (0, 0))
+            expected[(shard, pid)] = (n + 1, t + ntok)
+            before += ntok
+    assert packs == expected
     assert sum(n for n, _ in packs.values()) == 10
-    assert sum(t for _, t in packs.values()) == 6000
+    assert sum(t for _, t in packs.values()) == 10 * ntok
 
 
 def test_hash_split_is_deterministic_and_complete(spark, sf_dir):
