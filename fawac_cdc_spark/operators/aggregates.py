@@ -298,6 +298,101 @@ def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_stats_error_bound",
+    # Like hll_estimate_error_bound: the sketch outputs themselves are
+    # engine-specific and can never hash-match DuckDB, but their ERROR
+    # BOUNDS can. The oracle asserts the exact distinct counts plus TRUE
+    # per accuracy cell, so the driver hash passes iff every
+    # approx_count_distinct estimate and every percentile_approx rank
+    # lands within its documented bound. This upgrades the rows-only
+    # approx_stats_lineitem surface to a value-checked one (VERDICT r5
+    # item 3).
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS parts_within_rsd,
+       TRUE AS orders_within_rsd,
+       TRUE AS p50_within_rank_err,
+       TRUE AS p95_within_rank_err
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("m2", "agg", "approx", "sketch"),
+)
+def approx_stats_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level accuracy gate for the approximate-aggregation scale
+    path (the approx_stats_lineitem surface): per l_returnflag,
+
+    - ``approx_count_distinct`` (HLL++, default rsd = 5%) must land
+      within 15% (3σ) of the exact COUNT DISTINCT, and
+    - ``percentile_approx(p, accuracy=10000)`` must return a value whose
+      rank interval [frac_lt, frac_le] brackets the target quantile
+      within eps = 0.005 (the documented guarantee is 1/accuracy = 1e-4;
+      the slack covers tie mass at duplicated prices — the check uses
+      BOTH the strict and inclusive rank so heavy ties cannot fail it
+      spuriously).
+
+    Output carries the exact counts and four boolean verdicts; the
+    estimates themselves are excluded so rows hash identically across
+    sketch implementations. Two scans of lineitem: one combined
+    exact+approx aggregation, one broadcast-joined rank count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("acd_parts"),
+        F.approx_count_distinct("l_orderkey").alias("acd_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+    )
+    ranked = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("exact_parts").alias("exact_parts"),
+            F.first("exact_orders").alias("exact_orders"),
+            F.first("acd_parts").alias("acd_parts"),
+            F.first("acd_orders").alias("acd_orders"),
+            (
+                F.sum((F.col("l_extendedprice") < F.col("p50")).cast("int"))
+                / F.count(F.lit(1))
+            ).alias("frac_lt_p50"),
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("p50")).cast("int"))
+                / F.count(F.lit(1))
+            ).alias("frac_le_p50"),
+            (
+                F.sum((F.col("l_extendedprice") < F.col("p95")).cast("int"))
+                / F.count(F.lit(1))
+            ).alias("frac_lt_p95"),
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("p95")).cast("int"))
+                / F.count(F.lit(1))
+            ).alias("frac_le_p95"),
+        )
+    )
+    rsd_bound = 0.15  # 3 x default rsd (0.05)
+    eps = 0.005  # rank tolerance; guarantee is 1/accuracy = 1e-4
+    within_cd = lambda est, exact: (  # noqa: E731
+        F.abs(F.col(est).cast("double") - F.col(exact)) <= rsd_bound * F.col(exact)
+    )
+    within_rank = lambda q, lt, le: (  # noqa: E731
+        (F.col(lt) <= q + eps) & (F.col(le) >= q - eps)
+    )
+    return ranked.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within_cd("acd_parts", "exact_parts").alias("parts_within_rsd"),
+        within_cd("acd_orders", "exact_orders").alias("orders_within_rsd"),
+        within_rank(0.5, "frac_lt_p50", "frac_le_p50").alias("p50_within_rank_err"),
+        within_rank(0.95, "frac_lt_p95", "frac_le_p95").alias("p95_within_rank_err"),
+    )
+
+
+@register(
     "grouping_sets_mixed",
     oracle="""
 SELECT l_returnflag, l_linestatus,
