@@ -112,6 +112,42 @@ def test_seeded_sample_exact_size_and_deterministic(spark, sf_dir):
     )
 
 
+def test_stratified_sample_fractions_deterministic_exclusive(spark, sf_dir):
+    """Value gates for the rows-only stratified sampler (VERDICT r5 item
+    4): (a) fixed seed -> identical row set, (b) each stratum's observed
+    fraction is within a binomial-plausible band of its requested
+    fraction (exact 1.0 strata must be complete), (c) every sampled row's
+    stratum is one of the requested ones and no row appears twice."""
+    fn = _SPECS["stratified_sample_events"].fn
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.25}
+
+    a = fn(spark, sf_dir).toPandas()
+    b = fn(spark, sf_dir).toPandas()
+    assert sorted(a["event_id"]) == sorted(b["event_id"])  # determinism
+    assert not a.duplicated("event_id").any()  # exclusivity / no resample
+    assert set(a["event_type"]) <= set(fractions)
+
+    totals = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .toPandas()
+        .set_index("event_type")["count"]
+    )
+    got = a.groupby("event_type").size()
+    for stratum, frac in fractions.items():
+        n = int(totals.get(stratum, 0))
+        if n == 0:
+            continue
+        k = int(got.get(stratum, 0))
+        if frac == 1.0:
+            assert k == n, (stratum, k, n)  # fraction 1.0 keeps everything
+        else:
+            # 5-sigma binomial band: p +/- 5*sqrt(p(1-p)/n)
+            tol = 5.0 * (frac * (1 - frac) / n) ** 0.5
+            assert abs(k / n - frac) <= tol, (stratum, k / n, frac, tol)
+
+
 def _load_embeddings(spark, sf_dir):
     from fawac_cdc_spark.catalog import load_table
 
