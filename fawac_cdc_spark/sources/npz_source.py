@@ -38,6 +38,14 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
+class _EmptyPartition(InputPartition):
+    """Placeholder for a committed-but-empty dataset (manifest lists no
+    shards): yields zero rows so the scan still returns an empty frame."""
+
+    def __init__(self):
+        self.empty = True
+
+
 class NpzDataSourceReader(DataSourceReader):
     def __init__(self, schema, options):
         self.path = options["path"]
@@ -45,15 +53,34 @@ class NpzDataSourceReader(DataSourceReader):
 
     def partitions(self):
         import glob
+        import json
 
         import numpy as np
 
         if os.path.isdir(self.path):
-            # sharded layout produced by the writer: one partition/shard
+            # Sharded layout produced by the writer: one partition/shard.
+            # The shard list comes from _MANIFEST.json when present so a
+            # partially populated directory is integrity-checked against
+            # the commit that wrote it (a listed-but-missing shard is an
+            # error, and an all-empty-task write — zero shards — reads as
+            # zero rows instead of "no partitions") (ADVICE r5).
+            manifest = os.path.join(self.path, "_MANIFEST.json")
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    names = json.load(f).get("shards", [])
+                paths = [os.path.join(self.path, n) for n in names]
+                missing = [p for p in paths if not os.path.exists(p)]
+                if missing:
+                    raise FileNotFoundError(
+                        f"_MANIFEST.json lists missing shard(s): {missing}"
+                    )
+                if not paths:
+                    return [_EmptyPartition()]
+                return [_ShardPartition(p) for p in paths]
             return [
                 _ShardPartition(p)
                 for p in sorted(glob.glob(os.path.join(self.path, "part-*.npz")))
-            ]
+            ] or [_EmptyPartition()]
         with np.load(self.path, allow_pickle=False) as data:
             n = len(data[self.columns[0]])
         per = (n + N_SCAN_PARTITIONS - 1) // N_SCAN_PARTITIONS
@@ -67,6 +94,8 @@ class NpzDataSourceReader(DataSourceReader):
         import numpy as np
         import pyarrow as pa
 
+        if isinstance(partition, _EmptyPartition):
+            return
         if isinstance(partition, _ShardPartition):
             with np.load(partition.path, allow_pickle=False) as data:
                 arrays = [pa.array(data[c]) for c in self.columns]
@@ -216,18 +245,51 @@ class NpzDataSourceArrowWriter(DataSourceArrowWriter):
         import json
 
         shards = [m for m in messages if m is not None and m.staged]
+        # tasks only create the dir when they stage rows; an all-empty
+        # write must still commit a (shardless) manifest
+        os.makedirs(self.path, exist_ok=True)
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        prior_names: list[str] = []
+        prior_rows = 0
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "part-*.npz")):
                 os.remove(old)
+        else:
+            # append mode: new shards number AFTER the existing max part
+            # index and the manifest merges, so a second write can never
+            # os.replace over a previously committed shard (ADVICE r5).
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    prior = json.load(f)
+                prior_names = list(prior.get("shards", []))
+                prior_rows = int(prior.get("n_rows", 0))
+            else:
+                prior_names = sorted(
+                    os.path.basename(p)
+                    for p in glob.glob(os.path.join(self.path, "part-*.npz"))
+                )
+        base = (
+            max(
+                (int(n.removeprefix("part-").removesuffix(".npz")) for n in prior_names),
+                default=-1,
+            )
+            + 1
+        )
         names = []
         for i, m in enumerate(sorted(shards, key=lambda m: m.staged)):
-            name = f"part-{i:05d}.npz"
+            name = f"part-{base + i:05d}.npz"
             os.replace(m.staged, os.path.join(self.path, name))
             names.append(name)
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(
-                {"shards": names, "n_rows": sum(m.n_rows for m in shards)}, f
+                {
+                    "shards": prior_names + names,
+                    "n_rows": prior_rows + sum(m.n_rows for m in shards),
+                },
+                f,
             )
+        os.replace(tmp, manifest_path)
 
     def abort(self, messages):
         for m in messages:
@@ -356,13 +418,21 @@ class NpzStreamArrowWriter(DataSourceStreamArrowWriter):
 #
 # The last quadrant of the connector matrix (batch/stream x read/write):
 # tail a sharded npz directory as a stream, fully PARTITIONED — the
-# driver only lists batch directories (the offset is the count of the
-# sorted, monotonically named `batch-NNNNN` dirs the idempotent sink
-# commits); every shard in the admitted range becomes an InputPartition
-# whose Arrow read runs on the executors, exactly like the batch scan.
-# A checkpoint restart replays `partitions(start, end)` for the
+# driver reads only the sink's _STREAM_MANIFEST.json (the offset is the
+# count of contiguously committed batch ids); every shard the manifest
+# lists for the admitted range becomes an InputPartition whose Arrow
+# read runs on the executors, exactly like the batch scan.  A checkpoint
+# restart replays `partitions(start, end)` for the
 # committed-but-unprocessed range, so delivery is exactly-once without
 # any driver-side row buffering.
+#
+# Offsets deliberately do NOT come from listing batch-* directories: the
+# writer creates the batch dir and renames shards into it BEFORE the
+# atomic manifest replace, so a directory listing can observe a
+# half-committed batch (zero or partial shards) and — offsets only
+# advance — permanently skip the missing shards.  The manifest is
+# os.replace'd only after every shard landed, making it the one
+# linearization point a concurrent tailer can trust (ADVICE r5).
 
 from pyspark.sql.datasource import DataSourceStreamReader
 
@@ -372,32 +442,44 @@ class NpzStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self.columns = [f.name for f in schema.fields]
 
-    def _batch_dirs(self) -> list[str]:
-        import glob
+    def _committed(self) -> list[dict]:
+        """Contiguous-from-0 prefix of manifest-committed batches.
 
-        return sorted(
-            os.path.basename(d)
-            for d in glob.glob(os.path.join(self.path, "batch-*"))
-            if os.path.isdir(d)
-        )
+        The sink's batch ids are Structured Streaming micro-batch ids
+        (monotonic from 0; replays rewrite their own entry), so a gap can
+        only mean a concurrent writer mid-commit — admit nothing past it."""
+        import json
+
+        manifest = os.path.join(self.path, "_STREAM_MANIFEST.json")
+        if not os.path.exists(manifest):
+            return []
+        with open(manifest) as f:
+            log = json.load(f)
+        out = []
+        for i in range(len(log)):
+            entry = log.get(str(i))
+            if entry is None:
+                break
+            out.append(entry)
+        return out
 
     def initialOffset(self) -> dict:
         return {"idx": 0}
 
     def latestOffset(self) -> dict:
-        return {"idx": len(self._batch_dirs())}
+        return {"idx": len(self._committed())}
 
     def partitions(self, start: dict, end: dict):
-        import glob
-
         parts = []
-        for d in self._batch_dirs()[start["idx"] : end["idx"]]:
-            parts.extend(
-                _ShardPartition(p)
-                for p in sorted(
-                    glob.glob(os.path.join(self.path, d, "part-*.npz"))
-                )
-            )
+        for entry in self._committed()[start["idx"] : end["idx"]]:
+            for name in entry["shards"]:
+                p = os.path.join(self.path, entry["dir"], name)
+                if not os.path.exists(p):
+                    raise FileNotFoundError(
+                        f"manifest lists shard {p} but it is missing — "
+                        "committed batch directory was mutated externally"
+                    )
+                parts.append(_ShardPartition(p))
         return parts
 
     def read(self, partition: _ShardPartition):

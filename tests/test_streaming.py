@@ -777,7 +777,12 @@ def test_npz_stream_sink_writes_all_events_exactly_once(spark, chunk_dir, tmp_pa
 def test_npz_stream_reader_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     """The npz streaming READER must deliver each batch directory exactly
     once across separate availableNow runs sharing a checkpoint: run 1
-    reads the initial batches, new batches land, run 2 reads ONLY those."""
+    reads the initial batches, new batches land, run 2 reads ONLY those.
+    Batches become visible through _STREAM_MANIFEST.json exactly as the
+    sink commits them (shards first, manifest replace last)."""
+    import json
+    import os
+
     import numpy as np
 
     from fawac_cdc_spark.sources.npz_source import NpzDataSource
@@ -790,7 +795,7 @@ def test_npz_stream_reader_resumes_from_checkpoint_exactly_once(spark, tmp_path)
         ["event_id", "user_id", "event_type", "value"]
     ]
 
-    def write_batch(i, lo, hi):
+    def write_batch(i, lo, hi, commit=True):
         d = src / f"batch-{i:05d}"
         d.mkdir()
         part = events.iloc[lo:hi]
@@ -801,6 +806,21 @@ def test_npz_stream_reader_resumes_from_checkpoint_exactly_once(spark, tmp_path)
             event_type=part["event_type"].to_numpy("U"),
             value=part["value"].to_numpy("float64"),
         )
+        if commit:
+            commit_batch(i, hi - lo)
+
+    def commit_batch(i, n_rows):
+        manifest = src / "_STREAM_MANIFEST.json"
+        log = json.loads(manifest.read_text()) if manifest.exists() else {}
+        log[str(i)] = {
+            "dir": f"batch-{i:05d}",
+            "shards": ["part-00000.npz"],
+            "n_rows": n_rows,
+        }
+        tmp = str(manifest) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(log, f)
+        os.replace(tmp, str(manifest))
 
     out = str(tmp_path / "npz_read_out")
     ckpt = str(tmp_path / "npz_read_ckpt")
@@ -828,7 +848,15 @@ def test_npz_stream_reader_resumes_from_checkpoint_exactly_once(spark, tmp_path)
     got1 = pd.read_parquet(out)
     assert sorted(got1["event_id"]) == sorted(events["event_id"][:700])
 
-    write_batch(2, 700, n)
+    # a HALF-COMMITTED batch (shards on disk, no manifest entry yet) must
+    # be invisible: a directory-listing offset would admit it here and
+    # then permanently skip it (ADVICE r5 medium)
+    write_batch(2, 700, n, commit=False)
+    run_once()
+    got_mid = pd.read_parquet(out)
+    assert sorted(got_mid["event_id"]) == sorted(events["event_id"][:700])
+
+    commit_batch(2, n - 700)
     run_once()
     got2 = pd.read_parquet(out)
     # every event exactly once: nothing re-read, nothing skipped
