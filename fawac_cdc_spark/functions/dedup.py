@@ -963,7 +963,7 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components_star(
-    edges: DataFrame, vertices: DataFrame, max_iter: int = 16
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 16, strict: bool = True
 ) -> tuple[DataFrame, int]:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -990,6 +990,13 @@ def connected_components_star(
     overhead of hundreds of near-empty partitions dominates wall clock
     (measured 2.5× at sf0.1); at 100 TB the same rule scales the width
     back up with the data.
+
+    Exhausting ``max_iter`` without the fingerprint converging means the
+    labels are NOT component labels (edges still span multiple stars) —
+    with ``strict=True`` (default) that raises, because callers like
+    ``cc_star_survivors`` and ``leakage_safe_split_counts`` would
+    silently dedup/split on wrong components; ``strict=False`` downgrades
+    to a warning for exploratory use (ADVICE r5).
     """
 
     def _parts(n_edges: int) -> int:
@@ -1006,7 +1013,10 @@ def connected_components_star(
     )
     fp = _edge_fingerprint(cur)
     rounds = 0
+    converged = fp[0] == 0  # no edges: nothing to contract
     for _ in range(max_iter):
+        if converged:
+            break
         rounds += 1
         # large-star over the symmetric orientation
         sym = cur.unionAll(cur.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -1044,8 +1054,19 @@ def connected_components_star(
         )
         new_fp = _edge_fingerprint(cur)
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        msg = (
+            f"connected_components_star did not converge in {max_iter} rounds "
+            f"({fp[0]} edges remain) — labels would not be component labels"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # stars point big→small at the component min; isolated vertices self-label
     star_labels = cur.groupBy("src").agg(F.min("dst").alias("component"))
     labels = vertices.join(

@@ -177,3 +177,27 @@ def test_star_cc_collapses_adversarial_chain_in_log_rounds(spark):
     got = {r["doc_id"]: r["component"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 10, f"expected O(log n) rounds, used {rounds}"
+
+
+def test_star_cc_refuses_unconverged_labels(spark):
+    """Exhausting max_iter without fingerprint convergence must raise
+    (strict default) or warn (strict=False) — never silently return
+    labels that are not component labels (ADVICE r5)."""
+    import warnings
+
+    import pytest
+
+    from fawac_cdc_spark.functions.dedup import connected_components_star
+
+    n = 64
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(chain, verts, max_iter=1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels, _ = connected_components_star(chain, verts, max_iter=1, strict=False)
+        labels.count()
+    assert any("did not converge" in str(w.message) for w in caught)
