@@ -136,7 +136,10 @@ def capped_shingles(sh: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
 
 
 def jaccard_candidate_pairs(
-    sh: DataFrame, threshold: float = 0.05, max_df: int = MAX_SHINGLE_DF
+    sh: DataFrame,
+    threshold: float = 0.05,
+    max_df: int = MAX_SHINGLE_DF,
+    persist: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs (doc_a, doc_b, shared, jaccard) from a
     (doc_id, shingle) stream, Jaccard over the DF-capped shingle universe.
@@ -156,15 +159,19 @@ def jaccard_candidate_pairs(
     """
     # one aggregation subtree feeds both branches below (pairs + per-doc
     # counts).  Catalyst does not reliably reuse the exchange across the
-    # branches; a localCheckpoint here was measured a wash at sf0.1
-    # (counts is the cheap branch) and lazy checkpoints emit accumulator
-    # noise when reused, so the recomputation is accepted — at 100 TB the
-    # capped shingle-group table would be a persisted intermediate.
+    # branches, so ``persist=True`` materializes the capped shingle-group
+    # table once (eager localCheckpoint; lazy checkpoints emit accumulator
+    # noise when reused) and both branches read it.  Default OFF: at
+    # sf0.1 the recomputation is a measured wash (counts is the cheap
+    # branch — see BASELINE.md), but at 100 TB the grouped table is the
+    # expensive subtree and callers should persist it.
     groups = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") <= max_df)
     )
+    if persist:
+        groups = groups.localCheckpoint(eager=True)
     # all i<j pairs within the sorted id list, as one array expression
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
@@ -762,8 +769,13 @@ def corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle"))
     )
+    # persist=True: the capped shingle-group table feeds both the pairs
+    # and per-doc-count branches; materializing it once measured -5.7%
+    # (llm_corpus_pipeline) / -11.3% (traindata_end_to_end) at sf0.1
+    # (BASELINE.md), and at 100 TB the grouped table is the expensive
+    # subtree that must not be recomputed.
     near_dropped = (
-        jaccard_candidate_pairs(sh)
+        jaccard_candidate_pairs(sh, persist=True)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
