@@ -1,0 +1,58 @@
+"""Unit gates for repo tooling + money rounding semantics (VERDICT r5
+item 5: the carried ADVICE items get tests so they stay fixed)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_money_cents_is_half_up_not_bankers():
+    """The stateful ops' money→cents conversion must match the batch
+    oracles' CAST(value AS DECIMAL(18,2)) (HALF_UP), not Python round()'s
+    banker's rounding, on exact half-cent values."""
+    from fawac_cdc_spark.streaming.cdc import _money_cents
+
+    assert _money_cents(0.025) == 3  # banker's round(0.025, 2) -> 0.02
+    assert _money_cents(0.035) == 4  # banker's would also give 0.04 here
+    assert _money_cents(0.005) == 1
+    assert _money_cents(2.675) == 268  # float 2.675 binary-rounds DOWN via round()
+    assert _money_cents(12.34) == 1234
+    assert _money_cents(0.0) == 0
+
+
+def _run_bench_compare(tmp_path, base: dict, now: dict) -> tuple[int, str]:
+    b, n = tmp_path / "base.json", tmp_path / "now.json"
+    b.write_text(json.dumps(base))
+    n.write_text(json.dumps(now))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "bench_compare.py"), str(b), str(n)],
+        capture_output=True,
+        text=True,
+    )
+    return proc.returncode, proc.stdout
+
+
+def test_bench_compare_counts_only_per_query_regressions(tmp_path):
+    """The within-budget summary must count actual per-query regressions:
+    a total-budget failure (or any other failure string) must not deflate
+    it (the pre-fix version re-parsed failure strings by ':')."""
+    base = {"value": 10.0, "queries": {"a": 1.0, "b": 1.0, "c": 1.0}}
+    # a regresses 2x (>35%); total regresses too (> 5%)
+    now = {"value": 20.0, "queries": {"a": 2.0, "b": 1.0, "c": 1.05}}
+    rc, out = _run_bench_compare(tmp_path, base, now)
+    assert rc == 1
+    assert "2/3 within budget" in out
+    assert "total budget exceeded" in out
+
+
+def test_bench_compare_passes_within_tolerance(tmp_path):
+    base = {"value": 10.0, "queries": {"a": 1.0, "b": 1.0}}
+    now = {"value": 10.2, "queries": {"a": 1.1, "b": 0.9}}
+    rc, out = _run_bench_compare(tmp_path, base, now)
+    assert rc == 0
+    assert "2/2 within budget" in out
