@@ -47,73 +47,87 @@ _QUERY_MODULES = [
 ]
 
 # Registry emission order.  The driver's correctness gate evaluates the
-# FIRST 50 entries in insertion order (verified rounds 1-4: CORRECTNESS_rNN
+# FIRST 50 entries in insertion order (verified rounds 1-5: CORRECTNESS_rNN
 # keys == names[:50]), so ordering is part of the verification contract.
-# Round-5 rotation (the closing one): flagship + the 23 queries that have
-# never had a driver row (round-5 additions incl. the sketch family, plus
-# the r4 backlog: pq_code_stats, pq_adc_topk_query0,
-# purchase_click_left_pairs) + 5 re-checks (lang_id_heuristic, whose
-# oracle became value-checked in r4 after its last window appearance, and
-# the 4 rows-only-by-design queries whose no_oracle rows are the driver's
-# run evidence) + 21 sentinels, at least one per module family (flagship covers relational), sampled
-# across the r1-r4 windows.  1 + 23 + 5 + 21 = 50.  Everything
-# outside the window stays covered by tools/parity.py +
-# tests/test_oracle_parity.py.
+#
+# Round-6 rotation (hardening round — the surface is complete, so the
+# window now optimizes for evidence freshness). Composition, in order:
+#   2 never-driver-checked  (hour_bitmap_user_activity, added after the
+#                            r5 window froze; approx_stats_error_bound,
+#                            new this round)
+# + 7 changed-this-round    (packed_sequences / traindata_end_to_end:
+#                            shard-bounded packing rewrote both oracles;
+#                            llm_corpus_pipeline + cc_star_survivors +
+#                            leakage_safe_split_counts: shingle-group
+#                            persistence and CC convergence guard;
+#                            npz_scan_events_agg / npz_write_roundtrip_agg:
+#                            connector commit/manifest protocol hardening)
+# + 1 flagship              (same query as entry()'s smoke check)
+# + 11 family sentinels     (one per module family not already covered
+#                            above, sampled from r3-r5 windows)
+# + 29 stalest              (queries whose only driver evidence is r1 —
+#                            36 exist; the 7 left out are from families
+#                            with 4+ refreshed entries and rotate in r7)
+# = 50.  Everything outside the window stays covered by tools/parity.py
+# (full 165-query sweep, PARITY_r06.md) + tests/test_oracle_parity.py.
 _PRIORITY = [
-    # flagship first — same query as __spark_entry__.entry()'s smoke check.
-    "flagship_revenue_by_nation_month",
-    # Never driver-checked (23): round-5 additions + r4 backlog.
-    "q5_local_supplier_revenue",
-    "q9_product_type_profit",
-    "q11_important_part_value",
-    "q12_ship_delay_priority",
-    "q16_supplier_part_variety",
-    "q20_dominant_shipper",
-    "hll_estimate_error_bound",
-    "pmi_bigram_collocations",
+    # Never driver-checked (2).
+    "hour_bitmap_user_activity",
+    "approx_stats_error_bound",
+    # Changed this round (7): re-verify against their updated code/oracles.
+    "packed_sequences",
+    "traindata_end_to_end",
+    "llm_corpus_pipeline",
     "cc_star_survivors",
     "leakage_safe_split_counts",
-    "wav_decode_sample_stats",
-    "ppm_stream_frame_stats",
-    "ppm_resize_pixel_stats",
-    "listagg_status_profile",
+    "npz_scan_events_agg",
     "npz_write_roundtrip_agg",
-    "kll_quantile_rank_bound",
-    "theta_user_set_algebra",
-    "approx_topk_event_types",
-    "topk_sketch_term_counts",
-    "pq_code_stats",
-    "pq_adc_topk_query0",
-    "purchase_click_left_pairs",
-    "pipe_syntax_returnflag_profile",
-    # Re-checks (5): upgraded oracle + the rows-only-by-design set.
-    "lang_id_heuristic",
-    "hll_user_sketch_rollup",
-    "approx_stats_lineitem",
-    "seeded_batch_sample_1024",
-    "stratified_sample_events",
-    # Sentinels (21): every module family, sampled across r1-r4 windows.
-    "q7_volume_shipping",
-    "pricing_summary",
-    "salted_user_event_totals",
-    "lateral_top2_orders_per_customer",
-    "tagged_union_entities",
-    "zorder_bucket_stats",
-    "tfidf_source_terms",
-    "unigram_logprob_by_source",
-    "traindata_end_to_end",
-    "dataset_hash_split",
-    "ivfpq_topk_query1",
-    "llm_corpus_pipeline",
-    "minhash_lsh_candidates",
-    "benchmark_decontam_flags",
-    "ppm_decode_pixel_stats",
+    # Flagship (1).
+    "flagship_revenue_by_nation_month",
+    # Family sentinels (11): connectors, sinks, multimodal, reference
+    # plans, streaming batch-equiv, streaming CDC, similarity, sketches,
+    # decontam, layout, preprocess.
+    "csv_scan_events_agg",
     "metrics_sink_roundtrip",
-    "cdc_latest_state_per_user",
-    "ewma_state_batch_equiv",
+    "mlp_inference_scores",
+    "episode_rollout_stats",
     "session_agg_30min_gap",
-    "discounted_cumsum_closed_form",
-    "reference_td_advantage_pipeline",
+    "cdc_latest_state_per_user",
+    "ivfpq_topk_query1",
+    "kll_quantile_rank_bound",
+    "benchmark_decontam_flags",
+    "zorder_bucket_stats",
+    "density_binned_subsample",
+    # Stalest driver evidence (29): last green row is round 1.
+    "scalar_transform_lineitem",
+    "case_when_order_priority",
+    "filter_range_scan",
+    "exp_weight_capped",
+    "expectile_loss_by_flag",
+    "weighted_avg_discount",
+    "order_stats_with_median",
+    "event_value_stats",
+    "grouping_sets_mixed",
+    "orders_lineitem_by_priority",
+    "semi_join_urgent_customers",
+    "anti_join_customers_without_orders",
+    "range_join_clicks_before_purchase",
+    "topk_orders_per_status",
+    "constrained_best_order_per_priority",
+    "td_target_lag_lead",
+    "prefix_half_per_user",
+    "discounted_cumsum_per_user",
+    "ewma_user_values",
+    "nations_customers_except_suppliers",
+    "nations_customers_intersect_suppliers",
+    "hash_sample_lineitem",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "doc_quality_scores",
+    "doc_fingerprints",
+    "winnowing_fingerprints",
+    "json_extract_props",
+    "order_date_parts",
 ]
 
 

@@ -46,6 +46,19 @@ def test_entry_smoke(spark):
     assert {"n_name", "order_month", "revenue", "n_lines"} == set(df.columns)
 
 
+def test_driver_window_is_valid():
+    """The driver's correctness gate evaluates names[:50] of the registry
+    emission order, so _PRIORITY must stay exactly 50 unique names that
+    all resolve — a typo here silently shrinks the verified window."""
+    from fawac_cdc_spark.registry import _PRIORITY
+
+    assert len(_PRIORITY) == 50
+    assert len(set(_PRIORITY)) == 50
+    unknown = [n for n in _PRIORITY if n not in _SPECS]
+    assert not unknown, f"_PRIORITY names not in registry: {unknown}"
+    assert list(_SPECS)[:50] == _PRIORITY
+
+
 def test_no_hash_risky_oracle_types(sf_dir):
     """Every oracle's declared output types must hash-match a possible
     Spark type: a DuckDB HUGEINT (uncast integer SUM) becomes float64 in
