@@ -519,16 +519,16 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-source rates are one partial+final aggregation."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(F.split("text", " ")).alias("term"))
-    from pyspark.sql import Window
-
+    # top-K via orderBy+limit (TakeOrderedAndProject: each partition keeps
+    # K candidates, the driver merges K*P rows) — NOT a partition-less
+    # row_number window, which funnels every distinct term of a 100 TB
+    # vocabulary through ONE sort task. Identical semantics under the
+    # deterministic (count desc, term asc) tie-break.
     vocab = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.desc("n"), F.asc("term"))),
-        )
-        .where(F.col("rn") <= OOV_VOCAB_K)
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(OOV_VOCAB_K)
         .select("term", F.lit(1).alias("in_vocab"))
     )
     marked = toks.join(F.broadcast(vocab), "term", "left")

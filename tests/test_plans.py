@@ -197,6 +197,15 @@ def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_oov_vocab_avoids_global_window(spark, sf_dir):
+    """The OOV vocabulary subtree must be a distributed top-K
+    (TakeOrderedAndProject), never a partition-less row_number window —
+    that would sort every distinct term of the corpus in ONE task."""
+    plan = _plan(spark, sf_dir, "oov_rate_by_source")
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+
+
 def test_wide_simhash_fingerprint_partial_aggregates(spark, sf_dir):
     """The 60-bit fingerprint's per-bit sums must map-side combine, so
     the shuffle carries one 60-value row per document — never the raw
