@@ -299,6 +299,17 @@ def test_scrub_is_pure_map_plus_one_aggregate(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@pytest.mark.parametrize("name", ["llm_corpus_pipeline", "traindata_end_to_end"])
+def test_corpus_pipelines_persist_shingle_groups(spark, sf_dir, name):
+    """corpus_survivors passes persist=True so the capped shingle-group
+    table materializes once (measured −5.7%/−11.3% at sf0.1, BASELINE.md)
+    — the checkpoint shows up as an ExistingRDD scan in the plan. A
+    refactor that drops it would silently recompute the expensive subtree
+    twice at 100 TB."""
+    plan = _plan(spark, sf_dir, name)
+    assert "ExistingRDD" in plan, "expected the persisted shingle-group scan"
+
+
 @pytest.mark.parametrize("name", ["near_dedup_survivors", "llm_corpus_pipeline"])
 def test_near_dup_drop_list_is_not_force_broadcast(spark, sf_dir, name):
     """The near-dup drop-list is O(duplicate mass) — unbounded at the
