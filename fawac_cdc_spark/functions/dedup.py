@@ -139,7 +139,7 @@ def jaccard_candidate_pairs(
     sh: DataFrame,
     threshold: float = 0.05,
     max_df: int = MAX_SHINGLE_DF,
-    persist: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs (doc_a, doc_b, shared, jaccard) from a
     (doc_id, shingle) stream, Jaccard over the DF-capped shingle universe.
@@ -159,12 +159,13 @@ def jaccard_candidate_pairs(
     """
     # one aggregation subtree feeds both branches below (pairs + per-doc
     # counts).  Catalyst does not reliably reuse the exchange across the
-    # branches, so ``persist=True`` materializes the capped shingle-group
-    # table once (eager localCheckpoint; lazy checkpoints emit accumulator
-    # noise when reused) and both branches read it.  Default OFF: at
-    # sf0.1 the recomputation is a measured wash (counts is the cheap
-    # branch — see BASELINE.md), but at 100 TB the grouped table is the
-    # expensive subtree and callers should persist it.
+    # branches, so ``persist=True`` (default) materializes the capped
+    # shingle-group table once (eager localCheckpoint; lazy checkpoints
+    # emit accumulator noise when reused) and both branches read it —
+    # measured −5.7% to −17.6% across the callers at sf0.1, BASELINE.md,
+    # and at 100 TB the grouped table is the expensive subtree that must
+    # not run twice.  persist=False restores a fully lazy single plan
+    # (synthetic unit-test frames, plan inspection).
     groups = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -317,8 +318,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``MAX_SHINGLE_DF``) → shuffle on shingle (equi-join) → pair groupBy.
     The cap bounds every join key at df ≤ 100, so candidate generation
     stays near-linear even when the corpus contains stop-phrase shingles.
+    persist=True: measured −17.6% at sf0.1 min-of-3 (BASELINE.md) — the
+    grouped-shingle subtree feeds both internal branches even here.
     """
-    return jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
+    return jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir), persist=True)
 
 
 @register(
