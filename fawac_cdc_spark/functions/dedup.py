@@ -546,8 +546,9 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The subtree is still referenced twice (Catalyst plans the self-join
     # without exchange reuse here), so materialize it once — at scale the
     # fingerprint table is a persisted artifact anyway, like MinHash
-    # signature tables.
-    fp = wide_simhash_df(spark, sf_dir).localCheckpoint(eager=False)
+    # signature tables.  Eager, not lazy: a lazy checkpoint materializes
+    # mid-job and measured +8.4% over eager at sf0.1 (BASELINE.md).
+    fp = wide_simhash_df(spark, sf_dir).localCheckpoint(eager=True)
     return simhash_candidate_pairs(fp)
 
 
