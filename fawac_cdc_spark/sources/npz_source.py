@@ -131,13 +131,18 @@ class NpzDataSource(DataSource):
 
 def _npz_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Materialize events as a dict-of-arrays archive (the reference's
-    on-disk shape) for the roundtrip query."""
+    on-disk shape) for the roundtrip query.
+
+    The cache key includes the source parquet's (mtime_ns, size): if the
+    driver regenerates the fixture tables, a stale cached archive would
+    silently diverge from the parquet the oracle reads."""
     import numpy as np
 
     slug = sf_dir.strip("/").replace("/", "_")
     out_dir = os.path.join(tempfile.gettempdir(), "fawac_cdc_spark_io", slug)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "events.npz")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(out_dir, f"events-{st.st_mtime_ns}-{st.st_size}.npz")
     if not os.path.exists(path):
         pdf = (
             load_table(spark, sf_dir, "events")
