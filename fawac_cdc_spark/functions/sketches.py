@@ -233,27 +233,32 @@ def topk_sketch_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracked counts are exact below maxItemsTracked)."""
     d = load_table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("topk_docs")
+    # Spark inlines SQL CTEs, so an `acc` CTE referenced by both the
+    # per-source and merged branches would ACCUMULATE THE FULL TOKEN
+    # STREAM TWICE — a genuine 2x scan at 100 TB. Materialize the
+    # per-source sketch states once (a tiny frame: one row per source)
+    # and derive both branches from it.
+    acc = spark.sql(
+        f"""
+        SELECT source, approx_top_k_accumulate(term, {TOPK_MAX_TRACKED}) AS st
+        FROM (SELECT source, explode(split(text, ' ')) AS term FROM topk_docs)
+        GROUP BY source
+        """
+    ).localCheckpoint(eager=True)
+    acc.createOrReplaceTempView("topk_acc")
     return spark.sql(
         f"""
-        WITH toks AS (
-            SELECT source, explode(split(text, ' ')) AS term FROM topk_docs
-        ),
-        acc AS (
-            SELECT source,
-                   approx_top_k_accumulate(term, {TOPK_MAX_TRACKED}) AS st
-            FROM toks GROUP BY source
-        ),
-        per_src AS (
+        WITH per_src AS (
             SELECT source,
                    posexplode(approx_top_k_estimate(st, {TOPK_K}))
                        AS (pos, t)
-            FROM acc
+            FROM topk_acc
         ),
         merged AS (
             SELECT posexplode(approx_top_k_estimate(
                        approx_top_k_combine(st, {TOPK_MAX_TRACKED}), {TOPK_K}))
                        AS (pos, t)
-            FROM acc
+            FROM topk_acc
         )
         SELECT source, CAST(pos + 1 AS INT) AS rnk, t.count AS est_count
         FROM per_src

@@ -627,22 +627,28 @@ def hll_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     e.createOrReplaceTempView("hll_events")
+    # Spark inlines SQL CTEs: a per_type CTE referenced by both the
+    # per-type and union branches would sketch the FULL events scan twice.
+    # Materialize the per-type sketch states once (one row per type) and
+    # derive both branches from the tiny frame.
+    per_type = spark.sql(
+        """
+        SELECT event_type, hll_sketch_agg(user_id) AS sk, COUNT(*) AS n_events
+        FROM hll_events GROUP BY event_type
+        """
+    ).localCheckpoint(eager=True)
+    per_type.createOrReplaceTempView("hll_per_type")
     return spark.sql(
         """
-        WITH per_type AS (
-            SELECT event_type, hll_sketch_agg(user_id) AS sk,
-                   COUNT(*) AS n_events
-            FROM hll_events GROUP BY event_type
-        )
         SELECT event_type,
                CAST(hll_sketch_estimate(sk) AS BIGINT) AS approx_users,
                n_events
-        FROM per_type
+        FROM hll_per_type
         UNION ALL
         SELECT 'all' AS event_type,
                CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT) AS approx_users,
                CAST(SUM(n_events) AS BIGINT) AS n_events
-        FROM per_type
+        FROM hll_per_type
         """
     )
 
