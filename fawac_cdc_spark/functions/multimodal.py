@@ -571,6 +571,14 @@ def decode_wav(payload: bytes):
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            # a declared size past the payload end means truncation —
+            # raise rather than silently decode a short slice (same
+            # contract as decode_ppm_stream's 'truncated frame')
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)

@@ -77,10 +77,19 @@ class NpzDataSourceReader(DataSourceReader):
                 if not paths:
                     return [_EmptyPartition()]
                 return [_ShardPartition(p) for p in paths]
-            return [
-                _ShardPartition(p)
-                for p in sorted(glob.glob(os.path.join(self.path, "part-*.npz")))
-            ] or [_EmptyPartition()]
+            shard_paths = sorted(
+                glob.glob(os.path.join(self.path, "part-*.npz"))
+            )
+            if not shard_paths:
+                # no manifest AND no shards: this is the wrong directory
+                # (e.g. a streaming-sink output whose data lives under
+                # batch-*/), not a committed-empty dataset — only a
+                # manifest listing zero shards may read as empty
+                raise FileNotFoundError(
+                    f"{self.path}: no _MANIFEST.json and no part-*.npz "
+                    "shards — not an npz dataset directory"
+                )
+            return [_ShardPartition(p) for p in shard_paths]
         with np.load(self.path, allow_pickle=False) as data:
             n = len(data[self.columns[0]])
         per = (n + N_SCAN_PARTITIONS - 1) // N_SCAN_PARTITIONS
@@ -269,10 +278,20 @@ class NpzDataSourceArrowWriter(DataSourceArrowWriter):
                 prior_names = list(prior.get("shards", []))
                 prior_rows = int(prior.get("n_rows", 0))
             else:
+                # manifest-less directory (externally created): adopt the
+                # existing shards AND count their rows, so the merged
+                # manifest's n_rows stays consistent with its shard list
+                import numpy as np
+
                 prior_names = sorted(
                     os.path.basename(p)
                     for p in glob.glob(os.path.join(self.path, "part-*.npz"))
                 )
+                for name in prior_names:
+                    with np.load(
+                        os.path.join(self.path, name), allow_pickle=False
+                    ) as data:
+                        prior_rows += len(data[data.files[0]])
         base = (
             max(
                 (int(n.removeprefix("part-").removesuffix(".npz")) for n in prior_names),

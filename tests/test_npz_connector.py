@@ -96,6 +96,34 @@ def test_reader_errors_on_manifest_listed_missing_shard(spark, tmp_path):
         _read(spark, out)
 
 
+def test_reader_errors_on_directory_with_no_manifest_and_no_shards(spark, tmp_path):
+    """A directory with neither _MANIFEST.json nor part-*.npz (e.g. a
+    streaming-sink output whose data lives under batch-*/) must error,
+    not silently read as zero rows."""
+    _register(spark)
+    out = tmp_path / "npz_wrongdir"
+    out.mkdir()
+    (out / "batch-00000").mkdir()
+    with pytest.raises(Exception, match="not an npz dataset directory"):
+        _read(spark, str(out))
+
+
+def test_append_to_manifestless_directory_counts_prior_rows(spark, tmp_path):
+    """Appending to a directory that has shards but no manifest must
+    adopt the shards AND count their rows, keeping n_rows consistent
+    with the merged shard list."""
+    _register(spark)
+    out = str(tmp_path / "npz_adopt")
+    _write(spark, _events(0, 80), out, "overwrite")
+    os.remove(os.path.join(out, "_MANIFEST.json"))
+    _write(spark, _events(80, 100), out, "append")
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["n_rows"] == 100
+    got = _read(spark, out)
+    assert sorted(got["event_id"]) == list(range(100))
+
+
 def test_reader_returns_zero_rows_for_empty_committed_write(spark, tmp_path):
     """A committed write where every task had zero rows leaves a manifest
     listing no shards — that reads as an empty frame, not a failure."""

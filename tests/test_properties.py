@@ -371,3 +371,27 @@ def test_wav_decode_roundtrip_property():
         assert list(ds) == samples
 
     check()
+
+
+def test_wav_decoder_raises_on_truncated_data_chunk():
+    """A chunk whose declared size exceeds the remaining payload is
+    truncation — the decoder must raise, never silently decode a short
+    slice (same contract as the frame-stream demux)."""
+    import struct
+
+    import pytest
+
+    from fawac_cdc_spark.functions.multimodal import decode_wav
+
+    samples = list(range(-5, 5))
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    whole = b"RIFF" + struct.pack("<I", len(body)) + body
+    decode_wav(whole)  # sanity: intact payload decodes
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(whole[:-4])  # drop 2 samples, keep declared size
