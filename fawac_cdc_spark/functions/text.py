@@ -465,19 +465,31 @@ def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K adjacent-bigram collocations by pointwise mutual information
     ``ln(P(a,b) / (P(a)·P(b)))`` — the classic corpus-analysis signal for
     multi-word expressions (and for spotting boilerplate phrases worth a
-    stop-list). Unigram and bigram counts are two shuffles over one scan
-    family; the corpus totals are single-row aggregates broadcast into
-    the scoring join; the count-vs-count joins stay unhinted (the vocab
-    grows with the corpus — AQE picks the strategy). The PMI expression
-    applies the exact same IEEE operation order on both engines, so the
-    rounded values hash-match."""
+    stop-list). The unigram count table feeds THREE consumers (the a-side
+    join, the b-side join, and the corpus total) and the bigram table two
+    (scoring rows, total), so both are materialized once and every
+    consumer — including the totals, which are exact integer sums of the
+    count columns, identical to counting the exploded stream — reads the
+    aggregated table instead of re-running its explode + shuffle (one
+    scan family total, not four explode passes). Measured trade at
+    sf0.1: +0.17 s (0.82→1.00 s) — materializing the vocab-sized count
+    tables costs more than the recompute at toy scale — but at the
+    100 TB design point each avoided re-reference is a full corpus scan
+    plus shuffle, while the checkpoint is one write of the already-
+    shuffled aggregate. The count-vs-count joins stay unhinted (the
+    vocab grows with the corpus — AQE picks the strategy). The PMI expression applies the exact same IEEE operation
+    order on both engines, so the rounded values hash-match."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(F.split("text", " ").alias("toks")).where(
         F.size("toks") >= 2
     )
     uni = t.select(F.explode("toks").alias("term"))
-    uc = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    n_tot = uni.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    uc = (
+        uni.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_tot = uc.agg(F.sum("c").cast("double").alias("n"))
     bi = t.select(
         F.explode(
             F.expr(
@@ -486,8 +498,12 @@ def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     ).select("bg.a", "bg.b")
-    bc = bi.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
-    m_tot = bi.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    bc = (
+        bi.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint(eager=True)
+    )
+    m_tot = bc.agg(F.sum("cab").cast("double").alias("m"))
     ca = uc.select(F.col("term").alias("a"), F.col("c").alias("ca"))
     cb = uc.select(F.col("term").alias("b"), F.col("c").alias("cb"))
     pmi = F.round(

@@ -826,11 +826,13 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-free). ``partsupp`` is absent, so shipped lineitem value for
     ASIA-nation suppliers stands in for stock value. The scalar total is
     a single-row aggregate broadcast into a cross join — the same shape
-    Catalyst produces for an uncorrelated scalar subquery; the per-part
-    aggregate is computed ONCE and reused for both the rows and the
-    threshold via a localCheckpoint-free self-reference (Spark dedups the
-    exchange). Threshold math is sum-cast-double / count * 2 in the same
-    operation order on both engines — bit-identical."""
+    Catalyst produces for an uncorrelated scalar subquery. The per-part
+    aggregate feeds BOTH the rows and the threshold, and Catalyst does
+    not reuse the exchange across the branches (verified: plan showed two
+    lineitem scans without it), so ``pv`` is materialized once — same
+    pattern as the dedup/sketch families. Threshold math is
+    sum-cast-double / count * 2 in the same operation order on both
+    engines — bit-identical."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -841,6 +843,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("val"))
+        .localCheckpoint(eager=True)
     )
     thr = pv.agg(
         (

@@ -273,6 +273,17 @@ def test_tpch_ext_dims_broadcast(spark, sf_dir):
     assert _plan(spark, sf_dir, "q8_market_share").count("BroadcastHashJoin") >= 3
 
 
+def test_q11_part_value_aggregate_materialized_once(spark, sf_dir):
+    """q11's per-part value aggregate feeds both the row and threshold
+    branches; without materialization Catalyst ran the 4-table join +
+    aggregation twice (verified: two lineitem scans, zero
+    ReusedExchange). The checkpoint shows as an ExistingRDD scan and no
+    lineitem scan may remain in the final plan."""
+    plan = _plan(spark, sf_dir, "q11_important_part_value")
+    assert "ExistingRDD" in plan
+    assert "lineitem" not in plan
+
+
 def test_tpch_ext_q17_correlated_avg_is_single_aggregate(spark, sf_dir):
     """The per-part AVG is computed as ONE grouped aggregate joined back
     (shared scan), not a re-executed correlated subquery."""
