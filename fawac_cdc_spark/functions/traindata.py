@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.helpers import md5_bucket, md5_bucket_sql
 from ..registry import register
 
 CHUNK_WINDOW = 64  # tokens per chunk
@@ -46,19 +47,12 @@ N_PACK_SHARDS = 8
 
 def _pack_shard_col() -> "F.Column":
     """Engine-portable shard id: md5(doc_id) first 4 hex digits % N."""
-    return (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % N_PACK_SHARDS
-    )
+    return md5_bucket("doc_id", N_PACK_SHARDS)
 
 
 # Same bucket in DuckDB SQL (identical to the dataset_hash_split pattern,
 # which is driver-verified hash-exact against the Spark conv/md5 form).
-PACK_SHARD_SQL = (
-    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)"
-    f" % {N_PACK_SHARDS}"
-)
+PACK_SHARD_SQL = md5_bucket_sql("doc_id", N_PACK_SHARDS)
 
 
 @register(
@@ -209,16 +203,7 @@ def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the property a random split lacks), so the holdout never leaks when
     the corpus is rebuilt.  Pure map + one aggregation."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
-    )
-    split = (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    split = _split_col(md5_bucket("doc_id", 100))
     return (
         d.select(
             "source",
@@ -275,6 +260,16 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("rate"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.max("rate").alias("rate"))
+    )
+
+
+def _split_col(bucket: "F.Column") -> "F.Column":
+    """80/10/10 train/val/test assignment from a [0,100) bucket — shared
+    by the per-doc and per-component (leakage-safe) splits."""
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
     )
 
 
@@ -598,17 +593,7 @@ def _register_leakage_safe_split() -> None:
             "doc_a", "doc_b"
         )
         labels, _ = connected_components_star(edges, d.select("doc_id"))
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.col("component").cast("string")), 1, 4), 16, 10
-            ).cast("int")
-            % 100
-        )
-        split = (
-            F.when(bucket < SPLIT_TRAIN_PCT, "train")
-            .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
-            .otherwise("test")
-        )
+        split = _split_col(md5_bucket("component", 100))
         return (
             labels.select(split.alias("split"), "component")
             .groupBy("split")

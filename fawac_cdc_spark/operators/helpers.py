@@ -62,3 +62,25 @@ def md5_int32(col: Column | str, prefix_len: int = 8) -> Column:
 def md5_int32_sql(expr: str, prefix_len: int = 8) -> str:
     """DuckDB-side equivalent of :func:`md5_int32`."""
     return f"CAST('0x' || substr(md5({expr}), 1, {prefix_len}) AS BIGINT)"
+
+
+def md5_bucket(col: Column | str, modulus: int, prefix_len: int = 4) -> Column:
+    """Engine-portable bucket id in [0, modulus): first ``prefix_len``
+    md5 hex chars of the value's STRING form, as int, modulo ``modulus``.
+
+    The deterministic assignment primitive behind pack sharding and
+    train/val/test splits — one definition so the Spark expression can
+    never drift from its DuckDB mirror (:func:`md5_bucket_sql`)."""
+    return (
+        F.conv(F.substring(F.md5(_c(col).cast("string")), 1, prefix_len), 16, 10)
+        .cast("int")
+        % modulus
+    )
+
+
+def md5_bucket_sql(expr: str, modulus: int, prefix_len: int = 4) -> str:
+    """DuckDB-side equivalent of :func:`md5_bucket`."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, {prefix_len}) "
+        f"AS INT) % {modulus}"
+    )

@@ -106,9 +106,7 @@ class NpzDataSourceReader(DataSourceReader):
         if isinstance(partition, _EmptyPartition):
             return
         if isinstance(partition, _ShardPartition):
-            with np.load(partition.path, allow_pickle=False) as data:
-                arrays = [pa.array(data[c]) for c in self.columns]
-            yield pa.RecordBatch.from_arrays(arrays, names=self.columns)
+            yield _read_npz_shard(partition.path, self.columns)
             return
         with np.load(self.path, allow_pickle=False) as data:
             arrays = [
@@ -224,6 +222,44 @@ class _ShardPartition(InputPartition):
         self.path = path
 
 
+def _stage_npz_shard(iterator, path: str, columns: list[str]) -> _NpzShardCommit:
+    """Stage one task's Arrow batches as a temp .npz shard (shared by the
+    batch and streaming writers — the commit protocols differ, the
+    staging does not)."""
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+
+    batches = list(iterator)
+    n = sum(b.num_rows for b in batches)
+    if n == 0:
+        return _NpzShardCommit(staged=None, n_rows=0)
+    tbl = pa.Table.from_batches(batches)
+    os.makedirs(path, exist_ok=True)
+    staged = os.path.join(path, f".staged-{uuid.uuid4().hex}.npz")
+    cols = {}
+    for c in columns:
+        arr = tbl.column(c).to_numpy(zero_copy_only=False)
+        if arr.dtype == object:
+            # fixed-width unicode, not pickled object arrays — the
+            # reader loads with allow_pickle=False
+            arr = arr.astype("U")
+        cols[c] = arr
+    np.savez(staged, **cols)
+    return _NpzShardCommit(staged=staged, n_rows=n)
+
+
+def _read_npz_shard(path: str, columns: list[str]):
+    """One shard → one Arrow RecordBatch (shared by both readers)."""
+    import numpy as np
+    import pyarrow as pa
+
+    with np.load(path, allow_pickle=False) as data:
+        arrays = [pa.array(data[c]) for c in columns]
+    return pa.RecordBatch.from_arrays(arrays, names=columns)
+
+
 class NpzDataSourceArrowWriter(DataSourceArrowWriter):
     def __init__(self, schema, options, overwrite: bool):
         self.path = options["path"]
@@ -231,28 +267,7 @@ class NpzDataSourceArrowWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import uuid
-
-        import numpy as np
-        import pyarrow as pa
-
-        batches = list(iterator)
-        n = sum(b.num_rows for b in batches)
-        if n == 0:
-            return _NpzShardCommit(staged=None, n_rows=0)
-        tbl = pa.Table.from_batches(batches)
-        os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}.npz")
-        cols = {}
-        for c in self.columns:
-            arr = tbl.column(c).to_numpy(zero_copy_only=False)
-            if arr.dtype == object:
-                # fixed-width unicode, not pickled object arrays — the
-                # reader loads with allow_pickle=False
-                arr = arr.astype("U")
-            cols[c] = arr
-        np.savez(staged, **cols)
-        return _NpzShardCommit(staged=staged, n_rows=n)
+        return _stage_npz_shard(iterator, self.path, self.columns)
 
     def commit(self, messages):
         import glob
@@ -384,26 +399,7 @@ class NpzStreamArrowWriter(DataSourceStreamArrowWriter):
         self.columns = [f.name for f in schema.fields]
 
     def write(self, iterator):
-        import uuid
-
-        import numpy as np
-        import pyarrow as pa
-
-        batches = list(iterator)
-        n = sum(b.num_rows for b in batches)
-        if n == 0:
-            return _NpzShardCommit(staged=None, n_rows=0)
-        tbl = pa.Table.from_batches(batches)
-        os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex}.npz")
-        cols = {}
-        for c in self.columns:
-            arr = tbl.column(c).to_numpy(zero_copy_only=False)
-            if arr.dtype == object:
-                arr = arr.astype("U")
-            cols[c] = arr
-        np.savez(staged, **cols)
-        return _NpzShardCommit(staged=staged, n_rows=n)
+        return _stage_npz_shard(iterator, self.path, self.columns)
 
     def commit(self, messages, batchId: int) -> None:
         import json
@@ -507,12 +503,7 @@ class NpzStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _ShardPartition):
-        import numpy as np
-        import pyarrow as pa
-
-        with np.load(partition.path, allow_pickle=False) as data:
-            arrays = [pa.array(data[c]) for c in self.columns]
-        yield pa.RecordBatch.from_arrays(arrays, names=self.columns)
+        yield _read_npz_shard(partition.path, self.columns)
 
     def commit(self, end: dict) -> None:
         pass

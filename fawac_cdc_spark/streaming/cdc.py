@@ -670,7 +670,9 @@ def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
 
 # --- A35 with event-time timers (transformWithState, round 5) --------------
 
-SESSION_GAP_MIN = 30  # mirror batch_equiv.SESSION_GAP_MIN
+# the ONE session-gap constant: importing (not mirroring) keeps the
+# stream==batch equivalence contract from silently diverging
+from .batch_equiv import SESSION_GAP_MIN  # noqa: E402
 
 SESSION_CLOSE_OUTPUT_SCHEMA = T.StructType(
     [

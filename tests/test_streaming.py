@@ -25,6 +25,34 @@ from tools.parity import compare_frames
 N_CHUNKS = 4
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def rocksdb_state_store(spark):
+    """Scope the RocksDB state-store provider to one streaming query.
+
+    transformWithState keeps each state variable in its own column
+    family — only the RocksDB provider supports that (the default
+    HDFS-backed provider refuses). The previous provider is always
+    restored so the session-scoped spark fixture never leaks it into
+    unrelated tests."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 @pytest.fixture(scope="module")
 def chunk_dir(spark, sf_dir, tmp_path_factory):
     """Split events into N ts-ordered parquet chunks — each chunk becomes
@@ -373,17 +401,7 @@ def test_ewma_target_stream_matches_sequential(spark, chunk_dir, tmp_path):
 
     tau = 0.1
     events = cdc.read_event_stream(spark, chunk_dir)
-    # transformWithState keeps each state variable in its own column
-    # family — only the RocksDB provider supports that (the default
-    # HDFS-backed provider refuses). Scoped to this query; restored after.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         q = (
             cdc.ewma_target_stream(events, tau=tau)
             .writeStream.format("memory")
@@ -394,11 +412,6 @@ def test_ewma_target_stream_matches_sequential(spark, chunk_dir, tmp_path):
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
     out = spark.sql("SELECT * FROM ewma_out").toPandas()
     # last emission per key = final target
     got = {
@@ -622,14 +635,7 @@ def test_session_close_stream_matches_batch_sessions(spark, chunk_dir, tmp_path)
     from fawac_cdc_spark.registry import all_specs
     from tests.conftest import SF0001
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         events = cdc.read_event_stream(spark, chunk_dir)
         q = (
             cdc.session_close_stream(events)
@@ -641,11 +647,6 @@ def test_session_close_stream_matches_batch_sessions(spark, chunk_dir, tmp_path)
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
     got = spark.sql(
         "SELECT user_id, session_start, session_end, n_events, total_value "
         "FROM session_close_out"
@@ -686,14 +687,7 @@ def test_stateful_profile_stream_matches_batch(spark, chunk_dir, tmp_path):
     pytest.importorskip("google.protobuf")
     from tests.conftest import SF0001
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         events = cdc.read_event_stream(spark, chunk_dir)
         q = (
             cdc.stateful_user_profile_stream(events)
@@ -705,11 +699,6 @@ def test_stateful_profile_stream_matches_batch(spark, chunk_dir, tmp_path):
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
     out = spark.sql("SELECT * FROM profile_out").toPandas()
     latest = out.loc[out.groupby("user_id")["upd_seq"].idxmax()]
     got = {
