@@ -1166,3 +1166,88 @@ def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= FUZZY_MAX_DIST)
         .select("name_a", "name_b", dist.alias("edit_dist"))
     )
+
+
+# Exact substring duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): a training corpus contains not
+# just near-duplicate DOCUMENTS but verbatim repeated SPANS (boilerplate,
+# licenses, templated text) inside otherwise-distinct documents.  The
+# production method matches 50-token substrings via a suffix array; the
+# distributed equivalent is fixed-length token n-grams — every duplicated
+# substring of length >= n contains a duplicated n-gram, so per-doc
+# duplicated-gram counts upper-bound span-level duplication.  The fixture
+# docs are 10-99 tokens, so n=8 keeps overlap non-trivial at test scale.
+SUBSTRING_GRAM_N = 8
+
+_SUBSTR_GRAMS_EXPR = (
+    f"array_distinct(transform(sequence(0, size(toks) - {SUBSTRING_GRAM_N}), "
+    f"i -> cast(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {SUBSTRING_GRAM_N}))), 1, 15), 16, 10) as bigint)))"
+)
+
+_SUBSTR_GRAMS_SQL = (
+    f"list_distinct(list_transform(range(1, len(toks) - {SUBSTRING_GRAM_N - 2}), "
+    f"i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+{SUBSTRING_GRAM_N - 1}], ' ')), 1, 15) AS BIGINT)))"
+)
+
+
+@register(
+    "substring_dup_stats",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id, unnest({_SUBSTR_GRAMS_SQL}) AS gram
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {SUBSTRING_GRAM_N})
+), dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+FROM grams g LEFT JOIN dup d ON g.gram = d.gram
+GROUP BY g.doc_id
+HAVING SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+ORDER BY g.doc_id
+""",
+    tags=("llm", "dedup", "substring"),
+)
+def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verbatim-span duplication via exact 8-token n-grams.
+
+    Unlike the Jaccard/MinHash family this op must NOT drop hot grams —
+    the high-document-frequency grams ARE the signal (boilerplate and
+    licenses repeated across the corpus).  That is safe because the plan
+    is linear, never pairwise: distinct (doc, gram-hash) explode → one
+    map-side-combinable distinct-doc count per gram → equi-join the
+    df>=2 gram list back to the gram stream → per-doc count.  No term
+    here is quadratic in document frequency, so no cap is needed.  At
+    100 TB both shuffles key on the 8-byte gram hash (uniform md5 →
+    no planned skew; AQE handles residual hot grams), and the final
+    per-doc aggregate keys on doc_id.  Output: every document containing
+    at least one gram duplicated in >= 2 distinct docs, with its total
+    and duplicated distinct-gram counts — counts stay BIGINT (no float
+    ratio) so the driver hash is tie-proof.  Production would raise n
+    toward the 50-token span standard; the plan is length-independent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= SUBSTRING_GRAM_N)
+        .select("doc_id", F.explode(F.expr(_SUBSTR_GRAMS_EXPR)).alias("gram"))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    return (
+        grams.join(dup.withColumn("is_dup", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_grams"),
+        )
+        .where(F.col("n_dup_grams") > 0)
+        .orderBy("doc_id")
+    )

@@ -52,8 +52,9 @@ _QUERY_MODULES = [
 #
 # Round-6 rotation (hardening round — the surface is complete, so the
 # window now optimizes for evidence freshness). Composition, in order:
-#   2 never-driver-checked  (hour_bitmap_user_activity, added after the
+#   4 never-driver-checked  (hour_bitmap_user_activity, added after the
 #                            r5 window froze; approx_stats_error_bound,
+#                            substring_dup_stats, bloom_semi_join_gate,
 #                            new this round)
 # + 7 changed-this-round    (packed_sequences / traindata_end_to_end:
 #                            shard-bounded packing rewrote both oracles;
@@ -65,15 +66,23 @@ _QUERY_MODULES = [
 # + 1 flagship              (same query as entry()'s smoke check)
 # + 11 family sentinels     (one per module family not already covered
 #                            above, sampled from r3-r5 windows)
-# + 29 stalest              (queries whose only driver evidence is r1 —
-#                            36 exist; the 7 left out are from families
+# + 27 stalest              (queries whose only driver evidence is r1 —
+#                            36 exist; the 9 left out are from families
 #                            with 4+ refreshed entries and rotate in r7)
 # = 50.  Everything outside the window stays covered by tools/parity.py
 # (full 165-query sweep, PARITY_r06.md) + tests/test_oracle_parity.py.
 _PRIORITY = [
-    # Never driver-checked (2).
+    # Never driver-checked (4): the first two landed after the r5 window
+    # froze / early this round; the last two are new this session
+    # (exact-substring dedup and the Bloom semi-join gate).  They
+    # displace two stalest-r1 entries whose families keep another
+    # sentinel in the window (prefix_half_per_user — windows family has
+    # five other entries; nations_customers_intersect_suppliers — setops
+    # keeps the EXCEPT form); both rotate back in r7.
     "hour_bitmap_user_activity",
     "approx_stats_error_bound",
+    "substring_dup_stats",
+    "bloom_semi_join_gate",
     # Changed this round (7): re-verify against their updated code/oracles.
     "packed_sequences",
     "traindata_end_to_end",
@@ -98,7 +107,7 @@ _PRIORITY = [
     "benchmark_decontam_flags",
     "zorder_bucket_stats",
     "density_binned_subsample",
-    # Stalest driver evidence (29): last green row is round 1.
+    # Stalest driver evidence (27): last green row is round 1.
     "scalar_transform_lineitem",
     "case_when_order_priority",
     "filter_range_scan",
@@ -115,11 +124,9 @@ _PRIORITY = [
     "topk_orders_per_status",
     "constrained_best_order_per_priority",
     "td_target_lag_lead",
-    "prefix_half_per_user",
     "discounted_cumsum_per_user",
     "ewma_user_values",
     "nations_customers_except_suppliers",
-    "nations_customers_intersect_suppliers",
     "hash_sample_lineitem",
     "q3_shipping_priority",
     "q10_returned_items",

@@ -395,3 +395,52 @@ def test_wav_decoder_raises_on_truncated_data_chunk():
     decode_wav(whole)  # sanity: intact payload decodes
     with pytest.raises(ValueError, match="truncated chunk"):
         decode_wav(whole[:-4])  # drop 2 samples, keep declared size
+
+
+def test_bloom_semi_join_no_false_negatives(spark, sf_dir):
+    """Zero false negatives is the Bloom filter's structural guarantee —
+    oracle parity alone can't catch a build/probe hash mismatch that
+    BOTH engines replicate, so assert the invariant independently."""
+    from fawac_cdc_spark.functions.sketches import bloom_semi_join_gate
+
+    row = bloom_semi_join_gate(spark, sf_dir).collect()[0]
+    assert row.n_false_negatives == 0
+    assert row.n_bloom_hits == row.n_members_exact + row.n_false_positives
+    assert row.n_members_exact <= row.n_probed
+
+
+def test_substring_dup_stats_matches_bruteforce(spark, sf_dir):
+    """Independent python-side recomputation (no md5 hashing, raw string
+    grams): per-doc distinct 8-gram counts and cross-doc duplicated-gram
+    counts must match the Spark plan exactly — this would catch a hash
+    collision class an engine-vs-engine oracle (same md5 on both sides)
+    cannot."""
+    import pandas as pd
+
+    from fawac_cdc_spark.functions.dedup import (
+        SUBSTRING_GRAM_N as N,
+        substring_dup_stats,
+    )
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in substring_dup_stats(spark, sf_dir).collect()
+    }
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_doc: dict[int, set] = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = text.split(" ")
+        if len(toks) >= N:
+            per_doc[doc_id] = {
+                " ".join(toks[i : i + N]) for i in range(len(toks) - N + 1)
+            }
+    from collections import Counter
+
+    df_count = Counter(g for grams in per_doc.values() for g in grams)
+    want = {}
+    for doc_id, grams in per_doc.items():
+        dup = sum(1 for g in grams if df_count[g] >= 2)
+        if dup > 0:
+            want[doc_id] = (len(grams), dup)
+    assert got == want
