@@ -167,6 +167,15 @@ def main() -> None:
     # Non-frozen side experiments: separate key, excluded from "value" so
     # the frozen-suite totals stay comparable across rounds.
     extras = skew_experiment(spark, sf_dir)
+    # Round-6 additions, timed the same min-of-N way but kept out of the
+    # frozen 20-query total.
+    for name in ("substring_dup_stats", "bloom_semi_join_gate"):
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extras[name] = round(best, 3)
     print(
         json.dumps(
             {
