@@ -169,7 +169,11 @@ def main() -> None:
     extras = skew_experiment(spark, sf_dir)
     # Round-6 additions, timed the same min-of-N way but kept out of the
     # frozen 20-query total.
-    for name in ("substring_dup_stats", "bloom_semi_join_gate"):
+    for name in (
+        "substring_dup_stats",
+        "bloom_semi_join_gate",
+        "incremental_lsh_dedup",
+    ):
         best = float("inf")
         for _ in range(n_runs):
             t0 = time.perf_counter()

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.helpers import md5_bucket
 from ..registry import register
 
 # MinHash parameters: k=8 affine hashes mod a Mersenne prime.
@@ -1249,5 +1250,122 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_grams"),
         )
         .where(F.col("n_dup_grams") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# Incremental near-dedup: a 100 TB corpus is not re-deduplicated from
+# scratch each ingest — the MinHash band table is a PERSISTED artifact
+# (bucketed on (band, key)), and each new batch computes signatures only
+# for its own documents, then probes the state with an equi-join.  Daily
+# cost is O(|batch| + matched state buckets), never O(|corpus|).  The
+# fixture models the split deterministically: md5 bucket 0 of 4 over
+# doc_id is the "incoming batch" (~25%), the rest is the standing corpus.
+INCR_BATCH_BUCKETS = 4
+
+
+@register(
+    "incremental_lsh_dedup",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+bands AS (
+    SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS key FROM sig
+    UNION ALL
+    SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) FROM sig
+    UNION ALL
+    SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR) FROM sig
+    UNION ALL
+    SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) FROM sig
+),
+fresh AS (SELECT * FROM bands WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 4 = 0),
+state AS (SELECT * FROM bands WHERE NOT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 4 = 0)),
+corpus_hits AS (
+    SELECT f.doc_id, COUNT(DISTINCT s.doc_id) AS n
+    FROM fresh f JOIN state s ON f.band = s.band AND f.key = s.key
+    GROUP BY f.doc_id
+),
+batch_hits AS (
+    SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n
+    FROM fresh a JOIN fresh b
+      ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id
+    GROUP BY a.doc_id
+),
+docs AS (SELECT DISTINCT doc_id FROM fresh)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_corpus_dups,
+       CAST(COALESCE(bh.n, 0) AS BIGINT) AS n_batch_dups,
+       (COALESCE(c.n, 0) = 0 AND COALESCE(bh.n, 0) = 0) AS admitted
+FROM docs d
+LEFT JOIN corpus_hits c ON d.doc_id = c.doc_id
+LEFT JOIN batch_hits bh ON d.doc_id = bh.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("dedup", "llm", "minhash", "incremental"),
+)
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit a new document batch against the standing corpus's persisted
+    MinHash band state — the incremental form of `minhash_lsh_candidates`.
+
+    Per incoming doc: how many distinct corpus docs it LSH-collides with,
+    how many SMALLER-id batch docs it collides with (first-wins within
+    the batch — deterministic and non-recursive: a doc is charged for a
+    collision with an earlier batch doc even if that doc was itself
+    rejected, the conservative choice real admission pipelines make to
+    avoid iterating), and the admission verdict (no collisions at all).
+
+    Scale shape: the band table is checkpointed once (standing in for the
+    persisted signature artifact, bucketed on (band, key) in production);
+    the corpus-probe is an equi-join on (band, key) — AQE broadcasts the
+    fresh side when the batch is small, and the corpus is never
+    rescanned or re-hashed.  The within-batch self-join touches batch
+    rows only.  Docs under 3 tokens have no signature and are not
+    admitted through this path (mirrored by the oracle's sig CTE).
+    """
+    sig = minhash_signatures_df(spark, sf_dir)
+    band_structs = []
+    for band in range(N_BANDS):
+        lo, hi = 2 * band, 2 * band + 1
+        key = F.concat_ws(
+            ":", F.col(f"mh{lo}").cast("string"), F.col(f"mh{hi}").cast("string")
+        )
+        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+            (md5_bucket("doc_id", INCR_BATCH_BUCKETS) == 0).alias("incoming"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fresh = bands.where("incoming").select("doc_id", "band", "key")
+    state = bands.where("NOT incoming").select(
+        F.col("doc_id").alias("corpus_doc"), "band", "key"
+    )
+    corpus_hits = (
+        fresh.join(state, ["band", "key"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("corpus_doc").alias("n_corpus_dups"))
+    )
+    other = fresh.select(F.col("doc_id").alias("other_doc"), "band", "key")
+    batch_hits = (
+        fresh.join(other, ["band", "key"])
+        .where(F.col("other_doc") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("other_doc").alias("n_batch_dups"))
+    )
+    docs = fresh.select("doc_id").distinct()
+    n_corpus = F.coalesce(F.col("n_corpus_dups"), F.lit(0))
+    n_batch = F.coalesce(F.col("n_batch_dups"), F.lit(0))
+    return (
+        docs.join(corpus_hits, "doc_id", "left")
+        .join(batch_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_corpus.alias("n_corpus_dups"),
+            n_batch.alias("n_batch_dups"),
+            ((n_corpus == 0) & (n_batch == 0)).alias("admitted"),
+        )
         .orderBy("doc_id")
     )

@@ -444,3 +444,40 @@ def test_substring_dup_stats_matches_bruteforce(spark, sf_dir):
         if dup > 0:
             want[doc_id] = (len(grams), dup)
     assert got == want
+
+
+def test_incremental_lsh_consistent_with_batch_candidates(spark, sf_dir):
+    """The incremental admission verdicts must decompose exactly from the
+    full-corpus LSH candidate pairs: an incoming doc's n_corpus_dups /
+    n_batch_dups are the distinct corpus / smaller-id-batch partners it
+    has in minhash_lsh_candidates.  Catches split/tagging bugs that an
+    oracle sharing the same md5 arithmetic would replicate."""
+    import hashlib
+
+    from fawac_cdc_spark.functions.dedup import (
+        INCR_BATCH_BUCKETS,
+        incremental_lsh_dedup,
+        minhash_lsh_candidates,
+    )
+
+    def incoming(doc_id: int) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        return h % INCR_BATCH_BUCKETS == 0
+
+    pairs = [
+        (r.doc_a, r.doc_b) for r in minhash_lsh_candidates(spark, sf_dir).collect()
+    ]
+    got = {
+        r.doc_id: (r.n_corpus_dups, r.n_batch_dups, r.admitted)
+        for r in incremental_lsh_dedup(spark, sf_dir).collect()
+    }
+    assert got, "fixture produced no incoming docs"
+    for doc_id, (n_corpus, n_batch, admitted) in got.items():
+        assert incoming(doc_id)
+        partners = {b for a, b in pairs if a == doc_id} | {
+            a for a, b in pairs if b == doc_id
+        }
+        want_corpus = sum(1 for p in partners if not incoming(p))
+        want_batch = sum(1 for p in partners if incoming(p) and p < doc_id)
+        assert (n_corpus, n_batch) == (want_corpus, want_batch), doc_id
+        assert admitted == (want_corpus == 0 and want_batch == 0)
