@@ -1231,10 +1231,16 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward the 50-token span standard; the plan is length-independent.
     """
     d = load_table(spark, sf_dir, "documents")
+    # The gram stream feeds both the distinct-doc count and the join-back;
+    # Catalyst does not reuse the subtree, so materialize it once instead
+    # of scanning + re-hashing documents twice (measured ~30% at sf0.1 —
+    # same precedent as the minhash band table; at scale the gram table
+    # IS the persisted substring-index artifact).
     grams = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= SUBSTRING_GRAM_N)
         .select("doc_id", F.explode(F.expr(_SUBSTR_GRAMS_EXPR)).alias("gram"))
+        .localCheckpoint(eager=True)
     )
     dup = (
         grams.groupBy("gram")
