@@ -239,15 +239,15 @@ GROUP BY doc_id
 """
 
 
-def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures_for(d: DataFrame) -> DataFrame:
     """Per-doc MinHash signature with NO shuffle: shingle→hash→affine→min
     runs entirely inside one higher-order array expression per row, so
-    signatures are a pure map over the documents scan. (The equivalent
-    explode → groupBy(doc_id) plan shuffles every shingle — ~50x the
-    document count — for the same result; the oracle keeps that
-    formulation because DuckDB lacks mutable lambda state, and the values
-    are identical either way.)"""
-    d = load_table(spark, sf_dir, "documents")
+    signatures are a pure map over any (doc_id, text) frame — batch scan
+    or micro-batch of a stream alike. (The equivalent explode →
+    groupBy(doc_id) plan shuffles every shingle — ~50x the document
+    count — for the same result; the oracle keeps that formulation
+    because DuckDB lacks mutable lambda state, and the values are
+    identical either way.)"""
     base = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
@@ -266,6 +266,27 @@ def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     return base.select("doc_id", *cols)
+
+
+def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`minhash_signatures_for` over the ``documents`` table."""
+    return minhash_signatures_for(load_table(spark, sf_dir, "documents"))
+
+
+def band_table_for(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band table from an mh0..mh7 signature frame
+    — one row per (doc, band), key = the band's concatenated hash pair.
+    Pure map + explode: works on batch and streaming frames alike."""
+    band_structs = []
+    for band in range(N_BANDS):
+        lo, hi = 2 * band, 2 * band + 1
+        key = F.concat_ws(
+            ":", F.col(f"mh{lo}").cast("string"), F.col(f"mh{hi}").cast("string")
+        )
+        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
 
 
 # --- registered queries ----------------------------------------------------
@@ -361,21 +382,13 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows): near-dup candidates are pairs
     sharing any band key — an equi-join on (band, key), never a cross
     join. This is the O(n)-ish scale path for 100 TB near-dedup."""
-    sig = minhash_signatures_df(spark, sf_dir)
-    band_structs = []
-    for band in range(N_BANDS):
-        lo, hi = 2 * band, 2 * band + 1
-        key = F.concat_ws(":", F.col(f"mh{lo}").cast("string"), F.col(f"mh{hi}").cast("string"))
-        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
     # the self-join below references the band table twice and Catalyst
     # does not reuse the exchange, so the signature subtree (the shingle
     # explode + 8 min-hash aggregates) would run twice — materialize once
     # (measured −25% at sf0.1; at scale the signature table is a persisted
     # artifact anyway, exactly like the SimHash fingerprint table)
-    bands = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .localCheckpoint(eager=True)
+    bands = band_table_for(minhash_signatures_df(spark, sf_dir)).localCheckpoint(
+        eager=True
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
@@ -1327,22 +1340,9 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows only.  Docs under 3 tokens have no signature and are not
     admitted through this path (mirrored by the oracle's sig CTE).
     """
-    sig = minhash_signatures_df(spark, sf_dir)
-    band_structs = []
-    for band in range(N_BANDS):
-        lo, hi = 2 * band, 2 * band + 1
-        key = F.concat_ws(
-            ":", F.col(f"mh{lo}").cast("string"), F.col(f"mh{hi}").cast("string")
-        )
-        band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
     bands = (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select(
-            "doc_id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.key").alias("key"),
-            (md5_bucket("doc_id", INCR_BATCH_BUCKETS) == 0).alias("incoming"),
-        )
+        band_table_for(minhash_signatures_df(spark, sf_dir))
+        .withColumn("incoming", md5_bucket("doc_id", INCR_BATCH_BUCKETS) == 0)
         .localCheckpoint(eager=True)
     )
     fresh = bands.where("incoming").select("doc_id", "band", "key")

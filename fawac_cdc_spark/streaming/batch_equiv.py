@@ -481,3 +481,76 @@ def purchase_click_left_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") < F.col("purchase_ts")),
         "left",
     ).select("purchase_id", "click_id", "user_id", "click_value", "purchase_ts")
+
+
+def _lsh_admissions_oracle() -> str:
+    from ..functions.dedup import _MINHASH_SIG_SQL
+
+    return f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+bands AS (
+    SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS key FROM sig
+    UNION ALL
+    SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) FROM sig
+    UNION ALL
+    SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR) FROM sig
+    UNION ALL
+    SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) FROM sig
+),
+earlier AS (
+    SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id
+    GROUP BY a.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_earlier_dups,
+       COALESCE(e.n, 0) = 0 AS admitted
+FROM (SELECT DISTINCT doc_id FROM bands) d
+LEFT JOIN earlier e ON d.doc_id = e.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "lsh_dedup_admissions",
+    oracle=_lsh_admissions_oracle(),
+    tags=("m6", "streaming-equiv", "dedup", "llm", "minhash"),
+)
+def lsh_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch closed form of the streaming near-dedup-on-ingest
+    operator (``streaming/cdc.py::lsh_dedup_stream``): a document is
+    admitted iff NO smaller-id document shares any of its LSH band
+    keys — exactly what the stream's smallest-doc-per-band-key state
+    converges to under id-ordered arrival (pinned stream==batch in
+    ``tests/test_streaming.py``).  One band self-join bounded by band
+    keys (never all-pairs), one per-doc aggregate."""
+    from ..functions.dedup import band_table_for, minhash_signatures_df
+
+    bands = band_table_for(minhash_signatures_df(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    earlier = (
+        bands.join(
+            bands.select(
+                F.col("doc_id").alias("other_doc"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .where(F.col("other_doc") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("other_doc").alias("n_earlier_dups"))
+    )
+    n = F.coalesce(F.col("n_earlier_dups"), F.lit(0))
+    return (
+        bands.select("doc_id")
+        .distinct()
+        .join(earlier, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_earlier_dups"),
+            (n == 0).alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
+

@@ -873,3 +873,101 @@ def stateful_user_profile_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+# --- near-dedup on ingest (streaming LSH admission) ------------------------
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+LSH_DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("key_ok", T.BooleanType()),
+    ]
+)
+LSH_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("first_doc", T.LongType())])
+
+
+def read_document_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream source over a directory of document parquet chunks —
+    the local stand-in for a crawl feed arriving incrementally."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def lsh_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Near-dedup ON INGEST: MinHash-LSH admission as a custom stateful
+    streaming operator — each arriving document is checked against every
+    document ever seen WITHOUT storing any document, only the LSH band
+    state (one long per live band key).
+
+    The band table is a pure per-row map (`dedup.band_table_for` over
+    `minhash_signatures_for` — the same expressions as the batch path,
+    so stream and batch admissions agree exactly), so it runs inside the
+    micro-batch with no pre-shuffle; the only shuffle is the state-store
+    partitioning on the band key, which is uniform md5-derived.  State
+    per key is the smallest doc_id seen; a document's key verdict is
+    "smaller than everything previously seen on this key", and its
+    admission (computed downstream, e.g. in the sink) is the AND over
+    its band keys.  Under id-ordered arrival this converges to exactly
+    the batch closed form (`batch_equiv.lsh_dedup_admissions`); the
+    operator itself is well-defined under any arrival order
+    (first-arrival-smallest wins).
+
+    100 TB shape: state size is O(distinct band keys), ~4 longs per
+    corpus doc, partitioned by the state store across executors — the
+    corpus itself is never rescanned, which is the same property the
+    batch `incremental_lsh_dedup` models with its persisted band table.
+    """
+    import pandas as pd
+
+    from ..functions.dedup import band_table_for, minhash_signatures_for
+
+    bands = band_table_for(minhash_signatures_for(docs))
+
+    def admit(key, pdf_iter, state):
+        band, band_key = key
+        first = state.get[0] if state.exists else None
+        out_docs: list[int] = []
+        out_ok: list[bool] = []
+        for pdf in pdf_iter:
+            for d in sorted(int(x) for x in pdf["doc_id"]):
+                ok = first is None or d < first
+                if ok:
+                    first = d
+                out_docs.append(d)
+                out_ok.append(ok)
+        state.update((first,))
+        yield pd.DataFrame(
+            {
+                "doc_id": out_docs,
+                "band": [band] * len(out_docs),
+                "key": [band_key] * len(out_docs),
+                "key_ok": out_ok,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        admit,
+        outputStructType=LSH_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=LSH_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -934,3 +934,52 @@ def test_watermark_drops_late_events_in_append_rollup(spark, tmp_path):
     }
     assert got[(0, "click")] == 3
     assert got[(5, "click")] == 2
+
+
+@pytest.fixture(scope="module")
+def doc_chunk_dir(spark, sf_dir, tmp_path_factory):
+    """Split documents into id-ordered parquet chunks — each chunk one
+    micro-batch, so stream arrival order == doc_id order and the
+    streaming LSH admission converges to the batch closed form."""
+    import os
+    import time
+
+    out = tmp_path_factory.mktemp("doc_chunks")
+    d = load_table(spark, sf_dir, "documents").orderBy("doc_id").collect()
+    schema = load_table(spark, sf_dir, "documents").schema
+    per = (len(d) + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        rows = d[i * per : (i + 1) * per]
+        if not rows:
+            continue
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(
+            str(out / f"chunk_{i}")
+        )
+    files = sorted(out.rglob("part-*.parquet"))
+    flat = tmp_path_factory.mktemp("doc_stream")
+    base = time.time() - 3600
+    for i, f in enumerate(files):
+        dest = flat / f"{i:04d}.parquet"
+        dest.write_bytes(f.read_bytes())
+        os.utime(dest, (base + 10 * i, base + 10 * i))
+    return str(flat)
+
+
+def test_lsh_dedup_stream_matches_batch(spark, sf_dir, doc_chunk_dir):
+    """Streaming near-dedup-on-ingest == batch closed form: reduce the
+    per-(doc, band-key) verdict rows to per-doc admission (AND over the
+    doc's keys) and compare with lsh_dedup_admissions. Id-ordered
+    arrival makes every emitted verdict final, so no last-wins reduction
+    is needed — assert that too (each (doc, band) emitted exactly once)."""
+    from fawac_cdc_spark.streaming.batch_equiv import lsh_dedup_admissions
+
+    docs = cdc.read_document_stream(spark, doc_chunk_dir)
+    emitted = _run_to_memory(
+        spark, cdc.lsh_dedup_stream(docs), "lsh_admit_out", "update"
+    ).toPandas()
+    assert not emitted.duplicated(["doc_id", "band"]).any()
+    got = emitted.groupby("doc_id")["key_ok"].all()
+    want = {
+        r.doc_id: r.admitted for r in lsh_dedup_admissions(spark, sf_dir).collect()
+    }
+    assert dict(got) == want
