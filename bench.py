@@ -173,6 +173,7 @@ def main() -> None:
         "substring_dup_stats",
         "bloom_semi_join_gate",
         "incremental_lsh_dedup",
+        "knn_join_bucketed_top3",
     ):
         best = float("inf")
         for _ in range(n_runs):
