@@ -153,15 +153,17 @@ def main() -> None:
     # 3 runs (r5, was 2): min-of-2 still showed ±25% per-query bounce on
     # this host, which made the regression gate cry wolf (VERDICT r4).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def time_query(name: str) -> float:
         fn = specs[name].fn
         best = float("inf")
         for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings = {name: time_query(name) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     # Non-frozen side experiments: separate key, excluded from "value" so
@@ -173,14 +175,10 @@ def main() -> None:
         "substring_dup_stats",
         "bloom_semi_join_gate",
         "incremental_lsh_dedup",
+        "lsh_dedup_admissions",
         "knn_join_bucketed_top3",
     ):
-        best = float("inf")
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        extras[name] = round(best, 3)
+        extras[name] = time_query(name)
     print(
         json.dumps(
             {

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.helpers import md5_bucket
+from ..operators.helpers import md5_bucket, md5_bucket_sql
 from ..registry import register
 
 # MinHash parameters: k=8 affine hashes mod a Mersenne prime.
@@ -238,6 +238,15 @@ FROM ({_SHINGLED_SQL}) s
 GROUP BY doc_id
 """
 
+# DuckDB band table over a `sig` CTE — the oracle-side mirror of
+# :func:`band_table_for`, shared by every LSH-band oracle so banding can
+# never drift between Spark and the oracles.
+_BANDS_SQL = "bands AS (\n" + "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band, "
+    f"CAST(mh{2 * b} AS VARCHAR) || ':' || CAST(mh{2 * b + 1} AS VARCHAR) AS key FROM sig"
+    for b in range(N_BANDS)
+) + "\n)"
+
 
 def minhash_signatures_for(d: DataFrame) -> DataFrame:
     """Per-doc MinHash signature with NO shuffle: shingle→hash→affine→min
@@ -364,15 +373,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_candidates",
     oracle=f"""
 WITH sig AS ({_MINHASH_SIG_SQL}),
-bands AS (
-    SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS key FROM sig
-    UNION ALL
-    SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) FROM sig
-    UNION ALL
-    SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR) FROM sig
-    UNION ALL
-    SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) FROM sig
-)
+{_BANDS_SQL}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """,
@@ -1281,23 +1282,16 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixture models the split deterministically: md5 bucket 0 of 4 over
 # doc_id is the "incoming batch" (~25%), the rest is the standing corpus.
 INCR_BATCH_BUCKETS = 4
+_INCR_INCOMING_SQL = md5_bucket_sql("doc_id", INCR_BATCH_BUCKETS) + " = 0"
 
 
 @register(
     "incremental_lsh_dedup",
     oracle=f"""
 WITH sig AS ({_MINHASH_SIG_SQL}),
-bands AS (
-    SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS key FROM sig
-    UNION ALL
-    SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) FROM sig
-    UNION ALL
-    SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR) FROM sig
-    UNION ALL
-    SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) FROM sig
-),
-fresh AS (SELECT * FROM bands WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 4 = 0),
-state AS (SELECT * FROM bands WHERE NOT (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 4 = 0)),
+{_BANDS_SQL},
+fresh AS (SELECT * FROM bands WHERE {_INCR_INCOMING_SQL}),
+state AS (SELECT * FROM bands WHERE NOT ({_INCR_INCOMING_SQL})),
 corpus_hits AS (
     SELECT f.doc_id, COUNT(DISTINCT s.doc_id) AS n
     FROM fresh f JOIN state s ON f.band = s.band AND f.key = s.key

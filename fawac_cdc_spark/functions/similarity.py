@@ -766,12 +766,13 @@ KNN_K = 3
     "knn_join_bucketed_top3",
     oracle=f"""
 WITH b AS (
-    SELECT vec_id, embedding, CAST((CASE WHEN (list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([0.4967, -0.1383, 0.6477, 1.523, -0.2342, -0.2341, 1.5792, 0.7674, -0.4695, 0.5426, -0.4634, -0.4657, 0.242, -1.9133, -1.7249, -0.5623, -1.0128, 0.3142, -0.908, -1.4123, 1.4656, -0.2258, 0.0675, -1.4247, -0.5444, 0.1109, -1.151, 0.3757, -0.6006, -0.2917, -0.6017, 1.8523, -0.0135, -1.0577, 0.8225, -1.2208, 0.2089, -1.9597, -1.3282, 0.1969, 0.7385, 0.1714, -0.1156, -0.3011, -1.4785, -0.7198, -0.4606, 1.0571, 0.3436, -1.763, 0.3241, -0.3851, -0.6769, 0.6117, 1.031, 0.9313, -0.8392, -0.3092, 0.3313, 0.9755, -0.4792, -0.1857, -1.1063, -1.1962])[i]))) > 0 THEN 1 ELSE 0 END) + (CASE WHEN (list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([0.8125, 1.3562, -0.072, 1.0035, 0.3616, -0.6451, 0.3614, 1.538, -0.0358, 1.5646, -2.6197, 0.8219, 0.087, -0.299, 0.0918, -1.9876, -0.2197, 0.3571, 1.4779, -0.5183, -0.8085, -0.5018, 0.9154, 0.3288, -0.5298, 0.5133, 0.0971, 0.9686, -0.7021, -0.3277, -0.3921, -1.4635, 0.2961, 0.2611, 0.0051, -0.2346, -1.4154, -0.4206, -0.3427, -0.8023, -0.1613, 0.4041, 1.8862, 0.1746, 0.2576, -0.0744, -1.9188, -0.0265, 0.0602, 2.4632, -0.1924, 0.3015, -0.0347, -1.1687, 1.1428, 0.7519, 0.791, -0.9094, 1.4028, -1.4019, 0.5869, 2.1905, -0.9905, -0.5663])[i]))) > 0 THEN 2 ELSE 0 END) + (CASE WHEN (list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([0.0997, -0.5035, -1.5507, 0.0686, -1.0623, 0.4736, -0.9194, 1.5499, -0.7833, -0.3221, 0.8135, -1.2309, 0.2275, 1.3071, -1.6075, 0.1846, 0.2599, 0.7818, -1.237, -1.3205, 0.5219, 0.297, 0.2505, 0.3464, -0.68, 0.2323, 0.2931, -0.7144, 1.8658, 0.4738, -1.1913, 0.6566, -0.9747, 0.7871, 1.1586, -0.8207, 0.9634, 0.4128, 0.8221, 1.8968, -0.2454, -0.7537, -0.8895, -0.8158, -0.0771, 0.3412, 0.2767, 0.8272, 0.013, 1.4535, -0.2647, 2.7202, 0.6257, -0.8572, -1.0709, 0.4825, -0.2235, 0.714, 0.4732, -0.0728, -0.8468, -1.5148, -0.4465, 0.8564])[i]))) > 0 THEN 4 ELSE 0 END) + (CASE WHEN (list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ([0.2141, -1.2457, 0.1732, 0.3853, -0.8839, 0.1537, 0.0582, -1.143, 0.3578, 0.5608, 1.0831, 1.0538, -1.3777, -0.9378, 0.515, 0.5138, 0.515, 3.8527, 0.5709, 1.1356, 0.954, 0.6514, -0.3153, 0.759, -0.7728, -0.2368, -0.4854, 0.0819, 2.3147, -1.8673, 0.6863, -1.6127, -0.4719, 1.089, 0.0643, -1.0777, -0.7153, 0.6796, -0.7304, 0.2165, 0.0456, -0.6516, 2.1439, 0.6339, -2.0251, 0.1865, -0.6618, 0.8524, -0.7925, -0.1147, 0.505, 0.8658, -1.2003, -0.3345, -0.4749, -0.6533, 1.7655, 0.405, -1.2609, 0.9179, 2.1222, 1.0325, -1.5194, -0.4842])[i]))) > 0 THEN 8 ELSE 0 END) AS INT) AS bucket FROM embeddings
+    SELECT vec_id, embedding, {_bucket_sql_duck()} AS bucket FROM embeddings
 ), pairs AS (
     SELECT a.vec_id,
            c.vec_id AS neighbor_id,
-           ROUND((list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))
-                 / ((sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))) * (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))), 6) AS cos_sim
+           ROUND(({_dot2_duck("a.embedding", "c.embedding")})
+                 / (({_NORM_DUCK.format(v="a.embedding")})
+                    * ({_NORM_DUCK.format(v="c.embedding")})), 6) AS cos_sim
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
 ), ranked AS (
     SELECT vec_id, neighbor_id, cos_sim,

@@ -369,10 +369,24 @@ def bloom_semi_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT {_bloom_pos_spark('k', s)} AS pos FROM bloom_keys"
         for s in range(BLOOM_K)
     )
-    probe_pos = " UNION ALL ".join(
-        f"SELECT c_custkey, {_bloom_pos_spark('c_custkey', s)} AS pos FROM bloom_probe_side"
+    # Probe positions as K COLUMNS on one row per probe key (never an
+    # explode-to-K-rows + re-group, which would shuffle the probe side
+    # and contradict the property this gate demonstrates).  Each probe
+    # column left-joins the broadcast word table independently; the tiny
+    # build subtree is inlined per join — K copies of a dim-side scan,
+    # the right trade against any probe-side exchange.
+    probe_cols = ",\n               ".join(
+        f"{_bloom_pos_spark('c_custkey', s)} AS pos{s}" for s in range(BLOOM_K)
+    )
+    word_joins = "\n            ".join(
+        f"LEFT JOIN words w{s} ON p.pos{s} div {BLOOM_WORD} = w{s}.widx"
         for s in range(BLOOM_K)
     )
+    bit_checks = "\n                AND ".join(
+        f"coalesce((w{s}.word >> cast(p.pos{s} % {BLOOM_WORD} as int)) & 1, 0) = 1"
+        for s in range(BLOOM_K)
+    )
+    broadcast_hint = ", ".join(f"w{s}" for s in range(BLOOM_K))
     return spark.sql(
         f"""
         WITH bits AS ({build_pos}),
@@ -381,12 +395,16 @@ def bloom_semi_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    bit_or(shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD} as int))) AS word
             FROM bits GROUP BY pos div {BLOOM_WORD}
         ),
-        probe AS ({probe_pos}),
+        probe AS (
+            SELECT c_custkey,
+               {probe_cols}
+            FROM bloom_probe_side
+        ),
         verdict AS (
-            SELECT /*+ BROADCAST(w) */ p.c_custkey,
-                   bool_and(coalesce((w.word >> cast(p.pos % {BLOOM_WORD} as int)) & 1, 0) = 1) AS bloom_hit
-            FROM probe p LEFT JOIN words w ON p.pos div {BLOOM_WORD} = w.widx
-            GROUP BY p.c_custkey
+            SELECT /*+ BROADCAST({broadcast_hint}) */ p.c_custkey,
+                   ({bit_checks}) AS bloom_hit
+            FROM probe p
+            {word_joins}
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
                CAST(SUM(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_members_exact,

@@ -72,7 +72,7 @@ _QUERY_MODULES = [
 #                            36 exist; the 12 left out are from families
 #                            with 4+ refreshed entries and rotate in r7)
 # = 50.  Everything outside the window stays covered by tools/parity.py
-# (full 165-query sweep, PARITY_r06.md) + tests/test_oracle_parity.py.
+# (full-registry sweep, PARITY_r06.md) + tests/test_oracle_parity.py.
 _PRIORITY = [
     # Never driver-checked (7): the first two landed after the r5 window
     # froze / early this round; the last five are new this session

@@ -484,19 +484,11 @@ def purchase_click_left_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_admissions_oracle() -> str:
-    from ..functions.dedup import _MINHASH_SIG_SQL
+    from ..functions.dedup import _BANDS_SQL, _MINHASH_SIG_SQL
 
     return f"""
 WITH sig AS ({_MINHASH_SIG_SQL}),
-bands AS (
-    SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) AS key FROM sig
-    UNION ALL
-    SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || ':' || CAST(mh3 AS VARCHAR) FROM sig
-    UNION ALL
-    SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR) FROM sig
-    UNION ALL
-    SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) FROM sig
-),
+{_BANDS_SQL},
 earlier AS (
     SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n
     FROM bands a JOIN bands b

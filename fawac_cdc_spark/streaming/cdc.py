@@ -943,15 +943,22 @@ def lsh_dedup_stream(docs: DataFrame) -> DataFrame:
     def admit(key, pdf_iter, state):
         band, band_key = key
         first = state.get[0] if state.exists else None
+        # Drain ALL Arrow chunks before sorting: a group larger than
+        # arrow.maxRecordsPerBatch arrives as several chunks, and sorting
+        # per-chunk would let a later-chunk smaller id slip past an
+        # earlier-chunk larger one — breaking the documented convergence
+        # to the batch closed form.
+        all_ids = sorted(
+            int(x) for pdf in pdf_iter for x in pdf["doc_id"]
+        )
         out_docs: list[int] = []
         out_ok: list[bool] = []
-        for pdf in pdf_iter:
-            for d in sorted(int(x) for x in pdf["doc_id"]):
-                ok = first is None or d < first
-                if ok:
-                    first = d
-                out_docs.append(d)
-                out_ok.append(ok)
+        for d in all_ids:
+            ok = first is None or d < first
+            if ok:
+                first = d
+            out_docs.append(d)
+            out_ok.append(ok)
         state.update((first,))
         yield pd.DataFrame(
             {
