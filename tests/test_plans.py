@@ -339,3 +339,54 @@ def test_near_dup_drop_list_is_not_force_broadcast(spark, sf_dir, name):
     assert anti_lines, "expected a doc_id anti-join in the survivor plan"
     for line in anti_lines:
         assert "broadcast" not in line.lower(), line
+
+
+def test_bloom_probe_side_never_shuffles(spark, sf_dir):
+    """The Bloom gate exists to demonstrate a shuffle-free probe: the
+    probe side must reach the verdict through broadcast joins only — no
+    hashpartitioning exchange anywhere in the plan (the only exchanges
+    allowed are broadcast and the single-partition final aggregate)."""
+    plan = _plan(spark, sf_dir, "bloom_semi_join_gate")
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert not hash_exchanges, hash_exchanges
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_ranks_with_group_limit_pushdown(spark, sf_dir):
+    """The per-vector top-k must use the rank-limit pushdown
+    (WindowGroupLimit trims to k per partition BEFORE the final window
+    shuffle) and the candidate join must stay a bucket equi-join, never
+    a cartesian product."""
+    plan = _plan(spark, sf_dir, "knn_join_bucketed_top3")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_dup_join_back_is_unhinted(spark, sf_dir):
+    """The df>=2 gram list joins back to the gram stream WITHOUT a
+    broadcast hint: at fixture scale the optimizer may pick broadcast,
+    but the plan must not pin it (at 100 TB the duplicated-gram list is
+    unbounded — boilerplate IS the signal — so AQE must be free to fall
+    back to a shuffle join). Guard: the logical plan carries no
+    user-supplied join hint, and nothing degenerates to a nested loop."""
+    df = _SPECS["substring_dup_stats"].fn(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "hints=[" not in logical.lower()
+    plan = _plan(spark, sf_dir, "substring_dup_stats")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_lsh_probe_is_equi_join(spark, sf_dir):
+    """Both the corpus probe and the within-batch self-join must be
+    (band, key) equi-joins — never a cross join — and the packing of the
+    band table must come from one checkpointed scan (the persisted-state
+    stand-in), not two recomputations of the signature subtree."""
+    plan = _plan(spark, sf_dir, "incremental_lsh_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the signature pipeline (shingle explode + minhash) runs zero times
+    # in this plan because the band table was checkpointed eagerly
+    assert "transform(" not in plan.split("AdaptiveSparkPlan")[-1][:200]
+    assert plan.count("Scan ExistingRDD") >= 2
