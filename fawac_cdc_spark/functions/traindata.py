@@ -606,3 +606,74 @@ def _register_leakage_safe_split() -> None:
 
 
 _register_leakage_safe_split()
+
+
+@register(
+    "packing_efficiency_stats",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
+           CAST({PACK_SHARD_SQL} AS INT) AS pack_shard
+    FROM documents
+), seq AS (
+    SELECT source, pack_shard, doc_id, ntok,
+           COALESCE(CAST(SUM(ntok) OVER (PARTITION BY source, pack_shard
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS tok_before
+    FROM t
+), packed AS (
+    SELECT source, pack_shard,
+           tok_before // {PACK_BUDGET} AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(ntok) AS pack_tokens
+    FROM seq
+    GROUP BY source, pack_shard, tok_before // {PACK_BUDGET}
+)
+SELECT source,
+       CAST(COUNT(DISTINCT pack_shard) AS BIGINT) AS n_shards,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens,
+       CAST((1000 * SUM(pack_tokens)) // (COUNT(*) * {PACK_BUDGET}) AS BIGINT)
+           AS util_permille
+FROM packed
+GROUP BY source
+ORDER BY source
+""",
+    tags=("traindata", "llm", "packing", "diagnostic"),
+)
+def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality diagnostic per source: how full the 2048-token
+    training sequences actually are.  util_permille is integer-exact
+    (1000·total_tokens div n_packs·budget — tie-proof across engines)
+    and reads as: ≈1000 = budget fully used, >1000 = straddle overflow
+    dominates (documents bigger than the budget), <1000 = tail packs
+    and shard boundaries waste GPU tokens — the signal that N_PACK_SHARDS
+    is too high for a small source or the budget too large.  Composes
+    over :func:`packed_sequences`, so it is one extra aggregate on the
+    same two-shuffle plan, not a new scan of the corpus."""
+    p = packed_sequences(spark, sf_dir)
+    return (
+        p.groupBy("source")
+        .agg(
+            F.count_distinct("pack_shard").alias("n_shards"),
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("pack_tokens").alias("total_tokens"),
+            F.max("pack_tokens").alias("max_pack_tokens"),
+        )
+        .select(
+            "source",
+            "n_shards",
+            "n_packs",
+            "n_docs",
+            "total_tokens",
+            "max_pack_tokens",
+            F.expr(
+                f"CAST((1000 * total_tokens) DIV (n_packs * {PACK_BUDGET}) AS BIGINT)"
+            ).alias("util_permille"),
+        )
+        .orderBy("source")
+    )
