@@ -177,6 +177,7 @@ def main() -> None:
         "incremental_lsh_dedup",
         "lsh_dedup_admissions",
         "knn_join_bucketed_top3",
+        "packing_efficiency_stats",
     ):
         extras[name] = time_query(name)
     print(
