@@ -178,6 +178,7 @@ def main() -> None:
         "lsh_dedup_admissions",
         "knn_join_bucketed_top3",
         "packing_efficiency_stats",
+        "semantic_dedup_cell_stats",
     ):
         extras[name] = time_query(name)
     print(

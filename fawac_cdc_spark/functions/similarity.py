@@ -839,3 +839,131 @@ def knn_join_bucketed_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("rnk").cast("int").alias("rnk"), "neighbor_id", "cos_sim")
         .orderBy("vec_id", "rnk")
     )
+
+
+# SemDeDup (Abbas et al. 2023): semantic deduplication by clustering the
+# embedding space and pruning near-identical pairs WITHIN each cluster —
+# the cluster assignment is the blocking key that keeps the pair join
+# bounded (k ~ sqrt(n) cells in the paper; the fixture reuses the IVF
+# seed-centroid convention).  Cosine threshold shared with the
+# RP-bucketed near-dup family so the two blocking strategies are
+# directly comparable.
+SEMDEDUP_COS = 0.4
+
+
+@register(
+    "semantic_dedup_cell_stats",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), scored_cents AS (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND(({_dot2_duck("e.embedding", "c.cvec")})
+                              / (({_NORM_DUCK.format(v="e.embedding")})
+                                 * ({_NORM_DUCK.format(v="c.cvec")})), 6) DESC,
+                        c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+    SELECT vec_id, embedding, {_NORM_DUCK.format(v="embedding")} AS nrm, cent_id
+    FROM scored_cents WHERE rn = 1
+), dropped AS (
+    SELECT DISTINCT b.vec_id, b.cent_id
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE ({_dot2_duck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) >= {SEMDEDUP_COS}
+)
+SELECT a.cent_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_survivors
+FROM assigned a LEFT JOIN dropped d
+  ON a.vec_id = d.vec_id AND a.cent_id = d.cent_id
+GROUP BY a.cent_id
+ORDER BY a.cent_id
+""",
+    tags=("similarity", "dedup", "llm", "semdedup"),
+)
+def semantic_dedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-blocked semantic deduplication (Abbas et al.
+    2023).  Every vector is assigned to its nearest seed centroid (the
+    same broadcast-argmax pass as the IVF family), then near-identical
+    pairs (cosine >= 0.4) are pruned WITHIN each cell, keeping the
+    smallest vec_id of each close pair.
+
+    Scale shape: the cell id is the blocking key — the pair join is a
+    cell equi-join, never a global all-pairs (the paper sizes k so cells
+    stay bounded; AQE splits residual hot cells).  Norms are computed
+    once per vector in the assignment pass, not per pair.  Output is
+    per-cell counts (vectors / dropped / survivors) — compact, BIGINT,
+    tie-proof — which verifies the whole assignment + pruning pipeline.
+    Complementary to `embedding_cosine_near_dup` (RP-hyperplane
+    blocking): same threshold, different recall/blocking trade."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    from pyspark.sql import Window
+
+    cos_to_cent = F.round(
+        F.expr(_dot2_spark("embedding", "cvec"))
+        / (
+            F.expr(_NORM_SPARK.format(v="embedding"))
+            * F.expr(_NORM_SPARK.format(v="cvec"))
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_to_cent"), F.asc("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cos_to_cent", cos_to_cent)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_NORM_SPARK.format(v="embedding")).alias("nrm"),
+            "cent_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("nrm_a"),
+        "cent_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("nrm_b"),
+        "cent_id",
+    )
+    dropped = (
+        a.join(b, "cent_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.expr(_dot2_spark("a_emb", "b_emb"))
+            / (F.col("nrm_a") * F.col("nrm_b"))
+            >= SEMDEDUP_COS
+        )
+        .select("cent_id", F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, ["cent_id", "vec_id"], "left")
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_survivors"),
+        )
+        .orderBy("cent_id")
+    )
