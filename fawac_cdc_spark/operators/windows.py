@@ -439,3 +439,60 @@ def range_frame_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("window_start_event"),
         F.last("event_id").over(w).alias("window_end_event"),
     )
+
+
+@register(
+    "value_decile_profile",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, value,
+           NTILE(10) OVER w AS decile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value,
+       ROUND(MAX(pct_rank), 6) AS max_pct_rank,
+       ROUND(MAX(cume), 6) AS max_cume_dist
+FROM ranked
+GROUP BY event_type, decile
+ORDER BY event_type, decile
+""",
+    tags=("window", "rank", "distribution"),
+)
+def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile via the rank-family window trio the rest of
+    the window surface doesn't touch: NTILE(10) decile assignment,
+    PERCENT_RANK, and CUME_DIST per event_type, summarized per decile.
+
+    Determinism: the window orders by (value, event_id) — a total order,
+    so bucket boundaries and every rank value are engine-identical
+    (NTILE's larger-buckets-first split, (rank-1)/(n-1), and rows<=/n are
+    the same SQL-standard definitions in Spark and DuckDB); MAX per
+    decile is order-independent, so no float-summation drift can reach
+    the hash. One shuffle on event_type, same as every per-type window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return (
+        ranked.groupBy("event_type", F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.max("pct_rank"), 6).alias("max_pct_rank"),
+            F.round(F.max("cume"), 6).alias("max_cume_dist"),
+        )
+        .orderBy("event_type", "decile")
+    )

@@ -52,13 +52,14 @@ _QUERY_MODULES = [
 #
 # Round-6 rotation (hardening round — the surface is complete, so the
 # window now optimizes for evidence freshness). Composition, in order:
-#   9 never-driver-checked  (hour_bitmap_user_activity, added after the
+#  10 never-driver-checked  (hour_bitmap_user_activity, added after the
 #                            r5 window froze; approx_stats_error_bound,
 #                            substring_dup_stats, bloom_semi_join_gate,
 #                            incremental_lsh_dedup, lsh_dedup_admissions,
 #                            knn_join_bucketed_top3,
 #                            packing_efficiency_stats,
 #                            semantic_dedup_cell_stats,
+#                            value_decile_profile,
 #                            new this round)
 # + 7 changed-this-round    (packed_sequences / traindata_end_to_end:
 #                            shard-bounded packing rewrote both oracles;
@@ -70,18 +71,19 @@ _QUERY_MODULES = [
 # + 1 flagship              (same query as entry()'s smoke check)
 # + 11 family sentinels     (one per module family not already covered
 #                            above, sampled from r3-r5 windows)
-# + 22 stalest              (queries whose only driver evidence is r1 —
-#                            36 exist; the 14 left out are from families
+# + 21 stalest              (queries whose only driver evidence is r1 —
+#                            36 exist; the 15 left out are from families
 #                            with 4+ refreshed entries and rotate in r7)
 # = 50.  Everything outside the window stays covered by tools/parity.py
 # (full-registry sweep, PARITY_r06.md) + tests/test_oracle_parity.py.
 _PRIORITY = [
-    # Never driver-checked (9): the first two landed after the r5 window
-    # froze / early this round; the last seven are new this session
+    # Never driver-checked (10): the first two landed after the r5 window
+    # froze / early this round; the last eight are new this session
     # (exact-substring dedup, the Bloom semi-join gate, incremental LSH
     # admission, the streaming-ingest admission closed form, the bucketed
-    # k-NN self-join, the packing-efficiency diagnostic, and SemDeDup
-    # cluster-blocked semantic dedup).  They displace seven stalest-r1
+    # k-NN self-join, the packing-efficiency diagnostic, SemDeDup
+    # cluster-blocked semantic dedup, and the ntile/percent_rank/
+    # cume_dist decile profile).  They displace eight stalest-r1
     # entries whose families keep another
     # sentinel in the window (prefix_half_per_user — windows family has
     # five other entries; nations_customers_intersect_suppliers — setops
@@ -90,7 +92,8 @@ _PRIORITY = [
     # reference_td_advantage_pipeline sentinel; winnowing_fingerprints —
     # text keeps doc_quality_scores and doc_fingerprints;
     # weighted_avg_discount, order_stats_with_median — aggregates keep
-    # five entries); all rotate back in r7.
+    # five entries; ewma_user_values — windows keep four entries incl.
+    # the new decile profile); all rotate back in r7.
     "hour_bitmap_user_activity",
     "approx_stats_error_bound",
     "substring_dup_stats",
@@ -100,6 +103,7 @@ _PRIORITY = [
     "knn_join_bucketed_top3",
     "packing_efficiency_stats",
     "semantic_dedup_cell_stats",
+    "value_decile_profile",
     # Changed this round (7): re-verify against their updated code/oracles.
     "packed_sequences",
     "traindata_end_to_end",
@@ -124,7 +128,7 @@ _PRIORITY = [
     "benchmark_decontam_flags",
     "zorder_bucket_stats",
     "density_binned_subsample",
-    # Stalest driver evidence (22): last green row is round 1.
+    # Stalest driver evidence (21): last green row is round 1.
     "scalar_transform_lineitem",
     "case_when_order_priority",
     "exp_weight_capped",
@@ -138,7 +142,6 @@ _PRIORITY = [
     "topk_orders_per_status",
     "constrained_best_order_per_priority",
     "discounted_cumsum_per_user",
-    "ewma_user_values",
     "nations_customers_except_suppliers",
     "hash_sample_lineitem",
     "q3_shipping_priority",
