@@ -764,3 +764,41 @@ def hour_bitmap_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "conditional_agg_profile",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+       CAST(COUNT(*) FILTER (WHERE value > 50 AND user_id % 2 = 0)
+            AS BIGINT) AS n_high_even_user,
+       BOOL_OR(value > 95) AS has_extreme,
+       BOOL_AND(value >= 0) AS all_nonneg
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("agg", "conditional"),
+)
+def conditional_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate surface in one pass: ``count_if`` (COUNT
+    FILTER) and the SQL-standard boolean reductions ``bool_or`` /
+    ``bool_and`` (ANY/EVERY).  One scan, one shuffle on the group key,
+    every aggregate map-side combinable — the shape that replaces N
+    separate filtered scans with one at 100 TB.  All outputs are integer
+    or boolean, so the hash is representation-exact."""
+    e = load_table(spark, sf_dir, "events")
+    high = F.col("value") > 50
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(high).alias("n_high"),
+            F.count_if(high & (F.col("user_id") % 2 == 0)).alias("n_high_even_user"),
+            F.bool_or(F.col("value") > 95).alias("has_extreme"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        )
+        .orderBy("event_type")
+    )

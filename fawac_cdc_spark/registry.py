@@ -52,7 +52,7 @@ _QUERY_MODULES = [
 #
 # Round-6 rotation (hardening round — the surface is complete, so the
 # window now optimizes for evidence freshness). Composition, in order:
-#  10 never-driver-checked  (hour_bitmap_user_activity, added after the
+#  11 never-driver-checked  (hour_bitmap_user_activity, added after the
 #                            r5 window froze; approx_stats_error_bound,
 #                            substring_dup_stats, bloom_semi_join_gate,
 #                            incremental_lsh_dedup, lsh_dedup_admissions,
@@ -60,6 +60,7 @@ _QUERY_MODULES = [
 #                            packing_efficiency_stats,
 #                            semantic_dedup_cell_stats,
 #                            value_decile_profile,
+#                            conditional_agg_profile,
 #                            new this round)
 # + 7 changed-this-round    (packed_sequences / traindata_end_to_end:
 #                            shard-bounded packing rewrote both oracles;
@@ -71,20 +72,21 @@ _QUERY_MODULES = [
 # + 1 flagship              (same query as entry()'s smoke check)
 # + 11 family sentinels     (one per module family not already covered
 #                            above, sampled from r3-r5 windows)
-# + 21 stalest              (queries whose only driver evidence is r1 —
-#                            36 exist; the 15 left out are from families
+# + 20 stalest              (queries whose only driver evidence is r1 —
+#                            36 exist; the 16 left out are from families
 #                            with 4+ refreshed entries and rotate in r7)
 # = 50.  Everything outside the window stays covered by tools/parity.py
 # (full-registry sweep, PARITY_r06.md) + tests/test_oracle_parity.py.
 _PRIORITY = [
-    # Never driver-checked (10): the first two landed after the r5 window
-    # froze / early this round; the last eight are new this session
+    # Never driver-checked (11): the first two landed after the r5 window
+    # froze / early this round; the last nine are new this session
     # (exact-substring dedup, the Bloom semi-join gate, incremental LSH
     # admission, the streaming-ingest admission closed form, the bucketed
     # k-NN self-join, the packing-efficiency diagnostic, SemDeDup
-    # cluster-blocked semantic dedup, and the ntile/percent_rank/
-    # cume_dist decile profile).  They displace eight stalest-r1
-    # entries whose families keep another
+    # cluster-blocked semantic dedup, the ntile/percent_rank/cume_dist
+    # decile profile, and the count_if/bool_or/bool_and conditional
+    # profile).  They displace nine stalest-r1 entries whose families
+    # keep another
     # sentinel in the window (prefix_half_per_user — windows family has
     # five other entries; nations_customers_intersect_suppliers — setops
     # keeps the EXCEPT form; filter_range_scan — relational keeps three
@@ -92,8 +94,9 @@ _PRIORITY = [
     # reference_td_advantage_pipeline sentinel; winnowing_fingerprints —
     # text keeps doc_quality_scores and doc_fingerprints;
     # weighted_avg_discount, order_stats_with_median — aggregates keep
-    # five entries; ewma_user_values — windows keep four entries incl.
-    # the new decile profile); all rotate back in r7.
+    # five entries even after expectile_loss_by_flag also rotates out;
+    # ewma_user_values — windows keep four entries incl. the new decile
+    # profile); all rotate back in r7.
     "hour_bitmap_user_activity",
     "approx_stats_error_bound",
     "substring_dup_stats",
@@ -104,6 +107,7 @@ _PRIORITY = [
     "packing_efficiency_stats",
     "semantic_dedup_cell_stats",
     "value_decile_profile",
+    "conditional_agg_profile",
     # Changed this round (7): re-verify against their updated code/oracles.
     "packed_sequences",
     "traindata_end_to_end",
@@ -128,11 +132,10 @@ _PRIORITY = [
     "benchmark_decontam_flags",
     "zorder_bucket_stats",
     "density_binned_subsample",
-    # Stalest driver evidence (21): last green row is round 1.
+    # Stalest driver evidence (20): last green row is round 1.
     "scalar_transform_lineitem",
     "case_when_order_priority",
     "exp_weight_capped",
-    "expectile_loss_by_flag",
     "event_value_stats",
     "grouping_sets_mixed",
     "orders_lineitem_by_priority",
