@@ -220,10 +220,7 @@ def _dot2_duck(a: str, b: str) -> str:
     )
 
 
-@register(
-    "ivf_topk_query1",
-    oracle=f"""
-WITH cents AS (
+_SCORED_CENTS_SQL = f"""cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
     FROM embeddings WHERE vec_id < {N_CENTROIDS}
 ), scored_cents AS (
@@ -235,7 +232,51 @@ WITH cents AS (
                                  * ({_NORM_DUCK.format(v='c.cvec')})), 6) DESC,
                         c.cent_id) AS rn
     FROM embeddings e CROSS JOIN cents c
-), assigned AS (
+)"""
+
+
+def cosine_assigned_cells(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cent_id): nearest seed centroid by rounded
+    cosine, ties to the lower cent_id — the ONE Spark-side definition of
+    the IVF/IVF-PQ/SemDeDup cell assignment (oracle mirror:
+    ``_SCORED_CENTS_SQL``; a fourth copy was how drift would start).
+    Norms are hoisted onto both sides before the broadcast crossJoin so
+    each vector's 64-term fold runs once, not once per centroid —
+    bit-identical cosines (same operands, same division), n x k fewer
+    folds."""
+    from pyspark.sql import Window
+
+    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+        F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_c"),
+    )
+    probe = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_e"),
+    )
+    cos_to_cent = F.round(
+        F.expr(_dot2_spark("embedding", "cvec"))
+        / (F.col("_nrm_e") * F.col("_nrm_c")),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_to_cent"), F.asc("cent_id")
+    )
+    return (
+        probe.crossJoin(F.broadcast(cents))
+        .withColumn("cos_to_cent", cos_to_cent)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+
+
+@register(
+    "ivf_topk_query1",
+    oracle=f"""
+WITH {_SCORED_CENTS_SQL}, assigned AS (
     SELECT vec_id, embedding, cent_id FROM scored_cents WHERE rn = 1
 ), q AS (
     SELECT embedding AS qv, cent_id AS qcent
@@ -262,27 +303,7 @@ def ivf_topk_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosines round to 6 before ranking so the argmax is engine-stable.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-    )
-    from pyspark.sql import Window
-
-    cos_to_cent = F.round(
-        F.expr(_dot2_spark("embedding", "cvec"))
-        / (
-            F.expr(_NORM_SPARK.format(v="embedding"))
-            * F.expr(_NORM_SPARK.format(v="cvec"))
-        ),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_to_cent"), F.asc("cent_id"))
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("cos_to_cent", cos_to_cent)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assigned = cosine_assigned_cells(e)
     q = assigned.where(F.col("vec_id") == IVF_QUERY_ID).select(
         F.col("embedding").alias("qv"), F.col("cent_id").alias("qcent")
     )
@@ -656,19 +677,7 @@ def pq_adc_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivfpq_topk_query1",
     oracle=f"""
-WITH cents AS (
-    SELECT vec_id AS cent_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < {N_CENTROIDS}
-), scored_cents AS (
-    SELECT e.vec_id, e.embedding, c.cent_id,
-           ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY ROUND(({_dot2_duck('e.embedding', 'c.cvec')})
-                              / (({_NORM_DUCK.format(v='e.embedding')})
-                                 * ({_NORM_DUCK.format(v='c.cvec')})), 6) DESC,
-                        c.cent_id) AS rn
-    FROM embeddings e CROSS JOIN cents c
-), assigned AS (
+WITH {_SCORED_CENTS_SQL}, assigned AS (
     SELECT vec_id, embedding, cent_id FROM scored_cents WHERE rn = 1
 ), dists AS (
     SELECT vec_id, cent_id,
@@ -711,28 +720,8 @@ def ivfpq_topk_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is an equi-join on cent_id, scoring is {PQ_M} table
     lookups per candidate (faiss-IVFPQ shape, raw-vector codebooks).
     Deterministic rounding/tie-breaks keep it oracle-exact."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-    )
-    cos_to_cent = F.round(
-        F.expr(_dot2_spark("embedding", "cvec"))
-        / (
-            F.expr(_NORM_SPARK.format(v="embedding"))
-            * F.expr(_NORM_SPARK.format(v="cvec"))
-        ),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_to_cent"), F.asc("cent_id"))
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("cos_to_cent", cos_to_cent)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
-    )
+    assigned = cosine_assigned_cells(e)
     docs = assigned.where(F.col("vec_id") != IVF_QUERY_ID)
     for m in range(PQ_M):
         for k in range(PQ_K):
@@ -804,7 +793,7 @@ def knn_join_bucketed_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm computed ONCE per vector here, not per pair: each vector joins
     # ~bucket-size pairs, so hoisting the two 64-term norm folds out of
     # the pair expression removes ~2/3 of the per-pair flops (measured
-    # ~3x at sf0.1); the checkpoint is also what the self-join reuses
+    # 2.4x at sf0.1, BASELINE.md); the checkpoint is also what the self-join reuses
     # instead of recomputing the bucket projection twice.
     b = e.select(
         "vec_id",
@@ -854,19 +843,7 @@ SEMDEDUP_COS = 0.4
 @register(
     "semantic_dedup_cell_stats",
     oracle=f"""
-WITH cents AS (
-    SELECT vec_id AS cent_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < {N_CENTROIDS}
-), scored_cents AS (
-    SELECT e.vec_id, e.embedding, c.cent_id,
-           ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY ROUND(({_dot2_duck("e.embedding", "c.cvec")})
-                              / (({_NORM_DUCK.format(v="e.embedding")})
-                                 * ({_NORM_DUCK.format(v="c.cvec")})), 6) DESC,
-                        c.cent_id) AS rn
-    FROM embeddings e CROSS JOIN cents c
-), assigned AS (
+WITH {_SCORED_CENTS_SQL}, assigned AS (
     SELECT vec_id, embedding, {_NORM_DUCK.format(v="embedding")} AS nrm, cent_id
     FROM scored_cents WHERE rn = 1
 ), dropped AS (
@@ -904,31 +881,9 @@ def semantic_dedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complementary to `embedding_cosine_near_dup` (RP-hyperplane
     blocking): same threshold, different recall/blocking trade."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-    )
-    from pyspark.sql import Window
-
-    cos_to_cent = F.round(
-        F.expr(_dot2_spark("embedding", "cvec"))
-        / (
-            F.expr(_NORM_SPARK.format(v="embedding"))
-            * F.expr(_NORM_SPARK.format(v="cvec"))
-        ),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_to_cent"), F.asc("cent_id"))
     assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("cos_to_cent", cos_to_cent)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "embedding",
-            F.expr(_NORM_SPARK.format(v="embedding")).alias("nrm"),
-            "cent_id",
-        )
+        cosine_assigned_cells(e)
+        .withColumn("nrm", F.expr(_NORM_SPARK.format(v="embedding")))
         .localCheckpoint(eager=True)
     )
     a = assigned.select(

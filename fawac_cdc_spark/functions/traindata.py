@@ -114,10 +114,12 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "packed_sequences",
-    oracle=f"""
-WITH t AS (
+# Whole-document packing CTE, shared by the packed_sequences oracle and
+# the packing_efficiency_stats diagnostic oracle — one definition so the
+# packing semantics cannot drift between the query and its diagnostic.
+# (traindata_end_to_end packs CHUNKS over the survivor set, a genuinely
+# different pipeline stage, so it keeps its own CTE.)
+_PACKED_SQL = f"""WITH t AS (
     SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
            CAST({PACK_SHARD_SQL} AS INT) AS pack_shard
     FROM documents
@@ -128,13 +130,25 @@ WITH t AS (
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     AS BIGINT), 0) AS tok_before
     FROM t
-)
+), packed AS (
+    SELECT source, pack_shard,
+           tok_before // {PACK_BUDGET} AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(ntok) AS pack_tokens
+    FROM seq
+    GROUP BY source, pack_shard, tok_before // {PACK_BUDGET}
+)"""
+
+
+@register(
+    "packed_sequences",
+    oracle=f"""
+{_PACKED_SQL}
 SELECT source, pack_shard,
-       CAST(tok_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(ntok) AS BIGINT) AS pack_tokens
-FROM seq
-GROUP BY source, pack_shard, tok_before // {PACK_BUDGET}
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(pack_tokens AS BIGINT) AS pack_tokens
+FROM packed
 """,
     tags=("traindata", "llm", "packing"),
 )
@@ -611,25 +625,7 @@ _register_leakage_safe_split()
 @register(
     "packing_efficiency_stats",
     oracle=f"""
-WITH t AS (
-    SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
-           CAST({PACK_SHARD_SQL} AS INT) AS pack_shard
-    FROM documents
-), seq AS (
-    SELECT source, pack_shard, doc_id, ntok,
-           COALESCE(CAST(SUM(ntok) OVER (PARTITION BY source, pack_shard
-                         ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    AS BIGINT), 0) AS tok_before
-    FROM t
-), packed AS (
-    SELECT source, pack_shard,
-           tok_before // {PACK_BUDGET} AS pack_id,
-           COUNT(*) AS n_docs,
-           SUM(ntok) AS pack_tokens
-    FROM seq
-    GROUP BY source, pack_shard, tok_before // {PACK_BUDGET}
-)
+{_PACKED_SQL}
 SELECT source,
        CAST(COUNT(DISTINCT pack_shard) AS BIGINT) AS n_shards,
        CAST(COUNT(*) AS BIGINT) AS n_packs,

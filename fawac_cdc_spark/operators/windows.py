@@ -450,7 +450,7 @@ WITH ranked AS (
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST() OVER w AS cume
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    WINDOW w AS (PARTITION BY event_type ORDER BY value NULLS FIRST, event_id)
 )
 SELECT event_type, CAST(decile AS INT) AS decile,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -477,7 +477,12 @@ def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. One shuffle on event_type, same as every per-type window.
     """
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # explicit NULLS FIRST: Spark defaults nulls-first ascending, DuckDB
+    # defaults nulls-LAST — value is nullable, so pin it on both sides or
+    # a future fixture with one NULL silently shifts every decile
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
     ranked = e.select(
         "event_type",
         "value",
