@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fawac_cdc_spark.registry import all_specs  # noqa: E402
+from fawac_cdc_spark.registry import BENCH_EXTRAS, all_specs  # noqa: E402
 from fawac_cdc_spark.session import get_spark  # noqa: E402
 
 # FROZEN since round 3 (20 queries) so cross-round numbers stay
@@ -169,17 +169,10 @@ def main() -> None:
     # Non-frozen side experiments: separate key, excluded from "value" so
     # the frozen-suite totals stay comparable across rounds.
     extras = skew_experiment(spark, sf_dir)
-    # Round-6 additions, timed the same min-of-N way but kept out of the
+    # Newer-operator additions (registry.BENCH_EXTRAS — one shared
+    # definition), timed the same min-of-N way but kept out of the
     # frozen 20-query total.
-    for name in (
-        "substring_dup_stats",
-        "bloom_semi_join_gate",
-        "incremental_lsh_dedup",
-        "lsh_dedup_admissions",
-        "knn_join_bucketed_top3",
-        "packing_efficiency_stats",
-        "semantic_dedup_cell_stats",
-    ):
+    for name in BENCH_EXTRAS:
         extras[name] = time_query(name)
     print(
         json.dumps(

@@ -1203,25 +1203,31 @@ def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # docs are 10-99 tokens, so n=8 keeps overlap non-trivial at test scale.
 SUBSTRING_GRAM_N = 8
 
-_SUBSTR_GRAMS_EXPR = (
-    f"array_distinct(transform(sequence(0, size(toks) - {SUBSTRING_GRAM_N}), "
-    f"i -> cast(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {SUBSTRING_GRAM_N}))), 1, 15), 16, 10) as bigint)))"
-)
 
-_SUBSTR_GRAMS_SQL = (
-    f"list_distinct(list_transform(range(1, len(toks) - {SUBSTRING_GRAM_N - 2}), "
-    f"i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+{SUBSTRING_GRAM_N - 1}], ' ')), 1, 15) AS BIGINT)))"
-)
+def _substr_grams_expr(n: int) -> str:
+    """Spark expr: distinct md5-hashed token n-grams of ``toks``."""
+    return (
+        f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+        f"i -> cast(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {n}))), 1, 15), 16, 10) as bigint)))"
+    )
 
 
-@register(
-    "substring_dup_stats",
-    oracle=f"""
+def _substr_grams_sql(n: int) -> str:
+    """DuckDB mirror of ``_substr_grams_expr`` (1-based list slicing)."""
+    return (
+        f"list_distinct(list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+{n - 1}], ' ')), 1, 15) AS BIGINT)))"
+    )
+
+
+def substring_dup_oracle_sql(n: int = SUBSTRING_GRAM_N) -> str:
+    """DuckDB oracle for ``substring_dup_stats_df`` at gram length n."""
+    return f"""
 WITH grams AS (
-    SELECT doc_id, unnest({_SUBSTR_GRAMS_SQL}) AS gram
+    SELECT doc_id, unnest({_substr_grams_sql(n)}) AS gram
     FROM (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents
-          WHERE len(string_split(text, ' ')) >= {SUBSTRING_GRAM_N})
+          WHERE len(string_split(text, ' ')) >= {n})
 ), dup AS (
     SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
 )
@@ -1231,8 +1237,12 @@ SELECT g.doc_id,
 FROM grams g LEFT JOIN dup d ON g.gram = d.gram
 GROUP BY g.doc_id
 HAVING SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
-ORDER BY g.doc_id
-""",
+"""
+
+
+@register(
+    "substring_dup_stats",
+    oracle=substring_dup_oracle_sql(),
     tags=("llm", "dedup", "substring"),
 )
 def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,9 +1260,19 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate keys on doc_id.  Output: every document containing
     at least one gram duplicated in >= 2 distinct docs, with its total
     and duplicated distinct-gram counts — counts stay BIGINT (no float
-    ratio) so the driver hash is tie-proof.  Production would raise n
-    toward the 50-token span standard; the plan is length-independent.
+    ratio) so the driver hash is tie-proof.  Production raises n toward
+    the 50-token span standard via the ``n`` parameter of
+    ``substring_dup_stats_df`` (the plan is length-independent;
+    tests/test_dedup_scale.py exercises n=16 against the oracle).
     """
+    return substring_dup_stats_df(spark, sf_dir)
+
+
+def substring_dup_stats_df(
+    spark: SparkSession, sf_dir: str, n: int = SUBSTRING_GRAM_N
+) -> DataFrame:
+    """The substring-duplication plan at gram length ``n`` (>= 3; the
+    registered query pins n=8 for the 10-99-token fixture docs)."""
     d = load_table(spark, sf_dir, "documents")
     # The gram stream feeds both the distinct-doc count and the join-back;
     # Catalyst does not reuse the subtree, so materialize it once instead
@@ -1261,8 +1281,8 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IS the persisted substring-index artifact).
     grams = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
-        .where(F.size("toks") >= SUBSTRING_GRAM_N)
-        .select("doc_id", F.explode(F.expr(_SUBSTR_GRAMS_EXPR)).alias("gram"))
+        .where(F.size("toks") >= n)
+        .select("doc_id", F.explode(F.expr(_substr_grams_expr(n))).alias("gram"))
         .localCheckpoint(eager=True)
     )
     dup = (
@@ -1279,7 +1299,6 @@ def substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_grams"),
         )
         .where(F.col("n_dup_grams") > 0)
-        .orderBy("doc_id")
     )
 
 
@@ -1320,7 +1339,6 @@ SELECT d.doc_id,
 FROM docs d
 LEFT JOIN corpus_hits c ON d.doc_id = c.doc_id
 LEFT JOIN batch_hits bh ON d.doc_id = bh.doc_id
-ORDER BY d.doc_id
 """,
     tags=("dedup", "llm", "minhash", "incremental"),
 )
@@ -1376,5 +1394,4 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_batch.alias("n_batch_dups"),
             ((n_corpus == 0) & (n_batch == 0)).alias("admitted"),
         )
-        .orderBy("doc_id")
     )

@@ -220,9 +220,12 @@ def _dot2_duck(a: str, b: str) -> str:
     )
 
 
-_SCORED_CENTS_SQL = f"""cents AS (
+def _scored_cents_sql(n_cells: int = N_CENTROIDS) -> str:
+    """DuckDB CTE pair (cents, scored_cents) for the seed-centroid
+    assignment at ``n_cells`` cells — mirror of ``cosine_assigned_cells``."""
+    return f"""cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    FROM embeddings WHERE vec_id < {n_cells}
 ), scored_cents AS (
     SELECT e.vec_id, e.embedding, c.cent_id,
            ROW_NUMBER() OVER (
@@ -235,18 +238,23 @@ _SCORED_CENTS_SQL = f"""cents AS (
 )"""
 
 
-def cosine_assigned_cells(e: DataFrame) -> DataFrame:
+_SCORED_CENTS_SQL = _scored_cents_sql()
+
+
+def cosine_assigned_cells(e: DataFrame, n_cells: int = N_CENTROIDS) -> DataFrame:
     """(vec_id, embedding, cent_id): nearest seed centroid by rounded
     cosine, ties to the lower cent_id — the ONE Spark-side definition of
     the IVF/IVF-PQ/SemDeDup cell assignment (oracle mirror:
-    ``_SCORED_CENTS_SQL``; a fourth copy was how drift would start).
+    ``_scored_cents_sql``; a fourth copy was how drift would start).
     Norms are hoisted onto both sides before the broadcast crossJoin so
     each vector's 64-term fold runs once, not once per centroid —
     bit-identical cosines (same operands, same division), n x k fewer
-    folds."""
+    folds.  ``n_cells`` sizes the coarse quantizer — the paper guidance
+    is k ~ sqrt(n) so cells stay task-sized; the broadcast stays valid
+    as long as k * EMB_DIM floats fit an executor (millions of cells)."""
     from pyspark.sql import Window
 
-    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
+    cents = e.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cvec"),
         F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_c"),
@@ -772,7 +780,6 @@ WITH b AS (
 )
 SELECT vec_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos_sim
 FROM ranked WHERE rnk <= {KNN_K}
-ORDER BY vec_id, rnk
 """,
     tags=("similarity", "knn", "join", "llm"),
 )
@@ -826,7 +833,6 @@ def knn_join_bucketed_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= KNN_K)
         .select("vec_id", F.col("rnk").cast("int").alias("rnk"), "neighbor_id", "cos_sim")
-        .orderBy("vec_id", "rnk")
     )
 
 
@@ -840,17 +846,22 @@ def knn_join_bucketed_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_COS = 0.4
 
 
-@register(
-    "semantic_dedup_cell_stats",
-    oracle=f"""
-WITH {_SCORED_CENTS_SQL}, assigned AS (
+def semantic_dedup_oracle_sql(n_cells: int = N_CENTROIDS) -> str:
+    """DuckDB oracle for ``semantic_dedup_cell_stats_df`` at k cells.
+    The cosine rounds to 6 before the threshold comparison on BOTH
+    engines (same determinism convention as the ranking family) so a
+    pair at the representation boundary cannot flip the verdict on fold
+    order."""
+    return f"""
+WITH {_scored_cents_sql(n_cells)}, assigned AS (
     SELECT vec_id, embedding, {_NORM_DUCK.format(v="embedding")} AS nrm, cent_id
     FROM scored_cents WHERE rn = 1
 ), dropped AS (
     SELECT DISTINCT b.vec_id, b.cent_id
     FROM assigned a JOIN assigned b
       ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-    WHERE ({_dot2_duck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) >= {SEMDEDUP_COS}
+    WHERE ROUND(({_dot2_duck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6)
+          >= {SEMDEDUP_COS}
 )
 SELECT a.cent_id,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -861,8 +872,12 @@ SELECT a.cent_id,
 FROM assigned a LEFT JOIN dropped d
   ON a.vec_id = d.vec_id AND a.cent_id = d.cent_id
 GROUP BY a.cent_id
-ORDER BY a.cent_id
-""",
+"""
+
+
+@register(
+    "semantic_dedup_cell_stats",
+    oracle=semantic_dedup_oracle_sql(),
     tags=("similarity", "dedup", "llm", "semdedup"),
 )
 def semantic_dedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,10 +894,21 @@ def semantic_dedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell counts (vectors / dropped / survivors) — compact, BIGINT,
     tie-proof — which verifies the whole assignment + pruning pipeline.
     Complementary to `embedding_cosine_near_dup` (RP-hyperplane
-    blocking): same threshold, different recall/blocking trade."""
+    blocking): same threshold, different recall/blocking trade.  The
+    registered query pins k = N_CENTROIDS; ``semantic_dedup_cell_stats_df``
+    takes ``n_cells`` (paper guidance k ~ sqrt(n)) and is parity-tested
+    at a larger k in tests/test_dedup_scale.py."""
+    return semantic_dedup_cell_stats_df(spark, sf_dir)
+
+
+def semantic_dedup_cell_stats_df(
+    spark: SparkSession, sf_dir: str, n_cells: int = N_CENTROIDS
+) -> DataFrame:
+    """The SemDeDup plan at ``n_cells`` coarse cells (k ~ sqrt(n) in the
+    paper; larger k → smaller cells → cheaper pair join, lower recall)."""
     e = load_table(spark, sf_dir, "embeddings")
     assigned = (
-        cosine_assigned_cells(e)
+        cosine_assigned_cells(e, n_cells=n_cells)
         .withColumn("nrm", F.expr(_NORM_SPARK.format(v="embedding")))
         .localCheckpoint(eager=True)
     )
@@ -902,8 +928,11 @@ def semantic_dedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cent_id")
         .where(F.col("a_id") < F.col("b_id"))
         .where(
-            F.expr(_dot2_spark("a_emb", "b_emb"))
-            / (F.col("nrm_a") * F.col("nrm_b"))
+            F.round(
+                F.expr(_dot2_spark("a_emb", "b_emb"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            )
             >= SEMDEDUP_COS
         )
         .select("cent_id", F.col("b_id").alias("vec_id"))
@@ -920,5 +949,4 @@ def semantic_dedup_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("is_dropped").isNull(), F.lit(1)).otherwise(F.lit(0))
             ).alias("n_survivors"),
         )
-        .orderBy("cent_id")
     )

@@ -156,6 +156,22 @@ _PRIORITY = [
 ]
 
 
+# Non-frozen bench extras: newer-operator queries that bench.py times
+# per-round under its "extras" key (the frozen 20-query HEADLINE total
+# must stay comparable across rounds, so additions land here, never
+# there).  ONE definition — bench.py imports this tuple; the former
+# hand-copied literal there was how the lists drifted (ADVICE r6).
+BENCH_EXTRAS: tuple[str, ...] = (
+    "substring_dup_stats",
+    "bloom_semi_join_gate",
+    "incremental_lsh_dedup",
+    "lsh_dedup_admissions",
+    "knn_join_bucketed_top3",
+    "packing_efficiency_stats",
+    "semantic_dedup_cell_stats",
+)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str

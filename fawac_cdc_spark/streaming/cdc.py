@@ -924,10 +924,24 @@ def lsh_dedup_stream(docs: DataFrame) -> DataFrame:
     per key is the smallest doc_id seen; a document's key verdict is
     "smaller than everything previously seen on this key", and its
     admission (computed downstream, e.g. in the sink) is the AND over
-    its band keys.  Under id-ordered arrival this converges to exactly
-    the batch closed form (`batch_equiv.lsh_dedup_admissions`); the
-    operator itself is well-defined under any arrival order
-    (first-arrival-smallest wins).
+    its band keys.
+
+    ORDERING CONTRACT: emitted verdicts are never retracted, so the
+    AND-over-keys admission is exact ONLY under id-ordered (monotone)
+    ingest, where it equals the batch closed form
+    (`batch_equiv.lsh_dedup_admissions`) — the property the stream==batch
+    suite pins.  Under out-of-order arrival the operator stays
+    well-defined (state converges to the per-key minimum) but admission
+    becomes first-arrival-wins: a later, smaller-id near-duplicate also
+    gets key_ok=True at emit time because the earlier verdict cannot be
+    recalled, so BOTH members of a colliding pair can be admitted
+    (documented by `test_lsh_dedup_stream_out_of_order_admits_both`).
+    Production feeds where doc_ids are assigned at ingest (monotone
+    sequence / timestamp ids) satisfy the contract by construction; for
+    genuinely unordered replays, either sort the replay by doc_id or
+    treat the emitted verdicts as candidate admissions and reconcile
+    against the final state table (one anti-join) at the end of the run
+    — the state itself is always correct.
 
     100 TB shape: state size is O(distinct band keys), ~4 longs per
     corpus doc, partitioned by the state store across executors — the

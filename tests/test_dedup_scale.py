@@ -201,3 +201,49 @@ def test_star_cc_refuses_unconverged_labels(spark):
         labels, _ = connected_components_star(chain, verts, max_iter=1, strict=False)
         labels.count()
     assert any("did not converge" in str(w.message) for w in caught)
+
+
+# --- parameter dials: the registered queries pin test-scale defaults; ---
+# --- production raises them.  Execute the claim, don't assert it.     ---
+
+
+def test_substring_dup_parity_at_n16(spark, sf_dir):
+    """The gram length is a dial (production ~50 tokens); the plan is
+    length-independent, so parity must hold at n=16 over the same
+    fixtures, not just at the registered n=8."""
+    from fawac_cdc_spark.functions.dedup import (
+        substring_dup_oracle_sql,
+        substring_dup_stats_df,
+    )
+    from tools.parity import compare_frames, make_duckdb
+
+    spark_pdf = substring_dup_stats_df(spark, sf_dir, n=16).toPandas()
+    oracle_pdf = make_duckdb(sf_dir).execute(substring_dup_oracle_sql(16)).df()
+    assert not compare_frames(spark_pdf, oracle_pdf)
+    # n=16 grams are strictly rarer than n=8 grams, so duplication can
+    # only shrink — guard that the dial actually moved the result
+    n8 = substring_dup_stats_df(spark, sf_dir, n=8).count()
+    assert len(spark_pdf) <= n8
+
+
+def test_semantic_dedup_parity_at_larger_k(spark, sf_dir):
+    """SemDeDup's cell count k is the blocking dial (paper: k ~ sqrt(n));
+    parity must hold at k=16, not just the registered k=8.  Note k=16
+    cells are NOT refinements of the k=8 cells (assignment re-runs from
+    scratch), so per-pair counts are not monotone in k — the invariants
+    are: every cell non-empty (each seed is its own nearest centroid)
+    and dropped + survivors == vectors per cell."""
+    from fawac_cdc_spark.functions.similarity import (
+        semantic_dedup_cell_stats_df,
+        semantic_dedup_oracle_sql,
+    )
+    from tools.parity import compare_frames, make_duckdb
+
+    spark_pdf = semantic_dedup_cell_stats_df(spark, sf_dir, n_cells=16).toPandas()
+    oracle_pdf = make_duckdb(sf_dir).execute(semantic_dedup_oracle_sql(16)).df()
+    assert not compare_frames(spark_pdf, oracle_pdf)
+    assert len(spark_pdf) == 16
+    assert (spark_pdf["n_vectors"] >= 1).all()
+    assert (
+        spark_pdf["n_dropped"] + spark_pdf["n_survivors"] == spark_pdf["n_vectors"]
+    ).all()

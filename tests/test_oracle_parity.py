@@ -59,6 +59,19 @@ def test_driver_window_is_valid():
     assert list(_SPECS)[:50] == _PRIORITY
 
 
+def test_bench_lists_resolve_and_do_not_overlap():
+    """bench.py times HEADLINE (frozen) + registry.BENCH_EXTRAS (one
+    shared definition, ADVICE r6) — every name must resolve and the two
+    lists must stay disjoint so extras never leak into the frozen total."""
+    from bench import HEADLINE
+    from fawac_cdc_spark.registry import BENCH_EXTRAS
+
+    missing = [n for n in list(HEADLINE) + list(BENCH_EXTRAS) if n not in _SPECS]
+    assert not missing, missing
+    assert len(HEADLINE) == 20
+    assert not set(HEADLINE) & set(BENCH_EXTRAS)
+
+
 def test_no_hash_risky_oracle_types(sf_dir):
     """Every oracle's declared output types must hash-match a possible
     Spark type: a DuckDB HUGEINT (uncast integer SUM) becomes float64 in

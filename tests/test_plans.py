@@ -342,17 +342,46 @@ def test_near_dup_drop_list_is_not_force_broadcast(spark, sf_dir, name):
 
 
 def test_bloom_probe_side_never_shuffles(spark, sf_dir):
-    """The Bloom gate exists to demonstrate a shuffle-free probe: the
-    probe side must reach the verdict through broadcast joins only — no
-    hashpartitioning exchange anywhere in the plan (the only exchanges
-    allowed are broadcast and the single-partition final aggregate)."""
+    """The Bloom gate exists to demonstrate a shuffle-free PROBE: every
+    word-table join on the probe side must be broadcast, and no exchange
+    may partition on a probe-side column (c_custkey or the pos0..posK
+    probe positions).  The BUILD side (distinct dim keys, group-by widx)
+    legitimately shuffles once its scan spans >1 partition, so the
+    assertion is scoped to probe-side keys rather than banning
+    hashpartitioning outright — the earlier whole-plan ban only held
+    because the fixture scans were single-partition."""
     plan = _plan(spark, sf_dir, "bloom_semi_join_gate")
     import re
 
-    hash_exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
-    assert not hash_exchanges, hash_exchanges
-    assert "BroadcastHashJoin" in plan
+    from fawac_cdc_spark.functions.sketches import BLOOM_K
+
+    probe_cols = ["c_custkey"] + [f"pos{s}" for s in range(BLOOM_K)]
+    bad = [
+        ex
+        for ex in re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        if any(col in ex for col in probe_cols)
+    ]
+    assert not bad, f"probe side shuffled: {bad}"
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "substring_dup_stats",
+        "incremental_lsh_dedup",
+        "knn_join_bucketed_top3",
+        "semantic_dedup_cell_stats",
+    ],
+)
+def test_unordered_outputs_have_no_global_sort(spark, sf_dir, name):
+    """The driver's value hash is order-insensitive, so these outputs
+    carry no final orderBy — the plan must not contain a range-partition
+    exchange (the physical signature of a global sort).  Window sorts
+    (hashpartitioning + local Sort) remain allowed."""
+    plan = _plan(spark, sf_dir, name)
+    assert "rangepartitioning" not in plan, f"{name}: dead global sort"
 
 
 def test_knn_join_ranks_with_group_limit_pushdown(spark, sf_dir):

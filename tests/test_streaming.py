@@ -983,3 +983,43 @@ def test_lsh_dedup_stream_matches_batch(spark, sf_dir, doc_chunk_dir):
         r.doc_id: r.admitted for r in lsh_dedup_admissions(spark, sf_dir).collect()
     }
     assert dict(got) == want
+
+
+def test_lsh_dedup_stream_out_of_order_admits_both(spark, tmp_path):
+    """Documents the ORDERING CONTRACT of lsh_dedup_stream: verdicts are
+    never retracted, so when a LARGER-id doc arrives first and a
+    smaller-id near-duplicate arrives later, BOTH get key_ok=True on
+    their shared keys (the batch closed form would reject the larger
+    one).  The state itself still converges to the per-key minimum —
+    only the already-emitted verdict is unrecallable."""
+    import os
+    import time
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows_by_chunk = [
+        [(10, text, "en", "web", len(text))],  # batch 0: the larger id
+        [(5, text, "en", "web", len(text))],  # batch 1: smaller near-dup
+    ]
+    feed = tmp_path / "ooo_docs"
+    feed.mkdir()
+    base = time.time() - 3600
+    for i, rows in enumerate(rows_by_chunk):
+        chunk = tmp_path / f"ooo_chunk_{i}"
+        spark.createDataFrame(rows, schema=cdc.DOC_STREAM_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(chunk))
+        (part,) = [f for f in chunk.iterdir() if f.name.endswith(".parquet")]
+        dest = feed / f"{i:04d}.parquet"
+        dest.write_bytes(part.read_bytes())
+        os.utime(dest, (base + 10 * i, base + 10 * i))
+
+    docs = cdc.read_document_stream(spark, str(feed))
+    emitted = _run_to_memory(
+        spark, cdc.lsh_dedup_stream(docs), "lsh_ooo_out", "update"
+    ).toPandas()
+    # identical text -> identical signatures -> same band keys for both
+    assert set(emitted["doc_id"]) == {5, 10}
+    per_doc_ok = emitted.groupby("doc_id")["key_ok"].all()
+    assert per_doc_ok[10]  # first arrival: admitted
+    assert per_doc_ok[5]  # later smaller id: ALSO admitted — the
+    # documented out-of-order false admit (batch form rejects doc 10)
