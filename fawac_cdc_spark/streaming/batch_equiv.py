@@ -500,7 +500,6 @@ SELECT d.doc_id,
        COALESCE(e.n, 0) = 0 AS admitted
 FROM (SELECT DISTINCT doc_id FROM bands) d
 LEFT JOIN earlier e ON d.doc_id = e.doc_id
-ORDER BY d.doc_id
 """
 
 
@@ -543,6 +542,105 @@ def lsh_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n_earlier_dups"),
             (n == 0).alias("admitted"),
         )
-        .orderBy("doc_id")
     )
 
+
+
+def _semantic_admissions_oracle() -> str:
+    from ..functions.similarity import (
+        SEMDEDUP_COS,
+        _dot2_duck,
+        _NORM_DUCK,
+        _scored_cents_sql,
+    )
+
+    return f"""
+WITH {_scored_cents_sql()}, assigned AS (
+    SELECT vec_id, embedding, {_NORM_DUCK.format(v="embedding")} AS nrm, cent_id
+    FROM scored_cents WHERE rn = 1
+), earlier AS (
+    SELECT a.vec_id, COUNT(*) AS n
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
+    WHERE ROUND(({_dot2_duck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6)
+          >= {SEMDEDUP_COS}
+    GROUP BY a.vec_id
+)
+SELECT a.vec_id, a.cent_id,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_earlier_dups,
+       COALESCE(e.n, 0) = 0 AS admitted
+FROM assigned a LEFT JOIN earlier e ON a.vec_id = e.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_admissions",
+    oracle=_semantic_admissions_oracle(),
+    tags=("m6", "streaming-equiv", "dedup", "llm", "semdedup"),
+)
+def semantic_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch closed form of the streaming SEMANTIC dedup-on-ingest
+    operator (``streaming/cdc.py::semantic_dedup_stream``) — the
+    embedding-side twin of ``lsh_dedup_admissions``: a vector is
+    admitted iff NO smaller-id vector in its SemDeDup cell lies within
+    the cosine threshold.  Deliberately non-recursive (charged against
+    every earlier-SEEN vector, admitted or not — the same conservative
+    convention as ``incremental_lsh_dedup``), which is exactly what the
+    stream's append-only per-cell state converges to under id-ordered
+    arrival (pinned stream==batch in ``tests/test_streaming.py``).
+
+    Scale shape: nearest-cell assignment is the shared broadcast-argmax
+    pass (`cosine_assigned_cells`), the pair probe is a cent_id
+    equi-join (cells are the blocking key, k ~ sqrt(n) keeps them
+    task-sized), norms hoisted once per vector, cosine rounded to 6 on
+    both engines before the threshold."""
+    from ..functions.similarity import (
+        SEMDEDUP_COS,
+        _dot2_spark,
+        _NORM_SPARK,
+        cosine_assigned_cells,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = (
+        cosine_assigned_cells(e)
+        .withColumn("nrm", F.expr(_NORM_SPARK.format(v="embedding")))
+        .localCheckpoint(eager=True)
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("nrm_b"),
+        "cent_id",
+    )
+    earlier = (
+        assigned.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("nrm_a"),
+            "cent_id",
+        )
+        .join(b, "cent_id")
+        .where(F.col("b_id") < F.col("a_id"))
+        .where(
+            F.round(
+                F.expr(_dot2_spark("a_emb", "b_emb"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            )
+            >= SEMDEDUP_COS
+        )
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_earlier_dups"))
+    )
+    n = F.coalesce(F.col("n_earlier_dups"), F.lit(0))
+    return (
+        assigned.select("vec_id", "cent_id")
+        .join(earlier, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            n.alias("n_earlier_dups"),
+            (n == 0).alias("admitted"),
+        )
+    )

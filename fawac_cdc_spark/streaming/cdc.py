@@ -24,6 +24,8 @@ import decimal
 import json
 import os
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -989,6 +991,161 @@ def lsh_dedup_stream(docs: DataFrame) -> DataFrame:
         admit,
         outputStructType=LSH_DEDUP_OUTPUT_SCHEMA,
         stateStructType=LSH_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- semantic dedup on ingest (streaming SemDeDup admission) ---------------
+
+EMB_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+SEM_DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cent_id", T.LongType()),
+        T.StructField("n_earlier_dups", T.LongType()),
+        T.StructField("admitted", T.BooleanType()),
+    ]
+)
+# Per-cell state: every vector seen in the cell (ids + row-major flat
+# embedding matrix + hoisted norms).  Embeddings ARE the state here —
+# unlike the LSH path there is no sketch that preserves cosine exactly,
+# so the honest per-cell memory is O(cell vectors x dim), which is the
+# point of the cell blocking: k ~ sqrt(n) keeps each cell's slab bounded
+# and the state store spreads cells across executors.
+SEM_DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("flat", T.ArrayType(T.DoubleType())),
+        T.StructField("nrms", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def read_embedding_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream source over embedding parquet chunks — the local
+    stand-in for an embedding feed arriving incrementally."""
+    return (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def semantic_dedup_stream(
+    embs: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Semantic dedup ON INGEST — the embedding-side twin of
+    ``lsh_dedup_stream``: each arriving vector is routed to its nearest
+    seed centroid (pure per-batch Arrow map, no pre-shuffle) and
+    admitted iff no vector previously seen in that cell lies within
+    ``SEMDEDUP_COS``; the per-cell state appends every arrival
+    (conservative non-recursive admission, the
+    ``incremental_lsh_dedup`` convention).
+
+    ``centroids`` is the frozen coarse quantizer — (cent_id, vector)
+    pairs sorted by cent_id, k ~ sqrt(n) entries, closed over by the
+    routing UDF exactly like the batch k-means cycle collects its k x d
+    matrix (similarity.py); at 100 TB this is a few MB broadcast with
+    the task closure, never a join.  Cosines round to 6 before both the
+    argmax and the threshold (the engine-portability convention shared
+    with `cosine_assigned_cells`), with ties to the lower cent_id.
+
+    ORDERING CONTRACT: identical to ``lsh_dedup_stream`` — verdicts are
+    never retracted, so admission equals the batch closed form
+    (``batch_equiv.semantic_dedup_admissions``) only under id-ordered
+    ingest; out-of-order arrival can admit both members of a close pair
+    while the state still converges to the full cell membership.
+
+    100 TB shape: routing is embarrassingly parallel; the only shuffle
+    is the state-store partitioning on cent_id.  A hot cell is a real
+    skew risk (unlike md5 band keys) — production either splits hot
+    cells by raising k or sub-blocks a cell with a secondary RP bucket;
+    the fixture keeps k small so the oracle can replay assignment.
+    """
+    import numpy as np
+
+    from ..functions.similarity import EMB_DIM, SEMDEDUP_COS
+
+    cids = [int(c) for c, _ in centroids]
+    assert cids == sorted(cids), "centroids must be sorted by cent_id"
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cnrm = np.sqrt((cmat * cmat).sum(axis=1))
+    cid_arr = np.asarray(cids, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def nearest_cell(emb: pd.Series) -> pd.Series:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in emb], dtype=np.float64
+        )
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round((mat @ cmat.T) / (nrm[:, None] * cnrm[None, :]), 6)
+        # argmax returns the FIRST max index; centroids are sorted by
+        # cent_id, so rounded ties break to the lower cent_id — same
+        # total order as cosine_assigned_cells
+        return pd.Series(cid_arr[np.argmax(cos, axis=1)])
+
+    routed = embs.select(
+        "vec_id", "embedding", nearest_cell("embedding").alias("cent_id")
+    )
+
+    def admit(key, pdf_iter, state):
+        (cent_id,) = key
+        # Drain all Arrow chunks before sorting (same reasoning as the
+        # LSH admit fn: per-chunk processing would break id order).
+        rows = sorted(
+            (int(i), np.asarray(v, dtype=np.float64))
+            for pdf in pdf_iter
+            for i, v in zip(pdf["vec_id"], pdf["embedding"])
+        )
+        if state.exists:
+            ids, flat, nrms = state.get
+            ids = list(ids)
+            mat = np.asarray(flat, dtype=np.float64).reshape(len(ids), EMB_DIM)
+            nrm = np.asarray(nrms, dtype=np.float64)
+        else:
+            ids = []
+            mat = np.zeros((0, EMB_DIM))
+            nrm = np.zeros(0)
+        out_ids: list[int] = []
+        out_n: list[int] = []
+        for vid, vec in rows:
+            vnrm = float(np.sqrt((vec * vec).sum()))
+            if len(ids):
+                cos = np.round((mat @ vec) / (nrm * vnrm), 6)
+                n_dups = int((cos >= SEMDEDUP_COS).sum())
+            else:
+                n_dups = 0
+            out_ids.append(vid)
+            out_n.append(n_dups)
+            ids.append(vid)
+            mat = np.vstack([mat, vec[None, :]])
+            nrm = np.append(nrm, vnrm)
+        state.update((ids, mat.reshape(-1).tolist(), nrm.tolist()))
+        yield pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_ids, dtype="int64"),
+                "cent_id": pd.Series([cent_id] * len(out_ids), dtype="int64"),
+                "n_earlier_dups": pd.Series(out_n, dtype="int64"),
+                "admitted": [n == 0 for n in out_n],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return routed.groupBy("cent_id").applyInPandasWithState(
+        admit,
+        outputStructType=SEM_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=SEM_DEDUP_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

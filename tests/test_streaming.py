@@ -1023,3 +1023,62 @@ def test_lsh_dedup_stream_out_of_order_admits_both(spark, tmp_path):
     assert per_doc_ok[10]  # first arrival: admitted
     assert per_doc_ok[5]  # later smaller id: ALSO admitted — the
     # documented out-of-order false admit (batch form rejects doc 10)
+
+
+@pytest.fixture(scope="module")
+def emb_chunk_dir(spark, sf_dir, tmp_path_factory):
+    """Split embeddings into id-ordered parquet chunks — each chunk one
+    micro-batch, so arrival order == vec_id order and the streaming
+    semantic admission converges to the batch closed form."""
+    import os
+    import time
+
+    out = tmp_path_factory.mktemp("emb_chunks")
+    tbl = load_table(spark, sf_dir, "embeddings")
+    rows = tbl.orderBy("vec_id").collect()
+    per = (len(rows) + N_CHUNKS - 1) // N_CHUNKS
+    flat = tmp_path_factory.mktemp("emb_stream")
+    base = time.time() - 3600
+    for i in range(N_CHUNKS):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        cdir = out / f"chunk_{i}"
+        spark.createDataFrame(chunk, schema=tbl.schema).coalesce(1).write.parquet(
+            str(cdir)
+        )
+        (part,) = [f for f in cdir.iterdir() if f.name.endswith(".parquet")]
+        dest = flat / f"{i:04d}.parquet"
+        dest.write_bytes(part.read_bytes())
+        os.utime(dest, (base + 10 * i, base + 10 * i))
+    return str(flat)
+
+
+def test_semantic_dedup_stream_matches_batch(spark, sf_dir, emb_chunk_dir):
+    """Streaming semantic dedup-on-ingest == batch closed form
+    (semantic_dedup_admissions) under id-ordered arrival: same cell
+    routing, same earlier-dup counts, same admissions, each vector
+    emitted exactly once."""
+    from fawac_cdc_spark.functions.similarity import N_CENTROIDS
+    from fawac_cdc_spark.streaming.batch_equiv import semantic_dedup_admissions
+
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    embs = cdc.read_embedding_stream(spark, emb_chunk_dir)
+    emitted = _run_to_memory(
+        spark, cdc.semantic_dedup_stream(embs, cents), "sem_admit_out", "update"
+    ).toPandas()
+    assert not emitted.duplicated(["vec_id"]).any()
+    want = semantic_dedup_admissions(spark, sf_dir).toPandas()
+    got = emitted.sort_values("vec_id").reset_index(drop=True)
+    want = want.sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ("vec_id", "cent_id", "n_earlier_dups", "admitted"):
+        assert (
+            got[col].to_numpy() == want[col].to_numpy()
+        ).all(), f"mismatch in {col}"
