@@ -950,3 +950,135 @@ def semantic_dedup_cell_stats_df(
             ).alias("n_survivors"),
         )
     )
+
+
+# Incremental semantic dedup: the embedding twin of
+# `dedup.incremental_lsh_dedup` — a 100 TB embedding corpus is not
+# re-deduplicated from scratch each ingest; the per-cell assignment
+# table (with hoisted norms) is the PERSISTED artifact, and each new
+# batch assigns only its own vectors, then probes the standing cells
+# with a cent_id equi-join.  Same deterministic fixture split: md5
+# bucket 0 of 4 over vec_id is the "incoming batch" (~25%).
+INCR_EMB_BUCKETS = 4
+
+
+def _incr_emb_incoming_sql() -> str:
+    from ..operators.helpers import md5_bucket_sql
+
+    return md5_bucket_sql("vec_id", INCR_EMB_BUCKETS) + " = 0"
+
+
+def _incremental_semantic_oracle() -> str:
+    incoming = _incr_emb_incoming_sql()
+    cos = (
+        f"ROUND(({_dot2_duck('f.embedding', 's.embedding')}) / (f.nrm * s.nrm), 6)"
+        f" >= {SEMDEDUP_COS}"
+    )
+    return f"""
+WITH {_scored_cents_sql()}, assigned AS (
+    SELECT vec_id, embedding, {_NORM_DUCK.format(v="embedding")} AS nrm, cent_id
+    FROM scored_cents WHERE rn = 1
+), fresh AS (SELECT * FROM assigned WHERE {incoming}),
+state AS (SELECT * FROM assigned WHERE NOT ({incoming})),
+corpus_hits AS (
+    SELECT f.vec_id, COUNT(*) AS n
+    FROM fresh f JOIN state s ON f.cent_id = s.cent_id
+    WHERE {cos}
+    GROUP BY f.vec_id
+),
+batch_hits AS (
+    SELECT f.vec_id, COUNT(*) AS n
+    FROM fresh f JOIN fresh s
+      ON f.cent_id = s.cent_id AND s.vec_id < f.vec_id
+    WHERE {cos}
+    GROUP BY f.vec_id
+)
+SELECT f.vec_id, f.cent_id,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_corpus_dups,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS n_batch_dups,
+       (COALESCE(c.n, 0) = 0 AND COALESCE(b.n, 0) = 0) AS admitted
+FROM fresh f
+LEFT JOIN corpus_hits c ON f.vec_id = c.vec_id
+LEFT JOIN batch_hits b ON f.vec_id = b.vec_id
+"""
+
+
+@register(
+    "incremental_semantic_dedup",
+    oracle=_incremental_semantic_oracle(),
+    tags=("similarity", "dedup", "llm", "semdedup", "incremental"),
+)
+def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit a new embedding batch against the standing corpus's
+    persisted cell assignment — the incremental form of
+    `semantic_dedup_admissions` and the embedding twin of
+    `incremental_lsh_dedup`.
+
+    Per incoming vector: how many standing-corpus vectors in its cell
+    lie within the cosine threshold, how many SMALLER-id batch vectors
+    do (first-wins within the batch, the same conservative
+    non-recursive convention), and the admission verdict (no close
+    neighbor anywhere).
+
+    Scale shape: the assignment table is checkpointed once (standing in
+    for the persisted per-cell artifact, partitioned by cent_id in
+    production); both probes are cent_id equi-joins bounded by the
+    k ~ sqrt(n) cell blocking — AQE broadcasts the fresh side when the
+    batch is small, and the corpus embeddings are never re-assigned or
+    re-normed.  Cosines round to 6 before the threshold on both
+    engines."""
+    from ..operators.helpers import md5_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = (
+        cosine_assigned_cells(e)
+        .withColumn("nrm", F.expr(_NORM_SPARK.format(v="embedding")))
+        .withColumn("incoming", md5_bucket("vec_id", INCR_EMB_BUCKETS) == 0)
+        .localCheckpoint(eager=True)
+    )
+    fresh = assigned.where("incoming").select(
+        "vec_id", "embedding", "nrm", "cent_id"
+    )
+    state = assigned.where("NOT incoming").select(
+        F.col("vec_id").alias("s_id"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+        "cent_id",
+    )
+    close = F.round(
+        F.expr(_dot2_spark("embedding", "s_emb")) / (F.col("nrm") * F.col("s_nrm")),
+        6,
+    ) >= SEMDEDUP_COS
+    corpus_hits = (
+        fresh.join(state, "cent_id")
+        .where(close)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_corpus_dups"))
+    )
+    batch_as_state = fresh.select(
+        F.col("vec_id").alias("s_id"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+        "cent_id",
+    )
+    batch_hits = (
+        fresh.join(batch_as_state, "cent_id")
+        .where(F.col("s_id") < F.col("vec_id"))
+        .where(close)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_batch_dups"))
+    )
+    n_corpus = F.coalesce(F.col("n_corpus_dups"), F.lit(0))
+    n_batch = F.coalesce(F.col("n_batch_dups"), F.lit(0))
+    return (
+        fresh.select("vec_id", "cent_id")
+        .join(corpus_hits, "vec_id", "left")
+        .join(batch_hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            n_corpus.alias("n_corpus_dups"),
+            n_batch.alias("n_batch_dups"),
+            ((n_corpus == 0) & (n_batch == 0)).alias("admitted"),
+        )
+    )

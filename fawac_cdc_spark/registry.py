@@ -51,8 +51,10 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   1 new this round       (semantic_dedup_admissions — batch closed form
-#                           of the streaming embedding dedup-on-ingest)
+#   2 new this round       (semantic_dedup_admissions — batch closed form
+#                           of the streaming embedding dedup-on-ingest;
+#                           incremental_semantic_dedup — its
+#                           batch-vs-standing-corpus form)
 # + 5 changed this round   (substring_dup_stats: parameterized gram n +
 #                           dropped dead sort; semantic_dedup_cell_stats:
 #                           parameterized k + round-6 threshold + dropped
@@ -63,20 +65,22 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 27 next-stalest        (last green r3; the 8 r3 queries left out —
+# + 26 next-stalest        (last green r3; the 9 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
 #                           outlier_filtered_totals,
-#                           regexp_extract_source_num — are from families
+#                           regexp_extract_source_num,
+#                           token_stats_by_source — are from families
 #                           with 2+ refreshed entries in-window and lead
 #                           the r8 rotation)
 # = 50.  Everything outside the window stays covered by tools/parity.py
 # (full-registry sweep, 174/174 re-run this round) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (1).
+    # New this round (2).
     "semantic_dedup_admissions",
+    "incremental_semantic_dedup",
     # Changed this round (5): re-verify against updated code/oracles.
     "substring_dup_stats",
     "semantic_dedup_cell_stats",
@@ -102,7 +106,7 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (27): last green row is round 3.
+    # Next-stalest (26): last green row is round 3.
     "asof_join_last_signup_before_purchase",
     "bpe_token_stats",
     "capped_user_totals",
@@ -129,7 +133,6 @@ _PRIORITY = [
     "simhash_hamming_pairs",
     "sliding_1h_15min_rollup",
     "stream_dedup_first_event",
-    "token_stats_by_source",
 ]
 
 
@@ -147,6 +150,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "packing_efficiency_stats",
     "semantic_dedup_cell_stats",
     "semantic_dedup_admissions",
+    "incremental_semantic_dedup",
 )
 
 

@@ -419,3 +419,18 @@ def test_incremental_lsh_probe_is_equi_join(spark, sf_dir):
     # in this plan because the band table was checkpointed eagerly
     assert "transform(" not in plan
     assert plan.count("Scan ExistingRDD") >= 2
+
+
+def test_incremental_semantic_probe_is_equi_join(spark, sf_dir):
+    """Both the corpus probe and the within-batch self-join must be
+    cent_id equi-joins — never a cross join — and all three consumers
+    must read the ONE checkpointed assignment table (the persisted
+    per-cell artifact stand-in), not recompute the broadcast-argmax
+    assignment."""
+    plan = _plan(spark, sf_dir, "incremental_semantic_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the assignment pipeline (crossJoin with centroids + argmax window)
+    # runs zero times in this plan because assigned was checkpointed
+    assert "rangepartitioning" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "Scan parquet" not in plan
