@@ -246,38 +246,55 @@ def cosine_assigned_cells(e: DataFrame, n_cells: int = N_CENTROIDS) -> DataFrame
     cosine, ties to the lower cent_id — the ONE Spark-side definition of
     the IVF/IVF-PQ/SemDeDup cell assignment (oracle mirror:
     ``_scored_cents_sql``; a fourth copy was how drift would start).
-    Norms are hoisted onto both sides before the broadcast crossJoin so
-    each vector's 64-term fold runs once, not once per centroid —
-    bit-identical cosines (same operands, same division), n x k fewer
-    folds.  ``n_cells`` sizes the coarse quantizer — the paper guidance
-    is k ~ sqrt(n) so cells stay task-sized; the broadcast stays valid
-    as long as k * EMB_DIM floats fit an executor (millions of cells)."""
-    from pyspark.sql import Window
 
-    cents = e.where(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cvec"),
-        F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_c"),
+    The assignment is effectively a PURE MAP: the k centroids (with
+    their norms hoisted) fold into ONE array-of-structs row via a tiny
+    k-row aggregate, that single row broadcasts, and each vector's
+    argmax is a sorted-struct expression over the array — so the CORPUS
+    side sees no join key, no window, and above all NO SHUFFLE.  The
+    previous form (broadcast crossJoin + row_number window) materialized
+    n x k rows WITH their embedding payloads and hash-shuffled them on
+    vec_id just to take an argmax — k times the corpus bytes through the
+    exchange, the dominant cost of every IVF/SemDeDup plan at 100 TB
+    (structural; fixture wall-clock parity-or-better, BASELINE.md r7).
+
+    Arithmetic is bit-identical to the join form: the same fold /
+    divide / round(6) pipeline over the same operands; ties break to
+    the lower cent_id via the struct sort on (-cos, cent_id).
+    ``n_cells`` sizes the coarse quantizer (paper guidance k ~ sqrt(n));
+    the broadcast array holds to k ~ 10^5 (k x d doubles ≈ 50 MB at
+    k=100k) — beyond that, route through the Arrow-matmul assignment
+    UDF (``streaming/cdc.py::semantic_dedup_stream``'s nearest_cell),
+    which carries the k x d matrix in the task closure and is
+    stream==batch parity-tested against this definition."""
+    cents_row = (
+        e.where(F.col("vec_id") < n_cells)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cvec"),
+                F.expr(_NORM_SPARK.format(v="embedding")).alias("nrm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
-    probe = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_e"),
+    dot = (
+        "aggregate(zip_with(embedding, c.cvec, (x, y) -> double(x) * double(y)), "
+        "0D, (acc, v) -> acc + v)"
     )
-    cos_to_cent = F.round(
-        F.expr(_dot2_spark("embedding", "cvec"))
-        / (F.col("_nrm_e") * F.col("_nrm_c")),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_to_cent"), F.asc("cent_id")
+    pick = (
+        "element_at(array_sort(transform(cents, c -> named_struct("
+        f"'neg_cos', -round(({dot}) / (_nrm_e * c.nrm), 6), "
+        "'cent_id', c.cent_id))), 1).cent_id"
     )
     return (
-        probe.crossJoin(F.broadcast(cents))
-        .withColumn("cos_to_cent", cos_to_cent)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_e"),
+        )
+        .crossJoin(F.broadcast(cents_row))
+        .select("vec_id", "embedding", F.expr(pick).alias("cent_id"))
     )
 
 

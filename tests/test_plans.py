@@ -434,3 +434,23 @@ def test_incremental_semantic_probe_is_equi_join(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert plan.count("Scan ExistingRDD") >= 3
     assert "Scan parquet" not in plan
+
+
+def test_cell_assignment_is_shuffle_free(spark, sf_dir):
+    """The IVF/SemDeDup cell assignment must stay a pure map over the
+    embeddings scan: the k centroids fold into one broadcast array row,
+    so the corpus side crosses NO hashpartitioning exchange and NO
+    window — the former crossJoin + row_number form pushed k times the
+    corpus bytes through a shuffle just to take an argmax."""
+    from fawac_cdc_spark.catalog import load_table
+    from fawac_cdc_spark.functions.similarity import cosine_assigned_cells
+
+    df = cosine_assigned_cells(load_table(spark, sf_dir, "embeddings"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    # the one join is the canonical 1-row scalar-broadcast shape
+    # (formatted explain prints each node twice: tree line + detail block)
+    assert plan.count("BroadcastNestedLoopJoin") == 2
