@@ -407,18 +407,25 @@ _L2SQ_DUCK = (
 
 def _assign_min_l2(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, embedding, cid): nearest centroid by rounded L2², ties to
-    the lower cid — broadcast join + windowed argmin, never a shuffle of
-    the vectors themselves."""
-    from pyspark.sql import Window
-
-    d2 = F.round(F.expr(_L2SQ_SPARK.format(a="embedding", b="cvec")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    the lower cid — the k centroids fold into one broadcast array row
+    and the argmin is a sorted-struct expression per vector (the same
+    shuffle-free shape as ``cosine_assigned_cells``: the former
+    crossJoin + row_number window hash-shuffled n x k rows with their
+    embedding payloads every Lloyd iteration)."""
+    cents_row = cents.select(F.struct("cid", "cvec").alias("c")).agg(
+        F.sort_array(F.collect_list("c")).alias("cents")
+    )
+    d2 = (
+        "aggregate(zip_with(embedding, c.cvec, (x, y) -> (double(x) - double(y)) "
+        "* (double(x) - double(y))), 0D, (acc, v) -> acc + v)"
+    )
+    pick = (
+        "element_at(array_sort(transform(cents, c -> named_struct("
+        f"'d2', round(({d2}), 6), 'cid', c.cid))), 1).cid"
+    )
     return (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        e.crossJoin(F.broadcast(cents_row))
+        .select("vec_id", "embedding", F.expr(pick).alias("cid"))
     )
 
 
