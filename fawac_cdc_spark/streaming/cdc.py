@@ -1060,11 +1060,17 @@ def semantic_dedup_stream(
     argmax and the threshold (the engine-portability convention shared
     with `cosine_assigned_cells`), with ties to the lower cent_id.
 
-    ORDERING CONTRACT: identical to ``lsh_dedup_stream`` — verdicts are
-    never retracted, so admission equals the batch closed form
+    ORDERING CONTRACT: verdicts are never retracted, so admission
+    equals the batch closed form
     (``batch_equiv.semantic_dedup_admissions``) only under id-ordered
-    ingest; out-of-order arrival can admit both members of a close pair
-    while the state still converges to the full cell membership.
+    ingest.  Unlike ``lsh_dedup_stream`` (whose per-key verdict is
+    "smaller than the state minimum", so a late smaller id can
+    double-admit), the check here is against every previously SEEN
+    vector — out-of-order arrival therefore never admits both members
+    of a close pair; it admits the FIRST arrival where the batch form
+    would admit the smallest id (documented by
+    ``test_semantic_dedup_stream_out_of_order_keeps_first``).  State
+    always converges to the full cell membership regardless of order.
 
     100 TB shape: routing is embarrassingly parallel; the only shuffle
     is the state-store partitioning on cent_id.  A hot cell is a real

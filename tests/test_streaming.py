@@ -1082,3 +1082,54 @@ def test_semantic_dedup_stream_matches_batch(spark, sf_dir, emb_chunk_dir):
         assert (
             got[col].to_numpy() == want[col].to_numpy()
         ).all(), f"mismatch in {col}"
+
+
+def test_semantic_dedup_stream_out_of_order_keeps_first(spark, tmp_path):
+    """Documents the ORDERING CONTRACT of semantic_dedup_stream: the
+    admission check runs against every previously SEEN vector, so —
+    unlike the LSH twin, which can double-admit out of order — exactly
+    ONE member of a close pair is ever admitted.  Out-of-order arrival
+    changes WHICH one: the first arrival wins (larger id here), where
+    the batch closed form admits the smallest id."""
+    import os
+    import time
+
+    import numpy as np
+
+    from fawac_cdc_spark.functions.similarity import EMB_DIM
+
+    rng = np.random.RandomState(7)
+    cents = [(0, rng.standard_normal(EMB_DIM).astype("float32").tolist())]
+    base_vec = rng.standard_normal(EMB_DIM).astype("float32")
+    near_dup = (base_vec + 1e-3).astype("float32")  # cosine ~ 1.0
+    rows_by_chunk = [
+        [(10, base_vec.tolist(), 0)],  # batch 0: the larger id
+        [(5, near_dup.tolist(), 0)],  # batch 1: smaller near-dup
+    ]
+    feed = tmp_path / "ooo_embs"
+    feed.mkdir()
+    base = time.time() - 3600
+    for i, rows in enumerate(rows_by_chunk):
+        chunk = tmp_path / f"ooo_emb_chunk_{i}"
+        spark.createDataFrame(rows, schema=cdc.EMB_STREAM_SCHEMA).coalesce(
+            1
+        ).write.parquet(str(chunk))
+        (part,) = [f for f in chunk.iterdir() if f.name.endswith(".parquet")]
+        dest = feed / f"{i:04d}.parquet"
+        dest.write_bytes(part.read_bytes())
+        os.utime(dest, (base + 10 * i, base + 10 * i))
+
+    embs = cdc.read_embedding_stream(spark, str(feed))
+    emitted = _run_to_memory(
+        spark, cdc.semantic_dedup_stream(embs, cents), "sem_ooo_out", "update"
+    ).toPandas()
+    got = emitted.set_index("vec_id")
+    assert set(got.index) == {5, 10}
+    assert bool(got.loc[10, "admitted"])  # first arrival wins
+    # the later smaller id is rejected against the seen set — the batch
+    # closed form would instead admit 5 and reject 10 (same count,
+    # different representative), which is why id-ordered ingest is the
+    # condition for exact stream==batch equality
+    assert not bool(got.loc[5, "admitted"])
+    assert int(got.loc[5, "n_earlier_dups"]) == 1
+    assert int(got.loc[10, "n_earlier_dups"]) == 0
