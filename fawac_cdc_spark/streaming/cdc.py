@@ -1109,9 +1109,12 @@ def semantic_dedup_stream(
         # Drain all Arrow chunks before sorting (same reasoning as the
         # LSH admit fn: per-chunk processing would break id order).
         rows = sorted(
-            (int(i), np.asarray(v, dtype=np.float64))
-            for pdf in pdf_iter
-            for i, v in zip(pdf["vec_id"], pdf["embedding"])
+            (
+                (int(i), np.asarray(v, dtype=np.float64))
+                for pdf in pdf_iter
+                for i, v in zip(pdf["vec_id"], pdf["embedding"])
+            ),
+            key=lambda t: t[0],
         )
         if state.exists:
             ids, flat, nrms = state.get
