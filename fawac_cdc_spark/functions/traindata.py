@@ -673,3 +673,100 @@ def packing_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Mixture weighting (Pile / DoReMi-style domain reweighting): a training
+# run rarely consumes the corpus at its natural proportions — high-value
+# domains are UPSAMPLED (seen >1 epoch) and low-value ones DOWNSAMPLED.
+# The deterministic materialization: weight w per source; every doc gets
+# floor(w) copies plus one more iff its md5 coin (u in [0,1)) lands
+# under frac(w) — exactly w copies in expectation, reproducible across
+# engines and runs, no RNG state.  Copies carry an epoch index so the
+# downstream shuffle/pack stage can interleave epochs.
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "src0": 2.5,   # upsampled: 2 full epochs + 50% of a third
+    "src1": 2.0,   # exactly 2 epochs
+    "src2": 0.25,  # downsampled to a quarter
+    "src3": 0.25,
+}
+MIXTURE_DEFAULT_W = 1.0
+_MIX_RES = 10000  # md5 coin resolution
+
+
+def _mix_weight_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} = '{s}' THEN {w!r}" for s, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"(CASE {cases} ELSE {MIXTURE_DEFAULT_W!r} END)"
+
+
+@register(
+    "weighted_source_mixture",
+    oracle=f"""
+WITH coins AS (
+    SELECT doc_id, source,
+           {_mix_weight_sql('source')} AS w,
+           ({md5_bucket_sql('doc_id', _MIX_RES)}) / {_MIX_RES}.0 AS u
+    FROM documents
+), copies AS (
+    SELECT doc_id, source,
+           CAST(FLOOR(w) + (CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_copies
+    FROM coins
+), exploded AS (
+    SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS epoch
+    FROM copies WHERE n_copies > 0
+)
+SELECT source, CAST(epoch AS BIGINT) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM exploded
+GROUP BY source, epoch
+""",
+    tags=("traindata", "llm", "mixture", "sampling"),
+)
+def weighted_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted mixture materialization: per-source sampling
+    weight w -> floor(w) deterministic copies of every doc plus one
+    extra iff the doc's md5 coin < frac(w); copies are tagged with an
+    epoch index.  Output: rows and distinct docs per (source, epoch) —
+    epoch counts shrink at the fractional boundary (e.g. w=2.5 -> epoch
+    3 holds ~half the docs), and w<1 keeps a deterministic subset.
+
+    Generalizes `source_mixture_sample` (rate-only DOWNsampling, w<=1)
+    to weights above 1 — the repeated-epoch UPsampling a real mixture
+    spec needs (Pile-style domain weights routinely exceed 1 for
+    high-quality sources).  The two share the md5-coin determinism
+    convention; this one additionally materializes the epoch axis.
+
+    Scale shape: weight lookup and coin are per-row expressions, the
+    fan-out is a <= ceil(w) explode (pure map — at 100 TB the
+    acceptance filter runs BEFORE any heavy transform, so downsampled
+    sources never pay tokenize/dedup cost for dropped docs), and the
+    only shuffle is the final (source, epoch) aggregate.  Determinism:
+    the md5 coin is the repo-wide split/sample primitive
+    (`md5_bucket`), so the materialized mixture is identical across
+    engines, runs, and cluster sizes — a re-run resumes the exact same
+    epoch membership."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.lit(MIXTURE_DEFAULT_W)
+    for s, wv in sorted(MIXTURE_WEIGHTS.items()):
+        w = F.when(F.col("source") == s, F.lit(wv)).otherwise(w)
+    u = md5_bucket("doc_id", _MIX_RES).cast("double") / float(_MIX_RES)
+    n_copies = (
+        F.floor(w) + F.when(u < (w - F.floor(w)), F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    exploded = (
+        d.select("doc_id", "source")
+        .withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("epoch"),
+        )
+    )
+    return exploded.groupBy("source", F.col("epoch").cast("bigint").alias("epoch")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )

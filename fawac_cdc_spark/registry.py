@@ -51,10 +51,12 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   2 new this round       (semantic_dedup_admissions — batch closed form
+#   3 new this round       (semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
-#                           batch-vs-standing-corpus form)
+#                           batch-vs-standing-corpus form;
+#                           weighted_source_mixture — DoReMi/Pile-style
+#                           deterministic domain up/down-sampling)
 # + 5 changed this round   (substring_dup_stats: parameterized gram n +
 #                           dropped dead sort; semantic_dedup_cell_stats:
 #                           parameterized k + round-6 threshold + dropped
@@ -65,22 +67,24 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 26 next-stalest        (last green r3; the 9 r3 queries left out —
+# + 25 next-stalest        (last green r3; the 10 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
 #                           outlier_filtered_totals,
 #                           regexp_extract_source_num,
-#                           token_stats_by_source — are from families
+#                           token_stats_by_source,
+#                           sliding_1h_15min_rollup — are from families
 #                           with 2+ refreshed entries in-window and lead
 #                           the r8 rotation)
 # = 50.  Everything outside the window stays covered by tools/parity.py
-# (full-registry sweep, 174/174 re-run this round) +
+# (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (2).
+    # New this round (3).
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
+    "weighted_source_mixture",
     # Changed this round (5): re-verify against updated code/oracles.
     "substring_dup_stats",
     "semantic_dedup_cell_stats",
@@ -106,7 +110,7 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (26): last green row is round 3.
+    # Next-stalest (25): last green row is round 3.
     "asof_join_last_signup_before_purchase",
     "bpe_token_stats",
     "capped_user_totals",
@@ -131,7 +135,6 @@ _PRIORITY = [
     "partitioned_sink_pruned_scan",
     "pivot_event_type_counts",
     "simhash_hamming_pairs",
-    "sliding_1h_15min_rollup",
     "stream_dedup_first_event",
 ]
 
@@ -151,6 +154,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "semantic_dedup_cell_stats",
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
+    "weighted_source_mixture",
 )
 
 

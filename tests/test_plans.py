@@ -454,3 +454,13 @@ def test_cell_assignment_is_shuffle_free(spark, sf_dir):
     # the one join is the canonical 1-row scalar-broadcast shape
     # (formatted explain prints each node twice: tree line + detail block)
     assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_mixture_materialization_is_map_plus_aggregate(spark, sf_dir):
+    """The mixture weight lookup, md5 coin, and epoch explode are pure
+    per-row ops; the only shuffles are the two aggregate exchanges that
+    exact count_distinct requires (partial on (source, epoch, doc_id),
+    final on (source, epoch)) — no join, no window, no extra exchange."""
+    plan = _plan(spark, sf_dir, "weighted_source_mixture")
+    assert plan.count("Exchange (") == 2
+    assert "Join" not in plan and "Window" not in plan
