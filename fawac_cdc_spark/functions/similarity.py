@@ -278,14 +278,18 @@ def cosine_assigned_cells(e: DataFrame, n_cells: int = N_CENTROIDS) -> DataFrame
         )
         .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
-    dot = (
-        "aggregate(zip_with(embedding, c.cvec, (x, y) -> double(x) * double(y)), "
-        "0D, (acc, v) -> acc + v)"
-    )
+    # the fold comes from the ONE _dot2_spark definition (hand-inlining it
+    # here is how Spark/oracle drift would start); array_min over the
+    # struct transform is the O(k) argmax — no per-row k log k sort — and
+    # the coalesce maps a NULL cosine (corrupt centroid) to +inf so it can
+    # never win the assignment (the window form's NULLS LAST semantics;
+    # NaN still sorts last, diverging from SQL DESC NaN-first — corrupt
+    # embeddings should be scrubbed upstream either way)
+    dot = _dot2_spark("embedding", "c.cvec")
     pick = (
-        "element_at(array_sort(transform(cents, c -> named_struct("
-        f"'neg_cos', -round(({dot}) / (_nrm_e * c.nrm), 6), "
-        "'cent_id', c.cent_id))), 1).cent_id"
+        "array_min(transform(cents, c -> named_struct("
+        f"'neg_cos', coalesce(-round(({dot}) / (_nrm_e * c.nrm), 6), double('Infinity')), "
+        "'cent_id', c.cent_id))).cent_id"
     )
     return (
         e.select(
@@ -415,13 +419,10 @@ def _assign_min_l2(e: DataFrame, cents: DataFrame) -> DataFrame:
     cents_row = cents.select(F.struct("cid", "cvec").alias("c")).agg(
         F.sort_array(F.collect_list("c")).alias("cents")
     )
-    d2 = (
-        "aggregate(zip_with(embedding, c.cvec, (x, y) -> (double(x) - double(y)) "
-        "* (double(x) - double(y))), 0D, (acc, v) -> acc + v)"
-    )
+    d2 = _L2SQ_SPARK.format(a="embedding", b="c.cvec")
     pick = (
-        "element_at(array_sort(transform(cents, c -> named_struct("
-        f"'d2', round(({d2}), 6), 'cid', c.cid))), 1).cid"
+        "array_min(transform(cents, c -> named_struct("
+        f"'d2', coalesce(round(({d2}), 6), double('Infinity')), 'cid', c.cid))).cid"
     )
     return (
         e.crossJoin(F.broadcast(cents_row))
@@ -873,9 +874,13 @@ SEMDEDUP_COS = 0.4
 def semantic_dedup_oracle_sql(n_cells: int = N_CENTROIDS) -> str:
     """DuckDB oracle for ``semantic_dedup_cell_stats_df`` at k cells.
     The cosine rounds to 6 before the threshold comparison on BOTH
-    engines (same determinism convention as the ranking family) so a
-    pair at the representation boundary cannot flip the verdict on fold
-    order."""
+    engines (same determinism convention as the ranking family).  Note
+    rounding relocates the engine-sensitivity boundary rather than
+    removing it — a pair whose fold-order difference straddles a 1e-6
+    rounding edge could still flip — but it shrinks the sensitive set
+    from "every representable cosine" to a measure-near-zero boundary
+    set, which is the repo-wide convention the driver gate has held
+    across rounds."""
     return f"""
 WITH {_scored_cents_sql(n_cells)}, assigned AS (
     SELECT vec_id, embedding, {_NORM_DUCK.format(v="embedding")} AS nrm, cent_id

@@ -238,8 +238,8 @@ def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH rates AS (
     SELECT doc_id, source, lang,
            (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 5 + 1) / 10.0 AS rate,
-           (CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
-            % 1000000) / 1000000.0 AS u
+           CAST('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+            / 16777216.0 AS u
     FROM documents
 )
 SELECT source,
@@ -256,7 +256,12 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (derived here from its id; in production, the mixture weights file)
     and documents are kept where an md5-uniform < rate.  Deterministic,
     engine-portable, no shuffle before the final count — how a 100 TB
-    pipeline hits 'x% web, y% code' mixtures reproducibly."""
+    pipeline hits 'x% web, y% code' mixtures reproducibly.  The coin is
+    the raw 6-hex-digit md5 prefix over 16^6 — EXACTLY uniform (an
+    earlier % 1000000 reduction left 777216 buckets with one extra
+    preimage, a systematic ~5% relative skew on small rates that both
+    engines shared, so parity could never catch it; same fix as
+    `weighted_source_mixture`'s dyadic coin)."""
     d = load_table(spark, sf_dir, "documents")
     rate = (
         (F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 5 + 1) / 10.0
@@ -267,8 +272,8 @@ def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("bigint")
-        % 1000000
-    ) / 1000000.0
+        / 16777216.0
+    )
     return (
         d.select("doc_id", "source", rate.alias("rate"), u.alias("u"))
         .where(F.col("u") < F.col("rate"))
@@ -690,7 +695,14 @@ MIXTURE_WEIGHTS: dict[str, float] = {
     "src3": 0.25,
 }
 MIXTURE_DEFAULT_W = 1.0
-_MIX_RES = 10000  # md5 coin resolution
+# Coin resolution MUST divide 16^prefix_len of the md5 prefix (here
+# 65536 = 16^4 exactly), otherwise the pigeonhole remainder skews the
+# coin: a 10000 modulus over 65536 preimages gives buckets 0-5535 seven
+# preimages and the rest six, i.e. P(u < 0.5) = 0.534 — a ~7% relative
+# over-sampling that BOTH engines share, so oracle parity can never
+# catch it.  With 65536 the coin is exactly uniform, and the .5/.25
+# fractional weights are dyadic so the acceptance thresholds are exact.
+_MIX_RES = 65536
 
 
 def _mix_weight_sql(col: str) -> str:

@@ -70,7 +70,18 @@ def md5_bucket(col: Column | str, modulus: int, prefix_len: int = 4) -> Column:
 
     The deterministic assignment primitive behind pack sharding and
     train/val/test splits — one definition so the Spark expression can
-    never drift from its DuckDB mirror (:func:`md5_bucket_sql`)."""
+    never drift from its DuckDB mirror (:func:`md5_bucket_sql`).
+
+    Uniformity: exactly uniform iff ``modulus`` divides 16^prefix_len;
+    otherwise the pigeonhole remainder gives the low buckets one extra
+    preimage (e.g. modulus 100 over 16^4 skews each bucket by <=0.16%
+    relative — fine for split ASSIGNMENT, which only needs determinism
+    and approximate proportions).  Anything that converts the bucket to
+    a sampling RATE (coin = bucket/modulus < p) must use a modulus
+    dividing 16^prefix_len — see ``weighted_source_mixture``'s dyadic
+    coin for the worked example of why (a 10000 modulus put a ~7%
+    relative bias on p=0.5 that both engines shared, so oracle parity
+    could never catch it)."""
     return (
         F.conv(F.substring(F.md5(_c(col).cast("string")), 1, prefix_len), 16, 10)
         .cast("int")

@@ -1059,6 +1059,12 @@ def semantic_dedup_stream(
     the task closure, never a join.  Cosines round to 6 before both the
     argmax and the threshold (the engine-portability convention shared
     with `cosine_assigned_cells`), with ties to the lower cent_id.
+    Caveat shared by every cross-engine rounding seam in this repo:
+    numpy's scaled-multiply round vs the JVM's decimal HALF_UP can
+    disagree within ~1 ulp of a 1e-6 boundary, so stream==batch
+    equality is exact up to that measure-near-zero set (the fixture
+    suite crosses no boundary; a production gate would compare with a
+    1e-6 tolerance instead of equality).
 
     ORDERING CONTRACT: verdicts are never retracted, so admission
     equals the batch closed form
@@ -1119,26 +1125,36 @@ def semantic_dedup_stream(
         if state.exists:
             ids, flat, nrms = state.get
             ids = list(ids)
-            mat = np.asarray(flat, dtype=np.float64).reshape(len(ids), EMB_DIM)
-            nrm = np.asarray(nrms, dtype=np.float64)
+            prior = np.asarray(flat, dtype=np.float64).reshape(len(ids), EMB_DIM)
+            prior_nrm = np.asarray(nrms, dtype=np.float64)
         else:
             ids = []
-            mat = np.zeros((0, EMB_DIM))
-            nrm = np.zeros(0)
+            prior = np.zeros((0, EMB_DIM))
+            prior_nrm = np.zeros(0)
+        # One preallocated (state + batch) slab, filled in place — a
+        # per-row np.vstack would re-copy the whole matrix each arrival
+        # (O(m^2 d) per micro-batch, worst exactly at the hot-cell skew
+        # the docstring warns about).
+        n_prior, n_new = prior.shape[0], len(rows)
+        mat = np.empty((n_prior + n_new, EMB_DIM))
+        mat[:n_prior] = prior
+        nrm = np.empty(n_prior + n_new)
+        nrm[:n_prior] = prior_nrm
         out_ids: list[int] = []
         out_n: list[int] = []
-        for vid, vec in rows:
+        for j, (vid, vec) in enumerate(rows):
+            seen = n_prior + j
             vnrm = float(np.sqrt((vec * vec).sum()))
-            if len(ids):
-                cos = np.round((mat @ vec) / (nrm * vnrm), 6)
+            if seen:
+                cos = np.round((mat[:seen] @ vec) / (nrm[:seen] * vnrm), 6)
                 n_dups = int((cos >= SEMDEDUP_COS).sum())
             else:
                 n_dups = 0
             out_ids.append(vid)
             out_n.append(n_dups)
             ids.append(vid)
-            mat = np.vstack([mat, vec[None, :]])
-            nrm = np.append(nrm, vnrm)
+            mat[seen] = vec
+            nrm[seen] = vnrm
         state.update((ids, mat.reshape(-1).tolist(), nrm.tolist()))
         yield pd.DataFrame(
             {

@@ -936,33 +936,47 @@ def test_watermark_drops_late_events_in_append_rollup(spark, tmp_path):
     assert got[(5, "click")] == 2
 
 
+
+
+def _write_chunk_feed(spark, tmp_dir, name, chunks, schema):
+    """Write each chunk of rows as ONE parquet file into a feed dir with
+    ascending mtimes, so a maxFilesPerTrigger=1 file stream replays them
+    as one micro-batch each, in order.  Shared by every streaming-feed
+    fixture/test (the four hand-rolled copies drifted before)."""
+    import os
+    import time
+
+    feed = tmp_dir / name
+    feed.mkdir()
+    base = time.time() - 3600
+    n = 0
+    for i, rows in enumerate(chunks):
+        if not rows:
+            continue
+        cdir = tmp_dir / f"_{name}_chunk_{i}"
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(
+            str(cdir)
+        )
+        (part,) = [f for f in cdir.iterdir() if f.name.endswith(".parquet")]
+        dest = feed / f"{n:04d}.parquet"
+        dest.write_bytes(part.read_bytes())
+        os.utime(dest, (base + 10 * n, base + 10 * n))
+        n += 1
+    return str(feed)
+
+
 @pytest.fixture(scope="module")
 def doc_chunk_dir(spark, sf_dir, tmp_path_factory):
     """Split documents into id-ordered parquet chunks — each chunk one
     micro-batch, so stream arrival order == doc_id order and the
     streaming LSH admission converges to the batch closed form."""
-    import os
-    import time
-
-    out = tmp_path_factory.mktemp("doc_chunks")
-    d = load_table(spark, sf_dir, "documents").orderBy("doc_id").collect()
-    schema = load_table(spark, sf_dir, "documents").schema
+    tbl = load_table(spark, sf_dir, "documents")
+    d = tbl.orderBy("doc_id").collect()
     per = (len(d) + N_CHUNKS - 1) // N_CHUNKS
-    for i in range(N_CHUNKS):
-        rows = d[i * per : (i + 1) * per]
-        if not rows:
-            continue
-        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(
-            str(out / f"chunk_{i}")
-        )
-    files = sorted(out.rglob("part-*.parquet"))
-    flat = tmp_path_factory.mktemp("doc_stream")
-    base = time.time() - 3600
-    for i, f in enumerate(files):
-        dest = flat / f"{i:04d}.parquet"
-        dest.write_bytes(f.read_bytes())
-        os.utime(dest, (base + 10 * i, base + 10 * i))
-    return str(flat)
+    chunks = [d[i * per : (i + 1) * per] for i in range(N_CHUNKS)]
+    return _write_chunk_feed(
+        spark, tmp_path_factory.mktemp("doc_stream"), "feed", chunks, tbl.schema
+    )
 
 
 def test_lsh_dedup_stream_matches_batch(spark, sf_dir, doc_chunk_dir):
@@ -992,28 +1006,16 @@ def test_lsh_dedup_stream_out_of_order_admits_both(spark, tmp_path):
     their shared keys (the batch closed form would reject the larger
     one).  The state itself still converges to the per-key minimum —
     only the already-emitted verdict is unrecallable."""
-    import os
-    import time
-
     text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows_by_chunk = [
         [(10, text, "en", "web", len(text))],  # batch 0: the larger id
         [(5, text, "en", "web", len(text))],  # batch 1: smaller near-dup
     ]
-    feed = tmp_path / "ooo_docs"
-    feed.mkdir()
-    base = time.time() - 3600
-    for i, rows in enumerate(rows_by_chunk):
-        chunk = tmp_path / f"ooo_chunk_{i}"
-        spark.createDataFrame(rows, schema=cdc.DOC_STREAM_SCHEMA).coalesce(
-            1
-        ).write.parquet(str(chunk))
-        (part,) = [f for f in chunk.iterdir() if f.name.endswith(".parquet")]
-        dest = feed / f"{i:04d}.parquet"
-        dest.write_bytes(part.read_bytes())
-        os.utime(dest, (base + 10 * i, base + 10 * i))
+    feed = _write_chunk_feed(
+        spark, tmp_path, "ooo_docs", rows_by_chunk, cdc.DOC_STREAM_SCHEMA
+    )
 
-    docs = cdc.read_document_stream(spark, str(feed))
+    docs = cdc.read_document_stream(spark, feed)
     emitted = _run_to_memory(
         spark, cdc.lsh_dedup_stream(docs), "lsh_ooo_out", "update"
     ).toPandas()
@@ -1030,28 +1032,13 @@ def emb_chunk_dir(spark, sf_dir, tmp_path_factory):
     """Split embeddings into id-ordered parquet chunks — each chunk one
     micro-batch, so arrival order == vec_id order and the streaming
     semantic admission converges to the batch closed form."""
-    import os
-    import time
-
-    out = tmp_path_factory.mktemp("emb_chunks")
     tbl = load_table(spark, sf_dir, "embeddings")
     rows = tbl.orderBy("vec_id").collect()
     per = (len(rows) + N_CHUNKS - 1) // N_CHUNKS
-    flat = tmp_path_factory.mktemp("emb_stream")
-    base = time.time() - 3600
-    for i in range(N_CHUNKS):
-        chunk = rows[i * per : (i + 1) * per]
-        if not chunk:
-            continue
-        cdir = out / f"chunk_{i}"
-        spark.createDataFrame(chunk, schema=tbl.schema).coalesce(1).write.parquet(
-            str(cdir)
-        )
-        (part,) = [f for f in cdir.iterdir() if f.name.endswith(".parquet")]
-        dest = flat / f"{i:04d}.parquet"
-        dest.write_bytes(part.read_bytes())
-        os.utime(dest, (base + 10 * i, base + 10 * i))
-    return str(flat)
+    chunks = [rows[i * per : (i + 1) * per] for i in range(N_CHUNKS)]
+    return _write_chunk_feed(
+        spark, tmp_path_factory.mktemp("emb_stream"), "feed", chunks, tbl.schema
+    )
 
 
 def test_semantic_dedup_stream_matches_batch(spark, sf_dir, emb_chunk_dir):
@@ -1091,9 +1078,6 @@ def test_semantic_dedup_stream_out_of_order_keeps_first(spark, tmp_path):
     ONE member of a close pair is ever admitted.  Out-of-order arrival
     changes WHICH one: the first arrival wins (larger id here), where
     the batch closed form admits the smallest id."""
-    import os
-    import time
-
     import numpy as np
 
     from fawac_cdc_spark.functions.similarity import EMB_DIM
@@ -1106,20 +1090,11 @@ def test_semantic_dedup_stream_out_of_order_keeps_first(spark, tmp_path):
         [(10, base_vec.tolist(), 0)],  # batch 0: the larger id
         [(5, near_dup.tolist(), 0)],  # batch 1: smaller near-dup
     ]
-    feed = tmp_path / "ooo_embs"
-    feed.mkdir()
-    base = time.time() - 3600
-    for i, rows in enumerate(rows_by_chunk):
-        chunk = tmp_path / f"ooo_emb_chunk_{i}"
-        spark.createDataFrame(rows, schema=cdc.EMB_STREAM_SCHEMA).coalesce(
-            1
-        ).write.parquet(str(chunk))
-        (part,) = [f for f in chunk.iterdir() if f.name.endswith(".parquet")]
-        dest = feed / f"{i:04d}.parquet"
-        dest.write_bytes(part.read_bytes())
-        os.utime(dest, (base + 10 * i, base + 10 * i))
+    feed = _write_chunk_feed(
+        spark, tmp_path, "ooo_embs", rows_by_chunk, cdc.EMB_STREAM_SCHEMA
+    )
 
-    embs = cdc.read_embedding_stream(spark, str(feed))
+    embs = cdc.read_embedding_stream(spark, feed)
     emitted = _run_to_memory(
         spark, cdc.semantic_dedup_stream(embs, cents), "sem_ooo_out", "update"
     ).toPandas()
