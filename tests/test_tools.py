@@ -56,3 +56,25 @@ def test_bench_compare_passes_within_tolerance(tmp_path):
     rc, out = _run_bench_compare(tmp_path, base, now)
     assert rc == 0
     assert "2/2 within budget" in out
+
+
+def test_bench_compare_gates_extras_intersection(tmp_path):
+    """Extras outside the frozen headline get the same per-query band
+    over the set present in BOTH runs — a regressed extra fails the
+    gate, while extras new to the current run are ignored (the set
+    grows round to round)."""
+    base = {"value": 10.0, "queries": {"a": 1.0}, "extras": {"x": 1.0, "y": 1.0}}
+    now = {
+        "value": 10.0,
+        "queries": {"a": 1.0},
+        "extras": {"x": 2.0, "y": 1.1, "brand_new": 9.9},
+    }
+    rc, out = _run_bench_compare(tmp_path, base, now)
+    assert rc == 1
+    assert "FAIL extra x" in out
+    assert "[ok] extra y" in out
+    assert "brand_new" not in out
+    # and a clean extras set passes
+    now_ok = {"value": 10.0, "queries": {"a": 1.0}, "extras": {"x": 1.05, "y": 0.9}}
+    rc2, out2 = _run_bench_compare(tmp_path, base, now_ok)
+    assert rc2 == 0

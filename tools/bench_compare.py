@@ -48,6 +48,23 @@ def main() -> int:
     missing = set(base["queries"]) - set(now["queries"])
     if missing:
         failures.append(f"queries missing from current run: {sorted(missing)}")
+    # Extras (registry.BENCH_EXTRAS + skew experiments) are outside the
+    # frozen total but get the same per-query band over the intersection —
+    # without this, a non-headline operator could regress silently
+    # between rounds (the set grows round to round, so only the overlap
+    # is comparable and there is no extras total).
+    extras_common = sorted(
+        set(base.get("extras", {})) & set(now.get("extras", {}))
+    )
+    for name in extras_common:
+        b, n = base["extras"][name], now["extras"][name]
+        delta = (n - b) / b
+        flag = "REGRESS" if delta > tol else "ok"
+        if delta > tol:
+            failures.append(
+                f"extra {name}: {b:.3f}s -> {n:.3f}s (+{delta:.0%})"
+            )
+        print(f"[{flag}] extra {name}: {b:.3f} -> {n:.3f} ({delta:+.0%})")
     bt, nt = base["value"], now["value"]
     print(f"total: {bt:.3f} -> {nt:.3f} ({(nt - bt) / bt:+.0%})")
     if nt > bt * (1 + total_tol):  # total gets a tighter band than per-query
