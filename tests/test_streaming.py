@@ -1108,3 +1108,89 @@ def test_semantic_dedup_stream_out_of_order_keeps_first(spark, tmp_path):
     assert not bool(got.loc[5, "admitted"])
     assert int(got.loc[5, "n_earlier_dups"]) == 1
     assert int(got.loc[10, "n_earlier_dups"]) == 0
+
+
+def test_semantic_dedup_stream_resumes_from_checkpoint(
+    spark, sf_dir, emb_chunk_dir, tmp_path
+):
+    """A33 restore semantics for the semantic admission state: stop after
+    the first half of the embedding feed, restart against the full feed
+    with the SAME checkpoint — the second run replays only unseen files
+    against the RESTORED per-cell state (ids/flat/nrms slab round-trips
+    the state store), and the union of both runs' verdicts equals the
+    batch closed form."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from fawac_cdc_spark.functions.similarity import N_CENTROIDS
+    from fawac_cdc_spark.streaming.batch_equiv import semantic_dedup_admissions
+
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    feed_dir = tmp_path / "sem_resume_feed"
+    feed_dir.mkdir()
+    files = sorted(glob.glob(f"{emb_chunk_dir}/*.parquet"))
+    assert len(files) >= 2
+
+    def arrive(fs):
+        for f in fs:
+            dest = feed_dir / os.path.basename(f)
+            shutil.copy(f, dest)
+            st = os.stat(f)
+            os.utime(dest, (st.st_mtime, st.st_mtime))
+
+    ckpt = str(tmp_path / "sem_resume_ckpt")
+
+    def run():
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        # (same shape as cdc_upsert_run's resume)
+        batches: list[pd.DataFrame] = []
+        embs = cdc.read_embedding_stream(spark, str(feed_dir))
+        q = (
+            cdc.semantic_dedup_stream(embs, cents)
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append(df.toPandas())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        non_empty = [b for b in batches if len(b)]
+        return (
+            pd.concat(non_empty)
+            if non_empty
+            else pd.DataFrame(
+                columns=["vec_id", "cent_id", "n_earlier_dups", "admitted"]
+            )
+        )
+
+    arrive(files[: len(files) // 2])
+    first = run()
+    arrive(files[len(files) // 2 :])
+    second = run()
+    # run 2 replays ONLY the unseen files (no duplicate verdicts)
+    assert set(first["vec_id"]) & set(second["vec_id"]) == set()
+    got = (
+        pd.concat([first, second])
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        semantic_dedup_admissions(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in ("vec_id", "cent_id", "n_earlier_dups", "admitted"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
