@@ -43,18 +43,18 @@ def _dot_sql_duck(vec_col: str, plane: list[float]) -> str:
     )
 
 
-def _bucket_expr_spark(vec_col: str = "embedding") -> str:
+def _bucket_expr_spark(vec_col: str = "embedding", n_planes: int = N_PLANES) -> str:
     terms = [
         f"(case when ({_dot_expr_spark(vec_col, p)}) > 0 then {1 << h} else 0 end)"
-        for h, p in enumerate(HYPERPLANES)
+        for h, p in enumerate(HYPERPLANES[:n_planes])
     ]
     return "cast(" + " + ".join(terms) + " as int)"
 
 
-def _bucket_sql_duck(vec_col: str = "embedding") -> str:
+def _bucket_sql_duck(vec_col: str = "embedding", n_planes: int = N_PLANES) -> str:
     terms = [
         f"(CASE WHEN ({_dot_sql_duck(vec_col, p)}) > 0 THEN {1 << h} ELSE 0 END)"
-        for h, p in enumerate(HYPERPLANES)
+        for h, p in enumerate(HYPERPLANES[:n_planes])
     ]
     return "CAST(" + " + ".join(terms) + " AS INT)"
 

@@ -546,22 +546,33 @@ def lsh_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _semantic_admissions_oracle() -> str:
+def semantic_admissions_oracle_sql(rp_sub_planes: int = 0) -> str:
+    """DuckDB oracle for ``semantic_dedup_admissions_df``.  With
+    ``rp_sub_planes`` > 0, the pair probe additionally requires the same
+    RP sign-pattern over the first b hyperplanes (the hot-cell
+    sub-blocking dial — see the stream docstring for the recall trade)."""
     from ..functions.similarity import (
         SEMDEDUP_COS,
+        _bucket_sql_duck,
         _dot2_duck,
         _NORM_DUCK,
         _scored_cents_sql,
     )
 
+    sub_col = (
+        f", {_bucket_sql_duck('embedding', rp_sub_planes)} AS sub"
+        if rp_sub_planes
+        else ", 0 AS sub"
+    )
     return f"""
 WITH {_scored_cents_sql()}, assigned AS (
     SELECT vec_id, embedding, {_NORM_DUCK.format(v="embedding")} AS nrm, cent_id
+           {sub_col}
     FROM scored_cents WHERE rn = 1
 ), earlier AS (
     SELECT a.vec_id, COUNT(*) AS n
     FROM assigned a JOIN assigned b
-      ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
+      ON a.cent_id = b.cent_id AND a.sub = b.sub AND b.vec_id < a.vec_id
     WHERE ROUND(({_dot2_duck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6)
           >= {SEMDEDUP_COS}
     GROUP BY a.vec_id
@@ -575,7 +586,7 @@ FROM assigned a LEFT JOIN earlier e ON a.vec_id = e.vec_id
 
 @register(
     "semantic_dedup_admissions",
-    oracle=_semantic_admissions_oracle(),
+    oracle=semantic_admissions_oracle_sql(),
     tags=("m6", "streaming-equiv", "dedup", "llm", "semdedup"),
 )
 def semantic_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -593,18 +604,38 @@ def semantic_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (`cosine_assigned_cells`), the pair probe is a cent_id
     equi-join (cells are the blocking key, k ~ sqrt(n) keeps them
     task-sized), norms hoisted once per vector, cosine rounded to 6 on
-    both engines before the threshold."""
+    both engines before the threshold.  ``semantic_dedup_admissions_df``
+    additionally exposes the ``rp_sub_planes`` hot-cell sub-blocking
+    dial (parity- and stream==batch-tested at b=2)."""
+    return semantic_dedup_admissions_df(spark, sf_dir)
+
+
+def semantic_dedup_admissions_df(
+    spark: SparkSession, sf_dir: str, rp_sub_planes: int = 0
+) -> DataFrame:
+    """The semantic-admission closed form; with ``rp_sub_planes`` > 0 the
+    blocking key is (cent_id, RP sign-pattern of the first b
+    hyperplanes), so a hot cell's pair join and state split 2^b ways at
+    the documented recall cost (near-duplicates straddling a hyperplane
+    are not compared)."""
     from ..functions.similarity import (
         SEMDEDUP_COS,
+        _bucket_expr_spark,
         _dot2_spark,
         _NORM_SPARK,
         cosine_assigned_cells,
     )
 
+    sub = (
+        F.expr(_bucket_expr_spark("embedding", rp_sub_planes))
+        if rp_sub_planes
+        else F.lit(0)
+    )
     e = load_table(spark, sf_dir, "embeddings")
     assigned = (
         cosine_assigned_cells(e)
         .withColumn("nrm", F.expr(_NORM_SPARK.format(v="embedding")))
+        .withColumn("sub", sub)
         .localCheckpoint(eager=True)
     )
     b = assigned.select(
@@ -612,6 +643,7 @@ def semantic_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("b_emb"),
         F.col("nrm").alias("nrm_b"),
         "cent_id",
+        "sub",
     )
     earlier = (
         assigned.select(
@@ -619,8 +651,9 @@ def semantic_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("a_emb"),
             F.col("nrm").alias("nrm_a"),
             "cent_id",
+            "sub",
         )
-        .join(b, "cent_id")
+        .join(b, ["cent_id", "sub"])
         .where(F.col("b_id") < F.col("a_id"))
         .where(
             F.round(

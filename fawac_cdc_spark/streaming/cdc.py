@@ -1042,7 +1042,9 @@ def read_embedding_stream(
 
 
 def semantic_dedup_stream(
-    embs: DataFrame, centroids: list[tuple[int, list[float]]]
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    rp_sub_planes: int = 0,
 ) -> DataFrame:
     """Semantic dedup ON INGEST — the embedding-side twin of
     ``lsh_dedup_stream``: each arriving vector is routed to its nearest
@@ -1079,10 +1081,17 @@ def semantic_dedup_stream(
     always converges to the full cell membership regardless of order.
 
     100 TB shape: routing is embarrassingly parallel; the only shuffle
-    is the state-store partitioning on cent_id.  A hot cell is a real
-    skew risk (unlike md5 band keys) — production either splits hot
-    cells by raising k or sub-blocks a cell with a secondary RP bucket;
-    the fixture keeps k small so the oracle can replay assignment.
+    is the state-store partitioning on the cell key.  A hot cell is a
+    real skew risk (unlike md5 band keys) — production either splits
+    hot cells by raising k or sub-blocks a cell with a secondary RP
+    bucket.  The latter is the ``rp_sub_planes`` dial: with b > 0 the
+    state key becomes (cent_id, sign-pattern of the first b fixed
+    hyperplanes), splitting every cell's state and comparisons 2^b
+    ways; the recall cost (near-duplicates straddling a hyperplane are
+    never compared) is the standard LSH trade, and the matching batch
+    closed form is ``semantic_dedup_admissions_df(rp_sub_planes=b)``
+    (stream==batch pinned at b=2).  The fixture keeps k small so the
+    oracle can replay assignment.
     """
     import numpy as np
 
@@ -1093,6 +1102,19 @@ def semantic_dedup_stream(
     cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
     cnrm = np.sqrt((cmat * cmat).sum(axis=1))
     cid_arr = np.asarray(cids, dtype=np.int64)
+
+    from ..functions.similarity import HYPERPLANES
+
+    planes = (
+        np.asarray(HYPERPLANES[:rp_sub_planes], dtype=np.float64)
+        if rp_sub_planes
+        else None
+    )
+    pow2 = (
+        np.asarray([1 << h for h in range(rp_sub_planes)], dtype=np.int64)
+        if rp_sub_planes
+        else None
+    )
 
     @F.pandas_udf("long")
     def nearest_cell(emb: pd.Series) -> pd.Series:
@@ -1106,12 +1128,24 @@ def semantic_dedup_stream(
         # total order as cosine_assigned_cells
         return pd.Series(cid_arr[np.argmax(cos, axis=1)])
 
+    @F.pandas_udf("int")
+    def rp_sub(emb: pd.Series) -> pd.Series:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in emb], dtype=np.float64
+        )
+        bits = (mat @ planes.T) > 0
+        return pd.Series((bits @ pow2).astype("int32"))
+
+    sub_col = rp_sub("embedding") if rp_sub_planes else F.lit(0)
     routed = embs.select(
-        "vec_id", "embedding", nearest_cell("embedding").alias("cent_id")
+        "vec_id",
+        "embedding",
+        nearest_cell("embedding").alias("cent_id"),
+        sub_col.alias("sub"),
     )
 
     def admit(key, pdf_iter, state):
-        (cent_id,) = key
+        cent_id = key[0]
         # Drain all Arrow chunks before sorting (same reasoning as the
         # LSH admit fn: per-chunk processing would break id order).
         rows = sorted(
@@ -1167,7 +1201,7 @@ def semantic_dedup_stream(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return routed.groupBy("cent_id").applyInPandasWithState(
+    return routed.groupBy("cent_id", "sub").applyInPandasWithState(
         admit,
         outputStructType=SEM_DEDUP_OUTPUT_SCHEMA,
         stateStructType=SEM_DEDUP_STATE_SCHEMA,

@@ -1194,3 +1194,50 @@ def test_semantic_dedup_stream_resumes_from_checkpoint(
     assert len(got) == len(want)
     for col in ("vec_id", "cent_id", "n_earlier_dups", "admitted"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_semantic_dedup_stream_subblocked_matches_batch(spark, sf_dir, emb_chunk_dir):
+    """The hot-cell sub-blocking dial (rp_sub_planes=2): stream and
+    batch agree under id-ordered arrival, the oracle replays the batch
+    form exactly, and the dial actually changes the comparison set —
+    sub-blocked admission can only admit MORE (pairs straddling a
+    hyperplane are no longer compared)."""
+    from fawac_cdc_spark.functions.similarity import N_CENTROIDS
+    from fawac_cdc_spark.streaming.batch_equiv import (
+        semantic_admissions_oracle_sql,
+        semantic_dedup_admissions_df,
+    )
+    from tools.parity import compare_frames, make_duckdb
+
+    B = 2
+    want_pdf = semantic_dedup_admissions_df(spark, sf_dir, rp_sub_planes=B).toPandas()
+    oracle_pdf = make_duckdb(sf_dir).execute(semantic_admissions_oracle_sql(B)).df()
+    assert not compare_frames(want_pdf, oracle_pdf)
+
+    cents = [
+        (r.vec_id, list(r.embedding))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    embs = cdc.read_embedding_stream(spark, emb_chunk_dir)
+    emitted = _run_to_memory(
+        spark,
+        cdc.semantic_dedup_stream(embs, cents, rp_sub_planes=B),
+        "sem_sub_out",
+        "update",
+    ).toPandas()
+    got = emitted.sort_values("vec_id").reset_index(drop=True)
+    want = want_pdf.sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ("vec_id", "cent_id", "n_earlier_dups", "admitted"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+    # monotone recall trade vs the unblocked form: every unblocked
+    # admission is still admitted (the comparison set only shrank)
+    base = semantic_dedup_admissions_df(spark, sf_dir).toPandas()
+    base_admitted = set(base[base["admitted"]]["vec_id"])
+    sub_admitted = set(want[want["admitted"]]["vec_id"])
+    assert base_admitted <= sub_admitted
+    assert len(sub_admitted) > len(base_admitted)  # the dial moved
