@@ -145,14 +145,20 @@ def jaccard_candidate_pairs(
     """Near-dup candidate pairs (doc_a, doc_b, shared, jaccard) from a
     (doc_id, shingle) stream, Jaccard over the DF-capped shingle universe.
 
-    Plan: ONE shuffle of the shingle stream (groupBy shingle →
-    sorted doc-id list), then the DF cap is a ``size(ids) <= max_df``
-    filter on the grouped row and candidate pairs are generated by an
+    Plan: the hot-shingle list is computed first (one count aggregation
+    whose shuffle carries only map-side-combined (shingle, count)
+    partials) and broadcast-anti-joined away (``capped_shingles``), THEN
+    the surviving stream takes its ONE full shuffle into groupBy →
+    sorted doc-id list, and candidate pairs are generated by an
     in-group higher-order pair expansion — ≤ C(max_df, 2) pairs per
-    shingle by construction.  Equivalent to (but cheaper than) capping
-    with an anti-join and self-joining on shingle, which shuffles the
-    stream three times; the oracles keep that relational formulation
-    since the results are identical.
+    shingle by construction.  Filtering BEFORE collecting is the load-
+    bearing order at 100 TB: every ``collect_list`` buffer is bounded
+    by max_df, whereas the earlier collect-then-``size(ids)`` filter
+    built the full doc-id list for a stop-phrase shingle (a billion-doc
+    boilerplate shingle = a multi-GB single aggregation buffer = an
+    executor OOM) before dropping it.  Results are identical (df ==
+    size(ids) on a distinct (doc, shingle) stream); the oracles keep
+    the relational anti-join + self-join formulation.
 
     Shared by ``ngram_jaccard_pairs`` / ``near_dedup_survivors`` /
     ``llm_corpus_pipeline`` so the skew-bounding semantics stay identical
@@ -167,10 +173,16 @@ def jaccard_candidate_pairs(
     # and at 100 TB the grouped table is the expensive subtree that must
     # not run twice.  persist=False restores a fully lazy single plan
     # (synthetic unit-test frames, plan inspection).
+    if persist:
+        # the hot-list count and the anti-join probe both consume the
+        # shingle stream; materialize the explode+hash once so the cap
+        # pass does not recompute it (the un-materialized form pays a
+        # second tokenize+md5 scan — measured +22-33% at sf0.1)
+        sh = sh.localCheckpoint(eager=True)
     groups = (
-        sh.groupBy("shingle")
+        capped_shingles(sh, max_df)
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") <= max_df)
     )
     if persist:
         groups = groups.localCheckpoint(eager=True)

@@ -247,3 +247,22 @@ def test_semantic_dedup_parity_at_larger_k(spark, sf_dir):
     assert (
         spark_pdf["n_dropped"] + spark_pdf["n_survivors"] == spark_pdf["n_vectors"]
     ).all()
+
+
+def test_df_cap_bounds_aggregation_buffers(spark):
+    """The hot-shingle anti-join must sit BELOW the collect_list
+    aggregate in the plan: filtering before collecting bounds every
+    aggregation buffer by max_df, whereas collect-then-filter builds a
+    stop-phrase shingle's full doc-id list (multi-GB at corpus scale)
+    before dropping it."""
+    rows = [(i, "the quick brown") for i in range(50)]
+    rows += [(i, f"unique {i}") for i in range(50)]
+    sh = _shingle_frame(spark, rows)
+    pairs = jaccard_candidate_pairs(sh, threshold=0.0, max_df=10, persist=False)
+    opt = pairs._jdf.queryExecution().optimizedPlan().toString()
+    anti_pos = opt.find("Join LeftAnti")
+    collect_pos = opt.find("collect_list")
+    assert anti_pos != -1 and collect_pos != -1
+    # optimizedPlan prints top-down, so the aggregate (consumer) appears
+    # BEFORE the anti-join (producer) iff the cap feeds the collect
+    assert collect_pos < anti_pos
