@@ -1111,3 +1111,96 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((n_corpus == 0) & (n_batch == 0)).alias("admitted"),
         )
     )
+
+
+def _semantic_cc_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_scored_cents_sql()}, assigned AS (
+    SELECT vec_id, embedding, {_NORM_DUCK.format(v="embedding")} AS nrm, cent_id
+    FROM scored_cents WHERE rn = 1
+), good AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE ROUND(({_dot2_duck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6)
+          >= {SEMDEDUP_COS}
+), edges AS (
+    SELECT va AS src, vb AS dst FROM good
+    UNION ALL
+    SELECT vb, va FROM good
+), reach(src, dst) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id,
+       MIN(dst) AS component,
+       CAST(MIN(dst) = src AS INT) AS survivor
+FROM reach
+GROUP BY src
+"""
+
+
+@register(
+    "semantic_cc_survivors",
+    oracle=_semantic_cc_oracle(),
+    tags=("similarity", "dedup", "llm", "semdedup", "graph"),
+)
+def semantic_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure SEMANTIC dedup: connected components over the
+    within-cell close-pair graph (rounded cosine >= 0.4), min-id
+    survivor per component — the embedding twin of
+    ``connected_component_survivors`` and the closure-correct upgrade of
+    ``semantic_dedup_cell_stats``'s pairwise min-id rule: a chain
+    a~b, b~c with no direct a~c pair still collapses to ONE survivor.
+
+    Blocking caveat (same class as the text side's DF cap): edges exist
+    only WITHIN a cell, so a component cannot span cells — the paper's
+    recall trade for keeping the pair join bounded.  Scale shape: the
+    edge set reuses the checkpointed assignment and the cent_id
+    equi-join; the closure is `connected_components_min_label` (one
+    shuffle per round, O(cluster diameter) rounds — near-dup clusters
+    are dense, so the diameter is small; the O(log n) star variant is a
+    drop-in via `connected_components_star`).  Oracle: exact recursive
+    CTE over the identical edge set."""
+    from .dedup import connected_components_min_label
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = (
+        cosine_assigned_cells(e)
+        .withColumn("nrm", F.expr(_NORM_SPARK.format(v="embedding")))
+        .localCheckpoint(eager=True)
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("nrm_b"),
+        "cent_id",
+    )
+    edges = (
+        assigned.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("nrm_a"),
+            "cent_id",
+        )
+        .join(b, "cent_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.round(
+                F.expr(_dot2_spark("a_emb", "b_emb"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            )
+            >= SEMDEDUP_COS
+        )
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    )
+    labels = connected_components_min_label(
+        edges, e.select(F.col("vec_id").alias("doc_id"))
+    )
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "component",
+        (F.col("component") == F.col("doc_id")).cast("int").alias("survivor"),
+    )

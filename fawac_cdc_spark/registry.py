@@ -155,6 +155,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
+    "semantic_cc_survivors",
 )
 
 
