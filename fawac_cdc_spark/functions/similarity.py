@@ -59,6 +59,41 @@ def _bucket_sql_duck(vec_col: str = "embedding", n_planes: int = N_PLANES) -> st
     return "CAST(" + " + ".join(terms) + " AS INT)"
 
 
+# Sub-BLOCKING variant of the bucket exprs (semantic dedup's rp_sub_planes
+# dial): the sign is taken on the ROUND-6 dot so the sub KEY agrees across
+# the three summation orders involved (Spark fold, DuckDB list_sum, the
+# stream's numpy matmul) per the repo-wide rounding convention.  The
+# rp_lsh query family keeps the original unrounded sign — retrofitting
+# rounding there would change already-verified results.
+
+
+def _sub_bucket_expr_spark(vec_col: str, n_planes: int) -> str:
+    terms = [
+        f"(case when round(({_dot_expr_spark(vec_col, p)}), 6) > 0 then {1 << h} else 0 end)"
+        for h, p in enumerate(HYPERPLANES[:n_planes])
+    ]
+    return "cast(" + " + ".join(terms) + " as int)"
+
+
+def _sub_bucket_sql_duck(vec_col: str, n_planes: int) -> str:
+    terms = [
+        f"(CASE WHEN ROUND(({_dot_sql_duck(vec_col, p)}), 6) > 0 THEN {1 << h} ELSE 0 END)"
+        for h, p in enumerate(HYPERPLANES[:n_planes])
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def validate_sub_planes(rp_sub_planes: int) -> None:
+    """The sub-blocking dial draws from the N_PLANES fixed hyperplanes;
+    out-of-range values previously crashed the stream UDF while the
+    batch form silently truncated — fail loudly and identically
+    everywhere instead."""
+    if not 0 <= rp_sub_planes <= N_PLANES:
+        raise ValueError(
+            f"rp_sub_planes must be in [0, {N_PLANES}], got {rp_sub_planes}"
+        )
+
+
 _NORM_SPARK = "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> double(x) * double(y)), 0D, (acc, t) -> acc + t))"
 _NORM_DUCK = (
     "sqrt(list_sum(list_transform(range(1, 65), "
@@ -871,6 +906,44 @@ def knn_join_bucketed_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_COS = 0.4
 
 
+def close_pair_edges(
+    assigned: DataFrame, keys: tuple[str, ...] = ("cent_id",)
+) -> DataFrame:
+    """(keys..., a_id, b_id): within-block close pairs — a_id < b_id and
+    ROUND-6 cosine >= SEMDEDUP_COS — over an assignment frame carrying
+    (vec_id, embedding, nrm, keys...).  The ONE Spark-side pair probe
+    shared by ``semantic_dedup_cell_stats_df``,
+    ``semantic_dedup_admissions_df``, and ``semantic_cc_survivors`` (a
+    third hand-inlined copy was how the family would drift; the oracles
+    mirror it per query because their output shapes differ)."""
+    key_list = list(keys)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("nrm_a"),
+        *key_list,
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("nrm_b"),
+        *key_list,
+    )
+    return (
+        a.join(b, key_list)
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            F.round(
+                F.expr(_dot2_spark("a_emb", "b_emb"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
+                6,
+            )
+            >= SEMDEDUP_COS
+        )
+        .select(*key_list, "a_id", "b_id")
+    )
+
+
 def semantic_dedup_oracle_sql(n_cells: int = N_CENTROIDS) -> str:
     """DuckDB oracle for ``semantic_dedup_cell_stats_df`` at k cells.
     The cosine rounds to 6 before the threshold comparison on BOTH
@@ -941,29 +1014,8 @@ def semantic_dedup_cell_stats_df(
         .withColumn("nrm", F.expr(_NORM_SPARK.format(v="embedding")))
         .localCheckpoint(eager=True)
     )
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("nrm_a"),
-        "cent_id",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("nrm_b"),
-        "cent_id",
-    )
     dropped = (
-        a.join(b, "cent_id")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(
-            F.round(
-                F.expr(_dot2_spark("a_emb", "b_emb"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            )
-            >= SEMDEDUP_COS
-        )
+        close_pair_edges(assigned)
         .select("cent_id", F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(1))
@@ -1171,30 +1223,8 @@ def semantic_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.expr(_NORM_SPARK.format(v="embedding")))
         .localCheckpoint(eager=True)
     )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("nrm_b"),
-        "cent_id",
-    )
-    edges = (
-        assigned.select(
-            F.col("vec_id").alias("a_id"),
-            F.col("embedding").alias("a_emb"),
-            F.col("nrm").alias("nrm_a"),
-            "cent_id",
-        )
-        .join(b, "cent_id")
-        .where(F.col("a_id") < F.col("b_id"))
-        .where(
-            F.round(
-                F.expr(_dot2_spark("a_emb", "b_emb"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            )
-            >= SEMDEDUP_COS
-        )
-        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    edges = close_pair_edges(assigned).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
     )
     labels = connected_components_min_label(
         edges, e.select(F.col("vec_id").alias("doc_id"))

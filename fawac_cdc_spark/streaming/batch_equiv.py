@@ -553,14 +553,16 @@ def semantic_admissions_oracle_sql(rp_sub_planes: int = 0) -> str:
     sub-blocking dial — see the stream docstring for the recall trade)."""
     from ..functions.similarity import (
         SEMDEDUP_COS,
-        _bucket_sql_duck,
         _dot2_duck,
         _NORM_DUCK,
         _scored_cents_sql,
+        _sub_bucket_sql_duck,
+        validate_sub_planes,
     )
 
+    validate_sub_planes(rp_sub_planes)
     sub_col = (
-        f", {_bucket_sql_duck('embedding', rp_sub_planes)} AS sub"
+        f", {_sub_bucket_sql_duck('embedding', rp_sub_planes)} AS sub"
         if rp_sub_planes
         else ", 0 AS sub"
     )
@@ -619,15 +621,16 @@ def semantic_dedup_admissions_df(
     the documented recall cost (near-duplicates straddling a hyperplane
     are not compared)."""
     from ..functions.similarity import (
-        SEMDEDUP_COS,
-        _bucket_expr_spark,
-        _dot2_spark,
         _NORM_SPARK,
+        _sub_bucket_expr_spark,
+        close_pair_edges,
         cosine_assigned_cells,
+        validate_sub_planes,
     )
 
+    validate_sub_planes(rp_sub_planes)
     sub = (
-        F.expr(_bucket_expr_spark("embedding", rp_sub_planes))
+        F.expr(_sub_bucket_expr_spark("embedding", rp_sub_planes))
         if rp_sub_planes
         else F.lit(0)
     )
@@ -638,32 +641,11 @@ def semantic_dedup_admissions_df(
         .withColumn("sub", sub)
         .localCheckpoint(eager=True)
     )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("nrm_b"),
-        "cent_id",
-        "sub",
-    )
+    # the closed form charges the LARGER id of each close pair, so the
+    # shared edge helper's b_id is the charged vector
     earlier = (
-        assigned.select(
-            F.col("vec_id").alias("a_id"),
-            F.col("embedding").alias("a_emb"),
-            F.col("nrm").alias("nrm_a"),
-            "cent_id",
-            "sub",
-        )
-        .join(b, ["cent_id", "sub"])
-        .where(F.col("b_id") < F.col("a_id"))
-        .where(
-            F.round(
-                F.expr(_dot2_spark("a_emb", "b_emb"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            )
-            >= SEMDEDUP_COS
-        )
-        .groupBy(F.col("a_id").alias("vec_id"))
+        close_pair_edges(assigned, keys=("cent_id", "sub"))
+        .groupBy(F.col("b_id").alias("vec_id"))
         .agg(F.count(F.lit(1)).alias("n_earlier_dups"))
     )
     n = F.coalesce(F.col("n_earlier_dups"), F.lit(0))

@@ -1095,29 +1095,30 @@ def semantic_dedup_stream(
     """
     import numpy as np
 
-    from ..functions.similarity import EMB_DIM, SEMDEDUP_COS
+    from ..functions.similarity import (
+        EMB_DIM,
+        HYPERPLANES,
+        SEMDEDUP_COS,
+        validate_sub_planes,
+    )
 
+    validate_sub_planes(rp_sub_planes)
     cids = [int(c) for c, _ in centroids]
     assert cids == sorted(cids), "centroids must be sorted by cent_id"
     cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
     cnrm = np.sqrt((cmat * cmat).sum(axis=1))
     cid_arr = np.asarray(cids, dtype=np.int64)
+    planes = np.asarray(HYPERPLANES[:rp_sub_planes], dtype=np.float64)
+    pow2 = np.asarray([1 << h for h in range(rp_sub_planes)], dtype=np.int64)
 
-    from ..functions.similarity import HYPERPLANES
-
-    planes = (
-        np.asarray(HYPERPLANES[:rp_sub_planes], dtype=np.float64)
-        if rp_sub_planes
-        else None
-    )
-    pow2 = (
-        np.asarray([1 << h for h in range(rp_sub_planes)], dtype=np.int64)
-        if rp_sub_planes
-        else None
-    )
-
-    @F.pandas_udf("long")
-    def nearest_cell(emb: pd.Series) -> pd.Series:
+    # ONE routing UDF: the Arrow-list -> matrix decode is the expensive
+    # part of the pass, so cell and sub-bucket are computed from the same
+    # decoded matrix instead of two UDFs decoding twice.  The sub sign is
+    # taken on the ROUND-6 hyperplane dot (mirrors _sub_bucket_expr_spark
+    # / _sub_bucket_sql_duck) so the KEY agrees across the three
+    # summation orders involved.
+    @F.pandas_udf("struct<cent_id: long, sub: int>")
+    def route(emb: pd.Series) -> pd.DataFrame:
         mat = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in emb], dtype=np.float64
         )
@@ -1126,23 +1127,22 @@ def semantic_dedup_stream(
         # argmax returns the FIRST max index; centroids are sorted by
         # cent_id, so rounded ties break to the lower cent_id — same
         # total order as cosine_assigned_cells
-        return pd.Series(cid_arr[np.argmax(cos, axis=1)])
+        cent = cid_arr[np.argmax(cos, axis=1)]
+        if rp_sub_planes:
+            bits = np.round(mat @ planes.T, 6) > 0
+            sub = (bits @ pow2).astype("int32")
+        else:
+            sub = np.zeros(len(cent), dtype="int32")
+        return pd.DataFrame({"cent_id": cent, "sub": sub})
 
-    @F.pandas_udf("int")
-    def rp_sub(emb: pd.Series) -> pd.Series:
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in emb], dtype=np.float64
-        )
-        bits = (mat @ planes.T) > 0
-        return pd.Series((bits @ pow2).astype("int32"))
-
-    sub_col = rp_sub("embedding") if rp_sub_planes else F.lit(0)
     routed = embs.select(
-        "vec_id",
-        "embedding",
-        nearest_cell("embedding").alias("cent_id"),
-        sub_col.alias("sub"),
-    )
+        "vec_id", "embedding", route("embedding").alias("r")
+    ).select("vec_id", "embedding", "r.cent_id", "r.sub")
+
+    # grouping keys: keep the b=0 state-key schema at ONE column so
+    # checkpoints written before the sub-blocking dial existed still
+    # restore (the state store validates key schema on restart)
+    group_cols = ["cent_id", "sub"] if rp_sub_planes else ["cent_id"]
 
     def admit(key, pdf_iter, state):
         cent_id = key[0]
@@ -1201,7 +1201,7 @@ def semantic_dedup_stream(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return routed.groupBy("cent_id", "sub").applyInPandasWithState(
+    return routed.groupBy(*group_cols).applyInPandasWithState(
         admit,
         outputStructType=SEM_DEDUP_OUTPUT_SCHEMA,
         stateStructType=SEM_DEDUP_STATE_SCHEMA,

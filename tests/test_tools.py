@@ -74,7 +74,16 @@ def test_bench_compare_gates_extras_intersection(tmp_path):
     assert "FAIL extra x" in out
     assert "[ok] extra y" in out
     assert "brand_new" not in out
+    assert "1/2 extras within budget" in out
     # and a clean extras set passes
     now_ok = {"value": 10.0, "queries": {"a": 1.0}, "extras": {"x": 1.05, "y": 0.9}}
     rc2, out2 = _run_bench_compare(tmp_path, base, now_ok)
     assert rc2 == 0
+    assert "2/2 extras within budget" in out2
+    # a baseline extra vanishing from the current run fails (the set
+    # only ever grows; absence means the benchmark crashed or was
+    # dropped)
+    now_missing = {"value": 10.0, "queries": {"a": 1.0}, "extras": {"x": 1.0}}
+    rc3, out3 = _run_bench_compare(tmp_path, base, now_missing)
+    assert rc3 == 1
+    assert "extras missing from current run" in out3

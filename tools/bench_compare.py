@@ -56,15 +56,25 @@ def main() -> int:
     extras_common = sorted(
         set(base.get("extras", {})) & set(now.get("extras", {}))
     )
+    n_extra_regressed = 0
     for name in extras_common:
         b, n = base["extras"][name], now["extras"][name]
         delta = (n - b) / b
         flag = "REGRESS" if delta > tol else "ok"
         if delta > tol:
+            n_extra_regressed += 1
             failures.append(
                 f"extra {name}: {b:.3f}s -> {n:.3f}s (+{delta:.0%})"
             )
         print(f"[{flag}] extra {name}: {b:.3f} -> {n:.3f} ({delta:+.0%})")
+    # the extras set only ever GROWS round to round; a baseline extra
+    # vanishing from the current run means its benchmark crashed or was
+    # dropped — fail like a missing headline query, don't skip it
+    extras_missing = set(base.get("extras", {})) - set(now.get("extras", {}))
+    if extras_missing:
+        failures.append(
+            f"extras missing from current run: {sorted(extras_missing)}"
+        )
     bt, nt = base["value"], now["value"]
     print(f"total: {bt:.3f} -> {nt:.3f} ({(nt - bt) / bt:+.0%})")
     if nt > bt * (1 + total_tol):  # total gets a tighter band than per-query
@@ -72,6 +82,11 @@ def main() -> int:
     for f_ in failures:
         print(f"FAIL {f_}")
     print(f"{len(common) - n_regressed}/{len(common)} within budget")
+    if extras_common:
+        print(
+            f"{len(extras_common) - n_extra_regressed}/{len(extras_common)} "
+            "extras within budget"
+        )
     return 1 if failures else 0
 
 
