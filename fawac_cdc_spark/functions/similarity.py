@@ -1136,17 +1136,11 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("n_corpus_dups"))
     )
-    batch_as_state = fresh.select(
-        F.col("vec_id").alias("s_id"),
-        F.col("embedding").alias("s_emb"),
-        F.col("nrm").alias("s_nrm"),
-        "cent_id",
-    )
+    # within-batch probe: the shared close-pair helper over the fresh
+    # slice (the larger id of each pair is the charged vector)
     batch_hits = (
-        fresh.join(batch_as_state, "cent_id")
-        .where(F.col("s_id") < F.col("vec_id"))
-        .where(close)
-        .groupBy("vec_id")
+        close_pair_edges(fresh)
+        .groupBy(F.col("b_id").alias("vec_id"))
         .agg(F.count(F.lit(1)).alias("n_batch_dups"))
     )
     n_corpus = F.coalesce(F.col("n_corpus_dups"), F.lit(0))
