@@ -1228,3 +1228,86 @@ def semantic_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("component") == F.col("doc_id")).cast("int").alias("survivor"),
     )
+
+
+# --- Multi-probe LSH (round 7) ----------------------------------------------
+#
+# Classic recall dial for hash-bucketed ANN (Lv et al., VLDB 2007): instead
+# of duplicating the index across L hash tables, a query probes its own
+# bucket PLUS the buckets at Hamming distance 1 (each one hyperplane sign
+# flipped) in the SAME table — ~(1 + n_planes)x the candidates for zero
+# extra index storage or build cost.
+
+MULTIPROBE_FLIPS: tuple[int, ...] = (0,) + tuple(1 << h for h in range(N_PLANES))
+MULTIPROBE_TOP_K = 5
+
+
+@register(
+    "multiprobe_lsh_topk_query0",
+    oracle=f"""
+WITH b AS (
+    SELECT vec_id, embedding, {_bucket_sql_duck()} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+probes AS (
+    SELECT xor(qbucket, f.flip) AS pbucket, qv
+    FROM q, (SELECT unnest({list(MULTIPROBE_FLIPS)}) AS flip) f
+),
+scored AS (
+    SELECT vec_id, bucket,
+           ROUND(({_DOTQ_DUCK})
+                 / (({_NORM_DUCK.format(v='embedding')})
+                    * ({_NORM_DUCK.format(v='qv')})), 6) AS cos_sim
+    FROM b JOIN probes ON b.bucket = probes.pbucket
+    WHERE vec_id <> 0
+)
+SELECT vec_id, bucket, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id
+LIMIT {MULTIPROBE_TOP_K}
+""",
+    tags=("similarity", "llm", "lsh"),
+)
+def multiprobe_lsh_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5 for vec_id=0: the query probes its own
+    RP-LSH bucket plus the {N_PLANES} Hamming-distance-1 buckets (one
+    hyperplane sign flipped each), then exact-cosine-ranks the union.
+
+    Same index and same scoring as ``rp_lsh_topk_query0``; only the probe
+    set widens — the standard recall/cost dial when one bucket misses
+    true neighbors that fell just across a hyperplane.  Plan shape: the
+    ({1 + N_PLANES}-row) probe table broadcasts into an equi-join on the
+    bucket key, so the corpus side stays a single bucket-pruned pass —
+    no extra hash tables, no re-bucketing, no shuffle beyond the one
+    candidate join; the top-5 is TakeOrderedAndProject.  The probed
+    buckets are distinct by construction (XOR with distinct masks), so
+    no candidate dedup step is needed.  ``tests/test_properties.py``
+    pins the recall guarantee: the multi-probe top-5 dominates the
+    single-bucket top-5 pointwise and can only move toward the
+    brute-force baseline (``cosine_topk_query0``)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", F.expr(_bucket_expr_spark()).alias("bucket"))
+    q = b.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    probes = q.select(
+        "qvec",
+        "qbucket",
+        F.explode(F.array(*[F.lit(f) for f in MULTIPROBE_FLIPS])).alias("flip"),
+    ).select(F.expr("qbucket ^ flip").alias("pbucket"), "qvec")
+    scored = (
+        b.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(
+                F.expr(_DOTQ_SPARK)
+                / (
+                    F.expr(_NORM_SPARK.format(v="embedding"))
+                    * F.expr(_NORM_SPARK.format(v="qvec"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(MULTIPROBE_TOP_K)

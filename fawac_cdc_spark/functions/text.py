@@ -528,3 +528,114 @@ def pmi_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(PMI_TOP_K)
     )
+
+
+# --- BM25 retrieval scoring (round 7) ---------------------------------------
+#
+# The standard lexical-retrieval score for mining training data against a
+# fixed query set (e.g. pulling in-domain documents for a fine-tuning mix).
+# Constants are pre-folded so the Spark expression tree and the DuckDB SQL
+# apply the exact same IEEE operation order (repo rounding convention).
+
+BM25_TERMS: tuple[str, ...] = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+_K1P1 = BM25_K1 + 1.0  # 2.2
+_ONE_MINUS_B = 1.0 - BM25_B  # 0.25
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS dl,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM base
+),
+tf AS (
+    SELECT doc_id, source, dl, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, source, dl, unnest(toks) AS term FROM base)
+    WHERE term IN {BM25_TERMS!r}
+    GROUP BY doc_id, source, dl, term
+),
+idf AS (
+    SELECT term,
+           LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+           avgdl
+    FROM (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term), stats
+),
+contrib AS (
+    SELECT tf.doc_id, tf.source,
+           idf.idf * (tf.tf * {_K1P1})
+               / (tf.tf + {BM25_K1} * ({_ONE_MINUS_B} + ({BM25_B} * tf.dl) / idf.avgdl))
+               AS w
+    FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, source, ROUND(SUM(w), 6) AS bm25
+FROM contrib
+GROUP BY doc_id, source
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_K}
+""",
+    tags=("text", "llm", "retrieval"),
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed query-term set (k1=1.2, b=0.75,
+    Lucene's ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf, always positive).
+
+    The retrieval shape behind in-domain data mining: score every corpus
+    document against a query and keep the best. Plan: the token stream is
+    filtered to the query terms BEFORE the explode (array filter, so
+    non-matching tokens never leave the scan), term frequencies aggregate
+    on (doc, term), and both the idf table (|terms| rows) and the corpus
+    stats (1 row) broadcast into the scoring join — the corpus side
+    crosses exactly two hash exchanges (tf, final per-doc sum) regardless
+    of scale, and the top-10 is TakeOrderedAndProject, never a global
+    sort. BM25 weights are round(6)-ed BEFORE ranking so the order is
+    engine-stable (ties break to doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id", "source", F.size(toks).alias("dl"), toks.alias("toks")
+    )
+    term_arr = F.array(*[F.lit(t) for t in BM25_TERMS])
+    hits = base.select(
+        "doc_id",
+        "source",
+        "dl",
+        F.explode(F.filter("toks", lambda x: F.array_contains(term_arr, x))).alias(
+            "term"
+        ),
+    )
+    tf = hits.groupBy("doc_id", "source", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    w = (F.col("idf") * (F.col("tf") * F.lit(_K1P1))) / (
+        F.col("tf")
+        + BM25_K1 * (F.lit(_ONE_MINUS_B) + (BM25_B * F.col("dl")) / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .select("doc_id", "source", w.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)

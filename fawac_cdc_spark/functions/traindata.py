@@ -782,3 +782,275 @@ def weighted_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+# --- DSIR-style importance resampling (round 7) ------------------------------
+#
+# Xie et al. 2023 ("Data Selection for Language Models via Importance
+# Resampling"): score every raw document by the log importance ratio of a
+# TARGET distribution over a RAW distribution, both estimated on hashed
+# n-gram features, then keep the top-weighted documents.  Hashed features
+# are the whole point at 100 TB — the two "language models" collapse to
+# DSIR_BUCKETS-row tables that broadcast, so selection is one linear pass.
+
+DSIR_BUCKETS = 256  # divides 16^4 -> exactly uniform md5 feature buckets
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_K = 20
+
+_DSIR_BUCKET_SQL = md5_bucket_sql("term", DSIR_BUCKETS)
+
+
+@register(
+    "dsir_selected_docs",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id, source, lang, {_DSIR_BUCKET_SQL} AS b
+    FROM (SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+),
+raw AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+tots AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS tr,
+           CAST(COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS DOUBLE) AS tt
+    FROM feats
+),
+lm AS (
+    SELECT raw.b,
+           LN(((COALESCE(ct, 0) + 1.0) * (tr + {DSIR_BUCKETS}))
+              / ((cr + 1.0) * (tt + {DSIR_BUCKETS}))) AS lw
+    FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots
+)
+SELECT f.doc_id, f.source, f.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(SUM(lw), 6) AS dsir_logratio
+FROM feats f JOIN lm ON f.b = lm.b
+GROUP BY f.doc_id, f.source, f.lang
+ORDER BY dsir_logratio DESC, f.doc_id
+LIMIT {DSIR_TOP_K}
+""",
+    tags=("traindata", "llm", "selection"),
+)
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: top-20 documents by hashed-unigram log
+    importance ratio toward the ``lang='{en}'`` target domain.
+
+    Both unigram LMs live on {DSIR_BUCKETS} md5 feature buckets
+    (add-one smoothed, exactly-uniform bucket preimages since the
+    modulus divides 16^4), so p_target/p_raw is a {DSIR_BUCKETS}-row
+    broadcast table regardless of corpus size — the hashed-feature trick
+    IS the scale story: one explode, one broadcast join, one per-doc
+    aggregate; no vocabulary-sized shuffle ever forms.  The log-ratio is
+    computed as a single ``ln`` over exact integer-derived operands with
+    identical operation order on both engines, rounded to 6 BEFORE the
+    top-k ranking (ties to doc_id) per the repo determinism convention."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split("text", " ")).alias("term"),
+    ).select(
+        "doc_id", "source", "lang", md5_bucket("term", DSIR_BUCKETS).alias("b")
+    )
+    is_tgt = F.col("lang") == DSIR_TARGET_LANG
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = feats.where(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tots = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("tr"),
+        F.count(F.when(is_tgt, 1)).cast("double").alias("tt"),
+    )
+    lm = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.log(
+                ((F.col("ct") + 1.0) * (F.col("tr") + DSIR_BUCKETS))
+                / ((F.col("cr") + 1.0) * (F.col("tt") + DSIR_BUCKETS))
+            ).alias("lw"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lm), "b")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("lw"), 6).alias("dsir_logratio"),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_logratio"), F.asc("doc_id")).limit(DSIR_TOP_K)
+
+
+# --- Deterministic training-order shuffle (round 7) --------------------------
+#
+# A training run needs the corpus in a reproducible pseudo-random order,
+# materialized as shards: order key = md5(doc_id || salt), shard = md5
+# bucket of the same salted key.  Everything downstream (resume, data
+# ablations, novelty curves) can replay the exact order from (salt, N).
+
+SHUFFLE_SALT = ":perm42"
+N_SHUFFLE_SHARDS = 16  # divides 16^4 -> exactly uniform shard sizes
+
+_SHUF_KEY_SQL = f"md5(CAST(doc_id AS VARCHAR) || '{SHUFFLE_SALT}')"
+_SHUF_SHARD_SQL = md5_bucket_sql(f"CAST(doc_id AS VARCHAR) || '{SHUFFLE_SALT}'", N_SHUFFLE_SHARDS)
+
+
+def _shuffle_cols() -> tuple["F.Column", "F.Column"]:
+    """(ord_key, shard): the ONE Spark definition of the deterministic
+    permutation — full md5 hex for the order, md5 bucket for the shard."""
+    salted = F.concat(F.col("doc_id").cast("string"), F.lit(SHUFFLE_SALT))
+    return F.md5(salted), md5_bucket(salted, N_SHUFFLE_SHARDS)
+
+
+@register(
+    "shuffled_shard_manifest",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS ntok,
+           {_SHUF_KEY_SQL} AS ord_key,
+           {_SHUF_SHARD_SQL} AS shard
+    FROM documents
+),
+pos AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_key) AS rn
+    FROM keyed
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       min_by(doc_id, ord_key) AS first_doc_id,
+       max_by(doc_id, ord_key) AS last_doc_id,
+       bit_xor(CAST('0x' || substr(md5(CAST(rn AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)) AS perm_checksum
+FROM pos
+GROUP BY shard
+""",
+    tags=("traindata", "llm", "shuffle"),
+)
+def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global-shuffle shard manifest: every document gets a
+    reproducible pseudo-random position (md5 of its salted id) and a
+    shard (md5 bucket of the same salted id, exactly uniform since
+    {N_SHUFFLE_SHARDS} divides 16^4); the manifest pins the full
+    permutation per shard — counts, token budget, boundary docs, and a
+    position-sensitive checksum (bit_xor of md5(rank:doc_id), constant
+    agg state, order-insensitive to COMPUTE yet sensitive to any change
+    in the rank->doc mapping, so a wrong order cannot hash-collide away).
+
+    Scale shape: the rank window partitions BY SHARD, so parallelism ==
+    shard count and each task sorts only its shard — at 100 TB the dial
+    is the shard count (real runs size shards to a few GB, i.e. tens of
+    thousands of shards), never a global sort.  Everything else is one
+    pass + one aggregate.  Replaying the order for training = ORDER BY
+    ord_key within a shard's file, no re-hash needed."""
+    d = load_table(spark, sf_dir, "documents")
+    ord_key, shard = _shuffle_cols()
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("ntok"),
+        ord_key.alias("ord_key"),
+        shard.alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("shard").orderBy("ord_key"))
+    pos = keyed.withColumn("rn", rn)
+    perm_term = F.expr(
+        "cast(conv(substr(md5(concat(cast(rn as string), ':', "
+        "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    )
+    return pos.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min_by("doc_id", "ord_key").alias("first_doc_id"),
+        F.max_by("doc_id", "ord_key").alias("last_doc_id"),
+        F.expr(
+            "bit_xor(cast(conv(substr(md5(concat(cast(rn as string), ':', "
+            "cast(doc_id as string))), 1, 8), 16, 10) as bigint))"
+        ).alias("perm_checksum"),
+    )
+
+
+# --- N-gram novelty over the training curriculum (round 7) -------------------
+
+NOVELTY_GRAM_N = 3
+
+
+@register(
+    "ngram_novelty_by_shard",
+    oracle=f"""
+WITH t AS (
+    SELECT {_SHUF_SHARD_SQL} AS shard, string_split(text, ' ') AS toks
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= {NOVELTY_GRAM_N}
+),
+grams AS (
+    SELECT shard,
+           unnest(list_transform(range(1, len(toks) - {NOVELTY_GRAM_N - 2}),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+    FROM t
+),
+occ AS (SELECT shard, gram, COUNT(*) AS n_occ FROM grams GROUP BY shard, gram),
+fs AS (SELECT gram, MIN(shard) AS first_seen FROM occ GROUP BY gram)
+SELECT occ.shard,
+       CAST(SUM(n_occ) AS BIGINT) AS total_gram_occurrences,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       CAST(COUNT(*) FILTER (WHERE first_seen = occ.shard) AS BIGINT) AS novel_grams,
+       ROUND(CAST(COUNT(*) FILTER (WHERE first_seen = occ.shard) AS DOUBLE)
+             / COUNT(*), 6) AS novelty_ratio
+FROM occ JOIN fs USING (gram)
+GROUP BY occ.shard
+""",
+    tags=("traindata", "llm", "novelty"),
+)
+def ngram_novelty_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-trigram novelty curve over the shuffled training curriculum:
+    for each shard (processed in shard order 0..{N-1}), how many of its
+    distinct trigrams appear for the FIRST time in that shard.  The
+    standard diminishing-returns diagnostic for "is more of this corpus
+    still adding new content, or just repeating itself" — the curve's
+    decay rate is what data-mixture ablations read.
+
+    Reuses the SAME deterministic shuffle-shard assignment as
+    ``shuffled_shard_manifest`` (one definition, `_shuffle_cols`), so the
+    novelty curve describes exactly the order the trainer would consume.
+    Plan: explode trigrams -> aggregate on (shard, gram) -> gram-level
+    MIN(shard) -> join back on gram.  Both shuffles key on the gram (a
+    near-uniform key at corpus scale); nothing is ever all-pairs and no
+    per-shard state grows beyond the aggregate row — the first-seen
+    table is the only corpus-vocabulary-sized intermediate and it stays
+    distributed."""
+    d = load_table(spark, sf_dir, "documents")
+    _, shard = _shuffle_cols()
+    t = d.select(shard.alias("shard"), F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= NOVELTY_GRAM_N
+    )
+    grams = t.select(
+        "shard",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {NOVELTY_GRAM_N}), "
+                "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            )
+        ).alias("gram"),
+    )
+    occ = grams.groupBy("shard", "gram").agg(F.count(F.lit(1)).alias("n_occ"))
+    fs = occ.groupBy("gram").agg(F.min("shard").alias("first_seen"))
+    novel = F.count(F.when(F.col("first_seen") == F.col("shard"), 1))
+    return (
+        occ.join(fs, "gram")
+        .groupBy("shard")
+        .agg(
+            F.sum("n_occ").alias("total_gram_occurrences"),
+            F.count(F.lit(1)).alias("distinct_grams"),
+            novel.alias("novel_grams"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty_ratio"
+            ),
+        )
+    )

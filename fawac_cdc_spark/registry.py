@@ -51,12 +51,20 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   3 new this round       (semantic_dedup_admissions — batch closed form
+#   8 new this round       (semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
 #                           batch-vs-standing-corpus form;
 #                           weighted_source_mixture — DoReMi/Pile-style
-#                           deterministic domain up/down-sampling)
+#                           deterministic domain up/down-sampling;
+#                           second session: bm25_topk_docs — lexical
+#                           retrieval scoring; dsir_selected_docs — DSIR
+#                           hashed-feature importance selection;
+#                           multiprobe_lsh_topk_query0 — Hamming-1 probe
+#                           recall dial; shuffled_shard_manifest —
+#                           deterministic training-order shuffle;
+#                           ngram_novelty_by_shard — curriculum novelty
+#                           curve)
 # + 5 changed this round   (substring_dup_stats: parameterized gram n +
 #                           dropped dead sort; semantic_dedup_cell_stats:
 #                           parameterized k + round-6 threshold + dropped
@@ -67,24 +75,34 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 25 next-stalest        (last green r3; the 10 r3 queries left out —
+# + 20 next-stalest        (last green r3; the 15 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
 #                           outlier_filtered_totals,
 #                           regexp_extract_source_num,
 #                           token_stats_by_source,
-#                           sliding_1h_15min_rollup — are from families
+#                           sliding_1h_15min_rollup,
+#                           normalize_minmax_events,
+#                           partitioned_sink_pruned_scan,
+#                           pivot_event_type_counts,
+#                           simhash_hamming_pairs,
+#                           stream_dedup_first_event — are from families
 #                           with 2+ refreshed entries in-window and lead
 #                           the r8 rotation)
 # = 50.  Everything outside the window stays covered by tools/parity.py
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (3).
+    # New this round (8).
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
+    "bm25_topk_docs",
+    "dsir_selected_docs",
+    "multiprobe_lsh_topk_query0",
+    "shuffled_shard_manifest",
+    "ngram_novelty_by_shard",
     # Changed this round (5): re-verify against updated code/oracles.
     "substring_dup_stats",
     "semantic_dedup_cell_stats",
@@ -110,7 +128,7 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (25): last green row is round 3.
+    # Next-stalest (20): last green row is round 3.
     "asof_join_last_signup_before_purchase",
     "bpe_token_stats",
     "capped_user_totals",
@@ -131,11 +149,6 @@ _PRIORITY = [
     "multimodal_join_stats",
     "near_dedup_survivors",
     "ngram_jaccard_pairs",
-    "normalize_minmax_events",
-    "partitioned_sink_pruned_scan",
-    "pivot_event_type_counts",
-    "simhash_hamming_pairs",
-    "stream_dedup_first_event",
 ]
 
 
@@ -156,6 +169,11 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "incremental_semantic_dedup",
     "weighted_source_mixture",
     "semantic_cc_survivors",
+    "bm25_topk_docs",
+    "dsir_selected_docs",
+    "multiprobe_lsh_topk_query0",
+    "shuffled_shard_manifest",
+    "ngram_novelty_by_shard",
 )
 
 

@@ -464,3 +464,67 @@ def test_mixture_materialization_is_map_plus_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "weighted_source_mixture")
     assert plan.count("Exchange (") == 2
     assert "Join" not in plan and "Window" not in plan
+
+
+# --- round 7 second session: retrieval / selection / shuffle plans ----------
+
+
+def test_bm25_broadcasts_stats_and_takeordered(spark, sf_dir):
+    """BM25's idf table (|query terms| rows) and corpus stats (1 row)
+    must broadcast into the scoring join — the corpus-sized tf stream
+    never shuffles for them — and the top-10 must compile to
+    TakeOrderedAndProject, not a global range-partition sort."""
+    plan = _plan(spark, sf_dir, "bm25_topk_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_feature_tables_broadcast(spark, sf_dir):
+    """DSIR's whole point at scale: the two hashed-feature LMs collapse
+    to a DSIR_BUCKETS-row table that BROADCASTS into the token stream.
+    The corpus side must cross exactly two hashpartitioning exchanges
+    (the bucket-count aggregates are over the tiny key space; the
+    per-doc sum is the only corpus-sized shuffle) and the top-20 must be
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "dsir_selected_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multiprobe_probe_table_broadcasts(spark, sf_dir):
+    """Multi-probe LSH must stay ONE bucket-pruned pass over the corpus:
+    the (1 + N_PLANES)-row probe table broadcasts into an equi-join on
+    the bucket key — no extra hash tables, no corpus re-bucketing, no
+    range sort (top-5 is TakeOrderedAndProject)."""
+    plan = _plan(spark, sf_dir, "multiprobe_lsh_topk_query0")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_manifest_sorts_only_within_shards(spark, sf_dir):
+    """The deterministic-shuffle rank must come from a window partitioned
+    by shard (clustered distribution + LOCAL sort): a rangepartitioning
+    exchange would mean a global sort — the exact thing the shard design
+    exists to avoid at 100 TB.  (No assertion on the hashpartitioning
+    exchange itself: the single-partition fixture scan already satisfies
+    the window's clustered distribution, so EnsureRequirements elides it
+    at test scale — the ADVICE-r6 brittleness class.)"""
+    plan = _plan(spark, sf_dir, "shuffled_shard_manifest")
+    assert "rangepartitioning" not in plan
+    assert "Window" in plan
+
+
+def test_novelty_plan_is_two_aggregates_and_equi_join(spark, sf_dir):
+    """Trigram novelty must stay linear: explode -> (shard, gram) agg ->
+    gram-level min -> equi-join back. No cartesian shapes, no global
+    sort, no Python in the hot path."""
+    plan = _plan(spark, sf_dir, "ngram_novelty_by_shard")
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

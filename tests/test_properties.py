@@ -481,3 +481,192 @@ def test_incremental_lsh_consistent_with_batch_candidates(spark, sf_dir):
         want_batch = sum(1 for p in partners if incoming(p) and p < doc_id)
         assert (n_corpus, n_batch) == (want_corpus, want_batch), doc_id
         assert admitted == (want_corpus == 0 and want_batch == 0)
+
+
+# --- round 7 second session: retrieval / selection / shuffle / novelty ------
+
+
+def test_multiprobe_dominates_single_bucket(spark, sf_dir):
+    """Widening the probe set can only improve the top-k: the multi-probe
+    top-5 cosine scores dominate the single-bucket top-5 pointwise, and
+    both are bounded above by the brute-force baseline."""
+    multi = [
+        r["cos_sim"]
+        for r in _SPECS["multiprobe_lsh_topk_query0"].fn(spark, sf_dir).collect()
+    ]
+    single = [
+        r["cos_sim"] for r in _SPECS["rp_lsh_topk_query0"].fn(spark, sf_dir).collect()
+    ]
+    brute = [
+        r["cos_sim"] for r in _SPECS["cosine_topk_query0"].fn(spark, sf_dir).collect()
+    ]
+    multi, single = sorted(multi, reverse=True), sorted(single, reverse=True)
+    brute = sorted(brute, reverse=True)
+    assert len(multi) == 5 and len(single) == 5
+    for m, s in zip(multi, single):
+        assert m >= s
+    for b, m in zip(brute, multi):
+        assert b >= m
+
+
+def _docs_pdf(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_bm25_matches_pure_pandas(spark, sf_dir):
+    """The registered BM25 query equals a from-scratch pandas/numpy BM25
+    over the same corpus (independent of both Spark and DuckDB)."""
+    from fawac_cdc_spark.functions.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP_K,
+    )
+
+    docs = _docs_pdf(sf_dir)
+    toks = docs["text"].str.split(" ")
+    dl = toks.str.len().astype(float)
+    n_docs = float(len(docs))
+    avgdl = dl.sum() / n_docs
+    scores = {}
+    for term in BM25_TERMS:
+        tf = toks.apply(lambda ts: sum(1 for t in ts if t == term)).astype(float)
+        df_t = float((tf > 0).sum())
+        if df_t == 0:
+            continue
+        idf = np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        w = idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + (BM25_B * dl) / avgdl)
+        )
+        for doc_id, wi, tfi in zip(docs["doc_id"], w, tf):
+            if tfi > 0:
+                scores[doc_id] = scores.get(doc_id, 0.0) + wi
+    expected = sorted(
+        ((round(s, 6), d) for d, s in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:BM25_TOP_K]
+    got = [
+        (r["bm25"], r["doc_id"])
+        for r in _SPECS["bm25_topk_docs"].fn(spark, sf_dir).collect()
+    ]
+    assert [(pytest.approx(s, abs=2e-6), d) for s, d in expected] == got
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """Independent pandas replica of the DSIR hashed-unigram log ratio:
+    the top-20 matches the registered query exactly, and target-language
+    documents average a strictly higher importance weight than the rest
+    (the selection signal actually points at the target domain)."""
+    import hashlib
+
+    from fawac_cdc_spark.functions.traindata import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        DSIR_TOP_K,
+    )
+
+    docs = _docs_pdf(sf_dir)
+
+    def bucket(term: str) -> int:
+        return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % DSIR_BUCKETS
+
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    tr = tt = 0
+    doc_buckets = []
+    for _, row in docs.iterrows():
+        bs = [bucket(t) for t in row["text"].split(" ")]
+        doc_buckets.append(bs)
+        is_t = row["lang"] == DSIR_TARGET_LANG
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            tr += 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+                tt += 1
+    weights = {}
+    for (_, row), bs in zip(docs.iterrows(), doc_buckets):
+        w = sum(
+            np.log(
+                ((ct.get(b, 0) + 1.0) * (float(tr) + DSIR_BUCKETS))
+                / ((cr[b] + 1.0) * (float(tt) + DSIR_BUCKETS))
+            )
+            for b in bs
+        )
+        weights[row["doc_id"]] = (round(w, 6), row["lang"])
+    en = [w for w, lang in weights.values() if lang == DSIR_TARGET_LANG]
+    rest = [w for w, lang in weights.values() if lang != DSIR_TARGET_LANG]
+    assert np.mean(en) > np.mean(rest)
+    expected = sorted(
+        ((w, d) for d, (w, _) in weights.items()), key=lambda x: (-x[0], x[1])
+    )[:DSIR_TOP_K]
+    got = [
+        (r["dsir_logratio"], r["doc_id"])
+        for r in _SPECS["dsir_selected_docs"].fn(spark, sf_dir).collect()
+    ]
+    assert [(pytest.approx(w, abs=2e-6), d) for w, d in expected] == got
+
+
+def test_shuffle_shard_manifest_invariants(spark, sf_dir):
+    """Shard manifest: exact partition of the corpus, deterministic, and
+    the permutation checksum matches an independent hashlib replica."""
+    import hashlib
+
+    from fawac_cdc_spark.functions.traindata import (
+        N_SHUFFLE_SHARDS,
+        SHUFFLE_SALT,
+    )
+
+    out = {r["shard"]: r for r in _SPECS["shuffled_shard_manifest"].fn(spark, sf_dir).collect()}
+    docs = _docs_pdf(sf_dir)
+    assert sum(r["n_docs"] for r in out.values()) == len(docs)
+    assert all(0 <= s < N_SHUFFLE_SHARDS for s in out)
+
+    # independent replica of the permutation
+    def key(doc_id: int) -> str:
+        return hashlib.md5(f"{doc_id}{SHUFFLE_SALT}".encode()).hexdigest()
+
+    per_shard: dict[int, list[tuple[str, int]]] = {}
+    for doc_id in docs["doc_id"]:
+        k = key(int(doc_id))
+        shard = int(k[:4], 16) % N_SHUFFLE_SHARDS
+        per_shard.setdefault(shard, []).append((k, int(doc_id)))
+    for shard, pairs in per_shard.items():
+        pairs.sort()
+        cksum = 0
+        for rn, (_, doc_id) in enumerate(pairs, start=1):
+            cksum ^= int(
+                hashlib.md5(f"{rn}:{doc_id}".encode()).hexdigest()[:8], 16
+            )
+        assert out[shard]["n_docs"] == len(pairs)
+        assert out[shard]["first_doc_id"] == pairs[0][1]
+        assert out[shard]["last_doc_id"] == pairs[-1][1]
+        assert out[shard]["perm_checksum"] == cksum
+
+    # determinism: a second run produces the identical manifest
+    again = {r["shard"]: r for r in _SPECS["shuffled_shard_manifest"].fn(spark, sf_dir).collect()}
+    assert {s: r["perm_checksum"] for s, r in out.items()} == {
+        s: r["perm_checksum"] for s, r in again.items()
+    }
+
+
+def test_ngram_novelty_invariants(spark, sf_dir):
+    """Novelty accounting closes: every distinct corpus trigram is novel in
+    exactly one shard, per-shard counts are consistent, and the first
+    curriculum shard is 100% novel by definition."""
+    rows = _SPECS["ngram_novelty_by_shard"].fn(spark, sf_dir).collect()
+    by_shard = {r["shard"]: r for r in rows}
+    docs = _docs_pdf(sf_dir)
+    all_grams = set()
+    for text in docs["text"]:
+        ts = text.split(" ")
+        for i in range(len(ts) - 2):
+            all_grams.add(" ".join(ts[i : i + 3]))
+    assert sum(r["novel_grams"] for r in rows) == len(all_grams)
+    for r in rows:
+        assert 0 < r["novel_grams"] <= r["distinct_grams"] <= r["total_gram_occurrences"]
+        assert r["novelty_ratio"] == pytest.approx(
+            r["novel_grams"] / r["distinct_grams"], abs=1e-6
+        )
+    first = min(by_shard)
+    assert by_shard[first]["novelty_ratio"] == 1.0
