@@ -1311,3 +1311,98 @@ def multiprobe_lsh_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(MULTIPROBE_TOP_K)
+
+
+# --- IVF multi-probe (round 7): nprobe=2 ------------------------------------
+#
+# The IVF twin of `multiprobe_lsh_topk_query0`: recall for an IVF index is
+# dialed by nprobe — the query scores all k coarse centroids (k rows, a
+# driver-free broadcast pass) and scans the nearest NPROBE inverted lists
+# instead of one.  faiss's `nprobe` parameter, re-expressed as a 2-row
+# broadcast equi-join on cent_id.
+
+IVF_NPROBE = 2
+
+
+@register(
+    "ivf_multiprobe_topk_query1",
+    oracle=f"""
+WITH {_SCORED_CENTS_SQL}, assigned AS (
+    SELECT vec_id, embedding, cent_id FROM scored_cents WHERE rn = 1
+), qrow AS (
+    SELECT embedding AS qv FROM embeddings WHERE vec_id = {IVF_QUERY_ID}
+), qcells AS (
+    SELECT c.cent_id, qv
+    FROM cents c, qrow
+    ORDER BY ROUND(({_dot2_duck('c.cvec', 'qv')})
+                   / (({_NORM_DUCK.format(v='c.cvec')})
+                      * ({_NORM_DUCK.format(v='qv')})), 6) DESC, c.cent_id
+    LIMIT {IVF_NPROBE}
+)
+SELECT a.vec_id, a.cent_id,
+       ROUND(({_dot2_duck('a.embedding', 'qv')})
+             / (({_NORM_DUCK.format(v='a.embedding')})
+                * ({_NORM_DUCK.format(v='qv')})), 6) AS cos_sim
+FROM assigned a JOIN qcells p ON a.cent_id = p.cent_id
+WHERE a.vec_id <> {IVF_QUERY_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+""",
+    tags=("similarity", "llm", "ivf"),
+)
+def ivf_multiprobe_topk_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for vec_id={1} probing the nprobe={2} nearest
+    inverted lists instead of one — faiss's recall dial, Spark-shaped.
+
+    The query ranks the {8} coarse centroids by rounded cosine (an
+    {8}-row broadcast computation, no corpus involvement) and keeps the
+    top {2}; candidates are then an equi-join of the assigned corpus
+    against that {2}-row broadcast probe table on cent_id.  Identical
+    assignment definition as ``ivf_topk_query1``
+    (`cosine_assigned_cells`, shuffle-free), identical scoring fold;
+    only the probe count widens — recall can only move toward the
+    brute-force baseline while the scan stays bounded to nprobe lists.
+    Top-5 is TakeOrderedAndProject (no global sort);
+    ``tests/test_properties.py`` pins pointwise score dominance over the
+    single-probe form."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = cosine_assigned_cells(e)
+    q = e.where(F.col("vec_id") == IVF_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    qcells = (
+        cents.crossJoin(F.broadcast(q))
+        .orderBy(
+            F.round(
+                F.expr(_dot2_spark("cvec", "qv"))
+                / (
+                    F.expr(_NORM_SPARK.format(v="cvec"))
+                    * F.expr(_NORM_SPARK.format(v="qv"))
+                ),
+                6,
+            ).desc(),
+            F.asc("cent_id"),
+        )
+        .limit(IVF_NPROBE)
+        .select("cent_id", "qv")
+    )
+    scored = (
+        assigned.where(F.col("vec_id") != IVF_QUERY_ID)
+        .join(F.broadcast(qcells), "cent_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(
+                F.expr(_dot2_spark("embedding", "qv"))
+                / (
+                    F.expr(_NORM_SPARK.format(v="embedding"))
+                    * F.expr(_NORM_SPARK.format(v="qv"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(5)

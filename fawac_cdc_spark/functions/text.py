@@ -639,3 +639,95 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("w"), 6).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
+
+
+# --- Model-based quality filtering (round 7) ---------------------------------
+#
+# The classifier-based filter stage every modern pre-training pipeline runs
+# (GPT-3/LLaMA-style "quality classifier"): a tiny logistic model over cheap
+# per-document features decides keep/drop.  The weights here are fixed
+# literals (a shipped model artifact); what the engine owns is applying it
+# at corpus scale — a pure map over the scan with one per-source aggregate.
+
+QC_BIAS = -1.0
+QC_W_UNIQ = 2.0
+QC_W_STOP = 3.0
+QC_W_AVGLEN = -0.5
+QC_W_LNTOK = 0.3
+QC_KEEP_P = 0.5
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS ntok,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+                AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+           CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+),
+scored AS (
+    SELECT source,
+           ROUND(1.0 / (1.0 + EXP(-({QC_BIAS} + {QC_W_UNIQ} * uniq_ratio
+                                    + {QC_W_STOP} * stop_ratio
+                                    + {QC_W_AVGLEN} * avg_token_len
+                                    + {QC_W_LNTOK} * LN(ntok)))), 6) AS p
+    FROM feat
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE p >= {QC_KEEP_P}) AS BIGINT) AS n_keep,
+       ROUND(CAST(COUNT(*) FILTER (WHERE p >= {QC_KEEP_P}) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate,
+       ROUND(SUM(p) / COUNT(*), 6) AS avg_quality
+FROM scored
+GROUP BY source
+""",
+    tags=("text", "llm", "quality"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering: a fixed-weight logistic model
+    over the standard cheap features (distinct-token ratio, stopword
+    ratio, mean token length, log token count) scores every document;
+    the output is the per-source keep decision profile at the p>=0.5
+    operating point.
+
+    This is the "quality classifier" stage of a pre-training pipeline
+    with the model baked in as literals — scoring is a PURE MAP over the
+    documents scan (all JVM built-ins: higher-order array exprs + exp/ln)
+    followed by one per-source aggregate, so it runs at scan bandwidth at
+    100 TB; nothing shuffles except the final tiny group-by.  The
+    sigmoid is rounded to 6 on both engines BEFORE the threshold
+    comparison and the average, per the repo determinism convention."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    ntok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / ntok
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / ntok
+    )
+    avg_token_len = (F.length("text") - ntok + 1).cast("double") / ntok
+    z = (
+        F.lit(QC_BIAS)
+        + QC_W_UNIQ * uniq_ratio
+        + QC_W_STOP * stop_ratio
+        + QC_W_AVGLEN * avg_token_len
+        + QC_W_LNTOK * F.log(ntok)
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = d.select("source", p.alias("p"))
+    keep = F.count(F.when(F.col("p") >= QC_KEEP_P, 1))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        keep.alias("n_keep"),
+        F.round(keep.cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
+        F.round(F.sum("p") / F.count(F.lit(1)), 6).alias("avg_quality"),
+    )

@@ -799,11 +799,11 @@ DSIR_TOP_K = 20
 
 _DSIR_BUCKET_SQL = md5_bucket_sql("term", DSIR_BUCKETS)
 
-
-@register(
-    "dsir_selected_docs",
-    oracle=f"""
-WITH feats AS (
+# The (feats, raw, tgt, tots, lm) CTE block — ONE definition shared by the
+# top-k selection oracle and the Gumbel resampling oracle, mirroring the
+# one Spark-side builder `_dsir_feats_and_lm` (two hand-kept copies of the
+# smoothing arithmetic is how Spark/oracle drift would start).
+_DSIR_LM_CTES = f"""feats AS (
     SELECT doc_id, source, lang, {_DSIR_BUCKET_SQL} AS b
     FROM (SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS term
           FROM documents)
@@ -820,30 +820,13 @@ lm AS (
            LN(((COALESCE(ct, 0) + 1.0) * (tr + {DSIR_BUCKETS}))
               / ((cr + 1.0) * (tt + {DSIR_BUCKETS}))) AS lw
     FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots
-)
-SELECT f.doc_id, f.source, f.lang,
-       CAST(COUNT(*) AS BIGINT) AS n_terms,
-       ROUND(SUM(lw), 6) AS dsir_logratio
-FROM feats f JOIN lm ON f.b = lm.b
-GROUP BY f.doc_id, f.source, f.lang
-ORDER BY dsir_logratio DESC, f.doc_id
-LIMIT {DSIR_TOP_K}
-""",
-    tags=("traindata", "llm", "selection"),
-)
-def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection: top-20 documents by hashed-unigram log
-    importance ratio toward the ``lang='{en}'`` target domain.
+)"""
 
-    Both unigram LMs live on {DSIR_BUCKETS} md5 feature buckets
-    (add-one smoothed, exactly-uniform bucket preimages since the
-    modulus divides 16^4), so p_target/p_raw is a {DSIR_BUCKETS}-row
-    broadcast table regardless of corpus size — the hashed-feature trick
-    IS the scale story: one explode, one broadcast join, one per-doc
-    aggregate; no vocabulary-sized shuffle ever forms.  The log-ratio is
-    computed as a single ``ln`` over exact integer-derived operands with
-    identical operation order on both engines, rounded to 6 BEFORE the
-    top-k ranking (ties to doc_id) per the repo determinism convention."""
+
+def _dsir_feats_and_lm(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(feats, lm): the hashed-unigram token stream and the broadcastable
+    DSIR_BUCKETS-row log-importance table — the ONE Spark definition of
+    the DSIR arithmetic (oracle mirror: `_DSIR_LM_CTES`)."""
     d = load_table(spark, sf_dir, "documents")
     feats = d.select(
         "doc_id",
@@ -872,6 +855,37 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lw"),
         )
     )
+    return feats, lm
+
+
+@register(
+    "dsir_selected_docs",
+    oracle=f"""
+WITH {_DSIR_LM_CTES}
+SELECT f.doc_id, f.source, f.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(SUM(lw), 6) AS dsir_logratio
+FROM feats f JOIN lm ON f.b = lm.b
+GROUP BY f.doc_id, f.source, f.lang
+ORDER BY dsir_logratio DESC, f.doc_id
+LIMIT {DSIR_TOP_K}
+""",
+    tags=("traindata", "llm", "selection"),
+)
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: top-20 documents by hashed-unigram log
+    importance ratio toward the ``lang='{en}'`` target domain.
+
+    Both unigram LMs live on {DSIR_BUCKETS} md5 feature buckets
+    (add-one smoothed, exactly-uniform bucket preimages since the
+    modulus divides 16^4), so p_target/p_raw is a {DSIR_BUCKETS}-row
+    broadcast table regardless of corpus size — the hashed-feature trick
+    IS the scale story: one explode, one broadcast join, one per-doc
+    aggregate; no vocabulary-sized shuffle ever forms.  The log-ratio is
+    computed as a single ``ln`` over exact integer-derived operands with
+    identical operation order on both engines, rounded to 6 BEFORE the
+    top-k ranking (ties to doc_id) per the repo determinism convention."""
+    feats, lm = _dsir_feats_and_lm(spark, sf_dir)
     scored = (
         feats.join(F.broadcast(lm), "b")
         .groupBy("doc_id", "source", "lang")
@@ -1053,4 +1067,75 @@ def ngram_novelty_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "novelty_ratio"
             ),
         )
+    )
+
+
+# --- DSIR step 2: Gumbel-top-k resampling (round 7) --------------------------
+#
+# The paper's actual selection procedure is importance RESAMPLING, not a
+# hard top-k on the weight: sampling without replacement proportional to
+# softmax(log w) == taking the top-k of (log w + Gumbel noise).  The
+# Gumbel keys here are deterministic md5 dyadic uniforms, so the "random"
+# sample is reproducible and engine-exact.
+
+DSIR_SAMPLE_K = 50
+DSIR_GUMBEL_SALT = ":gumbel7"
+DSIR_GUMBEL_RES = 4096  # divides 16^4 -> exactly uniform dyadic coin
+
+_DSIR_COIN_SQL = md5_bucket_sql(
+    f"CAST(doc_id AS VARCHAR) || '{DSIR_GUMBEL_SALT}'", DSIR_GUMBEL_RES
+)
+_DSIR_U_SQL = f"(({_DSIR_COIN_SQL}) + 0.5) / {DSIR_GUMBEL_RES}.0"
+
+
+@register(
+    "dsir_gumbel_resample",
+    oracle=f"""
+WITH {_DSIR_LM_CTES},
+doc_w AS (
+    SELECT f.doc_id, f.source, SUM(lw) AS w
+    FROM feats f JOIN lm ON f.b = lm.b
+    GROUP BY f.doc_id, f.source
+)
+SELECT doc_id, source,
+       ROUND(w + (-LN(-LN({_DSIR_U_SQL}))), 6) AS gumbel_key
+FROM doc_w
+ORDER BY gumbel_key DESC, doc_id
+LIMIT {DSIR_SAMPLE_K}
+""",
+    tags=("traindata", "llm", "selection", "sampling"),
+)
+def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling via the Gumbel-top-k trick: the 50
+    sampled documents are the top 50 by (log importance ratio + Gumbel
+    noise), which is exactly one draw of sampling-without-replacement
+    with probability proportional to softmax of the DSIR weight.
+
+    The Gumbel key is ``-ln(-ln(u))`` over a deterministic md5 dyadic
+    uniform ``u = (bucket + 0.5) / 4096`` (modulus divides 16^4, so u is
+    exactly uniform on the grid and never 0 or 1 — both logs are finite;
+    the repo's sampling-coin convention).  Same shared feats/lm
+    definition as ``dsir_selected_docs`` (`_dsir_feats_and_lm`); the
+    plan adds only a per-row key expression on top of the per-doc
+    aggregate and a TakeOrderedAndProject — resampling costs nothing
+    beyond selection at any scale, and a re-run (or a different engine)
+    reproduces the identical sample."""
+    feats, lm = _dsir_feats_and_lm(spark, sf_dir)
+    doc_w = (
+        feats.join(F.broadcast(lm), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lw").alias("w"))
+    )
+    u = (
+        md5_bucket(
+            F.concat(F.col("doc_id").cast("string"), F.lit(DSIR_GUMBEL_SALT)),
+            DSIR_GUMBEL_RES,
+        )
+        + 0.5
+    ) / float(DSIR_GUMBEL_RES)
+    key = F.round(F.col("w") + (-F.log(-F.log(u))), 6)
+    return (
+        doc_w.select("doc_id", "source", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(DSIR_SAMPLE_K)
     )

@@ -51,7 +51,7 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   8 new this round       (semantic_dedup_admissions — batch closed form
+#   11 new this round       (semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
 #                           batch-vs-standing-corpus form;
@@ -64,7 +64,11 @@ _QUERY_MODULES = [
 #                           recall dial; shuffled_shard_manifest —
 #                           deterministic training-order shuffle;
 #                           ngram_novelty_by_shard — curriculum novelty
-#                           curve)
+#                           curve; ivf_multiprobe_topk_query1 — faiss
+#                           nprobe dial; quality_classifier_scores —
+#                           logistic model-based filtering;
+#                           dsir_gumbel_resample — DSIR's actual
+#                           importance-resampling step)
 # + 5 changed this round   (substring_dup_stats: parameterized gram n +
 #                           dropped dead sort; semantic_dedup_cell_stats:
 #                           parameterized k + round-6 threshold + dropped
@@ -75,7 +79,7 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 20 next-stalest        (last green r3; the 15 r3 queries left out —
+# + 17 next-stalest        (last green r3; the 18 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
@@ -83,6 +87,9 @@ _QUERY_MODULES = [
 #                           regexp_extract_source_num,
 #                           token_stats_by_source,
 #                           sliding_1h_15min_rollup,
+#                           embedding_cosine_near_dup,
+#                           near_dedup_survivors,
+#                           ngram_jaccard_pairs,
 #                           normalize_minmax_events,
 #                           partitioned_sink_pruned_scan,
 #                           pivot_event_type_counts,
@@ -94,7 +101,7 @@ _QUERY_MODULES = [
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (8).
+    # New this round (11).
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
@@ -103,6 +110,9 @@ _PRIORITY = [
     "multiprobe_lsh_topk_query0",
     "shuffled_shard_manifest",
     "ngram_novelty_by_shard",
+    "ivf_multiprobe_topk_query1",
+    "quality_classifier_scores",
+    "dsir_gumbel_resample",
     # Changed this round (5): re-verify against updated code/oracles.
     "substring_dup_stats",
     "semantic_dedup_cell_stats",
@@ -128,7 +138,7 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (20): last green row is round 3.
+    # Next-stalest (17): last green row is round 3.
     "asof_join_last_signup_before_purchase",
     "bpe_token_stats",
     "capped_user_totals",
@@ -139,7 +149,6 @@ _PRIORITY = [
     "cosine_topk_query0",
     "dedup_exact_documents",
     "doc_token_chunks",
-    "embedding_cosine_near_dup",
     "hourly_event_rollup",
     "inpaint_range_filter",
     "ivf_topk_query1",
@@ -147,8 +156,6 @@ _PRIORITY = [
     "lang_corpus_stats",
     "multimodal_decode_features",
     "multimodal_join_stats",
-    "near_dedup_survivors",
-    "ngram_jaccard_pairs",
 ]
 
 
@@ -174,6 +181,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "multiprobe_lsh_topk_query0",
     "shuffled_shard_manifest",
     "ngram_novelty_by_shard",
+    "ivf_multiprobe_topk_query1",
+    "quality_classifier_scores",
+    "dsir_gumbel_resample",
 )
 
 

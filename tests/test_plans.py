@@ -83,6 +83,10 @@ _SCALAR_BROADCAST_OK = {
     "q11_important_part_value",  # 2x-mean threshold scalar
     "pmi_bigram_collocations",  # corpus token/bigram totals (2 scalars)
     "theta_user_set_algebra",  # two 1-row cohort sketches joined
+    "bm25_topk_docs",  # 1-row corpus stats (N, avgdl)
+    "dsir_selected_docs",  # 1-row LM totals (tr, tt)
+    "dsir_gumbel_resample",  # same 1-row LM totals
+    "ivf_multiprobe_topk_query1",  # 1 query vector + 8 centroids
 }
 
 
@@ -528,3 +532,36 @@ def test_novelty_plan_is_two_aggregates_and_equi_join(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_multiprobe_stays_bucket_pruned(spark, sf_dir):
+    """nprobe=2 must not change the plan class: candidates come from a
+    2-row broadcast equi-join on cent_id over the shuffle-free
+    assignment; the top-5 is TakeOrderedAndProject, never a global
+    sort, and nothing degenerates to a cartesian product."""
+    plan = _plan(spark, sf_dir, "ivf_multiprobe_topk_query1")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_classifier_is_pure_map_plus_aggregate(spark, sf_dir):
+    """The logistic scoring must be a pure map over the documents scan
+    (JVM built-ins only — no joins, no Python eval) followed by one
+    small aggregate."""
+    plan = _plan(spark, sf_dir, "quality_classifier_scores")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_dsir_gumbel_adds_no_shuffle_over_selection(spark, sf_dir):
+    """Resampling must cost nothing beyond selection: same broadcast
+    feature-LM join, per-doc aggregate, then a pure-map Gumbel key and
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "dsir_gumbel_resample")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

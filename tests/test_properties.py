@@ -670,3 +670,85 @@ def test_ngram_novelty_invariants(spark, sf_dir):
         )
     first = min(by_shard)
     assert by_shard[first]["novelty_ratio"] == 1.0
+
+
+def test_ivf_multiprobe_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 can only improve the IVF top-5: the multi-probe scores
+    dominate the single-list scores pointwise."""
+    multi = [
+        r["cos_sim"]
+        for r in _SPECS["ivf_multiprobe_topk_query1"].fn(spark, sf_dir).collect()
+    ]
+    single = [
+        r["cos_sim"] for r in _SPECS["ivf_topk_query1"].fn(spark, sf_dir).collect()
+    ]
+    multi, single = sorted(multi, reverse=True), sorted(single, reverse=True)
+    assert len(multi) == len(single) == 5
+    for m, s in zip(multi, single):
+        assert m >= s
+
+
+def test_quality_classifier_matches_pandas(spark, sf_dir):
+    """Independent pandas/numpy replica of the logistic quality model:
+    per-source keep counts and average quality match the registered
+    query, and the sigmoid stays in (0, 1)."""
+    from fawac_cdc_spark.functions.text import (
+        _STOPWORDS,
+        QC_BIAS,
+        QC_KEEP_P,
+        QC_W_AVGLEN,
+        QC_W_LNTOK,
+        QC_W_STOP,
+        QC_W_UNIQ,
+    )
+
+    docs = _docs_pdf(sf_dir)
+    stop = set(_STOPWORDS)
+    rows = []
+    for _, r in docs.iterrows():
+        ts = r["text"].split(" ")
+        ntok = len(ts)
+        uniq = len(set(ts)) / ntok
+        sr = sum(1 for t in ts if t in stop) / ntok
+        avl = (len(r["text"]) - ntok + 1) / ntok
+        z = QC_BIAS + QC_W_UNIQ * uniq + QC_W_STOP * sr + QC_W_AVGLEN * avl + QC_W_LNTOK * np.log(ntok)
+        p = round(1.0 / (1.0 + np.exp(-z)), 6)
+        assert 0.0 < p < 1.0
+        rows.append((r["source"], p))
+    pdf = pd.DataFrame(rows, columns=["source", "p"])
+    exp = pdf.groupby("source").agg(
+        n_docs=("p", "size"), n_keep=("p", lambda s: int((s >= QC_KEEP_P).sum())),
+        avg_quality=("p", "mean"),
+    )
+    got = {r["source"]: r for r in _SPECS["quality_classifier_scores"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(exp.index)
+    for src, e in exp.iterrows():
+        assert got[src]["n_docs"] == e["n_docs"]
+        assert got[src]["n_keep"] == e["n_keep"]
+        assert got[src]["avg_quality"] == pytest.approx(e["avg_quality"], abs=2e-6)
+
+
+def test_dsir_gumbel_is_a_perturbed_sample(spark, sf_dir):
+    """The Gumbel-top-k sample is (a) deterministic across runs and (b)
+    NOT the same set as the hard top-k by weight — the noise actually
+    perturbs the selection (otherwise it isn't sampling), while high-
+    weight docs remain overrepresented."""
+    sel = _SPECS["dsir_gumbel_resample"].fn(spark, sf_dir)
+    first = {r["doc_id"] for r in sel.collect()}
+    again = {r["doc_id"] for r in _SPECS["dsir_gumbel_resample"].fn(spark, sf_dir).collect()}
+    assert first == again
+    assert len(first) == 50
+    # hard top-50 by weight (no noise), recomputed from the same plan
+    from fawac_cdc_spark.functions.traindata import _dsir_feats_and_lm
+
+    feats, lm = _dsir_feats_and_lm(spark, "/root/testdata/sf0.001")
+    hard = (
+        feats.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lw").alias("w"))
+        .orderBy(F.desc("w"), F.asc("doc_id"))
+        .limit(50)
+    )
+    hard_ids = {r["doc_id"] for r in hard.collect()}
+    assert first != hard_ids
+    assert len(first & hard_ids) > 0
