@@ -1406,3 +1406,122 @@ def ivf_multiprobe_topk_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(5)
+
+
+# --- Embedding-space quality audit (round 7) ---------------------------------
+#
+# Label-margin audit over the embedding table: per-label centroids, then
+# for every vector the cosine to its OWN label centroid minus the best
+# cosine to any OTHER label's centroid.  Low/negative margins flag label
+# noise and entangled classes — the standard pre-finetuning sanity check
+# on an embedding column.  Per-dim centroid means are rounded to 6 before
+# any cosine so the (sum-order-sensitive) averages are engine-stable.
+
+
+@register(
+    "embedding_margin_stats",
+    oracle=f"""
+WITH cent AS (
+    SELECT label, i, ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cval
+    FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) u
+    GROUP BY label, i
+),
+cvec_lists AS (
+    SELECT label AS clabel, list(cval ORDER BY i) AS cvec
+    FROM cent GROUP BY label
+),
+cvecs AS (
+    SELECT clabel, cvec,
+           sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                i -> cvec[i] * cvec[i]))) AS cnrm
+    FROM cvec_lists
+),
+scored AS (
+    SELECT e.vec_id, e.label, c.clabel,
+           ROUND(({_dot2_duck('e.embedding', 'c.cvec')})
+                 / (({_NORM_DUCK.format(v='e.embedding')}) * c.cnrm), 6) AS cos
+    FROM embeddings e CROSS JOIN cvecs c
+),
+margins AS (
+    SELECT vec_id, label,
+           MAX(CASE WHEN clabel = label THEN cos END)
+               - MAX(CASE WHEN clabel <> label THEN cos END) AS margin
+    FROM scored
+    GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(SUM(margin) / COUNT(*), 6) AS avg_margin,
+       ROUND(MIN(margin), 6) AS min_margin,
+       CAST(COUNT(*) FILTER (WHERE margin < 0) AS BIGINT) AS n_confused
+FROM margins
+GROUP BY label
+""",
+    tags=("similarity", "llm", "audit"),
+)
+def embedding_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding margin audit: margin(v) = cos(v, own-label
+    centroid) − max over other labels of cos(v, that centroid); report
+    count, mean/min margin, and how many vectors sit closer to a foreign
+    centroid (label-noise candidates) per label.
+
+    Plan shape mirrors `cosine_assigned_cells`' shuffle-free trick: the
+    per-(label, dim) means aggregate once (a |labels|x{EMB_DIM}-row
+    shuffle — constant-size, NOT corpus-size), fold into ONE
+    array-of-structs row, and broadcast; every vector then computes its
+    full margin in a single pure-map expression (own-centroid cosine and
+    best-other cosine from the same broadcast array), followed by one
+    tiny per-label aggregate.  The corpus crosses exactly one
+    hashpartitioning exchange (the centroid mean) plus the final
+    |labels|-row group-by; nothing is ever corpus x labels shaped on
+    disk or shuffle.  Centroid dims are rounded to 6 BEFORE the cosine
+    (the sum-order-sensitive step); the cosine itself is the repo's ONE
+    fold/divide/round(6) pipeline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.sum(F.col("val").cast("double")) / F.count(F.lit(1)), 6).alias(
+                "cval"
+            )
+        )
+    )
+    cvecs = cent.groupBy("label").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, cval))), s -> s.cval)").alias(
+            "cvec"
+        )
+    )
+    cents_row = cvecs.select(
+        F.struct(
+            F.col("label").alias("clabel"),
+            F.col("cvec").alias("cvec"),
+            F.expr(_NORM_SPARK.format(v="cvec")).alias("cnrm"),
+        ).alias("c")
+    ).agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    dot = _dot2_spark("embedding", "c.cvec")
+    cos_expr = f"round(({dot}) / (_nrm_e * c.cnrm), 6)"
+    own = (
+        f"array_max(transform(filter(cents, c -> c.clabel = label), "
+        f"c -> {cos_expr}))"
+    )
+    best_other = (
+        f"array_max(transform(filter(cents, c -> c.clabel != label), "
+        f"c -> {cos_expr}))"
+    )
+    margins = (
+        e.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_e"),
+        )
+        .crossJoin(F.broadcast(cents_row))
+        .select("vec_id", "label", F.expr(f"({own}) - ({best_other})").alias("margin"))
+    )
+    return margins.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("margin") / F.count(F.lit(1)), 6).alias("avg_margin"),
+        F.round(F.min("margin"), 6).alias("min_margin"),
+        F.count(F.when(F.col("margin") < 0, 1)).alias("n_confused"),
+    )

@@ -1139,3 +1139,99 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
         .limit(DSIR_SAMPLE_K)
     )
+
+
+# --- Per-source token budget fill (round 7) ----------------------------------
+#
+# Mixture specs are token budgets, not doc counts: "take 1000 tokens of
+# source X in training order".  Exact budget fill needs a per-source PREFIX
+# sum over the shuffled order — inherently sequential if done naively, so
+# the Spark side runs the classic two-phase distributed prefix sum: the
+# ord_key's first hex digit partitions each source's order into 16 ordered
+# RANGE blocks; within-block cumsums run wide, the 16-row per-source block
+# totals get a tiny running offset, and global position = offset + within.
+
+TOKEN_BUDGET_PER_SOURCE = 1000
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+WITH keyed AS (
+    SELECT source, len(string_split(text, ' ')) AS ntok,
+           {_SHUF_KEY_SQL} AS ord_key
+    FROM documents
+),
+cum AS (
+    SELECT source, ntok,
+           SUM(ntok) OVER (PARTITION BY source ORDER BY ord_key
+                           ROWS UNBOUNDED PRECEDING) AS cum
+    FROM keyed
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE cum <= {TOKEN_BUDGET_PER_SOURCE}) AS BIGINT)
+           AS n_selected,
+       CAST(COALESCE(SUM(ntok) FILTER (WHERE cum <= {TOKEN_BUDGET_PER_SOURCE}), 0)
+            AS BIGINT) AS tokens_selected,
+       ROUND(CAST(COALESCE(SUM(ntok) FILTER (WHERE cum <= {TOKEN_BUDGET_PER_SOURCE}), 0)
+                  AS DOUBLE) / {TOKEN_BUDGET_PER_SOURCE}.0, 6) AS utilization
+FROM cum
+GROUP BY source
+""",
+    tags=("traindata", "llm", "mixture", "budget"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget fill: per source, select documents in the
+    deterministic shuffled training order until the running token count
+    exceeds {1000}; report how many docs/tokens the budget admits.
+
+    The oracle states the semantics as ONE per-source window cumsum; the
+    Spark plan computes the identical prefix sum DISTRIBUTED: the md5
+    ord_key's first hex digit splits each source's order into 16 ordered
+    range blocks, cumsums run per (source, block) — so the heaviest
+    window partition is ~1/16 of the hottest source, the packing-shard
+    argument — and the cross-block offset is a window over the tiny
+    (source x block) totals table.  Global position = block offset +
+    within-block cumsum, integer-exact, so a power-law source never
+    serializes through one task.  The block-count dial plays the same
+    role as N_PACK_SHARDS (production sizes it to ~task-sized blocks);
+    unlike packing's shard windows, the range-block split preserves the
+    EXACT global order, which budget semantics require."""
+    d = load_table(spark, sf_dir, "documents")
+    ord_key, _ = _shuffle_cols()
+    keyed = d.select(
+        "source",
+        F.size(F.split("text", " ")).alias("ntok"),
+        ord_key.alias("ord_key"),
+    ).withColumn(
+        "block", F.conv(F.substring("ord_key", 1, 1), 16, 10).cast("int")
+    )
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("source", "block")
+        .orderBy("ord_key")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = keyed.withColumn("win_cum", F.sum("ntok").over(w_in))
+    btot = keyed.groupBy("source", "block").agg(F.sum("ntok").alias("btot"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.withColumn(
+        "offset", F.coalesce(F.sum("btot").over(w_off), F.lit(0))
+    ).select("source", "block", "offset")
+    cum = within.join(offsets, ["source", "block"]).withColumn(
+        "cum", F.col("offset") + F.col("win_cum")
+    )
+    sel = F.col("cum") <= TOKEN_BUDGET_PER_SOURCE
+    tokens_sel = F.coalesce(F.sum(F.when(sel, F.col("ntok"))), F.lit(0))
+    return cum.groupBy("source").agg(
+        F.count(F.when(sel, 1)).alias("n_selected"),
+        tokens_sel.alias("tokens_selected"),
+        F.round(
+            tokens_sel.cast("double") / float(TOKEN_BUDGET_PER_SOURCE), 6
+        ).alias("utilization"),
+    )

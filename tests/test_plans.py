@@ -565,3 +565,28 @@ def test_dsir_gumbel_adds_no_shuffle_over_selection(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_prefix_sum_is_block_partitioned(spark, sf_dir):
+    """The budget-fill prefix sum must be the two-phase distributed form:
+    the big window partitions on (source, block) — never source alone —
+    and no rangepartitioning exchange (global sort) appears anywhere."""
+    plan = _plan(spark, sf_dir, "token_budget_selection")
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    # both windows present: the wide within-block cumsum and the tiny
+    # cross-block offset
+    assert plan.count("Window (") == 2 or plan.count("Window") >= 2
+
+
+def test_embedding_margin_is_single_broadcast_pass(spark, sf_dir):
+    """The margin computation must mirror the shuffle-free assignment
+    shape: one constant-size centroid aggregate, one broadcast of the
+    folded centroid row, and a pure-map margin expression — the corpus
+    never materializes a corpus x labels join and never range-sorts."""
+    plan = _plan(spark, sf_dir, "embedding_margin_stats")
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    # the folded 1-row centroid table attaches via the canonical
+    # scalar-broadcast BNLJ (tree + details = 2 mentions)
+    assert plan.count("BroadcastNestedLoopJoin") == 2

@@ -752,3 +752,69 @@ def test_dsir_gumbel_is_a_perturbed_sample(spark, sf_dir):
     hard_ids = {r["doc_id"] for r in hard.collect()}
     assert first != hard_ids
     assert len(first & hard_ids) > 0
+
+
+def test_token_budget_selection_is_exact_prefix(spark, sf_dir):
+    """The distributed two-phase prefix sum must equal the naive
+    sequential budget fill: per source, walk docs in md5 ord_key order
+    accumulating tokens until the budget is exceeded (hashlib replica)."""
+    import hashlib
+
+    from fawac_cdc_spark.functions.traindata import (
+        SHUFFLE_SALT,
+        TOKEN_BUDGET_PER_SOURCE,
+    )
+
+    docs = _docs_pdf(sf_dir)
+    per_source: dict[str, list[tuple[str, int]]] = {}
+    for _, r in docs.iterrows():
+        k = hashlib.md5(f"{int(r['doc_id'])}{SHUFFLE_SALT}".encode()).hexdigest()
+        per_source.setdefault(r["source"], []).append(
+            (k, len(r["text"].split(" ")))
+        )
+    expected = {}
+    for src, pairs in per_source.items():
+        pairs.sort()
+        cum = n = tok = 0
+        for _, ntok in pairs:
+            cum += ntok
+            if cum <= TOKEN_BUDGET_PER_SOURCE:
+                n += 1
+                tok += ntok
+        expected[src] = (n, tok)
+    got = {
+        r["source"]: (r["n_selected"], r["tokens_selected"])
+        for r in _SPECS["token_budget_selection"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_embedding_margin_matches_numpy(spark, sf_dir):
+    """Independent numpy replica: per-label centroids (dims rounded to 6),
+    margin = own-centroid cosine minus best other-centroid cosine."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    cents = {}
+    for lab in np.unique(labels):
+        cents[lab] = np.round(vecs[labels == lab].mean(axis=0), 6)
+    margins = {}
+    for lab in np.unique(labels):
+        ms = []
+        for v, vl in zip(vecs, labels):
+            if vl != lab:
+                continue
+            nv = np.sqrt((v * v).sum())
+            cos = {
+                cl: round(float(v @ c) / (nv * np.sqrt((c * c).sum())), 6)
+                for cl, c in cents.items()
+            }
+            ms.append(cos[lab] - max(c for cl, c in cos.items() if cl != lab))
+        margins[lab] = ms
+    got = {r["label"]: r for r in _SPECS["embedding_margin_stats"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(margins)
+    for lab, ms in margins.items():
+        assert got[lab]["n_vecs"] == len(ms)
+        assert got[lab]["avg_margin"] == pytest.approx(np.mean(ms), abs=2e-6)
+        assert got[lab]["min_margin"] == pytest.approx(min(ms), abs=2e-6)
+        assert got[lab]["n_confused"] == sum(1 for m in ms if m < 0)
