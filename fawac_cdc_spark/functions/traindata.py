@@ -1154,6 +1154,49 @@ def dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_PER_SOURCE = 1000
 
 
+def budget_prefix_cums(d: DataFrame) -> DataFrame:
+    """(doc_id, source, ntok, ord_key, cum): exact per-source running
+    token total over the deterministic shuffled order — the ONE Spark
+    definition of the budget-fill prefix sum, shared by the batch
+    selection/admission queries and the streaming twin's closed form.
+
+    Distributed two-phase form: the ord_key's first hex digit splits
+    each source's order into 16 ordered RANGE blocks; within-block
+    cumsums run wide (heaviest window partition ~1/16 of the hottest
+    source), the 16-row per-source block totals get a tiny running
+    offset, and the global position is offset + within — integer-exact
+    and identical to the single-window oracle statement."""
+    from pyspark.sql import Window
+
+    ord_key, _ = _shuffle_cols()
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("ntok"),
+        ord_key.alias("ord_key"),
+    ).withColumn(
+        "block", F.conv(F.substring("ord_key", 1, 1), 16, 10).cast("int")
+    )
+    w_in = (
+        Window.partitionBy("source", "block")
+        .orderBy("ord_key")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = keyed.withColumn("win_cum", F.sum("ntok").over(w_in))
+    btot = keyed.groupBy("source", "block").agg(F.sum("ntok").alias("btot"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.withColumn(
+        "offset", F.coalesce(F.sum("btot").over(w_off), F.lit(0))
+    ).select("source", "block", "offset")
+    return within.join(offsets, ["source", "block"]).withColumn(
+        "cum", F.col("offset") + F.col("win_cum")
+    )
+
+
 @register(
     "token_budget_selection",
     oracle=f"""
@@ -1197,35 +1240,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     role as N_PACK_SHARDS (production sizes it to ~task-sized blocks);
     unlike packing's shard windows, the range-block split preserves the
     EXACT global order, which budget semantics require."""
-    d = load_table(spark, sf_dir, "documents")
-    ord_key, _ = _shuffle_cols()
-    keyed = d.select(
-        "source",
-        F.size(F.split("text", " ")).alias("ntok"),
-        ord_key.alias("ord_key"),
-    ).withColumn(
-        "block", F.conv(F.substring("ord_key", 1, 1), 16, 10).cast("int")
-    )
-    from pyspark.sql import Window
-
-    w_in = (
-        Window.partitionBy("source", "block")
-        .orderBy("ord_key")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    within = keyed.withColumn("win_cum", F.sum("ntok").over(w_in))
-    btot = keyed.groupBy("source", "block").agg(F.sum("ntok").alias("btot"))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("block")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = btot.withColumn(
-        "offset", F.coalesce(F.sum("btot").over(w_off), F.lit(0))
-    ).select("source", "block", "offset")
-    cum = within.join(offsets, ["source", "block"]).withColumn(
-        "cum", F.col("offset") + F.col("win_cum")
-    )
+    cum = budget_prefix_cums(load_table(spark, sf_dir, "documents"))
     sel = F.col("cum") <= TOKEN_BUDGET_PER_SOURCE
     tokens_sel = F.coalesce(F.sum(F.when(sel, F.col("ntok"))), F.lit(0))
     return cum.groupBy("source").agg(

@@ -51,7 +51,7 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   13 new this round       (semantic_dedup_admissions — batch closed form
+#   14 new this round       (semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
 #                           batch-vs-standing-corpus form;
@@ -72,7 +72,9 @@ _QUERY_MODULES = [
 #                           token_budget_selection — per-source budget
 #                           fill via distributed two-phase prefix sum;
 #                           embedding_margin_stats — per-label centroid
-#                           margin audit)
+#                           margin audit; token_budget_admissions —
+#                           batch closed form of the streaming
+#                           token-budget gate, stream==batch pinned)
 # + 5 changed this round   (substring_dup_stats: parameterized gram n +
 #                           dropped dead sort; semantic_dedup_cell_stats:
 #                           parameterized k + round-6 threshold + dropped
@@ -83,7 +85,7 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 15 next-stalest        (last green r3; the 20 r3 queries left out —
+# + 14 next-stalest        (last green r3; the 21 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
@@ -91,6 +93,7 @@ _QUERY_MODULES = [
 #                           regexp_extract_source_num,
 #                           token_stats_by_source,
 #                           sliding_1h_15min_rollup,
+#                           jsonl_scan_orders_agg,
 #                           lang_corpus_stats,
 #                           multimodal_join_stats,
 #                           embedding_cosine_near_dup,
@@ -107,7 +110,7 @@ _QUERY_MODULES = [
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (13).
+    # New this round (14).
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
@@ -121,6 +124,7 @@ _PRIORITY = [
     "dsir_gumbel_resample",
     "token_budget_selection",
     "embedding_margin_stats",
+    "token_budget_admissions",
     # Changed this round (5): re-verify against updated code/oracles.
     "substring_dup_stats",
     "semantic_dedup_cell_stats",
@@ -146,7 +150,7 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (15): last green row is round 3.
+    # Next-stalest (14): last green row is round 3.
     "asof_join_last_signup_before_purchase",
     "bpe_token_stats",
     "capped_user_totals",
@@ -160,7 +164,6 @@ _PRIORITY = [
     "hourly_event_rollup",
     "inpaint_range_filter",
     "ivf_topk_query1",
-    "jsonl_scan_orders_agg",
     "multimodal_decode_features",
 ]
 
@@ -192,6 +195,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "dsir_gumbel_resample",
     "token_budget_selection",
     "embedding_margin_stats",
+    "token_budget_admissions",
 )
 
 

@@ -659,3 +659,57 @@ def semantic_dedup_admissions_df(
             (n == 0).alias("admitted"),
         )
     )
+
+
+# --- token-budget admission (round 7): batch closed form ---------------------
+
+
+def _token_budget_admissions_oracle() -> str:
+    from ..functions.traindata import _SHUF_KEY_SQL, TOKEN_BUDGET_PER_SOURCE
+
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
+           {_SHUF_KEY_SQL} AS ord_key
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, ntok,
+           SUM(ntok) OVER (PARTITION BY source ORDER BY ord_key
+                           ROWS UNBOUNDED PRECEDING) AS cum
+    FROM keyed
+)
+SELECT doc_id, source, CAST(ntok AS BIGINT) AS ntok,
+       cum <= {TOKEN_BUDGET_PER_SOURCE} AS admitted
+FROM cum
+"""
+
+
+@register(
+    "token_budget_admissions",
+    oracle=_token_budget_admissions_oracle(),
+    tags=("m6", "streaming-equiv", "traindata", "budget"),
+)
+def token_budget_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch closed form of the streaming token-budget gate
+    (``streaming/cdc.py::token_budget_stream``): a document is admitted
+    iff the per-source running token total over the deterministic
+    shuffled order — counting EVERY document seen, admitted or not
+    (prefix-truncation semantics, so the decision is a pure function of
+    the prefix and never depends on earlier admission outcomes) — has
+    not yet exceeded the budget.  Same `budget_prefix_cums` two-phase
+    distributed prefix sum as ``token_budget_selection``; the stream
+    converges to exactly this under ord_key-ordered ingest
+    (stream==batch pinned in ``tests/test_streaming.py``)."""
+    from ..functions.traindata import (
+        TOKEN_BUDGET_PER_SOURCE,
+        budget_prefix_cums,
+    )
+
+    cum = budget_prefix_cums(load_table(spark, sf_dir, "documents"))
+    return cum.select(
+        "doc_id",
+        "source",
+        F.col("ntok").cast("long").alias("ntok"),
+        (F.col("cum") <= TOKEN_BUDGET_PER_SOURCE).alias("admitted"),
+    )

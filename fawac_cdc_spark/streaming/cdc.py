@@ -1208,3 +1208,101 @@ def semantic_dedup_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- token-budget gate on ingest (round 7) ----------------------------------
+
+TOKEN_BUDGET_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ntok", T.LongType()),
+        T.StructField("admitted", T.BooleanType()),
+    ]
+)
+# Per-source state: total tokens SEEN (admitted or not) — prefix-truncation
+# semantics, one BIGINT per source.
+TOKEN_BUDGET_STATE_SCHEMA = T.StructType([T.StructField("seen_tokens", T.LongType())])
+
+
+def token_budget_stream(docs: DataFrame) -> DataFrame:
+    """Token-budget gate ON INGEST: each arriving document is admitted
+    iff its source's running token total (counting every document seen,
+    admitted or not) has not yet exceeded ``TOKEN_BUDGET_PER_SOURCE`` —
+    the streaming twin of the batch budget fill, with ONE BIGINT of
+    state per source.
+
+    The running total charges every arrival (prefix-truncation, the
+    ``token_budget_admissions`` closed form), so the admission decision
+    is a pure function of the token PREFIX and never of earlier
+    admission outcomes — which is what makes the batch closed form a
+    single window cumsum instead of a sequential recursion.
+
+    ORDERING CONTRACT: admission equals the batch closed form
+    (``batch_equiv.token_budget_admissions``) only when documents arrive
+    in the deterministic shuffled order (ascending md5 ord_key) across
+    micro-batches; within a batch the operator sorts by ord_key itself.
+    That order is exactly what a curriculum replay of the
+    ``shuffled_shard_manifest`` permutation produces, so the contract
+    is the production feed's by construction.  Out-of-order arrival
+    stays well-defined (the budget still charges every arrival once)
+    but admits the earliest ARRIVALS rather than the earliest order
+    positions.
+
+    100 TB shape: the per-row map (ntok + ord_key md5) runs inside the
+    micro-batch; the only shuffle is the state-store partitioning on
+    source, and state is one long per source.  A power-law hot source
+    concentrates its admission decisions on one state partition — but
+    the per-row work there is a comparison and an add, so the gate
+    keeps up with any realistic per-source arrival rate; the heavy
+    lifting (tokenize/dedup downstream) is gated BEHIND the admission,
+    which is the point of running the budget at ingest."""
+    import pandas as pd
+
+    from ..functions.traindata import TOKEN_BUDGET_PER_SOURCE, _shuffle_cols
+
+    ord_key, _ = _shuffle_cols()
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+        ord_key.alias("ord_key"),
+    )
+
+    def admit(key, pdf_iter, state):
+        (source,) = key
+        seen = int(state.get[0]) if state.exists else 0
+        # Drain ALL Arrow chunks before sorting by ord_key (per-chunk
+        # processing would break the ordering contract within a batch).
+        rows = sorted(
+            (str(k), int(d), int(n))
+            for pdf in pdf_iter
+            for k, d, n in zip(pdf["ord_key"], pdf["doc_id"], pdf["ntok"])
+        )
+        out_doc: list[int] = []
+        out_ntok: list[int] = []
+        out_ok: list[bool] = []
+        for _, doc_id, ntok in rows:
+            seen += ntok
+            out_doc.append(doc_id)
+            out_ntok.append(ntok)
+            out_ok.append(seen <= TOKEN_BUDGET_PER_SOURCE)
+        state.update((seen,))
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "source": [source] * len(out_doc),
+                "ntok": out_ntok,
+                "admitted": out_ok,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=TOKEN_BUDGET_OUTPUT_SCHEMA,
+        stateStructType=TOKEN_BUDGET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1241,3 +1241,83 @@ def test_semantic_dedup_stream_subblocked_matches_batch(spark, sf_dir, emb_chunk
     sub_admitted = set(want[want["admitted"]]["vec_id"])
     assert base_admitted <= sub_admitted
     assert len(sub_admitted) > len(base_admitted)  # the dial moved
+
+
+# --- token-budget gate on ingest (round 7) ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def ordkey_doc_chunk_dir(spark, sf_dir, tmp_path_factory):
+    """Split documents into ORD-KEY-ordered parquet chunks — the
+    curriculum-replay feed the token-budget stream's ordering contract
+    assumes (ascending md5 ord_key across micro-batches)."""
+    import hashlib
+
+    from fawac_cdc_spark.functions.traindata import SHUFFLE_SALT
+
+    tbl = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        tbl.collect(),
+        key=lambda r: hashlib.md5(
+            f"{r['doc_id']}{SHUFFLE_SALT}".encode()
+        ).hexdigest(),
+    )
+    per = (len(rows) + N_CHUNKS - 1) // N_CHUNKS
+    chunks = [rows[i * per : (i + 1) * per] for i in range(N_CHUNKS)]
+    return _write_chunk_feed(
+        spark, tmp_path_factory.mktemp("ordkey_stream"), "feed", chunks, tbl.schema
+    )
+
+
+def test_token_budget_stream_matches_batch(spark, sf_dir, ordkey_doc_chunk_dir):
+    """Streaming token-budget gate == batch closed form under the
+    ordering contract (ord_key-ordered feed): per-doc admission flags
+    agree exactly, each doc is emitted exactly once, and the admitted
+    token totals respect the budget."""
+    from fawac_cdc_spark.functions.traindata import TOKEN_BUDGET_PER_SOURCE
+    from fawac_cdc_spark.streaming.batch_equiv import token_budget_admissions
+
+    docs = cdc.read_document_stream(spark, ordkey_doc_chunk_dir)
+    emitted = _run_to_memory(
+        spark, cdc.token_budget_stream(docs), "budget_out", "update"
+    ).toPandas()
+    assert not emitted.duplicated(["doc_id"]).any()
+    got = dict(zip(emitted["doc_id"], emitted["admitted"]))
+    want = {
+        r["doc_id"]: r["admitted"]
+        for r in token_budget_admissions(spark, sf_dir).collect()
+    }
+    assert got == want
+    per_src = emitted[emitted["admitted"]].groupby("source")["ntok"].sum()
+    assert (per_src <= TOKEN_BUDGET_PER_SOURCE).all()
+
+
+def test_token_budget_stream_out_of_order_admits_first_arrival(spark, tmp_path):
+    """Documents the ORDERING CONTRACT: the budget charges every arrival
+    once, so out-of-order ingest admits the earliest ARRIVALS, not the
+    earliest order positions.  Two 600-token docs against a 1000-token
+    budget: whichever arrives first is admitted, the other rejected —
+    the batch closed form would admit the one with the smaller ord_key."""
+    text600 = " ".join(["tok"] * 600)
+    import hashlib
+
+    from fawac_cdc_spark.functions.traindata import SHUFFLE_SALT
+
+    # pick ids so doc A has the SMALLER ord_key (batch form admits A)
+    a, b = sorted(
+        (1, 2),
+        key=lambda i: hashlib.md5(f"{i}{SHUFFLE_SALT}".encode()).hexdigest(),
+    )
+    rows_by_chunk = [
+        [(b, text600, "en", "web", len(text600))],  # later-order doc arrives FIRST
+        [(a, text600, "en", "web", len(text600))],
+    ]
+    feed = _write_chunk_feed(
+        spark, tmp_path, "ooo_budget", rows_by_chunk, cdc.DOC_STREAM_SCHEMA
+    )
+    docs = cdc.read_document_stream(spark, feed)
+    emitted = _run_to_memory(
+        spark, cdc.token_budget_stream(docs), "budget_ooo_out", "update"
+    ).toPandas()
+    got = dict(zip(emitted["doc_id"], emitted["admitted"]))
+    assert got == {b: True, a: False}  # first arrival wins, budget holds
