@@ -1269,13 +1269,13 @@ LIMIT {MULTIPROBE_TOP_K}
 )
 def multiprobe_lsh_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-5 for vec_id=0: the query probes its own
-    RP-LSH bucket plus the {N_PLANES} Hamming-distance-1 buckets (one
+    RP-LSH bucket plus the N_PLANES=4 Hamming-distance-1 buckets (one
     hyperplane sign flipped each), then exact-cosine-ranks the union.
 
     Same index and same scoring as ``rp_lsh_topk_query0``; only the probe
     set widens — the standard recall/cost dial when one bucket misses
     true neighbors that fell just across a hyperplane.  Plan shape: the
-    ({1 + N_PLANES}-row) probe table broadcasts into an equi-join on the
+    (1 + N_PLANES = 5-row) probe table broadcasts into an equi-join on the
     bucket key, so the corpus side stays a single bucket-pruned pass —
     no extra hash tables, no re-bucketing, no shuffle beyond the one
     candidate join; the top-5 is TakeOrderedAndProject.  The probed
@@ -1351,13 +1351,13 @@ LIMIT 5
     tags=("similarity", "llm", "ivf"),
 )
 def ivf_multiprobe_topk_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 for vec_id={1} probing the nprobe={2} nearest
+    """IVF ANN top-5 for vec_id=IVF_QUERY_ID probing the IVF_NPROBE=2 nearest
     inverted lists instead of one — faiss's recall dial, Spark-shaped.
 
-    The query ranks the {8} coarse centroids by rounded cosine (an
-    {8}-row broadcast computation, no corpus involvement) and keeps the
-    top {2}; candidates are then an equi-join of the assigned corpus
-    against that {2}-row broadcast probe table on cent_id.  Identical
+    The query ranks the N_CENTROIDS=8 coarse centroids by rounded cosine (a
+    constant-size broadcast computation, no corpus involvement) and keeps the
+    top IVF_NPROBE; candidates are then an equi-join of the assigned corpus
+    against that IVF_NPROBE-row broadcast probe table on cent_id.  Identical
     assignment definition as ``ivf_topk_query1``
     (`cosine_assigned_cells`, shuffle-free), identical scoring fold;
     only the probe count widens — recall can only move toward the
@@ -1432,8 +1432,7 @@ cvec_lists AS (
 ),
 cvecs AS (
     SELECT clabel, cvec,
-           sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}),
-                i -> cvec[i] * cvec[i]))) AS cnrm
+           {_NORM_DUCK.format(v='cvec')} AS cnrm
     FROM cvec_lists
 ),
 scored AS (

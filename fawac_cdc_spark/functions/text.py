@@ -656,6 +656,11 @@ QC_W_AVGLEN = -0.5
 QC_W_LNTOK = 0.3
 QC_KEEP_P = 0.5
 
+# Oracle-side stopword list GENERATED from the one _STOPWORDS definition
+# (a hand-copied literal here would silently diverge from the Spark side
+# the day _STOPWORDS changes).
+_STOPWORDS_SQL = ",".join(f"'{s}'" for s in _STOPWORDS)
+
 
 @register(
     "quality_classifier_scores",
@@ -666,7 +671,7 @@ WITH feat AS (
            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                / len(string_split(text, ' ')) AS uniq_ratio,
            CAST(len(list_filter(string_split(text, ' '),
-                                x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+                                x -> x IN ({_STOPWORDS_SQL})))
                 AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
            CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
                / len(string_split(text, ' ')) AS avg_token_len

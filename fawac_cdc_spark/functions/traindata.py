@@ -874,11 +874,11 @@ LIMIT {DSIR_TOP_K}
 )
 def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection: top-20 documents by hashed-unigram log
-    importance ratio toward the ``lang='{en}'`` target domain.
+    importance ratio toward the ``lang = DSIR_TARGET_LANG`` target domain.
 
-    Both unigram LMs live on {DSIR_BUCKETS} md5 feature buckets
+    Both unigram LMs live on DSIR_BUCKETS=256 md5 feature buckets
     (add-one smoothed, exactly-uniform bucket preimages since the
-    modulus divides 16^4), so p_target/p_raw is a {DSIR_BUCKETS}-row
+    modulus divides 16^4), so p_target/p_raw is a DSIR_BUCKETS-row
     broadcast table regardless of corpus size — the hashed-feature trick
     IS the scale story: one explode, one broadcast join, one per-doc
     aggregate; no vocabulary-sized shuffle ever forms.  The log-ratio is
@@ -948,7 +948,7 @@ def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global-shuffle shard manifest: every document gets a
     reproducible pseudo-random position (md5 of its salted id) and a
     shard (md5 bucket of the same salted id, exactly uniform since
-    {N_SHUFFLE_SHARDS} divides 16^4); the manifest pins the full
+    N_SHUFFLE_SHARDS=16 divides 16^4); the manifest pins the full
     permutation per shard — counts, token budget, boundary docs, and a
     position-sensitive checksum (bit_xor of md5(rank:doc_id), constant
     agg state, order-insensitive to COMPUTE yet sensitive to any change
@@ -973,7 +973,9 @@ def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rn = F.row_number().over(Window.partitionBy("shard").orderBy("ord_key"))
     pos = keyed.withColumn("rn", rn)
-    perm_term = F.expr(
+    # ONE definition of the checksum term (hand-duplicating the expr in
+    # the bit_xor is how the Spark/oracle pair would drift)
+    perm_term = (
         "cast(conv(substr(md5(concat(cast(rn as string), ':', "
         "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
     )
@@ -983,16 +985,24 @@ def shuffled_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("source").alias("n_sources"),
         F.min_by("doc_id", "ord_key").alias("first_doc_id"),
         F.max_by("doc_id", "ord_key").alias("last_doc_id"),
-        F.expr(
-            "bit_xor(cast(conv(substr(md5(concat(cast(rn as string), ':', "
-            "cast(doc_id as string))), 1, 8), 16, 10) as bigint))"
-        ).alias("perm_checksum"),
+        F.expr(f"bit_xor({perm_term})").alias("perm_checksum"),
     )
 
 
 # --- N-gram novelty over the training curriculum (round 7) -------------------
 
 NOVELTY_GRAM_N = 3
+
+# The gram concatenation is GENERATED from the constant on both engines
+# (a hardcoded trigram next to a parameterized window count would make
+# the dial a trap: both engines would stay wrong together, invisible to
+# oracle parity).
+_NOVELTY_GRAM_DUCK = " || ' ' || ".join(
+    f"toks[i+{j}]" if j else "toks[i]" for j in range(NOVELTY_GRAM_N)
+)
+_NOVELTY_GRAM_SPARK = ", ' ', ".join(
+    f"toks[i+{j}]" if j else "toks[i]" for j in range(NOVELTY_GRAM_N)
+)
 
 
 @register(
@@ -1006,7 +1016,7 @@ WITH t AS (
 grams AS (
     SELECT shard,
            unnest(list_transform(range(1, len(toks) - {NOVELTY_GRAM_N - 2}),
-                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+                  i -> {_NOVELTY_GRAM_DUCK})) AS gram
     FROM t
 ),
 occ AS (SELECT shard, gram, COUNT(*) AS n_occ FROM grams GROUP BY shard, gram),
@@ -1024,7 +1034,7 @@ GROUP BY occ.shard
 )
 def ngram_novelty_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-trigram novelty curve over the shuffled training curriculum:
-    for each shard (processed in shard order 0..{N-1}), how many of its
+    for each shard (processed in ascending shard order), how many of its
     distinct trigrams appear for the FIRST time in that shard.  The
     standard diminishing-returns diagnostic for "is more of this corpus
     still adding new content, or just repeating itself" — the curve's
@@ -1049,7 +1059,7 @@ def ngram_novelty_by_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 f"transform(sequence(0, size(toks) - {NOVELTY_GRAM_N}), "
-                "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+                f"i -> concat({_NOVELTY_GRAM_SPARK}))"
             )
         ).alias("gram"),
     )
@@ -1192,7 +1202,12 @@ def budget_prefix_cums(d: DataFrame) -> DataFrame:
     offsets = btot.withColumn(
         "offset", F.coalesce(F.sum("btot").over(w_off), F.lit(0))
     ).select("source", "block", "offset")
-    return within.join(offsets, ["source", "block"]).withColumn(
+    # explicit broadcast: offsets is sources x 16 rows by construction,
+    # but it sits behind a window-over-aggregate whose size estimate can
+    # exceed autoBroadcastJoinThreshold at production stats — without the
+    # hint the corpus side could silently degrade to a sort-merge join,
+    # defeating the two-phase shape this function exists for
+    return within.join(F.broadcast(offsets), ["source", "block"]).withColumn(
         "cum", F.col("offset") + F.col("win_cum")
     )
 
@@ -1226,7 +1241,7 @@ GROUP BY source
 def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget fill: per source, select documents in the
     deterministic shuffled training order until the running token count
-    exceeds {1000}; report how many docs/tokens the budget admits.
+    exceeds TOKEN_BUDGET_PER_SOURCE; report how many docs/tokens the budget admits.
 
     The oracle states the semantics as ONE per-source window cumsum; the
     Spark plan computes the identical prefix sum DISTRIBUTED: the md5

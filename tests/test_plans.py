@@ -87,6 +87,7 @@ _SCALAR_BROADCAST_OK = {
     "dsir_selected_docs",  # 1-row LM totals (tr, tt)
     "dsir_gumbel_resample",  # same 1-row LM totals
     "ivf_multiprobe_topk_query1",  # 1 query vector + 8 centroids
+    "embedding_margin_stats",  # 1-row folded centroid table
 }
 
 

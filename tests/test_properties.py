@@ -741,7 +741,7 @@ def test_dsir_gumbel_is_a_perturbed_sample(spark, sf_dir):
     # hard top-50 by weight (no noise), recomputed from the same plan
     from fawac_cdc_spark.functions.traindata import _dsir_feats_and_lm
 
-    feats, lm = _dsir_feats_and_lm(spark, "/root/testdata/sf0.001")
+    feats, lm = _dsir_feats_and_lm(spark, sf_dir)
     hard = (
         feats.join(F.broadcast(lm), "b")
         .groupBy("doc_id")
