@@ -414,3 +414,120 @@ def bloom_semi_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM verdict v LEFT JOIN bloom_keys m ON v.c_custkey = m.k
         """
     )
+
+
+# --- count-min sketch (round 7) ----------------------------------------------
+#
+# The one classic mergeable sketch the family was missing: d rows of w
+# counters, each row a different md5-salted hash; estimate(key) = min over
+# rows of its counter.  Construction is engine-portable md5 arithmetic, so
+# — unlike library CMS implementations — the DuckDB oracle reproduces the
+# sketch bit-for-bit and the driver hash checks the EXACT estimates and
+# overcounts, not just a tolerance.
+
+CMS_W = 8  # counters per row; divides 16^4 -> exactly uniform buckets
+CMS_D = 3  # rows (independent md5 salts)
+
+
+def _cms_bucket_spark(row: int) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('{row}:', cast(user_id as string))), 1, 4), "
+        f"16, 10) as int) % {CMS_W}"
+    )
+
+
+def _cms_bucket_sql(row: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{row}:' || CAST(user_id AS VARCHAR)), 1, 4) "
+        f"AS INT) % {CMS_W}"
+    )
+
+
+@register(
+    "cms_user_event_estimates",
+    oracle=f"""
+WITH probes AS (
+    SELECT user_id, r.r AS r,
+           CASE r.r {' '.join(f"WHEN {i} THEN {_cms_bucket_sql(i)}" for i in range(CMS_D))} END AS bucket
+    FROM events, (SELECT unnest(range(0, {CMS_D})) AS r) r
+),
+sketch AS (
+    SELECT r, bucket, COUNT(*) AS cnt FROM probes GROUP BY r, bucket
+),
+truth AS (
+    SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY user_id
+),
+est AS (
+    SELECT t.user_id, t.true_count, MIN(s.cnt) AS cms_estimate
+    FROM truth t, (SELECT unnest(range(0, {CMS_D})) AS r) r
+    JOIN sketch s
+      ON s.r = r.r
+     AND s.bucket = CASE r.r {' '.join(f"WHEN {i} THEN {_cms_bucket_sql(i).replace('user_id', 't.user_id')}" for i in range(CMS_D))} END
+    GROUP BY t.user_id, t.true_count
+)
+SELECT user_id, CAST(true_count AS BIGINT) AS true_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - true_count AS BIGINT) AS overcount
+FROM est
+""",
+    tags=("sketch", "cms", "aggregate"),
+)
+def cms_user_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over per-user event counts: d=CMS_D rows x w=CMS_W
+    counters (w forced below the user cardinality at EVERY fixture scale
+    so collisions —
+    the thing CMS trades for fixed memory — actually happen at fixture
+    scale), plus the per-user estimate, true count, and overcount.
+
+    Build is ONE map-side-combinable aggregate over a CMS_D-exploded
+    probe stream (sketch size d*w counters regardless of input
+    — the entire point at 100 TB); the estimate side broadcasts the
+    d*w-row sketch back into the distinct-user probe, takes min over
+    rows, and never shuffles the event stream again.  Buckets are md5
+    arithmetic (modulus divides 16^4, exactly uniform), so both engines
+    build the identical sketch and the driver hash verifies EXACT
+    estimates; `tests/test_properties.py` pins the CMS guarantee
+    (estimate >= truth, always) independently."""
+    e = load_table(spark, sf_dir, "events")
+    probes = e.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r"),
+    ).select(
+        "user_id",
+        "r",
+        F.expr(
+            "case r "
+            + " ".join(f"when {i} then {_cms_bucket_spark(i)}" for i in range(CMS_D))
+            + " end"
+        ).alias("bucket"),
+    )
+    sketch = probes.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    est = (
+        truth.select(
+            "user_id",
+            "true_count",
+            F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r"),
+        )
+        .select(
+            "user_id",
+            "true_count",
+            "r",
+            F.expr(
+                "case r "
+                + " ".join(
+                    f"when {i} then {_cms_bucket_spark(i)}" for i in range(CMS_D)
+                )
+                + " end"
+            ).alias("bucket"),
+        )
+        .join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("true_count")).cast("long").alias("overcount"),
+    )

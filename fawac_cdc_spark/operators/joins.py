@@ -292,3 +292,84 @@ def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFr
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
     return spark.sql(_LATERAL_TOPK_SQL.format(customer="lat_customer", orders="lat_orders"))
+
+
+# --- keyless interval join via time-bin blocking (round 7) -------------------
+#
+# `range_join_clicks_before_purchase` is saved by its user_id equi-key; a
+# GLOBAL interval join ("all clicks in the 10 minutes before each purchase,
+# any user") has no equi-key at all, and the naive plan is a broadcast
+# nested loop over purchases x clicks — O(n*m) at any scale.  The classic
+# fix: bin timestamps into windows the size of the interval, probe each
+# purchase against its own bin and the previous one (a range of length W
+# spans at most 2 bins of width W), equi-join on the bin, refine with the
+# exact predicate.  Work drops to O(events per 2W window) per probe.
+
+INTERVAL_BIN_SECONDS = 600  # = the 10-minute lookback, so 2 probe bins
+
+
+@register(
+    "binned_interval_join_counts",
+    oracle=f"""
+SELECT p.event_id AS purchase_id,
+       COUNT(c.event_id) AS n_recent_clicks,
+       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS recent_value
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL {INTERVAL_BIN_SECONDS} SECOND
+ AND c.ts <  p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+    tags=("join", "range", "interval"),
+)
+def binned_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join: for every purchase, count ALL clicks (any
+    user) in the preceding 10 minutes.
+
+    The oracle states the plain theta-join semantics; the Spark plan
+    computes it as the bin-blocked EQUI-join: both sides bin their
+    timestamps into 10-minute buckets (floor(epoch/600)), each purchase
+    probes bins {{b, b-1}} (a 10-minute lookback spans at most two
+    10-minute bins), candidates come from an equi-join on the bin key,
+    and the exact range predicate refines the candidates.  The planner
+    would otherwise emit BroadcastNestedLoopJoin — O(purchases x
+    clicks); the binned form bounds the work per purchase to the events
+    of a 20-minute window and shuffles on a uniform time key
+    (`tests/test_plans.py` pins no-BNLJ/no-cartesian).  The 1:2 probe
+    explode is the entire overhead.  Counts stay exact: a click's bin
+    equals exactly one of the two probed values, so no dedup step is
+    needed; the money sum uses the exact DECIMAL path."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.floor(sec / INTERVAL_BIN_SECONDS).alias("pbin"),
+        )
+        .select(
+            "purchase_id",
+            "p_ts",
+            F.explode(F.array(F.col("pbin"), F.col("pbin") - 1)).alias("jbin"),
+        )
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.floor(sec / INTERVAL_BIN_SECONDS).alias("cbin"),
+    )
+    joined = p.join(
+        c,
+        (F.col("cbin") == F.col("jbin"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {INTERVAL_BIN_SECONDS} SECONDS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("c_event_id").alias("n_recent_clicks"),
+        F.sum(money("c_value")).cast("double").alias("recent_value"),
+    )

@@ -51,7 +51,7 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   14 new this round       (semantic_dedup_admissions — batch closed form
+#   16 new this round       (semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
 #                           batch-vs-standing-corpus form;
@@ -74,7 +74,11 @@ _QUERY_MODULES = [
 #                           embedding_margin_stats — per-label centroid
 #                           margin audit; token_budget_admissions —
 #                           batch closed form of the streaming
-#                           token-budget gate, stream==batch pinned)
+#                           token-budget gate, stream==batch pinned;
+#                           binned_interval_join_counts — keyless
+#                           interval join via time-bin blocking;
+#                           cms_user_event_estimates — exactly-replayed
+#                           count-min sketch)
 # + 5 changed this round   (substring_dup_stats: parameterized gram n +
 #                           dropped dead sort; semantic_dedup_cell_stats:
 #                           parameterized k + round-6 threshold + dropped
@@ -85,7 +89,7 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 14 next-stalest        (last green r3; the 21 r3 queries left out —
+# + 12 next-stalest        (last green r3; the 23 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
@@ -93,6 +97,8 @@ _QUERY_MODULES = [
 #                           regexp_extract_source_num,
 #                           token_stats_by_source,
 #                           sliding_1h_15min_rollup,
+#                           hourly_event_rollup,
+#                           inpaint_range_filter,
 #                           jsonl_scan_orders_agg,
 #                           lang_corpus_stats,
 #                           multimodal_join_stats,
@@ -110,7 +116,7 @@ _QUERY_MODULES = [
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (14).
+    # New this round (16).
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
@@ -125,6 +131,8 @@ _PRIORITY = [
     "token_budget_selection",
     "embedding_margin_stats",
     "token_budget_admissions",
+    "binned_interval_join_counts",
+    "cms_user_event_estimates",
     # Changed this round (5): re-verify against updated code/oracles.
     "substring_dup_stats",
     "semantic_dedup_cell_stats",
@@ -150,7 +158,7 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (14): last green row is round 3.
+    # Next-stalest (12): last green row is round 3.
     "asof_join_last_signup_before_purchase",
     "bpe_token_stats",
     "capped_user_totals",
@@ -161,8 +169,6 @@ _PRIORITY = [
     "cosine_topk_query0",
     "dedup_exact_documents",
     "doc_token_chunks",
-    "hourly_event_rollup",
-    "inpaint_range_filter",
     "ivf_topk_query1",
     "multimodal_decode_features",
 ]
@@ -196,6 +202,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "token_budget_selection",
     "embedding_margin_stats",
     "token_budget_admissions",
+    "binned_interval_join_counts",
+    "cms_user_event_estimates",
 )
 
 

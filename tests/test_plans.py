@@ -591,3 +591,25 @@ def test_embedding_margin_is_single_broadcast_pass(spark, sf_dir):
     # the folded 1-row centroid table attaches via the canonical
     # scalar-broadcast BNLJ (tree + details = 2 mentions)
     assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_binned_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The whole point of the bin blocking: a KEYLESS interval join must
+    still plan as an equi-join on the time-bin key (with the exact range
+    predicate as a residual), never the O(n*m) BroadcastNestedLoopJoin
+    the naive theta-join formulation produces."""
+    plan = _plan(spark, sf_dir, "binned_interval_join_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_cms_sketch_broadcasts_and_combines_map_side(spark, sf_dir):
+    """CMS build must be one map-side-combinable aggregate (partial_
+    before the shuffle) and the d*w-row sketch must BROADCAST into the
+    estimate probe — the event stream is never shuffled a second time."""
+    plan = _plan(spark, sf_dir, "cms_user_event_estimates")
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan

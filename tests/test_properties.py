@@ -818,3 +818,42 @@ def test_embedding_margin_matches_numpy(spark, sf_dir):
         assert got[lab]["avg_margin"] == pytest.approx(np.mean(ms), abs=2e-6)
         assert got[lab]["min_margin"] == pytest.approx(min(ms), abs=2e-6)
         assert got[lab]["n_confused"] == sum(1 for m in ms if m < 0)
+
+
+def test_cms_never_undercounts_and_collides(spark, sf_dir):
+    """The CMS guarantee: estimate >= true count for EVERY key (no
+    undercount, ever); and with w below the key cardinality the
+    pigeonhole forces at least one real collision (overcount > 0) —
+    the sketch is actually approximating, not secretly exact."""
+    from fawac_cdc_spark.functions.sketches import CMS_W
+
+    rows = _SPECS["cms_user_event_estimates"].fn(spark, sf_dir).collect()
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["cms_estimate"] >= r["true_count"] for r in rows)
+    if len(rows) > CMS_W:
+        assert any(r["overcount"] > 0 for r in rows)
+
+
+def test_binned_interval_join_matches_pandas(spark, sf_dir):
+    """Independent pandas replica of the keyless interval join: per
+    purchase, count/sum of ALL clicks in the preceding 10 minutes."""
+    from fawac_cdc_spark.operators.joins import INTERVAL_BIN_SECONDS
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    clicks = ev[ev["event_type"] == "click"]
+    expected = {}
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        lo = p["ts"] - pd.Timedelta(seconds=INTERVAL_BIN_SECONDS)
+        win = clicks[(clicks["ts"] >= lo) & (clicks["ts"] < p["ts"])]
+        expected[p["event_id"]] = (
+            len(win),
+            round(float(win["value"].sum()), 2) if len(win) else None,
+        )
+    got = {
+        r["purchase_id"]: (
+            r["n_recent_clicks"],
+            round(r["recent_value"], 2) if r["recent_value"] is not None else None,
+        )
+        for r in _SPECS["binned_interval_join_counts"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
