@@ -96,12 +96,12 @@ def validate_sub_planes(rp_sub_planes: int) -> None:
 
 _NORM_SPARK = "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> double(x) * double(y)), 0D, (acc, t) -> acc + t))"
 _NORM_DUCK = (
-    "sqrt(list_sum(list_transform(range(1, 65), "
+    f"sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
     "i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))))"
 )
 _DOTQ_SPARK = "aggregate(zip_with(embedding, qvec, (x, y) -> double(x) * double(y)), 0D, (acc, t) -> acc + t)"
 _DOTQ_DUCK = (
-    "list_sum(list_transform(range(1, 65), "
+    f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
     "i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))"
 )
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.helpers import md5_bucket, md5_bucket_sql
 from ..registry import register
 
 # KLL with the default k=200 has ~1.65% one-sided rank error at 99%
@@ -429,17 +430,19 @@ CMS_W = 8  # counters per row; divides 16^4 -> exactly uniform buckets
 CMS_D = 3  # rows (independent md5 salts)
 
 
-def _cms_bucket_spark(row: int) -> str:
-    return (
-        f"cast(conv(substr(md5(concat('{row}:', cast(user_id as string))), 1, 4), "
-        f"16, 10) as int) % {CMS_W}"
+# ONE bucket definition: the row index r is a SALT in the hashed string
+# ("r:user_id"), so both probe sites on both engines reuse the repo-wide
+# md5_bucket helper directly — no per-row CASE ladders to drift.
+def _cms_bucket_col():
+    return md5_bucket(
+        F.concat(F.col("r").cast("string"), F.lit(":"), F.col("user_id").cast("string")),
+        CMS_W,
     )
 
 
-def _cms_bucket_sql(row: int) -> str:
-    return (
-        f"CAST('0x' || substr(md5('{row}:' || CAST(user_id AS VARCHAR)), 1, 4) "
-        f"AS INT) % {CMS_W}"
+def _cms_bucket_duck(r_expr: str, user_expr: str) -> str:
+    return md5_bucket_sql(
+        f"CAST({r_expr} AS VARCHAR) || ':' || CAST({user_expr} AS VARCHAR)", CMS_W
     )
 
 
@@ -448,7 +451,7 @@ def _cms_bucket_sql(row: int) -> str:
     oracle=f"""
 WITH probes AS (
     SELECT user_id, r.r AS r,
-           CASE r.r {' '.join(f"WHEN {i} THEN {_cms_bucket_sql(i)}" for i in range(CMS_D))} END AS bucket
+           {_cms_bucket_duck('r.r', 'user_id')} AS bucket
     FROM events, (SELECT unnest(range(0, {CMS_D})) AS r) r
 ),
 sketch AS (
@@ -462,7 +465,7 @@ est AS (
     FROM truth t, (SELECT unnest(range(0, {CMS_D})) AS r) r
     JOIN sketch s
       ON s.r = r.r
-     AND s.bucket = CASE r.r {' '.join(f"WHEN {i} THEN {_cms_bucket_sql(i).replace('user_id', 't.user_id')}" for i in range(CMS_D))} END
+     AND s.bucket = {_cms_bucket_duck('r.r', 't.user_id')}
     GROUP BY t.user_id, t.true_count
 )
 SELECT user_id, CAST(true_count AS BIGINT) AS true_count,
@@ -495,11 +498,7 @@ def cms_user_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         "r",
-        F.expr(
-            "case r "
-            + " ".join(f"when {i} then {_cms_bucket_spark(i)}" for i in range(CMS_D))
-            + " end"
-        ).alias("bucket"),
+        _cms_bucket_col().alias("bucket"),
     )
     sketch = probes.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
@@ -513,13 +512,7 @@ def cms_user_event_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "true_count",
             "r",
-            F.expr(
-                "case r "
-                + " ".join(
-                    f"when {i} then {_cms_bucket_spark(i)}" for i in range(CMS_D)
-                )
-                + " end"
-            ).alias("bucket"),
+            _cms_bucket_col().alias("bucket"),
         )
         .join(F.broadcast(sketch), ["r", "bucket"])
         .groupBy("user_id", "true_count")

@@ -820,18 +820,43 @@ def test_embedding_margin_matches_numpy(spark, sf_dir):
         assert got[lab]["n_confused"] == sum(1 for m in ms if m < 0)
 
 
-def test_cms_never_undercounts_and_collides(spark, sf_dir):
-    """The CMS guarantee: estimate >= true count for EVERY key (no
-    undercount, ever); and with w below the key cardinality the
-    pigeonhole forces at least one real collision (overcount > 0) —
-    the sketch is actually approximating, not secretly exact."""
-    from fawac_cdc_spark.functions.sketches import CMS_W
+def test_cms_matches_hashlib_replica_and_never_undercounts(spark, sf_dir):
+    """Independent hashlib replica of the whole sketch: build the d x w
+    counters from the raw events, derive every key's min-over-rows
+    estimate, and compare EXACTLY.  Plus the CMS guarantee (estimate >=
+    truth, always).  The collision check is driven BY the replica —
+    n_keys > w per row does NOT force an overcount (the estimate is a
+    min over d rows, so a key must collide in ALL rows), so asserting
+    collisions unconditionally would be a false invariant."""
+    import hashlib
 
-    rows = _SPECS["cms_user_event_estimates"].fn(spark, sf_dir).collect()
-    assert all(r["overcount"] >= 0 for r in rows)
-    assert all(r["cms_estimate"] >= r["true_count"] for r in rows)
-    if len(rows) > CMS_W:
-        assert any(r["overcount"] > 0 for r in rows)
+    from fawac_cdc_spark.functions.sketches import CMS_D, CMS_W
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+
+    def bucket(r: int, user: int) -> int:
+        return int(hashlib.md5(f"{r}:{user}".encode()).hexdigest()[:4], 16) % CMS_W
+
+    counters = [[0] * CMS_W for _ in range(CMS_D)]
+    for user in ev["user_id"]:
+        for r in range(CMS_D):
+            counters[r][bucket(r, int(user))] += 1
+    truth = ev.groupby("user_id").size()
+    expected = {
+        int(u): (
+            int(t),
+            min(counters[r][bucket(r, int(u))] for r in range(CMS_D)),
+        )
+        for u, t in truth.items()
+    }
+    got = {
+        r["user_id"]: (r["true_count"], r["cms_estimate"])
+        for r in _SPECS["cms_user_event_estimates"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert all(est >= t for t, est in got.values())
+    if any(est > t for t, est in expected.values()):
+        assert any(est > t for t, est in got.values())
 
 
 def test_binned_interval_join_matches_pandas(spark, sf_dir):
