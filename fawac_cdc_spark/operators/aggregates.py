@@ -335,17 +335,28 @@ def approx_stats_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output carries the exact counts and four boolean verdicts; the
     estimates themselves are excluded so rows hash identically across
-    sketch implementations. Two scans of lineitem: one combined
-    exact+approx aggregation, one broadcast-joined rank count."""
+    sketch implementations. Three scans of lineitem: the exact-distinct
+    aggregate, the sketch aggregate, and the broadcast-joined rank
+    count.  The exact and sketch aggregates are DELIBERATELY separate:
+    mixing multi-column ``countDistinct`` with non-distinct aggregates
+    in one ``agg`` triggers Catalyst's Expand rewrite, whose first
+    (pre-distinct) aggregation keys on the distinct columns — so every
+    sketch buffer (a compression-10000 QuantileSummaries + an HLL) is
+    instantiated per DISTINCT KEY instead of per group: ~200k quantile
+    buffers at sf0.1, measured 8.8 s for the combined form vs
+    1.3 s + 0.6 s for the split aggregates on the same host."""
     li = load_table(spark, sf_dir, "lineitem")
-    stats = li.groupBy("l_returnflag").agg(
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("acd_parts"),
         F.approx_count_distinct("l_orderkey").alias("acd_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
     )
+    stats = exact.join(approx, "l_returnflag")
     ranked = (
         li.select("l_returnflag", "l_extendedprice")
         .join(F.broadcast(stats), "l_returnflag")
