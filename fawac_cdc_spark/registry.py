@@ -51,7 +51,7 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   16 new this round       (semantic_dedup_admissions — batch closed form
+#   17 new this round       (semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
 #                           batch-vs-standing-corpus form;
@@ -78,8 +78,15 @@ _QUERY_MODULES = [
 #                           binned_interval_join_counts — keyless
 #                           interval join via time-bin blocking;
 #                           cms_user_event_estimates — exactly-replayed
-#                           count-min sketch)
-# + 5 changed this round   (substring_dup_stats: parameterized gram n +
+#                           count-min sketch; semantic_cc_survivors —
+#                           transitive-closure semantic dedup, landed
+#                           after the session-1 rotation so it takes its
+#                           first driver row here)
+# + 7 changed this round   (approx_stats_error_bound: split-aggregate
+#                           rewrite around the Expand blowup;
+#                           daily_event_spine: carried recursion bound —
+#                           both value-identical plan fixes re-verified;
+#                           substring_dup_stats: parameterized gram n +
 #                           dropped dead sort; semantic_dedup_cell_stats:
 #                           parameterized k + round-6 threshold + dropped
 #                           sort; incremental_lsh_dedup /
@@ -89,7 +96,7 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 12 next-stalest        (last green r3; the 23 r3 queries left out —
+# + 9 next-stalest         (last green r3; the 26 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
@@ -97,6 +104,9 @@ _QUERY_MODULES = [
 #                           regexp_extract_source_num,
 #                           token_stats_by_source,
 #                           sliding_1h_15min_rollup,
+#                           bpe_token_stats,
+#                           checkpoint_selection,
+#                           config_diff_overlay,
 #                           hourly_event_rollup,
 #                           inpaint_range_filter,
 #                           jsonl_scan_orders_agg,
@@ -116,7 +126,7 @@ _QUERY_MODULES = [
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (16).
+    # New this round (17).
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
@@ -133,7 +143,10 @@ _PRIORITY = [
     "token_budget_admissions",
     "binned_interval_join_counts",
     "cms_user_event_estimates",
-    # Changed this round (5): re-verify against updated code/oracles.
+    "semantic_cc_survivors",
+    # Changed this round (7): re-verify against updated code/oracles.
+    "approx_stats_error_bound",
+    "daily_event_spine",
     "substring_dup_stats",
     "semantic_dedup_cell_stats",
     "incremental_lsh_dedup",
@@ -158,13 +171,12 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (12): last green row is round 3.
+    # Next-stalest (9): last green row is round 3; the closure loop
+    # shared by connected_component_survivors changed this round, so it
+    # stays in-window for re-verification.
     "asof_join_last_signup_before_purchase",
-    "bpe_token_stats",
     "capped_user_totals",
-    "checkpoint_selection",
     "click_purchase_pairs",
-    "config_diff_overlay",
     "connected_component_survivors",
     "cosine_topk_query0",
     "dedup_exact_documents",
