@@ -1,0 +1,241 @@
+"""Product-analytics shapes over ``events`` (round 7).
+
+The three classic clickstream analyses every OLAP engine is asked for:
+weekly retention cohorts, within-session event-transition matrices, and
+rolling z-score anomaly flags.  All are pure DataFrame compositions of
+aggregates + window functions (no UDFs), shuffles key on
+user/session/type — uniform at scale — and every float crosses the
+repo's round(6) determinism convention.
+
+Reference anchors: the reference logs per-step eval series and episode
+rollouts (``train_fawac_iql.py:145-166``, ``fawac.py:597-611``); these
+queries generalize that monitoring surface to the canonical
+cohort/transition/anomaly shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+WEEK_SECONDS = 7 * 24 * 3600
+SESSION_GAP_SECONDS = 1800  # a gap of >= 30 min starts a new session
+ZSCORE_WINDOW = 100  # trailing rows per (type) used to fit mean/std
+ZSCORE_MIN_PREV = 30  # score only with a substantial trailing sample
+ZSCORE_FLAG = 3.0
+
+
+@register(
+    "retention_cohort_matrix",
+    oracle=f"""
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohort_sizes AS (
+    SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week
+),
+cells AS (
+    SELECT f.cohort_week,
+           CAST((epoch(a.week) - epoch(f.cohort_week)) / {WEEK_SECONDS} AS BIGINT)
+               AS week_offset,
+           COUNT(*) AS n_active
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+)
+SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+       c.week_offset,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM cells c JOIN cohort_sizes s ON c.cohort_week = s.cohort_week
+""",
+    tags=("analytics", "cohort", "window"),
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their first
+    event; each (cohort, week-offset) cell counts the cohort members
+    active that week, with the retention rate against the cohort size.
+
+    The canonical product-analytics matrix.  Plan: one per-user MIN
+    aggregate (the cohort assignment), one DISTINCT (user, week)
+    activity set, an equi-join on user_id, and two small aggregates —
+    every shuffle keys on user or cohort (uniform), nothing is ever
+    all-pairs, and the offset arithmetic is exact integer division of
+    week-aligned epochs (both engines truncate weeks to Monday, so the
+    difference is an exact multiple of {WEEK_SECONDS})."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    offset = F.expr(
+        f"cast((unix_timestamp(week) - unix_timestamp(cohort_week)) / {WEEK_SECONDS} as bigint)"
+    )
+    cells = (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return cells.join(F.broadcast(cohort_sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+@register(
+    "session_transition_matrix",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts >= LAG(ts) OVER w + INTERVAL {SESSION_GAP_SECONDS} SECOND
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM ordered
+),
+trans AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id, sess_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM sessioned
+),
+counted AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM trans WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6)
+           AS share_from
+FROM counted
+""",
+    tags=("analytics", "session", "window"),
+)
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-transition matrix (the first-order Markov
+    view of user behavior): sessionize each user's stream with a
+    {SESSION_GAP_SECONDS}s inactivity gap, pair each event with its
+    successor INSIDE the session via LEAD, and count transitions with
+    each from-type's outgoing share.
+
+    Three windows, all partitioned on user (then (user, session)) with
+    a deterministic (ts, event_id) total order, then one small
+    aggregate — the sessionization is the same gap rule as the
+    streaming ``session_agg_30min_gap`` family, expressed as the
+    lag-gap + running-sum batch idiom.  At 100 TB every window
+    partition is one user's stream (bounded), and the transition
+    matrix is |event types|^2 rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestamp + interval arithmetic, NOT unix_timestamp subtraction:
+    # unix_timestamp truncates to whole seconds while the oracle's epoch
+    # keeps microseconds, so a ~1799.x s gap would sessionize differently
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts") >= prev + F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECONDS")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessioned = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sess_id"),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    trans = sessioned.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(ws).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counted = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    share = F.round(
+        F.col("n").cast("double")
+        / F.sum("n").over(Window.partitionBy("from_type")),
+        6,
+    )
+    return counted.select("from_type", "to_type", "n", share.alias("share_from"))
+
+
+@register(
+    "rolling_zscore_anomalies",
+    oracle=f"""
+WITH scored AS (
+    SELECT event_type,
+           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6) AS z,
+           COUNT(*) OVER w AS n_prev,
+           STDDEV_SAMP(value) OVER w AS sd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(COUNT(*) FILTER (WHERE ABS(z) > {ZSCORE_FLAG}) AS BIGINT) AS n_flagged,
+       ROUND(MAX(ABS(z)), 6) AS max_abs_z
+FROM scored
+WHERE n_prev >= {ZSCORE_MIN_PREV} AND sd > 0
+GROUP BY event_type
+""",
+    tags=("analytics", "anomaly", "window"),
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event's value is scored
+    against the mean/std of the previous {ZSCORE_WINDOW} same-type
+    events (strictly preceding frame, so the point never contaminates
+    its own baseline); per type, how many scored points exceed
+    |z| > {ZSCORE_FLAG}.
+
+    The standard streaming-monitoring shape as a batch window: one
+    window partitioned on event_type with a ROWS frame (bounded state —
+    at 100 TB the frame is {ZSCORE_WINDOW} rows per partition
+    regardless of history length), one small aggregate.  The z is
+    rounded to 6 BEFORE the flag comparison on both engines (the
+    rolling std is the one sum-order-sensitive term), and scoring
+    requires {ZSCORE_MIN_PREV}+ trailing points so early-window noise
+    never flags."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_WINDOW, -1)
+    )
+    scored = e.select(
+        "event_type",
+        F.round(
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w),
+            6,
+        ).alias("z"),
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    ).where((F.col("n_prev") >= ZSCORE_MIN_PREV) & (F.col("sd") > 0))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.count(F.when(F.abs("z") > ZSCORE_FLAG, 1)).alias("n_flagged"),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+    )

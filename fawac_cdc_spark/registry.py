@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.operators.tpch",
     "fawac_cdc_spark.operators.tpch_ext",
     "fawac_cdc_spark.operators.layout",
+    "fawac_cdc_spark.operators.analytics",
     "fawac_cdc_spark.functions.text",
     "fawac_cdc_spark.functions.scalars",
     "fawac_cdc_spark.functions.preprocess",
@@ -51,7 +52,7 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   17 new this round       (semantic_dedup_admissions — batch closed form
+#   20 new this round       (semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
 #                           batch-vs-standing-corpus form;
@@ -81,7 +82,11 @@ _QUERY_MODULES = [
 #                           count-min sketch; semantic_cc_survivors —
 #                           transitive-closure semantic dedup, landed
 #                           after the session-1 rotation so it takes its
-#                           first driver row here)
+#                           first driver row here;
+#                           retention_cohort_matrix /
+#                           session_transition_matrix /
+#                           rolling_zscore_anomalies — the
+#                           product-analytics wave)
 # + 7 changed this round   (approx_stats_error_bound: split-aggregate
 #                           rewrite around the Expand blowup;
 #                           daily_event_spine: carried recursion bound —
@@ -96,7 +101,7 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 9 next-stalest         (last green r3; the 26 r3 queries left out —
+# + 6 next-stalest         (last green r3; the 29 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
@@ -105,6 +110,9 @@ _QUERY_MODULES = [
 #                           token_stats_by_source,
 #                           sliding_1h_15min_rollup,
 #                           bpe_token_stats,
+#                           capped_user_totals,
+#                           dedup_exact_documents,
+#                           doc_token_chunks,
 #                           checkpoint_selection,
 #                           config_diff_overlay,
 #                           hourly_event_rollup,
@@ -126,7 +134,7 @@ _QUERY_MODULES = [
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (17).
+    # New this round (20).
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
@@ -144,6 +152,9 @@ _PRIORITY = [
     "binned_interval_join_counts",
     "cms_user_event_estimates",
     "semantic_cc_survivors",
+    "retention_cohort_matrix",
+    "session_transition_matrix",
+    "rolling_zscore_anomalies",
     # Changed this round (7): re-verify against updated code/oracles.
     "approx_stats_error_bound",
     "daily_event_spine",
@@ -171,16 +182,14 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (9): last green row is round 3; the closure loop
+    # Next-stalest (6): last green row is round 3; the closure loop
     # shared by connected_component_survivors changed this round, so it
-    # stays in-window for re-verification.
+    # stays in-window for re-verification, and the two ANN baselines
+    # stay alongside their new multi-probe variants.
     "asof_join_last_signup_before_purchase",
-    "capped_user_totals",
     "click_purchase_pairs",
     "connected_component_survivors",
     "cosine_topk_query0",
-    "dedup_exact_documents",
-    "doc_token_chunks",
     "ivf_topk_query1",
     "multimodal_decode_features",
 ]
@@ -216,6 +225,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "token_budget_admissions",
     "binned_interval_join_counts",
     "cms_user_event_estimates",
+    "retention_cohort_matrix",
+    "session_transition_matrix",
+    "rolling_zscore_anomalies",
 )
 
 

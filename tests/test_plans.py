@@ -613,3 +613,21 @@ def test_cms_sketch_broadcasts_and_combines_map_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "retention_cohort_matrix",
+        "session_transition_matrix",
+        "rolling_zscore_anomalies",
+    ],
+)
+def test_analytics_plans_stay_keyed(spark, sf_dir, name):
+    """The product-analytics wave must stay window/aggregate shaped:
+    shuffles key on user/session/type, no global sort, no cartesian
+    shapes, no Python in the plan."""
+    plan = _plan(spark, sf_dir, name)
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

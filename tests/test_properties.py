@@ -882,3 +882,108 @@ def test_binned_interval_join_matches_pandas(spark, sf_dir):
         for r in _SPECS["binned_interval_join_counts"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# --- product-analytics wave (round 7) ---------------------------------------
+
+
+def _events_pdf(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def test_retention_cohort_matches_pandas(spark, sf_dir):
+    """Independent pandas replica of the weekly retention matrix; plus
+    the structural invariant that offset-0 retention is exactly 1.0 for
+    every cohort (each member is active in their first week)."""
+    ev = _events_pdf(sf_dir)
+    week = ev["ts"].dt.normalize() - pd.to_timedelta(
+        ev["ts"].dt.dayofweek, unit="D"
+    )
+    df = pd.DataFrame({"user": ev["user_id"], "week": week})
+    cohort = df.groupby("user")["week"].min().rename("cohort")
+    act = df.drop_duplicates().join(cohort, on="user")
+    act["off"] = ((act["week"] - act["cohort"]).dt.days // 7).astype(int)
+    cells = act.groupby(["cohort", "off"]).size()
+    sizes = cohort.value_counts()
+    expected = {
+        (pd.Timestamp(c), int(o)): (int(n), round(n / sizes[c], 6))
+        for (c, o), n in cells.items()
+    }
+    got = {
+        (pd.Timestamp(r["cohort_week"]), r["week_offset"]): (
+            r["n_active"],
+            round(r["retention"], 6),
+        )
+        for r in _SPECS["retention_cohort_matrix"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for (c, o), (n, rate) in got.items():
+        if o == 0:
+            assert rate == 1.0
+
+
+def test_session_transitions_match_pandas(spark, sf_dir):
+    """Independent pandas replica of the sessionized transition counts
+    (30-min gap, exact timestamp arithmetic); outgoing shares sum to 1
+    per from-type."""
+    ev = _events_pdf(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    counts = {}
+    for _, g in ev.groupby("user_id"):
+        gap_new = (
+            g["ts"] >= g["ts"].shift() + pd.Timedelta(seconds=1800)
+        ) | g["ts"].shift().isna()
+        sess = gap_new.cumsum()
+        for _, s in g.groupby(sess):
+            types = s["event_type"].tolist()
+            for a, b in zip(types, types[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    rows = _SPECS["session_transition_matrix"].fn(spark, sf_dir).collect()
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in rows}
+    assert got == counts
+    shares = {}
+    for r in rows:
+        shares.setdefault(r["from_type"], 0.0)
+        shares[r["from_type"]] += r["share_from"]
+    for ft, tot in shares.items():
+        assert tot == pytest.approx(1.0, abs=1e-4)
+
+
+def test_rolling_zscore_matches_pandas(spark, sf_dir):
+    """Independent pandas replica of the trailing-window z-scores: same
+    window, same min-sample gate, same rounded flag threshold."""
+    from fawac_cdc_spark.operators.analytics import (
+        ZSCORE_FLAG,
+        ZSCORE_MIN_PREV,
+        ZSCORE_WINDOW,
+    )
+
+    ev = _events_pdf(sf_dir).sort_values(["event_type", "ts", "event_id"])
+    expected = {}
+    for etype, g in ev.groupby("event_type"):
+        vals = g["value"].to_numpy()
+        n_scored = n_flagged = 0
+        max_abs = 0.0
+        for i in range(len(vals)):
+            lo = max(0, i - ZSCORE_WINDOW)
+            prev = vals[lo:i]
+            if len(prev) < ZSCORE_MIN_PREV:
+                continue
+            sd = prev.std(ddof=1)
+            if sd <= 0:
+                continue
+            z = round((vals[i] - prev.mean()) / sd, 6)
+            n_scored += 1
+            if abs(z) > ZSCORE_FLAG:
+                n_flagged += 1
+            max_abs = max(max_abs, abs(z))
+        if n_scored:
+            expected[etype] = (n_scored, n_flagged, round(max_abs, 6))
+    got = {
+        r["event_type"]: (r["n_scored"], r["n_flagged"], r["max_abs_z"])
+        for r in _SPECS["rolling_zscore_anomalies"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for etype, (ns, nf, mz) in expected.items():
+        gns, gnf, gmz = got[etype]
+        assert (gns, gnf) == (ns, nf)
+        assert gmz == pytest.approx(mz, abs=2e-6)
