@@ -21,8 +21,13 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import register
 
+from ..streaming.batch_equiv import SESSION_GAP_MIN
+
 WEEK_SECONDS = 7 * 24 * 3600
-SESSION_GAP_SECONDS = 1800  # a gap of >= 30 min starts a new session
+# ONE session-gap definition repo-wide: derived from the session_agg
+# family's constant, and the SAME strict-> boundary rule (a gap of
+# EXACTLY 30:00.000000 continues the session there, so it must here).
+SESSION_GAP_SECONDS = SESSION_GAP_MIN * 60
 ZSCORE_WINDOW = 100  # trailing rows per (type) used to fit mean/std
 ZSCORE_MIN_PREV = 30  # score only with a substantial trailing sample
 ZSCORE_FLAG = 3.0
@@ -68,7 +73,7 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     every shuffle keys on user or cohort (uniform), nothing is ever
     all-pairs, and the offset arithmetic is exact integer division of
     week-aligned epochs (both engines truncate weeks to Monday, so the
-    difference is an exact multiple of {WEEK_SECONDS})."""
+    difference is an exact multiple of WEEK_SECONDS = 604800)."""
     e = load_table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
@@ -103,7 +108,7 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
     SELECT user_id, ts, event_id, event_type,
            CASE WHEN LAG(ts) OVER w IS NULL
-                  OR ts >= LAG(ts) OVER w + INTERVAL {SESSION_GAP_SECONDS} SECOND
+                  OR ts > LAG(ts) OVER w + INTERVAL {SESSION_GAP_SECONDS} SECOND
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -135,7 +140,7 @@ FROM counted
 def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-session event-transition matrix (the first-order Markov
     view of user behavior): sessionize each user's stream with a
-    {SESSION_GAP_SECONDS}s inactivity gap, pair each event with its
+    30-minute inactivity gap (strict >, the session_agg family's rule), pair each event with its
     successor INSIDE the session via LEAD, and count transitions with
     each from-type's outgoing share.
 
@@ -154,7 +159,7 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_sess = F.when(
         prev.isNull()
-        | (F.col("ts") >= prev + F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECONDS")),
+        | (F.col("ts") > prev + F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECONDS")),
         F.lit(1),
     ).otherwise(F.lit(0))
     sessioned = e.select(
@@ -206,18 +211,18 @@ GROUP BY event_type
 )
 def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags: each event's value is scored
-    against the mean/std of the previous {ZSCORE_WINDOW} same-type
+    against the mean/std of the previous ZSCORE_WINDOW=100 same-type
     events (strictly preceding frame, so the point never contaminates
     its own baseline); per type, how many scored points exceed
-    |z| > {ZSCORE_FLAG}.
+    |z| > 3.
 
     The standard streaming-monitoring shape as a batch window: one
     window partitioned on event_type with a ROWS frame (bounded state —
-    at 100 TB the frame is {ZSCORE_WINDOW} rows per partition
+    at 100 TB the frame is 100 rows per partition
     regardless of history length), one small aggregate.  The z is
     rounded to 6 BEFORE the flag comparison on both engines (the
     rolling std is the one sum-order-sensitive term), and scoring
-    requires {ZSCORE_MIN_PREV}+ trailing points so early-window noise
+    requires ZSCORE_MIN_PREV=30+ trailing points so early-window noise
     never flags."""
     e = load_table(spark, sf_dir, "events")
     w = (

@@ -924,13 +924,14 @@ def test_retention_cohort_matches_pandas(spark, sf_dir):
 
 def test_session_transitions_match_pandas(spark, sf_dir):
     """Independent pandas replica of the sessionized transition counts
-    (30-min gap, exact timestamp arithmetic); outgoing shares sum to 1
-    per from-type."""
+    (strict > 30-min gap — the session_agg family's boundary rule —
+    with exact timestamp arithmetic); outgoing shares sum to 1 per
+    from-type."""
     ev = _events_pdf(sf_dir).sort_values(["user_id", "ts", "event_id"])
     counts = {}
     for _, g in ev.groupby("user_id"):
         gap_new = (
-            g["ts"] >= g["ts"].shift() + pd.Timedelta(seconds=1800)
+            g["ts"] > g["ts"].shift() + pd.Timedelta(seconds=1800)
         ) | g["ts"].shift().isna()
         sess = gap_new.cumsum()
         for _, s in g.groupby(sess):
