@@ -244,3 +244,73 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.abs("z") > ZSCORE_FLAG, 1)).alias("n_flagged"),
         F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
     )
+
+
+@register(
+    "scd2_user_state_intervals",
+    oracle="""
+WITH numbered AS (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS island
+    FROM events
+),
+islands AS (
+    SELECT user_id, event_type AS state, island,
+           MIN(ts) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM numbered
+    GROUP BY user_id, event_type, island
+)
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+       n_events,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+           AS is_current
+FROM islands
+""",
+    tags=("analytics", "scd2", "window"),
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) build via gaps-and-islands:
+    collapse each user's consecutive same-type event runs into validity
+    intervals — ``valid_from`` = the run's first event, ``valid_to`` =
+    the next run's start (NULL = current), the classic warehouse
+    dimension-history shape.
+
+    The island id is the textbook difference-of-row-numbers (global
+    per-user rank minus per-(user, state) rank is constant exactly
+    within a consecutive run), so the whole build is three windows and
+    one aggregate — all partitioned on user, no joins, no floats
+    anywhere (timestamps and counts only, so parity is exact by
+    construction).  At 100 TB every window partition is one user's
+    bounded stream, and the output is one row per state CHANGE, which
+    is the compression that makes SCD2 dimensions queryable."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wus = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    numbered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.row_number().over(wu) - F.row_number().over(wus)).alias("island"),
+    )
+    islands = numbered.groupBy(
+        "user_id", F.col("event_type").alias("state"), "island"
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(wv)
+    return islands.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )

@@ -52,7 +52,7 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   20 new this round       (semantic_dedup_admissions — batch closed form
+#   22 new this round       (semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
 #                           batch-vs-standing-corpus form;
@@ -86,7 +86,11 @@ _QUERY_MODULES = [
 #                           retention_cohort_matrix /
 #                           session_transition_matrix /
 #                           rolling_zscore_anomalies — the
-#                           product-analytics wave)
+#                           product-analytics wave;
+#                           scd2_user_state_intervals — gaps-and-islands
+#                           SCD Type 2 dimension build;
+#                           cdc_version_diff — time-travel diff through
+#                           the real snapshot sink)
 # + 7 changed this round   (approx_stats_error_bound: split-aggregate
 #                           rewrite around the Expand blowup;
 #                           daily_event_spine: carried recursion bound —
@@ -101,7 +105,7 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 6 next-stalest         (last green r3; the 29 r3 queries left out —
+# + 4 next-stalest         (last green r3; the 31 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
@@ -111,6 +115,8 @@ _QUERY_MODULES = [
 #                           sliding_1h_15min_rollup,
 #                           bpe_token_stats,
 #                           capped_user_totals,
+#                           click_purchase_pairs,
+#                           cosine_topk_query0,
 #                           dedup_exact_documents,
 #                           doc_token_chunks,
 #                           checkpoint_selection,
@@ -134,7 +140,7 @@ _QUERY_MODULES = [
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (20).
+    # New this round (22).
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
@@ -155,6 +161,8 @@ _PRIORITY = [
     "retention_cohort_matrix",
     "session_transition_matrix",
     "rolling_zscore_anomalies",
+    "scd2_user_state_intervals",
+    "cdc_version_diff",
     # Changed this round (7): re-verify against updated code/oracles.
     "approx_stats_error_bound",
     "daily_event_spine",
@@ -182,14 +190,12 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (6): last green row is round 3; the closure loop
+    # Next-stalest (4): last green row is round 3; the closure loop
     # shared by connected_component_survivors changed this round, so it
-    # stays in-window for re-verification, and the two ANN baselines
-    # stay alongside their new multi-probe variants.
+    # stays in-window for re-verification, as does ivf_topk_query1
+    # (its shared assignment subtree changed in session 1).
     "asof_join_last_signup_before_purchase",
-    "click_purchase_pairs",
     "connected_component_survivors",
-    "cosine_topk_query0",
     "ivf_topk_query1",
     "multimodal_decode_features",
 ]
@@ -228,6 +234,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "retention_cohort_matrix",
     "session_transition_matrix",
     "rolling_zscore_anomalies",
+    "scd2_user_state_intervals",
+    "cdc_version_diff",
 )
 
 

@@ -713,3 +713,97 @@ def token_budget_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ntok").cast("long").alias("ntok"),
         (F.col("cum") <= TOKEN_BUDGET_PER_SOURCE).alias("admitted"),
     )
+
+
+# --- CDC time-travel version diff (round 7) ----------------------------------
+
+
+@register(
+    "cdc_version_diff",
+    oracle="""
+WITH k AS (SELECT MAX(event_id) // 2 AS k FROM events),
+s1 AS (
+    SELECT user_id, ts, event_type, value FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e, k WHERE e.event_id <= k.k
+    ) t WHERE rn = 1
+),
+s2 AS (
+    SELECT user_id, ts, event_type, value FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e
+    ) t WHERE rn = 1
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (
+    SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+                WHEN s1.ts <> s2.ts OR s1.event_type <> s2.event_type
+                     OR s1.value <> s2.value THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+) d
+GROUP BY status
+""",
+    tags=("m6", "cdc", "time-travel", "sink"),
+)
+def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot DIFF across two committed versions of the upsert
+    state — the "what changed between v1 and v2" query every
+    table-format consumer runs — executed through the REAL sink: the
+    query commits epoch 1 (latest-per-user over the first id-half of
+    events) and epoch 2 (over everything) via the manifest machinery
+    (`write_state_snapshot`, the same commit path as the streaming
+    upsert), then time-travel-reads BOTH versions back with
+    ``read_upsert_state(version=...)`` and classifies every key as
+    added / changed / unchanged.
+
+    The oracle states the identical semantics purely over ``events``
+    (two latest-per-key windows + a left join), so the driver hash
+    verifies the whole write→manifest→time-travel-read→diff round trip
+    value-exactly — keys, timestamps, and payload doubles all round-trip
+    parquet bit-for-bit.  Scale shape: snapshots diff via one
+    user-keyed join of two manifests' buckets (at 100 TB, bucket
+    pruning makes the diff touch only buckets whose manifests differ);
+    the id cutoff uses integer ``div`` on both engines so the split is
+    exact."""
+    import shutil
+
+    from ..sources.connectors import _io_dir
+    from .cdc import read_upsert_state, write_state_snapshot
+
+    state_dir = _io_dir(sf_dir, "cdc_version_diff_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    e = load_table(spark, sf_dir, "events")
+    half = e.agg(F.expr("max(event_id) div 2").alias("k"))
+    v1_src = e.join(F.broadcast(half)).where(F.col("event_id") <= F.col("k")).drop("k")
+    write_state_snapshot(v1_src, state_dir, epoch_id=1)
+    write_state_snapshot(e, state_dir, epoch_id=2)
+
+    s1 = read_upsert_state(spark, state_dir, version=1).select(
+        "user_id",
+        F.col("ts").alias("ts1"),
+        F.col("event_type").alias("type1"),
+        F.col("value").alias("value1"),
+    )
+    s2 = read_upsert_state(spark, state_dir, version=2).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    status = (
+        F.when(F.col("ts1").isNull(), F.lit("added"))
+        .when(
+            (F.col("ts1") != F.col("ts"))
+            | (F.col("type1") != F.col("event_type"))
+            | (F.col("value1") != F.col("value")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        s2.join(s1, "user_id", "left")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

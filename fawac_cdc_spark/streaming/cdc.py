@@ -224,6 +224,33 @@ def read_upsert_state(
     return spark.read.parquet(*paths)
 
 
+def write_state_snapshot(
+    df: DataFrame, state_dir: str, epoch_id: int, n_buckets: int = N_STATE_BUCKETS
+) -> None:
+    """Batch-mode snapshot commit through the SAME manifest machinery the
+    streaming upsert sink uses: bucket the latest-per-key state, write the
+    touched buckets to an epoch-scoped immutable directory, and commit a
+    manifest referencing them — so ``read_upsert_state(version=...)`` time
+    travel works identically whether an epoch came from a micro-batch or a
+    batch job (the Delta/Iceberg snapshot-commit shape).  The touched-
+    bucket collect is bounded by n_buckets (the cdc_upsert_run pattern)."""
+    import os as _os
+
+    prev = _read_manifest(state_dir)
+    bucketed = _latest_per_key(df).withColumn("bucket", _bucket_col(n_buckets))
+    epoch_rel = f"data/e{epoch_id}"
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+        _os.path.join(state_dir, epoch_rel)
+    )
+    touched = sorted(
+        r["bucket"] for r in bucketed.select("bucket").distinct().collect()
+    )
+    manifest = dict(prev)
+    for k in touched:
+        manifest[str(k)] = f"{epoch_rel}/bucket={k}"
+    _commit_manifest(state_dir, epoch_id, manifest)
+
+
 def state_versions(state_dir: str) -> list[int]:
     """Public list of committed snapshot epochs, ascending (time travel)."""
     return _state_versions(state_dir)

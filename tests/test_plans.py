@@ -631,3 +631,13 @@ def test_analytics_plans_stay_keyed(spark, sf_dir, name):
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_build_is_windows_plus_one_aggregate(spark, sf_dir):
+    """The SCD2 interval build must stay join-free: three user-keyed
+    windows and one aggregate, no global sort, nothing cartesian, no
+    Python."""
+    plan = _plan(spark, sf_dir, "scd2_user_state_intervals")
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -988,3 +988,65 @@ def test_rolling_zscore_matches_pandas(spark, sf_dir):
         gns, gnf, gmz = got[etype]
         assert (gns, gnf) == (ns, nf)
         assert gmz == pytest.approx(mz, abs=2e-6)
+
+
+def test_scd2_intervals_match_pandas_and_tile_time(spark, sf_dir):
+    """Independent pandas replica of the gaps-and-islands SCD2 build;
+    plus the dimension invariants: per user, intervals are disjoint,
+    contiguous (each valid_to == the next valid_from), exactly one
+    current row, and event counts sum to the user's event count."""
+    ev = _events_pdf(sf_dir).sort_values(["user_id", "ts", "event_id"])
+    expected = []
+    for uid, g in ev.groupby("user_id"):
+        runs = []
+        for _, r in g.iterrows():
+            if runs and runs[-1][0] == r["event_type"]:
+                runs[-1][2] += 1
+            else:
+                runs.append([r["event_type"], r["ts"], 1])
+        for i, (state, start, n) in enumerate(runs):
+            valid_to = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected.append((uid, state, pd.Timestamp(start), 
+                             pd.Timestamp(valid_to) if valid_to is not None else None, n))
+    got_rows = _SPECS["scd2_user_state_intervals"].fn(spark, sf_dir).collect()
+    got = sorted(
+        (r["user_id"], r["state"], pd.Timestamp(r["valid_from"]),
+         pd.Timestamp(r["valid_to"]) if r["valid_to"] is not None else None,
+         r["n_events"])
+        for r in got_rows
+    )
+    assert got == sorted(expected)
+    by_user = {}
+    for r in got_rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    totals = ev.groupby("user_id").size()
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"]
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert sum(r["n_events"] for r in rows) == totals[uid]
+
+
+def test_cdc_version_diff_time_travel_roundtrip(spark, sf_dir):
+    """The version-diff query must leave BOTH snapshot versions readable
+    (time travel), the diff classes must partition the v2 keyset, and
+    'added' must equal the users whose every event is in the second
+    id-half (independent pandas check)."""
+    from fawac_cdc_spark.sources.connectors import _io_dir
+    from fawac_cdc_spark.streaming.cdc import read_upsert_state, state_versions
+
+    rows = {r["status"]: r["n_users"] for r in _SPECS["cdc_version_diff"].fn(spark, sf_dir).collect()}
+    state_dir = _io_dir(sf_dir, "cdc_version_diff_state")
+    assert state_versions(state_dir) == [1, 2]
+    v1 = read_upsert_state(spark, state_dir, version=1)
+    v2 = read_upsert_state(spark, state_dir, version=2)
+    ev = _events_pdf(sf_dir)
+    k = int(ev["event_id"].max()) // 2
+    users_v1 = set(ev[ev["event_id"] <= k]["user_id"])
+    users_all = set(ev["user_id"])
+    assert v1.select("user_id").distinct().count() == len(users_v1)
+    assert v2.select("user_id").distinct().count() == len(users_all)
+    assert sum(rows.values()) == len(users_all)
+    assert rows.get("added", 0) == len(users_all - users_v1)
