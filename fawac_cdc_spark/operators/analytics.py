@@ -259,15 +259,17 @@ WITH numbered AS (
 islands AS (
     SELECT user_id, event_type AS state, island,
            MIN(ts) AS valid_from,
+           MIN(event_id) AS first_event_id,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM numbered
     GROUP BY user_id, event_type, island
 )
 SELECT user_id, state, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-           AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, first_event_id) AS valid_to,
        n_events,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+       LEAD(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, first_event_id) IS NULL
            AS is_current
 FROM islands
 """,
@@ -302,9 +304,13 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_type").alias("state"), "island"
     ).agg(
         F.min("ts").alias("valid_from"),
+        F.min("event_id").alias("first_event_id"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    # (valid_from, first_event_id) is a TOTAL order even when two runs of
+    # one user start at the same timestamp — valid_from alone would leave
+    # valid_to/is_current tie-dependent and engine-divergent
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "first_event_id")
     valid_to = F.lead("valid_from").over(wv)
     return islands.select(
         "user_id",

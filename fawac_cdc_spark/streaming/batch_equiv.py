@@ -784,6 +784,7 @@ def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = read_upsert_state(spark, state_dir, version=1).select(
         "user_id",
+        F.lit(1).alias("in_v1"),
         F.col("ts").alias("ts1"),
         F.col("event_type").alias("type1"),
         F.col("value").alias("value1"),
@@ -791,8 +792,10 @@ def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = read_upsert_state(spark, state_dir, version=2).select(
         "user_id", "ts", "event_type", "value"
     )
+    # join-miss detection via a literal flag, not ts1 — a legitimately
+    # NULL v1 timestamp must not masquerade as a missing key
     status = (
-        F.when(F.col("ts1").isNull(), F.lit("added"))
+        F.when(F.col("in_v1").isNull(), F.lit("added"))
         .when(
             (F.col("ts1") != F.col("ts"))
             | (F.col("type1") != F.col("event_type"))

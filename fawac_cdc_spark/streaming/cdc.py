@@ -227,27 +227,34 @@ def read_upsert_state(
 def write_state_snapshot(
     df: DataFrame, state_dir: str, epoch_id: int, n_buckets: int = N_STATE_BUCKETS
 ) -> None:
-    """Batch-mode snapshot commit through the SAME manifest machinery the
-    streaming upsert sink uses: bucket the latest-per-key state, write the
-    touched buckets to an epoch-scoped immutable directory, and commit a
-    manifest referencing them — so ``read_upsert_state(version=...)`` time
-    travel works identically whether an epoch came from a micro-batch or a
-    batch job (the Delta/Iceberg snapshot-commit shape).  The touched-
-    bucket collect is bounded by n_buckets (the cdc_upsert_run pattern)."""
-    import os as _os
-
-    prev = _read_manifest(state_dir)
-    bucketed = _latest_per_key(df).withColumn("bucket", _bucket_col(n_buckets))
+    """Batch-mode FULL-snapshot commit through the SAME manifest machinery
+    the streaming upsert sink uses: ``df`` is the complete state, so the
+    committed manifest references ONLY this epoch's buckets (unlike the
+    incremental `cdc_upsert_run` MERGE, which carries untouched buckets
+    forward) — carrying previous buckets here would resurrect keys absent
+    from ``df``, which is neither snapshot nor upsert semantics.
+    ``read_upsert_state(version=...)`` time travel then works identically
+    whether an epoch came from a micro-batch or a batch job (the
+    Delta/Iceberg snapshot-commit shape).  Epoch ids are immutable:
+    reusing a committed id would overwrite data files older manifests
+    still reference, so that is refused loudly.  The touched-bucket
+    collect runs on the RAW keys (no window job; bounded by n_buckets)."""
+    if epoch_id in _state_versions(state_dir):
+        raise ValueError(
+            f"epoch {epoch_id} already committed in {state_dir}; epochs are "
+            "immutable — pick an unused id (see state_versions())"
+        )
     epoch_rel = f"data/e{epoch_id}"
-    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
-        _os.path.join(state_dir, epoch_rel)
-    )
+    _latest_per_key(df).withColumn("bucket", _bucket_col(n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(state_dir, epoch_rel))
     touched = sorted(
-        r["bucket"] for r in bucketed.select("bucket").distinct().collect()
+        r["bucket"]
+        for r in df.select(_bucket_col(n_buckets).alias("bucket"))
+        .distinct()
+        .collect()
     )
-    manifest = dict(prev)
-    for k in touched:
-        manifest[str(k)] = f"{epoch_rel}/bucket={k}"
+    manifest = {str(k): f"{epoch_rel}/bucket={k}" for k in touched}
     _commit_manifest(state_dir, epoch_id, manifest)
 
 

@@ -1050,3 +1050,65 @@ def test_cdc_version_diff_time_travel_roundtrip(spark, sf_dir):
     assert v2.select("user_id").distinct().count() == len(users_all)
     assert sum(rows.values()) == len(users_all)
     assert rows.get("added", 0) == len(users_all - users_v1)
+
+
+def test_scd2_ties_are_deterministic(spark, tmp_path):
+    """Two state runs of one user starting at the SAME timestamp: the
+    (valid_from, first_event_id) total order makes valid_to/is_current
+    deterministic — the smaller first_event_id run closes first."""
+    from fawac_cdc_spark.catalog import load_table  # noqa: F401 — schema shape
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:00:00", 7, "purchase", 2.0, "{}"),
+        (3, "2024-01-01 11:00:00", 7, "click", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = str(tmp_path / "scd2_events")
+    df.coalesce(1).write.parquet(f"{out}/events.parquet")
+    got = sorted(
+        (r["state"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in _SPECS["scd2_user_state_intervals"].fn(spark, out).collect()
+    )
+    # click(id1)@10:00 closes at 10:00 (purchase id2 starts "next"),
+    # purchase closes at 11:00, final click run is current
+    assert got == [
+        ("click", "2024-01-01 10:00:00", "2024-01-01 10:00:00", False),
+        ("click", "2024-01-01 11:00:00", "None", True),
+        ("purchase", "2024-01-01 10:00:00", "2024-01-01 11:00:00", False),
+    ]
+
+
+def test_write_state_snapshot_contracts(spark, sf_dir, tmp_path):
+    """The batch snapshot writer's two contracts: epochs are immutable
+    (reusing a committed id raises), and a snapshot is FULL — keys absent
+    from the new state never resurrect from earlier epochs."""
+    import pytest as _pytest
+
+    from fawac_cdc_spark.streaming.cdc import (
+        read_upsert_state,
+        state_versions,
+        write_state_snapshot,
+    )
+
+    state_dir = str(tmp_path / "snap_state")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id long, ts string, event_type string, "
+        "value double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    t0 = "2024-01-01 00:00:00"
+    v1 = mk([(1, t0, "click", 1.0, 1), (2, t0, "view", 2.0, 2)])
+    write_state_snapshot(v1, state_dir, epoch_id=1)
+    with _pytest.raises(ValueError, match="already committed"):
+        write_state_snapshot(v1, state_dir, epoch_id=1)
+    v2 = mk([(3, t0, "click", 3.0, 3)])  # users 1 and 2 gone upstream
+    write_state_snapshot(v2, state_dir, epoch_id=2)
+    assert state_versions(state_dir) == [1, 2]
+    got_v1 = {r["user_id"] for r in read_upsert_state(spark, state_dir, 1).collect()}
+    got_v2 = {r["user_id"] for r in read_upsert_state(spark, state_dir, 2).collect()}
+    assert got_v1 == {1, 2}  # time travel intact
+    assert got_v2 == {3}  # full snapshot: no resurrection of 1, 2
