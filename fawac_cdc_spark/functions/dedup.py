@@ -964,7 +964,10 @@ def connected_components_min_label(
 # Shared recursive-CTE fragment: exact transitive closure over the verified
 # near-dup pair graph, up through ``reach``.  Composed by the CC oracles
 # (min-label and large-star/small-star) and the leakage-safe split oracle.
-_CC_REACH_CTE_SQL = f"""{_capped_sh_sql(_HASHED_SHINGLED_SQL).strip()},
+# Non-recursive prefix: the verified near-dup edge set (canonical
+# doc_a < doc_b) — ONE definition shared by the closure oracles AND the
+# triangle-count oracle.
+_GOOD_EDGES_CTE_SQL = f"""{_capped_sh_sql(_HASHED_SHINGLED_SQL).strip()},
 counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -977,7 +980,9 @@ good AS (
     JOIN counts ca ON ca.doc_id = doc_a
     JOIN counts cb ON cb.doc_id = doc_b
     WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.05
-),
+)"""
+
+_CC_REACH_CTE_SQL = f"""{_GOOD_EDGES_CTE_SQL.strip()},
 edges AS (
     SELECT doc_a AS src, doc_b AS dst FROM good
     UNION ALL
@@ -1422,3 +1427,60 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((n_corpus == 0) & (n_batch == 0)).alias("admitted"),
         )
     )
+
+
+# --- triangle participation on the near-dup graph (round 7) ------------------
+
+
+@register(
+    "near_dup_triangle_counts",
+    oracle=f"""
+WITH {_GOOD_EDGES_CTE_SQL},
+tri AS (
+    SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+    FROM good e1
+    JOIN good e2 ON e2.doc_a = e1.doc_b
+    JOIN good e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+members AS (
+    SELECT x AS doc_id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM members
+GROUP BY doc_id
+""",
+    tags=("dedup", "llm", "graph"),
+)
+def near_dup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation on the verified near-dup pair
+    graph — the classic distributed-graph density metric: a document in
+    many triangles sits inside a DENSE duplicate cluster (boilerplate
+    families, template spam), whereas chain-shaped components are
+    usually legitimate incremental edits.  The standard refinement
+    signal on top of connected components.
+
+    The canonical a<b edge orientation makes each triangle x<y<z count
+    exactly once: edges (x,y), (y,z), (x,z) join as two equi-joins — the
+    MapReduce triangle-enumeration shape (node-iterator over ordered
+    edges).  The edge set is the SAME DF-capped Jaccard pair pipeline as
+    the closure family (checkpointed once, so the expensive shingle
+    subtree runs once), and |triangles| is bounded by the capped pair
+    generation — never all-pairs.  Per-member counts come from one
+    explode + group-by."""
+    edges = (
+        jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
+    e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    members = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionAll(tri.select(F.col("y").alias("doc_id")))
+        .unionAll(tri.select(F.col("z").alias("doc_id")))
+    )
+    return members.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))

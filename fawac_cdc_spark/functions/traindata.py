@@ -1265,3 +1265,87 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             tokens_sel.cast("double") / float(TOKEN_BUDGET_PER_SOURCE), 6
         ).alias("utilization"),
     )
+
+
+# --- per-source distribution drift monitor (round 7) -------------------------
+#
+# The observability half of the mixture story: KL(source || corpus) over
+# the SAME hashed-unigram feature buckets DSIR uses.  A source whose
+# token distribution drifts from the corpus mixture (new crawl snapshot,
+# template change, poisoning) shows up as a KL jump long before any
+# downstream metric moves — and because the features are hashed, the
+# monitor costs one broadcast join regardless of vocabulary size.
+
+
+@register(
+    "source_kl_drift",
+    oracle=f"""
+WITH feats AS (
+    SELECT source, {_DSIR_BUCKET_SQL} AS b
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+),
+corpus AS (SELECT b, COUNT(*) AS cc FROM feats GROUP BY b),
+ctot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ct FROM feats),
+per_src AS (SELECT source, b, COUNT(*) AS sc FROM feats GROUP BY source, b),
+stot AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS st FROM feats GROUP BY source),
+terms AS (
+    SELECT p.source,
+           ((p.sc + 1.0) / (stot.st + {DSIR_BUCKETS}))
+               * LN(((p.sc + 1.0) * (ctot.ct + {DSIR_BUCKETS}))
+                    / ((corpus.cc + 1.0) * (stot.st + {DSIR_BUCKETS}))) AS kl_term
+    FROM per_src p
+    JOIN corpus ON p.b = corpus.b
+    JOIN stot ON p.source = stot.source, ctot
+)
+SELECT t.source,
+       CAST(stot.st AS BIGINT) AS n_tokens,
+       ROUND(SUM(kl_term), 6) AS kl_vs_corpus
+FROM terms t JOIN stot ON t.source = stot.source
+GROUP BY t.source, stot.st
+""",
+    tags=("traindata", "llm", "drift", "monitor"),
+)
+def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: KL(source || corpus) over the DSIR
+    hashed-unigram buckets (add-one smoothed), per source — the cheap
+    early-warning signal for a source whose content shifted away from
+    the corpus mixture.
+
+    Hashed features make this O(1) state per source: the corpus
+    distribution is a DSIR_BUCKETS-row broadcast table, each source
+    contributes its own bucket counts, and the KL is one aggregate over
+    |sources| x occupied-buckets rows.  Buckets absent from a source
+    contribute only through smoothing mass and are omitted identically
+    on both engines (the sum runs over the source's OCCUPIED buckets —
+    a deliberate truncation shared by the oracle, documented here so
+    the number is read as a monitoring statistic, not an exact KL).
+    The term arithmetic follows the DSIR log-ratio convention: exact
+    integer-derived operands, identical operation order, round(6) only
+    on the final sum."""
+    feats = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .select("source", md5_bucket("term", DSIR_BUCKETS).alias("b"))
+    )
+    corpus = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
+    ctot = feats.agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    per_src = feats.groupBy("source", "b").agg(F.count(F.lit(1)).alias("sc"))
+    stot = feats.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("st"))
+    kl_term = (
+        ((F.col("sc") + 1.0) / (F.col("st") + DSIR_BUCKETS))
+        * F.log(
+            ((F.col("sc") + 1.0) * (F.col("ct") + DSIR_BUCKETS))
+            / ((F.col("cc") + 1.0) * (F.col("st") + DSIR_BUCKETS))
+        )
+    )
+    terms = (
+        per_src.join(F.broadcast(corpus), "b")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .select("source", "st", kl_term.alias("kl_term"))
+    )
+    return terms.groupBy("source", "st").agg(
+        F.round(F.sum("kl_term"), 6).alias("kl_vs_corpus")
+    ).select(
+        "source", F.col("st").cast("long").alias("n_tokens"), "kl_vs_corpus"
+    )

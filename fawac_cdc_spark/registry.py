@@ -52,7 +52,7 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   22 new this round       (semantic_dedup_admissions — batch closed form
+#   24 new this round       (semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
 #                           batch-vs-standing-corpus form;
@@ -90,7 +90,11 @@ _QUERY_MODULES = [
 #                           scd2_user_state_intervals — gaps-and-islands
 #                           SCD Type 2 dimension build;
 #                           cdc_version_diff — time-travel diff through
-#                           the real snapshot sink)
+#                           the real snapshot sink;
+#                           near_dup_triangle_counts — triangle
+#                           enumeration over the near-dup graph;
+#                           source_kl_drift — hashed-bucket KL drift
+#                           monitor)
 # + 7 changed this round   (approx_stats_error_bound: split-aggregate
 #                           rewrite around the Expand blowup;
 #                           daily_event_spine: carried recursion bound —
@@ -105,7 +109,7 @@ _QUERY_MODULES = [
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 4 next-stalest         (last green r3; the 31 r3 queries left out —
+# + 2 next-stalest         (last green r3; the 33 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
@@ -117,6 +121,8 @@ _QUERY_MODULES = [
 #                           capped_user_totals,
 #                           click_purchase_pairs,
 #                           cosine_topk_query0,
+#                           asof_join_last_signup_before_purchase,
+#                           multimodal_decode_features,
 #                           dedup_exact_documents,
 #                           doc_token_chunks,
 #                           checkpoint_selection,
@@ -140,7 +146,7 @@ _QUERY_MODULES = [
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (22).
+    # New this round (24).
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
@@ -163,6 +169,8 @@ _PRIORITY = [
     "rolling_zscore_anomalies",
     "scd2_user_state_intervals",
     "cdc_version_diff",
+    "near_dup_triangle_counts",
+    "source_kl_drift",
     # Changed this round (7): re-verify against updated code/oracles.
     "approx_stats_error_bound",
     "daily_event_spine",
@@ -190,14 +198,12 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (4): last green row is round 3; the closure loop
-    # shared by connected_component_survivors changed this round, so it
-    # stays in-window for re-verification, as does ivf_topk_query1
-    # (its shared assignment subtree changed in session 1).
-    "asof_join_last_signup_before_purchase",
+    # Next-stalest (2): the closure loop shared by
+    # connected_component_survivors changed this round, so it stays
+    # in-window for re-verification, as does ivf_topk_query1 (its shared
+    # assignment subtree changed in session 1).
     "connected_component_survivors",
     "ivf_topk_query1",
-    "multimodal_decode_features",
 ]
 
 
@@ -236,6 +242,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "rolling_zscore_anomalies",
     "scd2_user_state_intervals",
     "cdc_version_diff",
+    "near_dup_triangle_counts",
+    "source_kl_drift",
 )
 
 

@@ -641,3 +641,25 @@ def test_scd2_build_is_windows_plus_one_aggregate(spark, sf_dir):
     assert "rangepartitioning" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_enumeration_is_equi_joins_over_one_checkpoint(spark, sf_dir):
+    """Triangle counting must be two equi-joins over ONE checkpointed
+    edge table (the expensive shingle-pair subtree runs once), never a
+    cartesian shape, with no global sort."""
+    plan = _plan(spark, sf_dir, "near_dup_triangle_counts")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan
+    # all three join legs read the checkpointed RDD, not the shingle scan
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3
+
+
+def test_kl_drift_broadcasts_the_corpus_distribution(spark, sf_dir):
+    """The drift monitor's whole point: the corpus distribution is a
+    DSIR_BUCKETS-row broadcast, so the per-source stream never shuffles
+    to meet it."""
+    plan = _plan(spark, sf_dir, "source_kl_drift")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan

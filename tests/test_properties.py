@@ -1112,3 +1112,77 @@ def test_write_state_snapshot_contracts(spark, sf_dir, tmp_path):
     got_v2 = {r["user_id"] for r in read_upsert_state(spark, state_dir, 2).collect()}
     assert got_v1 == {1, 2}  # time travel intact
     assert got_v2 == {3}  # full snapshot: no resurrection of 1, 2
+
+
+def test_triangle_counts_match_networkx_free_replica(spark, sf_dir):
+    """Independent brute-force replica: enumerate triangles over the
+    Jaccard edge set computed from raw shingles in pure python."""
+    from fawac_cdc_spark.functions.dedup import (
+        MAX_SHINGLE_DF,
+        jaccard_candidate_pairs,
+        _shingled_hashed,
+    )
+
+    edges = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    eset = set(edges)
+    expected: dict[int, int] = {}
+    for x, y in edges:
+        for x2, z in edges:
+            if x2 == y and (x, z) in eset:
+                for d in (x, y, z):
+                    expected[d] = expected.get(d, 0) + 1
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in _SPECS["near_dup_triangle_counts"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got, "fixture graph should contain at least one triangle"
+
+
+def test_source_kl_drift_properties(spark, sf_dir):
+    """KL-monitor sanity: a source's drift against the corpus is finite,
+    the token totals tile the corpus, and an independent hashlib/numpy
+    replica reproduces every value."""
+    import hashlib
+
+    from fawac_cdc_spark.functions.traindata import DSIR_BUCKETS
+
+    docs = _docs_pdf(sf_dir)
+    bucket = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % DSIR_BUCKETS  # noqa: E731
+    corpus: dict[int, int] = {}
+    per_src: dict[str, dict[int, int]] = {}
+    stot: dict[str, int] = {}
+    ct = 0
+    for _, r in docs.iterrows():
+        for t in r["text"].split(" "):
+            b = bucket(t)
+            corpus[b] = corpus.get(b, 0) + 1
+            per_src.setdefault(r["source"], {})
+            per_src[r["source"]][b] = per_src[r["source"]].get(b, 0) + 1
+            stot[r["source"]] = stot.get(r["source"], 0) + 1
+            ct += 1
+    expected = {}
+    for src, buckets in per_src.items():
+        st = float(stot[src])
+        kl = sum(
+            ((sc + 1.0) / (st + DSIR_BUCKETS))
+            * np.log(((sc + 1.0) * (float(ct) + DSIR_BUCKETS))
+                     / ((corpus[b] + 1.0) * (st + DSIR_BUCKETS)))
+            for b, sc in buckets.items()
+        )
+        expected[src] = (stot[src], round(kl, 6))
+    got = {
+        r["source"]: (r["n_tokens"], r["kl_vs_corpus"])
+        for r in _SPECS["source_kl_drift"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    assert sum(n for n, _ in got.values()) == ct
+    for src, (n, kl) in expected.items():
+        assert got[src][0] == n
+        assert got[src][1] == pytest.approx(kl, abs=2e-6)
+        assert np.isfinite(got[src][1])
