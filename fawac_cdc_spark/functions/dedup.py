@@ -1478,9 +1478,7 @@ def near_dup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
     e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
     tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    members = (
-        tri.select(F.col("x").alias("doc_id"))
-        .unionAll(tri.select(F.col("y").alias("doc_id")))
-        .unionAll(tri.select(F.col("z").alias("doc_id")))
-    )
+    # one explode, not a 3-way unionAll — the union form re-executed the
+    # whole two-join enumeration once per branch (3x the heavy stage)
+    members = tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
     return members.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))

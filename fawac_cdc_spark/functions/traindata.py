@@ -803,11 +803,16 @@ _DSIR_BUCKET_SQL = md5_bucket_sql("term", DSIR_BUCKETS)
 # top-k selection oracle and the Gumbel resampling oracle, mirroring the
 # one Spark-side builder `_dsir_feats_and_lm` (two hand-kept copies of the
 # smoothing arithmetic is how Spark/oracle drift would start).
-_DSIR_LM_CTES = f"""feats AS (
+# The feats CTE alone — shared by the LM block below AND the KL drift
+# monitor's oracle, so "the same hashed features as DSIR" is true by
+# construction on the oracle side too.
+_DSIR_FEATS_CTE = f"""feats AS (
     SELECT doc_id, source, lang, {_DSIR_BUCKET_SQL} AS b
     FROM (SELECT doc_id, source, lang, unnest(string_split(text, ' ')) AS term
           FROM documents)
-),
+)"""
+
+_DSIR_LM_CTES = f"""{_DSIR_FEATS_CTE},
 raw AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY b),
 tgt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
 tots AS (
@@ -823,12 +828,13 @@ lm AS (
 )"""
 
 
-def _dsir_feats_and_lm(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(feats, lm): the hashed-unigram token stream and the broadcastable
-    DSIR_BUCKETS-row log-importance table — the ONE Spark definition of
-    the DSIR arithmetic (oracle mirror: `_DSIR_LM_CTES`)."""
+def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, lang, b): the hashed-unigram token stream — the
+    ONE Spark definition of the DSIR feature space (oracle mirror:
+    `_DSIR_FEATS_CTE`), shared by selection, resampling, and the KL
+    drift monitor."""
     d = load_table(spark, sf_dir, "documents")
-    feats = d.select(
+    return d.select(
         "doc_id",
         "source",
         "lang",
@@ -836,6 +842,13 @@ def _dsir_feats_and_lm(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     ).select(
         "doc_id", "source", "lang", md5_bucket("term", DSIR_BUCKETS).alias("b")
     )
+
+
+def _dsir_feats_and_lm(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(feats, lm): the hashed-unigram token stream and the broadcastable
+    DSIR_BUCKETS-row log-importance table — the ONE Spark definition of
+    the DSIR arithmetic (oracle mirror: `_DSIR_LM_CTES`)."""
+    feats = _dsir_feats(spark, sf_dir)
     is_tgt = F.col("lang") == DSIR_TARGET_LANG
     raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt = feats.where(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
@@ -1280,10 +1293,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_kl_drift",
     oracle=f"""
-WITH feats AS (
-    SELECT source, {_DSIR_BUCKET_SQL} AS b
-    FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
-),
+WITH {_DSIR_FEATS_CTE},
 corpus AS (SELECT b, COUNT(*) AS cc FROM feats GROUP BY b),
 ctot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ct FROM feats),
 per_src AS (SELECT source, b, COUNT(*) AS sc FROM feats GROUP BY source, b),
@@ -1322,15 +1332,32 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     The term arithmetic follows the DSIR log-ratio convention: exact
     integer-derived operands, identical operation order, round(6) only
     on the final sum."""
-    feats = (
-        load_table(spark, sf_dir, "documents")
-        .select("source", F.explode(F.split("text", " ")).alias("term"))
-        .select("source", md5_bucket("term", DSIR_BUCKETS).alias("b"))
+    from pyspark.sql import Window
+
+    # ONE pass over the token stream: per-(source, bucket) counts are the
+    # finest grain, so the corpus distribution, source totals, and corpus
+    # total are all exact integer derivations of the checkpointed per_src
+    # table — the earlier four-consumer form re-ran the tokenize+md5 scan
+    # four times (the measured +22-33%-per-extra-scan class from the
+    # Jaccard family).  The corpus total rides a 256-row unbounded window
+    # on the corpus table instead of a scalar cross join, so no
+    # BroadcastNestedLoopJoin enters the plan.
+    per_src = (
+        _dsir_feats(spark, sf_dir)
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("sc"))
+        .localCheckpoint(eager=True)
     )
-    corpus = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
-    ctot = feats.agg(F.count(F.lit(1)).cast("double").alias("ct"))
-    per_src = feats.groupBy("source", "b").agg(F.count(F.lit(1)).alias("sc"))
-    stot = feats.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("st"))
+    corpus = (
+        per_src.groupBy("b")
+        .agg(F.sum("sc").alias("cc"))
+        .withColumn(
+            "ct", F.sum("cc").over(Window.partitionBy()).cast("double")
+        )
+    )
+    stot = per_src.groupBy("source").agg(
+        F.sum("sc").cast("double").alias("st")
+    )
     kl_term = (
         ((F.col("sc") + 1.0) / (F.col("st") + DSIR_BUCKETS))
         * F.log(
@@ -1341,7 +1368,6 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = (
         per_src.join(F.broadcast(corpus), "b")
         .join(F.broadcast(stot), "source")
-        .crossJoin(F.broadcast(ctot))
         .select("source", "st", kl_term.alias("kl_term"))
     )
     return terms.groupBy("source", "st").agg(

@@ -1114,26 +1114,49 @@ def test_write_state_snapshot_contracts(spark, sf_dir, tmp_path):
     assert got_v2 == {3}  # full snapshot: no resurrection of 1, 2
 
 
-def test_triangle_counts_match_networkx_free_replica(spark, sf_dir):
-    """Independent brute-force replica: enumerate triangles over the
-    Jaccard edge set computed from raw shingles in pure python."""
-    from fawac_cdc_spark.functions.dedup import (
-        MAX_SHINGLE_DF,
-        jaccard_candidate_pairs,
-        _shingled_hashed,
-    )
+def test_triangle_counts_match_pure_python_replica(spark, sf_dir):
+    """FULLY independent replica: shingles, DF cap, Jaccard edges, and
+    triangles all recomputed from the raw parquet in pure
+    python/hashlib — no production Spark code in the expected path."""
+    import hashlib
+    from collections import Counter
 
-    edges = {
-        (r["doc_a"], r["doc_b"])
-        for r in jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
-        .select("doc_a", "doc_b")
-        .collect()
+    from fawac_cdc_spark.functions.dedup import MAX_SHINGLE_DF
+
+    docs = _docs_pdf(sf_dir)
+    doc_sh: dict[int, set[int]] = {}
+    for _, r in docs.iterrows():
+        ts = r["text"].split(" ")
+        if len(ts) < 3:
+            continue
+        doc_sh[int(r["doc_id"])] = {
+            int(hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest()[:15], 16)
+            for i in range(len(ts) - 2)
+        }
+    df_counts = Counter(s for shs in doc_sh.values() for s in shs)
+    capped = {
+        d: {s for s in shs if df_counts[s] <= MAX_SHINGLE_DF}
+        for d, shs in doc_sh.items()
     }
-    eset = set(edges)
+    inv: dict[int, list[int]] = {}
+    for d, shs in capped.items():
+        for s in shs:
+            inv.setdefault(s, []).append(d)
+    pair_shared = Counter()
+    for s, ds in inv.items():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_shared[(ds[i], ds[j])] += 1
+    edges = {
+        (a, b)
+        for (a, b), sh in pair_shared.items()
+        if sh / (len(capped[a]) + len(capped[b]) - sh) >= 0.05
+    }
     expected: dict[int, int] = {}
     for x, y in edges:
         for x2, z in edges:
-            if x2 == y and (x, z) in eset:
+            if x2 == y and (x, z) in edges:
                 for d in (x, y, z):
                     expected[d] = expected.get(d, 0) + 1
     got = {
