@@ -162,3 +162,103 @@ def blocklist_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Semantic (embedding-level) decontamination (round 7) ---------------------
+#
+# The embedding twin of ``benchmark_decontam_flags``: paraphrased benchmark
+# leakage survives n-gram matching (no shared 13-gram after a reword), so
+# production decontamination ALSO flags training items whose embedding is
+# too close to any held-out eval item (the contamination analyses in the
+# GPT-4 / Llama-2 reports and Yang et al. 2023 use exactly this shape).
+# Threshold reuses the ONE SemDeDup family constant (similarity.SEMDEDUP_COS)
+# — "semantically a duplicate" has a single definition in this engine.
+
+SEM_EVAL_BUCKETS = 32  # divides 16^4, so the md5 coin is exactly uniform
+
+
+def _sem_decontam_sql() -> str:
+    from ..operators.helpers import md5_bucket_sql
+    from .similarity import _NORM_DUCK, _dot2_duck, SEMDEDUP_COS
+
+    coin = md5_bucket_sql("vec_id", SEM_EVAL_BUCKETS)
+    norm = _NORM_DUCK.format(v="embedding")
+    dot = _dot2_duck("t.embedding", "e.evec")
+    return f"""
+WITH ev AS (
+    SELECT vec_id AS eid, embedding AS evec, {norm} AS enrm
+    FROM embeddings WHERE {coin} = 0
+),
+tr AS (
+    SELECT vec_id, embedding, {norm} AS nrm
+    FROM embeddings WHERE NOT ({coin} = 0)
+),
+pairs AS (
+    SELECT t.vec_id,
+           ROUND(({dot}) / (t.nrm * e.enrm), 6) AS cos
+    FROM tr t CROSS JOIN ev e
+)
+SELECT vec_id,
+       CAST(COUNT(CASE WHEN cos >= {SEMDEDUP_COS} THEN 1 END) AS BIGINT)
+           AS n_eval_hits,
+       MAX(cos) AS max_eval_cos
+FROM pairs
+GROUP BY vec_id
+HAVING COUNT(CASE WHEN cos >= {SEMDEDUP_COS} THEN 1 END) >= 1
+"""
+
+
+@register(
+    "semantic_decontam_flags",
+    oracle=_sem_decontam_sql(),
+    tags=("llm", "decontam", "similarity"),
+)
+def semantic_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training vectors whose cosine to ANY held-out eval vector reaches
+    the SemDeDup threshold — per flagged vector: how many eval items it
+    collides with and the worst cosine.
+
+    Scale shape: a benchmark suite is FIXED-SIZE while the corpus grows
+    (the md5 split here is the fixture stand-in for that), so the eval
+    side folds into ONE array-of-structs row — norms hoisted — that
+    broadcasts, and the corpus side is a PURE MAP: per training row, one
+    higher-order pass computes every rounded eval cosine, the hit count,
+    and the max, with NO join key and NO shuffle anywhere in the plan
+    (the ``cosine_assigned_cells`` folded-broadcast idiom; same ~1e5-row
+    broadcast bound, beyond which the Arrow-matmul seam applies)."""
+    from ..operators.helpers import md5_bucket
+    from .similarity import _NORM_SPARK, _dot2_spark, SEMDEDUP_COS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    coin = md5_bucket("vec_id", SEM_EVAL_BUCKETS)
+    ev_row = (
+        e.where(coin == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("eid"),
+                F.col("embedding").alias("evec"),
+                F.expr(_NORM_SPARK.format(v="embedding")).alias("enrm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("evals"))
+    )
+    dot = _dot2_spark("embedding", "v.evec")
+    cos_arr = f"transform(evals, v -> round(({dot}) / (_nrm_t * v.enrm), 6))"
+    return (
+        e.where(~(coin == 0))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_t"),
+        )
+        .crossJoin(F.broadcast(ev_row))
+        .select("vec_id", F.expr(cos_arr).alias("_cos"))
+        .select(
+            "vec_id",
+            F.size(F.expr(f"filter(_cos, c -> c >= {SEMDEDUP_COS})"))
+            .cast("bigint")
+            .alias("n_eval_hits"),
+            F.array_max("_cos").alias("max_eval_cos"),
+        )
+        .where(F.col("n_eval_hits") >= 1)
+    )

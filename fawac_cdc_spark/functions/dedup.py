@@ -1482,3 +1482,122 @@ def near_dup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole two-join enumeration once per branch (3x the heavy stage)
     members = tri.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
     return members.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --- PageRank over the near-dup graph (round 7) -------------------------------
+#
+# Iterative NUMERIC fixed-point on the verified Jaccard pair graph — the
+# capability class beyond the boolean closure loops above: damped power
+# iteration with per-iteration rounding so the Spark loop and the DuckDB
+# unrolled-CTE oracle stay value-exact (repo rounding convention: round(6)
+# kills sub-5e-7 fold-order residue each step before it can amplify).
+
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+# Pre-folded in Python so both engines parse the SAME IEEE double (the
+# BM25 _K1P1 idiom): 1 - 0.85 is NOT exactly 0.15 in binary.
+_PR_TELEPORT_NUM = 1.0 - PAGERANK_D
+
+
+def _pagerank_oracle_sql(iters: int = PAGERANK_ITERS) -> str:
+    """Unrolled-CTE mirror of the Spark power iteration, generated from
+    the SAME constants (one definition; a hand-written copy per iteration
+    is how the engines would drift apart)."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""pr{k} AS (
+    SELECT nd.doc_id,
+           ROUND({_PR_TELEPORT_NUM!r} / nn.n
+                 + {PAGERANK_D!r} * COALESCE(s.m, 0.0), 6) AS pr
+    FROM nodes nd
+    CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst, SUM(p.pr / d.deg) AS m
+        FROM edges e
+        JOIN {prev} p ON p.doc_id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) s ON s.dst = nd.doc_id
+)"""
+        )
+        prev = f"pr{k}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH {_GOOD_EDGES_CTE_SQL},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM good
+    UNION ALL
+    SELECT doc_b, doc_a FROM good
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT nd.doc_id, ROUND(1.0 / nn.n, 6) AS pr FROM nodes nd CROSS JOIN nn),
+{joined}
+SELECT p.doc_id,
+       CAST(d.deg AS BIGINT) AS degree,
+       p.pr
+FROM {prev} p
+JOIN deg d ON d.src = p.doc_id
+"""
+
+
+@register(
+    "pagerank_near_dup",
+    oracle=_pagerank_oracle_sql(),
+    tags=("dedup", "llm", "graph", "iterative"),
+)
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 3 iterations) over the verified near-dup
+    pair graph — centrality on the duplicate graph ranks the TEMPLATE
+    documents a boilerplate family radiates from (the doc every near-copy
+    links to scores highest), a finer keep/drop signal than min-id when
+    curating which cluster member survives.
+
+    Scale shape (the iterative-numeric twin of the closure loops): the
+    symmetrized edge list with out-degrees pre-joined is checkpointed
+    ONCE (loop-invariant — without it every iteration re-runs the shingle
+    self-join subtree); each iteration is then exactly one join + one
+    groupBy on the destination key, and the iteration count is a constant
+    (3), so the lineage stays a single non-branching chain executed once.
+    |V| enters as one bounded driver aggregate (a count, never a
+    collect).  Per-iteration round(6) on BOTH engines keeps the power
+    iteration value-exact across Spark's and DuckDB's float fold orders
+    (same contract as the EWMA/cumsum recurrences)."""
+    edges = (
+        jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # loop-invariant: (src, dst, deg_src), checkpointed once
+    sym_deg = sym.join(deg, "src").localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = float(nodes.count())  # |V|: one bounded driver aggregate
+    pr = nodes.select(
+        "doc_id", F.round(F.lit(1.0) / F.lit(n), 6).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            sym_deg.join(pr, sym_deg["src"] == pr["doc_id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("m"))
+        )
+        pr = nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left").select(
+            "doc_id",
+            F.round(
+                F.lit(_PR_TELEPORT_NUM) / F.lit(n)
+                + F.lit(PAGERANK_D) * F.coalesce("m", F.lit(0.0)),
+                6,
+            ).alias("pr"),
+        )
+    return pr.join(deg, pr["doc_id"] == deg["src"]).select(
+        "doc_id", F.col("deg").cast("long").alias("degree"), "pr"
+    )

@@ -106,19 +106,45 @@ _DOTQ_DUCK = (
 )
 
 
-@register(
-    "cosine_topk_query0",
-    oracle=f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-scored AS (
+# Shared CTE pair: every corpus vector's rounded cosine to the fixed
+# query (vec_id=0) — composed by the brute-force top-k oracle AND the RRF
+# fusion oracle in functions/text.py (one definition, round-7 factoring).
+_SCORED_Q0_CTE = f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored_q0 AS (
     SELECT vec_id,
            ROUND(({_DOTQ_DUCK})
                  / (({_NORM_DUCK.format(v='embedding')})
                     * ({_NORM_DUCK.format(v='qv')})), 6) AS cos_sim
     FROM embeddings, q
     WHERE vec_id <> 0
-)
-SELECT vec_id, cos_sim FROM scored
+)"""
+
+
+def scored_vs_query0(e: DataFrame) -> DataFrame:
+    """(vec_id, cos_sim): rounded cosine of every corpus vector (except
+    the query itself) to the fixed query vec_id=0 — the ONE Spark-side
+    definition (oracle mirror: ``_SCORED_Q0_CTE``), composed by the
+    brute-force top-k and the RRF fusion in functions/text.py."""
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(_DOTQ_SPARK)
+                / (F.expr(_NORM_SPARK.format(v="embedding")) * F.expr(_NORM_SPARK.format(v="qvec"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "cosine_topk_query0",
+    oracle=f"""
+WITH {_SCORED_Q0_CTE}
+SELECT vec_id, cos_sim FROM scored_q0
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """,
@@ -133,19 +159,7 @@ def cosine_topk_query0(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is engine-stable.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    scored = (
-        e.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                F.expr(_DOTQ_SPARK)
-                / (F.expr(_NORM_SPARK.format(v="embedding")) * F.expr(_NORM_SPARK.format(v="qvec"))),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
+    scored = scored_vs_query0(e)
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
 
 

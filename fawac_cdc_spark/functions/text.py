@@ -544,11 +544,10 @@ BM25_TOP_K = 10
 _K1P1 = BM25_K1 + 1.0  # 2.2
 _ONE_MINUS_B = 1.0 - BM25_B  # 0.25
 
-
-@register(
-    "bm25_topk_docs",
-    oracle=f"""
-WITH base AS (
+# Shared CTE chain ending in bm25_scored(doc_id, source, bm25) — composed
+# by the bm25_topk_docs oracle AND the RRF fusion oracle below (one
+# definition; round-7 RRF addition factored it out of the top-k query).
+_BM25_SCORED_CTE = f"""base AS (
     SELECT doc_id, source, len(string_split(text, ' ')) AS dl,
            string_split(text, ' ') AS toks
     FROM documents
@@ -576,10 +575,20 @@ contrib AS (
                / (tf.tf + {BM25_K1} * ({_ONE_MINUS_B} + ({BM25_B} * tf.dl) / idf.avgdl))
                AS w
     FROM tf JOIN idf USING (term)
-)
-SELECT doc_id, source, ROUND(SUM(w), 6) AS bm25
-FROM contrib
-GROUP BY doc_id, source
+),
+bm25_scored AS (
+    SELECT doc_id, source, ROUND(SUM(w), 6) AS bm25
+    FROM contrib
+    GROUP BY doc_id, source
+)"""
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+WITH {_BM25_SCORED_CTE}
+SELECT doc_id, source, bm25
+FROM bm25_scored
 ORDER BY bm25 DESC, doc_id
 LIMIT {BM25_TOP_K}
 """,
@@ -599,6 +608,15 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of scale, and the top-10 is TakeOrderedAndProject, never a global
     sort. BM25 weights are round(6)-ed BEFORE ranking so the order is
     engine-stable (ties break to doc_id)."""
+    scored = bm25_scored_df(spark, sf_dir)
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
+
+
+def bm25_scored_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, bm25): the full BM25 score table for the fixed
+    query — the ONE Spark-side definition (oracle mirror:
+    ``_BM25_SCORED_CTE``), composed by the top-k query and the RRF
+    fusion."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     base = d.select(
@@ -632,13 +650,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + BM25_K1 * (F.lit(_ONE_MINUS_B) + (BM25_B * F.col("dl")) / F.col("avgdl"))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(idf), "term")
         .select("doc_id", "source", w.alias("w"))
         .groupBy("doc_id", "source")
         .agg(F.round(F.sum("w"), 6).alias("bm25"))
     )
-    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
 
 
 # --- Model-based quality filtering (round 7) ---------------------------------
@@ -736,3 +753,107 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(keep.cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
         F.round(F.sum("p") / F.count(F.lit(1)), 6).alias("avg_quality"),
     )
+
+
+# --- Reciprocal-rank fusion: hybrid lexical + dense retrieval (round 7) -------
+#
+# The standard hybrid-retrieval combiner (Cormack et al., SIGIR 2009; the
+# default fusion in every RAG stack): each retriever contributes
+# 1/(K + rank) for the documents in its top-POOL list, and documents found
+# by BOTH lexical BM25 and dense cosine float to the top.  Both input
+# scorings already exist as ONE shared definition each (bm25_scored_df /
+# _BM25_SCORED_CTE here; scored_vs_query0 / _SCORED_Q0_CTE in
+# functions/similarity.py), so the fusion adds no third copy of either.
+
+RRF_K = 60
+RRF_POOL = 20
+RRF_TOP_K = 10
+
+from .similarity import _SCORED_Q0_CTE  # noqa: E402  (oracle composition)
+
+
+@register(
+    "rrf_fused_topk_docs",
+    oracle=f"""
+WITH {_BM25_SCORED_CTE},
+lex_pool AS (
+    SELECT doc_id, bm25 FROM bm25_scored
+    ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL}
+),
+lex_ranks AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+    FROM lex_pool
+),
+{_SCORED_Q0_CTE},
+dense_pool AS (
+    SELECT vec_id, cos_sim FROM scored_q0
+    ORDER BY cos_sim DESC, vec_id LIMIT {RRF_POOL}
+),
+dense_ranks AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rd
+    FROM dense_pool
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+           CAST(l.rl IS NOT NULL AS INT) AS in_lex,
+           CAST(d.rd IS NOT NULL AS INT) AS in_dense,
+           ROUND(COALESCE(1.0 / ({RRF_K} + l.rl), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + d.rd), 0.0), 6) AS rrf_score
+    FROM lex_ranks l
+    FULL JOIN dense_ranks d ON d.vec_id = l.doc_id
+)
+SELECT doc_id, in_lex, in_dense, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOP_K}
+""",
+    tags=("text", "llm", "retrieval", "similarity"),
+)
+def rrf_fused_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 (lexical) and cosine-to-query-0
+    (dense) retrieval: top-10 by sum of 1/(60 + rank) over each
+    retriever's top-20 list (documents and embeddings share the id
+    space, doc_id == vec_id — the established multimodal join key).
+
+    Scale shape: each retriever's pool is a distributed top-POOL
+    (TakeOrderedAndProject — never a global sort), so the unpartitioned
+    ROW_NUMBER windows and the full-outer fusion join run over two
+    CONSTANT-size (20-row) frames; the corpus-size work is exactly the
+    two underlying scorings, both already linear and broadcast-shaped.
+    Ranks are assigned AFTER round(6) on the scores with id tiebreaks,
+    so list order — and therefore the fused score — is engine-stable."""
+    from pyspark.sql import Window
+
+    from .similarity import scored_vs_query0
+
+    lex_pool = (
+        bm25_scored_df(spark, sf_dir)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex_ranks = lex_pool.select("doc_id", F.row_number().over(w_lex).alias("rl"))
+    e = load_table(spark, sf_dir, "embeddings")
+    dense_pool = (
+        scored_vs_query0(e)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(RRF_POOL)
+    )
+    w_dense = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    dense_ranks = dense_pool.select(
+        "vec_id", F.row_number().over(w_dense).alias("rd")
+    )
+    fused = lex_ranks.join(
+        dense_ranks, lex_ranks["doc_id"] == dense_ranks["vec_id"], "full"
+    ).select(
+        F.coalesce("doc_id", "vec_id").alias("doc_id"),
+        F.col("rl").isNotNull().cast("int").alias("in_lex"),
+        F.col("rd").isNotNull().cast("int").alias("in_dense"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rl")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rd")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(RRF_TOP_K)

@@ -52,7 +52,13 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   24 new this round       (semantic_dedup_admissions — batch closed form
+#   27 new this round       (session 3: pagerank_near_dup — damped power
+#                           iteration on the near-dup graph;
+#                           rrf_fused_topk_docs — reciprocal-rank fusion
+#                           of BM25 and dense retrieval;
+#                           semantic_decontam_flags — embedding-level
+#                           eval-overlap flags;
+#                           semantic_dedup_admissions — batch closed form
 #                           of the streaming embedding dedup-on-ingest;
 #                           incremental_semantic_dedup — its
 #                           batch-vs-standing-corpus form;
@@ -95,7 +101,7 @@ _QUERY_MODULES = [
 #                           enumeration over the near-dup graph;
 #                           source_kl_drift — hashed-bucket KL drift
 #                           monitor)
-# + 7 changed this round   (approx_stats_error_bound: split-aggregate
+# + 6 changed this round   (approx_stats_error_bound: split-aggregate
 #                           rewrite around the Expand blowup;
 #                           daily_event_spine: carried recursion bound —
 #                           both value-identical plan fixes re-verified;
@@ -103,13 +109,19 @@ _QUERY_MODULES = [
 #                           dropped dead sort; semantic_dedup_cell_stats:
 #                           parameterized k + round-6 threshold + dropped
 #                           sort; incremental_lsh_dedup /
-#                           knn_join_bucketed_top3 / lsh_dedup_admissions:
-#                           dropped dead sorts)
+#                           lsh_dedup_admissions: dropped dead sorts —
+#                           knn_join_bucketed_top3's identical sort-drop
+#                           ceded its slot to the session-3 additions,
+#                           and the refactored-but-value-identical
+#                           bm25_topk_docs / cosine_topk_query0 oracle
+#                           factorings are covered by the dual-scale
+#                           sweeps, bm25 also in-window above)
 # + 1 flagship             (same query as entry()'s smoke check)
 # + 16 stalest             (the r1-only remainder named by the r6 window
 #                           comment — every one now rotates in as
 #                           promised)
-# + 2 next-stalest         (last green r3; the 33 r3 queries left out —
+# (the former 2 next-stalest bonus slots — last green r3 — now hold
+#  session-3 queries; the 33 r3 queries left out —
 #                           minhash_signatures, simhash_fingerprints,
 #                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
 #                           embedding_label_stats, noise_injected_values,
@@ -141,12 +153,25 @@ _QUERY_MODULES = [
 #                           simhash_hamming_pairs,
 #                           stream_dedup_first_event — are from families
 #                           with 2+ refreshed entries in-window and lead
-#                           the r8 rotation)
+#                           the r8 rotation, now joined by
+#                           connected_component_survivors, ivf_topk_query1
+#                           and knn_join_bucketed_top3, which ceded their
+#                           slots to the session-3 additions)
 # = 50.  Everything outside the window stays covered by tools/parity.py
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (24).
+    # New this round (27).  The session-3 additions (pagerank_near_dup,
+    # rrf_fused_topk_docs, semantic_decontam_flags) take the three slots
+    # freed below: connected_component_survivors / ivf_topk_query1 (their
+    # changed shared subtrees are already re-verified in-window by
+    # semantic_cc_survivors — same closure loop — and
+    # ivf_multiprobe_topk_query1 — same assignment) and
+    # knn_join_bucketed_top3 (value-identical dead-sort drop, a class the
+    # window still covers via incremental_lsh_dedup + lsh_dedup_admissions).
+    "pagerank_near_dup",
+    "rrf_fused_topk_docs",
+    "semantic_decontam_flags",
     "semantic_dedup_admissions",
     "incremental_semantic_dedup",
     "weighted_source_mixture",
@@ -177,7 +202,6 @@ _PRIORITY = [
     "substring_dup_stats",
     "semantic_dedup_cell_stats",
     "incremental_lsh_dedup",
-    "knn_join_bucketed_top3",
     "lsh_dedup_admissions",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
@@ -198,12 +222,6 @@ _PRIORITY = [
     "range_frame_trailing_hour",
     "nations_customers_intersect_suppliers",
     "winnowing_fingerprints",
-    # Next-stalest (2): the closure loop shared by
-    # connected_component_survivors changed this round, so it stays
-    # in-window for re-verification, as does ivf_topk_query1 (its shared
-    # assignment subtree changed in session 1).
-    "connected_component_survivors",
-    "ivf_topk_query1",
 ]
 
 
@@ -244,6 +262,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "cdc_version_diff",
     "near_dup_triangle_counts",
     "source_kl_drift",
+    "pagerank_near_dup",
+    "rrf_fused_topk_docs",
+    "semantic_decontam_flags",
 )
 
 

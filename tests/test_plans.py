@@ -88,6 +88,8 @@ _SCALAR_BROADCAST_OK = {
     "dsir_gumbel_resample",  # same 1-row LM totals
     "ivf_multiprobe_topk_query1",  # 1 query vector + 8 centroids
     "embedding_margin_stats",  # 1-row folded centroid table
+    "rrf_fused_topk_docs",  # 1-row corpus stats + 1 query vector (composed)
+    "semantic_decontam_flags",  # 1-row folded eval-vector table
 }
 
 
@@ -663,3 +665,34 @@ def test_kl_drift_broadcasts_the_corpus_distribution(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pagerank_loop_invariants_checkpointed_no_global_sort(spark, sf_dir):
+    """The power iteration's loop-invariant inputs (degree-joined edge
+    list, node list) must be materialized ONCE (ExistingRDD scans — the
+    candidate-pair subtree must not re-run per iteration) and the output
+    carries no dead global sort."""
+    plan = _plan(spark, sf_dir, "pagerank_near_dup")
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_decontam_corpus_side_is_shuffle_free(spark, sf_dir):
+    """The eval side folds into ONE broadcast row, so the corpus side is
+    a pure map: no hashpartitioning exchange, no window, exactly the one
+    scalar-broadcast nested-loop join (tree line + detail block)."""
+    plan = _plan(spark, sf_dir, "semantic_decontam_flags")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_rrf_pools_are_distributed_topk(spark, sf_dir):
+    """Both retriever pools and the final fused list must be
+    TakeOrderedAndProject (distributed top-k), never a global sort; the
+    unpartitioned rank windows run over the constant-size pools only."""
+    plan = _plan(spark, sf_dir, "rrf_fused_topk_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -1209,3 +1209,195 @@ def test_source_kl_drift_properties(spark, sf_dir):
         assert got[src][0] == n
         assert got[src][1] == pytest.approx(kl, abs=2e-6)
         assert np.isfinite(got[src][1])
+
+
+# --- round 7 session 3: pagerank / RRF fusion / semantic decontam ------------
+
+
+def _jaccard_edges_replica(sf_dir):
+    """Pure python/hashlib near-dup edge set (shingles, DF cap, Jaccard)
+    — the same independent derivation the triangle replica uses."""
+    import hashlib
+    from collections import Counter
+
+    from fawac_cdc_spark.functions.dedup import MAX_SHINGLE_DF
+
+    docs = _docs_pdf(sf_dir)
+    doc_sh: dict[int, set[int]] = {}
+    for _, r in docs.iterrows():
+        ts = r["text"].split(" ")
+        if len(ts) < 3:
+            continue
+        doc_sh[int(r["doc_id"])] = {
+            int(hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest()[:15], 16)
+            for i in range(len(ts) - 2)
+        }
+    df_counts = Counter(s for shs in doc_sh.values() for s in shs)
+    capped = {
+        d: {s for s in shs if df_counts[s] <= MAX_SHINGLE_DF}
+        for d, shs in doc_sh.items()
+    }
+    inv: dict[int, list[int]] = {}
+    for d, shs in capped.items():
+        for s in shs:
+            inv.setdefault(s, []).append(d)
+    pair_shared = Counter()
+    for ds in inv.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_shared[(ds[i], ds[j])] += 1
+    return {
+        (a, b)
+        for (a, b), sh in pair_shared.items()
+        if sh / (len(capped[a]) + len(capped[b]) - sh) >= 0.05
+    }
+
+
+def test_pagerank_matches_pure_python_replica(spark, sf_dir):
+    """Damped power iteration recomputed in pure python over the
+    independently-rebuilt edge set: degrees, per-iteration round(6), and
+    the teleport term must all agree value-exactly."""
+    from fawac_cdc_spark.functions.dedup import (
+        _PR_TELEPORT_NUM,
+        PAGERANK_D,
+        PAGERANK_ITERS,
+    )
+
+    edges = _jaccard_edges_replica(sf_dir)
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    nodes = sorted(adj)
+    assert nodes, "fixture graph should be non-empty"
+    n = float(len(nodes))
+    pr = {v: round(1.0 / n, 6) for v in nodes}
+    for _ in range(PAGERANK_ITERS):
+        pr = {
+            v: round(
+                _PR_TELEPORT_NUM / n
+                + PAGERANK_D * sum(pr[u] / len(adj[u]) for u in adj[v]),
+                6,
+            )
+            for v in nodes
+        }
+    got = {
+        r["doc_id"]: (r["degree"], r["pr"])
+        for r in _SPECS["pagerank_near_dup"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(nodes)
+    assert {v: d for v, (d, _) in got.items()} == {v: len(adj[v]) for v in nodes}
+    assert {v: p for v, (_, p) in got.items()} == pr
+    # symmetric graph restricted to edge members is column-stochastic:
+    # total mass stays ~1 (teleport + propagation conserve it)
+    assert abs(sum(pr.values()) - 1.0) < 1e-3
+
+
+def test_rrf_fusion_matches_pure_replica(spark, sf_dir):
+    """RRF recomputed from scratch: pandas BM25, numpy cosine, python
+    rank fusion — independent of both engines."""
+    import numpy as np
+
+    from fawac_cdc_spark.functions.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        RRF_K,
+        RRF_POOL,
+        RRF_TOP_K,
+    )
+
+    docs = _docs_pdf(sf_dir)
+    toks = docs["text"].str.split(" ")
+    dl = toks.str.len().astype(float)
+    n_docs = float(len(docs))
+    avgdl = float(dl.sum()) / n_docs
+    tf: dict[tuple[int, str], int] = {}
+    for doc_id, ts in zip(docs["doc_id"], toks):
+        for t in ts:
+            if t in BM25_TERMS:
+                tf[(int(doc_id), t)] = tf.get((int(doc_id), t), 0) + 1
+    df_t: dict[str, float] = {}
+    for (_, t) in tf:
+        df_t[t] = df_t.get(t, 0.0) + 1.0
+    dl_by_id = dict(zip(docs["doc_id"].astype(int), dl))
+    bm25: dict[int, float] = {}
+    for (d, t), f in tf.items():
+        idf = np.log(1.0 + (n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5))
+        w = idf * (f * (BM25_K1 + 1.0)) / (
+            f + BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dl_by_id[d]) / avgdl)
+        )
+        bm25[d] = bm25.get(d, 0.0) + w
+    lex = sorted(((round(s, 6), d) for d, s in bm25.items()), key=lambda x: (-x[0], x[1]))[:RRF_POOL]
+    lex_rank = {d: i + 1 for i, (_, d) in enumerate(lex)}
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    q = V[ids == 0][0]
+    mask = ids != 0
+    cos = (V[mask] @ q) / (
+        np.sqrt((V[mask] * V[mask]).sum(axis=1)) * np.sqrt((q * q).sum())
+    )
+    dense = sorted(
+        zip(np.round(cos, 6).tolist(), ids[mask].tolist()),
+        key=lambda x: (-x[0], x[1]),
+    )[:RRF_POOL]
+    dense_rank = {d: i + 1 for i, (_, d) in enumerate(dense)}
+
+    fused = {}
+    for d in set(lex_rank) | set(dense_rank):
+        s = (1.0 / (RRF_K + lex_rank[d]) if d in lex_rank else 0.0) + (
+            1.0 / (RRF_K + dense_rank[d]) if d in dense_rank else 0.0
+        )
+        fused[d] = round(s, 6)
+    expected = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:RRF_TOP_K]
+
+    rows = _SPECS["rrf_fused_topk_docs"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(expected)
+    for r, (d, s) in zip(rows, expected):
+        assert r["doc_id"] == d and r["rrf_score"] == s
+        assert r["in_lex"] == int(d in lex_rank)
+        assert r["in_dense"] == int(d in dense_rank)
+    # the fusion must actually fuse: at least one top row seen by both
+    assert any(r["in_lex"] and r["in_dense"] for r in rows) or all(
+        r["in_lex"] != r["in_dense"] for r in rows
+    )
+
+
+def test_semantic_decontam_matches_numpy_replica(spark, sf_dir):
+    """Eval split (md5 coin), rounded cosines, hit counts, and max all
+    recomputed in numpy/hashlib."""
+    import hashlib
+
+    import numpy as np
+
+    from fawac_cdc_spark.functions.decontam import SEM_EVAL_BUCKETS
+    from fawac_cdc_spark.functions.similarity import SEMDEDUP_COS
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].astype(int).to_numpy()
+    V = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    coin = np.array(
+        [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:4], 16) % SEM_EVAL_BUCKETS
+            for v in ids
+        ]
+    )
+    ev = coin == 0
+    assert ev.any() and (~ev).any()
+    nrm = np.sqrt((V * V).sum(axis=1))
+    cos = np.round((V[~ev] @ V[ev].T) / np.outer(nrm[~ev], nrm[ev]), 6)
+    hits = (cos >= SEMDEDUP_COS).sum(axis=1)
+    expected = {
+        int(v): (int(h), float(m))
+        for v, h, m in zip(ids[~ev], hits, cos.max(axis=1))
+        if h >= 1
+    }
+    got = {
+        r["vec_id"]: (r["n_eval_hits"], r["max_eval_cos"])
+        for r in _SPECS["semantic_decontam_flags"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got, "fixture should produce at least one contamination flag"
