@@ -141,6 +141,7 @@ def jaccard_candidate_pairs(
     threshold: float = 0.05,
     max_df: int = MAX_SHINGLE_DF,
     persist: bool = True,
+    keep_counts: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs (doc_a, doc_b, shared, jaccard) from a
     (doc_id, shingle) stream, Jaccard over the DF-capped shingle universe.
@@ -209,11 +210,15 @@ def jaccard_candidate_pairs(
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))
+    out_cols = ["doc_a", "doc_b", "shared", jac.alias("jaccard")]
+    if keep_counts:
+        # per-doc capped set sizes, for asymmetric scores (containment)
+        out_cols += [F.col("na"), F.col("nb")]
     return (
         pairs.join(ca, "doc_a")
         .join(cb, "doc_b")
         .where(jac >= threshold)
-        .select("doc_a", "doc_b", "shared", jac.alias("jaccard"))
+        .select(*out_cols)
     )
 
 
@@ -1600,4 +1605,62 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return pr.join(deg, pr["doc_id"] == deg["src"]).select(
         "doc_id", F.col("deg").cast("long").alias("degree"), "pr"
+    )
+
+# --- Containment duplicates (round 7) ------------------------------------------
+#
+# Broder's (1997) CONTAINMENT complements symmetric Jaccard: when a short
+# document is embedded inside a much longer one (a quoted article, a
+# boilerplate wrapper around real content), shared/min(|A|,|B|) stays high
+# while Jaccard collapses toward min/max — a threshold on Jaccard alone
+# systematically misses exactly the asymmetric-size duplications that
+# quote-heavy web corpora are full of.  Same DF-capped shingle universe and
+# candidate machinery as the Jaccard family (one definition — the pair
+# pipeline is `jaccard_candidate_pairs` with the per-doc set sizes kept).
+
+CONTAINMENT_MIN = 0.3
+
+
+@register(
+    "containment_dup_pairs",
+    oracle=f"""
+WITH {_capped_sh_sql(_HASHED_SHINGLED_SQL)},
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, shared,
+       CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) AS containment,
+       CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) >= {CONTAINMENT_MIN}
+""",
+    tags=("dedup", "llm"),
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs by shingle CONTAINMENT >= 0.3 — shared over the
+    SMALLER document's capped shingle-set size (Broder 1997), alongside
+    the symmetric Jaccard for comparison.  A fully-contained short doc
+    scores containment 1.0 regardless of how much longer the host is.
+
+    Plan shape: identical to ``ngram_jaccard_pairs`` (the ONE
+    ``jaccard_candidate_pairs`` pipeline, here with per-doc set sizes
+    kept) — hot-shingle DF cap, bounded pair expansion, then a different
+    scoring projection.  Both scores are single divisions of exact
+    integers, so they are bit-identical across engines without rounding
+    (the established family contract)."""
+    pairs = jaccard_candidate_pairs(
+        _shingled_hashed(spark, sf_dir), threshold=0.0, keep_counts=True
+    )
+    cont = F.col("shared").cast("double") / F.least("na", "nb")
+    return pairs.where(cont >= CONTAINMENT_MIN).select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        cont.alias("containment"),
+        "jaccard",
     )

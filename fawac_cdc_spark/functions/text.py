@@ -857,3 +857,133 @@ def rrf_fused_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(RRF_TOP_K)
+
+# --- Gopher quality rules (round 7) -------------------------------------------
+#
+# The rule-based document filter from Gopher (Rae et al. 2021, Appendix A1.1)
+# — the stage every later corpus pipeline (MassiveText, RefinedWeb, FineWeb,
+# Dolma) re-implements BEFORE any model-based scoring: hard bounds on word
+# count and mean word length, a minimum stop-word presence, and a repetition
+# cap on the most-frequent 2-gram.  The fixture text is whitespace words with
+# no punctuation/digits/newlines by construction (TESTDATA.md), so the paper's
+# symbol-ratio / bullet-line / ellipsis rules would be constants here and are
+# deliberately out of scope; the four rules below all discriminate on the
+# fixtures (223/183/6 failing docs at sf0.01 for words/stop/repetition).
+# Rule constants live in ONE place and generate both engines' predicates.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_TOP2_FRAC = 0.2
+
+
+def _gopher_oracle_sql() -> str:
+    """Oracle generated from the same rule constants and the one
+    ``_STOPWORDS`` list the Spark side uses."""
+    hits = " + ".join(
+        f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+        for w in _STOPWORDS
+    )
+    top2 = "ROUND(2.0 * COALESCE(t.max_big, 0) / f.n_words, 6)"
+    return f"""
+WITH base AS (
+    SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+feat AS (
+    SELECT doc_id, source,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 6)
+               AS mean_word_len,
+           CAST({hits} AS BIGINT) AS stop_hits
+    FROM base
+),
+big AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS bigram
+    FROM base WHERE len(toks) >= 2
+),
+top2 AS (
+    SELECT doc_id, MAX(c) AS max_big
+    FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM big GROUP BY doc_id, bigram)
+    GROUP BY doc_id
+)
+SELECT f.doc_id, f.source, f.n_words, f.mean_word_len, f.stop_hits,
+       {top2} AS top2_frac,
+       CAST((f.n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AND f.mean_word_len BETWEEN {GOPHER_MIN_MEAN_WL} AND {GOPHER_MAX_MEAN_WL}
+             AND f.stop_hits >= {GOPHER_MIN_STOP_HITS}
+             AND {top2} <= {GOPHER_MAX_TOP2_FRAC}) AS INT) AS keep
+FROM feat f LEFT JOIN top2 t ON t.doc_id = f.doc_id
+"""
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=_gopher_oracle_sql(),
+    tags=("text", "llm", "quality"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 A1.1): per
+    document the four fixture-discriminating rule features — word count,
+    mean word length, stop-word hits, most-frequent-2-gram mass — and the
+    composite keep flag (1 iff every rule passes).
+
+    Scale shape: three of the four features are a PURE MAP over one
+    tokenized scan (higher-order array exprs, no shuffle); the top-2-gram
+    rule needs per-(doc, bigram) counts, which is one explode + two
+    doc-keyed aggregations — uniform keys bounded by document length, the
+    vocab_top_terms pattern.  The two branches each read the pruned
+    (doc_id, source, text) columns; at 100 TB a second columnar scan is
+    cheaper than materializing the tokenized corpus.  mean_word_len and
+    top2_frac round(6) BEFORE the threshold compare on both engines
+    (repo determinism convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    hits = None
+    for w in _STOPWORDS:
+        c = F.array_contains("toks", w).cast("int")
+        hits = c if hits is None else hits + c
+    feat = base.select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.round(
+            F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
+            / F.size("toks"),
+            6,
+        ).alias("mean_word_len"),
+        hits.cast("bigint").alias("stop_hits"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat(toks[i], ' ', toks[i+1]))"
+    )
+    top2 = (
+        base.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_big"))
+    )
+    top2_frac = F.round(
+        F.lit(2.0) * F.coalesce(F.col("max_big"), F.lit(0)) / F.col("n_words"), 6
+    )
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (top2_frac <= GOPHER_MAX_TOP2_FRAC)
+    )
+    return feat.join(top2, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        top2_frac.alias("top2_frac"),
+        keep.cast("int").alias("keep"),
+    )

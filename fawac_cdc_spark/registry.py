@@ -52,7 +52,11 @@ _QUERY_MODULES = [
 # keys == names[:50]), so ordering is part of the verification contract.
 #
 # Round-7 rotation — evidence freshness. Composition, in order:
-#   27 new this round       (session 3: pagerank_near_dup — damped power
+#   29 new this round       (session 4: gopher_quality_flags — the Gopher
+#                           rule-based document filter;
+#                           containment_dup_pairs — Broder containment
+#                           over the capped shingle universe;
+#                           session 3: pagerank_near_dup — damped power
 #                           iteration on the near-dup graph;
 #                           rrf_fused_topk_docs — reciprocal-rank fusion
 #                           of BM25 and dense retrieval;
@@ -101,17 +105,18 @@ _QUERY_MODULES = [
 #                           enumeration over the near-dup graph;
 #                           source_kl_drift — hashed-bucket KL drift
 #                           monitor)
-# + 6 changed this round   (approx_stats_error_bound: split-aggregate
+# + 4 changed this round   (approx_stats_error_bound: split-aggregate
 #                           rewrite around the Expand blowup;
 #                           daily_event_spine: carried recursion bound —
 #                           both value-identical plan fixes re-verified;
 #                           substring_dup_stats: parameterized gram n +
 #                           dropped dead sort; semantic_dedup_cell_stats:
 #                           parameterized k + round-6 threshold + dropped
-#                           sort; incremental_lsh_dedup /
-#                           lsh_dedup_admissions: dropped dead sorts —
-#                           knn_join_bucketed_top3's identical sort-drop
-#                           ceded its slot to the session-3 additions,
+#                           sort — the incremental_lsh_dedup /
+#                           lsh_dedup_admissions / knn_join_bucketed_top3
+#                           dead-sort drops ceded their slots to the
+#                           session-3/4 additions (value-identical class,
+#                           dual-scale sweeps + plan pins still cover),
 #                           and the refactored-but-value-identical
 #                           bm25_topk_docs / cosine_topk_query0 oracle
 #                           factorings are covered by the dual-scale
@@ -169,6 +174,14 @@ _PRIORITY = [
     # ivf_multiprobe_topk_query1 — same assignment) and
     # knn_join_bucketed_top3 (value-identical dead-sort drop, a class the
     # window still covers via incremental_lsh_dedup + lsh_dedup_admissions).
+    # Session 4 additions (gopher_quality_flags, containment_dup_pairs)
+    # take the two slots freed by incremental_lsh_dedup and
+    # lsh_dedup_admissions: both of those changed only by the value-identical
+    # dead-sort drop — the same class and justification as
+    # knn_join_bucketed_top3's ceded slot — and the dual-scale sweeps plus
+    # their pinned plan tests still cover them.
+    "gopher_quality_flags",
+    "containment_dup_pairs",
     "pagerank_near_dup",
     "rrf_fused_topk_docs",
     "semantic_decontam_flags",
@@ -201,8 +214,6 @@ _PRIORITY = [
     "daily_event_spine",
     "substring_dup_stats",
     "semantic_dedup_cell_stats",
-    "incremental_lsh_dedup",
-    "lsh_dedup_admissions",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
     # Stalest driver evidence (16): last green row is round 1.
@@ -265,6 +276,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "pagerank_near_dup",
     "rrf_fused_topk_docs",
     "semantic_decontam_flags",
+    "gopher_quality_flags",
+    "containment_dup_pairs",
 )
 
 

@@ -380,6 +380,8 @@ def test_bloom_probe_side_never_shuffles(spark, sf_dir):
         "incremental_lsh_dedup",
         "knn_join_bucketed_top3",
         "semantic_dedup_cell_stats",
+        "gopher_quality_flags",
+        "containment_dup_pairs",
     ],
 )
 def test_unordered_outputs_have_no_global_sort(spark, sf_dir, name):

@@ -1401,3 +1401,153 @@ def test_semantic_decontam_matches_numpy_replica(spark, sf_dir):
     }
     assert got == expected
     assert got, "fixture should produce at least one contamination flag"
+
+def test_gopher_flags_match_pure_python_replica(spark, sf_dir):
+    """FULLY independent replica of the Gopher rule bundle: every
+    feature and the composite keep flag recomputed from the raw parquet
+    in pure python (no Spark/DuckDB in the expected path)."""
+    from collections import Counter
+
+    from fawac_cdc_spark.functions.text import (
+        _STOPWORDS,
+        GOPHER_MAX_MEAN_WL,
+        GOPHER_MAX_TOP2_FRAC,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WL,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    docs = _docs_pdf(sf_dir)
+    expected = {}
+    for _, r in docs.iterrows():
+        ts = r["text"].split(" ")
+        n = len(ts)
+        mwl = sum(len(t) for t in ts) / n
+        stop_hits = sum(1 for w in _STOPWORDS if w in ts)
+        max_big = (
+            max(Counter(zip(ts, ts[1:])).values()) if n >= 2 else 0
+        )
+        top2 = 2.0 * max_big / n
+        keep = int(
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_WL <= round(mwl, 6) <= GOPHER_MAX_MEAN_WL
+            and stop_hits >= GOPHER_MIN_STOP_HITS
+            and round(top2, 6) <= GOPHER_MAX_TOP2_FRAC
+        )
+        expected[int(r["doc_id"])] = (
+            r["source"],
+            n,
+            pytest.approx(mwl, abs=2e-6),
+            stop_hits,
+            pytest.approx(top2, abs=2e-6),
+            keep,
+        )
+    got = {
+        r["doc_id"]: (
+            r["source"],
+            r["n_words"],
+            r["mean_word_len"],
+            r["stop_hits"],
+            r["top2_frac"],
+            r["keep"],
+        )
+        for r in _SPECS["gopher_quality_flags"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    kept = {d for d, v in got.items() if v[-1] == 1}
+    assert kept and kept != set(got), "rules should split the fixture corpus"
+
+
+def test_containment_pairs_match_pure_python_replica(spark, sf_dir):
+    """FULLY independent replica: hashed shingles, DF cap, and the
+    containment/Jaccard scores recomputed in pure python/hashlib."""
+    import hashlib
+    from collections import Counter
+
+    from fawac_cdc_spark.functions.dedup import CONTAINMENT_MIN, MAX_SHINGLE_DF
+
+    docs = _docs_pdf(sf_dir)
+    doc_sh: dict[int, set[int]] = {}
+    for _, r in docs.iterrows():
+        ts = r["text"].split(" ")
+        if len(ts) < 3:
+            continue
+        doc_sh[int(r["doc_id"])] = {
+            int(hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest()[:15], 16)
+            for i in range(len(ts) - 2)
+        }
+    df_counts = Counter(s for shs in doc_sh.values() for s in shs)
+    capped = {
+        d: {s for s in shs if df_counts[s] <= MAX_SHINGLE_DF}
+        for d, shs in doc_sh.items()
+    }
+    inv: dict[int, list[int]] = {}
+    for d, shs in capped.items():
+        for s in shs:
+            inv.setdefault(s, []).append(d)
+    pair_shared = Counter()
+    for ds in inv.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pair_shared[(ds[i], ds[j])] += 1
+    expected = {}
+    for (a, b), sh in pair_shared.items():
+        cont = sh / min(len(capped[a]), len(capped[b]))
+        if cont >= CONTAINMENT_MIN:
+            jac = sh / (len(capped[a]) + len(capped[b]) - sh)
+            expected[(a, b)] = (sh, cont, jac)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["shared"], r["containment"], r["jaccard"])
+        for r in _SPECS["containment_dup_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got, "fixtures should contain containment pairs"
+
+
+def test_containment_flags_embedded_subset_doc(spark):
+    """Semantic pin on a synthetic frame: a short doc fully embedded in a
+    long host scores containment 1.0 even though Jaccard is far below any
+    symmetric near-dup threshold."""
+    from fawac_cdc_spark.functions.dedup import jaccard_candidate_pairs
+
+    host_words = [f"w{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(host_words)),           # host: 38 shingles
+        (2, " ".join(host_words[10:16])),    # embedded excerpt: 4 shingles
+        (3, "zz yy xx ww vv uu"),            # unrelated
+    ]
+    sh = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(toks) - 3), "
+                    "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["containment"], r["jaccard"])
+        for r in (
+            jaccard_candidate_pairs(sh, threshold=0.0, keep_counts=True)
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("shared").cast("double") / F.least("na", "nb")).alias(
+                    "containment"
+                ),
+                "jaccard",
+            )
+            .collect()
+        )
+    }
+    cont, jac = out[(1, 2)]
+    assert cont == 1.0
+    assert jac == pytest.approx(4 / 38)
+    assert (1, 3) not in out and (2, 3) not in out
