@@ -1579,7 +1579,13 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # node-sized, reused by the loop join AND the final degree projection
+    # — materialized once so neither re-runs the union+groupBy subtree
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     # loop-invariant: (src, dst, deg_src), checkpointed once
     sym_deg = sym.join(deg, "src").localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(

@@ -942,10 +942,10 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repo determinism convention)."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
-    hits = None
-    for w in _STOPWORDS:
-        c = F.array_contains("toks", w).cast("int")
-        hits = c if hits is None else hits + c
+    # distinct-stopword presence count in ONE array pass (array_intersect
+    # dedups, so this equals the oracle's sum of list_contains flags)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    hits = F.size(F.array_intersect("toks", stop_arr))
     feat = base.select(
         "doc_id",
         "source",

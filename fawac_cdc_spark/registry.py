@@ -166,7 +166,7 @@ _QUERY_MODULES = [
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
 _PRIORITY = [
-    # New this round (27).  The session-3 additions (pagerank_near_dup,
+    # New this round (29).  The session-3 additions (pagerank_near_dup,
     # rrf_fused_topk_docs, semantic_decontam_flags) take the three slots
     # freed below: connected_component_survivors / ivf_topk_query1 (their
     # changed shared subtrees are already re-verified in-window by
@@ -209,7 +209,7 @@ _PRIORITY = [
     "cdc_version_diff",
     "near_dup_triangle_counts",
     "source_kl_drift",
-    # Changed this round (7): re-verify against updated code/oracles.
+    # Changed this round (4): re-verify against updated code/oracles.
     "approx_stats_error_bound",
     "daily_event_spine",
     "substring_dup_stats",

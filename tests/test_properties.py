@@ -1118,41 +1118,7 @@ def test_triangle_counts_match_pure_python_replica(spark, sf_dir):
     """FULLY independent replica: shingles, DF cap, Jaccard edges, and
     triangles all recomputed from the raw parquet in pure
     python/hashlib — no production Spark code in the expected path."""
-    import hashlib
-    from collections import Counter
-
-    from fawac_cdc_spark.functions.dedup import MAX_SHINGLE_DF
-
-    docs = _docs_pdf(sf_dir)
-    doc_sh: dict[int, set[int]] = {}
-    for _, r in docs.iterrows():
-        ts = r["text"].split(" ")
-        if len(ts) < 3:
-            continue
-        doc_sh[int(r["doc_id"])] = {
-            int(hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest()[:15], 16)
-            for i in range(len(ts) - 2)
-        }
-    df_counts = Counter(s for shs in doc_sh.values() for s in shs)
-    capped = {
-        d: {s for s in shs if df_counts[s] <= MAX_SHINGLE_DF}
-        for d, shs in doc_sh.items()
-    }
-    inv: dict[int, list[int]] = {}
-    for d, shs in capped.items():
-        for s in shs:
-            inv.setdefault(s, []).append(d)
-    pair_shared = Counter()
-    for s, ds in inv.items():
-        ds.sort()
-        for i in range(len(ds)):
-            for j in range(i + 1, len(ds)):
-                pair_shared[(ds[i], ds[j])] += 1
-    edges = {
-        (a, b)
-        for (a, b), sh in pair_shared.items()
-        if sh / (len(capped[a]) + len(capped[b]) - sh) >= 0.05
-    }
+    edges = _jaccard_edges_replica(sf_dir)
     expected: dict[int, int] = {}
     for x, y in edges:
         for x2, z in edges:
@@ -1214,9 +1180,11 @@ def test_source_kl_drift_properties(spark, sf_dir):
 # --- round 7 session 3: pagerank / RRF fusion / semantic decontam ------------
 
 
-def _jaccard_edges_replica(sf_dir):
-    """Pure python/hashlib near-dup edge set (shingles, DF cap, Jaccard)
-    — the same independent derivation the triangle replica uses."""
+def _jaccard_pairs_replica(sf_dir):
+    """Pure python/hashlib replica of the capped shingle pair pipeline:
+    (pair_shared counts, per-doc capped shingle sets) — the ONE
+    independent derivation behind the triangle / pagerank / containment
+    replicas."""
     import hashlib
     from collections import Counter
 
@@ -1247,6 +1215,13 @@ def _jaccard_edges_replica(sf_dir):
         for i in range(len(ds)):
             for j in range(i + 1, len(ds)):
                 pair_shared[(ds[i], ds[j])] += 1
+    return pair_shared, capped
+
+
+def _jaccard_edges_replica(sf_dir):
+    """Pure python/hashlib near-dup edge set (shingles, DF cap, Jaccard)
+    — thin wrapper over :func:`_jaccard_pairs_replica`."""
+    pair_shared, capped = _jaccard_pairs_replica(sf_dir)
     return {
         (a, b)
         for (a, b), sh in pair_shared.items()
@@ -1360,10 +1335,15 @@ def test_rrf_fusion_matches_pure_replica(spark, sf_dir):
         assert r["doc_id"] == d and r["rrf_score"] == s
         assert r["in_lex"] == int(d in lex_rank)
         assert r["in_dense"] == int(d in dense_rank)
-    # the fusion must actually fuse: at least one top row seen by both
-    assert any(r["in_lex"] and r["in_dense"] for r in rows) or all(
-        r["in_lex"] != r["in_dense"] for r in rows
-    )
+    # Fusion-key guard: any doc the replica puts in BOTH pools must carry
+    # both flags in the output.  The pools only overlap from sf0.01 up
+    # (0 overlapping docs at sf0.001, 3 at sf0.01), so at suite scale this
+    # is covered by the per-row in_lex/in_dense equality above and the
+    # sf0.01 oracle sweep pins the genuinely-fused rows.
+    overlap = set(lex_rank) & set(dense_rank)
+    for r in rows:
+        if r["doc_id"] in overlap:
+            assert r["in_lex"] == 1 and r["in_dense"] == 1
 
 
 def test_semantic_decontam_matches_numpy_replica(spark, sf_dir):
@@ -1462,36 +1442,9 @@ def test_gopher_flags_match_pure_python_replica(spark, sf_dir):
 def test_containment_pairs_match_pure_python_replica(spark, sf_dir):
     """FULLY independent replica: hashed shingles, DF cap, and the
     containment/Jaccard scores recomputed in pure python/hashlib."""
-    import hashlib
-    from collections import Counter
+    from fawac_cdc_spark.functions.dedup import CONTAINMENT_MIN
 
-    from fawac_cdc_spark.functions.dedup import CONTAINMENT_MIN, MAX_SHINGLE_DF
-
-    docs = _docs_pdf(sf_dir)
-    doc_sh: dict[int, set[int]] = {}
-    for _, r in docs.iterrows():
-        ts = r["text"].split(" ")
-        if len(ts) < 3:
-            continue
-        doc_sh[int(r["doc_id"])] = {
-            int(hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest()[:15], 16)
-            for i in range(len(ts) - 2)
-        }
-    df_counts = Counter(s for shs in doc_sh.values() for s in shs)
-    capped = {
-        d: {s for s in shs if df_counts[s] <= MAX_SHINGLE_DF}
-        for d, shs in doc_sh.items()
-    }
-    inv: dict[int, list[int]] = {}
-    for d, shs in capped.items():
-        for s in shs:
-            inv.setdefault(s, []).append(d)
-    pair_shared = Counter()
-    for ds in inv.values():
-        ds.sort()
-        for i in range(len(ds)):
-            for j in range(i + 1, len(ds)):
-                pair_shared[(ds[i], ds[j])] += 1
+    pair_shared, capped = _jaccard_pairs_replica(sf_dir)
     expected = {}
     for (a, b), sh in pair_shared.items():
         cont = sh / min(len(capped[a]), len(capped[b]))
