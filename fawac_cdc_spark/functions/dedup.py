@@ -231,6 +231,19 @@ sh AS (SELECT doc_id, shingle FROM sh_all WHERE shingle NOT IN (SELECT shingle F
 """
 
 
+# Shared oracle fragment: capped shingle stream + per-doc set sizes +
+# raw candidate pairs with shared counts — ONE definition composed by the
+# Jaccard-pair oracle, the containment oracle, and (via good-edge
+# thresholding) the closure/triangle/pagerank oracles.
+_PAIRS_COUNTS_CTE_SQL = f"""{_capped_sh_sql(_HASHED_SHINGLED_SQL).strip()},
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)"""
+
+
 def minhash_sig_exprs() -> list[F.Column]:
     """min((a_j * H(shingle) + b_j) mod P) aggregation expressions."""
     h = "cast(conv(substr(md5(shingle), 1, 8), 16, 10) as bigint)"
@@ -343,13 +356,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-WITH {_capped_sh_sql(_HASHED_SHINGLED_SQL)},
-counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-)
+WITH {_PAIRS_COUNTS_CTE_SQL}
 SELECT doc_a, doc_b, shared,
        CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
 FROM pairs
@@ -972,13 +979,7 @@ def connected_components_min_label(
 # Non-recursive prefix: the verified near-dup edge set (canonical
 # doc_a < doc_b) — ONE definition shared by the closure oracles AND the
 # triangle-count oracle.
-_GOOD_EDGES_CTE_SQL = f"""{_capped_sh_sql(_HASHED_SHINGLED_SQL).strip()},
-counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-),
+_GOOD_EDGES_CTE_SQL = f"""{_PAIRS_COUNTS_CTE_SQL},
 good AS (
     SELECT doc_a, doc_b
     FROM pairs
@@ -1588,9 +1589,9 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # loop-invariant: (src, dst, deg_src), checkpointed once
     sym_deg = sym.join(deg, "src").localCheckpoint(eager=True)
-    nodes = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint(
-        eager=True
-    )
+    # deg is grouped by src — exactly one row per node — so the node set
+    # reads the existing materialization (no extra distinct or checkpoint)
+    nodes = deg.select(F.col("src").alias("doc_id"))
     n = float(nodes.count())  # |V|: one bounded driver aggregate
     pr = nodes.select(
         "doc_id", F.round(F.lit(1.0) / F.lit(n), 6).alias("pr")
@@ -1630,13 +1631,7 @@ CONTAINMENT_MIN = 0.3
 @register(
     "containment_dup_pairs",
     oracle=f"""
-WITH {_capped_sh_sql(_HASHED_SHINGLED_SQL)},
-counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-)
+WITH {_PAIRS_COUNTS_CTE_SQL}
 SELECT doc_a, doc_b, shared,
        CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) AS containment,
        CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
