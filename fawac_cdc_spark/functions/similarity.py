@@ -833,6 +833,52 @@ def ivfpq_topk_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 3
 
 
+def bucketed_cosine_pairs(e: DataFrame, with_labels: bool = False) -> DataFrame:
+    """(vec_id[, label], neighbor_id[, n_label], cos_sim): every ordered
+    same-RP-bucket pair with its round-6 cosine — the ONE bucket-bounded
+    pair stream shared by the batch k-NN self-join and the triplet miner
+    (label columns only when requested, so the k-NN plan is unchanged).
+
+    The norm is computed ONCE per vector, not per pair: each vector joins
+    ~bucket-size pairs, so hoisting the two 64-term norm folds out of the
+    pair expression removes ~2/3 of the per-pair flops (measured 2.4x at
+    sf0.1, BASELINE.md); the eager checkpoint is also what the self-join
+    reuses instead of recomputing the bucket projection twice."""
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
+    b = e.select(
+        *cols,
+        F.expr(_bucket_expr_spark()).alias("bucket"),
+        F.expr(_NORM_SPARK.format(v="embedding")).alias("nrm"),
+    ).localCheckpoint(eager=True)
+    a_cols = [
+        F.col("vec_id"),
+        F.col("embedding").alias("emb_a"),
+        F.col("bucket"),
+        F.col("nrm").alias("nrm_a"),
+    ] + ([F.col("label")] if with_labels else [])
+    c_cols = [
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_c"),
+        F.col("bucket"),
+        F.col("nrm").alias("nrm_c"),
+    ] + ([F.col("label").alias("n_label")] if with_labels else [])
+    cos = F.round(
+        F.expr(_dot2_spark("emb_a", "emb_c")) / (F.col("nrm_a") * F.col("nrm_c")),
+        6,
+    )
+    out = (
+        ["vec_id", "label", "neighbor_id", "n_label"]
+        if with_labels
+        else ["vec_id", "neighbor_id"]
+    )
+    return (
+        b.select(*a_cols)
+        .join(b.select(*c_cols), "bucket")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(*out, cos.alias("cos_sim"))
+    )
+
+
 @register(
     "knn_join_bucketed_top3",
     oracle=f"""
@@ -870,36 +916,9 @@ def knn_join_bucketed_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k frontier is engine-stable (same convention as the IVF family).
     Vectors whose bucket has fewer than k mates emit fewer rows — exact
     on both engines by construction."""
-    e = load_table(spark, sf_dir, "embeddings")
-    # norm computed ONCE per vector here, not per pair: each vector joins
-    # ~bucket-size pairs, so hoisting the two 64-term norm folds out of
-    # the pair expression removes ~2/3 of the per-pair flops (measured
-    # 2.4x at sf0.1, BASELINE.md); the checkpoint is also what the self-join reuses
-    # instead of recomputing the bucket projection twice.
-    b = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(_bucket_expr_spark()).alias("bucket"),
-        F.expr(_NORM_SPARK.format(v="embedding")).alias("nrm"),
-    ).localCheckpoint(eager=True)
-    a = b.select("vec_id", F.col("embedding").alias("emb_a"), "bucket", F.col("nrm").alias("nrm_a"))
-    c = b.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("emb_c"),
-        "bucket",
-        F.col("nrm").alias("nrm_c"),
-    )
-    cos = F.round(
-        F.expr(_dot2_spark("emb_a", "emb_c")) / (F.col("nrm_a") * F.col("nrm_c")),
-        6,
-    )
     from pyspark.sql import Window
 
-    pairs = (
-        a.join(c, "bucket")
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", cos.alias("cos_sim"))
-    )
+    pairs = bucketed_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -1537,4 +1556,96 @@ def embedding_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("margin") / F.count(F.lit(1)), 6).alias("avg_margin"),
         F.round(F.min("margin"), 6).alias("min_margin"),
         F.count(F.when(F.col("margin") < 0, 1)).alias("n_confused"),
+    )
+
+
+# --- Hard-triplet mining (round 7) ---------------------------------------------
+#
+# The training-data stage for embedding models (sentence-transformers /
+# SimCSE-style supervised fine-tuning): every anchor needs its most-similar
+# SAME-label neighbor (the positive) and its most-similar DIFFERENT-label
+# neighbor (the HARD negative — random negatives are too easy to teach the
+# margin).  Candidates come from the same RP-LSH bucket as the batch k-NN
+# self-join — hard negatives are by definition high-cosine, exactly what
+# LSH buckets concentrate, so the blocking that bounds the join is also
+# the recall argument.
+
+
+def _triplet_oracle_sql() -> str:
+    bucket = _bucket_sql_duck()
+    norm = _NORM_DUCK.format(v="embedding")
+    dot = _dot2_duck("a.embedding", "c.embedding")
+    return f"""
+WITH b AS (
+    SELECT vec_id, label, embedding, {bucket} AS bucket, {norm} AS nrm
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id, a.label, c.vec_id AS neighbor_id, c.label AS n_label,
+           ROUND(({dot}) / (a.nrm * c.nrm), 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+pos AS (
+    SELECT vec_id, label, neighbor_id AS pos_id, cos_sim AS pos_cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS r
+    FROM pairs WHERE n_label = label
+),
+neg AS (
+    SELECT vec_id, neighbor_id AS neg_id, cos_sim AS neg_cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS r
+    FROM pairs WHERE n_label <> label
+)
+SELECT p.vec_id, p.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       ROUND(p.pos_cos - n.neg_cos, 6) AS margin
+FROM pos p
+JOIN neg n ON n.vec_id = p.vec_id
+WHERE p.r = 1 AND n.r = 1
+"""
+
+
+@register(
+    "hard_triplet_mining",
+    oracle=_triplet_oracle_sql(),
+    tags=("similarity", "llm", "traindata", "knn"),
+)
+def hard_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per anchor vector: the most-similar same-label neighbor (positive)
+    and most-similar different-label neighbor (hard negative) within its
+    RP-LSH bucket, plus the triplet margin pos_cos - neg_cos.  Anchors
+    lacking either mate in their bucket emit nothing (exact on both
+    engines by construction).
+
+    Scale shape: candidate generation is the ONE shared bucket-bounded
+    pair stream (``bucketed_cosine_pairs``); both extremes then come out
+    of a SINGLE vec_id-keyed aggregation — max over (cos_sim, -id)
+    structs, so ties break to the smaller neighbor exactly like the
+    oracle's (cos DESC, id ASC) ranking — instead of two ranking windows
+    plus a self-join, i.e. one shuffle and one pass over the pairs.
+    Cosines round to 6 before comparison (family convention), and the
+    margin is a subtraction of two identical-on-both-engines doubles."""
+    pairs = bucketed_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), with_labels=True
+    )
+    pos_s = F.expr(
+        "max(CASE WHEN n_label = label THEN "
+        "named_struct('cs', cos_sim, 'ni', -neighbor_id) END)"
+    )
+    neg_s = F.expr(
+        "max(CASE WHEN n_label <> label THEN "
+        "named_struct('cs', cos_sim, 'ni', -neighbor_id) END)"
+    )
+    agg = pairs.groupBy("vec_id", "label").agg(pos_s.alias("p"), neg_s.alias("n"))
+    return (
+        agg.where(F.col("p").isNotNull() & F.col("n").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            (-F.col("p.ni")).cast("bigint").alias("pos_id"),
+            F.col("p.cs").alias("pos_cos"),
+            (-F.col("n.ni")).cast("bigint").alias("neg_id"),
+            F.col("n.cs").alias("neg_cos"),
+            F.round(F.col("p.cs") - F.col("n.cs"), 6).alias("margin"),
+        )
     )

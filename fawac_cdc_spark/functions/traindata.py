@@ -1375,3 +1375,65 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source", F.col("st").cast("long").alias("n_tokens"), "kl_vs_corpus"
     )
+
+
+# --- Stratified eval-set quota (round 7) ----------------------------------------
+#
+# Held-out eval sets are built with per-stratum QUOTAS, not global-rate
+# sampling: a global md5 coin leaves rare (source, lang) cells with a
+# handful of eval docs and noisy per-cell metrics, so the pipeline takes a
+# fixed number per stratum in deterministic hash order (the balanced-eval
+# twin of `dataset_hash_split`'s rate-based global split).
+
+EVAL_QUOTA = 5  # docs per (source, lang) stratum
+_EVAL_RANK_ORDER = "md5(CAST(doc_id AS VARCHAR)), doc_id"
+
+
+@register(
+    "stratified_eval_quota",
+    oracle=f"""
+SELECT source, lang, doc_id, CAST(r AS INT) AS eval_rank
+FROM (
+    SELECT source, lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY source, lang
+                              ORDER BY {_EVAL_RANK_ORDER}) AS r
+    FROM documents
+)
+WHERE r <= {EVAL_QUOTA}
+""",
+    tags=("traindata", "llm", "sampling"),
+)
+def stratified_eval_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first ``EVAL_QUOTA`` documents of every (source, lang) stratum
+    in md5(doc_id) order — a deterministic, balanced eval set with an
+    explicit per-stratum rank.
+
+    Scale shape: a naive single window per stratum puts the WHOLE hottest
+    stratum in one task (the packing-window failure mode), so selection is
+    two-phase exact top-Q: rank within (stratum, first-md5-hex-digit
+    block) — 16 exactly-uniform blocks, each task sees ~1/16 of its
+    stratum — keep block-rank <= Q (any stratum-top-Q row is necessarily
+    in its block's top Q), then a second window over the <= 16*Q
+    survivors per stratum assigns the global rank.  Ordering is the md5
+    hex string itself (identical lexicographic order on both engines),
+    doc_id as the total-order tiebreak."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("blk"),
+    )
+    wb = Window.partitionBy("source", "lang", "blk").orderBy("h", "doc_id")
+    survivors = base.withColumn("br", F.row_number().over(wb)).where(
+        F.col("br") <= EVAL_QUOTA
+    )
+    ws = Window.partitionBy("source", "lang").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("r", F.row_number().over(ws))
+        .where(F.col("r") <= EVAL_QUOTA)
+        .select("source", "lang", "doc_id", F.col("r").cast("int").alias("eval_rank"))
+    )

@@ -382,6 +382,8 @@ def test_bloom_probe_side_never_shuffles(spark, sf_dir):
         "semantic_dedup_cell_stats",
         "gopher_quality_flags",
         "containment_dup_pairs",
+        "hard_triplet_mining",
+        "stratified_eval_quota",
     ],
 )
 def test_unordered_outputs_have_no_global_sort(spark, sf_dir, name):

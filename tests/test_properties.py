@@ -1500,3 +1500,101 @@ def test_containment_flags_embedded_subset_doc(spark):
     assert cont == 1.0
     assert jac == pytest.approx(4 / 38)
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_hard_triplet_mining_matches_pure_python_replica(spark, sf_dir):
+    """Buckets, sequential-fold dots/norms, rounded cosines, and the
+    per-anchor positive/negative extremes all recomputed in pure python
+    (same left-to-right accumulation order as the Spark fold and the
+    DuckDB list_sum)."""
+    import math
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    vecs = {int(r["vec_id"]): (list(r["embedding"]), int(r["label"])) for _, r in emb.iterrows()}
+    nrm = {i: math.sqrt(sdot(v, v)) for i, (v, _) in vecs.items()}
+    buckets: dict[int, list[int]] = {}
+    for i, (v, _) in vecs.items():
+        b = sum(1 << h for h, p in enumerate(HYPERPLANES) if sdot(v, p) > 0)
+        buckets.setdefault(b, []).append(i)
+    expected = {}
+    for ids in buckets.values():
+        for a in ids:
+            va, la = vecs[a]
+            best_pos = best_neg = None
+            for c in ids:
+                if c == a:
+                    continue
+                vc, lc = vecs[c]
+                cos = round(sdot(va, vc) / (nrm[a] * nrm[c]), 6)
+                key = (-cos, c)
+                if lc == la:
+                    if best_pos is None or key < best_pos:
+                        best_pos = key
+                elif best_neg is None or key < best_neg:
+                    best_neg = key
+            if best_pos is not None and best_neg is not None:
+                expected[a] = (
+                    la,
+                    best_pos[1],
+                    -best_pos[0],
+                    best_neg[1],
+                    -best_neg[0],
+                    round(-best_pos[0] - -best_neg[0], 6),
+                )
+    got = {
+        r["vec_id"]: (
+            r["label"],
+            r["pos_id"],
+            r["pos_cos"],
+            r["neg_id"],
+            r["neg_cos"],
+            r["margin"],
+        )
+        for r in _SPECS["hard_triplet_mining"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for a, (la, pid, pcos, nid, ncos, m) in expected.items():
+        gl, gpid, gpcos, gnid, gncos, gm = got[a]
+        assert (gl, gpid, gnid) == (la, pid, nid)
+        assert gpcos == pytest.approx(pcos, abs=2e-6)
+        assert gncos == pytest.approx(ncos, abs=2e-6)
+        assert gm == pytest.approx(m, abs=4e-6)
+    assert expected, "fixture buckets should yield triplets"
+
+
+def test_stratified_eval_quota_matches_hashlib_replica(spark, sf_dir):
+    """Quota selection re-derived with hashlib: per (source, lang)
+    stratum, the EVAL_QUOTA smallest md5(doc_id) hex strings with their
+    ranks, doc_id as tiebreak."""
+    import hashlib
+
+    from fawac_cdc_spark.functions.traindata import EVAL_QUOTA
+
+    docs = _docs_pdf(sf_dir)
+    strata: dict[tuple, list] = {}
+    for _, r in docs.iterrows():
+        h = hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()
+        strata.setdefault((r["source"], r["lang"]), []).append((h, int(r["doc_id"])))
+    expected = {}
+    for (src, lang), rows in strata.items():
+        rows.sort()
+        for rank, (_, d) in enumerate(rows[:EVAL_QUOTA], start=1):
+            expected[d] = (src, lang, rank)
+    got = {
+        r["doc_id"]: (r["source"], r["lang"], r["eval_rank"])
+        for r in _SPECS["stratified_eval_quota"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # every stratum with >= quota docs contributes exactly quota rows
+    from collections import Counter
+
+    per_stratum = Counter((s, l) for (s, l, _) in got.values())
+    for (src, lang), rows in strata.items():
+        assert per_stratum[(src, lang)] == min(EVAL_QUOTA, len(rows))
