@@ -1386,7 +1386,11 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin of `dataset_hash_split`'s rate-based global split).
 
 EVAL_QUOTA = 5  # docs per (source, lang) stratum
-_EVAL_RANK_ORDER = "md5(CAST(doc_id AS VARCHAR)), doc_id"
+# ONE hash fragment parsed by BOTH engines (STRING is a DuckDB VARCHAR
+# alias), so the eval ordering cannot drift between the Spark side and
+# the oracle (engine-portability convention).
+_EVAL_HASH_SQL = "md5(CAST(doc_id AS STRING))"
+_EVAL_RANK_ORDER = f"{_EVAL_HASH_SQL}, doc_id"
 
 
 @register(
@@ -1424,9 +1428,8 @@ def stratified_eval_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         "doc_id",
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("blk"),
-    )
+        F.expr(_EVAL_HASH_SQL).alias("h"),
+    ).withColumn("blk", F.substring("h", 1, 1))
     wb = Window.partitionBy("source", "lang", "blk").orderBy("h", "doc_id")
     survivors = base.withColumn("br", F.row_number().over(wb)).where(
         F.col("br") <= EVAL_QUOTA
