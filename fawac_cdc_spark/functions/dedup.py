@@ -1665,3 +1665,166 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cont.alias("containment"),
         "jaccard",
     )
+
+
+# --- Dedup diagnostics (round 7) -------------------------------------------------
+#
+# Two measurement queries production dedup pipelines run alongside the
+# dedup itself: the duplicate-CLUSTER size distribution (the FineWeb-style
+# diagnostic — a fat tail of huge clusters means boilerplate templates;
+# the dedup rate alone can't show it), and the MinHash ESTIMATOR's error
+# against exact Jaccard on the very pairs LSH surfaces (the k=8 signature
+# is a dial; this query is the evidence for turning it).
+
+
+@register(
+    "dup_cluster_size_hist",
+    oracle=f"""
+WITH RECURSIVE
+{_CC_REACH_CTE_SQL},
+comp AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src),
+sizes AS (
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size
+""",
+    tags=("dedup", "llm", "graph"),
+)
+def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-dup connected-component sizes (singletons
+    included — size 1 counts the unique documents): how much duplicate
+    mass lives in how-big clusters, the signal that separates "many
+    small accidental dupes" from "one boilerplate template with a
+    million copies".
+
+    Scale shape: the closure labels come from the SAME shared min-label
+    loop the survivor queries use (checkpointed loop-invariant edges,
+    O(diameter) rounds); on top of it this is two BIGINT aggregations —
+    component then size — both on uniform keys."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components_min_label(edges, d.select("doc_id"))
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+_MH_MATCHES_SQL = " + ".join(
+    f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(8)
+)
+
+
+@register(
+    "minhash_est_error_pairs",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+{_BANDS_SQL},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           ({_MH_MATCHES_SQL}) / 8.0 AS est_jaccard
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+),
+sh AS ({_SHINGLED_SQL}),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       CAST(s.shared AS DOUBLE) / (ca.n + cb.n - s.shared) AS exact_jaccard,
+       ROUND(ABS(e.est_jaccard
+                 - CAST(s.shared AS DOUBLE) / (ca.n + cb.n - s.shared)), 6)
+           AS abs_err
+FROM est e
+JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+JOIN counts ca ON ca.doc_id = e.doc_a
+JOIN counts cb ON cb.doc_id = e.doc_b
+""",
+    tags=("dedup", "llm", "minhash", "sketch"),
+)
+def minhash_est_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every LSH candidate pair: the k=8 MinHash Jaccard ESTIMATE
+    (matching signature components / 8) next to the exact Jaccard over
+    the same raw distinct-shingle universe, and their absolute error —
+    the error-bound gate for the signature-width dial (same pattern as
+    the HLL/KLL gates).
+
+    Scale shape: candidates come from the band equi-join (never
+    all-pairs), the estimate is an 8-column comparison on two broadcast-
+    joinable signature lookups, and the exact side never enumerates
+    non-candidate pairs: each candidate pair equi-joins the two
+    documents' shingle streams on the shingle value, so the cost is
+    O(|A| + |B|) per surfaced pair even through uncapped stop-phrase
+    shingles.  est is k/8 (exactly representable), exact is one int
+    division — both engine-stable without rounding; only the error
+    difference rounds (convention)."""
+    sig = minhash_signatures_df(spark, sf_dir).localCheckpoint(eager=True)
+    bands = band_table_for(sig)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the est join AND the exact join
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)]
+    )
+    matches = None
+    for j in range(8):
+        m = (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+        matches = m if matches is None else matches + m
+    est = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", (matches / F.lit(8.0)).alias("est_jaccard"))
+    )
+    sh = _shingled(spark, sf_dir)
+    shx = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shy = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(shx, "doc_a")
+        .join(shy, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        est.join(shared, ["doc_a", "doc_b"])
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )

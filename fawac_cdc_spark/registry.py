@@ -162,11 +162,13 @@ _QUERY_MODULES = [
 #                           connected_component_survivors, ivf_topk_query1
 #                           and knn_join_bucketed_top3, which ceded their
 #                           slots to the session-3 additions, and by the
-#                           two queries added AFTER this round's rotation
-#                           froze — hard_triplet_mining and
-#                           stratified_eval_quota, this round evidenced by
-#                           dual-scale parity sweeps + independent replica
-#                           tests instead of a driver row)
+#                           four queries added AFTER this round's rotation
+#                           froze — hard_triplet_mining,
+#                           stratified_eval_quota, dup_cluster_size_hist
+#                           and minhash_est_error_pairs, this round
+#                           evidenced by dual-scale parity sweeps +
+#                           independent replica tests instead of a driver
+#                           row)
 # = 50.  Everything outside the window stays covered by tools/parity.py
 # (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
 # tests/test_oracle_parity.py at sf0.001.
@@ -285,6 +287,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "containment_dup_pairs",
     "hard_triplet_mining",
     "stratified_eval_quota",
+    "dup_cluster_size_hist",
+    "minhash_est_error_pairs",
 )
 
 

@@ -384,6 +384,8 @@ def test_bloom_probe_side_never_shuffles(spark, sf_dir):
         "containment_dup_pairs",
         "hard_triplet_mining",
         "stratified_eval_quota",
+        "dup_cluster_size_hist",
+        "minhash_est_error_pairs",
     ],
 )
 def test_unordered_outputs_have_no_global_sort(spark, sf_dir, name):

@@ -1598,3 +1598,96 @@ def test_stratified_eval_quota_matches_hashlib_replica(spark, sf_dir):
     per_stratum = Counter((s, l) for (s, l, _) in got.values())
     for (src, lang), rows in strata.items():
         assert per_stratum[(src, lang)] == min(EVAL_QUOTA, len(rows))
+
+
+def test_dup_cluster_size_hist_matches_union_find_replica(spark, sf_dir):
+    """Cluster sizes recomputed with an independent union-find over the
+    replica edge set; the histogram must match exactly and tile the
+    corpus (sum of size * n_clusters == total documents)."""
+    docs = _docs_pdf(sf_dir)
+    parent = {int(d): int(d) for d in docs["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _jaccard_edges_replica(sf_dir):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    comp_sizes = Counter(find(d) for d in parent)
+    expected = dict(Counter(comp_sizes.values()))
+    got = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in _SPECS["dup_cluster_size_hist"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(s * n for s, n in got.items()) == len(docs)
+    assert len(got) > 1, "fixture should have non-singleton clusters"
+
+
+def test_minhash_est_error_matches_hashlib_replica(spark, sf_dir):
+    """Signatures, bands, candidates, estimate, and exact Jaccard all
+    recomputed from the raw parquet with hashlib — the estimator-error
+    gate is only evidence if the estimate itself is reproducible."""
+    import hashlib
+
+    from fawac_cdc_spark.functions.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        N_BANDS,
+    )
+
+    docs = _docs_pdf(sf_dir)
+    shingles = {}
+    for _, r in docs.iterrows():
+        ts = r["text"].split(" ")
+        if len(ts) >= 3:
+            shingles[int(r["doc_id"])] = {
+                " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+            }
+    sigs = {}
+    for d, shs in shingles.items():
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shs]
+        sigs[d] = [
+            min((a * h + b) % MINHASH_P for h in hs)
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    buckets: dict[tuple, list[int]] = {}
+    for d, sig in sigs.items():
+        for band in range(N_BANDS):
+            buckets.setdefault(
+                (band, f"{sig[2 * band]}:{sig[2 * band + 1]}"), []
+            ).append(d)
+    cand = set()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    expected = {}
+    for a, b in cand:
+        est = sum(1 for j in range(8) if sigs[a][j] == sigs[b][j]) / 8.0
+        shared = len(shingles[a] & shingles[b])
+        exact = shared / (len(shingles[a]) + len(shingles[b]) - shared)
+        expected[(a, b)] = (est, exact)
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["est_jaccard"],
+            r["exact_jaccard"],
+            r["abs_err"],
+        )
+        for r in _SPECS["minhash_est_error_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for pair, (est, exact) in expected.items():
+        g_est, g_exact, g_err = got[pair]
+        assert g_est == est
+        assert g_exact == pytest.approx(exact, abs=1e-12)
+        assert g_err == pytest.approx(abs(est - exact), abs=2e-6)
+    assert expected, "LSH should surface candidate pairs on the fixtures"
