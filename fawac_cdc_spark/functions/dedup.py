@@ -277,6 +277,14 @@ _BANDS_SQL = "bands AS (\n" + "\n    UNION ALL\n".join(
     for b in range(N_BANDS)
 ) + "\n)"
 
+# Oracle-side mirror of :func:`lsh_candidate_pairs_for` over the `bands`
+# CTE — one pair rule for every consumer of LSH candidates.
+_LSH_CAND_SQL = """cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
 
 def minhash_signatures_for(d: DataFrame) -> DataFrame:
     """Per-doc MinHash signature with NO shuffle: shingle→hash→affine→min
@@ -310,6 +318,21 @@ def minhash_signatures_for(d: DataFrame) -> DataFrame:
 def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`minhash_signatures_for` over the ``documents`` table."""
     return minhash_signatures_for(load_table(spark, sf_dir, "documents"))
+
+
+def lsh_candidate_pairs_for(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing ANY LSH band key — the ONE
+    band-join pair rule (oracle mirror: ``_LSH_CAND_SQL``), shared by
+    ``minhash_lsh_candidates`` and the estimator-error gate so the
+    candidate semantics cannot drift between them."""
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def band_table_for(sig: DataFrame) -> DataFrame:
@@ -397,9 +420,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_candidates",
     oracle=f"""
 WITH sig AS ({_MINHASH_SIG_SQL}),
-{_BANDS_SQL}
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+{_BANDS_SQL},
+{_LSH_CAND_SQL}
+SELECT doc_a, doc_b FROM cand
 """,
     tags=("dedup", "llm", "minhash"),
 )
@@ -415,14 +438,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = band_table_for(minhash_signatures_df(spark, sf_dir)).localCheckpoint(
         eager=True
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return lsh_candidate_pairs_for(bands)
 
 
 def _simhash_sql() -> str:
@@ -759,7 +775,7 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     dropped = (
-        jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
+        near_dup_edges(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -1000,6 +1016,18 @@ reach(src, dst) AS (
     SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )"""
 
+def near_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b): the verified near-dup edge set (Jaccard >= 0.05
+    over DF-capped hashed shingles) — the ONE Spark-side derivation
+    behind the closure / triangle / PageRank / cluster-histogram family
+    and the survivor drop-list (oracle mirror: ``_GOOD_EDGES_CTE_SQL``'s
+    ``good`` CTE), so a threshold or cap change cannot reach one consumer
+    and miss another."""
+    return jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+
+
 # Exact CC labels + survivor flag — used by both iterative CC queries, so
 # two distributed algorithms are checked against one exact answer.
 _CC_ORACLE_SQL = f"""
@@ -1028,8 +1056,9 @@ def connected_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     the DuckDB mirror uses a recursive CTE over the same edge set.
     """
     d = load_table(spark, sf_dir, "documents")
-    edges = jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select("doc_a", "doc_b")
-    labels = connected_components_min_label(edges, d.select("doc_id"))
+    labels = connected_components_min_label(
+        near_dup_edges(spark, sf_dir), d.select("doc_id")
+    )
     return d.join(labels, "doc_id").select(
         "doc_id",
         "component",
@@ -1174,10 +1203,9 @@ def cc_star_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed algorithm: O(log n) rounds instead of O(diameter), the
     shape that survives adversarial duplicate chains at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    edges = jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select(
-        "doc_a", "doc_b"
+    labels, _ = connected_components_star(
+        near_dup_edges(spark, sf_dir), d.select("doc_id")
     )
-    labels, _ = connected_components_star(edges, d.select("doc_id"))
     return d.join(labels, "doc_id").select(
         "doc_id",
         "component",
@@ -1475,11 +1503,7 @@ def near_dup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree runs once), and |triangles| is bounded by the capped pair
     generation — never all-pairs.  Per-member counts come from one
     explode + group-by."""
-    edges = (
-        jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    edges = near_dup_edges(spark, sf_dir).localCheckpoint(eager=True)
     e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
     e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
     e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
@@ -1572,11 +1596,7 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect).  Per-iteration round(6) on BOTH engines keeps the power
     iteration value-exact across Spark's and DuckDB's float fold orders
     (same contract as the EWMA/cumsum recurrences)."""
-    edges = (
-        jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir))
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    edges = near_dup_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -1704,10 +1724,9 @@ def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter) rounds); on top of it this is two BIGINT aggregations —
     component then size — both on uniform keys."""
     d = load_table(spark, sf_dir, "documents")
-    edges = jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select(
-        "doc_a", "doc_b"
+    labels = connected_components_min_label(
+        near_dup_edges(spark, sf_dir), d.select("doc_id")
     )
-    labels = connected_components_min_label(edges, d.select("doc_id"))
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -1726,11 +1745,7 @@ _MH_MATCHES_SQL = " + ".join(
     oracle=f"""
 WITH sig AS ({_MINHASH_SIG_SQL}),
 {_BANDS_SQL},
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
+{_LSH_CAND_SQL},
 est AS (
     SELECT c.doc_a, c.doc_b,
            ({_MH_MATCHES_SQL}) / 8.0 AS est_jaccard
@@ -1748,12 +1763,14 @@ shared AS (
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT e.doc_a, e.doc_b, e.est_jaccard,
-       CAST(s.shared AS DOUBLE) / (ca.n + cb.n - s.shared) AS exact_jaccard,
+       CAST(COALESCE(s.shared, 0) AS DOUBLE)
+           / (ca.n + cb.n - COALESCE(s.shared, 0)) AS exact_jaccard,
        ROUND(ABS(e.est_jaccard
-                 - CAST(s.shared AS DOUBLE) / (ca.n + cb.n - s.shared)), 6)
+                 - CAST(COALESCE(s.shared, 0) AS DOUBLE)
+                   / (ca.n + cb.n - COALESCE(s.shared, 0))), 6)
            AS abs_err
 FROM est e
-JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
 JOIN counts ca ON ca.doc_id = e.doc_a
 JOIN counts cb ON cb.doc_id = e.doc_b
 """,
@@ -1776,16 +1793,9 @@ def minhash_est_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — both engine-stable without rounding; only the error
     difference rounds (convention)."""
     sig = minhash_signatures_df(spark, sf_dir).localCheckpoint(eager=True)
-    bands = band_table_for(sig)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds the est join AND the exact join
-    )
+    cand = lsh_candidate_pairs_for(
+        band_table_for(sig)
+    ).localCheckpoint(eager=True)  # feeds the est join AND the exact join
     sig_a = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)]
     )
@@ -1801,7 +1811,10 @@ def minhash_est_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig_b, "doc_b")
         .select("doc_a", "doc_b", (matches / F.lit(8.0)).alias("est_jaccard"))
     )
-    sh = _shingled(spark, sf_dir)
+    # three subtrees (shx, shy, counts) read the shingle stream —
+    # materialize the explode once (a re-derived scan measured +22-33%
+    # at sf0.1 in the jaccard family)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=True)
     shx = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shy = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (
@@ -1813,11 +1826,13 @@ def minhash_est_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    exact = F.col("shared").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("shared")
-    )
+    # LEFT join: a band collision with ZERO shared shingles (congruent
+    # minhash inputs mod P) is the maximal-error pair this gate exists
+    # to surface — an inner join would silently drop it
+    shared0 = F.coalesce(F.col("shared"), F.lit(0))
+    exact = shared0.cast("double") / (F.col("na") + F.col("nb") - shared0)
     return (
-        est.join(shared, ["doc_a", "doc_b"])
+        est.join(shared, ["doc_a", "doc_b"], "left")
         .join(ca, "doc_a")
         .join(cb, "doc_b")
         .select(

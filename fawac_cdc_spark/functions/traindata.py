@@ -601,17 +601,12 @@ def _register_leakage_safe_split() -> None:
         exact transitive closure with a recursive CTE. One extra shuffle
         over ``dataset_hash_split`` (the CC label join); the rest is the
         same pure-map bucket assignment."""
-        from .dedup import (
-            _shingled_hashed,
-            connected_components_star,
-            jaccard_candidate_pairs,
-        )
+        from .dedup import connected_components_star, near_dup_edges
 
         d = load_table(spark, sf_dir, "documents")
-        edges = jaccard_candidate_pairs(_shingled_hashed(spark, sf_dir)).select(
-            "doc_a", "doc_b"
+        labels, _ = connected_components_star(
+            near_dup_edges(spark, sf_dir), d.select("doc_id")
         )
-        labels, _ = connected_components_star(edges, d.select("doc_id"))
         split = _split_col(md5_bucket("component", 100))
         return (
             labels.select(split.alias("split"), "component")
