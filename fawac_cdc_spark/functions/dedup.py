@@ -1843,3 +1843,112 @@ def minhash_est_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
         )
     )
+
+
+# --- Inter-source overlap matrix (round 7) --------------------------------------
+#
+# The cross-source duplication audit (the Pile / Dolma corpus analyses
+# report exactly this table): how much shingle mass every pair of sources
+# shares.  High containment between two "different" sources means the
+# crawler ingested the same site twice under two names — a mixture-weight
+# and leakage hazard no within-corpus doc-level dedup report shows.
+# Same DF-capped hashed-shingle universe as the pair family: capping
+# removes stop-phrase/boilerplate shingles, so the overlap measures
+# CONTENT, not function words.
+
+_SRC_SHINGLED_SQL = f"""
+    SELECT doc_id, source, unnest({_HASHED_SHINGLES_SQL}) AS shingle
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents WHERE len(string_split(text, ' ')) >= 3)
+"""
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH sh_all AS ({_SRC_SHINGLED_SQL}),
+hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+sh AS (
+    SELECT DISTINCT source, shingle FROM sh_all
+    WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+counts AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, shared,
+       CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) AS containment,
+       CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.source = source_a
+JOIN counts cb ON cb.source = source_b
+""",
+    tags=("dedup", "llm", "audit"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise shingle overlap between SOURCES over the DF-capped
+    hashed-shingle universe: shared distinct shingles, containment
+    (shared over the smaller source's set) and Jaccard, one row per
+    unordered source pair.
+
+    Scale shape: the hot-shingle cap reuses the family's doc-frequency
+    rule (broadcast anti-join), then the stream collapses to DISTINCT
+    (source, shingle) — ONE uniform-key shuffle that also serves the
+    per-source counts — and the self-join key (shingle) carries at most
+    |sources| rows per side, so pair generation is bounded by
+    C(|sources|, 2) per shingle no matter how large the corpus grows;
+    the output is a |sources|^2-bounded matrix.  Both scores are single
+    divisions of exact ints (engine-stable unrounded, family
+    contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh_all = (
+        d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id", "source", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle")
+        )
+    )
+    # hot list + probe both read the explode — materialize once (family
+    # pattern, measured +22-33% when re-derived)
+    sh_all = sh_all.localCheckpoint(eager=True)
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    src_sh = (
+        sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+        .select("source", "shingle")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds counts AND both join sides
+    )
+    counts = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = src_sh.select(F.col("source").alias("source_a"), "shingle")
+    b = src_sh.select(F.col("source").alias("source_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(ca, "source_a")
+        .join(cb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            (F.col("shared").cast("double") / F.least("na", "nb")).alias(
+                "containment"
+            ),
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -162,10 +162,11 @@ _QUERY_MODULES = [
 #                           connected_component_survivors, ivf_topk_query1
 #                           and knn_join_bucketed_top3, which ceded their
 #                           slots to the session-3 additions, and by the
-#                           four queries added AFTER this round's rotation
+#                           five queries added AFTER this round's rotation
 #                           froze — hard_triplet_mining,
-#                           stratified_eval_quota, dup_cluster_size_hist
-#                           and minhash_est_error_pairs, this round
+#                           stratified_eval_quota, dup_cluster_size_hist,
+#                           minhash_est_error_pairs and
+#                           source_overlap_matrix, this round
 #                           evidenced by dual-scale parity sweeps +
 #                           independent replica tests instead of a driver
 #                           row)
@@ -289,6 +290,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "stratified_eval_quota",
     "dup_cluster_size_hist",
     "minhash_est_error_pairs",
+    "source_overlap_matrix",
 )
 
 

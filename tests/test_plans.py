@@ -386,6 +386,7 @@ def test_bloom_probe_side_never_shuffles(spark, sf_dir):
         "stratified_eval_quota",
         "dup_cluster_size_hist",
         "minhash_est_error_pairs",
+        "source_overlap_matrix",
     ],
 )
 def test_unordered_outputs_have_no_global_sort(spark, sf_dir, name):

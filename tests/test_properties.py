@@ -1691,3 +1691,51 @@ def test_minhash_est_error_matches_hashlib_replica(spark, sf_dir):
         assert g_exact == pytest.approx(exact, abs=1e-12)
         assert g_err == pytest.approx(abs(est - exact), abs=2e-6)
     assert expected, "LSH should surface candidate pairs on the fixtures"
+
+
+def test_source_overlap_matrix_matches_pure_python_replica(spark, sf_dir):
+    """Per-source capped shingle sets and all pairwise overlap scores
+    recomputed from the raw parquet in pure python/hashlib."""
+    import hashlib
+    from collections import Counter
+
+    from fawac_cdc_spark.functions.dedup import MAX_SHINGLE_DF
+
+    docs = _docs_pdf(sf_dir)
+    doc_rows = []
+    for _, r in docs.iterrows():
+        ts = r["text"].split(" ")
+        if len(ts) < 3:
+            continue
+        shs = {
+            int(hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest()[:15], 16)
+            for i in range(len(ts) - 2)
+        }
+        doc_rows.append((r["source"], shs))
+    df_counts = Counter(s for _, shs in doc_rows for s in shs)
+    src_sets: dict[str, set[int]] = {}
+    for src, shs in doc_rows:
+        src_sets.setdefault(src, set()).update(
+            s for s in shs if df_counts[s] <= MAX_SHINGLE_DF
+        )
+    expected = {}
+    srcs = sorted(src_sets)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            shared = len(src_sets[sa] & src_sets[sb])
+            if shared:
+                expected[(sa, sb)] = (
+                    shared,
+                    shared / min(len(src_sets[sa]), len(src_sets[sb])),
+                    shared / (len(src_sets[sa]) + len(src_sets[sb]) - shared),
+                )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["shared"],
+            r["containment"],
+            r["jaccard"],
+        )
+        for r in _SPECS["source_overlap_matrix"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got, "fixture sources should share content shingles"
