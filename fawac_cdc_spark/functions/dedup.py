@@ -222,12 +222,17 @@ def jaccard_candidate_pairs(
     )
 
 
-def _capped_sh_sql(shingled_sql: str, max_df: int = MAX_SHINGLE_DF) -> str:
-    """Oracle mirror of ``capped_shingles``: CTE text defining sh_all/df/sh."""
+def _capped_sh_sql(
+    shingled_sql: str, max_df: int = MAX_SHINGLE_DF, cols: str = "doc_id, shingle"
+) -> str:
+    """Oracle mirror of ``capped_shingles``: CTE text defining sh_all/df/sh.
+    ``cols`` selects the surviving projection (the source-overlap oracle
+    carries ``source`` instead of ``doc_id``); the cap formulation itself
+    stays in this ONE place."""
     return f"""
 sh_all AS ({shingled_sql}),
 hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {max_df}),
-sh AS (SELECT doc_id, shingle FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot))
+sh AS (SELECT {cols} FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot))
 """
 
 
@@ -1866,24 +1871,22 @@ _SRC_SHINGLED_SQL = f"""
 @register(
     "source_overlap_matrix",
     oracle=f"""
-WITH sh_all AS ({_SRC_SHINGLED_SQL}),
-hot AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
-sh AS (
-    SELECT DISTINCT source, shingle FROM sh_all
-    WHERE shingle NOT IN (SELECT shingle FROM hot)
-),
-counts AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+WITH {_capped_sh_sql(_SRC_SHINGLED_SQL, cols="source, shingle")},
+src_sh AS (SELECT DISTINCT source, shingle FROM sh),
+counts AS (SELECT source, COUNT(*) AS n FROM src_sh GROUP BY source),
 pairs AS (
     SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    FROM src_sh a JOIN src_sh b ON a.shingle = b.shingle AND a.source < b.source
     GROUP BY a.source, b.source
 )
-SELECT source_a, source_b, shared,
-       CAST(shared AS DOUBLE) / LEAST(ca.n, cb.n) AS containment,
-       CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
-FROM pairs
-JOIN counts ca ON ca.source = source_a
-JOIN counts cb ON cb.source = source_b
+SELECT ca.source AS source_a, cb.source AS source_b,
+       CAST(COALESCE(p.shared, 0) AS BIGINT) AS shared,
+       CAST(COALESCE(p.shared, 0) AS DOUBLE) / LEAST(ca.n, cb.n) AS containment,
+       CAST(COALESCE(p.shared, 0) AS DOUBLE)
+           / (ca.n + cb.n - COALESCE(p.shared, 0)) AS jaccard
+FROM counts ca
+JOIN counts cb ON ca.source < cb.source
+LEFT JOIN pairs p ON p.source_a = ca.source AND p.source_b = cb.source
 """,
     tags=("dedup", "llm", "audit"),
 )
@@ -1893,35 +1896,35 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shared over the smaller source's set) and Jaccard, one row per
     unordered source pair.
 
-    Scale shape: the hot-shingle cap reuses the family's doc-frequency
-    rule (broadcast anti-join), then the stream collapses to DISTINCT
+    Every one of the C(|sources|, 2) pairs gets a row — a pair sharing
+    NO capped shingle reports shared=0 (zero cross-source duplication is
+    the healthy finding an audit must show, not drop; the same
+    left-join-the-boundary-case contract as the estimator gate).
+
+    Scale shape: the hot-shingle cap is the family's ONE
+    ``capped_shingles`` rule, then the stream collapses to DISTINCT
     (source, shingle) — ONE uniform-key shuffle that also serves the
     per-source counts — and the self-join key (shingle) carries at most
     |sources| rows per side, so pair generation is bounded by
-    C(|sources|, 2) per shingle no matter how large the corpus grows;
-    the output is a |sources|^2-bounded matrix.  Both scores are single
-    divisions of exact ints (engine-stable unrounded, family
-    contract)."""
+    C(|sources|, 2) per shingle no matter how large the corpus grows.
+    The all-pairs frame folds the |sources|-row counts table into one
+    row and expands i<j pairs as an array expression (no cross join in
+    the plan).  Both scores are single divisions of exact ints
+    (engine-stable unrounded, family contract)."""
     d = load_table(spark, sf_dir, "documents")
+    # doc_id is NOT materialized: the cap needs only per-doc row
+    # multiplicity (the in-array distinct makes rows distinct per doc)
+    # and the probe side only (source, shingle)
     sh_all = (
-        d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+        d.select("source", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
-        .select(
-            "doc_id", "source", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle")
-        )
+        .select("source", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle"))
     )
     # hot list + probe both read the explode — materialize once (family
     # pattern, measured +22-33% when re-derived)
     sh_all = sh_all.localCheckpoint(eager=True)
-    hot = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
     src_sh = (
-        sh_all.join(F.broadcast(hot), "shingle", "left_anti")
-        .select("source", "shingle")
+        capped_shingles(sh_all)
         .distinct()
         .localCheckpoint(eager=True)  # feeds counts AND both join sides
     )
@@ -1934,21 +1937,24 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    ca = counts.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
-    return (
-        pairs.join(ca, "source_a")
-        .join(cb, "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "shared",
-            (F.col("shared").cast("double") / F.least("na", "nb")).alias(
-                "containment"
-            ),
-            (
-                F.col("shared").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("shared"))
-            ).alias("jaccard"),
-        )
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss) - i - 1), "
+        "y -> struct(x.source AS source_a, x.n AS na, "
+        "y.source AS source_b, y.n AS nb))))"
+    )
+    all_pairs = (
+        counts.agg(F.sort_array(F.collect_list(F.struct("source", "n"))).alias("ss"))
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.source_a", "p.na", "p.source_b", "p.nb")
+    )
+    shared0 = F.coalesce(F.col("shared"), F.lit(0))
+    return all_pairs.join(pairs, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        shared0.cast("bigint").alias("shared"),
+        (shared0.cast("double") / F.least("na", "nb")).alias("containment"),
+        (shared0.cast("double") / (F.col("na") + F.col("nb") - shared0)).alias(
+            "jaccard"
+        ),
     )

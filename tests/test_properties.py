@@ -1722,13 +1722,14 @@ def test_source_overlap_matrix_matches_pure_python_replica(spark, sf_dir):
     srcs = sorted(src_sets)
     for i, sa in enumerate(srcs):
         for sb in srcs[i + 1 :]:
+            # zero-overlap pairs are part of the matrix: an audit must
+            # SHOW healthy separation, not drop it
             shared = len(src_sets[sa] & src_sets[sb])
-            if shared:
-                expected[(sa, sb)] = (
-                    shared,
-                    shared / min(len(src_sets[sa]), len(src_sets[sb])),
-                    shared / (len(src_sets[sa]) + len(src_sets[sb]) - shared),
-                )
+            expected[(sa, sb)] = (
+                shared,
+                shared / min(len(src_sets[sa]), len(src_sets[sb])),
+                shared / (len(src_sets[sa]) + len(src_sets[sb]) - shared),
+            )
     got = {
         (r["source_a"], r["source_b"]): (
             r["shared"],
