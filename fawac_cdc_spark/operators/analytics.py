@@ -31,6 +31,8 @@ SESSION_GAP_SECONDS = SESSION_GAP_MIN * 60
 ZSCORE_WINDOW = 100  # trailing rows per (type) used to fit mean/std
 ZSCORE_MIN_PREV = 30  # score only with a substantial trailing sample
 ZSCORE_FLAG = 3.0
+# Gap-fill interpolates the sparsest event stream: daily purchase totals.
+GAPFILL_EVENT_TYPE = "purchase"
 
 
 @register(
@@ -319,4 +321,118 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         "n_events",
         valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "gapfill_interpolated_daily",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM events WHERE event_type = '{GAPFILL_EVENT_TYPE}'
+    GROUP BY 1, 2
+),
+spans AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+    FROM spans
+),
+joined AS (
+    SELECT s.user_id, s.day, d.v
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+),
+ctx AS (
+    SELECT user_id, day, v,
+           LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+           LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wp AS pd,
+           FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wf AS nd
+    FROM joined
+    WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day, v IS NOT NULL AS is_observed,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + ((nv - pv)
+                             * (CAST(date_diff('day', CAST(pd AS DATE),
+                                               CAST(day AS DATE)) AS DOUBLE)
+                                / CAST(date_diff('day', CAST(pd AS DATE),
+                                                 CAST(nd AS DATE)) AS DOUBLE)))
+             END, 6) AS value_filled
+FROM ctx
+""",
+    tags=("analytics", "timeseries", "gapfill", "window"),
+)
+def gapfill_interpolated_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily gap-fill with linear interpolation — the
+    timeseries-engine ``interpolate()`` surface (TimescaleDB
+    ``interpolate``, InfluxDB ``fill(linear)``): build each user's daily
+    spine from their first to last observed purchase day, carry the
+    nearest observed totals in both directions, and lerp the missing
+    days between them.
+
+    Plan: one exact-DECIMAL daily aggregate, a per-user min/max span, a
+    ``sequence()`` explode for the spine (no recursive CTE — the spine
+    is generated per user, in parallel), one equi-join back on
+    (user, day), and two frame-bounded windows carrying the previous /
+    next observation via ``last/first(ignore nulls)``.  Every shuffle
+    keys on user_id; a user's spine is bounded by their history length,
+    so at 100 TB no partition exceeds days-since-first-purchase rows.
+    Interior days always have both neighbors by construction (the spine
+    starts and ends on OBSERVED days), so the lerp never divides by
+    null; the fraction is an exact small-integer ratio and the filled
+    value crosses the round(6) determinism convention on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == GAPFILL_EVENT_TYPE)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    frac = F.datediff(F.to_date("day"), F.to_date("pd")).cast("double") / F.datediff(
+        F.to_date("nd"), F.to_date("pd")
+    ).cast("double")
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + ((F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        F.col("v").isNotNull().alias("is_observed"),
+        F.round(filled, 6).alias("value_filled"),
     )

@@ -1,0 +1,136 @@
+"""ANALYZE-style table profiling (round 7).
+
+Every warehouse engine ships a statistics pass — per-column null
+counts, exact distinct counts, and min/max — because the optimizer and
+the data-quality dashboard both feed on it.  The reference's batch-stat
+logging (``train_fawac_iql.py:145-166`` logs per-batch means/extremes)
+generalizes to this full-table profile surface.
+
+The scale-critical design point is the EXACT distinct count: a naive
+``agg(countDistinct(c1), countDistinct(c2), ...)`` plans an ``Expand``
+that replicates every input row once per column *inside one
+aggregate*, the exact blowup the round-7 ``approx_stats_error_bound``
+fix removed.  Instead the profile melts the table once into
+``(col_name, value)`` pairs and counts distinct values per column with
+a two-level aggregate: the first level's map-side partial agg collapses
+each partition to its per-column distinct set, so the shuffle carries
+``sum_c(ndv_partition(c))`` rows, not ``k * n`` — the standard exact-NDV
+MapReduce shape.  Min/max/null counts ride a separate single-row
+aggregate (no Expand, one scan), and the two 11-row results meet in a
+broadcast join.  For the cheap approximate path at 100 TB, the sketch
+family (``approx_stats_lineitem``) already covers HLL-based NDV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# ONE column-spec list generates BOTH engines' expressions (name, kind);
+# kind selects the numeric view used for min/max: "num" casts to double,
+# "ts" converts to epoch days (exact integers in double), "str" profiles
+# nulls/distincts only (no cross-engine-stable numeric view for text).
+PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _num_view_spark(col: str, kind: str) -> F.Column:
+    if kind == "num":
+        return F.col(col).cast("double")
+    if kind == "ts":
+        return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("double")
+    return F.lit(None).cast("double")
+
+
+def _num_view_sql(col: str, kind: str) -> str:
+    if kind == "num":
+        return f"CAST({col} AS DOUBLE)"
+    if kind == "ts":
+        return f"CAST(date_diff('day', DATE '1970-01-01', CAST({col} AS DATE)) AS DOUBLE)"
+    return "CAST(NULL AS DOUBLE)"
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in PROFILE_COLS:
+        v = _num_view_sql(col, kind)
+        parts.append(
+            f"SELECT '{col}' AS col_name,\n"
+            f"       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,\n"
+            f"       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,\n"
+            f"       MIN({v}) AS min_d, MAX({v}) AS max_d\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "table_profile_stats",
+    oracle=_profile_oracle(),
+    tags=("profiling", "aggregate", "stats"),
+)
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table column profile of ``lineitem``: per column, the null
+    count, the EXACT distinct count, and min/max through a
+    cross-engine-stable numeric view (double for numerics, epoch days
+    for the timestamp, absent for strings).
+
+    Two scans, zero ``Expand``: scan 1 melts each row into
+    ``(col_name, value-as-string)`` pairs (the string cast is injective
+    per type, so distinct counts are preserved) and aggregates
+    ``(col_name, value) -> count`` then ``col_name -> (ndv, nulls)`` —
+    map-side partial agg bounds the shuffle by the per-partition
+    distinct-set sizes.  Scan 2 is one Expand-free single-row min/max
+    aggregate, melted to 11 rows and broadcast-joined back.  The plan
+    is pinned Expand-free in ``tests/test_plans.py``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = len(PROFILE_COLS)
+
+    melt_args = ", ".join(f"'{c}', cast({c} as string)" for c, _ in PROFILE_COLS)
+    counts = (
+        li.selectExpr(f"stack({k}, {melt_args}) as (col_name, sval)")
+        .groupBy("col_name", "sval")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    prof = counts.groupBy("col_name").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("sval").isNull(), F.col("cnt"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("sval").isNotNull(), 1)).alias("n_distinct"),
+    )
+
+    mm_aggs = []
+    for c, kind in PROFILE_COLS:
+        if kind == "str":
+            continue
+        v = _num_view_spark(c, kind)
+        mm_aggs += [F.min(v).alias(f"min_{c}"), F.max(v).alias(f"max_{c}")]
+    mm_row = li.agg(*mm_aggs)
+    mm_args = ", ".join(
+        f"'{c}', min_{c}, max_{c}"
+        if kind != "str"
+        else f"'{c}', cast(null as double), cast(null as double)"
+        for c, kind in PROFILE_COLS
+    )
+    minmax = mm_row.selectExpr(f"stack({k}, {mm_args}) as (col_name, min_d, max_d)")
+
+    return prof.join(F.broadcast(minmax), "col_name").select(
+        "col_name", "n_nulls", "n_distinct", "min_d", "max_d"
+    )

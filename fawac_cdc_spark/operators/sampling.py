@@ -23,8 +23,16 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from .helpers import md5_bucket, md5_bucket_sql
 
 SEED = 42  # reference seed_all / TESTDATA seed
+
+# A-ES weighted reservoir: sample size and coin resolution.  The coin
+# modulus divides 16^4 exactly (the weighted_source_mixture dyadic-coin
+# rule), so u is exactly uniform over {0.5/65536, 1.5/65536, ...} and
+# bit-identical across engines before the one ln() transform.
+RESERVOIR_K = 64
+_RES_COIN = 65536
 
 
 @register(
@@ -77,4 +85,47 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.25}
     return e.sampleBy("event_type", fractions, seed=SEED).select(
         "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=f"""
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+       ROUND(LN(({md5_bucket_sql('doc_id', _RES_COIN)} + 0.5) / {_RES_COIN}.0)
+             / n_chars, 6) AS aes_key
+FROM documents
+ORDER BY aes_key DESC, doc_id
+LIMIT {RESERVOIR_K}
+""",
+    tags=("sampling", "traindata", "llm"),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    A-ES reservoir (2006): each doc draws a uniform u and keeps key
+    u^(1/w) — here the equivalent log-domain ln(u)/w — and the global
+    top-K keys ARE a w-proportional sample without replacement.  The
+    training-data use: pick a fixed-size document subset where longer
+    docs (weight = n_chars) are proportionally likelier, reproducibly.
+
+    The A-ES key is what makes the operator DISTRIBUTED: top-K by key
+    is a map-side partial ``TakeOrderedAndProject`` (each partition
+    forwards at most K rows, no shuffle stage at all — plan-pinned), and
+    the same property makes it mergeable across streams or shards.  The
+    uniform is the repo's exactly-uniform dyadic md5 coin, shifted by
+    +0.5 so u is never 0 (ln(0) = -inf); keys round to 6 before ranking
+    with a doc_id tiebreak, the established cross-engine convention.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (md5_bucket("doc_id", _RES_COIN).cast("double") + 0.5) / float(_RES_COIN)
+    key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("aes_key"),
+        )
+        .orderBy(F.col("aes_key").desc(), "doc_id")
+        .limit(RESERVOIR_K)
     )

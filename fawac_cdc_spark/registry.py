@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.operators.tpch_ext",
     "fawac_cdc_spark.operators.layout",
     "fawac_cdc_spark.operators.analytics",
+    "fawac_cdc_spark.operators.profiling",
     "fawac_cdc_spark.functions.text",
     "fawac_cdc_spark.functions.scalars",
     "fawac_cdc_spark.functions.preprocess",
