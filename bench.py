@@ -166,26 +166,35 @@ def main() -> None:
     timings = {name: time_query(name) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
-    # Non-frozen side experiments: separate key, excluded from "value" so
-    # the frozen-suite totals stay comparable across rounds.
+    # Non-frozen side experiments: excluded from "value" so the
+    # frozen-suite totals stay comparable across rounds.
     extras = skew_experiment(spark, sf_dir)
     # Newer-operator additions (registry.BENCH_EXTRAS — one shared
     # definition), timed the same min-of-N way but kept out of the
     # frozen 20-query total.
     for name in BENCH_EXTRAS:
         extras[name] = time_query(name)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extras": extras,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # The driver records only the TAIL of stdout; in round 7 the inline
+    # extras dict grew past that capture and BENCH_r07.json came back
+    # "parsed": null (VERDICT r7 defect 1).  The FULL record (headline +
+    # extras) therefore goes to a FILE — BENCH_FULL.json, directly usable
+    # as either side of tools/bench_compare.py — and the compact
+    # headline-only JSON line prints LAST so the driver's tail capture
+    # always contains a complete parseable record.
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(full_path, "w") as fh:
+        json.dump({**compact, "extras": extras}, fh, indent=1, sort_keys=True)
+    print(f"full record ({len(extras)} extras) -> {full_path}", file=sys.stderr)
+    print(json.dumps(compact))
     spark.stop()
 
 

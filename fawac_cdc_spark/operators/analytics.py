@@ -330,7 +330,8 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
     SELECT user_id, date_trunc('day', ts) AS day,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-    FROM events WHERE event_type = '{GAPFILL_EVENT_TYPE}'
+    FROM events
+    WHERE event_type = '{GAPFILL_EVENT_TYPE}' AND value IS NOT NULL
     GROUP BY 1, 2
 ),
 spans AS (
@@ -392,7 +393,15 @@ def gapfill_interpolated_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     daily = (
-        e.where(F.col("event_type") == GAPFILL_EVENT_TYPE)
+        # value IS NOT NULL keeps the spine-endpoint invariant honest: a
+        # day whose every purchase has NULL value would SUM to v=NULL and
+        # masquerade as an observed endpoint while carrying nothing to
+        # interpolate from (ADVICE r7) — an all-NULL day is NOT an
+        # observation, so it must not anchor the spine either.
+        e.where(
+            (F.col("event_type") == GAPFILL_EVENT_TYPE)
+            & F.col("value").isNotNull()
+        )
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
     )

@@ -703,3 +703,23 @@ def test_rrf_pools_are_distributed_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "rrf_fused_topk_docs")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_table_profile_plan_is_expand_free(spark, sf_dir):
+    """The profile's docstring argues the whole design around avoiding the
+    countDistinct-per-column Expand blowup (every input row replicated
+    once per profiled column); pin it (ADVICE r7: the claim had no test).
+    Also pin that the min/max side joins back as a broadcast."""
+    plan = _plan(spark, sf_dir, "table_profile_stats")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_reservoir_topk_is_take_ordered(spark, sf_dir):
+    """The A-ES sample is distributed ONLY if the key top-K plans as
+    TakeOrderedAndProject (map-side partial top-K, each partition forwards
+    at most K rows) rather than a global sort (ADVICE r7: the docstring's
+    plan-pin claim had no test)."""
+    plan = _plan(spark, sf_dir, "weighted_reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

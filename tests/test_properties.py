@@ -1740,3 +1740,31 @@ def test_source_overlap_matrix_matches_pure_python_replica(spark, sf_dir):
     }
     assert got == expected
     assert got, "fixture sources should share content shingles"
+
+
+def test_weighted_reservoir_replica_and_tie_resolution(spark, sf_dir):
+    """Independent hashlib/numpy replica of the A-ES sample plus the
+    ADVICE r7 tie gate: rounding moved from the final key to ln(u), so
+    the top-K must rank on (near-)distinct full-precision keys instead
+    of collapsing to a handful of rounded values broken by doc_id."""
+    import hashlib
+    import math
+
+    from fawac_cdc_spark.operators.sampling import RESERVOIR_K, _RES_COIN
+
+    out = _SPECS["weighted_reservoir_sample"].fn(spark, sf_dir).toPandas()
+    assert len(out) == RESERVOIR_K
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def aes_key(doc_id: int, n_chars: int) -> float:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        u = (int(h, 16) % _RES_COIN + 0.5) / _RES_COIN
+        return round(math.log(u), 6) / n_chars
+
+    docs["key"] = [aes_key(d, n) for d, n in zip(docs["doc_id"], docs["n_chars"])]
+    expect = docs.sort_values(["key", "doc_id"], ascending=[False, True]).head(RESERVOIR_K)
+    assert list(out["doc_id"]) == list(expect["doc_id"])
+    np.testing.assert_allclose(out["aes_key"], expect["key"], rtol=0, atol=0)
+    # tie gate: the winning keys are essentially all distinct now
+    assert out["aes_key"].nunique() >= RESERVOIR_K - 2

@@ -87,3 +87,59 @@ def test_bench_compare_gates_extras_intersection(tmp_path):
     rc3, out3 = _run_bench_compare(tmp_path, base, now_missing)
     assert rc3 == 1
     assert "extras missing from current run" in out3
+
+
+def test_bench_stdout_line_fits_driver_tail_capture():
+    """The driver records only the TAIL of bench.py's stdout (~2000 chars);
+    round 7's inline extras grew past it and BENCH_r07.json came back
+    "parsed": null.  Guard the contract: the compact headline-only line —
+    frozen 20 queries, no extras key — must stay well under the capture
+    window even with worst-case float widths."""
+    sys.path.insert(0, _REPO)
+    import bench
+
+    assert len(bench.HEADLINE) == 20  # frozen since round 3
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {name: 99999.999 for name in bench.HEADLINE},
+        "sf": 0.1,
+    }
+    line = json.dumps(compact)
+    assert "extras" not in compact
+    assert len(line) < 1800, f"compact bench line too long: {len(line)} chars"
+    # and the full record (with extras) goes to a file, not stdout
+    src = open(os.path.join(_REPO, "bench.py")).read()
+    assert "BENCH_FULL.json" in src
+    assert src.rstrip().endswith("main()")
+
+
+def test_every_registered_query_is_swept_or_pending():
+    """Sweep-metadata guard (VERDICT r7 item 6): every registered query
+    name must appear in the last green full-registry parity sweep record
+    (tools/parity_last.json) or be explicitly listed in
+    registry.PENDING_SWEEP.  A registration with neither is silent
+    verification debt — exactly how 8 queries accumulated without any red
+    signal through round 7."""
+    from fawac_cdc_spark import registry
+
+    record_path = os.path.join(_REPO, "tools", "parity_last.json")
+    assert os.path.exists(record_path), (
+        "no tools/parity_last.json — run a full `python tools/parity.py` "
+        "sweep (it writes the record when green)"
+    )
+    with open(record_path) as fh:
+        swept = set(json.load(fh)["names"])
+    registered = set(registry.queries())
+    unswept = registered - swept - set(registry.PENDING_SWEEP)
+    assert not unswept, (
+        f"registered but neither swept nor PENDING_SWEEP: {sorted(unswept)} "
+        "— run tools/parity.py or add to registry.PENDING_SWEEP"
+    )
+    # stale pendings: once swept, a name must leave PENDING_SWEEP
+    stale = set(registry.PENDING_SWEEP) & swept
+    assert not stale, f"PENDING_SWEEP entries already swept: {sorted(stale)}"
+    # and the record must not reference queries that no longer exist
+    ghosts = swept - registered
+    assert not ghosts, f"sweep record names not in registry: {sorted(ghosts)}"

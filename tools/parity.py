@@ -202,4 +202,21 @@ if __name__ == "__main__":
     res = run_parity(spark, sf_dir, names)
     bad = {k: v for k, v in res.items() if v}
     print(f"\n{len(res) - len(bad)}/{len(res)} queries at parity")
+    if names is None and not bad:
+        # Machine-readable record of the last GREEN full-registry sweep.
+        # tests/test_tools.py asserts every registered query is either in
+        # here or explicitly listed in registry.PENDING_SWEEP — so a new
+        # registration without sweep evidence turns the suite red instead
+        # of accumulating silent verification debt (VERDICT r7 item 6).
+        import json
+
+        record = {
+            "sf_dir": sf_dir,
+            "total": len(res),
+            "names": sorted(res),
+        }
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "parity_last.json")
+        with open(path, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(f"sweep record -> {path}")
     sys.exit(1 if bad else 0)
