@@ -50,6 +50,20 @@ HEADLINE = [
 ]
 
 
+def compact_record(timings: dict[str, float], sf: str) -> dict:
+    """The ONE compact headline record printed to stdout for the driver's
+    tail capture — extras never belong here (they go to BENCH_FULL.json).
+    Factored so tests/test_tools.py measures the REAL record construction
+    instead of a hand-rebuilt replica that could drift (ADVICE r8)."""
+    return {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+
 def skew_experiment(spark, sf_dir: str) -> dict[str, float]:
     """Skew-join evidence at bench scale (VERDICT r4 item 6) — NOT part of
     the frozen headline suite; reported under the separate "extras" key so
@@ -165,7 +179,6 @@ def main() -> None:
 
     timings = {name: time_query(name) for name in HEADLINE}
 
-    total = round(sum(timings.values()), 3)
     # Non-frozen side experiments: excluded from "value" so the
     # frozen-suite totals stay comparable across rounds.
     extras = skew_experiment(spark, sf_dir)
@@ -181,13 +194,7 @@ def main() -> None:
     # as either side of tools/bench_compare.py — and the compact
     # headline-only JSON line prints LAST so the driver's tail capture
     # always contains a complete parseable record.
-    compact = {
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+    compact = compact_record(timings, sf)
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )

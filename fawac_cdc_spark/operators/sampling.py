@@ -92,7 +92,7 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "weighted_reservoir_sample",
     oracle=f"""
 SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
-       ROUND(LN(({md5_bucket_sql('doc_id', _RES_COIN)} + 0.5) / {_RES_COIN}.0), 6)
+       ROUND(LN(({md5_bucket_sql('doc_id', _RES_COIN)} + 0.5) / {_RES_COIN}.0), 12)
              / n_chars AS aes_key
 FROM documents
 ORDER BY aes_key DESC, doc_id
@@ -115,16 +115,21 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform is the repo's exactly-uniform dyadic md5 coin, shifted by
     +0.5 so u is never 0 (ln(0) = -inf).  Cross-engine determinism:
     the md5 coin is bit-identical, so only ln()'s ~1-ulp variance needs
-    absorbing — round ln(u) (range ~[-11.1, 0)) to 6dp BEFORE dividing
+    absorbing — round ln(u) (range ~[-11.1, 0)) to 12dp BEFORE dividing
     by the weight, then divide at full double precision (IEEE division
     of identical doubles is identical).  Rounding the final key instead
     would collapse the top-K to a handful of rounded values — top keys
     concentrate near 0, so selection would silently fall to the doc_id
     tiebreak, destroying the w-proportional guarantee (ADVICE r7).
+    12dp, not 6dp (ADVICE r8): top candidates have |ln u| as small as
+    ~7.6e-6, so 6dp quantization distorted those keys by up to ~5%,
+    slightly biasing the w-proportional selection among top docs; 12dp
+    still absorbs ulp-level (~1e-15 relative) engine variance by six
+    orders of magnitude while keeping the top-key ordering exact.
     """
     d = load_table(spark, sf_dir, "documents")
     u = (md5_bucket("doc_id", _RES_COIN).cast("double") + 0.5) / float(_RES_COIN)
-    key = F.round(F.log(u), 6) / F.col("n_chars")
+    key = F.round(F.log(u), 12) / F.col("n_chars")
     return (
         d.select(
             "doc_id",

@@ -49,199 +49,96 @@ _QUERY_MODULES = [
 ]
 
 # Registry emission order.  The driver's correctness gate evaluates the
-# FIRST 50 entries in insertion order (verified rounds 1-6: CORRECTNESS_rNN
-# keys == names[:50]), so ordering is part of the verification contract.
+# FIRST 50 entries in insertion order (CORRECTNESS_rNN keys == names[:50]
+# every verified round so far), so ordering is part of the verification
+# contract: _PRIORITY is the round's driver window, rotated each round so
+# the hard driver-hash signal lands on (a) queries that have NEVER had a
+# driver row, (b) queries whose VALUES changed this round, (c) operators
+# new this round, then (d) the stalest remaining evidence.  Everything
+# outside the window stays covered by tools/parity.py full-registry
+# sweeps (sf0.01 + sf0.1, recorded in tools/parity_last.json and gated by
+# tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
-# Round-7 rotation — evidence freshness. Composition, in order:
-#   29 new this round       (session 4: gopher_quality_flags — the Gopher
-#                           rule-based document filter;
-#                           containment_dup_pairs — Broder containment
-#                           over the capped shingle universe;
-#                           session 3: pagerank_near_dup — damped power
-#                           iteration on the near-dup graph;
-#                           rrf_fused_topk_docs — reciprocal-rank fusion
-#                           of BM25 and dense retrieval;
-#                           semantic_decontam_flags — embedding-level
-#                           eval-overlap flags;
-#                           semantic_dedup_admissions — batch closed form
-#                           of the streaming embedding dedup-on-ingest;
-#                           incremental_semantic_dedup — its
-#                           batch-vs-standing-corpus form;
-#                           weighted_source_mixture — DoReMi/Pile-style
-#                           deterministic domain up/down-sampling;
-#                           second session: bm25_topk_docs — lexical
-#                           retrieval scoring; dsir_selected_docs — DSIR
-#                           hashed-feature importance selection;
-#                           multiprobe_lsh_topk_query0 — Hamming-1 probe
-#                           recall dial; shuffled_shard_manifest —
-#                           deterministic training-order shuffle;
-#                           ngram_novelty_by_shard — curriculum novelty
-#                           curve; ivf_multiprobe_topk_query1 — faiss
-#                           nprobe dial; quality_classifier_scores —
-#                           logistic model-based filtering;
-#                           dsir_gumbel_resample — DSIR's actual
-#                           importance-resampling step;
-#                           token_budget_selection — per-source budget
-#                           fill via distributed two-phase prefix sum;
-#                           embedding_margin_stats — per-label centroid
-#                           margin audit; token_budget_admissions —
-#                           batch closed form of the streaming
-#                           token-budget gate, stream==batch pinned;
-#                           binned_interval_join_counts — keyless
-#                           interval join via time-bin blocking;
-#                           cms_user_event_estimates — exactly-replayed
-#                           count-min sketch; semantic_cc_survivors —
-#                           transitive-closure semantic dedup, landed
-#                           after the session-1 rotation so it takes its
-#                           first driver row here;
-#                           retention_cohort_matrix /
-#                           session_transition_matrix /
-#                           rolling_zscore_anomalies — the
-#                           product-analytics wave;
-#                           scd2_user_state_intervals — gaps-and-islands
-#                           SCD Type 2 dimension build;
-#                           cdc_version_diff — time-travel diff through
-#                           the real snapshot sink;
-#                           near_dup_triangle_counts — triangle
-#                           enumeration over the near-dup graph;
-#                           source_kl_drift — hashed-bucket KL drift
-#                           monitor)
-# + 4 changed this round   (approx_stats_error_bound: split-aggregate
-#                           rewrite around the Expand blowup;
-#                           daily_event_spine: carried recursion bound —
-#                           both value-identical plan fixes re-verified;
-#                           substring_dup_stats: parameterized gram n +
-#                           dropped dead sort; semantic_dedup_cell_stats:
-#                           parameterized k + round-6 threshold + dropped
-#                           sort — the incremental_lsh_dedup /
-#                           lsh_dedup_admissions / knn_join_bucketed_top3
-#                           dead-sort drops ceded their slots to the
-#                           session-3/4 additions (value-identical class,
-#                           dual-scale sweeps + plan pins still cover),
-#                           and the refactored-but-value-identical
-#                           bm25_topk_docs / cosine_topk_query0 oracle
-#                           factorings are covered by the dual-scale
-#                           sweeps, bm25 also in-window above)
-# + 1 flagship             (same query as entry()'s smoke check)
-# + 16 stalest             (the r1-only remainder named by the r6 window
-#                           comment — every one now rotates in as
-#                           promised)
-# (the former 2 next-stalest bonus slots — last green r3 — now hold
-#  session-3 queries; the 33 r3 queries left out —
-#                           minhash_signatures, simhash_fingerprints,
-#                           rp_lsh_bucket_stats, rp_lsh_topk_query0,
-#                           embedding_label_stats, noise_injected_values,
-#                           outlier_filtered_totals,
-#                           regexp_extract_source_num,
-#                           token_stats_by_source,
-#                           sliding_1h_15min_rollup,
-#                           bpe_token_stats,
-#                           capped_user_totals,
-#                           click_purchase_pairs,
-#                           cosine_topk_query0,
-#                           asof_join_last_signup_before_purchase,
-#                           multimodal_decode_features,
-#                           dedup_exact_documents,
-#                           doc_token_chunks,
-#                           checkpoint_selection,
-#                           config_diff_overlay,
-#                           hourly_event_rollup,
-#                           inpaint_range_filter,
-#                           jsonl_scan_orders_agg,
-#                           lang_corpus_stats,
-#                           multimodal_join_stats,
-#                           embedding_cosine_near_dup,
-#                           near_dedup_survivors,
-#                           ngram_jaccard_pairs,
-#                           normalize_minmax_events,
-#                           partitioned_sink_pruned_scan,
-#                           pivot_event_type_counts,
-#                           simhash_hamming_pairs,
-#                           stream_dedup_first_event — are from families
-#                           with 2+ refreshed entries in-window and lead
-#                           the r8 rotation, now joined by
-#                           connected_component_survivors, ivf_topk_query1
-#                           and knn_join_bucketed_top3, which ceded their
-#                           slots to the session-3 additions, and by the
-#                           five queries added AFTER this round's rotation
-#                           froze — hard_triplet_mining,
-#                           stratified_eval_quota, dup_cluster_size_hist,
-#                           minhash_est_error_pairs and
-#                           source_overlap_matrix, this round
-#                           evidenced by dual-scale parity sweeps +
-#                           independent replica tests instead of a driver
-#                           row)
-# = 50.  Everything outside the window stays covered by tools/parity.py
-# (full-registry sweeps at sf0.01 AND sf0.1 this round, PARITY_r07.md) +
-# tests/test_oracle_parity.py at sf0.001.
+# Round-9 rotation (VERDICT r8 item 1 — executing the rotation round 8
+# skipped). Composition, in order:
+#   8 never-driver-verified  (weighted_reservoir_sample — whose A-ES key
+#                            changed AGAIN this round, 6dp -> 12dp ln(u)
+#                            rounding per ADVICE r8, so the driver row is
+#                            doubly due; gapfill_interpolated_daily —
+#                            value changed r8 without a driver row;
+#                            table_profile_stats, dup_cluster_size_hist,
+#                            hard_triplet_mining, minhash_est_error_pairs,
+#                            source_overlap_matrix, stratified_eval_quota
+#                            — green in every sweep since they landed but
+#                            never driver-hashed)
+# + new this round           (added below as round-9 operators land; each
+#                            also sits in PENDING_SWEEP until the next
+#                            green full sweep on the final tree)
+# + 1 flagship               (same query as entry()'s smoke check)
+# + stalest remainder        (the 33 r3-stale queries named by the r7
+#                            window comment plus connected_component_
+#                            survivors / ivf_topk_query1 /
+#                            knn_join_bucketed_top3, whose last driver
+#                            rows predate their r7 subtree changes)
+# = 50.  The 16 r1-stale entries the r7/r8 window re-greened (the
+# filter_range_scan / rollup_revenue family) cede their slots: their
+# evidence is now the freshest in the registry outside this window.
 _PRIORITY = [
-    # New this round (29).  The session-3 additions (pagerank_near_dup,
-    # rrf_fused_topk_docs, semantic_decontam_flags) take the three slots
-    # freed below: connected_component_survivors / ivf_topk_query1 (their
-    # changed shared subtrees are already re-verified in-window by
-    # semantic_cc_survivors — same closure loop — and
-    # ivf_multiprobe_topk_query1 — same assignment) and
-    # knn_join_bucketed_top3 (value-identical dead-sort drop, a class the
-    # window still covers via incremental_lsh_dedup + lsh_dedup_admissions).
-    # Session 4 additions (gopher_quality_flags, containment_dup_pairs)
-    # take the two slots freed by incremental_lsh_dedup and
-    # lsh_dedup_admissions: both of those changed only by the value-identical
-    # dead-sort drop — the same class and justification as
-    # knn_join_bucketed_top3's ceded slot — and the dual-scale sweeps plus
-    # their pinned plan tests still cover them.
-    "gopher_quality_flags",
-    "containment_dup_pairs",
-    "pagerank_near_dup",
-    "rrf_fused_topk_docs",
-    "semantic_decontam_flags",
-    "semantic_dedup_admissions",
-    "incremental_semantic_dedup",
-    "weighted_source_mixture",
-    "bm25_topk_docs",
-    "dsir_selected_docs",
-    "multiprobe_lsh_topk_query0",
-    "shuffled_shard_manifest",
-    "ngram_novelty_by_shard",
-    "ivf_multiprobe_topk_query1",
-    "quality_classifier_scores",
-    "dsir_gumbel_resample",
-    "token_budget_selection",
-    "embedding_margin_stats",
-    "token_budget_admissions",
-    "binned_interval_join_counts",
-    "cms_user_event_estimates",
-    "semantic_cc_survivors",
-    "retention_cohort_matrix",
-    "session_transition_matrix",
-    "rolling_zscore_anomalies",
-    "scd2_user_state_intervals",
-    "cdc_version_diff",
-    "near_dup_triangle_counts",
-    "source_kl_drift",
-    # Changed this round (4): re-verify against updated code/oracles.
-    "approx_stats_error_bound",
-    "daily_event_spine",
-    "substring_dup_stats",
-    "semantic_dedup_cell_stats",
+    # Never driver-verified (8) — VERDICT r8 item 1, highest leverage.
+    "weighted_reservoir_sample",
+    "gapfill_interpolated_daily",
+    "table_profile_stats",
+    "dup_cluster_size_hist",
+    "hard_triplet_mining",
+    "minhash_est_error_pairs",
+    "source_overlap_matrix",
+    "stratified_eval_quota",
+    # New round-9 operators (inserted as they land; see PENDING_SWEEP).
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (16): last green row is round 1.
-    "filter_range_scan",
-    "expectile_loss_by_flag",
-    "weighted_avg_discount",
-    "order_stats_with_median",
-    "eval_stats_mean_stddev",
-    "rollup_revenue",
-    "cube_order_priority",
-    "distinct_parts_per_flag",
-    "dim_denormalize_supplier",
-    "running_customer_spend",
-    "td_target_lag_lead",
-    "prefix_half_per_user",
-    "ewma_user_values",
-    "range_frame_trailing_hour",
-    "nations_customers_intersect_suppliers",
-    "winnowing_fingerprints",
+    # Stalest driver evidence (41): last green row r1 or r3, none touched
+    # since their last green sweep.
+    "minhash_signatures",
+    "simhash_fingerprints",
+    "rp_lsh_bucket_stats",
+    "rp_lsh_topk_query0",
+    "embedding_label_stats",
+    "noise_injected_values",
+    "outlier_filtered_totals",
+    "regexp_extract_source_num",
+    "token_stats_by_source",
+    "sliding_1h_15min_rollup",
+    "bpe_token_stats",
+    "capped_user_totals",
+    "click_purchase_pairs",
+    "cosine_topk_query0",
+    "asof_join_last_signup_before_purchase",
+    "multimodal_decode_features",
+    "dedup_exact_documents",
+    "doc_token_chunks",
+    "checkpoint_selection",
+    "config_diff_overlay",
+    "hourly_event_rollup",
+    "inpaint_range_filter",
+    "jsonl_scan_orders_agg",
+    "lang_corpus_stats",
+    "multimodal_join_stats",
+    "embedding_cosine_near_dup",
+    "near_dedup_survivors",
+    "ngram_jaccard_pairs",
+    "normalize_minmax_events",
+    "partitioned_sink_pruned_scan",
+    "pivot_event_type_counts",
+    "simhash_hamming_pairs",
+    "stream_dedup_first_event",
+    "connected_component_survivors",
+    "ivf_topk_query1",
+    "knn_join_bucketed_top3",
+    "hll_user_sketch_rollup",
+    "minhash_lsh_candidates",
+    "session_agg_30min_gap",
+    "cdc_latest_state_per_user",
+    "llm_corpus_pipeline",
 ]
 
 

@@ -1760,7 +1760,7 @@ def test_weighted_reservoir_replica_and_tie_resolution(spark, sf_dir):
     def aes_key(doc_id: int, n_chars: int) -> float:
         h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
         u = (int(h, 16) % _RES_COIN + 0.5) / _RES_COIN
-        return round(math.log(u), 6) / n_chars
+        return round(math.log(u), 12) / n_chars
 
     docs["key"] = [aes_key(d, n) for d, n in zip(docs["doc_id"], docs["n_chars"])]
     expect = docs.sort_values(["key", "doc_id"], ascending=[False, True]).head(RESERVOIR_K)

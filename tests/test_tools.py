@@ -99,13 +99,11 @@ def test_bench_stdout_line_fits_driver_tail_capture():
     import bench
 
     assert len(bench.HEADLINE) == 20  # frozen since round 3
-    compact = {
-        "metric": "headline_suite_seconds",
-        "value": 99999.999,
-        "unit": "sec",
-        "queries": {name: 99999.999 for name in bench.HEADLINE},
-        "sf": 0.1,
-    }
+    # the REAL record constructor (ADVICE r8) — if bench.py ever adds a
+    # key to the compact record, this measures it
+    compact = bench.compact_record(
+        {name: 99999.999 for name in bench.HEADLINE}, "0.1"
+    )
     line = json.dumps(compact)
     assert "extras" not in compact
     assert len(line) < 1800, f"compact bench line too long: {len(line)} chars"
@@ -130,7 +128,19 @@ def test_every_registered_query_is_swept_or_pending():
         "sweep (it writes the record when green)"
     )
     with open(record_path) as fh:
-        swept = set(json.load(fh)["names"])
+        record = json.load(fh)
+    swept = set(record["names"])
+    # Scale guard (ADVICE r8 + VERDICT r8 item 4): the record must carry
+    # evidence at BOTH working scales — the canonical sf0.01 oracle scale
+    # and the sf0.1 bench scale.  parity.py refuses to write below sf0.01
+    # and merges scales for an unchanged name-set, so a toy sf0.001 run
+    # can never masquerade as sweep evidence and a name-set change resets
+    # the dual-scale requirement.
+    sf_dirs = set(record.get("sf_dirs", []))
+    assert {"sf0.01", "sf0.1"} <= sf_dirs, (
+        f"sweep record scales {sorted(sf_dirs)} — need green full sweeps "
+        "at BOTH sf0.01 and sf0.1 on the current name-set"
+    )
     registered = set(registry.queries())
     unswept = registered - swept - set(registry.PENDING_SWEEP)
     assert not unswept, (

@@ -208,15 +208,36 @@ if __name__ == "__main__":
         # here or explicitly listed in registry.PENDING_SWEEP — so a new
         # registration without sweep evidence turns the suite red instead
         # of accumulating silent verification debt (VERDICT r7 item 6).
+        #
+        # Schema (VERDICT r8 item 4 + ADVICE r8): "sf_dirs" accumulates
+        # the scales at which THIS name-set has swept green — a green
+        # sf0.1 sweep merges into an existing sf0.01 record rather than
+        # clobbering it, and a toy sf0.001 run is refused entirely so it
+        # can never silently replace real evidence.  Any change to the
+        # registered name-set resets the accumulated scales.
         import json
 
-        record = {
-            "sf_dir": sf_dir,
-            "total": len(res),
-            "names": sorted(res),
-        }
+        sf_base = os.path.basename(sf_dir.rstrip("/"))
+        try:
+            sf_val = float(sf_base.split("sf", 1)[-1])
+        except ValueError:
+            sf_val = 0.0
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "parity_last.json")
+        if sf_val < 0.01:
+            print(
+                f"sweep green but below the canonical scale (sf0.01) — "
+                f"NOT recording {sf_base} into {path}"
+            )
+            sys.exit(0)
+        sweep_names = sorted(res)
+        sf_dirs = [sf_base]
+        if os.path.exists(path):
+            with open(path) as fh:
+                prev = json.load(fh)
+            if prev.get("names") == sweep_names:
+                sf_dirs = sorted(set(prev.get("sf_dirs", [])) | {sf_base})
+        record = {"sf_dirs": sf_dirs, "total": len(res), "names": sweep_names}
         with open(path, "w") as fh:
             json.dump(record, fh, indent=1)
-        print(f"sweep record -> {path}")
+        print(f"sweep record ({', '.join(sf_dirs)}) -> {path}")
     sys.exit(1 if bad else 0)
