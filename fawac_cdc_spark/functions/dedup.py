@@ -1958,3 +1958,254 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span REMOVAL — the apply half of Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better"), whose
+# detection half is substring_dup_stats above.  A production corpus
+# pipeline does not just COUNT duplicated verbatim spans, it excises them
+# from the training text before tokenization (generalizes the reference's
+# pre-process-then-train shape, train_fawac_iql.py:59-75).
+#
+# Semantics: a token position is duplicated iff ANY corpus-duplicated
+# n-gram (>= 2 distinct docs) covers it; maximal runs of duplicated
+# positions are the spans; each span is replaced by a marker token unique
+# to (doc_id, span index).  The doc-unique marker is what makes the
+# rewrite PROVABLY idempotent: any original gram that survives in two
+# rewritten docs would have been duplicated (hence removed) in pass 1 —
+# contradiction — and any NEW gram created by an excision contains a
+# marker token carrying the doc_id, so it can never appear in a second
+# document.  A second pass therefore finds zero duplicated grams
+# (property-tested in tests/test_dedup_scale.py).
+
+
+def _span_marker(doc_id_col, k_col):
+    return F.concat(
+        F.lit("<<dup:"),
+        doc_id_col.cast("string"),
+        F.lit(":"),
+        k_col.cast("string"),
+        F.lit(">>"),
+    )
+
+
+def positioned_grams(t: DataFrame, n: int) -> DataFrame:
+    """Positioned (0-based start i) md5-hashed token n-grams of
+    ``t = (doc_id, toks)`` — NOT distinct: every occurrence must mark its
+    own coverage window.  Pure map (one generator), shared by the batch
+    span-removal family and the streaming span-dedup-on-ingest twin."""
+    gram_expr = (
+        f"transform(sequence(0, size(toks) - {n}), i -> "
+        f"cast(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {n}))), 1, 15), 16, 10) as bigint))"
+    )
+    return t.where(F.size("toks") >= n).select(
+        "doc_id", F.posexplode(F.expr(gram_expr)).alias("i", "gram")
+    )
+
+
+def rewrite_excising(t: DataFrame, covered: DataFrame) -> DataFrame:
+    """Rebuild every document of ``t = (doc_id, toks)`` with the covered
+    token positions ``(doc_id, p)`` excised: maximal covered runs become
+    one doc-unique marker token each (gaps-and-islands on a per-doc
+    window, bounded by document length), and the text reassembles through
+    one ordered collect_list per doc.  Returns
+    (doc_id, kept_text, n_spans_removed, chars_removed) for ALL docs."""
+    pos = t.select(
+        "doc_id", F.posexplode("toks").alias("p", "token")
+    )
+    flagged = pos.join(
+        covered.withColumn("cov", F.lit(True)), ["doc_id", "p"], "left"
+    ).select("doc_id", "p", "token", F.coalesce("cov", F.lit(False)).alias("cov"))
+    # gaps-and-islands: maximal covered runs
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "cov").orderBy("p")
+    isl = flagged.withColumn("grp", F.col("p") - F.row_number().over(w))
+    spans = (
+        isl.where("cov")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").alias("p0"),
+            F.sum(F.length("token")).alias("chars"),
+        )
+        .withColumn(
+            "k",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("p0")),
+        )
+    )
+    pieces = isl.where(~F.col("cov")).select(
+        "doc_id", "p", F.col("token").alias("piece")
+    ).unionByName(
+        spans.select(
+            "doc_id",
+            F.col("p0").alias("p"),
+            _span_marker(F.col("doc_id"), F.col("k")).alias("piece"),
+        )
+    )
+    rebuilt = pieces.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(p, piece))), x -> x.piece)"),
+        ).alias("kept_text")
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans_removed"),
+        F.sum("chars").cast("bigint").alias("chars_removed"),
+    )
+    return (
+        rebuilt.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "kept_text",
+            F.coalesce("n_spans_removed", F.lit(0)).cast("bigint").alias("n_spans_removed"),
+            F.coalesce("chars_removed", F.lit(0)).cast("bigint").alias("chars_removed"),
+        )
+    )
+
+
+def substring_span_removal_df(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SUBSTRING_GRAM_N,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Rewrite every document with corpus-duplicated spans excised.
+
+    Returns (doc_id, kept_text, n_spans_removed, chars_removed) for ALL
+    documents — untouched docs come back with their original text and
+    zero counts, so the output IS the rewritten corpus.
+
+    Scale shape (100 TB): every stage is linear in total tokens and every
+    join is an equi-join — positioned grams explode once, the dup-gram
+    list is a map-side-combinable distinct-doc count, coverage is an
+    n-way explode of dup STARTS (n is a small constant, never a range
+    join), the gaps-and-islands window partitions by doc_id (bounded by
+    document length, the standard bound for every text op here), and the
+    final reassembly is one ordered collect_list per doc — again bounded
+    by doc length.  No pairwise term anywhere: high-df boilerplate grams
+    cost O(occurrences), not O(df^2).
+    """
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = positioned_grams(t, n).localCheckpoint(
+        eager=True
+    )  # feeds both the df count and the join-back
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    # covered token positions: each dup gram start covers [i, i+n-1]
+    covered = (
+        grams.join(dup, "gram")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("p"))
+        .distinct()
+    )
+    return rewrite_excising(t, covered)
+
+
+def _span_rewrite_oracle(n: int, covered_cte: str) -> str:
+    """Shared DuckDB scaffold for the span-removal family: positioned
+    tokens/grams (parallel ``unnest`` calls zip equal-length lists, no
+    WITH ORDINALITY needed), a caller-supplied ``covered`` CTE selecting
+    the excised (doc_id, p) positions, then the gaps-and-islands rewrite
+    with doc-unique span markers."""
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+    SELECT doc_id,
+           unnest(range(0, len(toks))) AS p,
+           unnest(toks) AS token
+    FROM t
+), grams AS (
+    SELECT doc_id,
+           unnest(range(0, len(toks) - {n} + 1)) AS i,
+           unnest(list_transform(range(1, len(toks) - {n} + 2),
+                  j -> CAST('0x' || substr(md5(array_to_string(toks[j:j+{n - 1}], ' ')), 1, 15) AS BIGINT))) AS gram
+    FROM t WHERE len(toks) >= {n}
+), {covered_cte}, flagged AS (
+    SELECT pos.doc_id, pos.p, pos.token,
+           covered.p IS NOT NULL AS cov
+    FROM pos LEFT JOIN covered USING (doc_id, p)
+), isl AS (
+    SELECT *, p - ROW_NUMBER() OVER (PARTITION BY doc_id, cov ORDER BY p) AS grp
+    FROM flagged
+), spans AS (
+    SELECT doc_id, grp, MIN(p) AS p0, SUM(LEN(token)) AS chars
+    FROM isl WHERE cov GROUP BY doc_id, grp
+), spans_k AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p0) AS k
+    FROM spans
+), pieces AS (
+    SELECT doc_id, p, token AS piece FROM isl WHERE NOT cov
+    UNION ALL
+    SELECT doc_id, p0 AS p,
+           '<<dup:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) || '>>'
+    FROM spans_k
+), rebuilt AS (
+    SELECT doc_id, md5(string_agg(piece, ' ' ORDER BY p)) AS kept_text_hash
+    FROM pieces GROUP BY doc_id
+), stats AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans_removed,
+           CAST(SUM(chars) AS BIGINT) AS chars_removed
+    FROM spans_k GROUP BY doc_id
+)
+SELECT r.doc_id, r.kept_text_hash,
+       COALESCE(s.n_spans_removed, 0) AS n_spans_removed,
+       COALESCE(s.chars_removed, 0) AS chars_removed
+FROM rebuilt r LEFT JOIN stats s USING (doc_id)
+"""
+
+
+def substring_span_removal_oracle_sql(n: int = SUBSTRING_GRAM_N) -> str:
+    """DuckDB oracle for ``substring_span_removal`` at gram length n:
+    covered = positions under any gram duplicated in >= 2 distinct docs."""
+    covered = f"""dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), covered AS (
+    SELECT DISTINCT g.doc_id, g.i + u.off AS p
+    FROM grams g JOIN dup USING (gram),
+         UNNEST(range(0, {n})) AS u(off)
+)"""
+    return _span_rewrite_oracle(n, covered)
+
+
+def span_removal_firstseen_oracle_sql(n: int = SUBSTRING_GRAM_N) -> str:
+    """DuckDB oracle for ``span_removal_firstseen``: covered = positions
+    under any gram already seen in a STRICTLY SMALLER doc_id — the batch
+    closed form of span-dedup ON INGEST (first occurrence kept)."""
+    covered = f"""firstg AS (
+    SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+), covered AS (
+    SELECT DISTINCT g.doc_id, g.i + u.off AS p
+    FROM grams g JOIN firstg USING (gram),
+         UNNEST(range(0, {n})) AS u(off)
+    WHERE firstg.first_doc < g.doc_id
+)"""
+    return _span_rewrite_oracle(n, covered)
+
+
+@register(
+    "substring_span_removal",
+    oracle=substring_span_removal_oracle_sql(),
+    tags=("llm", "dedup", "substring"),
+)
+def substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rewrite with duplicated verbatim spans excised — the apply
+    half of Lee et al. 2022 (detection half: ``substring_dup_stats``).
+    Every document comes back (hash of the rewritten text + span/char
+    removal counts); untouched docs keep their original text hash and
+    zero counts, so downstream training reads the output AS the corpus.
+    Idempotent by construction (doc-unique span markers) — property-
+    tested via a second pass over the rewritten corpus."""
+    out = substring_span_removal_df(spark, sf_dir)
+    return out.select(
+        "doc_id",
+        F.md5("kept_text").alias("kept_text_hash"),
+        "n_spans_removed",
+        "chars_removed",
+    )

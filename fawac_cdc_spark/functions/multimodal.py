@@ -828,3 +828,111 @@ def ppm_resize_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         _ppm_resize_batches, "doc_id long, mean_r double, mean_g double, mean_b double"
     )
+
+
+# --- composed multimodal curation (round 9, VERDICT r8 item 6) -------------
+#
+# CLIP-style corpus curation composes ALL THREE modal surfaces in ONE
+# Catalyst plan: caption quality (text stats) AND decoded pixel stats
+# (real P6 parse through the Arrow mapInPandas seam) AND the embedding
+# cell assignment (the shuffle-free folded-broadcast argmax shared with
+# IVF/SemDeDup).  Proves the multimodal surface composes like
+# traindata_end_to_end: filter predicates from different modalities meet
+# in one plan with no driver-side step.
+
+_CURATION_MIN_TOKENS = 30
+_CURATION_BRIGHT_LO = 100.0
+_CURATION_BRIGHT_HI = 160.0
+
+
+def _curation_oracle() -> str:
+    from .similarity import _scored_cents_sql
+
+    return f"""
+WITH {_scored_cents_sql()},
+cells AS (
+    SELECT vec_id, cent_id FROM scored_cents WHERE rn = 1
+), geo AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+    FROM documents
+), px AS (
+    SELECT doc_id, source, n_tokens, w * h AS n_pixels,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (doc_id * 7 + (3 * p + 0) * 13) % 256)) AS DOUBLE) / (w * h) AS mean_r,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (doc_id * 7 + (3 * p + 1) * 13) % 256)) AS DOUBLE) / (w * h) AS mean_g,
+           CAST(list_sum(list_transform(range(0, w * h),
+                p -> (doc_id * 7 + (3 * p + 2) * 13) % 256)) AS DOUBLE) / (w * h) AS mean_b
+    FROM geo
+), cur AS (
+    SELECT px.*, (mean_r + mean_g + mean_b) / 3 AS brightness
+    FROM px WHERE n_tokens >= {_CURATION_MIN_TOKENS}
+), flt AS (
+    SELECT cur.*, c.cent_id
+    FROM cur JOIN cells c ON cur.doc_id = c.vec_id
+    WHERE brightness BETWEEN {_CURATION_BRIGHT_LO} AND {_CURATION_BRIGHT_HI}
+)
+SELECT cent_id, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_pixels) AS BIGINT) AS sum_pixels,
+       MIN(brightness) AS min_brightness,
+       MAX(brightness) AS max_brightness
+FROM flt GROUP BY cent_id, source
+"""
+
+
+@register(
+    "multimodal_curation_composed",
+    oracle=_curation_oracle(),
+    tags=("multimodal", "llm", "similarity", "composed"),
+)
+def multimodal_curation_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style multimodal curation in ONE plan: keep documents whose
+    caption passes a token-count floor AND whose decoded image brightness
+    sits in a target band, grouped by (embedding cell, source).
+
+    Composition, all inside one Catalyst plan: (1) the REAL P6 decode
+    rides two Arrow ``mapInPandas`` maps (payload synth + header parse /
+    numpy raster stats) — pure maps, as wide as the scan at 100 TB;
+    (2) the embedding cell comes from ``cosine_assigned_cells`` — the
+    shuffle-free folded-broadcast argmax (no join key on the corpus
+    side); (3) caption stats are plain column expressions.  The three
+    modalities meet in one equi-join on doc_id and one final aggregate
+    on at most (n_cells x sources) groups, so the only shuffles are the
+    doc_id join and the tiny final groupBy.  Cross-row float aggregation
+    is limited to order-independent MIN/MAX; counted/summed payloads
+    stay integer, so the driver hash is float-order-proof.  Per-doc
+    brightness divides exact integer channel sums identically on both
+    engines (same IEEE expression shape)."""
+    from .similarity import cosine_assigned_cells
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = cosine_assigned_cells(e).select(
+        F.col("vec_id").alias("doc_id"), "cent_id"
+    )
+    payloads = d.select("doc_id").mapInPandas(
+        _ppm_payload_batches, "doc_id long, payload binary"
+    )
+    px = payloads.mapInPandas(_ppm_decode_batches, _PPM_SCHEMA)
+    caption = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).where(F.col("n_tokens") >= _CURATION_MIN_TOKENS)
+    brightness = (F.col("mean_r") + F.col("mean_g") + F.col("mean_b")) / 3
+    return (
+        caption.join(px, "doc_id")
+        .withColumn("brightness", brightness)
+        .where(F.col("brightness").between(_CURATION_BRIGHT_LO, _CURATION_BRIGHT_HI))
+        .join(cells, "doc_id")
+        .groupBy("cent_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_pixels").cast("bigint").alias("sum_pixels"),
+            F.min("brightness").alias("min_brightness"),
+            F.max("brightness").alias("max_brightness"),
+        )
+    )

@@ -134,3 +134,109 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.join(F.broadcast(minmax), "col_name").select(
         "col_name", "n_nulls", "n_distinct", "min_d", "max_d"
     )
+
+
+# Equi-width histograms (round 9, VERDICT r8 item 5) — the other half of
+# the ANALYZE surface: per numeric column, B=16 equal-width buckets
+# between the column's min and max, with bucket bounds.  This is what
+# feeds optimizer selectivity estimates and data-quality drift monitors.
+HIST_BUCKETS = 16
+_HIST_COLS: tuple[tuple[str, str], ...] = tuple(
+    (c, k) for c, k in PROFILE_COLS if k != "str"
+)
+
+
+def _hist_oracle() -> str:
+    b = HIST_BUCKETS
+    parts = []
+    for col, kind in _HIST_COLS:
+        v = _num_view_sql(col, kind)
+        parts.append(
+            f"""
+SELECT '{col}' AS col_name, bucket,
+       mn + bucket * (mx - mn) / {b} AS lo,
+       mn + (bucket + 1) * (mx - mn) / {b} AS hi,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+    SELECT CASE WHEN mx = mn THEN 0
+                ELSE CAST(LEAST({b - 1}, FLOOR((v - mn) * {b} / (mx - mn))) AS INT)
+           END AS bucket,
+           mn, mx
+    FROM (SELECT {v} AS v,
+                 MIN({v}) OVER () AS mn,
+                 MAX({v}) OVER () AS mx
+          FROM lineitem)
+    WHERE v IS NOT NULL
+)
+GROUP BY col_name, bucket, mn, mx"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "lineitem_column_histograms",
+    oracle=_hist_oracle(),
+    tags=("profiling", "aggregate", "stats"),
+)
+def lineitem_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (16 buckets) for every numeric column of
+    ``lineitem`` — the ANALYZE histogram surface (optimizer selectivity /
+    drift dashboards), extending ``table_profile_stats``.
+
+    One melted scan + one Expand-free single-row min/max scan: the melt
+    emits ``(col_name, v-as-double)`` pairs through one ``stack``
+    generator (never an ``Expand`` — pinned in tests/test_plans.py), the
+    9-row per-column min/max frame broadcasts onto it, and the bucket id
+    is pure arithmetic, so the only shuffle is the final
+    ``(col_name, bucket)`` aggregate — at most ``9 * 16`` groups
+    regardless of table size, with map-side partial aggregation doing
+    all the work.  Bucket bounds are computed from (min, max, bucket)
+    with the identical expression on both engines, so the doubles are
+    bit-identical.  Empty buckets are omitted (counts are the payload);
+    a constant column degenerates to bucket 0.
+    """
+    b = HIST_BUCKETS
+    li = load_table(spark, sf_dir, "lineitem")
+    k = len(_HIST_COLS)
+
+    mm_aggs = []
+    for c, kind in _HIST_COLS:
+        v = _num_view_spark(c, kind)
+        mm_aggs += [F.min(v).alias(f"mn_{c}"), F.max(v).alias(f"mx_{c}")]
+    mm_args = ", ".join(f"'{c}', mn_{c}, mx_{c}" for c, _ in _HIST_COLS)
+    stats = li.agg(*mm_aggs).selectExpr(
+        f"stack({k}, {mm_args}) as (col_name, mn, mx)"
+    )
+
+    melt_args = ", ".join(
+        f"'{c}', "
+        + (
+            f"cast({c} as double)"
+            if kind == "num"
+            else f"cast(datediff(to_date({c}), date '1970-01-01') as double)"
+        )
+        for c, kind in _HIST_COLS
+    )
+    melted = li.selectExpr(f"stack({k}, {melt_args}) as (col_name, v)").where(
+        F.col("v").isNotNull()
+    )
+
+    joined = melted.join(F.broadcast(stats), "col_name")
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(b - 1),
+            F.floor((F.col("v") - F.col("mn")) * b / (F.col("mx") - F.col("mn"))),
+        )
+    ).cast("int")
+    return (
+        joined.withColumn("bucket", bucket)
+        .groupBy("col_name", "bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "col_name",
+            "bucket",
+            (F.col("mn") + F.col("bucket") * (F.col("mx") - F.col("mn")) / b).alias("lo"),
+            (F.col("mn") + (F.col("bucket") + 1) * (F.col("mx") - F.col("mn")) / b).alias("hi"),
+            "cnt",
+        )
+    )

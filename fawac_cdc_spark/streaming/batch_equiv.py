@@ -810,3 +810,60 @@ def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+from ..functions.dedup import span_removal_firstseen_oracle_sql  # noqa: E402
+
+
+@register(
+    "span_removal_firstseen",
+    oracle=span_removal_firstseen_oracle_sql(),
+    tags=("llm", "dedup", "substring", "stream-twin"),
+)
+def span_removal_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch closed form of the streaming span-dedup-on-ingest operator
+    (``streaming/cdc.py::span_dedup_stream``): a token position is
+    excised iff some covering n-gram was already seen in a STRICTLY
+    smaller doc_id — first occurrence kept, exactly what the stream's
+    smallest-doc-per-gram state converges to under id-ordered arrival
+    (pinned stream==batch in ``tests/test_streaming.py``).  The apply
+    half of Lee et al. 2022 in its incremental-corpus form: re-ingesting
+    yesterday's corpus plus a new batch only rewrites the new batch.
+
+    Same linear scale shape as ``substring_span_removal`` — the only
+    change is the dup condition (min-doc-per-gram join instead of
+    distinct-doc count), still one equi-join bounded by gram occurrences.
+    """
+    return span_removal_firstseen_df(spark, sf_dir).select(
+        "doc_id",
+        F.md5("kept_text").alias("kept_text_hash"),
+        "n_spans_removed",
+        "chars_removed",
+    )
+
+
+def span_removal_firstseen_df(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, kept_text, n_spans_removed, chars_removed) under
+    first-occurrence-kept semantics, for ALL documents."""
+    from ..functions.dedup import (
+        SUBSTRING_GRAM_N,
+        positioned_grams,
+        rewrite_excising,
+    )
+
+    n = SUBSTRING_GRAM_N
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = positioned_grams(t, n).localCheckpoint(eager=True)
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    covered = (
+        grams.join(first, "gram")
+        .where(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("p"))
+        .distinct()
+    )
+    return rewrite_excising(t, covered)

@@ -1340,3 +1340,82 @@ def token_budget_stream(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- span dedup on ingest (streaming exact-substring removal) ---------------
+
+SPAN_DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("dup", T.BooleanType()),
+    ]
+)
+SPAN_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("first_doc", T.LongType())])
+
+
+def span_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Exact-substring span dedup ON INGEST — the streaming twin of
+    ``batch_equiv.span_removal_firstseen`` (the apply half of Lee et al.
+    2022 in incremental form): each arriving document's positioned
+    n-grams probe a per-gram state holding the smallest doc_id ever seen,
+    and a gram occurrence is flagged ``dup`` iff a strictly smaller doc
+    already owns it.  The document rewrite (maximal dup runs -> marker)
+    happens downstream from the emitted verdicts via
+    ``functions.dedup.rewrite_excising`` — the stream never stores or
+    re-emits text, only (doc_id, gram-start, verdict).
+
+    The gram table is a pure per-row map (``positioned_grams``, the same
+    expression as the batch path, so stream and batch verdicts agree
+    exactly); the only shuffle is the state-store partitioning on the
+    md5-derived gram hash — uniform by construction.
+
+    ORDERING CONTRACT (same as ``lsh_dedup_stream``): verdicts are never
+    retracted, so equality with the batch closed form holds under
+    id-ordered (monotone) ingest — pinned in ``tests/test_streaming.py``.
+    Out of order, the state still converges to the per-gram minimum but a
+    late smaller-id doc keeps its spans (first-arrival-wins), mirroring
+    the LSH operator's documented behavior.
+
+    100 TB shape: state is ONE long per distinct gram ever seen — the
+    suffix-array-free incarnation of the Lee et al. pipeline, spread
+    across executors by the state store; daily cost is O(|batch| grams),
+    never a corpus rescan.
+    """
+    import pandas as pd
+
+    from ..functions.dedup import SUBSTRING_GRAM_N, positioned_grams
+
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = positioned_grams(t, SUBSTRING_GRAM_N)
+
+    def probe(key, pdf_iter, state):
+        first = state.get[0] if state.exists else None
+        # drain ALL Arrow chunks before sorting (same contract note as
+        # lsh_dedup_stream): per-chunk sorting could let a later-chunk
+        # smaller id slip past an earlier-chunk larger one
+        rows = sorted(
+            (int(d), int(i)) for pdf in pdf_iter for d, i in zip(pdf["doc_id"], pdf["i"])
+        )
+        out_d: list[int] = []
+        out_i: list[int] = []
+        out_dup: list[bool] = []
+        for d, i in rows:
+            out_d.append(d)
+            out_i.append(i)
+            out_dup.append(first is not None and first < d)
+            first = d if first is None else min(first, d)
+        state.update((first,))
+        yield pd.DataFrame(
+            {"doc_id": out_d, "i": out_i, "dup": out_dup}
+        ).astype({"doc_id": "int64", "i": "int32", "dup": "bool"})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return grams.groupBy("gram").applyInPandasWithState(
+        probe,
+        outputStructType=SPAN_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=SPAN_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
