@@ -71,9 +71,14 @@ _QUERY_MODULES = [
 #                            source_overlap_matrix, stratified_eval_quota
 #                            — green in every sweep since they landed but
 #                            never driver-hashed)
-# + new this round           (added below as round-9 operators land; each
-#                            also sits in PENDING_SWEEP until the next
-#                            green full sweep on the final tree)
+# + 4 new this round         (substring_span_removal /
+#                            span_removal_firstseen — the Lee et al. 2022
+#                            apply half, symmetric and first-seen forms;
+#                            lineitem_column_histograms — the ANALYZE
+#                            histogram surface; multimodal_curation_
+#                            composed — CLIP-style three-modality plan;
+#                            each in PENDING_SWEEP until the round's
+#                            final green full sweep)
 # + 1 flagship               (same query as entry()'s smoke check)
 # + stalest remainder        (the 33 r3-stale queries named by the r7
 #                            window comment plus connected_component_
@@ -93,10 +98,17 @@ _PRIORITY = [
     "minhash_est_error_pairs",
     "source_overlap_matrix",
     "stratified_eval_quota",
-    # New round-9 operators (inserted as they land; see PENDING_SWEEP).
+    # New round-9 operators (4): span removal (both forms), histograms,
+    # composed multimodal curation — each parity-checked at sf0.001 +
+    # sf0.01 on landing and in PENDING_SWEEP until the round's final
+    # full sweep.
+    "substring_span_removal",
+    "span_removal_firstseen",
+    "lineitem_column_histograms",
+    "multimodal_curation_composed",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (41): last green row r1 or r3, none touched
+    # Stalest driver evidence (37): last green row r1 or r3, none touched
     # since their last green sweep.
     "minhash_signatures",
     "simhash_fingerprints",
@@ -135,10 +147,6 @@ _PRIORITY = [
     "ivf_topk_query1",
     "knn_join_bucketed_top3",
     "hll_user_sketch_rollup",
-    "minhash_lsh_candidates",
-    "session_agg_30min_gap",
-    "cdc_latest_state_per_user",
-    "llm_corpus_pipeline",
 ]
 
 
@@ -189,6 +197,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "dup_cluster_size_hist",
     "minhash_est_error_pairs",
     "source_overlap_matrix",
+    "substring_span_removal",
+    "span_removal_firstseen",
+    "lineitem_column_histograms",
+    "multimodal_curation_composed",
 )
 
 
@@ -198,7 +210,14 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # operator lands here, then leaves when the next full sweep runs on the
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
-PENDING_SWEEP: frozenset[str] = frozenset()
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "substring_span_removal",
+        "span_removal_firstseen",
+        "lineitem_column_histograms",
+        "multimodal_curation_composed",
+    }
+)
 
 
 @dataclass(frozen=True)

@@ -266,3 +266,78 @@ def test_df_cap_bounds_aggregation_buffers(spark):
     # optimizedPlan prints top-down, so the aggregate (consumer) appears
     # BEFORE the anti-join (producer) iff the cap feeds the collect
     assert collect_pos < anti_pos
+
+
+# --- exact-substring span removal (round 9): the apply half -------------
+
+
+def test_span_removal_idempotent(spark, sf_dir):
+    """dedup(dedup(x)) == dedup(x) (SURVEY §5.2.3): a second removal pass
+    over the rewritten corpus finds ZERO duplicated spans and returns
+    every text unchanged.  This is idempotence BY CONSTRUCTION, not by
+    fixture luck: any original gram surviving in two rewritten docs would
+    have been corpus-duplicated (hence excised) in pass 1, and any NEW
+    gram created by an excision contains the doc-unique span marker, so
+    it can never appear in a second document."""
+    from fawac_cdc_spark.functions.dedup import substring_span_removal_df
+
+    pass1 = substring_span_removal_df(spark, sf_dir).localCheckpoint(eager=True)
+    assert pass1.where(F.col("n_spans_removed") > 0).count() > 0  # fixture bites
+    rewritten = pass1.select("doc_id", F.col("kept_text").alias("text"))
+    pass2 = substring_span_removal_df(spark, sf_dir, docs=rewritten)
+    assert pass2.where(F.col("n_spans_removed") > 0).count() == 0
+    # and the texts round-trip exactly
+    diff = (
+        pass1.select("doc_id", F.md5("kept_text").alias("h1"))
+        .join(pass2.select("doc_id", F.md5("kept_text").alias("h2")), "doc_id")
+        .where(F.col("h1") != F.col("h2"))
+    )
+    assert diff.count() == 0
+
+
+def test_span_removal_agrees_with_detection(spark, sf_dir):
+    """The apply half excises spans from EXACTLY the documents the
+    detection half (substring_dup_stats) flags: same doc_id set, and
+    every flagged doc loses at least one covered token."""
+    from fawac_cdc_spark.functions.dedup import (
+        substring_dup_stats_df,
+        substring_span_removal_df,
+    )
+
+    flagged = {
+        r["doc_id"] for r in substring_dup_stats_df(spark, sf_dir).collect()
+    }
+    removed = {
+        r["doc_id"]
+        for r in substring_span_removal_df(spark, sf_dir)
+        .where(F.col("n_spans_removed") > 0)
+        .collect()
+    }
+    assert flagged == removed
+
+
+def test_span_removal_firstseen_keeps_first_occurrence(spark, sf_dir):
+    """First-seen semantics: the smallest doc_id of every duplicated gram
+    keeps its text intact unless a DIFFERENT earlier gram covers it —
+    concretely, the set of rewritten docs is a strict subset of the
+    symmetric form's, and the minimum doc_id of every symmetric dup
+    cluster survives unrewritten when it is globally first."""
+    from fawac_cdc_spark.functions.dedup import substring_span_removal_df
+    from fawac_cdc_spark.streaming.batch_equiv import span_removal_firstseen_df
+
+    sym = substring_span_removal_df(spark, sf_dir)
+    fs = span_removal_firstseen_df(spark, sf_dir)
+    sym_docs = {
+        r["doc_id"] for r in sym.where(F.col("n_spans_removed") > 0).collect()
+    }
+    fs_docs = {
+        r["doc_id"] for r in fs.where(F.col("n_spans_removed") > 0).collect()
+    }
+    assert fs_docs < sym_docs  # strictly fewer docs rewritten
+    # chars removed can only shrink per doc (fewer grams count as dup)
+    joined = (
+        sym.select("doc_id", F.col("chars_removed").alias("sym_chars"))
+        .join(fs.select("doc_id", F.col("chars_removed").alias("fs_chars")), "doc_id")
+        .where(F.col("fs_chars") > F.col("sym_chars"))
+    )
+    assert joined.count() == 0

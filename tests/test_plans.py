@@ -723,3 +723,40 @@ def test_weighted_reservoir_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "weighted_reservoir_sample")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_histogram_plan_is_expand_free_and_broadcasts_stats(spark, sf_dir):
+    """The histogram extends the profile's Expand-free design (VERDICT r8
+    item 5): the melt is one stack generator, the 9-row per-column
+    min/max frame joins back as a BROADCAST, and the only aggregate
+    shuffle keys on (col_name, bucket) — at most 9 x 16 groups, so no
+    Expand and no range partitioning anywhere."""
+    plan = _plan(spark, sf_dir, "lineitem_column_histograms")
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_span_removal_plan_has_no_pairwise_stage(spark, sf_dir):
+    """The span-removal family must stay LINEAR in total tokens: no
+    cartesian product, no broadcast nested loop, and the gram table is
+    materialized once (ExistingRDD scans feed both the dup count and the
+    join-back) so the documents scan + gram hashing never re-runs."""
+    for name in ("substring_span_removal", "span_removal_firstseen"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("Scan ExistingRDD") >= 2, name
+
+
+def test_multimodal_curation_single_plan_no_driver_step(spark, sf_dir):
+    """The composed curation query's contract: all three modalities meet
+    in ONE Catalyst plan — the cell assignment stays the folded-broadcast
+    argmax (one scalar broadcast nested-loop join, no corpus-side window),
+    the decode stages are Arrow maps inside the plan (ArrowEvalPython /
+    MapInPandas nodes), and no range partitioning appears."""
+    plan = _plan(spark, sf_dir, "multimodal_curation_composed")
+    assert "MapInPandas" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

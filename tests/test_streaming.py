@@ -1321,3 +1321,45 @@ def test_token_budget_stream_out_of_order_admits_first_arrival(spark, tmp_path):
     ).toPandas()
     got = dict(zip(emitted["doc_id"], emitted["admitted"]))
     assert got == {b: True, a: False}  # first arrival wins, budget holds
+
+
+def test_span_dedup_stream_matches_batch(spark, sf_dir, doc_chunk_dir):
+    """Streaming span-dedup-on-ingest == batch closed form: rebuild every
+    document from the stream's per-gram verdicts (dup starts -> covered
+    positions -> rewrite_excising) and compare text hashes and span/char
+    counts with span_removal_firstseen_df.  Id-ordered arrival makes
+    every emitted verdict final — assert each (doc, gram-start) emitted
+    exactly once too."""
+    from fawac_cdc_spark.functions.dedup import (
+        SUBSTRING_GRAM_N,
+        rewrite_excising,
+    )
+    from fawac_cdc_spark.streaming.batch_equiv import span_removal_firstseen_df
+
+    docs = cdc.read_document_stream(spark, doc_chunk_dir)
+    emitted = _run_to_memory(
+        spark, cdc.span_dedup_stream(docs), "span_dedup_out", "update"
+    )
+    epdf = emitted.toPandas()
+    assert not epdf.duplicated(["doc_id", "i"]).any()
+    assert epdf["dup"].any()  # the fixture has cross-doc verbatim spans
+
+    n = SUBSTRING_GRAM_N
+    covered = (
+        emitted.where("dup")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("p"))
+        .distinct()
+    )
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    got = rewrite_excising(t, covered).toPandas().set_index("doc_id").sort_index()
+    want = (
+        span_removal_firstseen_df(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (got["kept_text"] == want["kept_text"]).all()
+    assert (got["n_spans_removed"] == want["n_spans_removed"]).all()
+    assert (got["chars_removed"] == want["chars_removed"]).all()
