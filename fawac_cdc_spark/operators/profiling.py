@@ -240,3 +240,107 @@ def lineitem_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+# Equi-DEPTH (quantile) histograms — the other ANALYZE histogram form:
+# buckets hold ~n/Q rows each instead of equal value widths, which is
+# what selectivity estimation wants on skewed columns.  Exact equi-depth
+# needs an ordered pass; the scale-honest form below orders DISTINCT
+# VALUES (value-counts combine map-side, so the ordered window sees NDV
+# rows, not table rows).  A distinct value is assigned atomically to the
+# bucket of its FIRST rank ("value-atomic" equi-depth): deterministic
+# under ties by construction, exactly mirrored in SQL, and the bucket
+# populations deviate from n/Q only by the straddling value's count.
+# For extreme-NDV columns at 100 TB the approximate path is the KLL
+# sketch family (kll_quantile_rank_bound) — this operator is the exact,
+# oracle-checkable form.
+DEPTH_BUCKETS = 8
+
+
+def _depth_hist_oracle() -> str:
+    q = DEPTH_BUCKETS
+    parts = []
+    for col, kind in _HIST_COLS:
+        v = _num_view_sql(col, kind)
+        parts.append(
+            f"""
+SELECT '{col}' AS col_name,
+       CAST((cum_before * {q}) // n_total AS INT) AS bucket,
+       MIN(v) AS lo, MAX(v) AS hi,
+       CAST(SUM(cnt) AS BIGINT) AS cnt
+FROM (
+    SELECT v, cnt,
+           COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+           SUM(cnt) OVER () AS n_total
+    FROM (SELECT {v} AS v, COUNT(*) AS cnt FROM lineitem
+          WHERE {v} IS NOT NULL GROUP BY 1)
+)
+GROUP BY col_name, bucket"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "lineitem_depth_histograms",
+    oracle=_depth_hist_oracle(),
+    tags=("profiling", "aggregate", "stats"),
+)
+def lineitem_depth_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-atomic equi-depth histogram (8 buckets) for every numeric
+    column of ``lineitem``.
+
+    Scale shape: the melt aggregates to per-(column, value) COUNTS first
+    — map-side combinable, so the shuffle carries sum-of-NDV rows, never
+    table rows — and the single ordered pass (the cumulative window) runs
+    over those value-counts partitioned by column.  Bucket id is exact
+    integer arithmetic ``(cum_before * Q) div n``, so no float crosses
+    the engines; lo/hi are order-independent MIN/MAX of exact parquet
+    values.  A column whose NDV itself explodes at 100 TB routes to the
+    KLL sketch path instead (``kll_quantile_rank_bound``) — that trade
+    (exact-with-ordered-NDV-pass vs mergeable-approximate) is the same
+    one every warehouse ANALYZE implementation makes.
+    """
+    from pyspark.sql import Window
+
+    q = DEPTH_BUCKETS
+    li = load_table(spark, sf_dir, "lineitem")
+    k = len(_HIST_COLS)
+    melt_args = ", ".join(
+        f"'{c}', "
+        + (
+            f"cast({c} as double)"
+            if kind == "num"
+            else f"cast(datediff(to_date({c}), date '1970-01-01') as double)"
+        )
+        for c, kind in _HIST_COLS
+    )
+    counts = (
+        li.selectExpr(f"stack({k}, {melt_args}) as (col_name, v)")
+        .where(F.col("v").isNotNull())
+        .groupBy("col_name", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("col_name").orderBy("v")
+    cum = counts.select(
+        "col_name",
+        "v",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+        F.sum("cnt").over(Window.partitionBy("col_name")).alias("n_total"),
+    )
+    return (
+        cum.withColumn(
+            "bucket",
+            F.expr(f"cast((cum_before * {q}) div n_total as int)"),
+        )
+        .groupBy("col_name", "bucket")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").cast("bigint").alias("cnt"),
+        )
+    )

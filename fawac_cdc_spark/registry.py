@@ -71,11 +71,14 @@ _QUERY_MODULES = [
 #                            source_overlap_matrix, stratified_eval_quota
 #                            — green in every sweep since they landed but
 #                            never driver-hashed)
-# + 4 new this round         (substring_span_removal /
+# + 5 new this round         (substring_span_removal /
 #                            span_removal_firstseen — the Lee et al. 2022
 #                            apply half, symmetric and first-seen forms;
 #                            lineitem_column_histograms — the ANALYZE
-#                            histogram surface; multimodal_curation_
+#                            histogram surface, equi-width
+#                            lineitem_column_histograms + value-atomic
+#                            equi-depth lineitem_depth_histograms;
+#                            multimodal_curation_
 #                            composed — CLIP-style three-modality plan;
 #                            each in PENDING_SWEEP until the round's
 #                            final green full sweep)
@@ -98,13 +101,14 @@ _PRIORITY = [
     "minhash_est_error_pairs",
     "source_overlap_matrix",
     "stratified_eval_quota",
-    # New round-9 operators (4): span removal (both forms), histograms,
+    # New round-9 operators (5): span removal (both forms), histograms,
     # composed multimodal curation — each parity-checked at sf0.001 +
     # sf0.01 on landing and in PENDING_SWEEP until the round's final
     # full sweep.
     "substring_span_removal",
     "span_removal_firstseen",
     "lineitem_column_histograms",
+    "lineitem_depth_histograms",
     "multimodal_curation_composed",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
@@ -146,7 +150,6 @@ _PRIORITY = [
     "connected_component_survivors",
     "ivf_topk_query1",
     "knn_join_bucketed_top3",
-    "hll_user_sketch_rollup",
 ]
 
 
@@ -200,6 +203,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "substring_span_removal",
     "span_removal_firstseen",
     "lineitem_column_histograms",
+    "lineitem_depth_histograms",
     "multimodal_curation_composed",
 )
 
@@ -215,6 +219,7 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "substring_span_removal",
         "span_removal_firstseen",
         "lineitem_column_histograms",
+        "lineitem_depth_histograms",
         "multimodal_curation_composed",
     }
 )

@@ -90,6 +90,7 @@ _SCALAR_BROADCAST_OK = {
     "embedding_margin_stats",  # 1-row folded centroid table
     "rrf_fused_topk_docs",  # 1-row corpus stats + 1 query vector (composed)
     "semantic_decontam_flags",  # 1-row folded eval-vector table
+    "multimodal_curation_composed",  # 1-row folded centroid table (argmax)
 }
 
 
@@ -760,3 +761,20 @@ def test_multimodal_curation_single_plan_no_driver_step(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_depth_histogram_window_runs_over_value_counts(spark, sf_dir):
+    """Equi-depth's ordered pass must see NDV rows, not table rows: the
+    cumulative Window's child is the (col_name, v) count aggregate (a
+    HashAggregate below the Window in the tree), there is no Expand, and
+    no range partitioning — the only ordered structure is the per-column
+    sort inside the col_name hash partition."""
+    plan = _plan(spark, sf_dir, "lineitem_depth_histograms")
+    assert "Expand" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" in plan
+    # the aggregate feeding the window appears between the scan and the
+    # window operator: assert at least two HashAggregates precede it
+    # (partial + final of the value-count agg)
+    win_pos = plan.index("Window")
+    assert plan[:win_pos].count("HashAggregate") >= 2
