@@ -262,3 +262,93 @@ def semantic_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_eval_hits") >= 1)
     )
+
+
+# --- decontamination by SPAN REMOVAL (round 9) ------------------------------
+#
+# Flagging/dropping contaminated documents (benchmark_decontam_flags)
+# throws away the whole document when only a quoted benchmark sentence
+# leaked.  The production alternative (PaLM 2 / Llama data work) excises
+# the overlapping span and keeps the rest.  This reuses the round-9 span
+# machinery: covered positions = train-doc n-gram starts whose gram
+# appears ANYWHERE in the eval split, expanded to [i, i+n-1]; maximal
+# runs become doc-unique markers via dedup.rewrite_excising, so the
+# rewrite is provably idempotent against a FIXED eval set (a surviving
+# original gram was never in the eval set; a new boundary gram contains
+# the doc-scoped marker, which no benchmark text contains).
+
+_IS_EVAL_G = _IS_EVAL.replace("doc_id", "g.doc_id")
+
+
+def _decontam_span_oracle() -> str:
+    from .dedup import _span_rewrite_oracle
+
+    covered = f"""evalg AS (
+    SELECT DISTINCT gram FROM grams g WHERE {_IS_EVAL_G}
+), covered AS (
+    SELECT DISTINCT g.doc_id, g.i + u.off AS p
+    FROM grams g JOIN evalg USING (gram),
+         UNNEST(range(0, {_GRAM_N})) AS u(off)
+    WHERE NOT ({_IS_EVAL_G})
+)"""
+    inner = _span_rewrite_oracle(_GRAM_N, covered)
+    return f"""
+SELECT * FROM ({inner}) r
+WHERE NOT ({_IS_EVAL.replace('doc_id', 'r.doc_id')})
+"""
+
+
+@register(
+    "decontam_span_removal",
+    oracle=_decontam_span_oracle(),
+    tags=("llm", "decontam", "substring"),
+)
+def decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite every TRAINING document with eval-overlapping spans
+    excised — decontamination that keeps the document (the flag/drop
+    form is ``benchmark_decontam_flags``).
+
+    Scale shape: the eval gram set is small by construction (fixed-size
+    benchmarks vs a growing corpus), so it BROADCASTS into a semi-join
+    against the corpus gram stream — unlike the flag form there is no
+    per-gram fanout (each occurrence matches the gram set at most once),
+    so no DF cap is needed and hot grams are excised too, which is the
+    desired semantics: a benchmark sentence quoted by a million docs
+    must be excised from all of them.  Everything downstream is the
+    linear gaps-and-islands rewrite shared with
+    ``substring_span_removal``."""
+    from .dedup import positioned_grams, rewrite_excising
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    t = d.select("doc_id", F.split("text", " ").alias("toks"), is_eval.alias("is_eval"))
+    grams = positioned_grams(
+        t.select("doc_id", "toks", "is_eval"), _GRAM_N
+    )
+    # positioned_grams keeps only (doc_id, i, gram); recover the split via
+    # the same md5 coin on doc_id (pure arithmetic, no extra join)
+    gram_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    evalg = grams.where(gram_eval).select("gram").distinct()
+    covered = (
+        grams.where(~gram_eval)
+        .join(F.broadcast(evalg), "gram")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {_GRAM_N - 1})")).alias("p"))
+        .distinct()
+    )
+    t_train = t.where(~F.col("is_eval")).select("doc_id", "toks")
+    return rewrite_excising(t_train, covered).select(
+        "doc_id",
+        F.md5("kept_text").alias("kept_text_hash"),
+        "n_spans_removed",
+        "chars_removed",
+    )

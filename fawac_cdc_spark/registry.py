@@ -71,7 +71,7 @@ _QUERY_MODULES = [
 #                            source_overlap_matrix, stratified_eval_quota
 #                            — green in every sweep since they landed but
 #                            never driver-hashed)
-# + 5 new this round         (substring_span_removal /
+# + 6 new this round         (substring_span_removal /
 #                            span_removal_firstseen — the Lee et al. 2022
 #                            apply half, symmetric and first-seen forms;
 #                            lineitem_column_histograms — the ANALYZE
@@ -80,6 +80,8 @@ _QUERY_MODULES = [
 #                            equi-depth lineitem_depth_histograms;
 #                            multimodal_curation_
 #                            composed — CLIP-style three-modality plan;
+#                            decontam_span_removal — eval-overlap spans
+#                            excised instead of docs dropped;
 #                            each in PENDING_SWEEP until the round's
 #                            final green full sweep)
 # + 1 flagship               (same query as entry()'s smoke check)
@@ -101,7 +103,7 @@ _PRIORITY = [
     "minhash_est_error_pairs",
     "source_overlap_matrix",
     "stratified_eval_quota",
-    # New round-9 operators (5): span removal (both forms), histograms,
+    # New round-9 operators (6): span removal (both forms + decontam), histograms,
     # composed multimodal curation — each parity-checked at sf0.001 +
     # sf0.01 on landing and in PENDING_SWEEP until the round's final
     # full sweep.
@@ -110,9 +112,13 @@ _PRIORITY = [
     "lineitem_column_histograms",
     "lineitem_depth_histograms",
     "multimodal_curation_composed",
+    "decontam_span_removal",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (37): last green row r1 or r3, none touched
+    # Stalest driver evidence (35): last green row r1 or r3, none touched
+    # (stream_dedup_first_event ceded its slot — the streaming-dedup
+    # family holds cdc_version_diff r8-green plus the new in-window
+    # span_removal_firstseen and its stream==batch pin)
     # since their last green sweep.
     "minhash_signatures",
     "simhash_fingerprints",
@@ -146,7 +152,6 @@ _PRIORITY = [
     "partitioned_sink_pruned_scan",
     "pivot_event_type_counts",
     "simhash_hamming_pairs",
-    "stream_dedup_first_event",
     "connected_component_survivors",
     "ivf_topk_query1",
     "knn_join_bucketed_top3",
@@ -205,6 +210,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "lineitem_column_histograms",
     "lineitem_depth_histograms",
     "multimodal_curation_composed",
+    "decontam_span_removal",
 )
 
 
@@ -221,6 +227,7 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "lineitem_column_histograms",
         "lineitem_depth_histograms",
         "multimodal_curation_composed",
+        "decontam_span_removal",
     }
 )
 

@@ -341,3 +341,54 @@ def test_span_removal_firstseen_keeps_first_occurrence(spark, sf_dir):
         .where(F.col("fs_chars") > F.col("sym_chars"))
     )
     assert joined.count() == 0
+
+
+def test_decontam_span_removal_idempotent_and_clean_docs_unchanged(spark, sf_dir):
+    """Decontam-by-excision invariants: (1) clean training docs come back
+    with their ORIGINAL text hash; (2) a second pass against the same
+    eval set removes nothing (idempotent by the doc-unique-marker
+    argument — no benchmark text contains a marker)."""
+    from fawac_cdc_spark.functions.decontam import (
+        _EVAL_BUCKETS,
+        _GRAM_N,
+        decontam_span_removal,
+    )
+    from fawac_cdc_spark.functions.dedup import positioned_grams, rewrite_excising
+
+    from fawac_cdc_spark.catalog import load_table
+
+    out = decontam_span_removal(spark, sf_dir).localCheckpoint(eager=True)
+    assert out.where(F.col("n_spans_removed") > 0).count() > 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean_mismatch = (
+        out.where(F.col("n_spans_removed") == 0)
+        .join(docs.select("doc_id", F.md5("text").alias("orig_hash")), "doc_id")
+        .where(F.col("kept_text_hash") != F.col("orig_hash"))
+    )
+    assert clean_mismatch.count() == 0
+
+    # pass 2: rebuild kept_text (the registered query only hashes), rerun
+    # the excision against the SAME eval gram set, expect zero coverage
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    t_all = docs.select("doc_id", F.split("text", " ").alias("toks"), is_eval.alias("is_eval"))
+    evalg = (
+        positioned_grams(t_all.where("is_eval"), _GRAM_N).select("gram").distinct()
+    )
+    # rewritten train corpus
+    t_train = t_all.where(~F.col("is_eval")).select("doc_id", "toks")
+    pass1 = rewrite_excising(
+        t_train,
+        positioned_grams(t_train, _GRAM_N)
+        .join(evalg, "gram")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {_GRAM_N - 1})")).alias("p"))
+        .distinct(),
+    ).localCheckpoint(eager=True)
+    t2 = pass1.select("doc_id", F.split("kept_text", " ").alias("toks"))
+    still_covered = positioned_grams(t2, _GRAM_N).join(evalg, "gram")
+    assert still_covered.count() == 0

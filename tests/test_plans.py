@@ -778,3 +778,13 @@ def test_depth_histogram_window_runs_over_value_counts(spark, sf_dir):
     # (partial + final of the value-count agg)
     win_pos = plan.index("Window")
     assert plan[:win_pos].count("HashAggregate") >= 2
+
+
+def test_decontam_span_removal_broadcasts_eval_grams(spark, sf_dir):
+    """The whole scale argument: the eval gram set broadcasts into the
+    corpus gram stream (BroadcastHashJoin), there is no per-gram fanout
+    join, no cartesian, and the rewrite stays linear."""
+    plan = _plan(spark, sf_dir, "decontam_span_removal")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
