@@ -1419,3 +1419,28 @@ def span_dedup_stream(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def decontam_span_stream(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
+    """Decontamination ON INGEST — the streaming twin of
+    ``functions.decontam.decontam_span_removal``.  Unlike the dedup
+    streams this one is STATELESS: the eval gram set is a fixed artifact
+    (benchmarks don't grow with the corpus), so it joins the arriving
+    documents' positioned grams as a static broadcast side — a
+    stream-static equi-join, no state store at all, which is exactly why
+    decontamination is the cheapest hygiene gate to run on ingest.
+    Emits (doc_id, i) for every contaminated gram START; the rewrite
+    (coverage expand -> gaps-and-islands -> marker) happens downstream
+    via ``functions.dedup.rewrite_excising``, same as the span-dedup
+    stream.  Verdicts are per-document facts (no cross-doc state), so
+    stream==batch holds under ANY arrival order — no ordering contract
+    needed, pinned in ``tests/test_streaming.py``.
+    """
+    from ..functions.decontam import _GRAM_N
+    from ..functions.dedup import positioned_grams
+
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = positioned_grams(t, _GRAM_N)
+    return grams.join(F.broadcast(eval_grams.select("gram")), "gram").select(
+        "doc_id", "i"
+    )

@@ -392,3 +392,34 @@ def test_decontam_span_removal_idempotent_and_clean_docs_unchanged(spark, sf_dir
     t2 = pass1.select("doc_id", F.split("kept_text", " ").alias("toks"))
     still_covered = positioned_grams(t2, _GRAM_N).join(evalg, "gram")
     assert still_covered.count() == 0
+
+
+def test_span_removal_parity_at_n16(spark, sf_dir):
+    """The gram length is a dial (production ~50 tokens); the rewrite is
+    length-independent, so oracle parity must hold at n=16 too — and
+    rarer grams can only shrink the removed-char total per doc."""
+    from fawac_cdc_spark.functions.dedup import (
+        substring_span_removal_df,
+        substring_span_removal_oracle_sql,
+    )
+    from tools.parity import compare_frames, make_duckdb
+
+    spark_pdf = (
+        substring_span_removal_df(spark, sf_dir, n=16)
+        .select(
+            "doc_id",
+            F.md5("kept_text").alias("kept_text_hash"),
+            "n_spans_removed",
+            "chars_removed",
+        )
+        .toPandas()
+    )
+    oracle_pdf = make_duckdb(sf_dir).execute(substring_span_removal_oracle_sql(16)).df()
+    assert not compare_frames(spark_pdf, oracle_pdf)
+    n8 = (
+        substring_span_removal_df(spark, sf_dir, n=8)
+        .toPandas()
+        .set_index("doc_id")["chars_removed"]
+    )
+    n16 = spark_pdf.set_index("doc_id")["chars_removed"]
+    assert (n16 <= n8.loc[n16.index]).all()

@@ -1363,3 +1363,63 @@ def test_span_dedup_stream_matches_batch(spark, sf_dir, doc_chunk_dir):
     assert (got["kept_text"] == want["kept_text"]).all()
     assert (got["n_spans_removed"] == want["n_spans_removed"]).all()
     assert (got["chars_removed"] == want["chars_removed"]).all()
+
+
+def test_decontam_span_stream_matches_batch(spark, sf_dir, doc_chunk_dir):
+    """Streaming decontamination-on-ingest == batch form, with NO
+    ordering contract (the operator is stateless: verdicts depend only on
+    the fixed eval gram set, never on other corpus docs).  Rebuild the
+    training docs from the streamed verdicts and compare hashes and
+    counts with decontam_span_removal."""
+    from fawac_cdc_spark.functions.decontam import _EVAL_BUCKETS, _GRAM_N
+    from fawac_cdc_spark.functions.dedup import positioned_grams, rewrite_excising
+    from fawac_cdc_spark.registry import all_specs
+
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    docs_static = load_table(spark, sf_dir, "documents")
+    t_all = docs_static.select(
+        "doc_id", F.split("text", " ").alias("toks"), is_eval.alias("is_eval")
+    )
+    eval_grams = (
+        positioned_grams(t_all.where("is_eval"), _GRAM_N).select("gram").distinct()
+    ).localCheckpoint(eager=True)
+
+    # stream TRAIN docs only (production ingests the crawl, not the bench)
+    stream = cdc.read_document_stream(spark, doc_chunk_dir).where(~is_eval)
+    emitted = _run_to_memory(
+        spark,
+        cdc.decontam_span_stream(stream, eval_grams),
+        "decontam_span_out",
+        "append",
+    )
+    covered = emitted.select(
+        "doc_id", F.explode(F.expr(f"sequence(i, i + {_GRAM_N - 1})")).alias("p")
+    ).distinct()
+    t_train = t_all.where(~F.col("is_eval")).select("doc_id", "toks")
+    got = (
+        rewrite_excising(t_train, covered)
+        .select(
+            "doc_id",
+            F.md5("kept_text").alias("kept_text_hash"),
+            "n_spans_removed",
+            "chars_removed",
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    want = (
+        all_specs()["decontam_span_removal"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (got["kept_text_hash"] == want["kept_text_hash"]).all()
+    assert (got["n_spans_removed"] == want["n_spans_removed"]).all()
+    assert (got["chars_removed"] == want["chars_removed"]).all()
