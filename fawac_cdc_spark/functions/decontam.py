@@ -293,7 +293,9 @@ def _decontam_span_oracle() -> str:
 )"""
     inner = _span_rewrite_oracle(_GRAM_N, covered)
     return f"""
-SELECT * FROM ({inner}) r
+SELECT r.doc_id, md5(r.kept_text) AS kept_text_hash,
+       r.n_spans_removed, r.chars_removed
+FROM ({inner}) r
 WHERE NOT ({_IS_EVAL.replace('doc_id', 'r.doc_id')})
 """
 

@@ -2146,7 +2146,7 @@ WITH t AS (
            '<<dup:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) || '>>'
     FROM spans_k
 ), rebuilt AS (
-    SELECT doc_id, md5(string_agg(piece, ' ' ORDER BY p)) AS kept_text_hash
+    SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS kept_text
     FROM pieces GROUP BY doc_id
 ), stats AS (
     SELECT doc_id,
@@ -2154,24 +2154,32 @@ WITH t AS (
            CAST(SUM(chars) AS BIGINT) AS chars_removed
     FROM spans_k GROUP BY doc_id
 )
-SELECT r.doc_id, r.kept_text_hash,
+SELECT r.doc_id, r.kept_text,
        COALESCE(s.n_spans_removed, 0) AS n_spans_removed,
        COALESCE(s.chars_removed, 0) AS chars_removed
 FROM rebuilt r LEFT JOIN stats s USING (doc_id)
 """
 
 
-def substring_span_removal_oracle_sql(n: int = SUBSTRING_GRAM_N) -> str:
-    """DuckDB oracle for ``substring_span_removal`` at gram length n:
-    covered = positions under any gram duplicated in >= 2 distinct docs."""
-    covered = f"""dup AS (
+def _corpus_dup_covered_cte(n: int) -> str:
+    """The symmetric (>= 2 distinct docs) covered-positions CTE — shared
+    by ``substring_span_removal`` and the composed stats query."""
+    return f"""dup AS (
     SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
 ), covered AS (
     SELECT DISTINCT g.doc_id, g.i + u.off AS p
     FROM grams g JOIN dup USING (gram),
          UNNEST(range(0, {n})) AS u(off)
 )"""
-    return _span_rewrite_oracle(n, covered)
+
+
+def substring_span_removal_oracle_sql(n: int = SUBSTRING_GRAM_N) -> str:
+    """DuckDB oracle for ``substring_span_removal`` at gram length n:
+    covered = positions under any gram duplicated in >= 2 distinct docs."""
+    return (
+        "SELECT doc_id, md5(kept_text) AS kept_text_hash, n_spans_removed, "
+        f"chars_removed FROM ({_span_rewrite_oracle(n, _corpus_dup_covered_cte(n))})"
+    )
 
 
 def span_removal_firstseen_oracle_sql(n: int = SUBSTRING_GRAM_N) -> str:
@@ -2186,7 +2194,10 @@ def span_removal_firstseen_oracle_sql(n: int = SUBSTRING_GRAM_N) -> str:
          UNNEST(range(0, {n})) AS u(off)
     WHERE firstg.first_doc < g.doc_id
 )"""
-    return _span_rewrite_oracle(n, covered)
+    return (
+        "SELECT doc_id, md5(kept_text) AS kept_text_hash, n_spans_removed, "
+        f"chars_removed FROM ({_span_rewrite_oracle(n, covered)})"
+    )
 
 
 @register(
@@ -2208,4 +2219,56 @@ def substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("kept_text").alias("kept_text_hash"),
         "n_spans_removed",
         "chars_removed",
+    )
+
+
+def _span_clean_stats_oracle(n: int = SUBSTRING_GRAM_N) -> str:
+    inner = _span_rewrite_oracle(n, _corpus_dup_covered_cte(n))
+    return f"""
+WITH cleaned AS ({inner})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.n_spans_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_rewritten,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS tokens_before,
+       CAST(SUM(len(string_split(c.kept_text, ' '))) AS BIGINT) AS tokens_after,
+       CAST(SUM(c.chars_removed) AS BIGINT) AS chars_removed
+FROM cleaned c JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@register(
+    "span_clean_corpus_stats",
+    oracle=_span_clean_stats_oracle(),
+    tags=("llm", "dedup", "substring", "composed"),
+)
+def span_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed hygiene accounting in ONE plan: the span-removal REWRITE
+    feeds per-source corpus statistics downstream — docs touched, token
+    totals before/after, characters excised — the dashboard a production
+    dedup run publishes (Lee et al. 2022 report exactly these corpus-level
+    reductions).  Proves the rewrite composes upstream of analytics the
+    same way ``llm_corpus_pipeline`` composes filters upstream of packing:
+    ``rewrite_excising``'s output is a first-class relation, not a
+    terminal artifact.  All aggregates are BIGINT sums — float-free, so
+    the driver hash is exact.  Scale: the rewrite is the linear plan of
+    ``substring_span_removal``; the stats add one broadcast-joinable
+    documents lookup (doc_id equi-join) and a per-source aggregate."""
+    cleaned = substring_span_removal_df(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return (
+        cleaned.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_spans_removed") > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_rewritten"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("tokens_before"),
+            F.sum(F.size(F.split("kept_text", " ")))
+            .cast("bigint")
+            .alias("tokens_after"),
+            F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+        )
     )

@@ -71,7 +71,7 @@ _QUERY_MODULES = [
 #                            source_overlap_matrix, stratified_eval_quota
 #                            — green in every sweep since they landed but
 #                            never driver-hashed)
-# + 6 new this round         (substring_span_removal /
+# + 7 new this round         (substring_span_removal /
 #                            span_removal_firstseen — the Lee et al. 2022
 #                            apply half, symmetric and first-seen forms;
 #                            lineitem_column_histograms — the ANALYZE
@@ -82,6 +82,8 @@ _QUERY_MODULES = [
 #                            composed — CLIP-style three-modality plan;
 #                            decontam_span_removal — eval-overlap spans
 #                            excised instead of docs dropped;
+#                            span_clean_corpus_stats — the rewrite
+#                            composed upstream of per-source accounting;
 #                            each in PENDING_SWEEP until the round's
 #                            final green full sweep)
 # + 1 flagship               (same query as entry()'s smoke check)
@@ -103,7 +105,8 @@ _PRIORITY = [
     "minhash_est_error_pairs",
     "source_overlap_matrix",
     "stratified_eval_quota",
-    # New round-9 operators (6): span removal (both forms + decontam), histograms,
+    # New round-9 operators (7): span removal (both forms + decontam +
+    # composed stats), histograms,
     # composed multimodal curation — each parity-checked at sf0.001 +
     # sf0.01 on landing and in PENDING_SWEEP until the round's final
     # full sweep.
@@ -113,10 +116,11 @@ _PRIORITY = [
     "lineitem_depth_histograms",
     "multimodal_curation_composed",
     "decontam_span_removal",
+    "span_clean_corpus_stats",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (35): last green row r1 or r3, none touched
-    # (stream_dedup_first_event ceded its slot — the streaming-dedup
+    # Stalest driver evidence (34): last green row r1 or r3, none touched
+    # (stream_dedup_first_event and pivot_event_type_counts ceded slots — the streaming-dedup
     # family holds cdc_version_diff r8-green plus the new in-window
     # span_removal_firstseen and its stream==batch pin)
     # since their last green sweep.
@@ -150,7 +154,6 @@ _PRIORITY = [
     "ngram_jaccard_pairs",
     "normalize_minmax_events",
     "partitioned_sink_pruned_scan",
-    "pivot_event_type_counts",
     "simhash_hamming_pairs",
     "connected_component_survivors",
     "ivf_topk_query1",
@@ -211,6 +214,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "lineitem_depth_histograms",
     "multimodal_curation_composed",
     "decontam_span_removal",
+    "span_clean_corpus_stats",
 )
 
 
@@ -228,6 +232,7 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "lineitem_depth_histograms",
         "multimodal_curation_composed",
         "decontam_span_removal",
+        "span_clean_corpus_stats",
     }
 )
 
