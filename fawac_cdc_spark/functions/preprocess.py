@@ -147,3 +147,70 @@ def density_binned_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(money("value")).cast("double").alias("kept_total"),
     )
+
+
+# Per-source adaptive quality cutoff (round 9): fixed global thresholds
+# (Gopher-style) over-filter terse domains and under-filter verbose ones;
+# the production alternative sets the cutoff PER SOURCE from that
+# source's own distribution (C4/RefinedWeb-style adaptive filtering).
+QUALITY_QUANTILE = 0.25
+
+
+@register(
+    "adaptive_source_quality_filter",
+    oracle=f"""
+WITH toks AS (
+    SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents
+), cuts AS (
+    SELECT source,
+           ROUND(quantile_cont(n_tokens, {QUALITY_QUANTILE}), 6) AS cutoff,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_total
+    FROM toks GROUP BY source
+), kept AS (
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_kept
+    FROM toks t JOIN cuts c USING (source)
+    WHERE t.n_tokens >= c.cutoff
+    GROUP BY t.source
+)
+SELECT c.source, c.cutoff, c.n_docs_total, k.n_kept, k.tokens_kept
+FROM cuts c JOIN kept k USING (source)
+""",
+    tags=("llm", "quality", "preprocess"),
+)
+def adaptive_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality gate: each source's token-count cutoff
+    is ITS OWN exact 25th percentile, and only docs at or above it
+    survive — per-domain thresholds instead of one global constant.
+
+    Cross-engine determinism: the exact interpolated percentile differs
+    from DuckDB's in the last ulp, so it is rounded(6) on BOTH sides
+    BEFORE the filter comparison — the comparison then runs both engines
+    against the identical cutoff double (the ``order_stats_with_median``
+    precedent applied to a filter).  Scale: the exact percentile is a
+    per-source sort — swap ``percentile_approx``/KLL when an epsilon is
+    acceptable (same note as the median); the ~|sources|-row cutoff
+    frame broadcasts back onto the scan, so the corpus side shuffles
+    once for the percentile and once for the final per-source aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.size(F.split("text", " ")).alias("n_tokens"))
+    cuts = toks.groupBy("source").agg(
+        F.round(F.expr(f"percentile(n_tokens, {QUALITY_QUANTILE})"), 6).alias(
+            "cutoff"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+    )
+    kept = (
+        toks.join(F.broadcast(cuts.select("source", "cutoff")), "source")
+        .where(F.col("n_tokens") >= F.col("cutoff"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+    )
+    return cuts.join(kept, "source").select(
+        "source", "cutoff", "n_docs_total", "n_kept", "tokens_kept"
+    )

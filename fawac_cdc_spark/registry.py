@@ -71,7 +71,7 @@ _QUERY_MODULES = [
 #                            source_overlap_matrix, stratified_eval_quota
 #                            — green in every sweep since they landed but
 #                            never driver-hashed)
-# + 7 new this round         (substring_span_removal /
+# + 8 new this round         (substring_span_removal /
 #                            span_removal_firstseen — the Lee et al. 2022
 #                            apply half, symmetric and first-seen forms;
 #                            lineitem_column_histograms — the ANALYZE
@@ -84,6 +84,9 @@ _QUERY_MODULES = [
 #                            excised instead of docs dropped;
 #                            span_clean_corpus_stats — the rewrite
 #                            composed upstream of per-source accounting;
+#                            adaptive_source_quality_filter — per-domain
+#                            percentile cutoffs instead of one global
+#                            threshold;
 #                            each in PENDING_SWEEP until the round's
 #                            final green full sweep)
 # + 1 flagship               (same query as entry()'s smoke check)
@@ -105,8 +108,8 @@ _PRIORITY = [
     "minhash_est_error_pairs",
     "source_overlap_matrix",
     "stratified_eval_quota",
-    # New round-9 operators (7): span removal (both forms + decontam +
-    # composed stats), histograms,
+    # New round-9 operators (8): span removal (both forms + decontam +
+    # composed stats), histograms, adaptive quality cutoffs,
     # composed multimodal curation — each parity-checked at sf0.001 +
     # sf0.01 on landing and in PENDING_SWEEP until the round's final
     # full sweep.
@@ -117,10 +120,12 @@ _PRIORITY = [
     "multimodal_curation_composed",
     "decontam_span_removal",
     "span_clean_corpus_stats",
+    "adaptive_source_quality_filter",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (34): last green row r1 or r3, none touched
-    # (stream_dedup_first_event and pivot_event_type_counts ceded slots — the streaming-dedup
+    # Stalest driver evidence (33): last green row r1 or r3, none touched
+    # (stream_dedup_first_event, pivot_event_type_counts and
+    # partitioned_sink_pruned_scan ceded slots — the streaming-dedup
     # family holds cdc_version_diff r8-green plus the new in-window
     # span_removal_firstseen and its stream==batch pin)
     # since their last green sweep.
@@ -153,7 +158,6 @@ _PRIORITY = [
     "near_dedup_survivors",
     "ngram_jaccard_pairs",
     "normalize_minmax_events",
-    "partitioned_sink_pruned_scan",
     "simhash_hamming_pairs",
     "connected_component_survivors",
     "ivf_topk_query1",
@@ -215,6 +219,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "multimodal_curation_composed",
     "decontam_span_removal",
     "span_clean_corpus_stats",
+    "adaptive_source_quality_filter",
 )
 
 
@@ -233,6 +238,7 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "multimodal_curation_composed",
         "decontam_span_removal",
         "span_clean_corpus_stats",
+        "adaptive_source_quality_filter",
     }
 )
 
