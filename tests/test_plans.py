@@ -788,3 +788,13 @@ def test_decontam_span_removal_broadcasts_eval_grams(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_adaptive_quality_cutoffs_broadcast_back(spark, sf_dir):
+    """The per-source cutoff frame (~|sources| rows) must join back onto
+    the token scan as a BROADCAST — the corpus side shuffles only for the
+    percentile and the final per-source aggregate."""
+    plan = _plan(spark, sf_dir, "adaptive_source_quality_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -1768,3 +1768,58 @@ def test_weighted_reservoir_replica_and_tie_resolution(spark, sf_dir):
     np.testing.assert_allclose(out["aes_key"], expect["key"], rtol=0, atol=0)
     # tie gate: the winning keys are essentially all distinct now
     assert out["aes_key"].nunique() >= RESERVOIR_K - 2
+
+
+def test_span_removal_matches_pure_python_replica(spark):
+    """Independent pure-Python replica of the whole span-removal rewrite
+    (coverage, maximal-run islands, doc-unique markers, char accounting)
+    over randomized corpora with a tiny token alphabet — the alphabet
+    forces heavy cross-doc gram collisions, exercising island merging and
+    marker numbering far beyond what the fixture corpus reaches."""
+    import random
+
+    from fawac_cdc_spark.functions.dedup import substring_span_removal_df
+
+    n = 3
+
+    def replica(docs):
+        grams: dict[tuple, set] = {}
+        for d, toks in docs.items():
+            for i in range(len(toks) - n + 1):
+                grams.setdefault(tuple(toks[i : i + n]), set()).add(d)
+        out = {}
+        for d, toks in docs.items():
+            covered = [False] * len(toks)
+            for i in range(len(toks) - n + 1):
+                if len(grams[tuple(toks[i : i + n])]) >= 2:
+                    for p in range(i, i + n):
+                        covered[p] = True
+            pieces, k, chars, prev = [], 0, 0, False
+            for p, tok in enumerate(toks):
+                if covered[p]:
+                    chars += len(tok)
+                    if not prev:
+                        k += 1
+                        pieces.append(f"<<dup:{d}:{k}>>")
+                    prev = True
+                else:
+                    pieces.append(tok)
+                    prev = False
+            out[d] = (" ".join(pieces), k, chars)
+        return out
+
+    rng = random.Random(414243)
+    alphabet = ["aa", "ab", "ba", "bb", "ccc"]
+    for trial in range(6):
+        docs = {
+            d: [rng.choice(alphabet) for _ in range(rng.randint(1, 24))]
+            for d in range(rng.randint(2, 9))
+        }
+        sdf = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["kept_text"], r["n_spans_removed"], r["chars_removed"])
+            for r in substring_span_removal_df(spark, "", n=n, docs=sdf).collect()
+        }
+        assert got == replica(docs), f"trial {trial}: {docs}"
