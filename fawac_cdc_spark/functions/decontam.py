@@ -354,3 +354,51 @@ def decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans_removed",
         "chars_removed",
     )
+
+
+# --- k-anonymity audit (round 9) --------------------------------------------
+#
+# The governance counterpart to PII scrubbing: before a table (or a
+# training corpus's metadata sidecar) is released, every combination of
+# quasi-identifiers must be shared by at least k rows, or the rare
+# combination re-identifies someone.  Sweeney's k-anonymity as one
+# aggregate: group by the quasi-identifier tuple, flag groups below k.
+K_ANON = 5
+_QUASI_IDS = ("c_nationkey", "c_mktsegment")
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH cells AS (
+    SELECT {", ".join(_QUASI_IDS)}, COUNT(*) AS cell_n
+    FROM customer GROUP BY {", ".join(_QUASI_IDS)}
+)
+SELECT CAST(cell_n < {K_ANON} AS BOOLEAN) AS violates_k,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cell_n) AS BIGINT) AS n_rows,
+       CAST(MIN(cell_n) AS BIGINT) AS min_cell,
+       CAST(MAX(cell_n) AS BIGINT) AS max_cell
+FROM cells GROUP BY violates_k
+""",
+    tags=("governance", "privacy", "aggregate"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment): how many equivalence cells violate k=5 and
+    how many rows they expose.  One map-side-combinable aggregate over
+    the quasi-id tuple, one 2-row rollup — nothing here grows with table
+    size except the first groupBy (bounded by the quasi-id domain), so
+    the audit is free at 100 TB.  Counts stay BIGINT end-to-end."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(*_QUASI_IDS).agg(F.count(F.lit(1)).alias("cell_n"))
+    return (
+        cells.groupBy((F.col("cell_n") < K_ANON).alias("violates_k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("cell_n").cast("bigint").alias("n_rows"),
+            F.min("cell_n").cast("bigint").alias("min_cell"),
+            F.max("cell_n").cast("bigint").alias("max_cell"),
+        )
+        .select("violates_k", "n_cells", "n_rows", "min_cell", "max_cell")
+    )
