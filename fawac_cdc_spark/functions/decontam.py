@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+from ..operators.helpers import md5_bucket_sql
 from .dedup import MAX_SHINGLE_DF, _shingled_hashed, capped_shingles
 
 # Held-out eval split: md5 bucket of the doc id, same determinism idiom as
@@ -401,4 +402,66 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cell_n").cast("bigint").alias("max_cell"),
         )
         .select("violates_k", "n_cells", "n_rows", "min_cell", "max_cell")
+    )
+
+
+# --- differential-privacy release (round 9) ---------------------------------
+#
+# The third governance gate: k-anonymity audits the quasi-id cells, PII
+# scrubbing rewrites payloads, and a DP release perturbs the published
+# AGGREGATES.  Laplace mechanism for counting queries (sensitivity 1):
+# released = true + Lap(1/eps).  The noise draw uses the repo's md5-coin
+# inverse-CDF idiom (the same determinism trick as the A-ES reservoir):
+# u from an exactly-uniform dyadic md5 coin on the group key, then
+# noise = -b * sign(u - 0.5) * ln(1 - 2|u - 0.5|) — replayable on both
+# engines, with ln rounded(6) BEFORE scaling to absorb libm's last ulp.
+DP_EPS = 0.5
+_DP_COIN = 65536
+
+
+@register(
+    "dp_noised_source_counts",
+    oracle=f"""
+WITH u AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS true_n,
+           ({md5_bucket_sql("source", _DP_COIN)} + 0.5) / {_DP_COIN}.0 AS u
+    FROM documents GROUP BY source
+)
+SELECT source, true_n,
+       ROUND(LN(1 - 2 * ABS(u - 0.5)), 6)
+           * (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END) / {DP_EPS} AS noise,
+       true_n + ROUND(LN(1 - 2 * ABS(u - 0.5)), 6)
+           * (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END) / {DP_EPS} AS released_n
+FROM u
+""",
+    tags=("governance", "privacy", "aggregate"),
+)
+def dp_noised_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism DP release of per-source document counts
+    (eps=0.5, sensitivity 1): released = true + Lap(1/eps) with the
+    noise drawn from the md5-coin inverse CDF, so the mechanism is
+    bit-replayable on both engines (a production release uses a secret
+    seed and drops ``true_n``/``noise`` — kept here because the oracle
+    differential IS the test).  Cross-engine exactness: the coin is
+    bit-identical; ln is the only libm call and is rounded(6) BEFORE the
+    sign/scale arithmetic (the ``weighted_reservoir_sample`` precedent);
+    everything after is identical IEEE ops.  Scale: one
+    map-side-combinable count per group plus pure arithmetic — free at
+    100 TB."""
+    from ..operators.helpers import md5_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (md5_bucket("source", _DP_COIN).cast("double") + 0.5) / float(_DP_COIN)
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    uc = counts.withColumn("u", u)
+    ln_term = F.round(F.log(1 - 2 * F.abs(F.col("u") - 0.5)), 6)
+    sign = F.when(F.col("u") < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = ln_term * sign / DP_EPS
+    return uc.select(
+        "source",
+        "true_n",
+        noise.alias("noise"),
+        (F.col("true_n") + noise).alias("released_n"),
     )

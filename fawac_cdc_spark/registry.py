@@ -71,7 +71,7 @@ _QUERY_MODULES = [
 #                            source_overlap_matrix, stratified_eval_quota
 #                            — green in every sweep since they landed but
 #                            never driver-hashed)
-# + 9 new this round         (substring_span_removal /
+# + 10 new this round        (substring_span_removal /
 #                            span_removal_firstseen — the Lee et al. 2022
 #                            apply half, symmetric and first-seen forms;
 #                            lineitem_column_histograms — the ANALYZE
@@ -86,8 +86,9 @@ _QUERY_MODULES = [
 #                            composed upstream of per-source accounting;
 #                            adaptive_source_quality_filter — per-domain
 #                            percentile cutoffs instead of one global
-#                            threshold; k_anonymity_audit — the
-#                            governance gate next to PII scrubbing;
+#                            threshold; k_anonymity_audit and
+#                            dp_noised_source_counts — the governance
+#                            gates next to PII scrubbing;
 #                            each in PENDING_SWEEP until the round's
 #                            final green full sweep)
 # + 1 flagship               (same query as entry()'s smoke check)
@@ -109,8 +110,8 @@ _PRIORITY = [
     "minhash_est_error_pairs",
     "source_overlap_matrix",
     "stratified_eval_quota",
-    # New round-9 operators (9): span removal (both forms + decontam +
-    # composed stats), histograms, adaptive quality cutoffs, k-anonymity,
+    # New round-9 operators (10): span removal (both forms + decontam +
+    # composed stats), histograms, adaptive quality cutoffs, governance,
     # composed multimodal curation — each parity-checked at sf0.001 +
     # sf0.01 on landing and in PENDING_SWEEP until the round's final
     # full sweep.
@@ -123,11 +124,13 @@ _PRIORITY = [
     "span_clean_corpus_stats",
     "adaptive_source_quality_filter",
     "k_anonymity_audit",
+    "dp_noised_source_counts",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (32): last green row r1 or r3, none touched
+    # Stalest driver evidence (31): last green row r1 or r3, none touched
     # (stream_dedup_first_event, pivot_event_type_counts,
-    # partitioned_sink_pruned_scan and lang_corpus_stats ceded slots — the streaming-dedup
+    # partitioned_sink_pruned_scan, lang_corpus_stats and
+    # inpaint_range_filter ceded slots — the streaming-dedup
     # family holds cdc_version_diff r8-green plus the new in-window
     # span_removal_firstseen and its stream==batch pin)
     # since their last green sweep.
@@ -152,7 +155,6 @@ _PRIORITY = [
     "checkpoint_selection",
     "config_diff_overlay",
     "hourly_event_rollup",
-    "inpaint_range_filter",
     "jsonl_scan_orders_agg",
     "multimodal_join_stats",
     "embedding_cosine_near_dup",
@@ -222,6 +224,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "span_clean_corpus_stats",
     "adaptive_source_quality_filter",
     "k_anonymity_audit",
+    "dp_noised_source_counts",
 )
 
 
@@ -242,6 +245,7 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "span_clean_corpus_stats",
         "adaptive_source_quality_filter",
         "k_anonymity_audit",
+        "dp_noised_source_counts",
     }
 )
 
