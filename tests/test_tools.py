@@ -153,3 +153,28 @@ def test_every_registered_query_is_swept_or_pending():
     # and the record must not reference queries that no longer exist
     ghosts = swept - registered
     assert not ghosts, f"sweep record names not in registry: {sorted(ghosts)}"
+
+
+def test_sweep_record_merges_scales_and_refuses_toy_runs(tmp_path):
+    """update_sweep_record semantics (ADVICE r8): sub-sf0.01 runs are
+    refused; same-name-set sweeps at new scales MERGE into sf_dirs; a
+    name-set change resets the accumulated scales."""
+    from tools.parity import update_sweep_record
+
+    path = str(tmp_path / "parity_last.json")
+    names = ["a", "b"]
+    # toy scale refused, nothing written
+    assert update_sweep_record(path, "/data/sf0.001", names) is False
+    assert not os.path.exists(path)
+    # first real record
+    assert update_sweep_record(path, "/data/sf0.01", names) is True
+    rec = json.load(open(path))
+    assert rec["sf_dirs"] == ["sf0.01"] and rec["names"] == names
+    # second scale merges
+    assert update_sweep_record(path, "/data/sf0.1", names) is True
+    rec = json.load(open(path))
+    assert rec["sf_dirs"] == ["sf0.01", "sf0.1"]
+    # name-set change resets scales
+    assert update_sweep_record(path, "/data/sf0.01", ["a", "b", "c"]) is True
+    rec = json.load(open(path))
+    assert rec["sf_dirs"] == ["sf0.01"] and rec["total"] == 3

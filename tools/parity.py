@@ -186,6 +186,47 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
     return results
 
 
+def update_sweep_record(path: str, sf_dir: str, sweep_names: list[str]) -> bool:
+    """Record a GREEN full-registry sweep.
+
+    tests/test_tools.py asserts every registered query is either in this
+    record or explicitly listed in registry.PENDING_SWEEP — so a new
+    registration without sweep evidence turns the suite red instead of
+    accumulating silent verification debt (VERDICT r7 item 6).
+
+    Schema (VERDICT r8 item 4 + ADVICE r8): "sf_dirs" accumulates the
+    scales at which THIS name-set has swept green — a green sf0.1 sweep
+    merges into an existing sf0.01 record rather than clobbering it, and
+    a toy sub-sf0.01 run is refused entirely (returns False) so it can
+    never silently replace real evidence.  Any change to the registered
+    name-set resets the accumulated scales.
+    """
+    import json
+
+    sf_base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf_val = float(sf_base.split("sf", 1)[-1])
+    except ValueError:
+        sf_val = 0.0
+    if sf_val < 0.01:
+        print(
+            f"sweep green but below the canonical scale (sf0.01) — "
+            f"NOT recording {sf_base} into {path}"
+        )
+        return False
+    sf_dirs = [sf_base]
+    if os.path.exists(path):
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev.get("names") == sweep_names:
+            sf_dirs = sorted(set(prev.get("sf_dirs", [])) | {sf_base})
+    record = {"sf_dirs": sf_dirs, "total": len(sweep_names), "names": sweep_names}
+    with open(path, "w") as fh:
+        json.dump(record, fh, indent=1)
+    print(f"sweep record ({', '.join(sf_dirs)}) -> {path}")
+    return True
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--sweep-types":
         sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -203,41 +244,9 @@ if __name__ == "__main__":
     bad = {k: v for k, v in res.items() if v}
     print(f"\n{len(res) - len(bad)}/{len(res)} queries at parity")
     if names is None and not bad:
-        # Machine-readable record of the last GREEN full-registry sweep.
-        # tests/test_tools.py asserts every registered query is either in
-        # here or explicitly listed in registry.PENDING_SWEEP — so a new
-        # registration without sweep evidence turns the suite red instead
-        # of accumulating silent verification debt (VERDICT r7 item 6).
-        #
-        # Schema (VERDICT r8 item 4 + ADVICE r8): "sf_dirs" accumulates
-        # the scales at which THIS name-set has swept green — a green
-        # sf0.1 sweep merges into an existing sf0.01 record rather than
-        # clobbering it, and a toy sf0.001 run is refused entirely so it
-        # can never silently replace real evidence.  Any change to the
-        # registered name-set resets the accumulated scales.
-        import json
-
-        sf_base = os.path.basename(sf_dir.rstrip("/"))
-        try:
-            sf_val = float(sf_base.split("sf", 1)[-1])
-        except ValueError:
-            sf_val = 0.0
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "parity_last.json")
-        if sf_val < 0.01:
-            print(
-                f"sweep green but below the canonical scale (sf0.01) — "
-                f"NOT recording {sf_base} into {path}"
-            )
-            sys.exit(0)
-        sweep_names = sorted(res)
-        sf_dirs = [sf_base]
-        if os.path.exists(path):
-            with open(path) as fh:
-                prev = json.load(fh)
-            if prev.get("names") == sweep_names:
-                sf_dirs = sorted(set(prev.get("sf_dirs", [])) | {sf_base})
-        record = {"sf_dirs": sf_dirs, "total": len(res), "names": sweep_names}
-        with open(path, "w") as fh:
-            json.dump(record, fh, indent=1)
-        print(f"sweep record ({', '.join(sf_dirs)}) -> {path}")
+        update_sweep_record(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "parity_last.json"),
+            sf_dir,
+            sorted(res),
+        )
     sys.exit(1 if bad else 0)
