@@ -74,12 +74,11 @@ _QUERY_MODULES = [
 # + 10 new this round        (substring_span_removal /
 #                            span_removal_firstseen — the Lee et al. 2022
 #                            apply half, symmetric and first-seen forms;
-#                            lineitem_column_histograms — the ANALYZE
-#                            histogram surface, equi-width
+#                            the ANALYZE histogram surface — equi-width
 #                            lineitem_column_histograms + value-atomic
 #                            equi-depth lineitem_depth_histograms;
-#                            multimodal_curation_
-#                            composed — CLIP-style three-modality plan;
+#                            multimodal_curation_composed — CLIP-style
+#                            three-modality plan;
 #                            decontam_span_removal — eval-overlap spans
 #                            excised instead of docs dropped;
 #                            span_clean_corpus_stats — the rewrite
@@ -92,14 +91,18 @@ _QUERY_MODULES = [
 #                            each in PENDING_SWEEP until the round's
 #                            final green full sweep)
 # + 1 flagship               (same query as entry()'s smoke check)
-# + stalest remainder        (the 33 r3-stale queries named by the r7
-#                            window comment plus connected_component_
-#                            survivors / ivf_topk_query1 /
-#                            knn_join_bucketed_top3, whose last driver
-#                            rows predate their r7 subtree changes)
+# + 31 stalest remainder     (r3-stale queries named by the r7 window
+#                            comment plus connected_component_survivors /
+#                            ivf_topk_query1 / knn_join_bucketed_top3,
+#                            whose last driver rows predate their r7
+#                            subtree changes)
 # = 50.  The 16 r1-stale entries the r7/r8 window re-greened (the
-# filter_range_scan / rollup_revenue family) cede their slots: their
-# evidence is now the freshest in the registry outside this window.
+# filter_range_scan / rollup_revenue family) ceded their slots — their
+# evidence is the freshest outside this window — and five r3-stale
+# entries from multiply-covered families (stream_dedup_first_event,
+# pivot_event_type_counts, partitioned_sink_pruned_scan,
+# lang_corpus_stats, inpaint_range_filter) ceded theirs to the round-9
+# operators; all stay covered by the dual-scale sweeps.
 _PRIORITY = [
     # Never driver-verified (8) — VERDICT r8 item 1, highest leverage.
     "weighted_reservoir_sample",
@@ -234,20 +237,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # operator lands here, then leaves when the next full sweep runs on the
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "substring_span_removal",
-        "span_removal_firstseen",
-        "lineitem_column_histograms",
-        "lineitem_depth_histograms",
-        "multimodal_curation_composed",
-        "decontam_span_removal",
-        "span_clean_corpus_stats",
-        "adaptive_source_quality_filter",
-        "k_anonymity_audit",
-        "dp_noised_source_counts",
-    }
-)
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
