@@ -445,3 +445,52 @@ def gapfill_interpolated_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("is_observed"),
         F.round(filled, 6).alias("value_filled"),
     )
+
+
+# Debounce / rate-limit dedup (round 9): CDC feeds and clickstreams emit
+# bursts of identical events (double-clicks, retry storms); the standard
+# fix keeps an event only if the PREVIOUS KEPT event of the same
+# (user, type) is at least a cooldown older.  The tractable relational
+# form below debounces against the previous RAW event (one LAG — the
+# Kafka Streams "suppress" shape); chained-burst semantics (cooldown
+# against the last KEPT event) is inherently sequential and lives in the
+# stateful streaming family if needed.
+DEBOUNCE_SECONDS = 300
+
+
+@register(
+    "debounced_events",
+    oracle=f"""
+SELECT event_id, user_id, event_type, ts
+FROM (
+    SELECT event_id, user_id, event_type, ts,
+           LAG(ts) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+)
+WHERE prev_ts IS NULL OR ts >= prev_ts + INTERVAL {DEBOUNCE_SECONDS} SECOND
+""",
+    tags=("analytics", "window", "cdc"),
+)
+def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounced event stream: an event survives iff the previous event
+    of the same (user, type) — in the deterministic (ts, event_id) total
+    order — is at least 300 s older (or absent).
+
+    Exact timestamp + interval arithmetic, NOT unix_timestamp
+    subtraction (which truncates sub-second gaps — the
+    ``session_transition_matrix`` lesson).  One LAG window per
+    (user, type) — bounded partitions, one shuffle; at 100 TB this is
+    the same shape as every sessionization here."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        e.select("event_id", "user_id", "event_type", "ts")
+        .withColumn("prev_ts", prev)
+        .where(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") >= F.col("prev_ts") + F.expr(f"INTERVAL {DEBOUNCE_SECONDS} SECONDS"))
+        )
+        .drop("prev_ts")
+    )

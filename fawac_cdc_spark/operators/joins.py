@@ -373,3 +373,62 @@ def binned_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("c_event_id").alias("n_recent_clicks"),
         F.sum(money("c_value")).cast("double").alias("recent_value"),
     )
+
+
+@register(
+    "full_outer_user_reconciliation",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+), od AS (
+    SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(ev.user_id, od.user_id) AS user_id,
+       COALESCE(ev.n_events, 0) AS n_events,
+       COALESCE(od.n_orders, 0) AS n_orders,
+       COALESCE(od.total_spend, 0.0) AS total_spend,
+       CAST(ev.user_id IS NOT NULL AND od.user_id IS NULL AS BOOLEAN) AS events_only,
+       CAST(ev.user_id IS NULL AND od.user_id IS NOT NULL AS BOOLEAN) AS orders_only
+FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+""",
+    tags=("join", "full-outer", "reconciliation"),
+)
+def full_outer_user_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of the two activity ledgers: clickstream
+    event counts vs order history per user, keeping users present in
+    EITHER side with one-sided rows flagged — the data-quality audit
+    shape (which users click but never bought? which bought with no
+    tracked events?) that completes the join-type surface (inner /
+    broadcast / semi / anti / range / as-of / LATERAL already covered).
+
+    Both sides pre-aggregate BEFORE the join (map-side combinable, so
+    the full-outer SMJ sees |users| rows per side, never raw events or
+    orders — the only scale-honest order of operations), and the spend
+    sum rides exact DECIMAL.  Full outer cannot broadcast either side
+    (both sides' unmatched rows must survive), so the shuffle on user_id
+    is intrinsic — pre-aggregation makes it tiny."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    ev = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    od = (
+        o.groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_spend"),
+        )
+    )
+    evj = ev.withColumnRenamed("user_id", "e_uid")
+    odj = od.withColumnRenamed("user_id", "o_uid")
+    return (
+        evj.join(odj, evj["e_uid"] == odj["o_uid"], "full_outer")
+        .select(
+            F.coalesce("e_uid", "o_uid").alias("user_id"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            (F.col("e_uid").isNotNull() & F.col("o_uid").isNull()).alias("events_only"),
+            (F.col("e_uid").isNull() & F.col("o_uid").isNotNull()).alias("orders_only"),
+        )
+    )

@@ -140,3 +140,57 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aes_key").desc(), "doc_id")
         .limit(RESERVOIR_K)
     )
+
+
+STRAT_RESERVOIR_K = 8
+
+
+@register(
+    "stratified_weighted_reservoir",
+    oracle=f"""
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight, aes_key
+FROM (
+    SELECT source, doc_id, n_chars,
+           ROUND(LN(({md5_bucket_sql('doc_id', _RES_COIN)} + 0.5) / {_RES_COIN}.0), 12)
+               / n_chars AS aes_key,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ROUND(LN(({md5_bucket_sql('doc_id', _RES_COIN)} + 0.5) / {_RES_COIN}.0), 12)
+                        / n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= {STRAT_RESERVOIR_K}
+""",
+    tags=("sampling", "traindata", "llm"),
+)
+def stratified_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE weighted sampling without replacement: the A-ES key of
+    ``weighted_reservoir_sample`` (same 12dp-rounded ln(u)/w, same md5
+    coin) ranked WITHIN each source — a fixed-size w-proportional sample
+    per stratum, the per-domain form every mixture pipeline needs
+    (sample K docs from EACH source, longer docs proportionally
+    likelier, reproducibly).
+
+    Scale shape: rank-based per-group top-K is one window per source —
+    a shuffle on source plus a per-partition sort.  The A-ES key's
+    mergeability gives the heap alternative when strata are huge or
+    skewed: aggregate a K-slot min-heap per source map-side
+    (``max_by(..., K)`` in Spark 4), same result set, no full sort —
+    the same trade the global sample's TakeOrderedAndProject makes."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (md5_bucket("doc_id", _RES_COIN).cast("double") + 0.5) / float(_RES_COIN)
+    key = F.round(F.log(u), 12) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.col("aes_key").desc(), "doc_id")
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("aes_key"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= STRAT_RESERVOIR_K)
+        .drop("rn")
+    )
