@@ -798,3 +798,26 @@ def test_adaptive_quality_cutoffs_broadcast_back(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_full_outer_reconciliation_preaggregates_both_sides(spark, sf_dir):
+    """The scale-honest order of operations: BOTH ledgers aggregate
+    before the full-outer join (partial_count below the join), so the
+    intrinsic user_id shuffle carries |users| rows, never raw facts."""
+    plan = _plan(spark, sf_dir, "full_outer_user_reconciliation")
+    assert "FullOuter" in plan
+    join_pos = plan.index("FullOuter")
+    assert plan[join_pos:].count("HashAggregate") >= 2  # aggs feed the join
+    assert "CartesianProduct" not in plan
+
+
+def test_debounce_is_one_window_pass(spark, sf_dir):
+    """Debounce must be exactly one LAG window over (user, type): one
+    hash exchange, no join, no range partitioning."""
+    plan = _plan(spark, sf_dir, "debounced_events")
+    assert "Window" in plan
+    assert "Join" not in plan
+    # exactly ONE exchange — the (user, type) hash partition the window
+    # needs; no range partitioning, no second shuffle
+    assert plan.count("hashpartitioning(") == 1
+    assert "rangepartitioning" not in plan
