@@ -247,13 +247,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # operator lands here, then leaves when the next full sweep runs on the
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "debounced_events",
-        "stratified_weighted_reservoir",
-        "full_outer_user_reconciliation",
-    }
-)
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
