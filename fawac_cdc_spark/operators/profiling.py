@@ -255,6 +255,7 @@ def lineitem_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch family (kll_quantile_rank_bound) — this operator is the exact,
 # oracle-checkable form.
 DEPTH_BUCKETS = 8
+_DEPTH_BLOCKS = 64  # phase-1 pre-blocks for the two-phase exact prefix sum
 
 
 def _depth_hist_oracle() -> str:
@@ -292,18 +293,28 @@ def lineitem_depth_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the melt aggregates to per-(column, value) COUNTS first
     — map-side combinable, so the shuffle carries sum-of-NDV rows, never
-    table rows — and the single ordered pass (the cumulative window) runs
-    over those value-counts partitioned by column.  Bucket id is exact
-    integer arithmetic ``(cum_before * Q) div n``, so no float crosses
-    the engines; lo/hi are order-independent MIN/MAX of exact parquet
-    values.  A column whose NDV itself explodes at 100 TB routes to the
-    KLL sketch path instead (``kll_quantile_rank_bound``) — that trade
-    (exact-with-ordered-NDV-pass vs mergeable-approximate) is the same
-    one every warehouse ANALYZE implementation makes.
+    table rows — and the exact prefix sum over those value-counts is
+    TWO-PHASE (the ``token_budget_selection`` block pattern): values
+    pre-block into 64 equi-width ranges, the ≤ cols x
+    blocks block-total frame computes cumulative offsets in one tiny
+    window and BROADCASTS back, and the fine within-block window
+    partitions by (column, block) — so no column's ordered pass is ever
+    one task (the naive partition-by-column window serializes a
+    high-NDV column through a single sorted partition).  Block id is
+    monotone in v, so offset + within-block prefix EXACTLY equals the
+    global prefix — all integer arithmetic, bit-identical to the
+    oracle's single-window form.  Bucket id is exact integer arithmetic
+    ``(cum_before * Q) div n``, so no float crosses the engines; lo/hi
+    are order-independent MIN/MAX of exact parquet values.  A column
+    whose NDV itself explodes at 100 TB routes to the KLL sketch path
+    instead (``kll_quantile_rank_bound``) — that trade (exact-with-
+    ordered-pass vs mergeable-approximate) is the same one every
+    warehouse ANALYZE implementation makes.
     """
     from pyspark.sql import Window
 
     q = DEPTH_BUCKETS
+    b2 = _DEPTH_BLOCKS
     li = load_table(spark, sf_dir, "lineitem")
     k = len(_HIST_COLS)
     melt_args = ", ".join(
@@ -321,16 +332,49 @@ def lineitem_depth_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("col_name", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("col_name").orderBy("v")
-    cum = counts.select(
+    # phase 0: per-column min/max/total from the counts themselves (tiny)
+    stats = counts.groupBy("col_name").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("cnt").alias("n_total"),
+    )
+    blk = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(b2 - 1),
+            F.floor((F.col("v") - F.col("mn")) * b2 / (F.col("mx") - F.col("mn"))),
+        )
+    ).cast("int")
+    blocked = counts.join(F.broadcast(stats), "col_name").withColumn("blk", blk)
+    # phase 1: block totals -> cumulative offsets (<= cols x blocks rows)
+    w_off = Window.partitionBy("col_name").orderBy("blk")
+    offsets = (
+        blocked.groupBy("col_name", "blk")
+        .agg(F.sum("cnt").alias("blk_cnt"))
+        .select(
+            "col_name",
+            "blk",
+            F.coalesce(
+                F.sum("blk_cnt").over(
+                    w_off.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("blk_off"),
+        )
+    )
+    # phase 2: fine prefix within each (column, block) partition
+    w_in = Window.partitionBy("col_name", "blk").orderBy("v")
+    cum = blocked.join(F.broadcast(offsets), ["col_name", "blk"]).select(
         "col_name",
         "v",
         "cnt",
-        F.coalesce(
-            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
+        "n_total",
+        (
+            F.col("blk_off")
+            + F.coalesce(
+                F.sum("cnt").over(w_in.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
         ).alias("cum_before"),
-        F.sum("cnt").over(Window.partitionBy("col_name")).alias("n_total"),
     )
     return (
         cum.withColumn(

@@ -763,21 +763,31 @@ def test_multimodal_curation_single_plan_no_driver_step(spark, sf_dir):
     assert "Window" not in plan
 
 
-def test_depth_histogram_window_runs_over_value_counts(spark, sf_dir):
-    """Equi-depth's ordered pass must see NDV rows, not table rows: the
-    cumulative Window's child is the (col_name, v) count aggregate (a
-    HashAggregate below the Window in the tree), there is no Expand, and
-    no range partitioning — the only ordered structure is the per-column
-    sort inside the col_name hash partition."""
+def test_depth_histogram_two_phase_prefix_no_single_task_sort(spark, sf_dir):
+    """Equi-depth's exact prefix sum must be the TWO-PHASE block shape:
+    value-counts aggregate before any window (NDV rows, not table rows),
+    the block-offset frame joins back as a BROADCAST, and the fine
+    window partitions by (col_name, blk) — two Window operators total,
+    no Expand, no range partitioning, so no column's ordered pass is one
+    task."""
     plan = _plan(spark, sf_dir, "lineitem_depth_histograms")
     assert "Expand" not in plan
-    assert "Exchange rangepartitioning" not in plan
-    assert "Window" in plan
-    # the aggregate feeding the window appears between the scan and the
-    # window operator: assert at least two HashAggregates precede it
-    # (partial + final of the value-count agg)
-    win_pos = plan.index("Window")
-    assert plan[:win_pos].count("HashAggregate") >= 2
+    assert "rangepartitioning" not in plan
+    # two windows: the tiny offset cumsum + the within-block prefix
+    import re
+
+    window_ops = re.findall(r"\(\d+\) Window", plan)
+    assert len(window_ops) == 2, window_ops
+    assert "BroadcastHashJoin" in plan
+    # the fine window partitions by (col_name, blk), never col_name alone
+    # BOTH windowspecs key on blk right after col_name: the offset
+    # window orders by blk, the fine window partitions by (col_name, blk)
+    # — neither is a partition-by-column-alone ordered pass over values
+    specs = re.findall(r"windowspecdefinition\(col_name#\d+, blk#", plan)
+    assert len(specs) == 2, plan.count("windowspecdefinition")
+    # value-count aggregate happens below the first window
+    first_win = plan.index("Window")
+    assert plan[:first_win].count("HashAggregate") >= 2
 
 
 def test_decontam_span_removal_broadcasts_eval_grams(spark, sf_dir):
