@@ -987,3 +987,156 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         top2_frac.alias("top2_frac"),
         keep.cast("int").alias("keep"),
     )
+
+
+# --- bigram-LM perplexity filter (round 9) -----------------------------------
+#
+# The unigram score above ranks docs by token rarity; the CCNet /
+# Wikipedia-LM filter proper is an n-gram LM with CONTEXT — a doc full of
+# common tokens in impossible orders ("the the the of of") sails past the
+# unigram score and is exactly what the bigram conditional catches.
+BIGRAM_ADD_K = 0.5
+
+
+@register(
+    "bigram_perplexity_by_source",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+    SELECT doc_id, source,
+           unnest(toks[1:len(toks) - 1]) AS w1,
+           unnest(toks[2:len(toks)]) AS w2
+    FROM t WHERE len(toks) >= 2
+), c2 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n2 FROM bg GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, CAST(COUNT(*) AS DOUBLE) AS n1 FROM bg GROUP BY w1
+), vocab AS (
+    SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v FROM bg
+), scored AS (
+    SELECT bg.doc_id, bg.source,
+           -ln((c2.n2 + {BIGRAM_ADD_K}) / (c1.n1 + {BIGRAM_ADD_K} * vocab.v)) AS nll
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vocab
+), per_doc AS (
+    SELECT doc_id, source, AVG(nll) AS doc_nll FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(doc_nll), 6) AS avg_doc_nll,
+       ROUND(MIN(doc_nll), 6) AS min_doc_nll,
+       ROUND(MAX(doc_nll), 6) AS max_doc_nll
+FROM per_doc GROUP BY source
+""",
+    tags=("text", "llm", "quality", "lm"),
+)
+def bigram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality signal with add-k smoothing (k=0.5) — the CCNet
+    / KenLM perplexity filter in its distributed n-gram form: per-doc
+    mean negative log of P(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k|V|)
+    under the corpus's own bigram counts, summarized per source.
+
+    Scale shape: bigrams come from ONE zip of the token array with its
+    own tail (a generator, no self-join); the conditional needs two
+    count tables — (w1, w2) and w1 — both map-side-combinable, joined
+    back by equi-join (broadcast at fixture scale; at 100 TB the bigram
+    table shuffles on its uniform key and AQE handles hot stop-bigrams).
+    Per-doc averaging then round(6) per-source follows the proven
+    ``unigram_logprob_by_source`` cross-engine recipe."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    bg = (
+        t.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "source", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("n1"))
+    vocab = bg.agg(F.count_distinct("w2").cast("double").alias("v"))
+    k = BIGRAM_ADD_K
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            (-F.log((F.col("n2") + k) / (F.col("n1") + k * F.col("v")))).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(F.avg("nll").alias("doc_nll"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_nll"), 6).alias("avg_doc_nll"),
+        F.round(F.min("doc_nll"), 6).alias("min_doc_nll"),
+        F.round(F.max("doc_nll"), 6).alias("max_doc_nll"),
+    )
+
+
+# --- BPE merge-pair counting (round 9) ---------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "bpe_merge_pair_counts",
+    oracle=f"""
+WITH words AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+), freq AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY word
+), pairs AS (
+    SELECT word[i:i+1] AS pair, n
+    FROM freq, UNNEST(range(1, len(word))) AS u(i)
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {BPE_TOP_PAIRS}
+""",
+    tags=("text", "llm", "tokenizer"),
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer TRAINING, distributed: count
+    adjacent symbol pairs across the corpus weighted by word frequency
+    and surface the top merge candidates — the argmax of this table IS
+    the first BPE merge (Sennrich et al. 2016).
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD frequency
+    table first (map-side combinable — the standard BPE-training trick:
+    work per distinct word, weight by frequency), so the pair explosion
+    is over vocabulary entries, not corpus tokens.  Top-k rides
+    TakeOrderedAndProject with a deterministic (count, pair) tiebreak.
+    Subsequent BPE iterations re-run the same plan over the re-segmented
+    vocabulary — each iteration is one aggregate, never a corpus
+    rescan."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # guard len >= 2: Spark's sequence(1, 0) steps DOWNWARD ([1, 0]) for
+    # single-char words, fabricating bogus pairs where DuckDB's range is
+    # simply empty
+    pairs = freq.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -71,7 +71,7 @@ _QUERY_MODULES = [
 #                            source_overlap_matrix, stratified_eval_quota
 #                            — green in every sweep since they landed but
 #                            never driver-hashed)
-# + 13 new this round        (substring_span_removal /
+# + 15 new this round        (substring_span_removal /
 #                            span_removal_firstseen — the Lee et al. 2022
 #                            apply half, symmetric and first-seen forms;
 #                            the ANALYZE histogram surface — equi-width
@@ -93,10 +93,14 @@ _QUERY_MODULES = [
 #                            A-ES sampling; full_outer_user_
 #                            reconciliation — the two-ledger audit that
 #                            completes the join-type surface;
+#                            bigram_perplexity_by_source — the CCNet
+#                            n-gram-LM filter with context;
+#                            bpe_merge_pair_counts — distributed BPE
+#                            tokenizer-training iteration;
 #                            each in PENDING_SWEEP until the round's
 #                            final green full sweep)
 # + 1 flagship               (same query as entry()'s smoke check)
-# + 28 stalest remainder     (r3-stale queries named by the r7 window
+# + 26 stalest remainder     (r3-stale queries named by the r7 window
 #                            comment plus connected_component_survivors /
 #                            ivf_topk_query1 / knn_join_bucketed_top3,
 #                            whose last driver rows predate their r7
@@ -118,9 +122,10 @@ _PRIORITY = [
     "minhash_est_error_pairs",
     "source_overlap_matrix",
     "stratified_eval_quota",
-    # New round-9 operators (13): span removal (both forms + decontam +
+    # New round-9 operators (15): span removal (both forms + decontam +
     # composed stats), histograms, adaptive quality cutoffs, governance,
     # debounce, stratified reservoir, full-outer reconciliation,
+    # bigram-LM perplexity, BPE pair counting,
     # composed multimodal curation — each parity-checked at sf0.001 +
     # sf0.01 on landing and in PENDING_SWEEP until the round's final
     # full sweep.
@@ -137,13 +142,16 @@ _PRIORITY = [
     "debounced_events",
     "stratified_weighted_reservoir",
     "full_outer_user_reconciliation",
+    "bigram_perplexity_by_source",
+    "bpe_merge_pair_counts",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (28): last green row r1 or r3, none touched
+    # Stalest driver evidence (26): last green row r1 or r3, none touched
     # (stream_dedup_first_event, pivot_event_type_counts,
     # partitioned_sink_pruned_scan, lang_corpus_stats,
     # inpaint_range_filter, noise_injected_values,
-    # outlier_filtered_totals and regexp_extract_source_num ceded slots — the streaming-dedup
+    # outlier_filtered_totals, regexp_extract_source_num,
+    # capped_user_totals and bpe_token_stats ceded slots — the streaming-dedup
     # family holds cdc_version_diff r8-green plus the new in-window
     # span_removal_firstseen and its stream==batch pin)
     # since their last green sweep.
@@ -154,8 +162,6 @@ _PRIORITY = [
     "embedding_label_stats",
     "token_stats_by_source",
     "sliding_1h_15min_rollup",
-    "bpe_token_stats",
-    "capped_user_totals",
     "click_purchase_pairs",
     "cosine_topk_query0",
     "asof_join_last_signup_before_purchase",
@@ -238,6 +244,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "debounced_events",
     "stratified_weighted_reservoir",
     "full_outer_user_reconciliation",
+    "bigram_perplexity_by_source",
+    "bpe_merge_pair_counts",
 )
 
 
@@ -247,7 +255,12 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # operator lands here, then leaves when the next full sweep runs on the
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
-PENDING_SWEEP: frozenset[str] = frozenset()
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "bigram_perplexity_by_source",
+        "bpe_merge_pair_counts",
+    }
+)
 
 
 @dataclass(frozen=True)
