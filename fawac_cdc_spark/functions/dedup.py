@@ -2272,3 +2272,58 @@ def span_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars_removed").cast("bigint").alias("chars_removed"),
         )
     )
+
+
+# Split-document reassembly candidates (round 9): crawl pipelines break
+# one logical document across fetches (pagination, size caps); the
+# standard detection joins each document's LEADING boundary n-gram
+# against every document's TRAILING one — a continuation candidate is a
+# (tail of A) == (head of B) match.  Downstream, candidates feed the
+# same reassembly/merge pass that span removal feeds excision.
+BOUNDARY_K = 4
+
+
+@register(
+    "split_doc_candidates",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WHERE len(string_split(text, ' ')) >= {2 * BOUNDARY_K}
+), h AS (
+    SELECT doc_id,
+           array_to_string(toks[1:{BOUNDARY_K}], ' ') AS head,
+           array_to_string(toks[len(toks) - {BOUNDARY_K - 1}:len(toks)], ' ') AS tail
+    FROM t
+)
+SELECT a.doc_id AS left_doc_id, b.doc_id AS right_doc_id, a.tail AS boundary
+FROM h a JOIN h b ON a.tail = b.head
+WHERE a.doc_id != b.doc_id
+""",
+    tags=("llm", "dedup", "crawl"),
+)
+def split_doc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuation candidates for split documents: pairs where document
+    A's trailing 4-token boundary equals document B's leading one —
+    the reassembly detector for crawl-time pagination/size-cap splits.
+
+    One pass computes each doc's head and tail boundary strings (pure
+    projection), then ONE equi-join on the boundary — |docs| rows per
+    side keyed by an (effectively unique) 4-token string, so the join is
+    linear; no pairwise or windowed stage anywhere.  Docs shorter than
+    2k tokens are excluded so head and tail never overlap within one
+    document."""
+    k = BOUNDARY_K
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2 * k
+    )
+    h = t.select(
+        "doc_id",
+        F.expr(f"concat_ws(' ', slice(toks, 1, {k}))").alias("head"),
+        F.expr(f"concat_ws(' ', slice(toks, size(toks) - {k - 1}, {k}))").alias("tail"),
+    )
+    a = h.select(F.col("doc_id").alias("left_doc_id"), F.col("tail").alias("boundary"))
+    b = h.select(F.col("doc_id").alias("right_doc_id"), F.col("head").alias("boundary"))
+    return a.join(b, "boundary").where(
+        F.col("left_doc_id") != F.col("right_doc_id")
+    ).select("left_doc_id", "right_doc_id", "boundary")

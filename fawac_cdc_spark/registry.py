@@ -71,7 +71,7 @@ _QUERY_MODULES = [
 #                            source_overlap_matrix, stratified_eval_quota
 #                            — green in every sweep since they landed but
 #                            never driver-hashed)
-# + 15 new this round        (substring_span_removal /
+# + 16 new this round        (substring_span_removal /
 #                            span_removal_firstseen — the Lee et al. 2022
 #                            apply half, symmetric and first-seen forms;
 #                            the ANALYZE histogram surface — equi-width
@@ -97,10 +97,12 @@ _QUERY_MODULES = [
 #                            n-gram-LM filter with context;
 #                            bpe_merge_pair_counts — distributed BPE
 #                            tokenizer-training iteration;
+#                            split_doc_candidates — crawl-split
+#                            continuation detection;
 #                            each in PENDING_SWEEP until the round's
 #                            final green full sweep)
 # + 1 flagship               (same query as entry()'s smoke check)
-# + 26 stalest remainder     (r3-stale queries named by the r7 window
+# + 25 stalest remainder     (r3-stale queries named by the r7 window
 #                            comment plus connected_component_survivors /
 #                            ivf_topk_query1 / knn_join_bucketed_top3,
 #                            whose last driver rows predate their r7
@@ -122,7 +124,7 @@ _PRIORITY = [
     "minhash_est_error_pairs",
     "source_overlap_matrix",
     "stratified_eval_quota",
-    # New round-9 operators (15): span removal (both forms + decontam +
+    # New round-9 operators (16): span removal (both forms + decontam +
     # composed stats), histograms, adaptive quality cutoffs, governance,
     # debounce, stratified reservoir, full-outer reconciliation,
     # bigram-LM perplexity, BPE pair counting,
@@ -144,14 +146,16 @@ _PRIORITY = [
     "full_outer_user_reconciliation",
     "bigram_perplexity_by_source",
     "bpe_merge_pair_counts",
+    "split_doc_candidates",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (26): last green row r1 or r3, none touched
+    # Stalest driver evidence (25): last green row r1 or r3, none touched
     # (stream_dedup_first_event, pivot_event_type_counts,
     # partitioned_sink_pruned_scan, lang_corpus_stats,
     # inpaint_range_filter, noise_injected_values,
     # outlier_filtered_totals, regexp_extract_source_num,
-    # capped_user_totals and bpe_token_stats ceded slots — the streaming-dedup
+    # capped_user_totals, bpe_token_stats and sliding_1h_15min_rollup
+    # ceded slots — the streaming-dedup
     # family holds cdc_version_diff r8-green plus the new in-window
     # span_removal_firstseen and its stream==batch pin)
     # since their last green sweep.
@@ -161,7 +165,6 @@ _PRIORITY = [
     "rp_lsh_topk_query0",
     "embedding_label_stats",
     "token_stats_by_source",
-    "sliding_1h_15min_rollup",
     "click_purchase_pairs",
     "cosine_topk_query0",
     "asof_join_last_signup_before_purchase",
@@ -246,6 +249,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "full_outer_user_reconciliation",
     "bigram_perplexity_by_source",
     "bpe_merge_pair_counts",
+    "split_doc_candidates",
 )
 
 
@@ -259,6 +263,7 @@ PENDING_SWEEP: frozenset[str] = frozenset(
     {
         "bigram_perplexity_by_source",
         "bpe_merge_pair_counts",
+        "split_doc_candidates",
     }
 )
 
