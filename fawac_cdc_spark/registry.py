@@ -259,13 +259,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # operator lands here, then leaves when the next full sweep runs on the
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "bigram_perplexity_by_source",
-        "bpe_merge_pair_counts",
-        "split_doc_candidates",
-    }
-)
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)

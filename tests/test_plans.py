@@ -91,6 +91,7 @@ _SCALAR_BROADCAST_OK = {
     "rrf_fused_topk_docs",  # 1-row corpus stats + 1 query vector (composed)
     "semantic_decontam_flags",  # 1-row folded eval-vector table
     "multimodal_curation_composed",  # 1-row folded centroid table (argmax)
+    "bigram_perplexity_by_source",  # 1-row vocab-size scalar (add-k denom)
 }
 
 
