@@ -71,7 +71,7 @@ _QUERY_MODULES = [
 #                            source_overlap_matrix, stratified_eval_quota
 #                            — green in every sweep since they landed but
 #                            never driver-hashed)
-# + 16 new this round        (substring_span_removal /
+# + 17 new this round        (substring_span_removal /
 #                            span_removal_firstseen — the Lee et al. 2022
 #                            apply half, symmetric and first-seen forms;
 #                            the ANALYZE histogram surface — equi-width
@@ -99,10 +99,12 @@ _QUERY_MODULES = [
 #                            tokenizer-training iteration;
 #                            split_doc_candidates — crawl-split
 #                            continuation detection;
+#                            xml_scan_customer_agg — Spark 4 native XML
+#                            ingest roundtrip;
 #                            each in PENDING_SWEEP until the round's
 #                            final green full sweep)
 # + 1 flagship               (same query as entry()'s smoke check)
-# + 25 stalest remainder     (r3-stale queries named by the r7 window
+# + 24 stalest remainder     (r3-stale queries named by the r7 window
 #                            comment plus connected_component_survivors /
 #                            ivf_topk_query1 / knn_join_bucketed_top3,
 #                            whose last driver rows predate their r7
@@ -124,7 +126,7 @@ _PRIORITY = [
     "minhash_est_error_pairs",
     "source_overlap_matrix",
     "stratified_eval_quota",
-    # New round-9 operators (16): span removal (both forms + decontam +
+    # New round-9 operators (17): span removal (both forms + decontam +
     # composed stats), histograms, adaptive quality cutoffs, governance,
     # debounce, stratified reservoir, full-outer reconciliation,
     # bigram-LM perplexity, BPE pair counting,
@@ -147,15 +149,16 @@ _PRIORITY = [
     "bigram_perplexity_by_source",
     "bpe_merge_pair_counts",
     "split_doc_candidates",
+    "xml_scan_customer_agg",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (25): last green row r1 or r3, none touched
+    # Stalest driver evidence (24): last green row r1 or r3, none touched
     # (stream_dedup_first_event, pivot_event_type_counts,
     # partitioned_sink_pruned_scan, lang_corpus_stats,
     # inpaint_range_filter, noise_injected_values,
     # outlier_filtered_totals, regexp_extract_source_num,
-    # capped_user_totals, bpe_token_stats and sliding_1h_15min_rollup
-    # ceded slots — the streaming-dedup
+    # capped_user_totals, bpe_token_stats, sliding_1h_15min_rollup and
+    # token_stats_by_source ceded slots — the streaming-dedup
     # family holds cdc_version_diff r8-green plus the new in-window
     # span_removal_firstseen and its stream==batch pin)
     # since their last green sweep.
@@ -164,7 +167,6 @@ _PRIORITY = [
     "rp_lsh_bucket_stats",
     "rp_lsh_topk_query0",
     "embedding_label_stats",
-    "token_stats_by_source",
     "click_purchase_pairs",
     "cosine_topk_query0",
     "asof_join_last_signup_before_purchase",
@@ -250,6 +252,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "bigram_perplexity_by_source",
     "bpe_merge_pair_counts",
     "split_doc_candidates",
+    "xml_scan_customer_agg",
 )
 
 
@@ -259,7 +262,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # operator lands here, then leaves when the next full sweep runs on the
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
-PENDING_SWEEP: frozenset[str] = frozenset()
+PENDING_SWEEP: frozenset[str] = frozenset({"xml_scan_customer_agg"})
 
 
 @dataclass(frozen=True)

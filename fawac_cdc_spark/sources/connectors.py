@@ -320,3 +320,61 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(money("o_totalprice")).cast("double").alias("total_price"),
     )
+
+
+# Spark 4 native XML (spark-xml merged upstream in 4.0) — round 9.
+XML_CUST_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@register(
+    "xml_scan_customer_agg",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+       MIN(c_custkey) AS min_custkey,
+       MAX(c_custkey) AS max_custkey
+FROM customer
+GROUP BY c_mktsegment
+""",
+    tags=("source", "xml", "roundtrip"),
+)
+def xml_scan_customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML roundtrip through Spark 4's NATIVE xml source (spark-xml was
+    merged upstream in 4.0 — no external package): customer → XML
+    (rowTag=customer) → schema-ful scan → aggregate.  Parity against the
+    parquet-side oracle proves longs, strings, and 2-decimal doubles
+    survive the format; the explicit schema skips inference (one less
+    full read, and type drift is impossible).  At 100 TB XML is an
+    INGEST format, never a working one — this query is the ingest edge:
+    scan, cast, aggregate once, land in parquet."""
+    out = _io_dir(sf_dir, "customer_xml")
+    (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite")
+        .option("rowTag", "customer")
+        .format("xml")
+        .save(out)
+    )
+    return (
+        spark.read.schema(XML_CUST_SCHEMA)
+        .option("rowTag", "customer")
+        .format("xml")
+        .load(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("c_acctbal")).cast("double").alias("total_acctbal"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+    )
