@@ -262,7 +262,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # operator lands here, then leaves when the next full sweep runs on the
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
-PENDING_SWEEP: frozenset[str] = frozenset({"xml_scan_customer_agg"})
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
