@@ -1823,3 +1823,91 @@ def test_span_removal_matches_pure_python_replica(spark):
             for r in substring_span_removal_df(spark, "", n=n, docs=sdf).collect()
         }
         assert got == replica(docs), f"trial {trial}: {docs}"
+
+
+def test_debounce_matches_pandas_replica(spark, sf_dir):
+    """Independent pandas replica of the debounce rule: per (user, type)
+    in (ts, event_id) order, keep iff first or >= 300 s after the
+    previous RAW event."""
+    got = {
+        r["event_id"]
+        for r in _SPECS["debounced_events"].fn(spark, sf_dir).collect()
+    }
+    e = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    ).sort_values(["user_id", "event_type", "ts", "event_id"])
+    keep = []
+    for _, g in e.groupby(["user_id", "event_type"], sort=False):
+        prev = None
+        for _, row in g.iterrows():
+            if prev is None or (row["ts"] - prev).total_seconds() >= 300:
+                keep.append(row["event_id"])
+            prev = row["ts"]
+    assert got == set(keep)
+
+
+def test_bigram_lm_matches_pure_python_replica(spark, sf_dir):
+    """Independent pure-Python replica of the add-k bigram LM: corpus
+    bigram/prefix counts, vocabulary of followers, per-doc mean NLL,
+    per-source min/max/avg — matched to the registered query's rounding."""
+    import math
+    from collections import Counter, defaultdict
+
+    rows = (
+        _SPECS["bigram_perplexity_by_source"].fn(spark, sf_dir).collect()
+    )
+    got = {r["source"]: (r["n_docs"], r["avg_doc_nll"], r["min_doc_nll"], r["max_doc_nll"]) for r in rows}
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    c2, c1, vocab = Counter(), Counter(), set()
+    doc_bigrams = {}
+    for r in d.itertuples():
+        toks = r.text.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        doc_bigrams[r.doc_id] = (r.source, bgs)
+        for w1, w2 in bgs:
+            c2[(w1, w2)] += 1
+            c1[w1] += 1
+            vocab.add(w2)
+    k, v = 0.5, float(len(vocab))
+    per_source = defaultdict(list)
+    for _, (source, bgs) in doc_bigrams.items():
+        if not bgs:
+            continue
+        nll = [-math.log((c2[b] + k) / (c1[b[0]] + k * v)) for b in bgs]
+        per_source[source].append(sum(nll) / len(nll))
+    want = {
+        s: (
+            len(xs),
+            round(sum(xs) / len(xs), 6),
+            round(min(xs), 6),
+            round(max(xs), 6),
+        )
+        for s, xs in per_source.items()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0], s
+        for i in (1, 2, 3):
+            assert abs(got[s][i] - want[s][i]) < 1e-6, (s, i, got[s], want[s])
+
+
+def test_bpe_pair_counts_match_pure_python_replica(spark, sf_dir):
+    """Independent replica of the BPE first-merge table: adjacent char
+    pairs over distinct words weighted by frequency, top-20 with the
+    (count desc, pair asc) tiebreak."""
+    from collections import Counter
+
+    got = [
+        (r["pair"], r["cnt"])
+        for r in _SPECS["bpe_merge_pair_counts"].fn(spark, sf_dir).collect()
+    ]
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    freq = Counter(w for t in d["text"] for w in t.split(" "))
+    pairs = Counter()
+    for w, n in freq.items():
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                pairs[w[i : i + 2]] += n
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
