@@ -1978,6 +1978,26 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # marker token carrying the doc_id, so it can never appear in a second
 # document.  A second pass therefore finds zero duplicated grams
 # (property-tested in tests/test_dedup_scale.py).
+#
+# Marker unforgeability (ADVICE r9): the proof above additionally needs
+# that no ORIGINAL corpus token can impersonate a marker — a raw document
+# containing a literal ``<<dup:7:1>>`` token could otherwise forge doc
+# 7's marker and break the doc-uniqueness argument.  Closed by making
+# marker-SHAPED tokens gram BREAKERS: any token matching _MARKER_RE is
+# excluded from n-gram formation entirely (no gram may cover it), on
+# both engines and in the streaming twin, so forged and genuine markers
+# alike can never participate in a duplicated gram.  They are still kept
+# verbatim in the rebuilt text — which is exactly what preserves
+# idempotence: pass 2 re-tokenizes pass-1 output, sees the genuine
+# markers, refuses to gram across them, finds zero duplicated grams, and
+# reproduces the text unchanged.  (Escaping forged tokens instead would
+# BREAK idempotence: pass 2 could not tell pass-1's markers from forged
+# ones and would escape both, mutating pass-1 output.)
+
+# One regex, shared by the batch family, the streaming twin, and the
+# DuckDB oracles (as _MARKER_RE_SQL).
+_MARKER_RE = r"^<<dup:[0-9]+:[0-9]+>>$"
+_MARKER_RE_SQL = "^<<dup:[0-9]+:[0-9]+>>$"
 
 
 def _span_marker(doc_id_col, k_col):
@@ -1994,13 +2014,25 @@ def positioned_grams(t: DataFrame, n: int) -> DataFrame:
     """Positioned (0-based start i) md5-hashed token n-grams of
     ``t = (doc_id, toks)`` — NOT distinct: every occurrence must mark its
     own coverage window.  Pure map (one generator), shared by the batch
-    span-removal family and the streaming span-dedup-on-ingest twin."""
+    span-removal family and the streaming span-dedup-on-ingest twin.
+
+    Marker-shaped tokens (_MARKER_RE) are gram BREAKERS: a gram whose
+    window contains one is dropped (null, filtered), so no original or
+    rewritten marker token can ever participate in a duplicated gram —
+    the unforgeability precondition of the idempotence proof above.  The
+    marker test runs ONCE per token (the ``bad`` array), then each gram
+    checks its n-window with an integer ``exists`` — O(n) per gram, no
+    per-gram regex."""
     gram_expr = (
         f"transform(sequence(0, size(toks) - {n}), i -> "
-        f"cast(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {n}))), 1, 15), 16, 10) as bigint))"
+        f"case when exists(slice(bad, i + 1, {n}), x -> x) then null "
+        f"else cast(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {n}))), 1, 15), 16, 10) as bigint) end)"
     )
-    return t.where(F.size("toks") >= n).select(
-        "doc_id", F.posexplode(F.expr(gram_expr)).alias("i", "gram")
+    return (
+        t.where(F.size("toks") >= n)
+        .withColumn("bad", F.expr(f"transform(toks, t -> t rlike '{_MARKER_RE}')"))
+        .select("doc_id", F.posexplode(F.expr(gram_expr)).alias("i", "gram"))
+        .where(F.col("gram").isNotNull())
     )
 
 
@@ -2120,12 +2152,16 @@ WITH t AS (
            unnest(range(0, len(toks))) AS p,
            unnest(toks) AS token
     FROM t
-), grams AS (
+), grams_all AS (
     SELECT doc_id,
            unnest(range(0, len(toks) - {n} + 1)) AS i,
            unnest(list_transform(range(1, len(toks) - {n} + 2),
-                  j -> CAST('0x' || substr(md5(array_to_string(toks[j:j+{n - 1}], ' ')), 1, 15) AS BIGINT))) AS gram
+                  j -> CAST('0x' || substr(md5(array_to_string(toks[j:j+{n - 1}], ' ')), 1, 15) AS BIGINT))) AS gram,
+           unnest(list_transform(range(1, len(toks) - {n} + 2),
+                  j -> len(list_filter(toks[j:j+{n - 1}], tok -> regexp_matches(tok, '{_MARKER_RE_SQL}'))) = 0)) AS ok
     FROM t WHERE len(toks) >= {n}
+), grams AS (
+    SELECT doc_id, i, gram FROM grams_all WHERE ok
 ), {covered_cte}, flagged AS (
     SELECT pos.doc_id, pos.p, pos.token,
            covered.p IS NOT NULL AS cov

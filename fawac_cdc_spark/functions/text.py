@@ -1063,9 +1063,14 @@ def bigram_perplexity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("n1"))
     vocab = bg.agg(F.count_distinct("w2").cast("double").alias("v"))
     k = BIGRAM_ADD_K
+    # No broadcast hint on c2/c1: both grow with the corpus (distinct
+    # bigrams / unigrams), so the join strategy is left to Catalyst/AQE —
+    # auto-broadcast below the threshold at fixture scale, shuffled
+    # equi-join on the uniform (w1, w2) key at 100 TB (ADVICE r9).  Only
+    # the ONE-ROW vocab count keeps an explicit broadcast.
     scored = (
-        bg.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

@@ -1775,23 +1775,33 @@ def test_span_removal_matches_pure_python_replica(spark):
     (coverage, maximal-run islands, doc-unique markers, char accounting)
     over randomized corpora with a tiny token alphabet — the alphabet
     forces heavy cross-doc gram collisions, exercising island merging and
-    marker numbering far beyond what the fixture corpus reaches."""
+    marker numbering far beyond what the fixture corpus reaches.  Half
+    the trials inject FORGED marker tokens (``<<dup:d:k>>`` literals in
+    the raw corpus, the ADVICE r9 adversary): marker-shaped tokens are
+    gram breakers on both engines, so forged markers can never join a
+    duplicated gram, and the replica encodes exactly that rule."""
     import random
+    import re
 
     from fawac_cdc_spark.functions.dedup import substring_span_removal_df
 
     n = 3
+    marker = re.compile(r"^<<dup:[0-9]+:[0-9]+>>$")
 
     def replica(docs):
         grams: dict[tuple, set] = {}
         for d, toks in docs.items():
             for i in range(len(toks) - n + 1):
-                grams.setdefault(tuple(toks[i : i + n]), set()).add(d)
+                win = toks[i : i + n]
+                if any(marker.match(t) for t in win):
+                    continue  # marker-shaped tokens break grams
+                grams.setdefault(tuple(win), set()).add(d)
         out = {}
         for d, toks in docs.items():
             covered = [False] * len(toks)
             for i in range(len(toks) - n + 1):
-                if len(grams[tuple(toks[i : i + n])]) >= 2:
+                win = tuple(toks[i : i + n])
+                if win in grams and len(grams[win]) >= 2:
                     for p in range(i, i + n):
                         covered[p] = True
             pieces, k, chars, prev = [], 0, 0, False
@@ -1809,8 +1819,12 @@ def test_span_removal_matches_pure_python_replica(spark):
         return out
 
     rng = random.Random(414243)
-    alphabet = ["aa", "ab", "ba", "bb", "ccc"]
+    base = ["aa", "ab", "ba", "bb", "ccc"]
+    # trials 3-5 inject forged markers, including one targeting a real
+    # doc_id that WILL also emit genuine markers in pass 1
+    forged = base + ["<<dup:0:1>>", "<<dup:7:2>>"]
     for trial in range(6):
+        alphabet = base if trial < 3 else forged
         docs = {
             d: [rng.choice(alphabet) for _ in range(rng.randint(1, 24))]
             for d in range(rng.randint(2, 9))
@@ -1823,6 +1837,15 @@ def test_span_removal_matches_pure_python_replica(spark):
             for r in substring_span_removal_df(spark, "", n=n, docs=sdf).collect()
         }
         assert got == replica(docs), f"trial {trial}: {docs}"
+        if trial >= 3:
+            # idempotence holds even against forged markers: a second
+            # pass over pass-1 output removes nothing and keeps every
+            # text verbatim (the unforgeability argument, dedup.py)
+            pass1 = {d: v[0].split(" ") for d, v in got.items()}
+            pass2 = replica(pass1)
+            assert all(
+                pass2[d] == (" ".join(toks), 0, 0) for d, toks in pass1.items()
+            ), f"trial {trial}: second pass not identity"
 
 
 def test_debounce_matches_pandas_replica(spark, sf_dir):

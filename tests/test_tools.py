@@ -8,6 +8,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -178,3 +180,9 @@ def test_sweep_record_merges_scales_and_refuses_toy_runs(tmp_path):
     assert update_sweep_record(path, "/data/sf0.01", ["a", "b", "c"]) is True
     rec = json.load(open(path))
     assert rec["sf_dirs"] == ["sf0.01"] and rec["total"] == 3
+    # ADVICE r9: an UNPARSEABLE dir name errors loudly instead of being
+    # silently refused as a toy run (real evidence must not be discarded)
+    with pytest.raises(ValueError, match="cannot parse a scale factor"):
+        update_sweep_record(path, "/data/sf0.1-v2", names)
+    rec = json.load(open(path))
+    assert rec["total"] == 3  # record untouched by the failed call

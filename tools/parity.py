@@ -207,7 +207,16 @@ def update_sweep_record(path: str, sf_dir: str, sweep_names: list[str]) -> bool:
     try:
         sf_val = float(sf_base.split("sf", 1)[-1])
     except ValueError:
-        sf_val = 0.0
+        # ADVICE r9: an unparseable directory name is NOT the same as a
+        # too-small scale — refusing it silently would discard real
+        # evidence (e.g. a green sweep run from a copied dir).  Error
+        # loudly so the caller renames the dir (or symlinks sfX.Y) and
+        # re-records.
+        raise ValueError(
+            f"cannot parse a scale factor from sweep dir {sf_base!r} — "
+            "sweep evidence must come from a directory named sf<float> "
+            "so the record can prove its scale; rename/symlink and re-run"
+        ) from None
     if sf_val < 0.01:
         print(
             f"sweep green but below the canonical scale (sf0.01) — "
