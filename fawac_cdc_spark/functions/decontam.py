@@ -465,3 +465,94 @@ def dp_noised_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise"),
         (F.col("true_n") + noise).alias("released_n"),
     )
+
+
+# --- right-to-erasure cascade audit (round 10) --------------------------------
+#
+# The third governance gate next to k-anonymity and DP release: given a
+# set of users exercising deletion rights, account for every row the
+# erasure touches across the schema BEFORE applying it — direct rows
+# (customer, orders, events) and rows reachable only through a foreign
+# key (lineitem via orders).  The audit is what a compliance pipeline
+# signs off on; the apply half is the CDC tombstone path
+# (cdc_state_with_tombstones).
+
+_ERASE_BUCKETS = 16  # divides 16^4 -> exactly uniform ~6.25% erasure set
+
+
+@register(
+    "erasure_cascade_audit",
+    oracle=f"""
+WITH erased_cust AS (
+    SELECT c_custkey FROM customer
+    WHERE {md5_bucket_sql('c_custkey', _ERASE_BUCKETS)} = 0
+), erased_orders AS (
+    SELECT o_orderkey FROM orders JOIN erased_cust ON o_custkey = c_custkey
+)
+SELECT 'customer' AS table_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM erased_cust) AS n_rows_erased,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows_total
+UNION ALL
+SELECT 'orders',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM erased_orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM erased_orders)),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+UNION ALL
+SELECT 'events',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        WHERE {md5_bucket_sql('user_id', _ERASE_BUCKETS)} = 0),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+""",
+    tags=("governance", "privacy", "cdc"),
+)
+def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-apply audit of a right-to-erasure request: per table, how many
+    rows the deterministic erasure set (md5 bucket 0/16 of the user key)
+    would delete, directly or through the orders->lineitem cascade.
+
+    Scale shape: the erased customer-key set is a filtered projection
+    (~6% of customers) that SEMI-joins orders; the erased order-key set
+    then semi-joins lineitem.  Both are key-only left-semi joins — no
+    payload columns move, and at 100 TB AQE turns the key sets into
+    broadcast/bloom-filter semi joins.  Each table contributes one
+    count aggregate; the four one-row results union at the driver-free
+    plan level (a 4-row union, not a collect).
+    """
+    from ..operators.helpers import md5_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    erased_cust = cust.where(md5_bucket("c_custkey", _ERASE_BUCKETS) == 0).select(
+        "c_custkey"
+    )
+    erased_orders = orders.join(
+        erased_cust, orders["o_custkey"] == erased_cust["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+
+    def _count_row(name: str, erased: DataFrame, total: DataFrame) -> DataFrame:
+        e = erased.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_erased"))
+        t = total.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_total"))
+        return (
+            e.crossJoin(t)
+            .select(
+                F.lit(name).alias("table_name"), "n_rows_erased", "n_rows_total"
+            )
+        )
+
+    erased_li = lineitem.join(
+        erased_orders, lineitem["l_orderkey"] == erased_orders["o_orderkey"], "left_semi"
+    )
+    erased_ev = events.where(md5_bucket("user_id", _ERASE_BUCKETS) == 0)
+    return (
+        _count_row("customer", erased_cust, cust)
+        .unionByName(_count_row("orders", erased_orders, orders))
+        .unionByName(_count_row("lineitem", erased_li, lineitem))
+        .unionByName(_count_row("events", erased_ev, events))
+    )

@@ -2363,3 +2363,139 @@ def split_doc_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "boundary").where(
         F.col("left_doc_id") != F.col("right_doc_id")
     ).select("left_doc_id", "right_doc_id", "boundary")
+
+
+# --- PPJoin / AllPairs exact set-similarity self-join (round 10) -------------
+#
+# The LSH family above (MinHash banding, SimHash bands, RP-LSH) trades
+# exactness for linear candidate generation.  PPJoin (Xiao et al. 2008,
+# "Efficient Similarity Joins for Near Duplicate Detection", building on
+# Bayardo et al. 2007 AllPairs) is the EXACT counterpart: prefix filtering
+# guarantees every pair with Jaccard >= t shares at least one element of
+# both documents' rare-token prefixes, so candidate generation is an
+# equi-join on prefix elements only — no DF cap, no false negatives, and
+# hot stop-shingles never generate candidates because they sort LAST in
+# the global (df, shingle) order and fall outside every prefix.
+
+PPJOIN_T = 0.5
+
+
+@register(
+    "ppjoin_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_HASHED_SHINGLED_SQL}),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= {PPJOIN_T}
+""",
+    tags=("dedup", "llm", "setsim"),
+)
+def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 self-join over 3-gram shingle sets via prefix
+    filtering — every qualifying pair is found (no LSH miss probability,
+    no DF cap changing the measure), yet candidate generation only joins
+    on each document's RARE-shingle prefix.  (Body in
+    :func:`ppjoin_pairs_df`, which also takes a docs/threshold override
+    for the brute-force property test.)
+
+    Correctness of the filter: order all shingles globally by
+    (df asc, shingle asc).  For a pair with overlap o = |a ∩ b|, the
+    smallest common shingle has at most |a| - o elements of a before it,
+    so it lies within a's first |a| - o + 1 shingles (same for b).
+    Jaccard >= t implies o >= ceil(t * |a|) and o >= ceil(t * |b|), so
+    prefixes of length |d| - ceil(t * |d|) + 1 on BOTH sides must share
+    an element — the equi-join below finds exactly that element.
+
+    Scale shape (100 TB): the global order needs NO global rank — the
+    (df, shingle) TUPLE is the order, so ranking is a per-doc window
+    (bounded by doc length), never a single-task dense_rank.  Candidate
+    generation joins prefix rows only (rare shingles by construction —
+    a stop-shingle with df in the millions sorts last and never enters a
+    prefix), with the symmetric size filter t·max(|a|,|b|) <= min
+    pruning length-mismatched pairs before the verify.  Verification is
+    one equi-join back to per-doc sorted shingle arrays (bounded by doc
+    length) and an in-memory array_intersect — no second pairwise stage.
+    """
+    return ppjoin_pairs_df(spark, sf_dir)
+
+
+def ppjoin_pairs_df(
+    spark: SparkSession,
+    sf_dir: str,
+    t: float = PPJOIN_T,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """PPJoin body — see :func:`ppjoin_jaccard_pairs` for the filter's
+    correctness argument and scale shape.  ``docs``/``t`` overrides feed
+    the brute-force equivalence property test."""
+    if docs is not None:
+        sh = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+            F.size("toks") >= 3
+        ).select("doc_id", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle"))
+    else:
+        sh = _shingled_hashed(spark, sf_dir)
+    # feeds df counts, the prefix window, AND the verify arrays
+    sh = sh.localCheckpoint(eager=True)
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wn = Window.partitionBy("doc_id")
+    pos = (
+        sh.join(df_tbl, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    prefix = pos.where(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("shingle", "doc_id", "n")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            F.least("a.n", "b.n").cast("double")
+            >= F.lit(t) * F.greatest("a.n", "b.n")
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("s").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("s").alias("sb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("shared", F.size(F.array_intersect("sa", "sb")).cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )

@@ -1145,3 +1145,132 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# --- per-source quantile normalization of quality scores (round 10) ----------
+#
+# Quality scores are not comparable across sources: a web-crawl source's
+# uniq-token ratio distribution sits in a different band than a curated
+# source's, so one global threshold over- or under-filters per domain
+# (the same observation behind adaptive_source_quality_filter).  Rank
+# (quantile) normalization is the standard calibration: map each score to
+# its percentile WITHIN its source, making cross-source comparisons and
+# one global cutoff meaningful.
+
+
+@register(
+    "quality_quantile_norm",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, source,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS uniq_ratio
+    FROM documents
+)
+SELECT doc_id, source, uniq_ratio,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY uniq_ratio, doc_id), 6) AS pct_rank,
+       CAST(LEAST(9, FLOOR(PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY uniq_ratio, doc_id) * 10)) AS INT) AS norm_decile
+FROM scored
+""",
+    tags=("text", "llm", "quality"),
+)
+def quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank normalization of the uniq-token-ratio quality
+    score: each document's percentile within its own source plus the
+    calibrated decile — the cross-domain score calibration step that
+    makes one global quality cutoff meaningful over a mixed corpus.
+
+    Scale shape: ONE window partitioned by source.  A pathological
+    single-source corpus would funnel into one partition; at that point
+    the exact rank swaps for an approx-quantile lookup table (the
+    adaptive_source_quality_filter path) — for realistic source
+    cardinalities the partitions are balanced and this is one shuffle.
+    PERCENT_RANK is (rank-1)/(n-1), an exact integer ratio in doubles on
+    both engines; ties broken by doc_id so ranks are deterministic.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    scored = d.select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "uniq_ratio"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("uniq_ratio", "doc_id")
+    pct = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "source",
+        "uniq_ratio",
+        F.round(pct, 6).alias("pct_rank"),
+        F.least(F.lit(9), F.floor(pct * 10)).cast("int").alias("norm_decile"),
+    )
+
+
+# --- token-entropy quality signal (round 10) ---------------------------------
+
+
+@register(
+    "token_entropy_quality",
+    oracle="""
+WITH cnt AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY doc_id, tok
+), n AS (
+    SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_uniq FROM cnt GROUP BY doc_id
+)
+SELECT cnt.doc_id,
+       CAST(MAX(n.n) AS BIGINT) AS n_tokens,
+       MAX(n.n_uniq) AS n_uniq_tokens,
+       ROUND(-SUM((c / n.n) * ln(c / n.n)), 6) AS token_entropy,
+       CASE WHEN MAX(n.n_uniq) > 1
+            THEN ROUND(-SUM((c / n.n) * ln(c / n.n)) / ln(MAX(n.n_uniq)), 6)
+            ELSE 0.0 END AS entropy_ratio
+FROM cnt JOIN n USING (doc_id)
+GROUP BY cnt.doc_id
+""",
+    tags=("text", "llm", "quality"),
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution plus the
+    ratio to its maximum ln(n_uniq) — the information-density quality
+    signal: boilerplate and keyword-stuffed spam score low, natural prose
+    scores near 1 (complements the repetition and Gopher rules).
+
+    Scale shape: token counts per (doc, token) are one map-side-combinable
+    aggregate; the entropy fold is a second groupBy on doc_id bounded by
+    per-doc vocabulary.  All arithmetic is the same double expression on
+    both engines; round(6) absorbs libm ulp differences in ln (the
+    bigram-LM recipe).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).cast("bigint").alias("n_uniq")
+    )
+    p = F.col("c") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return (
+        cnt.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.max("n_uniq").alias("n_uniq_tokens"),
+            F.round(ent, 6).alias("token_entropy"),
+            F.when(
+                F.max("n_uniq") > 1, F.round(ent / F.log(F.max("n_uniq")), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("entropy_ratio"),
+        )
+    )

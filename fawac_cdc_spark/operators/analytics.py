@@ -494,3 +494,81 @@ def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("prev_ts")
     )
+
+
+# --- MAD-based robust outlier detection (round 10) ----------------------------
+#
+# rolling_zscore_anomalies flags against a mean/stddev baseline, which an
+# outlier itself inflates (masking).  The median-absolute-deviation rule
+# (Hampel; Leys et al. 2013) is the robust standard: both the center and
+# the spread are medians, with breakdown point 50%, so a burst of bad
+# telemetry cannot hide itself.
+
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant: sigma ~= 1.4826 * MAD
+MAD_K = 3.0
+
+
+@register(
+    "mad_robust_outliers",
+    oracle=f"""
+WITH med AS (
+    SELECT event_type, ROUND(MEDIAN(value), 4) AS med_value
+    FROM events GROUP BY event_type
+), mad AS (
+    SELECT e.event_type, m.med_value,
+           ROUND(MEDIAN(ABS(e.value - m.med_value)), 4) AS mad_value
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type, m.med_value
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(m.med_value) AS med_value,
+       MAX(m.mad_value) AS mad_value,
+       CAST(SUM(CASE WHEN ABS(e.value - m.med_value)
+                         > {MAD_K} * {MAD_CONSISTENCY} * m.mad_value
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(CAST(SUM(CASE WHEN ABS(e.value - m.med_value)
+                         > {MAD_K} * {MAD_CONSISTENCY} * m.mad_value
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS outlier_rate
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type
+""",
+    tags=("analytics", "robust", "quality"),
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier counts under the Hampel rule
+    |x - median| > 3 * 1.4826 * MAD — the median-based alternative to
+    z-scores whose baseline outliers cannot inflate.
+
+    Cross-engine exactness: both medians are exact percentiles rounded
+    to 4dp BEFORE any comparison (the order_stats_with_median recipe), so
+    the outlier predicate evaluates the same double expression against
+    the same constants on both engines.  Scale shape: two grouped exact
+    medians (per-group sorts — swap for approx_percentile when epsilon
+    is acceptable) and one final aggregate; the per-type median table is
+    tiny and broadcasts into both joins.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med_value")
+    )
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "med_value").agg(
+        F.round(F.expr("percentile(abs(value - med_value), 0.5)"), 4).alias(
+            "mad_value"
+        )
+    )
+    flagged = e.join(F.broadcast(mad), "event_type")
+    is_out = (
+        F.abs(F.col("value") - F.col("med_value"))
+        > F.lit(MAD_K) * F.lit(MAD_CONSISTENCY) * F.col("mad_value")
+    ).cast("int")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("med_value").alias("med_value"),
+        F.max("mad_value").alias("mad_value"),
+        F.sum(is_out).cast("bigint").alias("n_outliers"),
+        F.round(F.sum(is_out).cast("double") / F.count(F.lit(1)), 6).alias(
+            "outlier_rate"
+        ),
+    )

@@ -194,3 +194,130 @@ def stratified_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rn") <= STRAT_RESERVOIR_K)
         .drop("rn")
     )
+
+
+# --- Neyman-allocated stratified sampling (round 10) --------------------------
+#
+# Proportional stratified sampling (stratified_sample_events) spends the
+# budget by stratum SIZE; Neyman allocation (Neyman 1934) spends it by
+# N_h * S_h — strata with higher value variance get more of the budget,
+# minimizing the variance of the stratified mean estimator.  The standard
+# survey-sampling design, here fully deterministic: the per-stratum
+# stddev comes from exact DECIMAL sums and the selection itself is the
+# md5-hash order (the repo's repeatable-sample primitive).
+
+NEYMAN_BUDGET = 1000
+
+
+@register(
+    "neyman_stratified_allocation",
+    oracle=f"""
+WITH s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+    FROM events GROUP BY event_type
+), stats AS (
+    SELECT event_type, n_rows,
+           sqrt((sxx - sx * sx / n_rows) / n_rows) AS s_h
+    FROM s
+), alloc AS (
+    SELECT event_type, n_rows, s_h,
+           CAST(FLOOR(ROUND({NEYMAN_BUDGET} * (n_rows * s_h)
+                / (SELECT SUM(n_rows * s_h) FROM stats), 6)) AS BIGINT) AS n_alloc
+    FROM stats
+), ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+    FROM events
+), sample AS (
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE) AS sample_value_sum
+    FROM ranked r JOIN alloc a USING (event_type)
+    WHERE r.rn <= a.n_alloc
+    GROUP BY r.event_type
+)
+SELECT a.event_type, a.n_rows, ROUND(a.s_h, 6) AS s_h, a.n_alloc,
+       COALESCE(sm.n_sampled, 0) AS n_sampled,
+       COALESCE(sm.sample_value_sum, 0.0) AS sample_value_sum
+FROM alloc a LEFT JOIN sample sm USING (event_type)
+""",
+    tags=("sampling", "stratified"),
+)
+def neyman_stratified_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) allocation of a {budget}-row sample across
+    event-type strata — n_h ∝ N_h·S_h — followed by the deterministic
+    hash-order draw of each stratum's allocation, reporting the realized
+    sample and its value mass per stratum.
+
+    Cross-engine exactness: S_h comes from DECIMAL(18,6) power sums
+    (bit-identical on both engines) fed through the same double
+    sqrt/divide expression; the allocation ratio is rounded to 6dp
+    before FLOOR so a last-ulp difference in the stratum-weight sum can
+    never flip an integer allocation.  Scale shape: one aggregate for
+    the stats (map-side combinable power sums), one per-stratum window
+    for the draw (the hash order makes it a repeatable sample, the same
+    primitive as hash_sample_lineitem), and the stratum count is small
+    so the alloc table broadcasts into the rank filter.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(dec).cast("double").alias("sx"),
+        F.sum(dec * dec).cast("double").alias("sxx"),
+    )
+    stats = s.select(
+        "event_type",
+        "n_rows",
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_rows"))
+            / F.col("n_rows")
+        ).alias("s_h"),
+    )
+    total_w = stats.agg(
+        F.sum(F.col("n_rows") * F.col("s_h")).alias("w_total")
+    )
+    alloc = stats.crossJoin(F.broadcast(total_w)).select(
+        "event_type",
+        "n_rows",
+        "s_h",
+        F.floor(
+            F.round(
+                F.lit(NEYMAN_BUDGET) * (F.col("n_rows") * F.col("s_h")) / F.col("w_total"),
+                6,
+            )
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    ranked = e.select("event_type", "event_id", "value").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    sample = (
+        ranked.join(F.broadcast(alloc.select("event_type", "n_alloc")), "event_type")
+        .where(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sample_value_sum"),
+        )
+    )
+    return alloc.join(sample, "event_type", "left").select(
+        "event_type",
+        "n_rows",
+        F.round("s_h", 6).alias("s_h"),
+        "n_alloc",
+        F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias("n_sampled"),
+        F.coalesce("sample_value_sum", F.lit(0.0)).alias("sample_value_sum"),
+    )

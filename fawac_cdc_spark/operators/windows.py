@@ -501,3 +501,108 @@ def value_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+
+
+# --- Holt double-exponential smoothing (round 10) -----------------------------
+#
+# The trend-aware extension of the EWMA above: two coupled recurrences
+#   level_t = a*x_t + (1-a)*(level_{t-1} + trend_{t-1})
+#   trend_t = b*(level_t - level_{t-1}) + (1-b)*trend_{t-1}
+# seeded level_1 = x_1, trend_1 = 0 (Holt 1957 / Hyndman & Athanasopoulos
+# fpp3 §8.2).  a = b = 0.5 keeps every multiply exact in binary floating
+# point, so the only rounding is the adds — performed in the same order
+# by the pandas scan and the oracle's recursive CTE.
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.5
+_HOLT_PREFIX = 30
+_HOLT_SCHEMA = (
+    "user_id long, event_id long, rn int, level double, trend double, forecast double"
+)
+
+
+def _holt_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact Holt scan over a block of whole user groups sorted by
+    (user_id, rn): one linear pass, state resets on user change."""
+    import numpy as np
+
+    uid = pdf["user_id"].to_numpy()
+    x = pdf["value"].to_numpy(dtype=np.float64)
+    level = np.empty_like(x)
+    trend = np.empty_like(x)
+    for i in range(len(x)):
+        if i == 0 or uid[i] != uid[i - 1]:
+            level[i] = x[i]
+            trend[i] = 0.0
+        else:
+            lv = HOLT_ALPHA * x[i] + (1.0 - HOLT_ALPHA) * (level[i - 1] + trend[i - 1])
+            level[i] = lv
+            trend[i] = HOLT_BETA * (lv - level[i - 1]) + (1.0 - HOLT_BETA) * trend[i - 1]
+    return pd.DataFrame(
+        {
+            "user_id": uid,
+            "event_id": pdf["event_id"].to_numpy(),
+            "rn": pdf["rn"].to_numpy(),
+            "level": (level + 1e-9).round(6),
+            "trend": (trend + 1e-9).round(6),
+            "forecast": (level + trend + 1e-9).round(6),
+        }
+    )
+
+
+def _holt_stream(batches):
+    return _stream_whole_groups(batches, _holt_pdf)
+
+
+@register(
+    "holt_smoothed_values",
+    oracle=f"""
+WITH RECURSIVE lim AS (
+    SELECT user_id, event_id, value, rn FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn <= {_HOLT_PREFIX}
+), holt AS (
+    SELECT user_id, event_id, rn,
+           CAST(value AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+    FROM lim WHERE rn = 1
+    UNION ALL
+    SELECT l.user_id, l.event_id, l.rn,
+           {HOLT_ALPHA} * l.value + {1.0 - HOLT_ALPHA} * (h.level + h.trend),
+           {HOLT_BETA} * (({HOLT_ALPHA} * l.value + {1.0 - HOLT_ALPHA} * (h.level + h.trend)) - h.level)
+               + {1.0 - HOLT_BETA} * h.trend
+    FROM holt h JOIN lim l ON l.user_id = h.user_id AND l.rn = h.rn + 1
+)
+SELECT user_id, event_id, CAST(rn AS INT) AS rn,
+       ROUND(level + 1e-9, 6) AS level,
+       ROUND(trend + 1e-9, 6) AS trend,
+       ROUND(level + trend + 1e-9, 6) AS forecast
+FROM holt
+""",
+    tags=("window", "timeseries", "pandas-udf"),
+)
+def holt_smoothed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + trend) smoothing per user over
+    the first 30 events, with the 1-step-ahead forecast level+trend —
+    the trend-aware upgrade of ``ewma_user_values`` for drifting series.
+
+    Same secondary-sort ``mapInPandas`` recurrence pattern as the EWMA
+    (repartition on user, sort within partitions, whole groups per Arrow
+    block with a carry): a coupled 2-state linear recurrence has no
+    window closed form, so the scan is the right primitive; it is one
+    shuffle and one linear pass regardless of history length.  The
+    oracle walks the identical recurrence as a recursive CTE (depth
+    bounded by the 30-event prefix); a=b=0.5 makes every multiply exact,
+    and both sides round(6) after a 1e-9 nudge (the EWMA recipe).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    limited = (
+        e.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _HOLT_PREFIX)
+        .select("user_id", "event_id", "rn", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "rn")
+    )
+    return limited.mapInPandas(_holt_stream, _HOLT_SCHEMA)

@@ -262,7 +262,20 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # operator lands here, then leaves when the next full sweep runs on the
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
-PENDING_SWEEP: frozenset[str] = frozenset()
+# Round-10 operators: each parity-checked at sf0.001 + sf0.01 + sf0.1 on
+# landing; they leave this set when the round's closing full sweep runs
+# on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "ppjoin_jaccard_pairs",
+        "quality_quantile_norm",
+        "token_entropy_quality",
+        "holt_smoothed_values",
+        "neyman_stratified_allocation",
+        "erasure_cascade_audit",
+        "mad_robust_outliers",
+    }
+)
 
 
 @dataclass(frozen=True)

