@@ -2499,3 +2499,84 @@ def ppjoin_pairs_df(
         .where(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", "shared", "jaccard")
     )
+
+
+# --- LSH recall/precision vs the exact join (round 10) -------------------------
+#
+# With ppjoin_jaccard_pairs in the engine there is finally EXACT ground
+# truth to grade the approximate path against: how many true
+# Jaccard >= t pairs do the MinHash bands actually surface, and how much
+# of the candidate stream is noise?  This is the measurement every
+# LSH-parameter choice (bands x rows) should be justified by — the
+# empirical twin of minhash_est_error_pairs' estimator-error gate.
+
+
+@register(
+    "lsh_recall_vs_exact",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+{_BANDS_SQL},
+{_LSH_CAND_SQL},
+sh AS ({_HASHED_SHINGLED_SQL}),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT doc_a, doc_b
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= {PPJOIN_T}
+),
+hit AS (SELECT * FROM exact INTERSECT SELECT * FROM cand)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM hit) * 1.0
+             / GREATEST((SELECT COUNT(*) FROM exact), 1), 6) AS recall,
+       ROUND((SELECT COUNT(*) FROM hit) * 1.0
+             / GREATEST((SELECT COUNT(*) FROM cand), 1), 6) AS precision_at_t
+""",
+    tags=("dedup", "llm", "minhash", "eval"),
+)
+def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grade the MinHash-LSH candidate generator against EXACT
+    Jaccard >= 0.5 ground truth (ppjoin_jaccard_pairs): recall = the
+    fraction of true near-dup pairs the bands surface, precision@t = the
+    fraction of surfaced candidates that truly clear the threshold.
+
+    Scale shape: both sides are the engine's existing linear pipelines
+    (banded equi-join; prefix-filtered exact join); the comparison
+    itself is two key-only joins on (doc_a, doc_b) and three count
+    aggregates folded into one row.  This is the evaluation harness a
+    production dedup pipeline runs on a SAMPLE to pick bands x rows —
+    at 100 TB the exact side runs over a hash-sampled slice, the
+    LSH side everywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bands = band_table_for(minhash_signatures_for(d)).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs_for(bands)
+    exact = ppjoin_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
+    hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_candidates"), F.lit(1)), 6
+            ).alias("precision_at_t"),
+        )
+    )

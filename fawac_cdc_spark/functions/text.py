@@ -1274,3 +1274,94 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entropy_ratio"),
         )
     )
+
+
+# --- distributed BPE training loop (round 10) ---------------------------------
+#
+# bpe_merge_pair_counts above is ONE iteration of BPE training; this is
+# the loop (Sennrich et al. 2016 Alg. 1): k times, count adjacent symbol
+# pairs over the distinct-word frequency table, take the argmax pair,
+# greedily merge it everywhere, repeat on the re-segmented vocabulary.
+# The merge application is a left-to-right fold INSIDE a higher-order
+# array expression (non-overlapping, exactly the reference algorithm's
+# semantics), so each iteration is one aggregate + one pure map over
+# vocabulary entries — the corpus is touched once, at vocab construction.
+#
+# Not ANSI-SQL-expressible (the loop carries state through k argmaxes),
+# so the driver records the rows-only check; the VALUE gate is the pure-
+# Python replica in tests/test_properties.py, which runs the textbook
+# algorithm over randomized corpora and the fixture alike.
+
+BPE_N_MERGES = 5
+
+
+def _merge_pair_expr(col: str, a: str, b: str) -> str:
+    """Greedy non-overlapping left-to-right merge of adjacent (a, b) into
+    the single symbol a||b, as a SQL aggregate fold over the symbol
+    array.  Escapes single quotes for SQL-literal safety."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    return (
+        f"aggregate({col}, cast(array() as array<string>), (acc, x) -> "
+        f"case when size(acc) > 0 and element_at(acc, -1) = '{qa}' and x = '{qb}' "
+        f"then concat(slice(acc, 1, size(acc) - 1), array('{qa}{qb}')) "
+        f"else concat(acc, array(x)) end)"
+    )
+
+
+@register("bpe_learned_merges", tags=("text", "llm", "tokenizer", "rows-only"))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_N_MERGES} learned BPE merges over the corpus:
+    (merge_rank, pair, cnt) — each row the argmax of the pair-count
+    table AFTER applying all previous merges, ties broken (cnt desc,
+    pair asc) so the learned tokenizer is deterministic.
+
+    Scale shape: the corpus collapses ONCE to the distinct-word
+    frequency table (the standard BPE-training trick); each iteration is
+    one map-side-combinable pair-count aggregate, a top-1
+    TakeOrderedAndProject, and a pure-map re-segmentation fold.  The
+    only driver traffic is ONE (pair, count) row per iteration — the
+    same bounded-loop shape as the Lloyd iterations in
+    kmeans_refined_ivf_cells.  The vocab table persists across
+    iterations (loop-invariant checkpoint discipline).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("syms", F.split("word", ""))
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark, so 1-symbol words
+                    # must short-circuit to an empty pair list
+                    F.expr(
+                        "case when size(syms) >= 2 then "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] as a, syms[i] as b)) "
+                        "else cast(array() as array<struct<a: string, b: string>>) end"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b, cnt = pairs[0]["a"], pairs[0]["b"], pairs[0]["cnt"]
+        merges.append((rank, f"{a}{b}", int(cnt)))
+        vocab = vocab.withColumn(
+            "syms", F.expr(_merge_pair_expr("syms", a, b))
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, cnt bigint"
+    )

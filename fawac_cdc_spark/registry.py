@@ -274,6 +274,8 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "neyman_stratified_allocation",
         "erasure_cascade_audit",
         "mad_robust_outliers",
+        "lsh_recall_vs_exact",
+        "bpe_learned_merges",
     }
 )
 

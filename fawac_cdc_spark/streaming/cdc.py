@@ -1444,3 +1444,97 @@ def decontam_span_stream(docs: DataFrame, eval_grams: DataFrame) -> DataFrame:
     return grams.join(F.broadcast(eval_grams.select("gram")), "gram").select(
         "doc_id", "i"
     )
+
+
+# --- Holt level+trend smoothing ON INGEST (round 10) --------------------------
+
+HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("forecast", T.DoubleType()),
+    ]
+)
+HOLT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("rn", T.LongType()),
+    ]
+)
+
+
+def holt_stream(events: DataFrame) -> DataFrame:
+    """Holt double-exponential smoothing ON INGEST — the streaming twin
+    of ``operators.windows.holt_smoothed_values``: per-user (level,
+    trend, rn) live in keyed state, each arriving event advances the
+    recurrence once and emits its smoothed row.  Same a=b=0.5 arithmetic
+    (every multiply exact) and the same round(6)-after-1e-9-nudge as the
+    batch scan, so under ts-ordered ingest stream == batch exactly
+    (pinned in tests/test_streaming.py).
+
+    State per key is two doubles and a counter — tiny, partitioned by
+    user.  Events beyond the 30-event prefix are consumed (state counts
+    them) but emit nothing, matching the batch prefix contract.
+    """
+    import pandas as pd
+
+    from ..operators.windows import _HOLT_PREFIX, HOLT_ALPHA, HOLT_BETA
+
+    def advance(key, pdf_iter, state):
+        (user_id,) = key
+        level, trend, rn = state.get if state.exists else (0.0, 0.0, 0)
+        rows = sorted(
+            (r.ts, int(r.event_id), float(r.value))
+            for pdf in pdf_iter
+            for r in pdf.itertuples()
+        )
+        out = {"event_id": [], "rn": [], "level": [], "trend": [], "forecast": []}
+        for _, eid, x in rows:
+            rn += 1
+            if rn > _HOLT_PREFIX:
+                continue
+            if rn == 1:
+                level, trend = x, 0.0
+            else:
+                new_level = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (level + trend)
+                trend = HOLT_BETA * (new_level - level) + (1.0 - HOLT_BETA) * trend
+                level = new_level
+            out["event_id"].append(eid)
+            out["rn"].append(rn)
+            out["level"].append(round(level + 1e-9, 6))
+            out["trend"].append(round(trend + 1e-9, 6))
+            out["forecast"].append(round(level + trend + 1e-9, 6))
+        state.update((level, trend, rn))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out["event_id"]),
+                "event_id": out["event_id"],
+                "rn": out["rn"],
+                "level": out["level"],
+                "trend": out["trend"],
+                "forecast": out["forecast"],
+            }
+        ).astype(
+            {
+                "user_id": "int64",
+                "event_id": "int64",
+                "rn": "int32",
+                "level": "float64",
+                "trend": "float64",
+                "forecast": "float64",
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -885,3 +885,12 @@ def test_holt_is_one_shuffle_arrow_scan(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_lsh_recall_eval_is_key_only_joins(spark, sf_dir):
+    """The recall/precision harness must compare KEY pairs only: the
+    exact-vs-candidate overlap is a left-semi join, the three one-row
+    counts attach by broadcast, and no unintended cartesian appears."""
+    plan = _plan(spark, sf_dir, "lsh_recall_vs_exact")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

@@ -2038,3 +2038,90 @@ def test_neyman_allocation_invariants(spark, sf_dir):
     by_weight = sorted(rows, key=lambda r: r["n_rows"] * r["s_h"])
     allocs = [r["n_alloc"] for r in by_weight]
     assert allocs == sorted(allocs)
+
+
+def _bpe_replica(word_freqs, k):
+    """Textbook Sennrich et al. 2016 Alg. 1 over a word-frequency dict:
+    k iterations of (count pairs, argmax with (cnt desc, pair asc)
+    tiebreak, greedy non-overlapping merge everywhere)."""
+    from collections import Counter
+
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a + b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learned_merges_match_replica_on_fixture(spark, sf_dir):
+    """The distributed BPE loop's merges equal the textbook algorithm run
+    over the same word-frequency table — the VALUE gate for the
+    rows-only registered query."""
+    from fawac_cdc_spark.functions.text import BPE_N_MERGES
+
+    got = [
+        (r["merge_rank"], r["pair"], r["cnt"])
+        for r in _SPECS["bpe_learned_merges"].fn(spark, sf_dir).collect()
+    ]
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    freqs: dict = {}
+    for t in d["text"]:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    assert got == _bpe_replica(freqs, BPE_N_MERGES)
+
+
+def test_bpe_learned_merges_match_replica_randomized(spark):
+    """Same gate over randomized small-alphabet corpora, where merged
+    symbols immediately re-collide (multi-char pairs, chained merges) —
+    exercises the greedy fold far beyond natural text."""
+    import random
+
+    from fawac_cdc_spark.functions.text import BPE_N_MERGES, bpe_learned_merges
+
+    rng = random.Random(202122)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(5, 30))
+        ]
+        docs = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 15)))
+            for _ in range(6)
+        ]
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            pd.DataFrame(
+                {"doc_id": range(len(docs)), "text": docs,
+                 "lang": "en", "source": "s", "n_chars": [len(t) for t in docs]}
+            ).to_parquet(os.path.join(td, "documents.parquet"))
+            got = [
+                (r["merge_rank"], r["pair"], r["cnt"])
+                for r in bpe_learned_merges(spark, td).collect()
+            ]
+        freqs: dict = {}
+        for t in docs:
+            for w in t.split(" "):
+                freqs[w] = freqs.get(w, 0) + 1
+        assert got == _bpe_replica(freqs, BPE_N_MERGES), f"trial {trial}"

@@ -1423,3 +1423,26 @@ def test_decontam_span_stream_matches_batch(spark, sf_dir, doc_chunk_dir):
     assert (got["kept_text_hash"] == want["kept_text_hash"]).all()
     assert (got["n_spans_removed"] == want["n_spans_removed"]).all()
     assert (got["chars_removed"] == want["chars_removed"]).all()
+
+
+def test_holt_stream_matches_batch(spark, sf_dir, chunk_dir):
+    """Streaming Holt-on-ingest == the batch mapInPandas scan: same
+    recurrence, same rounding, ts-ordered micro-batches. Every event row
+    in the 30-event prefix is emitted exactly once with identical
+    (level, trend, forecast)."""
+    from fawac_cdc_spark.operators.windows import holt_smoothed_values
+
+    events = cdc.read_event_stream(spark, chunk_dir)
+    got = _run_to_memory(
+        spark, cdc.holt_stream(events), "holt_out", "update"
+    ).toPandas()
+    assert not got.duplicated(["user_id", "event_id"]).any()
+    want = holt_smoothed_values(spark, sf_dir).toPandas()
+    g = got.sort_values(["user_id", "rn"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "rn"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(
+        g[["user_id", "event_id", "rn", "level", "trend", "forecast"]],
+        w[["user_id", "event_id", "rn", "level", "trend", "forecast"]],
+        check_dtype=False,
+    )
