@@ -59,133 +59,89 @@ _QUERY_MODULES = [
 # sweeps (sf0.01 + sf0.1, recorded in tools/parity_last.json and gated by
 # tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
-# Round-9 rotation (VERDICT r8 item 1 — executing the rotation round 8
-# skipped). Composition, in order:
-#   8 never-driver-verified  (weighted_reservoir_sample — whose A-ES key
-#                            changed AGAIN this round, 6dp -> 12dp ln(u)
-#                            rounding per ADVICE r8, so the driver row is
-#                            doubly due; gapfill_interpolated_daily —
-#                            value changed r8 without a driver row;
-#                            table_profile_stats, dup_cluster_size_hist,
-#                            hard_triplet_mining, minhash_est_error_pairs,
-#                            source_overlap_matrix, stratified_eval_quota
-#                            — green in every sweep since they landed but
-#                            never driver-hashed)
-# + 17 new this round        (substring_span_removal /
-#                            span_removal_firstseen — the Lee et al. 2022
-#                            apply half, symmetric and first-seen forms;
-#                            the ANALYZE histogram surface — equi-width
-#                            lineitem_column_histograms + value-atomic
-#                            equi-depth lineitem_depth_histograms;
-#                            multimodal_curation_composed — CLIP-style
-#                            three-modality plan;
-#                            decontam_span_removal — eval-overlap spans
-#                            excised instead of docs dropped;
-#                            span_clean_corpus_stats — the rewrite
-#                            composed upstream of per-source accounting;
-#                            adaptive_source_quality_filter — per-domain
-#                            percentile cutoffs instead of one global
-#                            threshold; k_anonymity_audit and
-#                            dp_noised_source_counts — the governance
-#                            gates next to PII scrubbing;
-#                            debounced_events — burst rate-limit dedup;
-#                            stratified_weighted_reservoir — per-source
-#                            A-ES sampling; full_outer_user_
-#                            reconciliation — the two-ledger audit that
-#                            completes the join-type surface;
-#                            bigram_perplexity_by_source — the CCNet
-#                            n-gram-LM filter with context;
-#                            bpe_merge_pair_counts — distributed BPE
-#                            tokenizer-training iteration;
-#                            split_doc_candidates — crawl-split
-#                            continuation detection;
-#                            xml_scan_customer_agg — Spark 4 native XML
-#                            ingest roundtrip;
-#                            each in PENDING_SWEEP until the round's
-#                            final green full sweep)
+# Round-10 rotation. Composition, in order:
+#   9 new this round         (ppjoin_jaccard_pairs — EXACT prefix-filtered
+#                            set-similarity join; lsh_recall_vs_exact —
+#                            the approximate path graded against it;
+#                            holt_smoothed_values — level+trend recurrence
+#                            with a streaming twin; neyman_stratified_
+#                            allocation; mad_robust_outliers;
+#                            erasure_cascade_audit; quality_quantile_norm;
+#                            token_entropy_quality; bpe_learned_merges —
+#                            rows-only by design, replica value gate)
 # + 1 flagship               (same query as entry()'s smoke check)
-# + 24 stalest remainder     (r3-stale queries named by the r7 window
-#                            comment plus connected_component_survivors /
-#                            ivf_topk_query1 / knn_join_bucketed_top3,
-#                            whose last driver rows predate their r7
-#                            subtree changes)
-# = 50.  The 16 r1-stale entries the r7/r8 window re-greened (the
-# filter_range_scan / rollup_revenue family) ceded their slots — their
-# evidence is the freshest outside this window — and five r3-stale
-# entries from multiply-covered families (stream_dedup_first_event,
-# pivot_event_type_counts, partitioned_sink_pruned_scan,
-# lang_corpus_stats, inpaint_range_filter) ceded theirs to the round-9
-# operators; all stay covered by the dual-scale sweeps.
+# + 5 code-changed round 10  (the span-removal family — positioned_grams
+#                            gained the marker-breaker rule (ADVICE r9),
+#                            values unchanged on fixtures but the code
+#                            path is new: substring_span_removal,
+#                            span_removal_firstseen, decontam_span_removal,
+#                            span_clean_corpus_stats — and
+#                            bigram_perplexity_by_source, whose broadcast
+#                            hints were dropped)
+# + 12 r3-stale              (the entire remaining r3 cohort — last driver
+#                            row three windows ago, none touched since)
+# + 23 r4-stale              (oldest remaining evidence: the r4 TPC-H
+#                            cohort and the r4 multimodal/stats set)
+# = 50.  The r9-new cohort (all driver-greened last round) and the r5/r6
+# remainder cede their slots; all stay covered by the dual-scale sweeps.
 _PRIORITY = [
-    # Never driver-verified (8) — VERDICT r8 item 1, highest leverage.
-    "weighted_reservoir_sample",
-    "gapfill_interpolated_daily",
-    "table_profile_stats",
-    "dup_cluster_size_hist",
-    "hard_triplet_mining",
-    "minhash_est_error_pairs",
-    "source_overlap_matrix",
-    "stratified_eval_quota",
-    # New round-9 operators (17): span removal (both forms + decontam +
-    # composed stats), histograms, adaptive quality cutoffs, governance,
-    # debounce, stratified reservoir, full-outer reconciliation,
-    # bigram-LM perplexity, BPE pair counting,
-    # composed multimodal curation — each parity-checked at sf0.001 +
-    # sf0.01 on landing and in PENDING_SWEEP until the round's final
-    # full sweep.
-    "substring_span_removal",
-    "span_removal_firstseen",
-    "lineitem_column_histograms",
-    "lineitem_depth_histograms",
-    "multimodal_curation_composed",
-    "decontam_span_removal",
-    "span_clean_corpus_stats",
-    "adaptive_source_quality_filter",
-    "k_anonymity_audit",
-    "dp_noised_source_counts",
-    "debounced_events",
-    "stratified_weighted_reservoir",
-    "full_outer_user_reconciliation",
-    "bigram_perplexity_by_source",
-    "bpe_merge_pair_counts",
-    "split_doc_candidates",
-    "xml_scan_customer_agg",
+    # New round-10 operators (9) — never driver-verified.
+    "ppjoin_jaccard_pairs",
+    "lsh_recall_vs_exact",
+    "holt_smoothed_values",
+    "neyman_stratified_allocation",
+    "mad_robust_outliers",
+    "erasure_cascade_audit",
+    "quality_quantile_norm",
+    "token_entropy_quality",
+    "bpe_learned_merges",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Stalest driver evidence (24): last green row r1 or r3, none touched
-    # (stream_dedup_first_event, pivot_event_type_counts,
-    # partitioned_sink_pruned_scan, lang_corpus_stats,
-    # inpaint_range_filter, noise_injected_values,
-    # outlier_filtered_totals, regexp_extract_source_num,
-    # capped_user_totals, bpe_token_stats, sliding_1h_15min_rollup and
-    # token_stats_by_source ceded slots — the streaming-dedup
-    # family holds cdc_version_diff r8-green plus the new in-window
-    # span_removal_firstseen and its stream==batch pin)
-    # since their last green sweep.
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "rp_lsh_bucket_stats",
-    "rp_lsh_topk_query0",
-    "embedding_label_stats",
-    "click_purchase_pairs",
-    "cosine_topk_query0",
-    "asof_join_last_signup_before_purchase",
-    "multimodal_decode_features",
-    "dedup_exact_documents",
-    "doc_token_chunks",
-    "checkpoint_selection",
-    "config_diff_overlay",
-    "hourly_event_rollup",
-    "jsonl_scan_orders_agg",
-    "multimodal_join_stats",
-    "embedding_cosine_near_dup",
-    "near_dedup_survivors",
-    "ngram_jaccard_pairs",
-    "normalize_minmax_events",
-    "simhash_hamming_pairs",
-    "connected_component_survivors",
-    "ivf_topk_query1",
-    "knn_join_bucketed_top3",
+    # Code-changed this round (5): positioned_grams marker-breaker rule
+    # and the dropped bigram broadcast hints — values fixture-identical,
+    # code paths new, so the driver hash re-pins them.
+    "substring_span_removal",
+    "span_removal_firstseen",
+    "decontam_span_removal",
+    "span_clean_corpus_stats",
+    "bigram_perplexity_by_source",
+    # r3-stale cohort (12) — last driver row in CORRECTNESS_r03.
+    "bpe_token_stats",
+    "capped_user_totals",
+    "inpaint_range_filter",
+    "lang_corpus_stats",
+    "noise_injected_values",
+    "outlier_filtered_totals",
+    "partitioned_sink_pruned_scan",
+    "pivot_event_type_counts",
+    "regexp_extract_source_num",
+    "sliding_1h_15min_rollup",
+    "stream_dedup_first_event",
+    "token_stats_by_source",
+    # r4-stale cohort (23) — oldest remaining evidence.
+    "blocklist_scrub_stats",
+    "cdc_state_with_tombstones",
+    "conversion_funnel_counts",
+    "correlation_stats_lineitem",
+    "embedding_int8_quant",
+    "fuzzy_name_match_pairs",
+    "kmeans_refined_ivf_cells",
+    "linear_trend_by_type",
+    "modal_event_type_per_user",
+    "multimodal_frame_sample",
+    "multimodal_resize_grid",
+    "oov_rate_by_source",
+    "orc_roundtrip_agg",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_inactive_customers",
+    "q2_min_acctbal_supplier",
+    "q4_priority_exists",
 ]
 
 
