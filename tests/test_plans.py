@@ -92,6 +92,9 @@ _SCALAR_BROADCAST_OK = {
     "semantic_decontam_flags",  # 1-row folded eval-vector table
     "multimodal_curation_composed",  # 1-row folded centroid table (argmax)
     "bigram_perplexity_by_source",  # 1-row vocab-size scalar (add-k denom)
+    "neyman_stratified_allocation",  # 1-row stratum-weight total scalar
+    "erasure_cascade_audit",  # four 1-row count frames attached pairwise
+    "lsh_recall_vs_exact",  # three 1-row count frames folded to one row
 }
 
 
