@@ -1435,3 +1435,83 @@ def stratified_eval_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") <= EVAL_QUOTA)
         .select("source", "lang", "doc_id", F.col("r").cast("int").alias("eval_rank"))
     )
+
+
+# --- nucleus (top-p) quality selection (round 10) ------------------------------
+
+NUCLEUS_P = 0.5  # keep the best docs holding half of each source's quality mass
+
+
+@register(
+    "nucleus_quality_selection",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS q
+    FROM documents
+), ranked AS (
+    SELECT doc_id, source, q,
+           SUM(q) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mass_before,
+           SUM(q) OVER (PARTITION BY source) AS total
+    FROM scored
+), kept AS (
+    SELECT * FROM ranked WHERE COALESCE(mass_before, 0) < {NUCLEUS_P} * total
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(SUM(q), 6) AS kept_mass,
+       ROUND(MAX(total), 6) AS total_mass,
+       ROUND(MIN(q), 6) AS min_kept_score
+FROM kept GROUP BY source
+""",
+    tags=("llm", "traindata", "selection"),
+)
+def nucleus_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) selection per source: keep the highest-quality
+    documents until they hold p=0.5 of the source's total quality mass —
+    the mass-budgeted alternative to count quotas (stratified_eval_quota)
+    and score cutoffs (adaptive_source_quality_filter): sources with a
+    long low-quality tail keep fewer docs, concentrated sources keep
+    more, analogous to nucleus sampling in decoding.
+
+    A doc is kept iff the mass STRICTLY BEFORE it (quality-descending,
+    doc_id tiebreak) is below p*total; scores are 6dp-quantized on both
+    engines so the boundary comparison sits on a coarse grid, orders of
+    magnitude above any summation-order ulp noise — so the doc crossing the boundary
+    is included and the kept set is never empty.  Scale shape: one
+    window partitioned by source for the running mass (same partition
+    bound as the quantile-norm rank), one per-source total, one final
+    aggregate; all shuffles key on source.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias(
+            "q"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "q",
+        F.coalesce(F.sum("q").over(w_run), F.lit(0.0)).alias("mass_before"),
+        F.sum("q").over(w_all).alias("total"),
+    )
+    kept = ranked.where(F.col("mass_before") < NUCLEUS_P * F.col("total"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.round(F.sum("q"), 6).alias("kept_mass"),
+        F.round(F.max("total"), 6).alias("total_mass"),
+        F.round(F.min("q"), 6).alias("min_kept_score"),
+    )

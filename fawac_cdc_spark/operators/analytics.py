@@ -572,3 +572,101 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_rate"
         ),
     )
+
+
+# --- winsorized robust statistics (round 10) -----------------------------------
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@register(
+    "winsorized_stats_by_type",
+    oracle=f"""
+WITH b AS (
+    SELECT event_type,
+           ROUND(quantile_cont(value, {WINSOR_LO}), 6) AS lo,
+           ROUND(quantile_cont(value, {WINSOR_HI}), 6) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(b.lo) AS p01,
+       MAX(b.hi) AS p99,
+       CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
+       ROUND(AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 6) AS winsor_mean,
+       ROUND(STDDEV_SAMP(LEAST(GREATEST(e.value, b.lo), b.hi)), 6) AS winsor_std
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+""",
+    tags=("analytics", "robust", "quality"),
+)
+def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/stddev per event type: values clipped to the
+    [P1, P99] band before the moments — the tail-robust summary next to
+    the MAD outlier gate (clip-and-keep where MAD flags-and-drops).
+
+    The clip bounds are exact interpolated percentiles rounded to 6dp on
+    both engines BEFORE clipping, so the clipped value stream is
+    engine-identical; moments follow the stddev round(6) convention.
+    Scale shape: one exact-percentile aggregate (per-group sort; swap
+    for approx_percentile at extreme group sizes), bounds broadcast back,
+    one final map-side-combinable aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(value, {WINSOR_LO})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(value, {WINSOR_HI})"), 6).alias("hi"),
+    )
+    j = e.join(F.broadcast(b), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    out_of_band = ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast("int")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("lo").alias("p01"),
+        F.max("hi").alias("p99"),
+        F.sum(out_of_band).cast("bigint").alias("n_clipped"),
+        F.round(F.avg(clipped), 6).alias("winsor_mean"),
+        F.round(F.stddev_samp(clipped), 6).alias("winsor_std"),
+    )
+
+
+# --- rolling median (round 10) --------------------------------------------------
+
+ROLLING_MED_WINDOW = 25  # trailing rows, matching the zscore window bound
+
+
+@register(
+    "rolling_median_per_user",
+    oracle=f"""
+SELECT event_id, user_id,
+       ROUND(MEDIAN(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {ROLLING_MED_WINDOW - 1} PRECEDING AND CURRENT ROW
+       ), 6) AS rolling_median
+FROM events
+""",
+    tags=("analytics", "window", "robust"),
+)
+def rolling_median_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-25-row exact rolling median per user — the robust
+    denoiser for drifting series (the median twin of the rolling-zscore
+    window; a spike moves the mean immediately, the median not at all).
+
+    One user-partitioned ROWS frame, bounded at 25 rows per evaluation
+    regardless of history length, so the per-row cost is constant and
+    the single shuffle keys on user_id.  Both engines interpolate the
+    even-count median identically; round(6) absorbs ulp noise.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLING_MED_WINDOW - 1), Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("rolling_median"),
+    )

@@ -60,7 +60,7 @@ _QUERY_MODULES = [
 # tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
 # Round-10 rotation. Composition, in order:
-#   9 new this round         (ppjoin_jaccard_pairs — EXACT prefix-filtered
+#   12 new this round        (ppjoin_jaccard_pairs — EXACT prefix-filtered
 #                            set-similarity join; lsh_recall_vs_exact —
 #                            the approximate path graded against it;
 #                            holt_smoothed_values — level+trend recurrence
@@ -68,7 +68,10 @@ _QUERY_MODULES = [
 #                            allocation; mad_robust_outliers;
 #                            erasure_cascade_audit; quality_quantile_norm;
 #                            token_entropy_quality; bpe_learned_merges —
-#                            rows-only by design, replica value gate)
+#                            rows-only by design, replica value gate;
+#                            winsorized_stats_by_type;
+#                            rolling_median_per_user;
+#                            nucleus_quality_selection)
 # + 1 flagship               (same query as entry()'s smoke check)
 # + 5 code-changed round 10  (the span-removal family — positioned_grams
 #                            gained the marker-breaker rule (ADVICE r9),
@@ -80,12 +83,14 @@ _QUERY_MODULES = [
 #                            hints were dropped)
 # + 12 r3-stale              (the entire remaining r3 cohort — last driver
 #                            row three windows ago, none touched since)
-# + 23 r4-stale              (oldest remaining evidence: the r4 TPC-H
-#                            cohort and the r4 multimodal/stats set)
+# + 20 r4-stale              (oldest remaining evidence: the r4 TPC-H
+#                            cohort and the r4 multimodal/stats set;
+#                            q21/q22/q2_min ceded to the wave-3 ops and
+#                            stay dual-scale-sweep covered)
 # = 50.  The r9-new cohort (all driver-greened last round) and the r5/r6
 # remainder cede their slots; all stay covered by the dual-scale sweeps.
 _PRIORITY = [
-    # New round-10 operators (9) — never driver-verified.
+    # New round-10 operators (12) — never driver-verified.
     "ppjoin_jaccard_pairs",
     "lsh_recall_vs_exact",
     "holt_smoothed_values",
@@ -95,6 +100,9 @@ _PRIORITY = [
     "quality_quantile_norm",
     "token_entropy_quality",
     "bpe_learned_merges",
+    "winsorized_stats_by_type",
+    "rolling_median_per_user",
+    "nucleus_quality_selection",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
     # Code-changed this round (5): positioned_grams marker-breaker rule
@@ -118,7 +126,7 @@ _PRIORITY = [
     "sliding_1h_15min_rollup",
     "stream_dedup_first_event",
     "token_stats_by_source",
-    # r4-stale cohort (23) — oldest remaining evidence.
+    # r4-stale cohort (20) — oldest remaining evidence.
     "blocklist_scrub_stats",
     "cdc_state_with_tombstones",
     "conversion_funnel_counts",
@@ -138,9 +146,6 @@ _PRIORITY = [
     "q17_small_qty_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "q22_inactive_customers",
-    "q2_min_acctbal_supplier",
     "q4_priority_exists",
 ]
 
@@ -209,6 +214,19 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "bpe_merge_pair_counts",
     "split_doc_candidates",
     "xml_scan_customer_agg",
+    # round 10
+    "ppjoin_jaccard_pairs",
+    "lsh_recall_vs_exact",
+    "holt_smoothed_values",
+    "neyman_stratified_allocation",
+    "mad_robust_outliers",
+    "erasure_cascade_audit",
+    "quality_quantile_norm",
+    "token_entropy_quality",
+    "bpe_learned_merges",
+    "winsorized_stats_by_type",
+    "rolling_median_per_user",
+    "nucleus_quality_selection",
 )
 
 
@@ -232,6 +250,9 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "mad_robust_outliers",
         "lsh_recall_vs_exact",
         "bpe_learned_merges",
+        "winsorized_stats_by_type",
+        "rolling_median_per_user",
+        "nucleus_quality_selection",
     }
 )
 

@@ -897,3 +897,27 @@ def test_lsh_recall_eval_is_key_only_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "lsh_recall_vs_exact")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winsorized_stats_broadcast_bounds(spark, sf_dir):
+    """The P1/P99 bound table is tiny and must broadcast back into the
+    events stream — one exact-percentile aggregate, no sort-merge join."""
+    plan = _plan(spark, sf_dir, "winsorized_stats_by_type")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_median_is_one_bounded_frame(spark, sf_dir):
+    """One user-partitioned ROWS frame, no join, no range partitioning."""
+    plan = _plan(spark, sf_dir, "rolling_median_per_user")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_nucleus_selection_windows_partition_by_source(spark, sf_dir):
+    """Both the running-mass and total windows must partition by source —
+    never an unpartitioned global window."""
+    plan = _plan(spark, sf_dir, "nucleus_quality_selection")
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
