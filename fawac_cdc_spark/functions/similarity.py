@@ -1649,3 +1649,92 @@ def hard_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p.cs") - F.col("n.cs"), 6).alias("margin"),
         )
     )
+
+
+# --- distributed PCA over the embedding corpus (round 10) ----------------------
+#
+# The classic "tall-skinny" decomposition: the corpus is n x d with n
+# huge and d = 64 tiny, so PCA reduces to (1) a distributed Gram/moment
+# aggregation — one pass, map-side combinable, d*(d+1)/2 numbers per
+# partial — and (2) an eigendecomposition of the d x d covariance on the
+# driver, which is microscopic.  The same shape MLlib's RowMatrix PCA
+# and every warehouse's covariance pushdown use.
+#
+# Determinism contract: embeddings quantize to 1e-6 ints BEFORE the
+# products, so every partial Gram is EXACT int64 arithmetic (order-free
+# — no summation-order ulp drift between runs, partitionings, or the
+# replica), and the driver accumulates partials in arbitrary-precision
+# Python ints.  numpy's eigh on the resulting float64 covariance is then
+# a pure function of exact inputs.  int64 bound: |x| <= ~10 quantizes to
+# 1e7; products 1e14; a 10k-row Arrow batch sums to ~1e18 < 2^63 — the
+# per-batch bound that matters; cross-batch sums are Python ints.
+
+PCA_TOP_K = 8
+_PCA_SCALE = 1_000_000
+
+
+@register("pca_explained_variance", tags=("similarity", "ml", "rows-only"))
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal components of the embedding corpus: eigenvalue,
+    explained-variance ratio, and cumulative ratio per component — the
+    dimensionality audit run before choosing PQ/IVF parameters or a
+    projection dim.
+
+    Rows-only by design (eigendecomposition is not ANSI SQL); the VALUE
+    gate is the exact numpy replica in tests/test_properties.py — exact
+    because the distributed Gram is integer arithmetic on quantized
+    inputs, so both sides eigendecompose the bit-identical matrix.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            x = np.rint(
+                np.stack(pdf["embedding"].to_numpy()) * _PCA_SCALE
+            ).astype(np.int64)
+            g = x.T @ x  # d x d int64, exact (see bound above)
+            s = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [s.tolist()],
+                    "g": [g.reshape(-1).tolist()],
+                }
+            )
+
+    parts = e.mapInPandas(
+        gram_partials, "n long, s array<long>, g array<long>"
+    ).collect()
+    d = EMB_DIM
+    n = sum(int(r["n"]) for r in parts)
+    s = [0] * d
+    g = [0] * (d * d)
+    for r in parts:  # python-int accumulation: exact at any corpus size
+        for i, v in enumerate(r["s"]):
+            s[i] += int(v)
+        for i, v in enumerate(r["g"]):
+            g[i] += int(v)
+    sv = np.array(s, dtype=np.float64)
+    gm = np.array(g, dtype=np.float64).reshape(d, d)
+    cov = (gm - np.outer(sv, sv) / n) / (n * _PCA_SCALE**2)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    rows = []
+    cum = 0.0
+    for k in range(PCA_TOP_K):
+        ev = float(evals[k])
+        cum += ev
+        rows.append(
+            (
+                k + 1,
+                round(ev, 9),
+                round(ev / total, 6),
+                round(cum / total, 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_ratio double, cum_ratio double",
+    )

@@ -1365,3 +1365,60 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, cnt bigint"
     )
+
+
+# --- Zipf rank-frequency fit (round 10) -----------------------------------------
+
+
+@register(
+    "zipf_fit_by_source",
+    oracle="""
+WITH cnt AS (
+    SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS freq
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY source, tok
+), ranked AS (
+    SELECT source, freq,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY freq DESC, tok) AS rnk
+    FROM cnt
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(REGR_SLOPE(ln(freq), ln(rnk)), 4) AS zipf_slope,
+       ROUND(REGR_INTERCEPT(ln(freq), ln(rnk)), 4) AS zipf_intercept,
+       ROUND(REGR_R2(ln(freq), ln(rnk)), 4) AS r2
+FROM ranked GROUP BY source
+""",
+    tags=("text", "llm", "corpus-stats"),
+)
+def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: least-squares slope/intercept/R² of
+    ln(frequency) on ln(rank) over the source's token vocabulary —
+    natural text sits near slope -1; synthetic, templated, or spammy
+    sources show up as flat or kinked rank-frequency curves, making this
+    a corpus-forensics signal next to the entropy and repetition gates.
+
+    Scale shape: one map-side-combinable (source, token) count, one
+    window partitioned by source for the rank (bounded by per-source
+    vocabulary, not corpus size), one regr_* aggregate.  Both engines
+    compute the same ln() pairs; round(4) absorbs the summation-order
+    ulp noise in the regression moments.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    cnt = (
+        d.select("source", F.explode(tokens_col()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), "tok")
+    ranked = cnt.withColumn("rnk", F.row_number().over(w))
+    lf, lr = F.log("freq"), F.log("rnk")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 4).alias("r2"),
+    )

@@ -1538,3 +1538,69 @@ def holt_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- snapshot retention vacuum (round 10) --------------------------------------
+
+
+def vacuum_state(state_dir: str, retain_last: int = 2) -> dict[str, int]:
+    """Expire old snapshot versions and reclaim unreferenced data files —
+    the VACUUM / expire_snapshots maintenance half of the manifest store
+    (Delta/Iceberg retention semantics on the same machinery
+    ``read_upsert_state`` time-travels over).
+
+    Keeps the newest ``retain_last`` manifests; every older manifest is
+    deleted, then every data file under ``data/`` that no RETAINED
+    manifest references is removed (manifests reference immutable bucket
+    directories, so liveness is the union of retained manifests' bucket
+    paths — a file shared with a retained epoch survives, exactly like
+    Iceberg's reachability rule).  Time travel to retained versions keeps
+    working; reading an expired version raises, loudly, as
+    ``read_upsert_state`` already does for unknown versions.
+
+    Returns reclamation stats.  Scale note: this is a pure manifest walk
+    + file listing — O(retained manifests + files under the store), no
+    Spark job; on object storage the deletes batch.
+    """
+    import shutil
+
+    versions = _state_versions(state_dir)
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    expired = versions[:-retain_last] if len(versions) > retain_last else []
+    retained = [v for v in versions if v not in expired]
+
+    live_rel: set[str] = set()
+    for v in retained:
+        live_rel.update(_read_manifest(state_dir, v).values())
+    live_abs = {os.path.normpath(os.path.join(state_dir, rel)) for rel in live_rel}
+
+    n_files = 0
+    n_bytes = 0
+    data_root = os.path.join(state_dir, "data")
+    if os.path.isdir(data_root):
+        # walk epoch/bucket dirs bottom-up; a dir survives iff it is (or
+        # contains) a live referenced path
+        for root, dirs, files in os.walk(data_root, topdown=False):
+            norm = os.path.normpath(root)
+            if any(norm == p or norm.startswith(p + os.sep) for p in live_abs):
+                continue
+            if any(p.startswith(norm + os.sep) for p in live_abs):
+                continue  # ancestor of a live dir — keep the shell
+            for f in files:
+                fp = os.path.join(root, f)
+                n_bytes += os.path.getsize(fp)
+                n_files += 1
+                os.remove(fp)
+            if not os.listdir(root):
+                shutil.rmtree(root, ignore_errors=True)
+
+    for v in expired:
+        os.remove(os.path.join(state_dir, f"v{v}.json"))
+
+    return {
+        "n_versions_expired": len(expired),
+        "n_versions_retained": len(retained),
+        "n_files_removed": n_files,
+        "bytes_reclaimed": n_bytes,
+    }

@@ -2125,3 +2125,37 @@ def test_bpe_learned_merges_match_replica_randomized(spark):
             for w in t.split(" "):
                 freqs[w] = freqs.get(w, 0) + 1
         assert got == _bpe_replica(freqs, BPE_N_MERGES), f"trial {trial}"
+
+
+def test_pca_matches_exact_numpy_replica(spark, sf_dir):
+    """The distributed Gram is EXACT integer arithmetic on 1e-6-quantized
+    embeddings, so the replica eigendecomposes the bit-identical
+    covariance and the outputs match exactly (same rounding)."""
+    import numpy as np
+
+    from fawac_cdc_spark.functions.similarity import (
+        _PCA_SCALE,
+        PCA_TOP_K,
+    )
+
+    got = [
+        (r["component"], r["eigenvalue"], r["explained_ratio"], r["cum_ratio"])
+        for r in _SPECS["pca_explained_variance"].fn(spark, sf_dir).collect()
+    ]
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    x = np.rint(np.stack(emb["embedding"].to_numpy()) * _PCA_SCALE).astype(object)
+    # object dtype -> python-int matmul: exact at any magnitude, like the
+    # driver-side partial accumulation
+    n = len(x)
+    g = (x.T @ x).astype(np.float64)
+    s = x.sum(axis=0).astype(np.float64)
+    cov = (g - np.outer(s, s) / n) / (n * _PCA_SCALE**2)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    want, cum = [], 0.0
+    for k in range(PCA_TOP_K):
+        ev = float(evals[k])
+        cum += ev
+        want.append((k + 1, round(ev, 9), round(ev / total, 6), round(cum / total, 6)))
+    assert got == want

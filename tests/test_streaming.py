@@ -1446,3 +1446,69 @@ def test_holt_stream_matches_batch(spark, sf_dir, chunk_dir):
         w[["user_id", "event_id", "rn", "level", "trend", "forecast"]],
         check_dtype=False,
     )
+
+
+def test_vacuum_state_expires_versions_and_reclaims_files(spark, sf_dir, tmp_path):
+    """VACUUM semantics on the manifest store: old manifests expire,
+    unreferenced data files disappear, retained time travel still works,
+    expired versions raise, and files shared with a retained manifest
+    survive (the Iceberg reachability rule — the incremental MERGE
+    carries untouched buckets forward, so retained manifests reference
+    older epochs' files)."""
+    import os
+
+    from fawac_cdc_spark.catalog import load_table
+    from fawac_cdc_spark.streaming.cdc import (
+        read_upsert_state,
+        state_versions,
+        vacuum_state,
+        write_state_snapshot,
+    )
+
+    state_dir = str(tmp_path / "state")
+    e = load_table(spark, sf_dir, "events").limit(200).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    for epoch in range(4):
+        write_state_snapshot(e.where(F.col("user_id") % 4 <= epoch), state_dir, epoch)
+    assert state_versions(state_dir) == [0, 1, 2, 3]
+    rows_v3 = read_upsert_state(spark, state_dir, version=3).count()
+    rows_v2 = read_upsert_state(spark, state_dir, version=2).count()
+
+    stats = vacuum_state(state_dir, retain_last=2)
+    assert stats["n_versions_expired"] == 2
+    assert stats["n_versions_retained"] == 2
+    assert stats["n_files_removed"] > 0 and stats["bytes_reclaimed"] > 0
+    assert state_versions(state_dir) == [2, 3]
+    # retained time travel still exact
+    assert read_upsert_state(spark, state_dir, version=3).count() == rows_v3
+    assert read_upsert_state(spark, state_dir, version=2).count() == rows_v2
+    # expired versions refuse loudly
+    with pytest.raises(ValueError, match="no committed version"):
+        read_upsert_state(spark, state_dir, version=0)
+    # expired epochs' data dirs are gone
+    assert not os.path.isdir(os.path.join(state_dir, "data", "e0"))
+    assert not os.path.isdir(os.path.join(state_dir, "data", "e1"))
+    # idempotent: a second vacuum reclaims nothing
+    again = vacuum_state(state_dir, retain_last=2)
+    assert again["n_files_removed"] == 0 and again["n_versions_expired"] == 0
+
+    # reachability rule: a retained manifest that CARRIES FORWARD an
+    # older epoch's bucket (the incremental-MERGE shape) keeps that
+    # bucket alive even though its own epoch is expired
+    from fawac_cdc_spark.streaming.cdc import _commit_manifest, _read_manifest
+
+    v3_buckets = _read_manifest(state_dir, 3)
+    carried_bucket, carried_rel = sorted(v3_buckets.items())[0]
+    write_state_snapshot(e.where(F.col("user_id") % 2 == 0), state_dir, 4)
+    v4_buckets = dict(_read_manifest(state_dir, 4))
+    v4_buckets[carried_bucket] = carried_rel  # carry v3's bucket forward
+    _commit_manifest(state_dir, 5, v4_buckets)
+    stats2 = vacuum_state(state_dir, retain_last=1)  # keep only v5
+    assert state_versions(state_dir) == [5]
+    assert os.path.isdir(os.path.join(state_dir, carried_rel))  # survived
+    # the rest of e3 (buckets v5 does not reference) is gone
+    gone = [rel for b, rel in v3_buckets.items() if b != carried_bucket]
+    assert gone and all(not os.path.isdir(os.path.join(state_dir, r)) for r in gone)
+    assert read_upsert_state(spark, state_dir, version=5).count() > 0
+    assert stats2["n_files_removed"] > 0
