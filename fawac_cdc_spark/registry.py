@@ -242,27 +242,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # operator lands here, then leaves when the next full sweep runs on the
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
-# Round-10 operators: each parity-checked at sf0.001 + sf0.01 + sf0.1 on
-# landing; they leave this set when the round's closing full sweep runs
-# on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "ppjoin_jaccard_pairs",
-        "quality_quantile_norm",
-        "token_entropy_quality",
-        "holt_smoothed_values",
-        "neyman_stratified_allocation",
-        "erasure_cascade_audit",
-        "mad_robust_outliers",
-        "lsh_recall_vs_exact",
-        "bpe_learned_merges",
-        "winsorized_stats_by_type",
-        "rolling_median_per_user",
-        "nucleus_quality_selection",
-        "zipf_fit_by_source",
-        "pca_explained_variance",
-    }
-)
+# Queries registered since the last green full-registry parity sweep —
+# empty: the round-10 closing sweeps (242/242 at sf0.01 AND sf0.1,
+# tools/parity_last.json) ran on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
