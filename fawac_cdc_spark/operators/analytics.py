@@ -670,3 +670,82 @@ def rolling_median_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("rolling_median"),
     )
+
+
+# --- out-of-orderness accounting (round 10) -------------------------------------
+#
+# The measurement that JUSTIFIES a watermark delay: how late do events
+# actually arrive?  Lateness of an event = (running max event-time seen
+# before it in arrival order) - (its own event-time), when positive.
+# The p99/max of that distribution is what you set
+# ``withWatermark(delay)`` to; guessing instead either drops data
+# (delay too small) or bloats state (too large).  Arrival order here is
+# event_id (the feed's ingest sequence, the same contract as the
+# streaming twins).
+
+LATE_WATERMARK_S = 3600  # the engine's standard 1h watermark (cdc.py)
+
+
+@register(
+    "out_of_order_stats",
+    oracle=f"""
+WITH arr AS (
+    SELECT event_type, ts,
+           MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+    FROM events
+), late AS (
+    SELECT event_type,
+           GREATEST(CAST(date_diff('microseconds', ts, hwm) AS DOUBLE) / 1e6, 0.0)
+               AS lateness_s
+    FROM arr WHERE hwm IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(MAX(lateness_s), 6) AS max_lateness_s,
+       ROUND(quantile_cont(lateness_s, 0.99), 6) AS p99_lateness_s,
+       CAST(SUM(CASE WHEN lateness_s > {LATE_WATERMARK_S} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_would_drop_1h
+FROM late GROUP BY event_type
+""",
+    tags=("analytics", "streaming", "watermark"),
+)
+def out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type out-of-orderness of the feed: lateness of each
+    event behind the running event-time high-water mark (arrival order =
+    event_id), its max and p99, and how many events the engine's
+    standard 1-hour watermark would drop — the empirical basis for every
+    ``withWatermark`` delay in streaming/cdc.py.
+
+    One window partitioned by event_type in arrival order (running max,
+    a constant-space frame), then one aggregate with an exact p99.
+    Microsecond integer differences make lateness exact on both engines;
+    round(6) guards the interpolated quantile.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("hwm_us"),
+    ).where(F.col("hwm_us").isNotNull())
+    late = arr.select(
+        "event_type",
+        F.greatest(
+            (F.col("hwm_us") - F.col("ts_us")).cast("double") / 1e6, F.lit(0.0)
+        ).alias("lateness_s"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("lateness_s") > 0).cast("int")).cast("bigint").alias("n_late"),
+        F.round(F.max("lateness_s"), 6).alias("max_lateness_s"),
+        F.round(F.expr("percentile(lateness_s, 0.99)"), 6).alias("p99_lateness_s"),
+        F.sum((F.col("lateness_s") > LATE_WATERMARK_S).cast("int"))
+        .cast("bigint")
+        .alias("n_would_drop_1h"),
+    )

@@ -388,3 +388,97 @@ def lineitem_depth_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("bigint").alias("cnt"),
         )
     )
+
+
+# --- data-quality expectations audit (round 10) --------------------------------
+
+
+@register(
+    "data_quality_expectations",
+    oracle="""
+SELECT 'lineitem.l_orderkey fk orders' AS expectation,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_violations,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_checked
+UNION ALL
+SELECT 'orders.o_custkey fk customer',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+UNION ALL
+SELECT 'customer.c_custkey unique',
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+UNION ALL
+SELECT 'lineitem.l_quantity in [1,50]',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+UNION ALL
+SELECT 'orders.o_totalprice positive',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice <= 0),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+UNION ALL
+SELECT 'events.event_type in domain',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+UNION ALL
+SELECT 'events.value not null',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE value IS NULL),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events)
+""",
+    tags=("profiling", "quality", "expectations"),
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the warehouse — the expectations surface
+    (Great Expectations / dbt tests / Deequ shape): referential
+    integrity, key uniqueness, domain and range rules, each reported as
+    (expectation, n_violations, n_checked) so a pipeline can gate on
+    n_violations == 0 or a tolerated rate.
+
+    Scale shape: FK checks are key-only LEFT ANTI joins (at 100 TB AQE
+    turns the key sets into broadcast/bloom semi joins — the
+    bloom_semi_join_gate path); uniqueness is count - count_distinct in
+    one aggregate; domain/range rules are pure scans with the predicate
+    pushed down.  Each rule is one aggregate row; the union is 7 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+
+    def row(name: str, viol_df: DataFrame, total_df: DataFrame) -> DataFrame:
+        v = viol_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        t = total_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_checked"))
+        return v.crossJoin(t).select(
+            F.lit(name).alias("expectation"), "n_violations", "n_checked"
+        )
+
+    fk_li = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+    fk_o = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+    uniq = c.agg(
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+    ).select(
+        F.lit("customer.c_custkey unique").alias("expectation"),
+        "n_violations",
+        "n_checked",
+    )
+    rng = li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+    pos = o.where(F.col("o_totalprice") <= 0)
+    dom = e.where(
+        ~F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+    )
+    nn = e.where(F.col("value").isNull())
+    return (
+        row("lineitem.l_orderkey fk orders", fk_li, li)
+        .unionByName(row("orders.o_custkey fk customer", fk_o, o))
+        .unionByName(uniq)
+        .unionByName(row("lineitem.l_quantity in [1,50]", rng, li))
+        .unionByName(row("orders.o_totalprice positive", pos, o))
+        .unionByName(row("events.event_type in domain", dom, e))
+        .unionByName(row("events.value not null", nn, e))
+    )

@@ -60,7 +60,7 @@ _QUERY_MODULES = [
 # tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
 # Round-10 rotation. Composition, in order:
-#   14 new this round        (ppjoin_jaccard_pairs — EXACT prefix-filtered
+#   16 new this round        (ppjoin_jaccard_pairs — EXACT prefix-filtered
 #                            set-similarity join; lsh_recall_vs_exact —
 #                            the approximate path graded against it;
 #                            holt_smoothed_values — level+trend recurrence
@@ -75,7 +75,11 @@ _QUERY_MODULES = [
 #                            zipf_fit_by_source — rank-frequency corpus
 #                            forensics; pca_explained_variance —
 #                            distributed exact-Gram PCA, rows-only with
-#                            an exact numpy replica gate)
+#                            an exact numpy replica gate;
+#                            data_quality_expectations — the
+#                            constraint-audit surface;
+#                            out_of_order_stats — feed-lateness
+#                            accounting behind every watermark delay)
 # + 1 flagship               (same query as entry()'s smoke check)
 # + 5 code-changed round 10  (the span-removal family — positioned_grams
 #                            gained the marker-breaker rule (ADVICE r9),
@@ -87,14 +91,14 @@ _QUERY_MODULES = [
 #                            hints were dropped)
 # + 12 r3-stale              (the entire remaining r3 cohort — last driver
 #                            row three windows ago, none touched since)
-# + 18 r4-stale              (oldest remaining evidence: the r4 TPC-H
+# + 16 r4-stale              (oldest remaining evidence: the r4 TPC-H
 #                            cohort and the r4 multimodal/stats set;
-#                            q18/q19/q21/q22/q2_min ceded to the wave-3/4
-#                            ops and stay dual-scale-sweep covered)
+#                            q15/q17/q18/q19/q21/q22/q2_min ceded to the
+#                            wave-3/4/5 ops, dual-scale-sweep covered)
 # = 50.  The r9-new cohort (all driver-greened last round) and the r5/r6
 # remainder cede their slots; all stay covered by the dual-scale sweeps.
 _PRIORITY = [
-    # New round-10 operators (14) — never driver-verified.
+    # New round-10 operators (16) — never driver-verified.
     "ppjoin_jaccard_pairs",
     "lsh_recall_vs_exact",
     "holt_smoothed_values",
@@ -109,6 +113,8 @@ _PRIORITY = [
     "nucleus_quality_selection",
     "zipf_fit_by_source",
     "pca_explained_variance",
+    "data_quality_expectations",
+    "out_of_order_stats",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
     # Code-changed this round (5): positioned_grams marker-breaker rule
@@ -132,7 +138,7 @@ _PRIORITY = [
     "sliding_1h_15min_rollup",
     "stream_dedup_first_event",
     "token_stats_by_source",
-    # r4-stale cohort (18) — oldest remaining evidence.
+    # r4-stale cohort (16) — oldest remaining evidence.
     "blocklist_scrub_stats",
     "cdc_state_with_tombstones",
     "conversion_funnel_counts",
@@ -148,8 +154,6 @@ _PRIORITY = [
     "orc_roundtrip_agg",
     "q13_customer_distribution",
     "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
     "q4_priority_exists",
 ]
 
@@ -233,6 +237,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "nucleus_quality_selection",
     "zipf_fit_by_source",
     "pca_explained_variance",
+    "data_quality_expectations",
+    "out_of_order_stats",
 )
 
 

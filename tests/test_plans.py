@@ -95,6 +95,7 @@ _SCALAR_BROADCAST_OK = {
     "neyman_stratified_allocation",  # 1-row stratum-weight total scalar
     "erasure_cascade_audit",  # four 1-row count frames attached pairwise
     "lsh_recall_vs_exact",  # three 1-row count frames folded to one row
+    "data_quality_expectations",  # seven 1-row (violations, checked) frames
 }
 
 
@@ -921,3 +922,20 @@ def test_nucleus_selection_windows_partition_by_source(spark, sf_dir):
     plan = _plan(spark, sf_dir, "nucleus_quality_selection")
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan
+
+
+def test_expectations_fk_checks_are_anti_joins(spark, sf_dir):
+    """The referential-integrity rules must be key-only LEFT ANTI joins
+    — never a payload join or cartesian."""
+    plan = _plan(spark, sf_dir, "data_quality_expectations")
+    assert plan.count("LeftAnti") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_out_of_order_stats_is_one_running_max_window(spark, sf_dir):
+    """Lateness accounting is one arrival-ordered running-max window per
+    event type plus one aggregate — no join, no range partitioning."""
+    plan = _plan(spark, sf_dir, "out_of_order_stats")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
