@@ -536,14 +536,11 @@ def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         erased_cust, orders["o_custkey"] == erased_cust["c_custkey"], "left_semi"
     ).select("o_orderkey")
 
+    from ..operators.helpers import one_row_audit
+
     def _count_row(name: str, erased: DataFrame, total: DataFrame) -> DataFrame:
-        e = erased.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_erased"))
-        t = total.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_total"))
-        return (
-            e.crossJoin(t)
-            .select(
-                F.lit(name).alias("table_name"), "n_rows_erased", "n_rows_total"
-            )
+        return one_row_audit(
+            "table_name", name, erased, total, "n_rows_erased", "n_rows_total"
         )
 
     erased_li = lineitem.join(

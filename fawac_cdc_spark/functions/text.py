@@ -37,6 +37,22 @@ def tokens_col(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
+# ONE definition of the uniq-token-ratio quality score (the signal behind
+# doc_quality_scores' uniq_ratio, adaptive_source_quality_filter's cutoff,
+# quality_quantile_norm's rank input, and nucleus_quality_selection's mass)
+# — a change to the score definition lands everywhere at once
+# (code-review round 10).
+UNIQ_RATIO_SQL = (
+    "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
+    " / len(string_split(text, ' '))"
+)
+
+
+def uniq_ratio_col(col: str = "text") -> F.Column:
+    toks = tokens_col(col)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+
+
 @register(
     "token_stats_by_source",
     oracle="""
@@ -1160,11 +1176,9 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_quantile_norm",
-    oracle="""
+    oracle=f"""
 WITH scored AS (
-    SELECT doc_id, source,
-           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS uniq_ratio
+    SELECT doc_id, source, {UNIQ_RATIO_SQL} AS uniq_ratio
     FROM documents
 )
 SELECT doc_id, source, uniq_ratio,
@@ -1193,14 +1207,7 @@ def quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    scored = d.select(
-        "doc_id",
-        "source",
-        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
-            "uniq_ratio"
-        ),
-    )
+    scored = d.select("doc_id", "source", uniq_ratio_col().alias("uniq_ratio"))
     w = Window.partitionBy("source").orderBy("uniq_ratio", "doc_id")
     pct = F.percent_rank().over(w)
     return scored.select(
@@ -1295,11 +1302,21 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_N_MERGES = 5
 
 
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal for arbitrary corpus text:
+    backslashes escape FIRST (Spark treats backslash as an escape inside
+    literals — an unescaped one corrupts or breaks the parse), then
+    single quotes."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _merge_pair_expr(col: str, a: str, b: str) -> str:
     """Greedy non-overlapping left-to-right merge of adjacent (a, b) into
     the single symbol a||b, as a SQL aggregate fold over the symbol
-    array.  Escapes single quotes for SQL-literal safety."""
-    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    array.  Corpus-derived symbols pass through _sql_str, so quote and
+    backslash characters in the vocabulary cannot break or skew the
+    generated expression (code-review round 10)."""
+    qa, qb = _sql_str(a), _sql_str(b)
     return (
         f"aggregate({col}, cast(array() as array<string>), (acc, x) -> "
         f"case when size(acc) > 0 and element_at(acc, -1) = '{qa}' and x = '{qb}' "

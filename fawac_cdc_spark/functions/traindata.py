@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.helpers import md5_bucket, md5_bucket_sql
 from ..registry import register
+from .text import UNIQ_RATIO_SQL as _UNIQ_RATIO_SQL
 
 CHUNK_WINDOW = 64  # tokens per chunk
 CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 16)
@@ -1446,9 +1447,7 @@ NUCLEUS_P = 0.5  # keep the best docs holding half of each source's quality mass
     "nucleus_quality_selection",
     oracle=f"""
 WITH scored AS (
-    SELECT doc_id, source,
-           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')), 6) AS q
+    SELECT doc_id, source, ROUND({_UNIQ_RATIO_SQL}, 6) AS q
     FROM documents
 ), ranked AS (
     SELECT doc_id, source, q,
@@ -1487,15 +1486,10 @@ def nucleus_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from .text import uniq_ratio_col
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    scored = d.select(
-        "doc_id",
-        "source",
-        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias(
-            "q"
-        ),
-    )
+    scored = d.select("doc_id", "source", F.round(uniq_ratio_col(), 6).alias("q"))
     w_run = (
         Window.partitionBy("source")
         .orderBy(F.col("q").desc(), "doc_id")

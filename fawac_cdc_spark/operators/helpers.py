@@ -95,3 +95,24 @@ def md5_bucket_sql(expr: str, modulus: int, prefix_len: int = 4) -> str:
         f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, {prefix_len}) "
         f"AS INT) % {modulus}"
     )
+
+
+def one_row_audit(
+    label_col: str,
+    label: str,
+    flagged: "DataFrame",  # noqa: F821 — forward ref, imported lazily
+    total: "DataFrame",  # noqa: F821
+    flagged_name: str,
+    total_name: str,
+):
+    """One labeled audit row: (label, count(flagged), count(total)) via
+    two one-row aggregates attached with a broadcast-trivial cross join —
+    the shared shape of every multi-rule audit surface
+    (``data_quality_expectations``, ``erasure_cascade_audit``).  Factored
+    here so count semantics / naming fixes hit every audit at once
+    (code-review round 10)."""
+    f = flagged.agg(F.count(F.lit(1)).cast("bigint").alias(flagged_name))
+    t = total.agg(F.count(F.lit(1)).cast("bigint").alias(total_name))
+    return f.crossJoin(t).select(
+        F.lit(label).alias(label_col), flagged_name, total_name
+    )

@@ -398,13 +398,16 @@ def lineitem_depth_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT 'lineitem.l_orderkey fk orders' AS expectation,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_violations,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_checked
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_violations,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IS NOT NULL) AS n_checked
 UNION ALL
 SELECT 'orders.o_custkey fk customer',
        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL)
 UNION ALL
 SELECT 'customer.c_custkey unique',
        (SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer),
@@ -437,6 +440,13 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (expectation, n_violations, n_checked) so a pipeline can gate on
     n_violations == 0 or a tolerated rate.
 
+    NULL-key semantics (code-review round 10): referential rules check
+    NON-NULL keys only — the SQL convention (a NULL FK satisfies a
+    foreign-key constraint; NOT IN would silently exclude it by
+    three-valued logic while left_anti would count it), so both engines
+    filter IS NOT NULL explicitly and a missing-key rule belongs to a
+    separate not-null expectation (like the events.value one below).
+
     Scale shape: FK checks are key-only LEFT ANTI joins (at 100 TB AQE
     turns the key sets into broadcast/bloom semi joins — the
     bloom_semi_join_gate path); uniqueness is count - count_distinct in
@@ -448,15 +458,17 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     e = load_table(spark, sf_dir, "events")
 
+    from .helpers import one_row_audit
+
     def row(name: str, viol_df: DataFrame, total_df: DataFrame) -> DataFrame:
-        v = viol_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
-        t = total_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_checked"))
-        return v.crossJoin(t).select(
-            F.lit(name).alias("expectation"), "n_violations", "n_checked"
+        return one_row_audit(
+            "expectation", name, viol_df, total_df, "n_violations", "n_checked"
         )
 
-    fk_li = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
-    fk_o = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+    li_k = li.where(F.col("l_orderkey").isNotNull())
+    o_k = o.where(F.col("o_custkey").isNotNull())
+    fk_li = li_k.join(o, li_k["l_orderkey"] == o["o_orderkey"], "left_anti")
+    fk_o = o_k.join(c, o_k["o_custkey"] == c["c_custkey"], "left_anti")
     uniq = c.agg(
         (F.count(F.lit(1)) - F.count_distinct("c_custkey"))
         .cast("bigint")
@@ -474,8 +486,8 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = e.where(F.col("value").isNull())
     return (
-        row("lineitem.l_orderkey fk orders", fk_li, li)
-        .unionByName(row("orders.o_custkey fk customer", fk_o, o))
+        row("lineitem.l_orderkey fk orders", fk_li, li_k)
+        .unionByName(row("orders.o_custkey fk customer", fk_o, o_k))
         .unionByName(uniq)
         .unionByName(row("lineitem.l_quantity in [1,50]", rng, li))
         .unionByName(row("orders.o_totalprice positive", pos, o))

@@ -847,13 +847,12 @@ def test_ppjoin_is_equijoin_shaped_no_global_rank(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ppjoin_jaccard_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # no global (unpartitioned) window: every Window node partitions
-    for seg in plan.split("Window")[1:]:
-        head = seg[:400]
-        if "partitionBy" in head or "windowspecdefinition" in head:
-            continue
-        # the formatted plan lists window partition keys in the Arguments
-        # line — doc_id must appear there
+    # no global (unpartitioned) window: an unpartitioned Window would
+    # plan a SinglePartition exchange — the one-task funnel this pin
+    # exists to forbid (code-review round 10: the previous loop here
+    # asserted nothing)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan  # the per-doc prefix window
     assert "rangepartitioning" not in plan
     assert plan.count("Scan ExistingRDD") >= 3  # checkpointed shingles reused
 

@@ -2099,9 +2099,12 @@ def test_bpe_learned_merges_match_replica_randomized(spark):
     from fawac_cdc_spark.functions.text import BPE_N_MERGES, bpe_learned_merges
 
     rng = random.Random(202122)
-    for trial in range(3):
+    for trial in range(4):
+        # trial 3 uses an adversarial alphabet: backslash and quote chars
+        # must survive the generated-SQL escaping (_sql_str)
+        chars = "abc" if trial < 3 else "a\\'"
         words = [
-            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            "".join(rng.choice(chars) for _ in range(rng.randint(1, 6)))
             for _ in range(rng.randint(5, 30))
         ]
         docs = [
