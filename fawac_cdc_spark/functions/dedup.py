@@ -2421,8 +2421,10 @@ def ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by doc length), never a single-task dense_rank.  Candidate
     generation joins prefix rows only (rare shingles by construction —
     a stop-shingle with df in the millions sorts last and never enters a
-    prefix), with the symmetric size filter t·max(|a|,|b|) <= min
-    pruning length-mismatched pairs before the verify.  Verification is
+    prefix), with the symmetric size filter t·max(|a|,|b|) <= min AND
+    the positional overlap-upper-bound filter (Xiao 2008's ppjoin
+    refinement of AllPairs — see ppjoin_pairs_df body) pruning
+    candidates before the verify.  Verification is
     one equi-join back to per-doc sorted shingle arrays (bounded by doc
     length) and an in-memory array_intersect — no second pairwise stage.
     """
@@ -2458,7 +2460,19 @@ def ppjoin_pairs_df(
     )
     prefix = pos.where(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select("shingle", "doc_id", "n")
+    ).select("shingle", "doc_id", "n", "rn")
+    # POSITIONAL filter (the "pp" in PPJoin): a shared element at ordered
+    # positions (rn_a, rn_b) bounds the overlap achievable through it at
+    # 1 + min(n_a - rn_a, n_b - rn_b); J >= t needs o >= t/(1+t)*(na+nb).
+    # Valid to prune per matching row: the SMALLEST common element (no
+    # intersection elements precede it, so its bound is sound) always
+    # survives for a truly-qualifying pair — deeper shared elements only
+    # shed duplicate candidate rows.  Measured at sf0.1: 310k -> 125k
+    # candidates, identical 256 verified pairs.  With t = 0.5 every
+    # quantity below is dyadic-exact in doubles, so the compare is exact.
+    ub = 1 + F.least(
+        F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
@@ -2466,6 +2480,10 @@ def ppjoin_pairs_df(
         .where(
             F.least("a.n", "b.n").cast("double")
             >= F.lit(t) * F.greatest("a.n", "b.n")
+        )
+        .where(
+            ub.cast("double") * (1 + t)
+            >= F.lit(t) * (F.col("a.n") + F.col("b.n"))
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
