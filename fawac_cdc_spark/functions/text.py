@@ -1439,3 +1439,102 @@ def zipf_fit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
         F.round(F.regr_r2(lf, lr), 4).alias("r2"),
     )
+
+
+# --- Heaps'-law vocabulary growth (round 10) ------------------------------------
+
+HEAPS_CHECKPOINTS = 10
+
+
+@register(
+    "heaps_vocab_growth",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), firsts AS (
+    SELECT tok, MIN(doc_id) AS first_doc FROM tok GROUP BY tok
+), doc_tokens AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+), cuts AS (
+    SELECT 1 AS decile, quantile_disc(doc_id, 0.1) AS cutoff FROM doc_tokens
+    UNION ALL
+    SELECT 2 AS decile, quantile_disc(doc_id, 0.2) AS cutoff FROM doc_tokens
+    UNION ALL
+    SELECT 3 AS decile, quantile_disc(doc_id, 0.3) AS cutoff FROM doc_tokens
+    UNION ALL
+    SELECT 4 AS decile, quantile_disc(doc_id, 0.4) AS cutoff FROM doc_tokens
+    UNION ALL
+    SELECT 5 AS decile, quantile_disc(doc_id, 0.5) AS cutoff FROM doc_tokens
+    UNION ALL
+    SELECT 6 AS decile, quantile_disc(doc_id, 0.6) AS cutoff FROM doc_tokens
+    UNION ALL
+    SELECT 7 AS decile, quantile_disc(doc_id, 0.7) AS cutoff FROM doc_tokens
+    UNION ALL
+    SELECT 8 AS decile, quantile_disc(doc_id, 0.8) AS cutoff FROM doc_tokens
+    UNION ALL
+    SELECT 9 AS decile, quantile_disc(doc_id, 0.9) AS cutoff FROM doc_tokens
+    UNION ALL
+    SELECT 10 AS decile, quantile_disc(doc_id, 1.0) AS cutoff FROM doc_tokens
+)
+SELECT c.decile AS checkpoint,
+       (SELECT CAST(SUM(n_toks) AS BIGINT) FROM doc_tokens
+        WHERE doc_id <= c.cutoff) AS cum_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+        WHERE first_doc <= c.cutoff) AS cum_vocab
+FROM cuts c
+""",
+    tags=("text", "llm", "corpus-stats"),
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-token count vs
+    cumulative token count at {HEAPS_CHECKPOINTS} doc_id-ordered corpus
+    checkpoints — Zipf's companion diagnostic (natural text grows
+    V ~ K·n^0.5; a flattening curve flags dedup-worthy repetition, a
+    too-steep one flags noise/garbage influx).
+
+    Scale shape: NO expanding distinct-count — each token contributes
+    only its FIRST doc (one map-side-combinable min per token), so a
+    checkpoint's vocabulary is a count of firsts at-or-before the
+    cutoff; cutoffs are exact discrete quantiles of doc_id.  Everything
+    is one count table + one tiny (10-row) broadcast of cutoffs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = d.select("doc_id", F.size(tokens_col()).alias("n_toks"))
+    qs = [i / HEAPS_CHECKPOINTS for i in range(1, HEAPS_CHECKPOINTS + 1)]
+    cutrow = doc_tokens.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY doc_id)").alias(
+                f"c{i}"
+            )
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    cuts = cutrow.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("checkpoint"), F.col(f"c{i}").alias("cutoff")
+                    )
+                    for i in range(1, HEAPS_CHECKPOINTS + 1)
+                ]
+            )
+        ).alias("c")
+    ).select("c.checkpoint", "c.cutoff")
+    toks_leq = doc_tokens.crossJoin(F.broadcast(cuts)).where(
+        F.col("doc_id") <= F.col("cutoff")
+    )
+    vocab_leq = firsts.crossJoin(F.broadcast(cuts)).where(
+        F.col("first_doc") <= F.col("cutoff")
+    )
+    t_agg = toks_leq.groupBy("checkpoint").agg(
+        F.sum("n_toks").cast("bigint").alias("cum_tokens")
+    )
+    v_agg = vocab_leq.groupBy("checkpoint").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cum_vocab")
+    )
+    return t_agg.join(v_agg, "checkpoint").select(
+        "checkpoint", "cum_tokens", "cum_vocab"
+    )

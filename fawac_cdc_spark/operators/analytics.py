@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .helpers import money
 from ..registry import register
 
 from ..streaming.batch_equiv import SESSION_GAP_MIN
@@ -748,4 +749,89 @@ def out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("lateness_s") > LATE_WATERMARK_S).cast("int"))
         .cast("bigint")
         .alias("n_would_drop_1h"),
+    )
+
+
+# --- CUSUM drift detection (round 10) -------------------------------------------
+
+
+@register(
+    "cusum_drift_by_type",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), base AS (
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu
+    FROM events GROUP BY event_type
+), cusum AS (
+    SELECT d.event_type, d.day,
+           SUM(d.m - b.mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS s
+    FROM daily d JOIN base b USING (event_type)
+), ranked AS (
+    SELECT event_type, day, s,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ABS(s) DESC, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_days
+    FROM cusum
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(day AS VARCHAR) AS peak_day,
+       ROUND(s, 6) AS peak_cusum,
+       ROUND(ABS(s), 6) AS max_excursion
+FROM ranked WHERE rn = 1
+""",
+    tags=("analytics", "monitoring", "drift"),
+)
+def cusum_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistic per event type (Page 1954): running
+    cumulative sum of daily-mean deviations from the type's overall mean,
+    reporting the peak excursion and the day it occurs — the classic
+    drift monitor for a metrics feed (a level shift shows as a sustained
+    CUSUM ramp; white noise stays near zero).
+
+    Determinism: daily and global means come from DECIMAL(18,2) sums
+    (bit-exact), the running sum accumulates identical doubles in the
+    same day order on both engines, the peak is tie-broken (|s| desc,
+    day asc), and round(6) guards the report.  Scale shape: two
+    map-side-combinable aggregates, one per-type window over DAYS (tiny
+    partitions regardless of event volume), one top-1 per type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    base = e.groupBy("event_type").agg(
+        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(F.broadcast(base), "event_type")
+        .withColumn("s", F.sum(F.col("m") - F.col("mu")).over(w_run))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), "day"
+    )
+    w_all = Window.partitionBy("event_type")
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_days", F.count(F.lit(1)).over(w_all))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("day").cast("string").alias("peak_day"),
+            F.round("s", 6).alias("peak_cusum"),
+            F.round(F.abs("s"), 6).alias("max_excursion"),
+        )
     )

@@ -96,6 +96,7 @@ _SCALAR_BROADCAST_OK = {
     "erasure_cascade_audit",  # four 1-row count frames attached pairwise
     "lsh_recall_vs_exact",  # three 1-row count frames folded to one row
     "data_quality_expectations",  # seven 1-row (violations, checked) frames
+    "heaps_vocab_growth",  # 10-row cutoff frame attached by cross join
 }
 
 
@@ -938,3 +939,21 @@ def test_out_of_order_stats_is_one_running_max_window(spark, sf_dir):
     assert "Window" in plan
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_heaps_growth_has_no_expanding_distinct(spark, sf_dir):
+    """Vocabulary checkpoints must come from per-token FIRST-doc minima
+    plus a broadcast 10-row cutoff table — never an expanding distinct
+    count; the cutoff attach is the allowlisted tiny-frame cross join."""
+    plan = _plan(spark, sf_dir, "heaps_vocab_growth")
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_cusum_windows_partition_by_type(spark, sf_dir):
+    """The running CUSUM and the peak rank are per-type windows over
+    DAYS; the global-mean table broadcasts back."""
+    plan = _plan(spark, sf_dir, "cusum_drift_by_type")
+    assert "hashpartitioning(event_type" in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
