@@ -2598,3 +2598,68 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_at_t"),
         )
     )
+
+
+# --- quality-aware survivor selection (round 10) --------------------------------
+
+
+@register(
+    "quality_survivor_per_cluster",
+    oracle=f"""
+WITH RECURSIVE
+{_CC_REACH_CTE_SQL},
+labels AS (
+    SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+), scored AS (
+    SELECT l.component, d.doc_id,
+           ROUND(CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE) / len(string_split(d.text, ' ')), 6) AS q
+    FROM labels l JOIN documents d USING (doc_id)
+), ranked AS (
+    SELECT component, doc_id, q,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY q DESC, doc_id) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+    FROM scored
+)
+SELECT component,
+       doc_id AS survivor_doc_id,
+       n_members,
+       q AS survivor_q
+FROM ranked WHERE rn = 1
+""",
+    tags=("dedup", "llm", "graph", "quality"),
+)
+def quality_survivor_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection: within each connected
+    component of the verified near-dup graph, keep the HIGHEST-QUALITY
+    member (uniq-token-ratio score, doc_id tiebreak) instead of the
+    min-id convention — what a production corpus pipeline actually does
+    (the kept copy should be the best-formatted one, not the first
+    crawled).  Composes the shared min-label closure with the shared
+    quality score; same O(diameter) loop, plus one per-component window
+    bounded by cluster size.
+    """
+    from .text import uniq_ratio_col
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = connected_components_min_label(
+        near_dup_edges(spark, sf_dir), d.select("doc_id")
+    )
+    scored = d.join(labels, "doc_id").select(
+        "component", "doc_id", F.round(uniq_ratio_col(), 6).alias("q")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), "doc_id")
+    wn = Window.partitionBy("component")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wn).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_doc_id"),
+            "n_members",
+            F.col("q").alias("survivor_q"),
+        )
+    )

@@ -835,3 +835,60 @@ def cusum_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs("s"), 6).alias("max_excursion"),
         )
     )
+
+
+# --- trailing-7-day active users (round 10) --------------------------------------
+
+TRAILING_WINDOW_DAYS = 7
+
+
+@register(
+    "trailing_7d_active_users",
+    oracle=f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), spine AS (
+    SELECT DISTINCT day FROM ud
+), covered AS (
+    SELECT s.day, ud.user_id
+    FROM spine s JOIN ud
+      ON ud.day <= s.day
+     AND ud.day > s.day - {TRAILING_WINDOW_DAYS}
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+FROM covered GROUP BY day
+""",
+    tags=("analytics", "product", "sliding-distinct"),
+)
+def trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-active-users per day: distinct users over each day's
+    trailing 7-day window — the sliding-DISTINCT shape windowed
+    aggregates cannot express (COUNT(DISTINCT) OVER a frame is
+    unsupported, and distinct does not decompose over sliding frames).
+
+    Scale shape: events collapse FIRST to distinct (user, day) pairs
+    (one map-side-combinable distinct, |users| x |days| worst case —
+    tiny vs event volume), then each pair EXPLODES to the ≤ 7 window
+    days it covers (a generator, not a join), and one count-distinct per
+    day finishes.  Work is O(pairs x 7) regardless of raw event count —
+    the standard rewrite; the HLL path (hll_user_sketch_rollup) is the
+    sketch alternative when |users| x |days| itself is too big.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    spine = ud.select("day").distinct()
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {TRAILING_WINDOW_DAYS - 1}), "
+                f"i -> date_add(day, i))"
+            )
+        ).alias("wday"),
+    )
+    return (
+        covered.join(spine, covered["wday"] == spine["day"], "left_semi")
+        .groupBy(F.col("wday").cast("string").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users_7d"))
+    )

@@ -60,7 +60,7 @@ _QUERY_MODULES = [
 # tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
 # Round-10 rotation. Composition, in order:
-#   18 new this round        (ppjoin_jaccard_pairs — EXACT prefix-filtered
+#   20 new this round        (ppjoin_jaccard_pairs — EXACT prefix-filtered
 #                            set-similarity join; lsh_recall_vs_exact —
 #                            the approximate path graded against it;
 #                            holt_smoothed_values — level+trend recurrence
@@ -83,7 +83,11 @@ _QUERY_MODULES = [
 #                            heaps_vocab_growth — vocabulary-growth
 #                            checkpoints, Zipf's companion;
 #                            cusum_drift_by_type — Page-1954 change-point
-#                            monitor over daily means)
+#                            monitor over daily means;
+#                            quality_survivor_per_cluster — keep the BEST
+#                            member of each near-dup component;
+#                            trailing_7d_active_users — the
+#                            sliding-DISTINCT rewrite)
 # + 1 flagship               (same query as entry()'s smoke check)
 # + 5 code-changed round 10  (the span-removal family — positioned_grams
 #                            gained the marker-breaker rule (ADVICE r9),
@@ -95,14 +99,15 @@ _QUERY_MODULES = [
 #                            hints were dropped)
 # + 12 r3-stale              (the entire remaining r3 cohort — last driver
 #                            row three windows ago, none touched since)
-# + 14 r4-stale              (oldest remaining evidence: the r4 TPC-H
-#                            cohort and the r4 multimodal/stats set;
-#                            q13-q22/q2_min ceded to the wave-3/4/5/6
-#                            ops, all dual-scale-sweep covered)
+# + 12 r4-stale              (oldest remaining evidence; the q13-q22
+#                            TPC-H entries plus correlation_stats /
+#                            linear_trend (multiply-covered stats
+#                            family) ceded to the round-10 waves, all
+#                            dual-scale-sweep covered)
 # = 50.  The r9-new cohort (all driver-greened last round) and the r5/r6
 # remainder cede their slots; all stay covered by the dual-scale sweeps.
 _PRIORITY = [
-    # New round-10 operators (18) — never driver-verified.
+    # New round-10 operators (20) — never driver-verified.
     "ppjoin_jaccard_pairs",
     "lsh_recall_vs_exact",
     "holt_smoothed_values",
@@ -121,6 +126,8 @@ _PRIORITY = [
     "out_of_order_stats",
     "heaps_vocab_growth",
     "cusum_drift_by_type",
+    "quality_survivor_per_cluster",
+    "trailing_7d_active_users",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
     # Code-changed this round (5): positioned_grams marker-breaker rule
@@ -144,15 +151,13 @@ _PRIORITY = [
     "sliding_1h_15min_rollup",
     "stream_dedup_first_event",
     "token_stats_by_source",
-    # r4-stale cohort (14) — oldest remaining evidence.
+    # r4-stale cohort (12) — oldest remaining evidence.
     "blocklist_scrub_stats",
     "cdc_state_with_tombstones",
     "conversion_funnel_counts",
-    "correlation_stats_lineitem",
     "embedding_int8_quant",
     "fuzzy_name_match_pairs",
     "kmeans_refined_ivf_cells",
-    "linear_trend_by_type",
     "modal_event_type_per_user",
     "multimodal_frame_sample",
     "multimodal_resize_grid",
@@ -245,6 +250,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "out_of_order_stats",
     "heaps_vocab_growth",
     "cusum_drift_by_type",
+    "quality_survivor_per_cluster",
+    "trailing_7d_active_users",
 )
 
 
@@ -255,7 +262,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-10 closing sweeps (246/246 at sf0.01 AND sf0.1,
+# empty: the round-10 closing sweeps (248/248 at sf0.01 AND sf0.1,
 # tools/parity_last.json) ran on the final tree.
 PENDING_SWEEP: frozenset[str] = frozenset()
 

@@ -957,3 +957,22 @@ def test_cusum_windows_partition_by_type(spark, sf_dir):
     assert "hashpartitioning(event_type" in plan
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_survivor_rides_shared_closure(spark, sf_dir):
+    """Survivor selection must reuse the checkpointed closure pipeline:
+    no cartesian, per-component windows partitioned (no global funnel)."""
+    plan = _plan(spark, sf_dir, "quality_survivor_per_cluster")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(component" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_trailing_7d_is_pair_explode_not_window_distinct(spark, sf_dir):
+    """The sliding distinct must be the pair-explode rewrite: a Generate
+    (explode) node over distinct (user, day) pairs — never a windowed
+    distinct or a day-range join."""
+    plan = _plan(spark, sf_dir, "trailing_7d_active_users")
+    assert "Generate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
