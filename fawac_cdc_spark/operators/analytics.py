@@ -892,3 +892,69 @@ def trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("wday").cast("string").alias("day"))
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users_7d"))
     )
+
+
+# --- conversion time-to-convert percentiles (round 10) ----------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, ts, event_type,
+           MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_click_us
+    FROM events
+), conv AS (
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           (epoch_us(ts) - last_click_us) / 1e6 AS latency_s
+    FROM seq
+    WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+       ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_s,
+       ROUND(MAX(latency_s), 6) AS max_s
+FROM conv GROUP BY day
+""",
+    tags=("analytics", "product", "funnel"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert analytics: for every purchase preceded by a click
+    from the same user, the latency back to the MOST RECENT prior click,
+    summarized per purchase day (count, exact p50/p90, max) — the
+    duration half of the funnel whose step counts
+    ``conversion_funnel_counts`` already measures.
+
+    One per-user window in event order carries the last click timestamp
+    forward (a running conditional MAX — constant state, no join and no
+    per-pair interval scan, unlike the attribution joins which enumerate
+    pairs), then one grouped aggregate.  Microsecond integer arithmetic
+    keeps latencies exact; round(6) guards the interpolated quantiles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.withColumn(
+        "last_click_us",
+        F.max(F.when(F.col("event_type") == "click", us)).over(w),
+    )
+    conv = seq.where(
+        (F.col("event_type") == "purchase") & F.col("last_click_us").isNotNull()
+    ).select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        ((us - F.col("last_click_us")) / 1e6).alias("latency_s"),
+    )
+    return conv.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.max("latency_s"), 6).alias("max_s"),
+    )

@@ -252,6 +252,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "cusum_drift_by_type",
     "quality_survivor_per_cluster",
     "trailing_7d_active_users",
+    "funnel_time_to_convert",
 )
 
 
@@ -262,7 +263,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-10 closing sweeps (248/248 at sf0.01 AND sf0.1,
+# empty: the round-10 closing sweeps (249/249 at sf0.01 AND sf0.1,
 # tools/parity_last.json) ran on the final tree.
 PENDING_SWEEP: frozenset[str] = frozenset()
 

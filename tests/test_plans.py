@@ -976,3 +976,13 @@ def test_trailing_7d_is_pair_explode_not_window_distinct(spark, sf_dir):
     assert "Generate" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_time_to_convert_is_one_window_no_pair_join(spark, sf_dir):
+    """The latency carry must be ONE per-user window (running conditional
+    MAX) — never the pair-enumerating interval join of the attribution
+    queries."""
+    plan = _plan(spark, sf_dir, "funnel_time_to_convert")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
