@@ -1694,7 +1694,20 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             x = np.rint(
                 np.stack(pdf["embedding"].to_numpy()) * _PCA_SCALE
             ).astype(np.int64)
-            g = x.T @ x  # d x d int64, exact (see bound above)
+            # Runtime guard for the int64-exactness proof (ADVICE r10):
+            # each Gram entry is a sum of len(x) products bounded by
+            # max|x|^2, so it stays exactly representable iff
+            # len(x) * max|x|^2 < 2^62.  The bound holds for the default
+            # ~10k-row Arrow batches and |x| <= _PCA_SCALE * max|emb|,
+            # but a raised arrow.maxRecordsPerBatch or larger-magnitude
+            # embeddings must fail loudly here, not wrap silently.
+            mx = int(np.abs(x).max(initial=0))
+            if len(x) * mx * mx >= 2**62:
+                raise OverflowError(
+                    "pca gram_partials int64 bound violated: "
+                    f"rows={len(x)} max|x|={mx}"
+                )
+            g = x.T @ x  # d x d int64, exact (guarded above)
             s = x.sum(axis=0)
             yield pd.DataFrame(
                 {

@@ -38,10 +38,12 @@ def tokens_col(col: str = "text") -> F.Column:
 
 
 # ONE definition of the uniq-token-ratio quality score (the signal behind
-# doc_quality_scores' uniq_ratio, adaptive_source_quality_filter's cutoff,
-# quality_quantile_norm's rank input, and nucleus_quality_selection's mass)
-# — a change to the score definition lands everywhere at once
-# (code-review round 10).
+# doc_quality_scores' uniq_ratio, quality_classifier_scores' feature,
+# adaptive_source_quality_filter's cutoff, quality_quantile_norm's rank
+# input, and nucleus_quality_selection's mass) — a change to the score
+# definition lands everywhere at once.  The last inline copies in
+# doc_quality_scores / quality_classifier_scores were folded onto these
+# two symbols in round 11 (ADVICE r10).
 UNIQ_RATIO_SQL = (
     "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)"
     " / len(string_split(text, ' '))"
@@ -82,12 +84,11 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality_scores",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
-       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-           / len(string_split(text, ' ')) AS uniq_ratio,
+       {UNIQ_RATIO_SQL} AS uniq_ratio,
        CAST(len(list_filter(string_split(text, ' '),
                             x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
             AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
@@ -111,7 +112,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ntok.alias("n_tokens"),
         nuniq.alias("n_uniq_tokens"),
-        (nuniq.cast("double") / ntok).alias("uniq_ratio"),
+        uniq_ratio_col().alias("uniq_ratio"),
         (nstop.cast("double") / ntok).alias("stop_ratio"),
         ((F.length("text") - ntok + 1).cast("double") / ntok).alias("avg_token_len"),
     )
@@ -701,8 +702,7 @@ _STOPWORDS_SQL = ",".join(f"'{s}'" for s in _STOPWORDS)
 WITH feat AS (
     SELECT doc_id, source,
            len(string_split(text, ' ')) AS ntok,
-           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS uniq_ratio,
+           {UNIQ_RATIO_SQL} AS uniq_ratio,
            CAST(len(list_filter(string_split(text, ' '),
                                 x -> x IN ({_STOPWORDS_SQL})))
                 AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
@@ -747,7 +747,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens_col()
     ntok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / ntok
+    uniq_ratio = uniq_ratio_col()
     stop_ratio = (
         F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
         / ntok
