@@ -958,3 +958,754 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_s"),
         F.round(F.max("latency_s"), 6).alias("max_s"),
     )
+
+
+# --- round 11: statistics / time-series / product wave -------------------------
+#
+# Twelve classic analytics shapes a 100 TB warehouse serves daily:
+# forensic digit audits (Benford), robust trend fitting (Theil–Sen),
+# market-style OHLC / time-weighted rollups, association rules,
+# autocorrelation, mutual information, tail p-values, weekly churn,
+# Pareto skylines, seasonal-baseline anomalies, and activity streaks.
+# Every one is a pure DataFrame composition (no UDF anywhere); floats
+# follow the repo determinism conventions (operators/helpers.py):
+# DECIMAL-exact money sums, integer-exact inequality tests where a
+# comparison gates a row, round(6) on final float outputs.
+
+BENFORD_DIGITS = list(range(1, 10))
+ACF_MAX_LAG = 6
+TAIL_P = 0.005  # two-sided tail mass flagged by tail_pvalue_anomalies
+SEASONAL_MIN_DAYS = 8  # days of history before a seasonal flag can fire
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=f"""
+WITH d AS (
+    SELECT l_returnflag,
+           CAST(substr(CAST(CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM lineitem
+), c AS (
+    SELECT l_returnflag, digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_total
+    FROM d GROUP BY l_returnflag, digit
+)
+SELECT l_returnflag, digit, n_obs, n_total,
+       ROUND(CAST(n_obs AS DOUBLE) / n_total, 6) AS share,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p,
+       ROUND(CAST(n_obs AS DOUBLE) / n_total - LOG10(1.0 + 1.0 / digit), 6) AS dev
+FROM c
+""",
+    tags=("analytics", "audit", "stats"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of ``l_extendedprice`` per return
+    flag: observed digit share vs the log10(1 + 1/d) expectation — the
+    classic fraud/synthetic-data forensic over any money column.
+
+    The first digit is extracted through INTEGER formatting (decimal
+    floor → bigint → leading char), never through float log10, so the
+    digit assignment is bit-exact on both engines; one group-by plus a
+    per-flag window total finishes.  Scale: map-side-combinable counts
+    on 27 keys — scan-bound at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor(money("l_extendedprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        li.select("l_returnflag", digit.alias("digit"))
+        .groupBy("l_returnflag", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .withColumn(
+            "n_total",
+            F.sum("n_obs").over(Window.partitionBy("l_returnflag")).cast("bigint"),
+        )
+    )
+    share = F.col("n_obs").cast("double") / F.col("n_total")
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.select(
+        "l_returnflag",
+        "digit",
+        "n_obs",
+        "n_total",
+        F.round(share, 6).alias("share"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(share - benford, 6).alias("dev"),
+    )
+
+
+@register(
+    "theil_sen_monthly_trend",
+    oracle="""
+WITH m AS (
+    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+), slopes AS (
+    SELECT (b.rev - a.rev) / (b.midx - a.midx) AS slope
+    FROM m a JOIN m b ON b.midx > a.midx
+), s AS (SELECT ROUND(MEDIAN(slope), 6) AS ts_slope FROM slopes),
+resid AS (
+    SELECT ROUND(MEDIAN(m.rev - s.ts_slope * m.midx), 6) AS ts_intercept, s.ts_slope
+    FROM m, s GROUP BY s.ts_slope
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_months,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_pairs,
+       ts_slope, ts_intercept
+FROM resid
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def theil_sen_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly order revenue: the median of all
+    pairwise month-over-month slopes (breakdown point 29%, immune to the
+    outlier months that wreck least squares), plus the median-residual
+    intercept.
+
+    Scale shape: the O(n²) pair enumeration runs on the MONTHLY
+    aggregate — a few hundred rows regardless of corpus size — so the
+    quadratic stage is bounded and constant while the only data-sized
+    pass is one DECIMAL-exact month rollup.  Slopes are doubles from
+    exact inputs; the median (selection + one midpoint average) and
+    round(6) keep both engines bit-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = m.alias("a"), m.alias("b")
+    slopes = (
+        a.join(b, F.col("b.midx") > F.col("a.midx"))
+        .select(
+            (
+                (F.col("b.rev") - F.col("a.rev"))
+                / (F.col("b.midx") - F.col("a.midx"))
+            ).alias("slope")
+        )
+    )
+    s = slopes.agg(F.round(F.expr("median(slope)"), 6).alias("ts_slope"))
+    resid = (
+        m.crossJoin(F.broadcast(s))
+        .groupBy("ts_slope")
+        .agg(
+            F.round(
+                F.expr("median(rev - ts_slope * midx)"), 6
+            ).alias("ts_intercept")
+        )
+    )
+    n_m = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    n_p = slopes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        n_m.crossJoin(F.broadcast(n_p))
+        .crossJoin(F.broadcast(resid))
+        .select("n_months", "n_pairs", "ts_slope", "ts_intercept")
+    )
+
+
+@register(
+    "ohlc_daily_events",
+    oracle="""
+WITH r AS (
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                              ORDER BY ts, event_id) AS rn_open,
+           ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn_close
+    FROM events
+)
+SELECT event_type, day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+FROM r GROUP BY event_type, day
+""",
+    tags=("analytics", "timeseries"),
+)
+def ohlc_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup: per (event_type, day) the first, highest,
+    lowest, and last event value — the market-data daily bar, with
+    (ts, event_id) breaking intraday ties deterministically.
+
+    Two row_number windows (same partition key, opposite order — one
+    shuffle, AQE-coalesced) pick open/close; high/low are plain min/max.
+    Values pass through untouched (no float arithmetic), so the compare
+    is bit-exact.  Partition key (type, day) is uniform at scale."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w_open = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    w_close = Window.partitionBy("event_type", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "event_type",
+        day.cast("string").alias("day"),
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+    )
+
+
+@register(
+    "twap_daily_value",
+    oracle="""
+WITH seq AS (
+    SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS vq,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+    FROM events
+)
+SELECT event_type, day,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       ROUND(CAST(SUM(vq * dur_us) AS DOUBLE) / SUM(dur_us), 6) AS twap
+FROM seq WHERE dur_us IS NOT NULL
+GROUP BY event_type, day
+""",
+    tags=("analytics", "timeseries"),
+)
+def twap_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day): each reading is
+    weighted by how long it remained current (microseconds until the
+    next same-type event that day) — the TWAP rollup that de-biases
+    burst-heavy feeds where a plain mean over-weights busy minutes.
+
+    Determinism: values are rounded to 6 then lifted to DECIMAL(18,6),
+    durations are integer microseconds, so every product and sum is
+    exact decimal arithmetic; ONE double division at the end, then
+    round(6).  One lead window + one grouped agg, keyed (type, day)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        day.cast("string").alias("day"),
+        F.round("value", 6).cast("decimal(18,6)").alias("vq"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return seq.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dur_us").cast("bigint").alias("total_us"),
+        F.round(
+            F.sum(F.col("vq") * F.col("dur_us")).cast("double") / F.sum("dur_us"), 6
+        ).alias("twap"),
+    )
+
+
+@register(
+    "assoc_rule_event_pairs",
+    oracle="""
+WITH tr AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a,
+           event_type AS b
+    FROM events
+), t AS (SELECT a, b FROM tr WHERE a IS NOT NULL),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+ca  AS (SELECT a, COUNT(*) AS na FROM t GROUP BY a),
+cb  AS (SELECT b, COUNT(*) AS nb FROM t GROUP BY b),
+cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab FROM t GROUP BY a, b)
+SELECT cab.a AS antecedent, cab.b AS consequent, nab AS n_pairs,
+       ROUND(nab / tot.n, 6) AS support,
+       ROUND(CAST(nab AS DOUBLE) / ca.na, 6) AS confidence,
+       ROUND(tot.n * nab / (ca.na * CAST(cb.nb AS DOUBLE)), 6) AS lift
+FROM cab JOIN ca USING (a) JOIN cb USING (b), tot
+""",
+    tags=("analytics", "product", "mining"),
+)
+def assoc_rule_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over consecutive event transitions: for every
+    (antecedent → consequent) event-type pair, support, confidence, and
+    lift — the market-basket trio applied to clickstream order, ranking
+    which step actually PREDICTS the next one (lift > 1) rather than
+    just co-occurring.
+
+    One per-user lag window builds the transition stream; the margins
+    and the pair table are three map-side-combinable counts over ≤
+    |types|² keys, joined broadcast-small.  Counts are exact integers;
+    each ratio is one double division, round(6)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(F.lag("event_type").over(w).alias("a"), F.col("event_type").alias("b"))
+        .where(F.col("a").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    tot = t.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ca = t.groupBy("a").agg(F.count(F.lit(1)).alias("na"))
+    cb = t.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    cab = t.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    return (
+        cab.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("b").alias("consequent"),
+            F.col("nab").alias("n_pairs"),
+            F.round(F.col("nab") / F.col("n"), 6).alias("support"),
+            F.round(F.col("nab").cast("double") / F.col("na"), 6).alias("confidence"),
+            F.round(
+                F.col("n") * F.col("nab") / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "acf_monthly_revenue",
+    oracle=f"""
+WITH m AS (
+    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+), lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+p AS (
+    SELECT lags.lag, a.rev AS x, b.rev AS y
+    FROM m a JOIN lags ON TRUE JOIN m b ON b.midx = a.midx + lags.lag
+)
+SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                    * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6) AS acf
+FROM p GROUP BY lag
+""",
+    tags=("analytics", "timeseries", "stats"),
+)
+def acf_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..{ACF_MAX_LAG} autocorrelation of monthly order revenue —
+    the seasonality fingerprint read before picking a forecasting model
+    (a spike at lag 12 means yearly structure; geometric decay means
+    AR(1)-ish drift).
+
+    Per-lag Pearson correlation of the series against its shift, via the
+    computational formula over the bounded MONTHLY rollup (the only
+    data-sized pass is the DECIMAL-exact month aggregate; the lag join
+    is an equi-join on month index over a few hundred rows).  Revenue
+    doubles are exact decimal casts, so both engines run identical
+    float ops; round(6) seals the quotient.
+
+    Float-sum caveat (same class as zipf_fit_by_source): SUM(x*y) over
+    doubles is accumulation-order-dependent in the last ulps; at the
+    bounded month count both engines agree well inside the round(6)
+    guard."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    a = m.select(F.col("midx").alias("ai"), F.col("rev").alias("x"))
+    b = m.select(F.col("midx").alias("bi"), F.col("rev").alias("y"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bi") == F.col("ai") + F.col("lag"))
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    )
+    return p.groupBy("lag").agg(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+@register(
+    "mutual_info_type_hour",
+    oracle="""
+WITH c AS (
+    SELECT event_type, EXTRACT(HOUR FROM ts) AS hr, CAST(COUNT(*) AS BIGINT) AS nij
+    FROM events GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(nij) AS DOUBLE) AS n FROM c),
+ci AS (SELECT event_type, SUM(nij) AS ni FROM c GROUP BY 1),
+cj AS (SELECT hr, SUM(nij) AS nj FROM c GROUP BY 1),
+terms AS (
+    SELECT (c.nij / tot.n) * LN(tot.n * c.nij / (ci.ni * CAST(cj.nj AS DOUBLE))) AS mi_term
+    FROM c JOIN ci USING (event_type) JOIN cj USING (hr), tot
+),
+hi AS (SELECT SUM(-(ni / tot.n) * LN(ni / tot.n)) AS h FROM ci, tot),
+hj AS (SELECT SUM(-(nj / tot.n) * LN(nj / tot.n)) AS h FROM cj, tot)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_events,
+       ROUND(SUM(mi_term), 6) AS mi_nats,
+       ROUND((SELECT h FROM hi), 6) AS h_type,
+       ROUND((SELECT h FROM hj), 6) AS h_hour,
+       ROUND(SUM(mi_term) / SQRT((SELECT h FROM hi) * (SELECT h FROM hj)), 6) AS nmi
+FROM terms
+""",
+    tags=("analytics", "stats", "information"),
+)
+def mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day (plus both
+    marginal entropies and the normalized MI) — the dependence audit
+    that tells a pipeline whether time-of-day features carry signal
+    about event mix, without assuming linearity the way correlation
+    does.
+
+    The contingency table is ONE map-side-combinable count over ≤
+    |types| × 24 keys; everything downstream is arithmetic on that tiny
+    broadcastable table.  Counts are exact integers; log terms follow
+    the source_kl_drift convention (identical operand order, round(6)
+    only on final sums)."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+        .localCheckpoint(eager=True)
+    )
+    tot = c.agg(F.sum("nij").cast("double").alias("n"))
+    ci = c.groupBy("event_type").agg(F.sum("nij").alias("ni"))
+    cj = c.groupBy("hr").agg(F.sum("nij").alias("nj"))
+    terms = (
+        c.join(F.broadcast(ci), "event_type")
+        .join(F.broadcast(cj), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("nij") / F.col("n"))
+                * F.log(
+                    F.col("n") * F.col("nij") / (F.col("ni") * F.col("nj").cast("double"))
+                )
+            ).alias("mi_term")
+        )
+    )
+    hi = (
+        ci.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("ni") / F.col("n")) * F.log(F.col("ni") / F.col("n"))
+            ).alias("h_type_raw")
+        )
+    )
+    hj = (
+        cj.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("nj") / F.col("n")) * F.log(F.col("nj") / F.col("n"))
+            ).alias("h_hour_raw")
+        )
+    )
+    mi = terms.agg(F.sum("mi_term").alias("mi_raw"))
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(hj))
+        .select(
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round("mi_raw", 6).alias("mi_nats"),
+            F.round("h_type_raw", 6).alias("h_type"),
+            F.round("h_hour_raw", 6).alias("h_hour"),
+            F.round(
+                F.col("mi_raw") / F.sqrt(F.col("h_type_raw") * F.col("h_hour_raw")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+@register(
+    "tail_pvalue_anomalies",
+    oracle=f"""
+WITH r AS (
+    SELECT event_id, event_type, value,
+           PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) AS pr
+    FROM events
+)
+SELECT event_id, event_type, value,
+       ROUND(pr, 6) AS pct_rank,
+       CASE WHEN pr <= {TAIL_P} THEN 'low' ELSE 'high' END AS tail
+FROM r WHERE pr <= {TAIL_P} OR pr >= {1 - TAIL_P}
+""",
+    tags=("analytics", "stats", "anomaly"),
+)
+def tail_pvalue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free anomaly flags: events whose value sits in the
+    extreme {TAIL_P:.1%} empirical tail of their event type (ECDF
+    percent-rank, no normality assumption — the robust cousin of
+    rolling_zscore_anomalies).
+
+    One rank window per type; ties share a rank (both engines use the
+    standard (rank-1)/(n-1) definition), so the cut is deterministic
+    without a tiebreak column.  Scale: the window partitions by type —
+    for a skew-heavy type mix, pre-aggregate to a value histogram or
+    sample; at fixture scale the direct rank is exact and cheap."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    r = e.select(
+        "event_id", "event_type", "value", F.percent_rank().over(w).alias("pr")
+    )
+    return r.where((F.col("pr") <= TAIL_P) | (F.col("pr") >= 1 - TAIL_P)).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("pr", 6).alias("pct_rank"),
+        F.when(F.col("pr") <= TAIL_P, F.lit("low")).otherwise(F.lit("high")).alias(
+            "tail"
+        ),
+    )
+
+
+@register(
+    "churn_retention_weekly",
+    oracle="""
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+), weeks AS (SELECT DISTINCT wk FROM uw),
+j AS (
+    SELECT a.wk, a.user_id,
+           CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS retained
+    FROM uw a LEFT JOIN uw b
+      ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+)
+SELECT CAST(j.wk AS VARCHAR) AS week_start,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(retained) AS BIGINT) AS retained_next,
+       CAST(COUNT(*) - SUM(retained) AS BIGINT) AS churned_next,
+       ROUND(1.0 - CAST(SUM(retained) AS DOUBLE) / COUNT(*), 6) AS churn_rate
+FROM j
+WHERE EXISTS (SELECT 1 FROM weeks n WHERE n.wk = j.wk + INTERVAL 7 DAY)
+GROUP BY j.wk
+""",
+    tags=("analytics", "product", "retention"),
+)
+def churn_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: for each calendar week with a successor in
+    the data, how many active users returned the next week and how many
+    churned — the complement of retention_cohort_matrix's cohort view,
+    cut by calendar week instead of signup cohort.
+
+    Events collapse FIRST to distinct (user, week) pairs, so all joins
+    run on |users| × |weeks| rows, never raw events; the next-week probe
+    is a self equi-join on (user, week+7) and the trailing
+    no-successor week is excluded by a semi-join against the week
+    spine."""
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    weeks = uw.select("wk").distinct()
+    nxt = uw.select("user_id", F.date_sub("wk", 7).alias("wk"), F.lit(1).alias("r"))
+    j = uw.join(nxt, ["user_id", "wk"], "left")
+    has_next = weeks.select(F.date_sub("wk", 7).alias("wk"))
+    return (
+        j.join(has_next, "wk", "left_semi")
+        .groupBy(F.col("wk").cast("string").alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("active_users"),
+            F.sum(F.coalesce(F.col("r"), F.lit(0))).cast("bigint").alias(
+                "retained_next"
+            ),
+            (
+                F.count(F.lit(1)) - F.sum(F.coalesce(F.col("r"), F.lit(0)))
+            ).cast("bigint").alias("churned_next"),
+            F.round(
+                1.0
+                - F.sum(F.coalesce(F.col("r"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@register(
+    "skyline_pareto_customers",
+    oracle="""
+WITH pts AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+), grp AS (
+    SELECT total_spend, MAX(n_orders) AS gmax FROM pts GROUP BY total_spend
+), surv AS (
+    SELECT total_spend, gmax,
+           MAX(gmax) OVER (ORDER BY total_spend DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+    FROM grp
+)
+SELECT p.c_custkey, p.total_spend, p.n_orders
+FROM pts p JOIN surv s
+  ON p.total_spend = s.total_spend AND p.n_orders = s.gmax
+WHERE s.runmax IS NULL OR s.gmax > s.runmax
+""",
+    tags=("analytics", "skyline"),
+)
+def skyline_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of customers on (total spend, order count): the
+    non-dominated set — no other customer is at least as good on both
+    axes and strictly better on one.  The multi-criteria "best
+    customers" cut that no single ranking expresses.
+
+    Scale shape: the naive skyline is an O(n²) dominance anti-join;
+    this is the standard sort-based O(n log n) rewrite — group points
+    by spend (per-group max order count), then one running-max window
+    over spend DESC: a spend-group survives iff its max order count
+    strictly beats every higher-spend group's.  Equal-(spend, count)
+    co-optimal customers are all kept.  All comparisons are on exact
+    DECIMAL-derived values — no float arithmetic gates a row."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(money("o_totalprice")).cast("double").alias("total_spend"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    grp = pts.groupBy("total_spend").agg(F.max("n_orders").alias("gmax"))
+    w = (
+        Window.orderBy(F.col("total_spend").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    surv = (
+        grp.withColumn("runmax", F.max("gmax").over(w))
+        .where(F.col("runmax").isNull() | (F.col("gmax") > F.col("runmax")))
+        .select(F.col("total_spend").alias("s_spend"), F.col("gmax"))
+    )
+    return pts.join(
+        F.broadcast(surv),
+        (F.col("total_spend") == F.col("s_spend"))
+        & (F.col("n_orders") == F.col("gmax")),
+    ).select("c_custkey", "total_spend", "n_orders")
+
+
+@register(
+    "seasonal_hour_anomalies",
+    oracle=f"""
+WITH c AS (
+    SELECT event_type, EXTRACT(HOUR FROM ts) AS hr,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2, 3
+), s AS (
+    SELECT event_type, hr, day, n_events,
+           COUNT(*) OVER (PARTITION BY event_type, hr) AS n_days,
+           SUM(n_events) OVER (PARTITION BY event_type, hr) AS s1,
+           SUM(n_events * n_events) OVER (PARTITION BY event_type, hr) AS s2
+    FROM c
+)
+SELECT event_type, hr, day, n_events,
+       ROUND(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_events,
+       ROUND(SQRT(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                  / (n_days * (n_days - 1))), 6) AS sd_events
+FROM s
+WHERE n_days >= {SEASONAL_MIN_DAYS}
+  AND (n_days * n_events - s1) > 0
+  AND (n_days * n_events - s1) * (n_days * n_events - s1) * (n_days - 1)
+      > 4 * n_days * (n_days * s2 - s1 * s1)
+""",
+    tags=("analytics", "anomaly", "seasonal"),
+)
+def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly flags: (type, hour, day) cells whose
+    event count exceeds that hour-of-day's cross-day mean by more than
+    two sample standard deviations — the hour-profile twin of the
+    trailing rolling_zscore_anomalies, catching "3am spike" shapes a
+    trailing window smears over.
+
+    The >2σ gate is evaluated ENTIRELY in integer arithmetic
+    ((n·x − S)²·(n−1) > 4·n·(n·Q − S²), positive side only), so no
+    float rounding can flip a flag across engines; mean and sd are
+    display columns rounded after the fact.  One grouped count + one
+    window over (type, hour) — 120 partitions, uniform."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.col("ts").cast("date").cast("string").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = Window.partitionBy("event_type", "hr")
+    s = (
+        c.withColumn("n_days", F.count(F.lit(1)).over(w))
+        .withColumn("s1", F.sum("n_events").over(w))
+        .withColumn("s2", F.sum(F.col("n_events") * F.col("n_events")).over(w))
+    )
+    dev = F.col("n_days") * F.col("n_events") - F.col("s1")
+    varnum = F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        s.where(
+            (F.col("n_days") >= SEASONAL_MIN_DAYS)
+            & (dev > 0)
+            & (dev * dev * (F.col("n_days") - 1) > 4 * F.col("n_days") * varnum)
+        )
+        .select(
+            "event_type",
+            "hr",
+            "day",
+            "n_events",
+            F.round(F.col("s1").cast("double") / F.col("n_days"), 6).alias(
+                "mean_events"
+            ),
+            F.round(
+                F.sqrt(
+                    varnum.cast("double")
+                    / (F.col("n_days") * (F.col("n_days") - 1))
+                ),
+                6,
+            ).alias("sd_events"),
+        )
+    )
+
+
+@register(
+    "user_daily_streaks",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), anch AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+               AS anchor
+    FROM ud
+), isl AS (
+    SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS streak_len
+    FROM anch GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       MAX(streak_len) AS longest_streak
+FROM isl GROUP BY user_id
+""",
+    tags=("analytics", "product", "gaps-islands"),
+)
+def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (the gaps-and-islands
+    pattern): longest run of consecutive active days, streak count, and
+    total active days — the engagement metric behind every "N-day
+    streak" product surface.
+
+    Classic island anchor: day minus its per-user row_number is constant
+    exactly within a consecutive run.  Events collapse to distinct
+    (user, day) first, so the window and both aggregates run on at most
+    |users| × |days| rows.  Pure integer/date arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anch = ud.select(
+        "user_id",
+        F.expr("date_sub(day, CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT))").alias("anchor"),
+    )
+    isl = anch.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_len")
+    )
+    return isl.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+    )
