@@ -1538,3 +1538,175 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_agg.join(v_agg, "checkpoint").select(
         "checkpoint", "cum_tokens", "cum_vocab"
     )
+
+
+# --- round 11: corpus concentration / coverage forensics -----------------------
+
+from pyspark.sql import Window  # noqa: E402  (module tail, round-11 wave)
+
+COVERAGE_KS = (10, 100)  # top-k cuts for vocab_coverage_topk
+
+
+@register(
+    "gini_concentration_by_source",
+    oracle="""
+WITH r AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS rnk
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(2.0 * SUM(rnk * n_chars) / (COUNT(*) * CAST(SUM(n_chars) AS DOUBLE))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r GROUP BY source
+""",
+    tags=("text", "llm", "corpus-stats"),
+)
+def gini_concentration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the concentration
+    audit behind shard packing and sampling decisions: a source whose
+    byte mass sits in a few giant documents (high Gini) needs document
+    splitting before fixed-size packing; a near-uniform source doesn't.
+
+    Uses the sorted-rank identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n; the
+    rank-weighted sum is EXACT integer arithmetic (rank × n_chars in
+    bigint) and tie permutations cannot change it (equal x within a tie
+    block contribute x·Σi regardless of order), so both engines agree
+    bit-exactly before the final round(6) division.  One per-source
+    window + one aggregate, partition-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = d.select("source", "n_chars", F.row_number().over(w).alias("rnk"))
+    n = F.count(F.lit(1))
+    return r.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            2.0
+            * F.sum(F.col("rnk") * F.col("n_chars"))
+            / (n * F.sum("n_chars").cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "doclen_log2_histogram",
+    oracle="""
+WITH b AS (
+    SELECT source, length(bin(n_chars)) AS bucket, n_chars FROM documents
+), c AS (
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY source, bucket
+)
+SELECT source, bucket, n_docs, total_chars,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY source), 6) AS share,
+       ROUND(CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bucket)
+                  AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source), 6) AS cum_share
+FROM c
+""",
+    tags=("text", "llm", "corpus-stats"),
+)
+def doclen_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram per source with cumulative
+    share — the size-distribution profile read before choosing sequence
+    length, packing bin size, and maxPartitionBytes for a corpus.
+
+    The log2 bucket is the BIT LENGTH of n_chars (length of the binary
+    string), never float log2, so bucket edges at exact powers of two
+    cannot flip between engines.  One grouped count + two per-source
+    windows over ≤ ~20 buckets."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.length(F.bin("n_chars")).cast("int").alias("bucket"),
+        "n_chars",
+    )
+    c = b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    wsrc = Window.partitionBy("source")
+    wcum = Window.partitionBy("source").orderBy("bucket")
+    return c.select(
+        "source",
+        "bucket",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(wsrc), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sum("n_docs").over(wcum).cast("double") / F.sum("n_docs").over(wsrc), 6
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "vocab_coverage_topk",
+    oracle=f"""
+WITH cnt AS (
+    SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY lang, tok
+), ranked AS (
+    SELECT lang, freq,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS rnk
+    FROM cnt
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(freq) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CASE WHEN rnk <= {COVERAGE_KS[0]} THEN freq ELSE 0 END) AS DOUBLE)
+             / SUM(freq), 6) AS cov_top{COVERAGE_KS[0]},
+       ROUND(CAST(SUM(CASE WHEN rnk <= {COVERAGE_KS[1]} THEN freq ELSE 0 END) AS DOUBLE)
+             / SUM(freq), 6) AS cov_top{COVERAGE_KS[1]}
+FROM ranked GROUP BY lang
+""",
+    tags=("text", "llm", "corpus-stats", "tokenizer"),
+)
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary per language: what
+    fraction of all running tokens the 10 and 100 most frequent types
+    absorb — the concentration companion to zipf_fit_by_source and the
+    first number read when sizing a tokenizer vocabulary or a stopword
+    list.
+
+    One map-side-combinable (lang, token) count, one per-lang rank
+    window (freq desc, token asc tiebreak — fully deterministic), one
+    aggregate with conditional sums.  All counts exact integers; two
+    final divisions rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(tokens_col()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "tok")
+    ranked = cnt.select("lang", "freq", F.row_number().over(w).alias("rnk"))
+    k1, k2 = COVERAGE_KS
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.when(F.col("rnk") <= k1, F.col("freq")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("freq"),
+            6,
+        ).alias(f"cov_top{k1}"),
+        F.round(
+            F.sum(F.when(F.col("rnk") <= k2, F.col("freq")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("freq"),
+            6,
+        ).alias(f"cov_top{k2}"),
+    )

@@ -1509,3 +1509,92 @@ def nucleus_quality_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("total"), 6).alias("total_mass"),
         F.round(F.min("q"), 6).alias("min_kept_score"),
     )
+
+
+# --- round 11: symmetric drift (Jensen–Shannon) ---------------------------------
+
+
+@register(
+    "jsd_source_unigrams",
+    oracle=f"""
+WITH {_DSIR_FEATS_CTE},
+per_src AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS sc FROM feats GROUP BY source, b),
+corpus AS (SELECT b, CAST(SUM(sc) AS BIGINT) AS cc FROM per_src GROUP BY b),
+ctot AS (SELECT CAST(SUM(cc) AS DOUBLE) AS ct FROM corpus),
+stot AS (SELECT source, CAST(SUM(sc) AS DOUBLE) AS st FROM per_src GROUP BY source),
+full_grid AS (
+    SELECT s.source, c.b, c.cc, COALESCE(p.sc, 0) AS sc
+    FROM (SELECT DISTINCT source FROM per_src) s
+    CROSS JOIN corpus c
+    LEFT JOIN per_src p ON p.source = s.source AND p.b = c.b
+),
+terms AS (
+    SELECT g.source,
+           CASE WHEN g.sc > 0 THEN
+               0.5 * (g.sc / stot.st)
+                   * LN((g.sc / stot.st)
+                        / (0.5 * (g.sc / stot.st) + 0.5 * (g.cc / ctot.ct)))
+           ELSE 0.0 END
+         + 0.5 * (g.cc / ctot.ct)
+               * LN((g.cc / ctot.ct)
+                    / (0.5 * (g.sc / stot.st) + 0.5 * (g.cc / ctot.ct))) AS jsd_term
+    FROM full_grid g JOIN stot ON g.source = stot.source, ctot
+)
+SELECT t.source,
+       CAST(stot.st AS BIGINT) AS n_tokens,
+       ROUND(SUM(jsd_term), 6) AS jsd_vs_corpus
+FROM terms t JOIN stot ON t.source = stot.source
+GROUP BY t.source, stot.st
+""",
+    tags=("traindata", "llm", "drift", "monitor"),
+)
+def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's hashed-unigram
+    distribution from the corpus mixture — the SYMMETRIC, bounded
+    ([0, ln 2]) companion to source_kl_drift: comparable across sources
+    of very different size and finite even where a source misses
+    buckets entirely (the mixture is never zero where either side has
+    mass), so no smoothing constant enters the number.
+
+    Scale shape mirrors the KL monitor: ONE pass builds per-(source,
+    bucket) counts; the corpus distribution is a DSIR_BUCKETS-row
+    broadcast; the only non-broadcast stage is the |sources| × 256-row
+    grid (a per-source explode of the corpus buckets — a generator, not
+    a shuffle).  Terms follow the drift-family float convention:
+    exact integer-derived operands, identical operation order on both
+    engines, round(6) only on the final per-source sum."""
+    per_src = (
+        _dsir_feats(spark, sf_dir)
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sc"))
+        .localCheckpoint(eager=True)
+    )
+    corpus = per_src.groupBy("b").agg(F.sum("sc").cast("bigint").alias("cc"))
+    ctot = corpus.agg(F.sum("cc").cast("double").alias("ct"))
+    stot = per_src.groupBy("source").agg(F.sum("sc").cast("double").alias("st"))
+    grid = (
+        per_src.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(corpus))
+        .join(per_src, ["source", "b"], "left")
+        .withColumn("sc", F.coalesce(F.col("sc"), F.lit(0)))
+    )
+    p = F.col("sc") / F.col("st")
+    q = F.col("cc") / F.col("ct")
+    mmix = 0.5 * p + 0.5 * q
+    term = (
+        F.when(F.col("sc") > 0, 0.5 * p * F.log(p / mmix)).otherwise(F.lit(0.0))
+        + 0.5 * q * F.log(q / mmix)
+    )
+    terms = (
+        grid.join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .select("source", "st", term.alias("jsd_term"))
+    )
+    return (
+        terms.groupBy("source", "st")
+        .agg(F.round(F.sum("jsd_term"), 6).alias("jsd_vs_corpus"))
+        .select(
+            "source", F.col("st").cast("long").alias("n_tokens"), "jsd_vs_corpus"
+        )
+    )
