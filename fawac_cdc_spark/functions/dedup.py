@@ -291,7 +291,7 @@ _LSH_CAND_SQL = """cand AS (
 )"""
 
 
-def minhash_signatures_for(d: DataFrame) -> DataFrame:
+def minhash_signatures_for(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-doc MinHash signature with NO shuffle: shingle→hash→affine→min
     runs entirely inside one higher-order array expression per row, so
     signatures are a pure map over any (doc_id, text) frame — batch scan
@@ -299,12 +299,17 @@ def minhash_signatures_for(d: DataFrame) -> DataFrame:
     groupBy(doc_id) plan shuffles every shingle — ~50x the document
     count — for the same result; the oracle keeps that formulation
     because DuckDB lacks mutable lambda state, and the values are
-    identical either way.)"""
+    identical either way.)
+
+    ``carry`` names extra input columns to thread through the map —
+    streaming consumers need this because a stream cannot re-join its
+    own derivation (stream-stream joins are append-only)."""
     base = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
+        d.select("doc_id", *carry, F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
         .select(
             "doc_id",
+            *carry,
             F.expr(
                 f"transform({_SHINGLES_EXPR}, s -> "
                 f"cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
@@ -317,7 +322,7 @@ def minhash_signatures_for(d: DataFrame) -> DataFrame:
         )
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return base.select("doc_id", *cols)
+    return base.select("doc_id", *carry, *cols)
 
 
 def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,10 +345,12 @@ def lsh_candidate_pairs_for(bands: DataFrame) -> DataFrame:
     )
 
 
-def band_table_for(sig: DataFrame) -> DataFrame:
+def band_table_for(sig: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, band, key) LSH band table from an mh0..mh7 signature frame
     — one row per (doc, band), key = the band's concatenated hash pair.
-    Pure map + explode: works on batch and streaming frames alike."""
+    Pure map + explode: works on batch and streaming frames alike.
+    ``carry`` threads extra signature-frame columns through (see
+    :func:`minhash_signatures_for`)."""
     band_structs = []
     for band in range(N_BANDS):
         lo, hi = 2 * band, 2 * band + 1
@@ -351,8 +358,10 @@ def band_table_for(sig: DataFrame) -> DataFrame:
             ":", F.col(f"mh{lo}").cast("string"), F.col(f"mh{hi}").cast("string")
         )
         band_structs.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
-    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    return sig.select(
+        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", *carry, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
 
@@ -2663,3 +2672,157 @@ def quality_survivor_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").alias("survivor_q"),
         )
     )
+
+
+# --- round 11: LSH (bands x rows) parameter frontier ----------------------------
+#
+# lsh_recall_vs_exact grades the engine's DEFAULT banding (4x2) against
+# exact PPJoin ground truth; this is the full frontier that makes the
+# choice defensible: every way to split the SAME 8-hash signature into
+# b bands of r rows, one row per config with recall / precision /
+# candidate volume.  The S-curve theory (collision prob = 1-(1-s^r)^b)
+# says more bands -> higher recall + more noise; the frontier measures
+# where the fixture corpus actually sits on that curve.
+
+LSH_FRONTIER_CONFIGS = [(8, 1), (4, 2), (2, 4), (1, 8)]
+
+
+def _frontier_bands_sql(nbands: int, rows: int) -> str:
+    """DuckDB band-table text over a `sig` CTE for an arbitrary
+    (bands, rows) split of the mh0..mh7 signature — generalizes
+    ``_BANDS_SQL`` (which is the fixed default split)."""
+    selects = []
+    for b in range(nbands):
+        key = " || ':' || ".join(
+            f"CAST(mh{b * rows + j} AS VARCHAR)" for j in range(rows)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    return "\n    UNION ALL\n".join(selects)
+
+
+def frontier_band_table_for(sig: DataFrame, nbands: int, rows: int) -> DataFrame:
+    """(doc_id, band, key) table for an arbitrary (bands, rows) split —
+    generalizes :func:`band_table_for` (the fixed 4x2 default)."""
+    band_structs = []
+    for b in range(nbands):
+        key = F.concat_ws(
+            ":", *[F.col(f"mh{b * rows + j}").cast("string") for j in range(rows)]
+        )
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def _frontier_config_sql(nbands: int, rows: int) -> str:
+    """One frontier row (config + recall/precision vs `exact`) in SQL."""
+    return f"""
+SELECT {nbands} AS bands, {rows} AS rows_per_band,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT DISTINCT a.doc_id, b.doc_id
+              FROM ({_frontier_bands_sql(nbands, rows)}) a
+              JOIN ({_frontier_bands_sql(nbands, rows)}) b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       ) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT doc_a, doc_b FROM exact
+           INTERSECT
+           SELECT DISTINCT a.doc_id, b.doc_id
+           FROM ({_frontier_bands_sql(nbands, rows)}) a
+           JOIN ({_frontier_bands_sql(nbands, rows)}) b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       ) AS n_hit
+"""
+
+
+@register(
+    "lsh_param_frontier",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+sh AS ({_HASHED_SHINGLED_SQL}),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT doc_a, doc_b
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= {PPJOIN_T}
+),
+grid AS (
+{" UNION ALL ".join(_frontier_config_sql(b, r) for b, r in LSH_FRONTIER_CONFIGS)}
+)
+SELECT bands, rows_per_band, n_exact, n_candidates, n_hit,
+       ROUND(CAST(n_hit AS DOUBLE) / GREATEST(n_exact, 1), 6) AS recall,
+       ROUND(CAST(n_hit AS DOUBLE) / GREATEST(n_candidates, 1), 6) AS precision_at_t
+FROM grid
+""",
+    tags=("dedup", "llm", "minhash", "eval"),
+)
+def lsh_param_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH parameter frontier: every (bands × rows) split of the
+    8-hash MinHash signature — (8×1), (4×2), (2×4), (1×8) — graded
+    against the SAME exact Jaccard ≥ 0.5 ground truth
+    (ppjoin_jaccard_pairs), one row per config with candidate volume,
+    recall, and precision.  This is the measurement that turns the
+    banding choice from folklore into an engineering decision: more
+    bands climb the S-curve toward recall 1 while candidate noise
+    grows, and the frontier shows exactly what each step buys on THIS
+    corpus.
+
+    Scale shape: the expensive inputs are computed ONCE and shared —
+    the signature table (pure per-row map) and the exact pair set
+    (prefix-filtered PPJoin) are checkpointed, then each config adds
+    only a band self-join on its own (band, key) space and two key-only
+    count joins.  At 100 TB this harness runs on a hash-sampled slice
+    (the exact side is the bounded cost), exactly like
+    lsh_recall_vs_exact."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_for(d).localCheckpoint(eager=True)
+    exact = (
+        ppjoin_pairs_df(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_exact_df = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    rows_out = []
+    for nb, r in LSH_FRONTIER_CONFIGS:
+        cand = lsh_candidate_pairs_for(frontier_band_table_for(sig, nb, r))
+        hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+        row = (
+            n_exact_df.crossJoin(
+                F.broadcast(
+                    cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+            )
+            .select(
+                F.lit(nb).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_exact",
+                "n_candidates",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double") / F.greatest(F.col("n_exact"), F.lit(1)),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.greatest(F.col("n_candidates"), F.lit(1)),
+                    6,
+                ).alias("precision_at_t"),
+            )
+        )
+        rows_out.append(row)
+    out = rows_out[0]
+    for r_df in rows_out[1:]:
+        out = out.unionAll(r_df)
+    return out

@@ -867,3 +867,73 @@ def span_removal_firstseen_df(
         .distinct()
     )
     return rewrite_excising(t, covered)
+
+
+# --- round 11: quality-aware dedup admission (batch closed form) ---------------
+
+
+def _quality_admissions_oracle() -> str:
+    from ..functions.dedup import _BANDS_SQL, _MINHASH_SIG_SQL
+    from ..functions.text import UNIQ_RATIO_SQL
+
+    return f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+{_BANDS_SQL},
+q AS (SELECT doc_id, ROUND({UNIQ_RATIO_SQL}, 6) AS q FROM documents),
+keyed AS (
+    SELECT b.doc_id, b.band, b.key, q.q,
+           MAX(q.q) OVER (PARTITION BY b.band, b.key ORDER BY b.doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_prev
+    FROM bands b JOIN q USING (doc_id)
+)
+SELECT doc_id,
+       MAX(q) AS q,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COUNT(*) FILTER (WHERE best_prev IS NULL OR q > best_prev) AS BIGINT)
+           AS n_keys_won,
+       BOOL_AND(best_prev IS NULL OR q > best_prev) AS admitted
+FROM keyed GROUP BY doc_id
+"""
+
+
+@register(
+    "quality_dedup_admissions",
+    oracle=_quality_admissions_oracle(),
+    tags=("m6", "streaming-equiv", "dedup", "llm", "minhash", "quality"),
+)
+def quality_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch closed form of the QUALITY-AWARE streaming dedup admission
+    (``streaming/cdc.py::quality_lsh_dedup_stream``): a document wins an
+    LSH band key iff its quality score (shared uniq-token-ratio, rounded
+    6 BEFORE any comparison per the repo convention) strictly beats
+    every smaller-id document previously seen on that key, and is
+    admitted iff it wins ALL of its band keys — the ingest-time
+    counterpart of ``quality_survivor_per_cluster``'s keep-the-best
+    batch rule, upgrading ``lsh_dedup_admissions``'s first-wins
+    convention to best-wins.
+
+    Under id-ordered ingest this per-key prefix-maximum is exactly what
+    the stream's (best_q, best_doc) state converges to (pinned
+    stream==batch in tests/test_streaming.py).  One band table (pure
+    map), one per-(band, key) running-max window — partitions bounded by
+    band-key collision groups, uniform md5-derived keys at scale."""
+    from ..functions.dedup import band_table_for, minhash_signatures_df
+    from ..functions.text import uniq_ratio_col
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", F.round(uniq_ratio_col(), 6).alias("q"))
+    bands = band_table_for(minhash_signatures_df(spark, sf_dir)).join(q, "doc_id")
+    w = (
+        Window.partitionBy("band", "key")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keyed = bands.withColumn("best_prev", F.max("q").over(w))
+    won = F.col("best_prev").isNull() | (F.col("q") > F.col("best_prev"))
+    return keyed.groupBy("doc_id").agg(
+        F.max("q").alias("q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(won.cast("int")).cast("bigint").alias("n_keys_won"),
+        F.bool_and(won).alias("admitted"),
+    )

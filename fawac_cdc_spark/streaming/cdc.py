@@ -1030,6 +1030,96 @@ def lsh_dedup_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- quality-aware near-dedup on ingest (round 11) --------------------------
+
+QUALITY_LSH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("q", T.DoubleType()),
+        T.StructField("key_ok", T.BooleanType()),
+    ]
+)
+QUALITY_LSH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("best_doc", T.LongType()),
+        T.StructField("best_q", T.DoubleType()),
+    ]
+)
+
+
+def quality_lsh_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Quality-aware near-dedup ON INGEST (the VERDICT r10 upgrade of
+    :func:`lsh_dedup_stream`): per LSH band key the state retains the
+    BEST document seen — highest uniq-token-ratio quality score
+    (rounded 6 BEFORE comparison, repo convention), doc_id ascending as
+    tiebreak — so an incoming near-duplicate REPLACES the retained doc
+    when its quality is strictly higher, instead of first/smallest-id
+    winning forever.  A document's key verdict is "became the survivor
+    on this key at arrival"; its admission is the AND over its band
+    keys, exactly the ``batch_equiv.quality_dedup_admissions`` closed
+    form under id-ordered ingest (pinned stream==batch).
+
+    Same ordering contract and state-size story as ``lsh_dedup_stream``:
+    verdicts are never retracted (out-of-order replays converge in
+    state but emit first-arrival verdicts), and state is two scalars
+    per live band key, partitioned by the uniform md5-derived key."""
+    import pandas as pd
+
+    from ..functions.dedup import band_table_for, minhash_signatures_for
+    from ..functions.text import uniq_ratio_col
+
+    # q is computed inline and THREADED through the signature/band maps
+    # (a stream cannot re-join its own derivation in update mode).
+    qdocs = docs.withColumn("q", F.round(uniq_ratio_col(), 6))
+    bands = band_table_for(
+        minhash_signatures_for(qdocs, carry=("q",)), carry=("q",)
+    )
+
+    def admit(key, pdf_iter, state):
+        band, band_key = key
+        best_doc, best_q = (state.get[0], state.get[1]) if state.exists else (
+            None,
+            None,
+        )
+        # Drain all Arrow chunks, then process in doc_id order (same
+        # chunking rationale as lsh_dedup_stream).
+        rows = sorted(
+            ((int(r.doc_id), float(r.q)) for pdf in pdf_iter for r in pdf.itertuples()),
+        )
+        out: list[tuple[int, float, bool]] = []
+        for d, qv in rows:
+            better = (
+                best_doc is None
+                or qv > best_q
+                or (qv == best_q and d < best_doc)
+            )
+            if better:
+                best_doc, best_q = d, qv
+            out.append((d, qv, better))
+        state.update((best_doc, best_q))
+        yield pd.DataFrame(
+            {
+                "doc_id": [d for d, _, _ in out],
+                "band": [band] * len(out),
+                "key": [band_key] * len(out),
+                "q": [qv for _, qv, _ in out],
+                "key_ok": [ok for _, _, ok in out],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        admit,
+        outputStructType=QUALITY_LSH_OUTPUT_SCHEMA,
+        stateStructType=QUALITY_LSH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- semantic dedup on ingest (streaming SemDeDup admission) ---------------
 
 EMB_STREAM_SCHEMA = T.StructType(

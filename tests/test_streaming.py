@@ -1027,6 +1027,62 @@ def test_lsh_dedup_stream_out_of_order_admits_both(spark, tmp_path):
     # documented out-of-order false admit (batch form rejects doc 10)
 
 
+def test_quality_lsh_dedup_stream_matches_batch(spark, sf_dir, doc_chunk_dir):
+    """Quality-aware streaming dedup admission == batch closed form
+    (quality_dedup_admissions): per-doc admission is the AND over the
+    doc's band-key verdicts, and under id-ordered arrival each verdict
+    is final (each (doc, band) emitted exactly once)."""
+    from fawac_cdc_spark.streaming.batch_equiv import quality_dedup_admissions
+
+    docs = cdc.read_document_stream(spark, doc_chunk_dir)
+    emitted = _run_to_memory(
+        spark, cdc.quality_lsh_dedup_stream(docs), "qlsh_admit_out", "update"
+    ).toPandas()
+    assert not emitted.duplicated(["doc_id", "band"]).any()
+    got = emitted.groupby("doc_id")["key_ok"].all()
+    want = {
+        r.doc_id: r.admitted
+        for r in quality_dedup_admissions(spark, sf_dir).collect()
+    }
+    assert dict(got) == want
+
+
+def test_quality_lsh_dedup_stream_replaces_on_higher_quality(spark, tmp_path):
+    """The best-wins upgrade in isolation: a later-arriving near-dup with
+    HIGHER quality (more distinct tokens) takes over the band keys
+    (key_ok=True), while a later near-dup with LOWER quality is
+    rejected — exactly where lsh_dedup_stream's first-wins rule and
+    this operator diverge."""
+    # 10 tokens with 5 distinct -> uniq_ratio 0.5; the higher-quality twin
+    # rewrites ONE repeated token, leaving 9 of 10 shingles shared (the
+    # minhash bands still collide) but lifting uniq_ratio to 0.6.
+    low = "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"
+    high = "alpha beta gamma delta epsilon alpha beta gamma delta zeta"
+    worse = "alpha beta gamma delta epsilon alpha beta gamma delta delta"
+    rows_by_chunk = [
+        [(1, low, "en", "web", len(low))],
+        [(2, high, "en", "web", len(high))],  # higher q, shares bands
+        [(3, worse, "en", "web", len(worse))],  # lower q, shares bands
+    ]
+    feed = _write_chunk_feed(
+        spark, tmp_path, "q_docs", rows_by_chunk, cdc.DOC_STREAM_SCHEMA
+    )
+    emitted = _run_to_memory(
+        spark,
+        cdc.quality_lsh_dedup_stream(cdc.read_document_stream(spark, feed)),
+        "qlsh_replace_out",
+        "update",
+    ).toPandas()
+    per_doc_ok = emitted.groupby("doc_id")["key_ok"].all()
+    shared_bands = set(emitted[emitted.doc_id == 1]["key"]) & set(
+        emitted[emitted.doc_id == 2]["key"]
+    )
+    assert shared_bands, "fixture texts must collide on at least one band"
+    assert per_doc_ok[1]  # first arrival seeds every key
+    assert per_doc_ok[2]  # higher quality REPLACES on every shared key
+    assert not per_doc_ok[3]  # lower quality loses its shared keys
+
+
 @pytest.fixture(scope="module")
 def emb_chunk_dir(spark, sf_dir, tmp_path_factory):
     """Split embeddings into id-ordered parquet chunks — each chunk one
