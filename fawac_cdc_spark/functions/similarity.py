@@ -1671,20 +1671,17 @@ def hard_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PCA_TOP_K = 8
 _PCA_SCALE = 1_000_000
+_PCA_BASIS_SCALE = 1 << 20  # eigenvector quantization for the apply half
 
 
-@register("pca_explained_variance", tags=("similarity", "ml", "rows-only"))
-def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 principal components of the embedding corpus: eigenvalue,
-    explained-variance ratio, and cumulative ratio per component — the
-    dimensionality audit run before choosing PQ/IVF parameters or a
-    projection dim.
-
-    Rows-only by design (eigendecomposition is not ANSI SQL); the VALUE
-    gate is the exact numpy replica in tests/test_properties.py — exact
-    because the distributed Gram is integer arithmetic on quantized
-    inputs, so both sides eigendecompose the bit-identical matrix.
-    """
+def _exact_embedding_moments(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, list[int], list[int]]:
+    """(n, sum-vector, flattened Gram) of the 1e-6-quantized embedding
+    corpus — EXACT integers (int64 per-batch partials, arbitrary-
+    precision accumulation on the driver).  Shared by the PCA train half
+    (pca_explained_variance) and the apply half (pca_projected_coords)
+    so both eigendecompose the bit-identical covariance."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("embedding")
@@ -1729,6 +1726,24 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             s[i] += int(v)
         for i, v in enumerate(r["g"]):
             g[i] += int(v)
+    return n, s, g
+
+
+@register("pca_explained_variance", tags=("similarity", "ml", "rows-only"))
+def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal components of the embedding corpus: eigenvalue,
+    explained-variance ratio, and cumulative ratio per component — the
+    dimensionality audit run before choosing PQ/IVF parameters or a
+    projection dim.
+
+    Rows-only by design (eigendecomposition is not ANSI SQL); the VALUE
+    gate is the exact numpy replica in tests/test_properties.py — exact
+    because the distributed Gram is integer arithmetic on quantized
+    inputs, so both sides eigendecompose the bit-identical matrix.
+    (Gram body shared with the apply half: _exact_embedding_moments.)
+    """
+    d = EMB_DIM
+    n, s, g = _exact_embedding_moments(spark, sf_dir)
     sv = np.array(s, dtype=np.float64)
     gm = np.array(g, dtype=np.float64).reshape(d, d)
     cov = (gm - np.outer(sv, sv) / n) / (n * _PCA_SCALE**2)
@@ -1750,4 +1765,96 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "component int, eigenvalue double, explained_ratio double, cum_ratio double",
+    )
+
+
+def _pca_basis(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, "np.ndarray", "np.ndarray", "np.ndarray"]:
+    """(n, quantized top-k basis [d x k int64], per-component centering
+    offsets [k float64], top-k eigenvalues) learned from the exact
+    moments.  Eigenvector signs are canonicalized (largest-|entry|
+    positive) so the learned basis is unique; the basis quantizes to
+    _PCA_BASIS_SCALE ints so the distributed apply is integer-exact."""
+    n, s, g = _exact_embedding_moments(spark, sf_dir)
+    d = EMB_DIM
+    sv = np.array(s, dtype=np.float64)
+    gm = np.array(g, dtype=np.float64).reshape(d, d)
+    cov = (gm - np.outer(sv, sv) / n) / (n * _PCA_SCALE**2)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:PCA_TOP_K]
+    top_vals = evals[order]
+    basis = evecs[:, order].copy()
+    for k in range(basis.shape[1]):  # canonical sign per component
+        j = int(np.abs(basis[:, k]).argmax())
+        if basis[j, k] < 0:
+            basis[:, k] = -basis[:, k]
+    bq = np.rint(basis * _PCA_BASIS_SCALE).astype(np.int64)  # d x k
+    # centering offset per component: (s . b_k) / n — the exact-int dot
+    # product divided ONCE in float64, identically on engine and replica
+    offs = np.array(
+        [float(sum(int(si) * int(bi) for si, bi in zip(s, bq[:, k]))) / n
+         for k in range(bq.shape[1])],
+        dtype=np.float64,
+    )
+    return n, bq, offs, top_vals
+
+
+@register("pca_projected_coords", tags=("similarity", "ml", "rows-only"))
+def pca_projected_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA APPLY half (VERDICT r10 #5): every embedding projected
+    onto the learned top-{PCA_TOP_K} principal basis — centered
+    coordinate plus the whitened (unit-variance) coordinate per
+    component, the representation the downstream IVF/PQ indexes and
+    semantic-dedup cells actually consume after a dimensionality audit.
+
+    Exactness: the basis learned from the exact integer Gram
+    (_exact_embedding_moments) is sign-canonicalized and QUANTIZED to
+    2^20 ints, so the per-row projection x·B runs in overflow-guarded
+    int64 inside the Arrow batches — order-free, partitioning-free —
+    and every float that follows (one centering subtraction, two
+    divisions, round(6)) is an identical operation sequence on engine
+    and replica.  Rows-only by design (the eigenbasis is not ANSI SQL);
+    the VALUE gate is the exact numpy replica in
+    tests/test_properties.py, same contract as pca_explained_variance.
+
+    100 TB shape: two linear passes — one for the d×d Gram (tiny driver
+    state), one pure map for the projection with the d×k int basis
+    broadcast; no shuffle anywhere."""
+    import pandas as pd
+
+    n, bq, offs, top_vals = _pca_basis(spark, sf_dir)
+    inv_scale = 1.0 / (_PCA_SCALE * float(_PCA_BASIS_SCALE))
+    wdenom = np.sqrt(np.maximum(top_vals, 0.0))
+    k = bq.shape[1]
+    max_b = int(np.abs(bq).max(initial=0))
+
+    def project(batches):
+        for pdf in batches:
+            x = np.rint(
+                np.stack(pdf["embedding"].to_numpy()) * _PCA_SCALE
+            ).astype(np.int64)
+            mx = int(np.abs(x).max(initial=0))
+            # per-entry bound: EMB_DIM products of |x|·|b| must fit int64
+            if EMB_DIM * mx * max_b >= 2**62:
+                raise OverflowError(
+                    f"pca projection int64 bound violated: max|x|={mx}"
+                )
+            y = x @ bq  # rows x k, exact int64 (guarded)
+            coord = (y - offs) * inv_scale  # float64, identical op order
+            with np.errstate(divide="ignore", invalid="ignore"):
+                wht = np.where(wdenom > 0, coord / wdenom, 0.0)
+            vid = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, k),
+                    "component": np.tile(np.arange(1, k + 1), len(vid)),
+                    "coord": np.round(coord, 6).reshape(-1),
+                    "whitened": np.round(wht, 6).reshape(-1),
+                }
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInPandas(
+        project, "vec_id long, component int, coord double, whitened double"
     )

@@ -2162,3 +2162,61 @@ def test_pca_matches_exact_numpy_replica(spark, sf_dir):
         cum += ev
         want.append((k + 1, round(ev, 9), round(ev / total, 6), round(cum / total, 6)))
     assert got == want
+
+
+def test_pca_projection_matches_exact_numpy_replica(spark, sf_dir):
+    """The PCA apply half: the quantized sign-canonicalized basis makes
+    the distributed per-row projection exact int64 arithmetic, so the
+    replica reproduces every (coord, whitened) bit-for-bit; the whitened
+    coordinates additionally carry ~unit variance per component (the
+    variance check VERDICT r10 #5 asks for)."""
+    import numpy as np
+
+    from fawac_cdc_spark.functions.similarity import (
+        _PCA_BASIS_SCALE,
+        _PCA_SCALE,
+        PCA_TOP_K,
+    )
+
+    got = {
+        (r["vec_id"], r["component"]): (r["coord"], r["whitened"])
+        for r in _SPECS["pca_projected_coords"].fn(spark, sf_dir).collect()
+    }
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.rint(np.stack(emb["embedding"].to_numpy()) * _PCA_SCALE).astype(object)
+    n = len(x)
+    g = (x.T @ x).astype(np.float64)
+    s = x.sum(axis=0)
+    sv = s.astype(np.float64)
+    cov = (g - np.outer(sv, sv) / n) / (n * _PCA_SCALE**2)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_TOP_K]
+    basis = evecs[:, order].copy()
+    for k in range(basis.shape[1]):
+        j = int(np.abs(basis[:, k]).argmax())
+        if basis[j, k] < 0:
+            basis[:, k] = -basis[:, k]
+    bq = np.rint(basis * _PCA_BASIS_SCALE).astype(np.int64)
+    offs = np.array(
+        [float(sum(int(si) * int(bi) for si, bi in zip(s, bq[:, k])))
+         / n for k in range(bq.shape[1])],
+        dtype=np.float64,
+    )
+    y = (x.astype(np.int64) @ bq).astype(np.float64)
+    coord = (y - offs) * (1.0 / (_PCA_SCALE * float(_PCA_BASIS_SCALE)))
+    wdenom = np.sqrt(np.maximum(evals[order], 0.0))
+    wht = np.where(wdenom > 0, coord / wdenom, 0.0)
+    want = {}
+    for i, vid in enumerate(emb["vec_id"].to_numpy()):
+        for k in range(PCA_TOP_K):
+            want[(int(vid), k + 1)] = (
+                round(float(coord[i, k]), 6),
+                round(float(wht[i, k]), 6),
+            )
+    assert got == want
+    # variance check: whitened coords have ~unit variance per component
+    # (quantization + round(6) keep it within a few 1e-3 of 1.0)
+    for k in range(PCA_TOP_K):
+        var_k = float(np.var(wht[:, k]))
+        assert abs(var_k - 1.0) < 5e-3, f"component {k + 1}: var {var_k}"
