@@ -1325,22 +1325,14 @@ def _merge_pair_expr(col: str, a: str, b: str) -> str:
     )
 
 
-@register("bpe_learned_merges", tags=("text", "llm", "tokenizer", "rows-only"))
-def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The first {BPE_N_MERGES} learned BPE merges over the corpus:
-    (merge_rank, pair, cnt) — each row the argmax of the pair-count
-    table AFTER applying all previous merges, ties broken (cnt desc,
-    pair asc) so the learned tokenizer is deterministic.
-
-    Scale shape: the corpus collapses ONCE to the distinct-word
-    frequency table (the standard BPE-training trick); each iteration is
-    one map-side-combinable pair-count aggregate, a top-1
-    TakeOrderedAndProject, and a pure-map re-segmentation fold.  The
-    only driver traffic is ONE (pair, count) row per iteration — the
-    same bounded-loop shape as the Lloyd iterations in
-    kmeans_refined_ivf_cells.  The vocab table persists across
-    iterations (loop-invariant checkpoint discipline).
-    """
+def _learn_bpe(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """The BPE training loop shared by the train half
+    (``bpe_learned_merges``) and the apply half (``bpe_encode_stats``):
+    returns the ranked merge list AND the final re-segmented vocabulary
+    (word, freq, syms) with all merges applied.  See
+    ``bpe_learned_merges`` for the scale shape."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tokens_col()).alias("word"))
@@ -1378,7 +1370,27 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = vocab.withColumn(
             "syms", F.expr(_merge_pair_expr("syms", a, b))
         ).localCheckpoint(eager=True)
+    return merges, vocab
 
+
+@register("bpe_learned_merges", tags=("text", "llm", "tokenizer", "rows-only"))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_N_MERGES} learned BPE merges over the corpus:
+    (merge_rank, pair, cnt) — each row the argmax of the pair-count
+    table AFTER applying all previous merges, ties broken (cnt desc,
+    pair asc) so the learned tokenizer is deterministic.
+
+    Scale shape: the corpus collapses ONCE to the distinct-word
+    frequency table (the standard BPE-training trick); each iteration is
+    one map-side-combinable pair-count aggregate, a top-1
+    TakeOrderedAndProject, and a pure-map re-segmentation fold.  The
+    only driver traffic is ONE (pair, count) row per iteration — the
+    same bounded-loop shape as the Lloyd iterations in
+    kmeans_refined_ivf_cells.  The vocab table persists across
+    iterations (loop-invariant checkpoint discipline).  (Loop body
+    shared with the apply half: ``_learn_bpe``.)
+    """
+    merges, _ = _learn_bpe(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, cnt bigint"
     )
@@ -1709,4 +1721,140 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("freq"),
             6,
         ).alias(f"cov_top{k2}"),
+    )
+
+
+# --- round 11: BPE apply half ----------------------------------------------------
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB oracle for ``bpe_encode_stats``: replays the ENTIRE
+    training loop as {BPE_N_MERGES} unrolled stages, then encodes.
+
+    The merge application uses the space-delimited string trick: the
+    symbol sequence is rendered as '  s1  s2  ...  ' (every symbol
+    wrapped in double spaces) and each learned merge is ONE
+    ``replace(s, ' a  b ', ' ab ')`` — SQL replace is greedy
+    left-to-right non-overlapping, exactly the BPE fold's semantics
+    (each match consumes one boundary space from the double delimiter,
+    which the replacement restores, so the invariant survives runs like
+    'a a a' -> '(aa) a').  The per-stage argmax replays Spark's exact
+    tie-break (cnt DESC, a, b — binary collation on both engines)."""
+    stages = []
+    for i in range(1, BPE_N_MERGES + 1):
+        prev = f"v{i - 1}"
+        stages.append(f"""
+p{i} AS (
+    SELECT z[1] AS a, z[2] AS b, SUM(freq) AS cnt FROM (
+        SELECT freq, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+        FROM (SELECT freq, list_filter(string_split(s, ' '), x -> x <> '') AS l
+              FROM {prev})
+    ) GROUP BY 1, 2
+),
+t{i} AS (SELECT a, b FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+v{i} AS (
+    SELECT word, freq,
+           CASE WHEN t{i}.a IS NULL THEN s
+                ELSE replace(s, ' ' || t{i}.a || '  ' || t{i}.b || ' ',
+                             ' ' || t{i}.a || t{i}.b || ' ')
+           END AS s
+    FROM {prev} LEFT JOIN t{i} ON TRUE
+)""")
+    return f"""
+WITH w AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+),
+v0 AS (
+    SELECT word, freq,
+           '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS s
+    FROM w
+),{",".join(stages)},
+enc AS (
+    SELECT word,
+           CAST(len(list_filter(string_split(s, ' '), x -> x <> '')) AS BIGINT)
+               AS n_syms
+    FROM v{BPE_N_MERGES}
+),
+soc AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS occ
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY source, word
+),
+docs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+SELECT soc.source, docs.n_docs,
+       CAST(SUM(occ) AS BIGINT) AS ws_tokens,
+       CAST(SUM(occ * length(soc.word)) AS BIGINT) AS char_tokens,
+       CAST(SUM(occ * n_syms) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(occ * length(soc.word)) AS DOUBLE)
+             / SUM(occ * n_syms), 6) AS compression,
+       ROUND(CAST(SUM(occ * n_syms) AS DOUBLE) / SUM(occ), 6) AS fertility
+FROM soc JOIN enc ON soc.word = enc.word JOIN docs ON docs.source = soc.source
+GROUP BY soc.source, docs.n_docs
+"""
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_bpe_oracle_sql(),
+    tags=("text", "llm", "tokenizer"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE APPLY half (VERDICT r10 #2): encode the corpus with the
+    learned merge table and report per-source whitespace / char-level /
+    BPE token counts, the compression ratio vs the char baseline, and
+    tokenizer fertility (BPE tokens per whitespace word) — the numbers a
+    tokenizer change is judged by before a retrain.
+
+    Encoding rides the SAME re-segmented vocabulary the training loop
+    already produced (``_learn_bpe`` — train/apply symmetry, no second
+    fold), so the corpus-sized work is one (source, word) occurrence
+    count joined to the vocab's final symbol counts on the word key.
+    ORACLE-EXACT despite the data-dependent model: the oracle replays
+    the whole training loop as {BPE_N_MERGES} unrolled SQL stages (see
+    ``_bpe_oracle_sql`` — greedy-replace merge application, identical
+    argmax tie-break), closing the gap bpe_learned_merges had to leave
+    rows-only (the k-argmax LOOP is not one SQL query, but its UNROLLED
+    form is).  All counts integer-exact; two final rounded divisions.
+
+    The k≫5 regime: each unrolled stage re-reads the full vocab CTE, so
+    the oracle grows linearly in k — fine at k=5, the wrong tool at
+    k=50k (production replays the merge table, not the training loop).
+    """
+    _, vocab = _learn_bpe(spark, sf_dir)
+    enc = vocab.select("word", F.size("syms").cast("bigint").alias("n_syms"))
+    d = load_table(spark, sf_dir, "documents")
+    soc = (
+        d.select("source", F.explode(tokens_col()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+    docs = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        soc.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").cast("bigint").alias("ws_tokens"),
+            F.sum(F.col("occ") * F.length("word")).cast("bigint").alias("char_tokens"),
+            F.sum(F.col("occ") * F.col("n_syms")).cast("bigint").alias("bpe_tokens"),
+            F.round(
+                F.sum(F.col("occ") * F.length("word")).cast("double")
+                / F.sum(F.col("occ") * F.col("n_syms")),
+                6,
+            ).alias("compression"),
+            F.round(
+                F.sum(F.col("occ") * F.col("n_syms")).cast("double") / F.sum("occ"), 6
+            ).alias("fertility"),
+        )
+        .join(F.broadcast(docs), "source")
+        .select(
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "char_tokens",
+            "bpe_tokens",
+            "compression",
+            "fertility",
+        )
     )
