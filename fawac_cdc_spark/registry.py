@@ -59,111 +59,110 @@ _QUERY_MODULES = [
 # sweeps (sf0.01 + sf0.1, recorded in tools/parity_last.json and gated by
 # tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
-# Round-10 rotation. Composition, in order:
-#   20 new this round        (ppjoin_jaccard_pairs — EXACT prefix-filtered
-#                            set-similarity join; lsh_recall_vs_exact —
-#                            the approximate path graded against it;
-#                            holt_smoothed_values — level+trend recurrence
-#                            with a streaming twin; neyman_stratified_
-#                            allocation; mad_robust_outliers;
-#                            erasure_cascade_audit; quality_quantile_norm;
-#                            token_entropy_quality; bpe_learned_merges —
-#                            rows-only by design, replica value gate;
-#                            winsorized_stats_by_type;
-#                            rolling_median_per_user;
-#                            nucleus_quality_selection;
-#                            zipf_fit_by_source — rank-frequency corpus
-#                            forensics; pca_explained_variance —
-#                            distributed exact-Gram PCA, rows-only with
-#                            an exact numpy replica gate;
-#                            data_quality_expectations — the
-#                            constraint-audit surface;
-#                            out_of_order_stats — feed-lateness
-#                            accounting behind every watermark delay;
-#                            heaps_vocab_growth — vocabulary-growth
-#                            checkpoints, Zipf's companion;
-#                            cusum_drift_by_type — Page-1954 change-point
-#                            monitor over daily means;
-#                            quality_survivor_per_cluster — keep the BEST
-#                            member of each near-dup component;
-#                            trailing_7d_active_users — the
-#                            sliding-DISTINCT rewrite)
+# Round-10 rotation kept for history in git; round-11 below.
+#
+# Round-11 rotation. Composition, in order:
+#   20 new this round        (benford_first_digit_audit,
+#                            theil_sen_monthly_trend, ohlc_daily_events,
+#                            twap_daily_value, assoc_rule_event_pairs,
+#                            acf_monthly_revenue, mutual_info_type_hour,
+#                            tail_pvalue_anomalies, churn_retention_weekly,
+#                            skyline_pareto_customers,
+#                            seasonal_hour_anomalies, user_daily_streaks,
+#                            gini_concentration_by_source,
+#                            doclen_log2_histogram, vocab_coverage_topk,
+#                            jsd_source_unigrams, lsh_param_frontier —
+#                            the (bands x rows) grid VERDICT r10 #3 asked
+#                            for; quality_dedup_admissions — batch form
+#                            of the quality-aware ingest dedup, VERDICT
+#                            r10 #4; pca_projected_coords — the PCA
+#                            apply half, rows-only with an exact numpy
+#                            replica gate, VERDICT r10 #5;
+#                            bpe_encode_stats — the BPE apply half with
+#                            the training-replay unrolled oracle,
+#                            VERDICT r10 #2)
+# + 1 never-driver-verified  (funnel_time_to_convert — landed after the
+#                            r10 window froze; deferred per ADVICE r10,
+#                            leads this window)
 # + 1 flagship               (same query as entry()'s smoke check)
-# + 5 code-changed round 10  (the span-removal family — positioned_grams
-#                            gained the marker-breaker rule (ADVICE r9),
-#                            values unchanged on fixtures but the code
-#                            path is new: substring_span_removal,
-#                            span_removal_firstseen, decontam_span_removal,
-#                            span_clean_corpus_stats — and
-#                            bigram_perplexity_by_source, whose broadcast
-#                            hints were dropped)
-# + 12 r3-stale              (the entire remaining r3 cohort — last driver
-#                            row three windows ago, none touched since)
-# + 12 r4-stale              (oldest remaining evidence; the q13-q22
-#                            TPC-H entries plus correlation_stats /
-#                            linear_trend (multiply-covered stats
-#                            family) ceded to the round-10 waves, all
-#                            dual-scale-sweep covered)
-# = 50.  The r9-new cohort (all driver-greened last round) and the r5/r6
-# remainder cede their slots; all stay covered by the dual-scale sweeps.
+# + 4 code-changed round 11  (doc_quality_scores / quality_classifier_
+#                            scores — inline uniq-ratio copies folded
+#                            onto UNIQ_RATIO_SQL/uniq_ratio_col (ADVICE
+#                            r10); minhash_signatures / minhash_lsh_
+#                            candidates — the signature/band helpers
+#                            gained the carry= passthrough.  Values
+#                            fixture-identical, code paths new, so the
+#                            driver hash re-pins them.  The rows-only
+#                            bpe_learned_merges / pca_explained_variance
+#                            also changed (shared-loop refactors) but a
+#                            driver row adds nothing beyond their replica
+#                            gates — sweep-covered.)
+# + 23 r4-stale              (the ENTIRE remaining r4 cohort — oldest
+#                            driver evidence in the registry, VERDICT
+#                            r10 #1)
+# + 1 oldest r5              (approx_topk_event_types)
+# = 50.  The r10-new cohort (all driver-greened last round) and the
+# r5/r6/r8 remainder cede their slots; all stay covered by the
+# dual-scale sweeps.  (Bookkeeping note, ADVICE r10: round 10 registered
+# 21 new operators; its window carried 20 of them, deferring
+# funnel_time_to_convert to this one.)
 _PRIORITY = [
-    # New round-10 operators (20) — never driver-verified.
-    "ppjoin_jaccard_pairs",
-    "lsh_recall_vs_exact",
-    "holt_smoothed_values",
-    "neyman_stratified_allocation",
-    "mad_robust_outliers",
-    "erasure_cascade_audit",
-    "quality_quantile_norm",
-    "token_entropy_quality",
-    "bpe_learned_merges",
-    "winsorized_stats_by_type",
-    "rolling_median_per_user",
-    "nucleus_quality_selection",
-    "zipf_fit_by_source",
-    "pca_explained_variance",
-    "data_quality_expectations",
-    "out_of_order_stats",
-    "heaps_vocab_growth",
-    "cusum_drift_by_type",
-    "quality_survivor_per_cluster",
-    "trailing_7d_active_users",
+    # New round-11 operators (20) — never driver-verified.
+    "benford_first_digit_audit",
+    "theil_sen_monthly_trend",
+    "ohlc_daily_events",
+    "twap_daily_value",
+    "assoc_rule_event_pairs",
+    "acf_monthly_revenue",
+    "mutual_info_type_hour",
+    "tail_pvalue_anomalies",
+    "churn_retention_weekly",
+    "skyline_pareto_customers",
+    "seasonal_hour_anomalies",
+    "user_daily_streaks",
+    "gini_concentration_by_source",
+    "doclen_log2_histogram",
+    "vocab_coverage_topk",
+    "jsd_source_unigrams",
+    "lsh_param_frontier",
+    "quality_dedup_admissions",
+    "pca_projected_coords",
+    "bpe_encode_stats",
+    # Deferred from round 10 (1) — zero driver evidence (ADVICE r10).
+    "funnel_time_to_convert",
     # Flagship (1).
     "flagship_revenue_by_nation_month",
-    # Code-changed this round (5): positioned_grams marker-breaker rule
-    # and the dropped bigram broadcast hints — values fixture-identical,
-    # code paths new, so the driver hash re-pins them.
-    "substring_span_removal",
-    "span_removal_firstseen",
-    "decontam_span_removal",
-    "span_clean_corpus_stats",
-    "bigram_perplexity_by_source",
-    # r3-stale cohort (12) — last driver row in CORRECTNESS_r03.
-    "bpe_token_stats",
-    "capped_user_totals",
-    "inpaint_range_filter",
-    "lang_corpus_stats",
-    "noise_injected_values",
-    "outlier_filtered_totals",
-    "partitioned_sink_pruned_scan",
-    "pivot_event_type_counts",
-    "regexp_extract_source_num",
-    "sliding_1h_15min_rollup",
-    "stream_dedup_first_event",
-    "token_stats_by_source",
-    # r4-stale cohort (12) — oldest remaining evidence.
-    "blocklist_scrub_stats",
-    "cdc_state_with_tombstones",
-    "conversion_funnel_counts",
-    "embedding_int8_quant",
-    "fuzzy_name_match_pairs",
-    "kmeans_refined_ivf_cells",
-    "modal_event_type_per_user",
-    "multimodal_frame_sample",
-    "multimodal_resize_grid",
-    "oov_rate_by_source",
-    "orc_roundtrip_agg",
-    "q4_priority_exists",
+    # Code-changed this round (4) — values fixture-identical, paths new.
+    "doc_quality_scores",
+    "quality_classifier_scores",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    # r4-stale cohort (23) — oldest remaining driver evidence.
+    "correlation_stats_lineitem",
+    "linear_trend_by_type",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_inactive_customers",
+    "q2_min_acctbal_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "repetition_quality_scores",
+    "schema_evolution_scan",
+    "source_mixture_sample",
+    "sql_udf_revenue_by_flag",
+    "stream_static_enrich",
+    "udtf_doc_ngram_spans",
+    "unpivot_pricing_metrics",
+    "value_percentiles_by_type",
+    "variant_props_stats",
+    "vocab_top_terms",
+    # Oldest r5 evidence (1).
+    "approx_topk_event_types",
 ]
 
 
@@ -253,6 +252,27 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "quality_survivor_per_cluster",
     "trailing_7d_active_users",
     "funnel_time_to_convert",
+    # round 11
+    "benford_first_digit_audit",
+    "theil_sen_monthly_trend",
+    "ohlc_daily_events",
+    "twap_daily_value",
+    "assoc_rule_event_pairs",
+    "acf_monthly_revenue",
+    "mutual_info_type_hour",
+    "tail_pvalue_anomalies",
+    "churn_retention_weekly",
+    "skyline_pareto_customers",
+    "seasonal_hour_anomalies",
+    "user_daily_streaks",
+    "gini_concentration_by_source",
+    "doclen_log2_histogram",
+    "vocab_coverage_topk",
+    "jsd_source_unigrams",
+    "lsh_param_frontier",
+    "quality_dedup_admissions",
+    "pca_projected_coords",
+    "bpe_encode_stats",
 )
 
 
@@ -263,9 +283,32 @@ BENCH_EXTRAS: tuple[str, ...] = (
 # final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
 # lines with no red signal; this makes that class of gap impossible).
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-10 closing sweeps (249/249 at sf0.01 AND sf0.1,
-# tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset()
+# the 20 round-11 operators; emptied when the round-11 closing dual-scale
+# sweeps run on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "benford_first_digit_audit",
+        "theil_sen_monthly_trend",
+        "ohlc_daily_events",
+        "twap_daily_value",
+        "assoc_rule_event_pairs",
+        "acf_monthly_revenue",
+        "mutual_info_type_hour",
+        "tail_pvalue_anomalies",
+        "churn_retention_weekly",
+        "skyline_pareto_customers",
+        "seasonal_hour_anomalies",
+        "user_daily_streaks",
+        "gini_concentration_by_source",
+        "doclen_log2_histogram",
+        "vocab_coverage_topk",
+        "jsd_source_unigrams",
+        "lsh_param_frontier",
+        "quality_dedup_admissions",
+        "pca_projected_coords",
+        "bpe_encode_stats",
+    }
+)
 
 
 @dataclass(frozen=True)
