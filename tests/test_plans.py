@@ -986,3 +986,104 @@ def test_time_to_convert_is_one_window_no_pair_join(spark, sf_dir):
     assert "Window" in plan
     assert "Join" not in plan
     assert "rangepartitioning" not in plan
+
+
+# --- round 11 plan pins -----------------------------------------------------
+
+
+def test_skyline_is_sort_based_not_dominance_join(spark, sf_dir):
+    """The Pareto skyline must be the O(n log n) sort-based rewrite: one
+    running-max window over spend groups and one broadcast join back —
+    never the O(n²) dominance anti-join (no cartesian / nested-loop
+    node anywhere)."""
+    plan = _plan(spark, sf_dir, "skyline_pareto_customers")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theil_sen_pairs_only_on_monthly_aggregate(spark, sf_dir):
+    """The O(n²) slope enumeration must run on the MONTHLY aggregate —
+    the inequality join's inputs are aggregates of a bounded month
+    count, so the quadratic stage is constant-size at any corpus
+    scale (the raw orders scan feeds exactly one aggregate)."""
+    plan = _plan(spark, sf_dir, "theil_sen_monthly_trend")
+    join_part = plan.split("BroadcastNestedLoopJoin", 1)
+    assert len(join_part) == 2, "expected the bounded inequality pair join"
+    # the pair join consumes the checkpointed month rollup, not a scan
+    assert "orders.parquet" not in join_part[1].split("== Initial Plan ==")[0][:2000]
+
+
+def test_churn_collapses_to_user_week_pairs_first(spark, sf_dir):
+    """Week-over-week churn must aggregate events to distinct
+    (user, week) BEFORE any join — the joins run on pair tables, never
+    on the raw event stream."""
+    plan = _plan(spark, sf_dir, "churn_retention_weekly")
+    scan_first = plan.index("events.parquet")
+    agg_first = plan.index("HashAggregate")
+    join_first = plan.index("Join")
+    assert agg_first < join_first or scan_first > join_first
+    assert "CartesianProduct" not in plan
+
+
+def test_streaks_window_runs_on_distinct_pairs(spark, sf_dir):
+    """Gaps-and-islands must window over distinct (user, day) pairs —
+    an aggregate sits below the row_number window."""
+    plan = _plan(spark, sf_dir, "user_daily_streaks")
+    assert "Window" in plan
+    assert plan.index("HashAggregate") < plan.index("Window") or "Aggregate" in plan.split("Window")[0]
+
+
+def test_twap_is_one_window_one_agg(spark, sf_dir):
+    """TWAP must be one lead window + one grouped aggregate — no join,
+    no second shuffle family."""
+    plan = _plan(spark, sf_dir, "twap_daily_value")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_benford_is_scan_plus_tiny_groupby(spark, sf_dir):
+    """The digit audit is a pure map over the lineitem scan plus counts
+    on 27 keys — no join and no window wider than the flag partition."""
+    plan = _plan(spark, sf_dir, "benford_first_digit_audit")
+    assert "Join" not in plan
+    assert "lineitem" in plan
+
+
+def test_quality_admissions_is_window_not_self_join(spark, sf_dir):
+    """The best-so-far verdict must be the per-(band, key) running-max
+    window — never the earlier-docs self-join (which enumerates
+    collision pairs)."""
+    plan = _plan(spark, sf_dir, "quality_dedup_admissions")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_frontier_shares_signature_and_exact_inputs(spark, sf_dir):
+    """The frontier's four configs must reuse the checkpointed signature
+    and exact-pair tables: the plan contains NO documents scan (all
+    corpus-sized work happened before the checkpoints) and one band
+    self-join per config."""
+    plan = _plan(spark, sf_dir, "lsh_param_frontier")
+    assert "documents.parquet" not in plan
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_jsd_grid_is_generator_not_shuffle_join(spark, sf_dir):
+    """The |sources| x 256 JSD grid joins a broadcast corpus-bucket table
+    — the only exchanges key on (source, b)-grain aggregates, and the
+    grid join itself is broadcast."""
+    plan = _plan(spark, sf_dir, "jsd_source_unigrams")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_anomalies_sigma_gate_has_no_float_udf(spark, sf_dir):
+    """The 2-sigma gate is integer window arithmetic: no Python UDF node
+    (BatchEvalPython / ArrowEvalPython) anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "seasonal_hour_anomalies")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Window" in plan
