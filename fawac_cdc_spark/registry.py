@@ -103,7 +103,15 @@ _QUERY_MODULES = [
 # + 1 oldest r5              (approx_topk_event_types)
 # = 50.  The r10-new cohort (all driver-greened last round) and the
 # r5/r6/r8 remainder cede their slots; all stay covered by the
-# dual-scale sweeps.  (Bookkeeping note, ADVICE r10: round 10 registered
+# dual-scale sweeps.
+#
+# DEFERRED to the round-12 window (stated explicitly per ADVICE r10):
+# the round-11 SECOND wave landed after this window was composed and
+# pre-flighted — quantile_loss_by_flag, chi_square_type_hour,
+# item_cooccurrence_similarity, session_path_topk,
+# score_calibration_bins, holt_winters_hourly (rows-only + replica).
+# All six are sf0.001+sf0.01+sf0.1 parity-verified and ride the
+# closing dual-scale sweeps; they lead the round-12 rotation.  (Bookkeeping note, ADVICE r10: round 10 registered
 # 21 new operators; its window carried 20 of them, deferring
 # funnel_time_to_convert to this one.)
 _PRIORITY = [
@@ -273,6 +281,12 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "quality_dedup_admissions",
     "pca_projected_coords",
     "bpe_encode_stats",
+    "quantile_loss_by_flag",
+    "chi_square_type_hour",
+    "item_cooccurrence_similarity",
+    "session_path_topk",
+    "score_calibration_bins",
+    "holt_winters_hourly",
 )
 
 
@@ -307,6 +321,12 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "quality_dedup_admissions",
         "pca_projected_coords",
         "bpe_encode_stats",
+        "quantile_loss_by_flag",
+        "chi_square_type_hour",
+        "item_cooccurrence_similarity",
+        "session_path_topk",
+        "score_calibration_bins",
+        "holt_winters_hourly",
     }
 )
 

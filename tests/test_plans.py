@@ -97,6 +97,16 @@ _SCALAR_BROADCAST_OK = {
     "lsh_recall_vs_exact",  # three 1-row count frames folded to one row
     "data_quality_expectations",  # seven 1-row (violations, checked) frames
     "heaps_vocab_growth",  # 10-row cutoff frame attached by cross join
+    # round 11
+    "theil_sen_monthly_trend",  # bounded month-pair inequality join +
+    #                             1-row slope/count frames (plan-pinned
+    #                             that the NLJ never touches a scan)
+    "acf_monthly_revenue",  # 6-row lag frame against the month rollup
+    "assoc_rule_event_pairs",  # 1-row transition-total scalar
+    "mutual_info_type_hour",  # 1-row total + entropy frames
+    "chi_square_type_hour",  # 1-row total + dof frames
+    "jsd_source_unigrams",  # 1-row corpus-total scalar
+    "lsh_param_frontier",  # 1-row count frames per config, folded
 }
 
 
@@ -1087,3 +1097,41 @@ def test_seasonal_anomalies_sigma_gate_has_no_float_udf(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_cooccurrence_joins_on_order_container(spark, sf_dir):
+    """Co-purchase pair generation must self-join on l_orderkey (≤7
+    parts per order bounds the fanout) — never a parts-side cross."""
+    plan = _plan(spark, sf_dir, "item_cooccurrence_similarity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "l_orderkey" in plan
+
+
+def test_session_path_agg_is_order_pinned(spark, sf_dir):
+    """The path string must come from a sorted-struct aggregate (one
+    ObjectHashAggregate family pass) — no second windowed pass over the
+    collected arrays."""
+    plan = _plan(spark, sf_dir, "session_path_topk")
+    assert "array_sort" in plan or "sort_array" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_holt_winters_is_one_shuffle_arrow_scan(spark, sf_dir):
+    """The HW recurrence must be the secondary-sort mapInPandas shape:
+    exactly one exchange on event_type feeding the Arrow scan."""
+    plan = _plan(spark, sf_dir, "holt_winters_hourly")
+    assert "MapInPandas" in plan
+    assert "Sort" in plan
+
+
+def test_skyline_runmax_window_is_bucket_partitioned(spark, sf_dir):
+    """The skyline prefix max must run partitioned by the bit-length
+    bucket (the unpartitioned global-window form is the scale-killer);
+    only the ≤64-row bucket-offset window may be single-partition."""
+    plan = _plan(spark, sf_dir, "skyline_pareto_customers")
+    assert "PARTITION BY" not in plan  # formatted plans spell partitioning
+    assert "bucket" in plan
+    # the spend-group window partitions on bucket: its sort keys carry
+    # bucket first
+    assert "hashpartitioning(bucket" in plan

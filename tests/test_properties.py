@@ -2220,3 +2220,64 @@ def test_pca_projection_matches_exact_numpy_replica(spark, sf_dir):
     for k in range(PCA_TOP_K):
         var_k = float(np.var(wht[:, k]))
         assert abs(var_k - 1.0) < 5e-3, f"component {k + 1}: var {var_k}"
+
+
+def test_holt_winters_matches_pure_python_replica(spark, sf_dir):
+    """holt_winters_hourly == an independently written textbook additive
+    Holt–Winters loop over the same zero-filled hourly counts — both
+    sides integer inputs + identical float64 op order, so equality is
+    exact at the shared round(6)+nudge convention."""
+    from fawac_cdc_spark.operators.windows import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_PERIOD,
+    )
+
+    got = {
+        (r["event_type"], r["rn"]): (
+            r["hour_slot"],
+            r["n_events"],
+            r["level"],
+            r["trend"],
+            r["seasonal"],
+            r["onestep"],
+        )
+        for r in _SPECS["holt_winters_hourly"].fn(spark, sf_dir).collect()
+    }
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    # normalize either fixture timestamp layout (nanos or micros) to epoch
+    # seconds before bucketing — the engine side does this via catalog
+    hrs = ev["ts"].to_numpy().astype("datetime64[s]").astype("int64") // 3_600
+    h0, h1 = int(hrs.min()), int(hrs.max())
+    want = {}
+    for etype in sorted(ev["event_type"].unique()):
+        mask = (ev["event_type"] == etype).to_numpy()
+        x = [0] * (h1 - h0 + 1)
+        for h in hrs[mask]:
+            x[int(h) - h0] += 1
+        m = HW_PERIOD
+        if len(x) <= m:
+            continue
+        lvl = float(sum(x[:m])) / m
+        tr = 0.0
+        season = [float(x[h]) - lvl for h in range(m)]
+        for t in range(m, len(x)):
+            slot = t % m
+            xv = float(x[t])
+            nl = HW_ALPHA * (xv - season[slot]) + (1.0 - HW_ALPHA) * (lvl + tr)
+            tr = HW_BETA * (nl - lvl) + (1.0 - HW_BETA) * tr
+            season[slot] = (
+                HW_GAMMA * (xv - nl) + (1.0 - HW_GAMMA) * season[slot]
+            )
+            lvl = nl
+            want[(etype, t + 1)] = (
+                slot,
+                x[t],
+                round(lvl + 1e-9, 6),
+                round(tr + 1e-9, 6),
+                round(season[slot] + 1e-9, 6),
+                round(lvl + tr + season[(t + 1) % m] + 1e-9, 6),
+            )
+    assert got == want
