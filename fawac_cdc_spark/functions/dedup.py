@@ -2778,11 +2778,16 @@ def lsh_param_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the expensive inputs are computed ONCE and shared —
     the signature table (pure per-row map) and the exact pair set
-    (prefix-filtered PPJoin) are checkpointed, then each config adds
-    only a band self-join on its own (band, key) space and two key-only
-    count joins.  At 100 TB this harness runs on a hash-sampled slice
-    (the exact side is the bounded cost), exactly like
-    lsh_recall_vs_exact."""
+    (prefix-filtered PPJoin) are checkpointed — and the four configs are
+    graded by ONE config-tagged band self-join: every config's band rows
+    carry a cfg column (8+4+2+1 = 15 rows per doc, a pure explode), the
+    self-join keys on (cfg, band, key), and both counters are single
+    grouped aggregates over the tagged candidate set (the per-config-
+    loop form planned 4 self-joins + 12 scalar aggregates for the same
+    values — measured slower at sf0.1).  The exact pair set is tiny
+    (verified near-dup pairs), so the hit probe broadcasts it.  At
+    100 TB this harness runs on a hash-sampled slice (the exact side is
+    the bounded cost), exactly like lsh_recall_vs_exact."""
     d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures_for(d).localCheckpoint(eager=True)
     exact = (
@@ -2791,38 +2796,62 @@ def lsh_param_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_exact_df = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-    rows_out = []
+    tagged = None
     for nb, r in LSH_FRONTIER_CONFIGS:
-        cand = lsh_candidate_pairs_for(frontier_band_table_for(sig, nb, r))
-        hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
-        row = (
-            n_exact_df.crossJoin(
-                F.broadcast(
-                    cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-                )
-            )
-            .crossJoin(
-                F.broadcast(hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
-            )
-            .select(
-                F.lit(nb).alias("bands"),
-                F.lit(r).alias("rows_per_band"),
-                "n_exact",
-                "n_candidates",
-                "n_hit",
-                F.round(
-                    F.col("n_hit").cast("double") / F.greatest(F.col("n_exact"), F.lit(1)),
-                    6,
-                ).alias("recall"),
-                F.round(
-                    F.col("n_hit").cast("double")
-                    / F.greatest(F.col("n_candidates"), F.lit(1)),
-                    6,
-                ).alias("precision_at_t"),
-            )
+        t = frontier_band_table_for(sig, nb, r).select(
+            F.lit(nb).alias("bands"),
+            F.lit(r).alias("rows_per_band"),
+            "doc_id",
+            "band",
+            "key",
         )
-        rows_out.append(row)
-    out = rows_out[0]
-    for r_df in rows_out[1:]:
-        out = out.unionAll(r_df)
-    return out
+        tagged = t if tagged is None else tagged.unionAll(t)
+    a = tagged.select(
+        "bands", "rows_per_band", F.col("doc_id").alias("doc_a"), "band", "key"
+    )
+    b = tagged.select(
+        "bands", "rows_per_band", F.col("doc_id").alias("doc_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["bands", "rows_per_band", "band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("bands", "rows_per_band", "doc_a", "doc_b")
+        .distinct()
+    )
+    n_cand = cand.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_hit = (
+        cand.join(F.broadcast(exact), ["doc_a", "doc_b"], "left_semi")
+        .groupBy("bands", "rows_per_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    # config spine: a config whose candidate set is EMPTY must still
+    # report its (0-recall) row, exactly like the oracle's UNION grid
+    cfgs = spark.createDataFrame(
+        LSH_FRONTIER_CONFIGS, "bands int, rows_per_band int"
+    )
+    return (
+        cfgs.join(n_cand, ["bands", "rows_per_band"], "left")
+        .join(n_hit, ["bands", "rows_per_band"], "left")
+        .crossJoin(F.broadcast(n_exact_df))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_exact",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_exact"), F.lit(1)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("precision_at_t"),
+        )
+    )
