@@ -2015,3 +2015,172 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(PATH_TOP_K)
     )
+
+
+# --- round 11 wave 3: attribution + RFM segmentation -----------------------------
+
+ATTRIB_WINDOW_DAYS = 7
+ATTRIB_HALFLIFE_HOURS = 24.0
+
+
+@register(
+    "multi_touch_attribution",
+    oracle=f"""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+    FROM events WHERE event_type = 'click'
+), pairs AS (
+    SELECT p.purchase_id, c.click_id,
+           ROUND(POW(0.5, (p.p_us - c.c_us)
+                          / ({ATTRIB_HALFLIFE_HOURS} * 3600e6)), 6) AS w
+    FROM p JOIN c ON p.user_id = c.user_id
+    WHERE c.c_us < p.p_us
+      AND c.c_us >= p.p_us - {ATTRIB_WINDOW_DAYS}::BIGINT * 86400 * 1000000
+), tot AS (
+    SELECT purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           SUM(CAST(w AS DECIMAL(18,6))) AS wsum
+    FROM pairs GROUP BY purchase_id
+)
+SELECT pairs.purchase_id, pairs.click_id, tot.n_clicks,
+       ROUND(1.0 / tot.n_clicks, 6) AS linear_credit,
+       ROUND(CAST(pairs.w AS DECIMAL(18,6)) / CAST(tot.wsum AS DOUBLE), 6)
+           AS decay_credit
+FROM pairs JOIN tot USING (purchase_id)
+""",
+    tags=("analytics", "product", "attribution"),
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase splits conversion credit
+    across the user's clicks in the preceding {ATTRIB_WINDOW_DAYS} days —
+    LINEAR (equal shares) and TIME-DECAY (24 h half-life, shares
+    normalized per purchase) — the two models a marketing warehouse is
+    asked for beyond last-touch (which ``funnel_time_to_convert``'s
+    running-MAX already embodies).
+
+    Pair enumeration joins on user_id with the time-range predicate —
+    bounded by each user's clicks-per-week, the same shape as
+    ``range_join_clicks_before_purchase``.  Determinism: the decay
+    weight (the one libm pow) is round(6)-ed and lifted to
+    DECIMAL(18,6) BEFORE normalization, so the per-purchase weight sum
+    is exact decimal and each share is one rounded double division."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("p_us"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("c_us"),
+    )
+    w = F.round(
+        F.pow(
+            F.lit(0.5),
+            (F.col("p_us") - F.col("c_us")) / (ATTRIB_HALFLIFE_HOURS * 3600e6),
+        ),
+        6,
+    )
+    pairs = (
+        p.join(c, "user_id")
+        .where(
+            (F.col("c_us") < F.col("p_us"))
+            & (
+                F.col("c_us")
+                >= F.col("p_us") - F.lit(ATTRIB_WINDOW_DAYS * 86400 * 1_000_000)
+            )
+        )
+        .select("purchase_id", "click_id", w.alias("w"))
+    )
+    tot = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.sum(F.col("w").cast("decimal(18,6)")).alias("wsum"),
+    )
+    return pairs.join(tot, "purchase_id").select(
+        "purchase_id",
+        "click_id",
+        "n_clicks",
+        F.round(F.lit(1.0) / F.col("n_clicks"), 6).alias("linear_credit"),
+        F.round(
+            F.col("w").cast("decimal(18,6)") / F.col("wsum").cast("double"), 6
+        ).alias("decay_credit"),
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+WITH maxd AS (SELECT MAX(o_orderdate) AS d1 FROM orders),
+rfm AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(date_diff('day', MAX(o_orderdate), (SELECT d1 FROM maxd)) AS BIGINT)
+               AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT c_custkey, recency_days, frequency, monetary,
+           6 - NTILE(5) OVER (ORDER BY recency_days, c_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary, c_custkey) AS m_score
+    FROM rfm
+)
+SELECT c_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+FROM scored
+""",
+    tags=("analytics", "product", "segmentation"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1–5 on Recency (days
+    since last order, newer = higher), Frequency (order count), and
+    Monetary (exact decimal spend), combined into the classic 3-digit
+    segment code (555 = best) — the warehouse's standard lifecycle
+    cut for campaign targeting.
+
+    NTILE(5) under a (metric, custkey) TOTAL order is deterministic on
+    both engines; the global windows run on the customer-grain rollup
+    (|customers| rows, not orders — at extreme customer counts the
+    ntile boundary is a 4-quantile broadcast instead).  Recency anchors
+    on the corpus max date so the query is reproducible."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("d1"))
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(money("o_totalprice")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "c_custkey",
+            F.datediff("d1", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w_r = Window.orderBy("recency_days", "c_custkey")
+    w_f = Window.orderBy("frequency", "c_custkey")
+    w_m = Window.orderBy("monetary", "c_custkey")
+    scored = rfm.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (6 - F.ntile(5).over(w_r)).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("segment"),
+    )

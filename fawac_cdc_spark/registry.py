@@ -109,8 +109,10 @@ _QUERY_MODULES = [
 # the round-11 SECOND wave landed after this window was composed and
 # pre-flighted — quantile_loss_by_flag, chi_square_type_hour,
 # item_cooccurrence_similarity, session_path_topk,
-# score_calibration_bins, holt_winters_hourly (rows-only + replica).
-# All six are sf0.001+sf0.01+sf0.1 parity-verified and ride the
+# score_calibration_bins, holt_winters_hourly (rows-only + replica),
+# multi_touch_attribution, session-path/RFM wave-3 ops
+# (rfm_customer_segments).
+# All eight are sf0.001+sf0.01+sf0.1 parity-verified and ride the
 # closing dual-scale sweeps; they lead the round-12 rotation.  (Bookkeeping note, ADVICE r10: round 10 registered
 # 21 new operators; its window carried 20 of them, deferring
 # funnel_time_to_convert to this one.)
@@ -287,6 +289,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "session_path_topk",
     "score_calibration_bins",
     "holt_winters_hourly",
+    "multi_touch_attribution",
+    "rfm_customer_segments",
 )
 
 
@@ -327,6 +331,8 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "session_path_topk",
         "score_calibration_bins",
         "holt_winters_hourly",
+        "multi_touch_attribution",
+        "rfm_customer_segments",
     }
 )
 

@@ -1694,3 +1694,139 @@ def vacuum_state(state_dir: str, retain_last: int = 2) -> dict[str, int]:
         "n_files_removed": n_files,
         "bytes_reclaimed": n_bytes,
     }
+
+
+# --- Holt–Winters smoothing on ingest (round 11) ----------------------------
+#
+# Streaming twin of operators.windows.holt_winters_hourly: the hourly
+# count series arrives as a metrics feed and each (event_type)-keyed
+# state advances the triple recurrence once per row.  State is the
+# honest forecaster state — 2 floats, the 24-slot seasonal vector, and
+# (during warmup) the first-period buffer used to seed level/season.
+
+HW_SERIES_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+HW_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("hour_slot", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("seasonal", T.DoubleType()),
+        T.StructField("onestep", T.DoubleType()),
+    ]
+)
+HW_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("rn_seen", T.LongType()),
+        T.StructField("buf", T.ArrayType(T.LongType())),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("season", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def holt_winters_stream(series: DataFrame) -> DataFrame:
+    """Additive Holt–Winters ON INGEST over a streaming hourly-count
+    series — identical α=β=γ={0.5} arithmetic, first-period seeding, and
+    round(6)-after-nudge as the batch scan, so under rn-ordered ingest
+    stream == batch exactly (pinned in tests/test_streaming.py).
+
+    Rows with rn inside the first period are absorbed into the seed
+    buffer and emit nothing (the batch contract); every later row emits
+    its smoothed (level, trend, seasonal, one-step-forecast) tuple.
+    State per event type: the warmup buffer (≤24 longs, dropped after
+    seeding), two floats, and the 24-slot seasonal vector."""
+    import pandas as pd
+
+    from ..operators.windows import HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+
+    def advance(key, pdf_iter, state):
+        (etype,) = key
+        m = HW_PERIOD
+        if state.exists:
+            rn_seen, buf, level, trend, season = state.get
+            buf = list(buf) if buf is not None else []
+            season = list(season) if season is not None else []
+        else:
+            rn_seen, buf, level, trend, season = 0, [], 0.0, 0.0, []
+        rows = sorted(
+            (int(r.rn), int(r.n_events)) for pdf in pdf_iter for r in pdf.itertuples()
+        )
+        out = []
+        for rn, x in rows:
+            rn_seen += 1
+            if rn_seen <= m:
+                buf.append(x)
+                if rn_seen == m:
+                    level = float(sum(buf)) / m
+                    trend = 0.0
+                    season = [float(v) - level for v in buf]
+                    buf = []
+                continue
+            t = rn_seen - 1  # 0-based step index, matches the batch scan
+            slot = t % m
+            xv = float(x)
+            new_level = HW_ALPHA * (xv - season[slot]) + (1.0 - HW_ALPHA) * (
+                level + trend
+            )
+            trend = HW_BETA * (new_level - level) + (1.0 - HW_BETA) * trend
+            season[slot] = (
+                HW_GAMMA * (xv - new_level) + (1.0 - HW_GAMMA) * season[slot]
+            )
+            level = new_level
+            out.append(
+                (
+                    etype,
+                    rn,
+                    slot,
+                    x,
+                    round(level + 1e-9, 6),
+                    round(trend + 1e-9, 6),
+                    round(season[slot] + 1e-9, 6),
+                    round(level + trend + season[(t + 1) % m] + 1e-9, 6),
+                )
+            )
+        state.update((rn_seen, buf, level, trend, season))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_type",
+                "rn",
+                "hour_slot",
+                "n_events",
+                "level",
+                "trend",
+                "seasonal",
+                "onestep",
+            ],
+        ).astype(
+            {
+                "event_type": "object",
+                "rn": "int32",
+                "hour_slot": "int32",
+                "n_events": "int64",
+                "level": "float64",
+                "trend": "float64",
+                "seasonal": "float64",
+                "onestep": "float64",
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return series.groupBy("event_type").applyInPandasWithState(
+        advance,
+        outputStructType=HW_STREAM_OUTPUT_SCHEMA,
+        stateStructType=HW_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

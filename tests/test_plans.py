@@ -1135,3 +1135,12 @@ def test_skyline_runmax_window_is_bucket_partitioned(spark, sf_dir):
     # the spend-group window partitions on bucket: its sort keys carry
     # bucket first
     assert "hashpartitioning(bucket" in plan
+
+
+def test_attribution_pairs_join_on_user(spark, sf_dir):
+    """Attribution pair enumeration must be the user-keyed range join —
+    never a time-only cross."""
+    plan = _plan(spark, sf_dir, "multi_touch_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "user_id" in plan

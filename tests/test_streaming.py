@@ -1568,3 +1568,39 @@ def test_vacuum_state_expires_versions_and_reclaims_files(spark, sf_dir, tmp_pat
     assert gone and all(not os.path.isdir(os.path.join(state_dir, r)) for r in gone)
     assert read_upsert_state(spark, state_dir, version=5).count() > 0
     assert stats2["n_files_removed"] > 0
+
+
+def test_holt_winters_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming Holt–Winters == the batch secondary-sort scan: feed the
+    SAME zero-filled hourly series rn-ordered in chunks, compare every
+    emitted (level, trend, seasonal, onestep) row."""
+    from fawac_cdc_spark.operators.windows import hourly_count_spine
+    from fawac_cdc_spark.registry import all_specs
+
+    series = hourly_count_spine(spark, sf_dir).orderBy("rn", "event_type").collect()
+    per = (len(series) + N_CHUNKS - 1) // N_CHUNKS
+    chunks = [series[i * per : (i + 1) * per] for i in range(N_CHUNKS)]
+    feed = _write_chunk_feed(
+        spark, tmp_path, "hw_series", chunks, cdc.HW_SERIES_SCHEMA
+    )
+    stream = (
+        spark.readStream.schema(cdc.HW_SERIES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    emitted = _run_to_memory(
+        spark, cdc.holt_winters_stream(stream), "hw_stream_out", "update"
+    ).toPandas()
+    got = {
+        (r.event_type, r.rn): (r.hour_slot, r.n_events, r.level, r.trend,
+                               r.seasonal, r.onestep)
+        for r in emitted.itertuples()
+    }
+    want = {
+        (r["event_type"], r["rn"]): (
+            r["hour_slot"], r["n_events"], r["level"], r["trend"],
+            r["seasonal"], r["onestep"],
+        )
+        for r in all_specs()["holt_winters_hourly"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
