@@ -107,6 +107,9 @@ _SCALAR_BROADCAST_OK = {
     "chi_square_type_hour",  # 1-row total + dof frames
     "jsd_source_unigrams",  # 1-row corpus-total scalar
     "lsh_param_frontier",  # 1-row count frames per config, folded
+    "holt_winters_hourly",  # |hours|-row zero-fill spine (from a 1-row
+    #                         min/max bound frame) attached to |types|
+    "rfm_customer_segments",  # 1-row corpus max-date scalar
 }
 
 
