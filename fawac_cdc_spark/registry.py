@@ -294,47 +294,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
 )
 
 
-# Queries registered since the last green full-registry parity sweep
-# (tools/parity_last.json).  tests/test_tools.py fails if a registered
-# query is in NEITHER — so verification debt is always explicit: a new
-# operator lands here, then leaves when the next full sweep runs on the
-# final tree (VERDICT r7 items 5-6: the r7 snapshot added 304 unswept
-# lines with no red signal; this makes that class of gap impossible).
 # Queries registered since the last green full-registry parity sweep —
-# the 20 round-11 operators; emptied when the round-11 closing dual-scale
-# sweeps run on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "benford_first_digit_audit",
-        "theil_sen_monthly_trend",
-        "ohlc_daily_events",
-        "twap_daily_value",
-        "assoc_rule_event_pairs",
-        "acf_monthly_revenue",
-        "mutual_info_type_hour",
-        "tail_pvalue_anomalies",
-        "churn_retention_weekly",
-        "skyline_pareto_customers",
-        "seasonal_hour_anomalies",
-        "user_daily_streaks",
-        "gini_concentration_by_source",
-        "doclen_log2_histogram",
-        "vocab_coverage_topk",
-        "jsd_source_unigrams",
-        "lsh_param_frontier",
-        "quality_dedup_admissions",
-        "pca_projected_coords",
-        "bpe_encode_stats",
-        "quantile_loss_by_flag",
-        "chi_square_type_hour",
-        "item_cooccurrence_similarity",
-        "session_path_topk",
-        "score_calibration_bins",
-        "holt_winters_hourly",
-        "multi_touch_attribution",
-        "rfm_customer_segments",
-    }
-)
+# empty: the round-11 closing sweeps (277/277 at sf0.01 AND sf0.1,
+# tools/parity_last.json) ran on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
