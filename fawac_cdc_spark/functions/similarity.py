@@ -1858,3 +1858,108 @@ def pca_projected_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInPandas(
         project, "vec_id long, component int, coord double, whitened double"
     )
+
+
+# --- round 11: embedding distribution drift (centroid cosine) --------------------
+
+_DRIFT_Q = 1_000_000  # 1e-6 quantization grid (floor — identical in SQL)
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+WITH halves AS (
+    SELECT label, CAST(vec_id % 2 AS INT) AS half, embedding FROM embeddings
+),
+dims AS (
+    SELECT label, half, u.z.d AS dim, CAST(SUM(u.z.q) AS DECIMAL(19,0)) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT label, half,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                     i -> {{'d': i, 'q': CAST(FLOOR(embedding[i] * {_DRIFT_Q}) AS BIGINT)}})) AS z
+        FROM halves
+    ) u
+    GROUP BY label, half, u.z.d
+),
+paired AS (
+    SELECT a.label, a.dim, a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb
+    FROM dims a JOIN dims b ON a.label = b.label AND a.dim = b.dim
+    WHERE a.half = 0 AND b.half = 1
+),
+agg AS (
+    SELECT label,
+           MAX(na) AS n_a, MAX(nb) AS n_b,
+           SUM(sa * sb) AS dot, SUM(sa * sa) AS qa, SUM(sb * sb) AS qb
+    FROM paired GROUP BY label
+)
+SELECT label,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(CAST(dot AS DOUBLE) / SQRT(CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE)), 6)
+           AS centroid_cosine,
+       ROUND(1.0 - CAST(dot AS DOUBLE) / SQRT(CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE)), 6)
+           AS drift
+FROM agg
+""",
+    tags=("similarity", "ml", "drift", "monitor"),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split each label's vectors
+    into two deterministic halves (vec_id parity — in production, two
+    time windows or model versions) and report the cosine between the
+    half-centroids — cosine ≈ 1 means the embedding distribution is
+    stable; a drop is the early-warning signal that an upstream encoder
+    or corpus shift moved the manifold, read BEFORE trusting cached IVF
+    cells or semantic-dedup thresholds.
+
+    Determinism: embeddings quantize to the 1e-6 grid with FLOOR
+    (identical semantics in both engines, unlike double→int casts), so
+    per-(label, half, dim) sums are EXACT integers; the cross-dim dot
+    products run in DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) exact
+    arithmetic, and two rounded double divisions finish.  One explode +
+    one map-side-combinable aggregate on (label, half, dim) keys — the
+    centroid table is |labels|×2×{EMB_DIM} rows, broadcastable at any
+    corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    halves = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("dim0", "ev"),
+    )
+    dims = (
+        halves.select(
+            "label",
+            "half",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("ev").cast("double") * _DRIFT_Q).cast("bigint").alias("q"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(
+            F.sum("q").cast("decimal(19,0)").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    a = dims.where(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = dims.where(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    paired = a.join(b, ["label", "dim"])
+    agg = paired.groupBy("label").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("qa"),
+        F.sum(F.col("sb") * F.col("sb")).alias("qb"),
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("qa").cast("double") * F.col("qb").cast("double")
+    )
+    return agg.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.round(1.0 - cos, 6).alias("drift"),
+    )

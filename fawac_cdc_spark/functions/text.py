@@ -1944,3 +1944,50 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rule_keep_rate"
         ),
     )
+
+
+# --- round 11 wave 4: language-ID evaluation --------------------------------------
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH guessed AS ({_lang_id_sql()}),
+conf AS (
+    SELECT labeled_lang, guessed_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM guessed GROUP BY labeled_lang, guessed_lang
+)
+SELECT labeled_lang, guessed_lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY labeled_lang), 6) AS row_share,
+       labeled_lang = guessed_lang AS correct
+FROM conf
+""",
+    tags=("text", "llm", "ml-eval"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against the
+    declared ``lang`` label: per (labeled, guessed) cell the document
+    count and its share of the labeled row — the evaluation every
+    language-ID heuristic needs BEFORE its output gates corpus routing
+    (``lang_corpus_stats`` consumers).  The diagonal flag makes per-lang
+    accuracy one filtered aggregate away.
+
+    Reuses the ONE lang-ID definition on both engines
+    (``lang_id_heuristic`` / ``_lang_id_sql``), so the matrix can never
+    drift from the classifier it evaluates; one |langs|² aggregate +
+    one row-share window over it."""
+    guessed = lang_id_heuristic(spark, sf_dir)
+    conf = guessed.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return conf.select(
+        "labeled_lang",
+        "guessed_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+            "row_share"
+        ),
+        (F.col("labeled_lang") == F.col("guessed_lang")).alias("correct"),
+    )

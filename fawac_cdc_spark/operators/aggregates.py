@@ -813,3 +813,86 @@ def conditional_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- round 11: window-capped strict funnel ---------------------------------------
+
+FUNNEL_STEP_GAP_MIN = 60  # each step must land within 1h of the previous
+
+
+@register(
+    "strict_funnel_1h_counts",
+    oracle=f"""
+WITH stage1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+stage2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN stage1 s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts > s.t1
+      AND e.ts <= s.t1 + INTERVAL {FUNNEL_STEP_GAP_MIN} MINUTE
+    GROUP BY e.user_id
+),
+stage3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN stage2 s ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s.t2
+      AND e.ts <= s.t2 + INTERVAL {FUNNEL_STEP_GAP_MIN} MINUTE
+    GROUP BY e.user_id
+)
+SELECT 'view' AS stage, 1 AS stage_idx, COUNT(*) AS users FROM stage1
+UNION ALL
+SELECT 'click', 2, COUNT(*) FROM stage2
+UNION ALL
+SELECT 'purchase', 3, COUNT(*) FROM stage3
+""",
+    tags=("agg", "funnel", "sessionization"),
+)
+def strict_funnel_1h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOW-CAPPED ordered funnel (the Amplitude/Mixpanel funnel
+    definition): view → click within {FUNNEL_STEP_GAP_MIN} min → purchase
+    within {FUNNEL_STEP_GAP_MIN} min of the click — each stage keeps
+    users whose stage event strictly follows the previous stage's chosen
+    event AND lands inside the step window.  Next to the uncapped
+    ``conversion_funnel_counts`` this separates "eventually converted"
+    from "converted in-session", the number a checkout redesign is
+    actually judged by.
+
+    Same scale shape as the uncapped funnel: three narrow per-user
+    min-aggregates chained by key-local joins (co-partitioned after the
+    first shuffle) — never a self-join of the event log; the window cap
+    is a pure per-row predicate with EXACT timestamp+interval
+    arithmetic (the session-gap convention)."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.expr(f"INTERVAL {FUNNEL_STEP_GAP_MIN} MINUTES")
+
+    def first_within(prev: DataFrame, etype: str, tcol: str, out: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where((F.col("ts") > F.col(tcol)) & (F.col("ts") <= F.col(tcol) + gap))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_within(s1, "click", "t1", "t2")
+    s3 = first_within(s2, "purchase", "t2", "t3")
+
+    def stage_count(df: DataFrame, name: str, idx: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(idx).alias("stage_idx"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        stage_count(s1, "view", 1)
+        .unionByName(stage_count(s2, "click", 2))
+        .unionByName(stage_count(s3, "purchase", 3))
+    )

@@ -111,8 +111,9 @@ _QUERY_MODULES = [
 # item_cooccurrence_similarity, session_path_topk,
 # score_calibration_bins, holt_winters_hourly (rows-only + replica),
 # multi_touch_attribution, session-path/RFM wave-3 ops
-# (rfm_customer_segments).
-# All eight are sf0.001+sf0.01+sf0.1 parity-verified and ride the
+# (rfm_customer_segments), and wave 4: strict_funnel_1h_counts,
+# embedding_centroid_drift, lang_id_confusion.
+# All eleven are sf0.001+sf0.01+sf0.1 parity-verified and ride the
 # closing dual-scale sweeps; they lead the round-12 rotation.  (Bookkeeping note, ADVICE r10: round 10 registered
 # 21 new operators; its window carried 20 of them, deferring
 # funnel_time_to_convert to this one.)
@@ -291,13 +292,23 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "holt_winters_hourly",
     "multi_touch_attribution",
     "rfm_customer_segments",
+    "strict_funnel_1h_counts",
+    "embedding_centroid_drift",
+    "lang_id_confusion",
 )
 
 
 # Queries registered since the last green full-registry parity sweep —
 # empty: the round-11 closing sweeps (277/277 at sf0.01 AND sf0.1,
 # tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset()
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        # round-11 wave 4 — swept below once the final closing sweeps run
+        "strict_funnel_1h_counts",
+        "embedding_centroid_drift",
+        "lang_id_confusion",
+    }
+)
 
 
 @dataclass(frozen=True)
