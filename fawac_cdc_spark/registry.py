@@ -299,16 +299,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-11 closing sweeps (277/277 at sf0.01 AND sf0.1,
+# empty: the round-11 closing sweeps (280/280 at sf0.01 AND sf0.1,
 # tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        # round-11 wave 4 — swept below once the final closing sweeps run
-        "strict_funnel_1h_counts",
-        "embedding_centroid_drift",
-        "lang_id_confusion",
-    }
-)
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
