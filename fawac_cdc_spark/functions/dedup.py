@@ -2855,3 +2855,66 @@ def lsh_param_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_at_t"),
         )
     )
+
+
+# --- round 11 wave 5: exact-Jaccard threshold histogram ---------------------------
+
+
+@register(
+    "jaccard_threshold_histogram",
+    oracle=f"""
+WITH sh AS ({_HASHED_SHINGLED_SQL}),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS j
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= {PPJOIN_T}
+)
+SELECT CAST(FLOOR(j * 20) AS INT) AS bucket20,
+       ROUND(CAST(FLOOR(j * 20) AS INT) / 20.0, 6) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MIN(j), 6) AS min_j,
+       ROUND(MAX(j), 6) AS max_j
+FROM scored GROUP BY CAST(FLOOR(j * 20) AS INT)
+""",
+    tags=("dedup", "llm", "setsim", "eval"),
+)
+def jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-mass histogram over the EXACT near-dup pairs: the
+    verified Jaccard ≥ {PPJOIN_T} pairs bucketed in 0.05 steps — the
+    threshold-choice companion to ``lsh_param_frontier``: the frontier
+    says what the bands CATCH at a threshold, this says how much pair
+    mass each candidate threshold would sweep in or out (a cliff at
+    0.8 means exact-duplicate families; a flat tail means the
+    threshold barely matters).
+
+    One extra 21-key aggregate over the existing prefix-filtered PPJoin
+    output (shared body: ``ppjoin_pairs_df``); the bucket is
+    floor(20·j) of the identical rational-valued double on both
+    engines, so no boundary can flip."""
+    pairs = ppjoin_pairs_df(spark, sf_dir)
+    j = F.col("jaccard")
+    return (
+        pairs.select(j.alias("j"))
+        .groupBy(F.floor(F.col("j") * 20).cast("int").alias("bucket20"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.min("j"), 6).alias("min_j"),
+            F.round(F.max("j"), 6).alias("max_j"),
+        )
+        .select(
+            "bucket20",
+            F.round(F.col("bucket20") / 20.0, 6).alias("bucket_lo"),
+            "n_pairs",
+            "min_j",
+            "max_j",
+        )
+    )

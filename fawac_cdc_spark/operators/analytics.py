@@ -2184,3 +2184,172 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("segment"),
     )
+
+
+# --- round 11 wave 5: growth / lift / latency classics ----------------------------
+
+
+@register(
+    "mom_revenue_growth",
+    oracle="""
+WITH m AS (
+    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
+           MIN(CAST(date_trunc('month', o_orderdate) AS VARCHAR)) AS month_start,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT month_start, revenue, n_orders,
+       LAG(revenue) OVER (ORDER BY midx) AS prev_revenue,
+       ROUND(revenue / LAG(revenue) OVER (ORDER BY midx) - 1.0, 6) AS mom_growth
+FROM m
+""",
+    tags=("analytics", "timeseries", "growth"),
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: per calendar month the
+    DECIMAL-exact revenue, order count, previous month's revenue, and
+    the growth rate — the first chart on every revenue dashboard and
+    the period-over-period primitive q6_forecast_revenue's seasonal
+    model builds on.
+
+    One data-sized exact month rollup; the lag window runs over the
+    bounded month table (a few hundred rows).  Growth is one double
+    division of exact inputs, round(6)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+    ).agg(
+        F.min(F.date_trunc("month", "o_orderdate").cast("date").cast("string")).alias(
+            "month_start"
+        ),
+        F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy("midx")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month_start",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        F.round(F.col("revenue") / prev - 1.0, 6).alias("mom_growth"),
+    )
+
+
+@register(
+    "customer_decile_lift",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT s, NTILE(10) OVER (ORDER BY s DESC, o_custkey) AS decile FROM spend
+), agg AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(s) AS rev
+    FROM ranked GROUP BY decile
+)
+SELECT decile, n_customers,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS rev_share,
+       ROUND(CAST(SUM(rev) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS cum_rev_share
+FROM agg
+""",
+    tags=("analytics", "product", "lift"),
+)
+def customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer decile lift table: customers ranked by exact decimal
+    spend into NTILE(10) deciles, each decile reporting its revenue
+    share and the cumulative share — the "top 10% of customers drive
+    X% of revenue" chart, the Lorenz-curve companion to
+    gini_concentration_by_source and the targeting counterpart to
+    rfm_customer_segments.
+
+    Decile sums stay DECIMAL-exact end to end (the per-decile and
+    whole-table windows run over TEN rows); only the two share ratios
+    cast to double, round(6).  The NTILE total order is
+    (spend desc, custkey) — deterministic on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("s"))
+    ranked = spend.select(
+        "s",
+        F.ntile(10).over(Window.orderBy(F.col("s").desc(), "o_custkey")).alias(
+            "decile"
+        ),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("s").alias("rev"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile")
+    return agg.select(
+        "decile",
+        "n_customers",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w_all).cast("double"), 6
+        ).alias("rev_share"),
+        F.round(
+            F.sum("rev").over(w_cum).cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            6,
+        ).alias("cum_rev_share"),
+    )
+
+
+@register(
+    "event_interarrival_stats",
+    oracle="""
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_us,
+       ROUND(quantile_cont(gap_us / 1e6, 0.5), 6) AS p50_s,
+       ROUND(quantile_cont(gap_us / 1e6, 0.9), 6) AS p90_s,
+       CAST(MAX(gap_us) AS BIGINT) AS max_us,
+       ROUND(SUM(gap_us / 1e6) / COUNT(*), 6) AS mean_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("analytics", "timeseries", "ops"),
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (min/p50/p90/max/
+    mean in exact integer microseconds) — the feed-health profile read
+    next to out_of_order_stats when sizing watermark delays and trigger
+    intervals: a p90 gap near the trigger interval means micro-batches
+    will starve or bunch.
+
+    One lag window per type over the deterministic (ts, event_id)
+    order; gaps are exact integer µs, and the float outputs are in
+    SECONDS — at µs magnitudes (~1e10) a round(6) sits BELOW the double
+    ulp and the engines' decimal expansions of the same quotient can
+    differ; dividing to seconds first keeps the 6dp grid far above ulp
+    (this exact failure was observed at sf0.001 and is why the mean/
+    percentile columns are _s, not _us)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.round(F.expr("percentile(gap_us / 1e6, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_us / 1e6, 0.9)"), 6).alias("p90_s"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+        F.round(F.sum(F.col("gap_us") / 1e6) / F.count(F.lit(1)), 6).alias(
+            "mean_s"
+        ),
+    )

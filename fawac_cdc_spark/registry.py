@@ -112,8 +112,10 @@ _QUERY_MODULES = [
 # score_calibration_bins, holt_winters_hourly (rows-only + replica),
 # multi_touch_attribution, session-path/RFM wave-3 ops
 # (rfm_customer_segments), and wave 4: strict_funnel_1h_counts,
-# embedding_centroid_drift, lang_id_confusion.
-# All eleven are sf0.001+sf0.01+sf0.1 parity-verified and ride the
+# embedding_centroid_drift, lang_id_confusion, and wave 5:
+# mom_revenue_growth, customer_decile_lift, event_interarrival_stats,
+# jaccard_threshold_histogram.
+# All fifteen are sf0.001+sf0.01+sf0.1 parity-verified and ride the
 # closing dual-scale sweeps; they lead the round-12 rotation.  (Bookkeeping note, ADVICE r10: round 10 registered
 # 21 new operators; its window carried 20 of them, deferring
 # funnel_time_to_convert to this one.)
@@ -295,13 +297,25 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "strict_funnel_1h_counts",
     "embedding_centroid_drift",
     "lang_id_confusion",
+    "mom_revenue_growth",
+    "customer_decile_lift",
+    "event_interarrival_stats",
+    "jaccard_threshold_histogram",
 )
 
 
 # Queries registered since the last green full-registry parity sweep —
 # empty: the round-11 closing sweeps (280/280 at sf0.01 AND sf0.1,
 # tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset()
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        # round-11 wave 5 — cleared by the final closing sweeps
+        "mom_revenue_growth",
+        "customer_decile_lift",
+        "event_interarrival_stats",
+        "jaccard_threshold_histogram",
+    }
+)
 
 
 @dataclass(frozen=True)
