@@ -305,17 +305,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-11 closing sweeps (280/280 at sf0.01 AND sf0.1,
+# empty: the round-11 closing sweeps (284/284 at sf0.01 AND sf0.1,
 # tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        # round-11 wave 5 — cleared by the final closing sweeps
-        "mom_revenue_growth",
-        "customer_decile_lift",
-        "event_interarrival_stats",
-        "jaccard_threshold_histogram",
-    }
-)
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
