@@ -2281,3 +2281,167 @@ def test_holt_winters_matches_pure_python_replica(spark, sf_dir):
                 round(lvl + tr + season[(t + 1) % m] + 1e-9, 6),
             )
     assert got == want
+
+
+# --- round-11 operator invariants -------------------------------------------------
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    """skyline_pareto_customers == the O(n²) textbook dominance filter
+    computed in pandas over the same exact customer rollup — proves the
+    bit-length-bucket hierarchical prefix-max rewrite loses nothing."""
+    got = {
+        (r["c_custkey"], r["total_spend"], r["n_orders"])
+        for r in _SPECS["skyline_pareto_customers"].fn(spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    from decimal import Decimal
+
+    o["p"] = o["o_totalprice"].map(lambda x: Decimal(f"{x:.2f}"))
+    pts = (
+        o.groupby("o_custkey")
+        .agg(spend=("p", "sum"), n=("p", "size"))
+        .reset_index()
+    )
+    rows = [
+        (int(r.o_custkey), float(r.spend), int(r.n)) for r in pts.itertuples()
+    ]
+    want = set()
+    for c, s, n in rows:
+        dominated = any(
+            (s2 >= s and n2 >= n and (s2 > s or n2 > n))
+            for _, s2, n2 in rows
+        )
+        if not dominated:
+            want.add((c, s, n))
+    assert got == want
+
+
+def test_attribution_credits_sum_to_one(spark, sf_dir):
+    """Per purchase, both credit models must distribute exactly one
+    conversion: linear shares sum to 1 (k · round(1/k) within rounding)
+    and decay shares sum to 1 within k·5e-7 (each share rounds to 6)."""
+    rows = _SPECS["multi_touch_attribution"].fn(spark, sf_dir).collect()
+    assert rows, "fixture must produce attributed pairs"
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r["purchase_id"], []).append(r)
+    for pid, grp in by_p.items():
+        k = grp[0]["n_clicks"]
+        assert len(grp) == k, pid
+        lin = sum(g["linear_credit"] for g in grp)
+        dec = sum(g["decay_credit"] for g in grp)
+        assert abs(lin - 1.0) <= k * 5e-7 + 1e-9, (pid, lin)
+        assert abs(dec - 1.0) <= k * 5e-7 + 1e-9, (pid, dec)
+
+
+def test_theil_sen_ignores_outlier_month(spark, tmp_path):
+    """Robustness property: a linear monthly series with ONE wild outlier
+    month — the Theil–Sen slope stays at the true slope (the median of
+    pairwise slopes is immune to a single contaminated row, unlike
+    OLS)."""
+    import datetime as dt
+    import os
+
+    true_slope = 100.0
+    rows = []
+    okey = 0
+    for i in range(24):
+        rev = 1000.0 + true_slope * i
+        if i == 12:
+            rev += 1_000_000.0  # the contaminated month
+        rows.append(
+            {
+                "o_orderkey": (okey := okey + 1),
+                "o_custkey": 1,
+                "o_orderstatus": "F",
+                "o_totalprice": round(rev, 2),
+                "o_orderdate": dt.datetime(2020 + i // 12, i % 12 + 1, 15),
+                "o_orderpriority": "3-MEDIUM",
+            }
+        )
+    pd.DataFrame(rows).to_parquet(
+        os.path.join(tmp_path, "orders.parquet"), coerce_timestamps="us"
+    )
+    out = _SPECS["theil_sen_monthly_trend"].fn(spark, str(tmp_path)).collect()[0]
+    assert out["n_months"] == 24
+    # one outlier month contaminates 23 of 276 pairwise slopes -> the
+    # median stays on the clean-series slope
+    assert abs(out["ts_slope"] - true_slope) < 1e-6, out["ts_slope"]
+
+
+def test_strict_funnel_is_subset_of_uncapped(spark, sf_dir):
+    """The 1h-capped funnel can never pass MORE users per stage than the
+    uncapped one (same chaining rule, extra predicate)."""
+    capped = {
+        r["stage_idx"]: r["users"]
+        for r in _SPECS["strict_funnel_1h_counts"].fn(spark, sf_dir).collect()
+    }
+    uncapped = {
+        r["stage_idx"]: r["users"]
+        for r in _SPECS["conversion_funnel_counts"].fn(spark, sf_dir).collect()
+    }
+    assert capped[1] == uncapped[1]  # stage 1 has no window predicate
+    assert capped[2] <= uncapped[2]
+    assert capped[3] <= uncapped[3]
+
+
+def test_decile_lift_invariants(spark, sf_dir):
+    """Lift-table shape: deciles 1..10 present, cumulative share is
+    monotone and ends at 1.0, per-decile shares sum to 1, and revenue
+    is non-increasing by decile (decile 1 holds the biggest spenders)."""
+    rows = sorted(
+        _SPECS["customer_decile_lift"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cum = [r["cum_rev_share"] for r in rows]
+    assert all(b >= a for a, b in zip(cum, cum[1:]))
+    assert abs(cum[-1] - 1.0) <= 5e-6
+    assert abs(sum(r["rev_share"] for r in rows) - 1.0) <= 5e-5
+    revs = [r["revenue"] for r in rows]
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+
+
+def test_jaccard_histogram_consistent_with_exact_pairs(spark, sf_dir):
+    """The histogram is a lossless rebucketing of the exact PPJoin pairs:
+    bucket counts sum to the pair count, and every bucket's [min_j,
+    max_j] sits inside its 0.05 band."""
+    from fawac_cdc_spark.functions.dedup import ppjoin_pairs_df
+
+    hist = _SPECS["jaccard_threshold_histogram"].fn(spark, sf_dir).collect()
+    n_exact = ppjoin_pairs_df(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in hist) == n_exact
+    for r in hist:
+        lo = r["bucket20"] / 20.0
+        assert lo - 1e-9 <= r["min_j"] <= r["max_j"] <= lo + 0.05 + 1e-9, r
+
+
+def test_benford_shares_sum_to_one_per_flag(spark, sf_dir):
+    """Digit shares partition each flag's rows: they sum to 1 (within
+    9 rounding steps) and every digit is 1..9."""
+    rows = _SPECS["benford_first_digit_audit"].fn(spark, sf_dir).collect()
+    by_flag: dict = {}
+    for r in rows:
+        assert 1 <= r["digit"] <= 9
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, grp in by_flag.items():
+        assert abs(sum(g["share"] for g in grp) - 1.0) <= 9 * 5e-7, flag
+        assert sum(g["n_obs"] for g in grp) == grp[0]["n_total"]
+
+
+def test_rfm_scores_balanced_quintiles(spark, sf_dir):
+    """Every RFM axis scores 1..5 and NTILE keeps the quintiles balanced
+    (sizes differ by at most 1)."""
+    rows = _SPECS["rfm_customer_segments"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for axis in ("r_score", "f_score", "m_score"):
+        counts: dict = {}
+        for r in rows:
+            v = r[axis]
+            assert 1 <= v <= 5, (axis, v)
+            counts[v] = counts.get(v, 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (axis, counts)
+    for r in rows:
+        assert r["segment"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
