@@ -1877,7 +1877,7 @@ dims AS (
     FROM (
         SELECT label, half,
                unnest(list_transform(range(1, len(embedding) + 1),
-                     i -> {{'d': i, 'q': CAST(FLOOR(embedding[i] * {_DRIFT_Q}) AS BIGINT)}})) AS z
+                     i -> {{'d': i, 'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_DRIFT_Q}) AS BIGINT)}})) AS z
         FROM halves
     ) u
     GROUP BY label, half, u.z.d
@@ -1913,7 +1913,11 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells or semantic-dedup thresholds.
 
     Determinism: embeddings quantize to the 1e-6 grid with FLOOR
-    (identical semantics in both engines, unlike double→int casts), so
+    (identical semantics in both engines, unlike double→int casts) —
+    with an explicit CAST AS DOUBLE before the multiply on the oracle
+    side, since DuckDB otherwise promotes FLOAT*INTEGER to single
+    precision and floors a DIFFERENT product than Spark's
+    double-arithmetic side (ADVICE r11) — so
     per-(label, half, dim) sums are EXACT integers; the cross-dim dot
     products run in DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) exact
     arithmetic, and two rounded double divisions finish.  One explode +

@@ -989,7 +989,8 @@ WITH d AS (
 ), c AS (
     SELECT l_returnflag, digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
            CAST(SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_total
-    FROM d GROUP BY l_returnflag, digit
+    FROM d WHERE digit IN ({",".join(str(d) for d in BENFORD_DIGITS)})
+    GROUP BY l_returnflag, digit
 )
 SELECT l_returnflag, digit, n_obs, n_total,
        ROUND(CAST(n_obs AS DOUBLE) / n_total, 6) AS share,
@@ -1006,15 +1007,22 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The first digit is extracted through INTEGER formatting (decimal
     floor → bigint → leading char), never through float log10, so the
-    digit assignment is bit-exact on both engines; one group-by plus a
-    per-flag window total finishes.  Scale: map-side-combinable counts
-    on 27 keys — scan-bound at 100 TB."""
+    digit assignment is bit-exact on both engines, and the domain is
+    restricted to ``BENFORD_DIGITS`` (1–9) on both sides so sub-1.00
+    values cannot introduce a digit-0 row (ADVICE r11); one group-by
+    plus a per-flag window total finishes.  Scale: map-side-combinable
+    counts on 27 keys — scan-bound at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
     digit = F.substring(
         F.floor(money("l_extendedprice")).cast("bigint").cast("string"), 1, 1
     ).cast("int")
     c = (
         li.select("l_returnflag", digit.alias("digit"))
+        # Benford's law is defined over leading digits 1–9: a sub-1.00
+        # money value floors to 0 and must not leak a digit-0 bucket
+        # into the audit (or divide-by-zero the expectation).  The
+        # domain filter runs on BOTH engines (ADVICE r11).
+        .where(F.col("digit").isin(BENFORD_DIGITS))
         .groupBy("l_returnflag", "digit")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
         .withColumn(
@@ -1768,7 +1776,7 @@ SELECT l.l_returnflag,
        q.q90,
        ROUND(CAST(SUM(CASE WHEN CAST(l_extendedprice AS DECIMAL(18,2)) >= CAST(q.q90 AS DECIMAL(18,6))
                   THEN {PINBALL_TAU} * (CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(q.q90 AS DECIMAL(18,6)))
-                  ELSE {1 - PINBALL_TAU} * (CAST(q.q90 AS DECIMAL(18,6)) - CAST(l_extendedprice AS DECIMAL(18,2)))
+                  ELSE {1 - PINBALL_TAU:.1f} * (CAST(q.q90 AS DECIMAL(18,6)) - CAST(l_extendedprice AS DECIMAL(18,2)))
              END) AS DOUBLE) / COUNT(*), 6) AS pinball_loss
 FROM lineitem l JOIN q USING (l_returnflag)
 GROUP BY l.l_returnflag, q.q90
@@ -1784,7 +1792,10 @@ def quantile_loss_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the percentile is rounded to 6 BEFORE any comparison
     (bounds-before-compare convention) and lifted to DECIMAL(18,6), the
-    prices are exact DECIMAL(18,2), and τ=0.9 is an exact decimal — so
+    prices are exact DECIMAL(18,2), and τ=0.9 is an exact decimal on
+    BOTH sides — the oracle interpolates 1−τ as the literal ``0.1`` via
+    ``:.1f`` rather than the repr of the binary-float subtraction,
+    matching Spark's DECIMAL(2,1) cast exactly (ADVICE r11) — so
     every per-row loss term and the sum are EXACT decimal arithmetic;
     one double division at the end.  One percentile aggregate + one
     broadcast join back over the scan."""

@@ -1133,11 +1133,15 @@ def test_skyline_runmax_window_is_bucket_partitioned(spark, sf_dir):
     bucket (the unpartitioned global-window form is the scale-killer);
     only the ≤64-row bucket-offset window may be single-partition."""
     plan = _plan(spark, sf_dir, "skyline_pareto_customers")
-    assert "PARTITION BY" not in plan  # formatted plans spell partitioning
     assert "bucket" in plan
-    # the spend-group window partitions on bucket: its sort keys carry
-    # bucket first
+    # The spend-group window partitions on bucket: the exchange feeding
+    # it must be hashpartitioning(bucket...).  (The former
+    # `"PARTITION BY" not in plan` assertion was vacuous — formatted
+    # plans render windows as windowspecdefinition(...), never that
+    # token — ADVICE r11.)  The only SinglePartition exchange allowed is
+    # the ≤64-row bucket-offset window, so at most one may appear.
     assert "hashpartitioning(bucket" in plan
+    assert plan.count("SinglePartition") <= 1
 
 
 def test_attribution_pairs_join_on_user(spark, sf_dir):
