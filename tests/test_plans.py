@@ -10,6 +10,8 @@ edit silently de-optimized a plan even though its results still match.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from fawac_cdc_spark.registry import all_specs
@@ -109,7 +111,9 @@ _SCALAR_BROADCAST_OK = {
     "lsh_param_frontier",  # 1-row count frames per config, folded
     "holt_winters_hourly",  # |hours|-row zero-fill spine (from a 1-row
     #                         min/max bound frame) attached to |types|
-    "rfm_customer_segments",  # 1-row corpus max-date scalar
+    "rfm_customer_segments",  # 1-row corpus max-date + 1-row quintile
+    #                           boundary frames (VERDICT r11 #3)
+    "customer_decile_lift",  # 1-row decile-boundary frame (VERDICT r11 #2)
 }
 
 
@@ -1142,6 +1146,35 @@ def test_skyline_runmax_window_is_bucket_partitioned(spark, sf_dir):
     # the ≤64-row bucket-offset window, so at most one may appear.
     assert "hashpartitioning(bucket" in plan
     assert plan.count("SinglePartition") <= 1
+
+
+def test_decile_lift_has_no_global_ntile(spark, sf_dir):
+    """VERDICT r11 #2: decile assignment must be broadcast quantile
+    boundaries — no ntile anywhere, and the only window (the 10-row
+    lift rollup) sits ABOVE the decile aggregate, never on the
+    customer-grain input.  The boundary frame must arrive broadcast."""
+    plan = _plan(spark, sf_dir, "customer_decile_lift")
+    # word-bounded: "percentile(" itself contains the substring "ntile("
+    assert not re.search(r"(?<![a-z])ntile\(", plan.lower())
+    assert "percentile" in plan.lower()
+    assert "BroadcastExchange" in plan
+    # Every window spec in the plan must order by the 10-key decile
+    # column only — a window spec mentioning the customer key would be
+    # the banned global sort of the customer-grain rollup.
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "o_custkey" not in line, line
+
+
+def test_rfm_is_windowless_broadcast_boundaries(spark, sf_dir):
+    """VERDICT r11 #3: RFM scores come from one 12-cut-point aggregate
+    broadcast back — the plan contains NO window operator at all and
+    no ntile."""
+    plan = _plan(spark, sf_dir, "rfm_customer_segments")
+    assert not re.search(r"(?<![a-z])ntile\(", plan.lower())
+    assert "Window" not in plan
+    assert "percentile" in plan.lower()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def test_attribution_pairs_join_on_user(spark, sf_dir):
