@@ -721,7 +721,75 @@ def hourly_count_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("holt_winters_hourly", tags=("window", "timeseries", "pandas-udf", "rows-only"))
+# The new-level expression, textually repeated wherever the recursive
+# step needs it (SQL cannot name a computed column within the same
+# SELECT — same device as the Holt oracle above).  r.s is the 24-slot
+# seasonal vector carried through the recursion as a DOUBLE[] column;
+# slot indexing is 1-based in DuckDB lists.
+_HW_NL = (
+    f"({HW_ALPHA} * (g.x - r.s[((g.rn - 1) % {HW_PERIOD}) + 1])"
+    f" + {1.0 - HW_ALPHA} * (r.level + r.trend))"
+)
+_HW_NT = f"({HW_BETA} * ({_HW_NL} - r.level) + {1.0 - HW_BETA} * r.trend)"
+
+
+@register(
+    "holt_winters_hourly",
+    oracle=f"""
+WITH RECURSIVE hrs AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h
+    FROM events
+), bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hrs),
+counts AS (
+    SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+    FROM hrs GROUP BY event_type, h
+), spine AS (
+    SELECT unnest(range(h0, h1 + 1)) AS h, h0 FROM bounds
+), types AS (SELECT DISTINCT event_type FROM hrs),
+grid AS (
+    SELECT t.event_type, CAST(s.h - s.h0 + 1 AS INT) AS rn,
+           COALESCE(c.n, 0) AS x
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = s.h
+), seed0 AS (
+    SELECT event_type,
+           CAST(SUM(x) AS DOUBLE) / {HW_PERIOD} AS level,
+           list(CAST(x AS DOUBLE) ORDER BY rn) AS xs
+    FROM grid WHERE rn <= {HW_PERIOD} GROUP BY event_type
+), rec AS (
+    SELECT event_type, CAST({HW_PERIOD} AS INT) AS rn, level,
+           CAST(0 AS DOUBLE) AS trend,
+           list_transform(xs, v -> v - level) AS s,
+           CAST(NULL AS BIGINT) AS x_emit,
+           CAST(NULL AS DOUBLE) AS seas_emit,
+           CAST(NULL AS DOUBLE) AS onestep_emit
+    FROM seed0
+    UNION ALL
+    SELECT g.event_type, g.rn,
+           {_HW_NL},
+           {_HW_NT},
+           list_transform(r.s, (v, i) ->
+               CASE WHEN i = ((g.rn - 1) % {HW_PERIOD}) + 1
+                    THEN {HW_GAMMA} * (g.x - {_HW_NL}) + {1.0 - HW_GAMMA} * v
+                    ELSE v END),
+           g.x,
+           {HW_GAMMA} * (g.x - {_HW_NL})
+               + {1.0 - HW_GAMMA} * r.s[((g.rn - 1) % {HW_PERIOD}) + 1],
+           {_HW_NL} + {_HW_NT} + r.s[(g.rn % {HW_PERIOD}) + 1]
+    FROM rec r JOIN grid g ON g.event_type = r.event_type AND g.rn = r.rn + 1
+)
+SELECT event_type, CAST(rn AS INT) AS rn,
+       CAST((rn - 1) % {HW_PERIOD} AS INT) AS hour_slot,
+       x_emit AS n_events,
+       ROUND(level + 1e-9, 6) AS level,
+       ROUND(trend + 1e-9, 6) AS trend,
+       ROUND(seas_emit + 1e-9, 6) AS seasonal,
+       ROUND(onestep_emit + 1e-9, 6) AS onestep
+FROM rec WHERE rn > {HW_PERIOD}
+""",
+    tags=("window", "timeseries", "pandas-udf"),
+)
 def holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt–Winters (level + trend + 24-hour season,
     α=β=γ=0.5) over each event type's zero-filled hourly count series —
@@ -735,11 +803,16 @@ def holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side count + a broadcast zero-fill spine); the recurrence is the
     secondary-sort mapInPandas scan of the Holt/EWMA family — one
     shuffle on event_type, one linear pass per series, state = 2 floats
-    + a 24-slot vector.  Rows-only by design (the recurrence carries a
-    seasonal VECTOR, beyond a SQL recursive CTE's scalar state); the
-    VALUE gate is the independent pure-Python replica in
-    tests/test_properties.py, plus the repo recurrence conventions
-    (round(6) after a 1e-9 nudge) on every emitted float."""
+    + a 24-slot vector.  ORACLE-EXACT since round 12 (VERDICT r11 #4):
+    the 24-slot seasonal vector rides the recursive CTE as a DOUBLE[]
+    list column updated per step with an indexed ``list_transform`` —
+    the same training-loop-replay idea as the BPE oracle, carrying
+    vector state instead of a merge table.  α=β=γ=0.5 keeps every
+    multiply exact in binary floating point, the seed level is an exact
+    integer sum divided once, and both sides perform the adds in the
+    identical order, so values hash-match after the house round(6)+1e-9
+    nudge; the independent pure-Python replica in
+    tests/test_properties.py stays as a second value gate."""
     series = (
         hourly_count_spine(spark, sf_dir)
         .repartition("event_type")
