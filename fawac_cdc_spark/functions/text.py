@@ -1612,23 +1612,66 @@ def gini_concentration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte mass sits in a few giant documents (high Gini) needs document
     splitting before fixed-size packing; a near-uniform source doesn't.
 
-    Uses the sorted-rank identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n; the
-    rank-weighted sum is EXACT integer arithmetic (rank × n_chars in
-    bigint) and tie permutations cannot change it (equal x within a tie
-    block contribute x·Σi regardless of order), so both engines agree
-    bit-exactly before the final round(6) division.  One per-source
-    window + one aggregate, partition-bounded."""
+    Uses the sorted-rank identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n.  The
+    rank-weighted sum is computed WITHOUT any per-source sort of the
+    document grain (VERDICT r11 #5 — a dominant source made the former
+    per-source row_number window data-sized):
+
+    1. ties collapse to the VALUE GRAIN first (the depth-histogram
+       precedent): a tie block of count c starting after o predecessors
+       contributes x·(c·o + c(c+1)/2) regardless of internal order, so
+       per-(source, n_chars) counts carry everything;
+    2. the predecessor count o comes from the skyline's hierarchical
+       bit-length buckets: a cumulative count within (source, bucket)
+       over DISTINCT values plus a per-source offset window over the
+       ≤ ~64-row bucket table — every window partition is bounded by
+       the value-domain density of one power-of-two band, never by row
+       count.
+
+    All arithmetic is exact integers lifted to DECIMAL(38,0) for the
+    final rank-mass products (bigint would overflow near 1e9 docs per
+    source), so both engines agree bit-exactly before the final
+    round(6) division — the DuckDB oracle keeps the direct one-window
+    form and hashes identically."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    r = d.select("source", "n_chars", F.row_number().over(w).alias("rnk"))
-    n = F.count(F.lit(1))
-    return r.groupBy("source").agg(
+    g = (
+        d.groupBy("source", "n_chars")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("bucket", F.length(F.bin("n_chars")).cast("int"))
+    )
+    wv = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vb = g.withColumn("cum_b", F.sum("c").over(wv))
+    bt = g.groupBy("source", "bucket").agg(F.sum("c").alias("bc"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bto = bt.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bc").over(wb), F.lit(0)).cast("bigint").alias("boff"),
+    )
+    j = vb.join(F.broadcast(bto), ["source", "bucket"])
+    # rows strictly before this tie block in the (n_chars, doc_id) order
+    o = F.col("boff") + F.col("cum_b") - F.col("c")
+    # c*(c+1) is always even, so integer div is exact
+    tri = F.expr("c * (c + 1) div 2")
+    rank_mass = F.col("n_chars").cast("decimal(38,0)") * (
+        (F.col("c") * o + tri).cast("decimal(19,0)")
+    )
+    n = F.sum("c")
+    return j.groupBy("source").agg(
         n.cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.col("n_chars") * F.col("c")).cast("bigint").alias("total_chars"),
         F.round(
             2.0
-            * F.sum(F.col("rnk") * F.col("n_chars"))
-            / (n * F.sum("n_chars").cast("double"))
+            * F.sum(rank_mass).cast("double")
+            / (n * F.sum(F.col("n_chars") * F.col("c")).cast("double"))
             - (n + 1.0) / n,
             6,
         ).alias("gini"),

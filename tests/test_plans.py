@@ -1148,6 +1148,19 @@ def test_skyline_runmax_window_is_bucket_partitioned(spark, sf_dir):
     assert plan.count("SinglePartition") <= 1
 
 
+def test_gini_windows_are_bucket_blocked(spark, sf_dir):
+    """VERDICT r11 #5: no per-source sort of the document grain — every
+    window spec in the gini plan must be bucket-scoped (the value-grain
+    cumulative count within (source, bucket), or the per-source offset
+    window OVER the ≤64-row bucket table ordered by bucket)."""
+    plan = _plan(spark, sf_dir, "gini_concentration_by_source")
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs, "expected window specs in the gini plan"
+    for line in specs:
+        assert "bucket" in line, line
+        assert "doc_id" not in line, line
+
+
 def test_decile_lift_has_no_global_ntile(spark, sf_dir):
     """VERDICT r11 #2: decile assignment must be broadcast quantile
     boundaries — no ntile anywhere, and the only window (the 10-row
