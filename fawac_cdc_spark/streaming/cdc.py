@@ -1120,6 +1120,142 @@ def quality_lsh_dedup_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+# --- watermark-buffered near-dedup on ingest (round 12) ---------------------
+#
+# VERDICT r11 #6: lsh_dedup_stream's exactness contract requires
+# id-ordered ARRIVAL because verdicts are never retracted.  This variant
+# moves the requirement from arrival order to EVENT-TIME order, which a
+# watermark can actually enforce: arrivals are HELD in per-band-key state
+# until the event-time watermark passes their timestamp, then admitted in
+# deterministic (ingest_ts, doc_id) order.  Any feed whose doc ids are
+# assigned in event-time order (the production case: ingest-sequence or
+# timestamp-derived ids) now matches the batch closed form under
+# ARBITRARY arrival order, as long as disorder stays within the watermark
+# delay; rows later than the delay are dropped by the watermark operator
+# upstream (the documented boundary, pinned by the late-arrival test).
+
+DOC_TS_STREAM_SCHEMA = T.StructType(
+    list(DOC_STREAM_SCHEMA) + [T.StructField("ingest_ts", T.TimestampType())]
+)
+
+# first_doc uses -1 as the "no survivor yet" sentinel (state tuples
+# round-trip more robustly without nullable scalars); pend_* are the
+# parallel arrays of buffered not-yet-mature arrivals.
+WM_LSH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("pend_ids", T.ArrayType(T.LongType())),
+        T.StructField("pend_us", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def read_document_stream_ts(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream source over document chunks that carry an
+    ``ingest_ts`` event-time column (the watermarked feed shape)."""
+    return (
+        spark.readStream.schema(DOC_TS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def lsh_dedup_stream_watermarked(
+    docs: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """Near-dedup ON INGEST with a WATERMARK-BUFFERED admission order
+    (VERDICT r11 #6): same MinHash-LSH band-key state as
+    :func:`lsh_dedup_stream`, but an arriving document's verdict is
+    deferred — buffered in state — until the event-time watermark
+    passes its ``ingest_ts``, at which point every matured arrival on
+    the key is admitted in (ingest_ts, doc_id) order.
+
+    ORDERING CONTRACT (relaxed): admission equals the batch closed form
+    (``batch_equiv.lsh_dedup_admissions``) for ANY arrival order,
+    provided (a) doc ids are assigned in event-time order — true by
+    construction for ingest-sequence ids — and (b) each row's disorder
+    is within the watermark ``delay`` (later rows are dropped upstream
+    by the watermark operator and never admitted: the boundary the
+    late-arrival test pins).  This is exactly the contract
+    ``lsh_dedup_stream``'s docstring could not offer: there the verdict
+    was emitted at arrival, here it is emitted at watermark maturity,
+    so the out-of-order double-admit cannot happen.
+
+    100 TB shape: state per band key is the survivor id plus ONLY the
+    in-flight rows inside the watermark horizon (O(delay × key rate),
+    not O(corpus)); emission shifts one watermark delay later, the
+    standard completeness/latency trade.  Verdicts for a doc can land
+    in different micro-batches per band key; the per-doc admission
+    reduction (AND over keys) is unchanged."""
+    import pandas as pd
+
+    from ..functions.dedup import band_table_for, minhash_signatures_for
+
+    wdocs = docs.withWatermark("ingest_ts", delay)
+    bands = band_table_for(
+        minhash_signatures_for(wdocs, carry=("ingest_ts",)), carry=("ingest_ts",)
+    )
+
+    def admit(key, pdf_iter, state):
+        band, band_key = key
+        if state.exists:
+            first, pend_ids, pend_us = state.get
+            pend = list(zip((int(u) for u in pend_us), (int(i) for i in pend_ids)))
+        else:
+            first, pend = -1, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdf_iter:
+            for r in pdf.itertuples():
+                # pandas Timestamp .value is ns since epoch.  A NEW
+                # arrival already at-or-behind the watermark is late
+                # beyond the delay: Spark's upstream late-row drop is
+                # best-effort for arbitrary stateful ops (see the
+                # append-rollup test's note), so the boundary is
+                # enforced here — dropped, never admitted.  Buffered
+                # rows at-or-behind the watermark are different: they
+                # arrived on time and are now MATURE.
+                ts_us = int(r.ingest_ts.value) // 1000
+                if ts_us > wm_us:
+                    pend.append((ts_us, int(r.doc_id)))
+        mature = sorted(t for t in pend if t[0] <= wm_us)
+        rest = [t for t in pend if t[0] > wm_us]
+        out_docs: list[int] = []
+        out_ok: list[bool] = []
+        for _, d in mature:
+            ok = first < 0 or d < first
+            if ok:
+                first = d
+            out_docs.append(d)
+            out_ok.append(ok)
+        state.update((first, [d for _, d in rest], [u for u, _ in rest]))
+        if rest:
+            # fire again once the watermark passes the oldest buffered
+            # row (+1 ms: the timeout must sit strictly beyond the
+            # current watermark after the µs→ms floor)
+            state.setTimeoutTimestamp(min(u for u, _ in rest) // 1000 + 1)
+        if out_docs:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_docs,
+                    "band": [band] * len(out_docs),
+                    "key": [band_key] * len(out_docs),
+                    "key_ok": out_ok,
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        admit,
+        outputStructType=LSH_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=WM_LSH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # --- semantic dedup on ingest (streaming SemDeDup admission) ---------------
 
 EMB_STREAM_SCHEMA = T.StructType(

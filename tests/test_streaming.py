@@ -1083,6 +1083,129 @@ def test_quality_lsh_dedup_stream_replaces_on_higher_quality(spark, tmp_path):
     assert not per_doc_ok[3]  # lower quality loses its shared keys
 
 
+def _ts(base, seconds):
+    import datetime
+
+    return base + datetime.timedelta(seconds=seconds)
+
+
+_WM_BASE = __import__("datetime").datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_lsh_dedup_watermarked_fixes_out_of_order_double_admit(spark, tmp_path):
+    """The watermark-buffered gate repairs exactly the case
+    test_lsh_dedup_stream_out_of_order_admits_both documents: the
+    larger-id near-dup arrives FIRST, but both are held until the
+    watermark matures them, then admitted in (ingest_ts, doc_id) order
+    — so the smaller id wins and the larger is rejected, matching the
+    batch closed form without any arrival-order precondition."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    flush = "flushtok one two three four five six"
+    rows_by_chunk = [
+        [(10, text, "en", "web", len(text), _ts(_WM_BASE, 10))],  # larger id first
+        [(5, text, "en", "web", len(text), _ts(_WM_BASE, 5))],  # smaller later
+        # two far-future flush chunks: the first advances the watermark
+        # past the real rows, the second triggers the event-time timeout
+        # that releases them (flush docs themselves stay buffered)
+        [(999, flush, "en", "web", len(flush), _ts(_WM_BASE, 7200))],
+        [(998, flush, "en", "web", len(flush), _ts(_WM_BASE, 7201))],
+    ]
+    feed = _write_chunk_feed(
+        spark, tmp_path, "wm_ooo", rows_by_chunk, cdc.DOC_TS_STREAM_SCHEMA
+    )
+    emitted = _run_to_memory(
+        spark,
+        cdc.lsh_dedup_stream_watermarked(
+            cdc.read_document_stream_ts(spark, feed), delay="10 minutes"
+        ),
+        "wm_ooo_out",
+        "update",
+    ).toPandas()
+    real = emitted[emitted.doc_id.isin([5, 10])]
+    assert set(real["doc_id"]) == {5, 10}
+    assert not real.duplicated(["doc_id", "band"]).any()
+    per_doc_ok = real.groupby("doc_id")["key_ok"].all()
+    assert per_doc_ok[5]  # smaller id admitted despite arriving second
+    assert not per_doc_ok[10]  # larger id rejected — matches batch form
+    # the flush docs were still inside the watermark horizon at shutdown
+    assert 999 not in set(emitted["doc_id"])
+
+
+def test_lsh_dedup_watermarked_matches_batch_under_shuffled_arrival(
+    spark, sf_dir, tmp_path
+):
+    """stream==batch WITHOUT the id-ordered-arrival precondition
+    (VERDICT r11 #6): the corpus arrives round-robin-shuffled across four
+    micro-batches, event times assigned in id order; with a delay
+    covering the full disorder every real doc matures on the flush
+    batches and per-doc admission equals lsh_dedup_admissions."""
+    from fawac_cdc_spark.streaming.batch_equiv import lsh_dedup_admissions
+
+    tbl = load_table(spark, sf_dir, "documents")
+    d = [
+        r + (_ts(_WM_BASE, i),)
+        for i, r in enumerate(
+            tbl.select("doc_id", "text", "lang", "source", "n_chars")
+            .orderBy("doc_id")
+            .collect()
+        )
+    ]
+    # round-robin: every chunk mixes small and large ids -> maximally
+    # disordered arrival relative to event time
+    chunks = [d[i::4] for i in range(4)]
+    flush = "flushtok one two three four five six"
+    span = len(d) + 10
+    chunks.append([(999_999, flush, "en", "web", len(flush), _ts(_WM_BASE, span + 7200))])
+    chunks.append([(999_998, flush, "en", "web", len(flush), _ts(_WM_BASE, span + 7201))])
+    feed = _write_chunk_feed(
+        spark, tmp_path, "wm_feed", chunks, cdc.DOC_TS_STREAM_SCHEMA
+    )
+    emitted = _run_to_memory(
+        spark,
+        cdc.lsh_dedup_stream_watermarked(
+            cdc.read_document_stream_ts(spark, feed), delay="1 hour"
+        ),
+        "wm_batch_out",
+        "update",
+    ).toPandas()
+    real = emitted[emitted.doc_id < 999_000]
+    assert not real.duplicated(["doc_id", "band"]).any()
+    got = real.groupby("doc_id")["key_ok"].all()
+    want = {
+        r.doc_id: r.admitted for r in lsh_dedup_admissions(spark, sf_dir).collect()
+    }
+    assert dict(got) == want
+
+
+def test_lsh_dedup_watermarked_drops_beyond_delay(spark, tmp_path):
+    """The contract boundary: a row whose disorder exceeds the watermark
+    delay is dropped upstream and never emitted — admission completeness
+    is traded for the relaxed ordering, by exactly the delay."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    flush = "flushtok one two three four five six"
+    rows_by_chunk = [
+        [(10, text, "en", "web", len(text), _ts(_WM_BASE, 1000))],
+        # arrives AFTER the watermark (1000 - 10s) passed its event time
+        [(5, text, "en", "web", len(text), _ts(_WM_BASE, 5))],
+        [(999, flush, "en", "web", len(flush), _ts(_WM_BASE, 7200))],
+        [(998, flush, "en", "web", len(flush), _ts(_WM_BASE, 7201))],
+    ]
+    feed = _write_chunk_feed(
+        spark, tmp_path, "wm_late", rows_by_chunk, cdc.DOC_TS_STREAM_SCHEMA
+    )
+    emitted = _run_to_memory(
+        spark,
+        cdc.lsh_dedup_stream_watermarked(
+            cdc.read_document_stream_ts(spark, feed), delay="10 seconds"
+        ),
+        "wm_late_out",
+        "update",
+    ).toPandas()
+    assert 5 not in set(emitted["doc_id"])  # late row dropped, not admitted
+    per_doc_ok = emitted[emitted.doc_id == 10].groupby("doc_id")["key_ok"].all()
+    assert per_doc_ok[10]
+
+
 @pytest.fixture(scope="module")
 def emb_chunk_dir(spark, sf_dir, tmp_path_factory):
     """Split embeddings into id-ordered parquet chunks — each chunk one
