@@ -59,123 +59,90 @@ _QUERY_MODULES = [
 # sweeps (sf0.01 + sf0.1, recorded in tools/parity_last.json and gated by
 # tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
-# Round-10 rotation kept for history in git; round-11 below.
+# Rounds 10-11 rotations kept for history in git; round-12 below.
 #
-# Round-11 rotation. Composition, in order:
-#   20 new this round        (benford_first_digit_audit,
-#                            theil_sen_monthly_trend, ohlc_daily_events,
-#                            twap_daily_value, assoc_rule_event_pairs,
-#                            acf_monthly_revenue, mutual_info_type_hour,
-#                            tail_pvalue_anomalies, churn_retention_weekly,
-#                            skyline_pareto_customers,
-#                            seasonal_hour_anomalies, user_daily_streaks,
-#                            gini_concentration_by_source,
-#                            doclen_log2_histogram, vocab_coverage_topk,
-#                            jsd_source_unigrams, lsh_param_frontier —
-#                            the (bands x rows) grid VERDICT r10 #3 asked
-#                            for; quality_dedup_admissions — batch form
-#                            of the quality-aware ingest dedup, VERDICT
-#                            r10 #4; pca_projected_coords — the PCA
-#                            apply half, rows-only with an exact numpy
-#                            replica gate, VERDICT r10 #5;
-#                            bpe_encode_stats — the BPE apply half with
-#                            the training-replay unrolled oracle,
-#                            VERDICT r10 #2)
-# + 1 never-driver-verified  (funnel_time_to_convert — landed after the
-#                            r10 window froze; deferred per ADVICE r10,
-#                            leads this window)
-# + 1 flagship               (same query as entry()'s smoke check)
-# + 4 code-changed round 11  (doc_quality_scores / quality_classifier_
-#                            scores — inline uniq-ratio copies folded
-#                            onto UNIQ_RATIO_SQL/uniq_ratio_col (ADVICE
-#                            r10); minhash_signatures / minhash_lsh_
-#                            candidates — the signature/band helpers
-#                            gained the carry= passthrough.  Values
-#                            fixture-identical, code paths new, so the
-#                            driver hash re-pins them.  The rows-only
-#                            bpe_learned_merges / pca_explained_variance
-#                            also changed (shared-loop refactors) but a
-#                            driver row adds nothing beyond their replica
-#                            gates — sweep-covered.)
-# + 23 r4-stale              (the ENTIRE remaining r4 cohort — oldest
-#                            driver evidence in the registry, VERDICT
-#                            r10 #1)
-# + 1 oldest r5              (approx_topk_event_types)
-# = 50.  The r10-new cohort (all driver-greened last round) and the
-# r5/r6/r8 remainder cede their slots; all stay covered by the
-# dual-scale sweeps.
-#
-# DEFERRED to the round-12 window (stated explicitly per ADVICE r10):
-# the round-11 SECOND wave landed after this window was composed and
-# pre-flighted — quantile_loss_by_flag, chi_square_type_hour,
-# item_cooccurrence_similarity, session_path_topk,
-# score_calibration_bins, holt_winters_hourly (rows-only + replica),
-# multi_touch_attribution, session-path/RFM wave-3 ops
-# (rfm_customer_segments), and wave 4: strict_funnel_1h_counts,
-# embedding_centroid_drift, lang_id_confusion, and wave 5:
-# mom_revenue_growth, customer_decile_lift, event_interarrival_stats,
-# jaccard_threshold_histogram.
-# All fifteen are sf0.001+sf0.01+sf0.1 parity-verified and ride the
-# closing dual-scale sweeps; they lead the round-12 rotation.  (Bookkeeping note, ADVICE r10: round 10 registered
-# 21 new operators; its window carried 20 of them, deferring
-# funnel_time_to_convert to this one.)
+# Round-12 rotation (VERDICT r11 #1 — the window composes itself).
+# Composition, in order:
+#   15 never-driver-verified  (the ENTIRE round-11 wave-2/3/4/5 cohort,
+#                             deferred from the r11 window per the
+#                             ADVICE r10 convention; the r11 registry
+#                             comment promised they lead this window.
+#                             Three of them additionally carry round-12
+#                             code/oracle changes that the driver hash
+#                             now pins: customer_decile_lift and
+#                             rfm_customer_segments were rewritten onto
+#                             broadcast quantile boundaries (VERDICT r11
+#                             #2/#3 — values change under the pinned
+#                             tie semantics), holt_winters_hourly gained
+#                             the recursive-CTE list-column oracle
+#                             (VERDICT r11 #4 — first hash ever instead
+#                             of rows-only), and quantile_loss_by_flag /
+#                             embedding_centroid_drift carry the ADVICE
+#                             r11 oracle-constant fixes.)
+# + 35 r5-stale               (the ENTIRE remaining r5 cohort — the
+#                             oldest driver evidence in the registry,
+#                             last hashed in the round-5 window.)
+# = 50.  Code-changed-but-values-identical queries NOT in the window
+# (gini_concentration_by_source: bucket-blocked rank rewrite, oracle
+# parity unchanged at all three scales; benford_first_digit_audit:
+# digit-domain filter on both engines, ADVICE r11) are r11-fresh and
+# stay covered by the closing dual-scale sweeps.  Operators REGISTERED
+# in round 12 land after this window froze and are explicitly DEFERRED
+# to the round-13 window (ADVICE r10 convention) — they ride the
+# closing dual-scale sweeps and tests/test_oracle_parity.py instead.
 _PRIORITY = [
-    # New round-11 operators (20) — never driver-verified.
-    "benford_first_digit_audit",
-    "theil_sen_monthly_trend",
-    "ohlc_daily_events",
-    "twap_daily_value",
-    "assoc_rule_event_pairs",
-    "acf_monthly_revenue",
-    "mutual_info_type_hour",
-    "tail_pvalue_anomalies",
-    "churn_retention_weekly",
-    "skyline_pareto_customers",
-    "seasonal_hour_anomalies",
-    "user_daily_streaks",
-    "gini_concentration_by_source",
-    "doclen_log2_histogram",
-    "vocab_coverage_topk",
-    "jsd_source_unigrams",
-    "lsh_param_frontier",
-    "quality_dedup_admissions",
-    "pca_projected_coords",
-    "bpe_encode_stats",
-    # Deferred from round 10 (1) — zero driver evidence (ADVICE r10).
-    "funnel_time_to_convert",
-    # Flagship (1).
-    "flagship_revenue_by_nation_month",
-    # Code-changed this round (4) — values fixture-identical, paths new.
-    "doc_quality_scores",
-    "quality_classifier_scores",
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    # r4-stale cohort (23) — oldest remaining driver evidence.
-    "correlation_stats_lineitem",
-    "linear_trend_by_type",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "q22_inactive_customers",
-    "q2_min_acctbal_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "repetition_quality_scores",
-    "schema_evolution_scan",
-    "source_mixture_sample",
-    "sql_udf_revenue_by_flag",
-    "stream_static_enrich",
-    "udtf_doc_ngram_spans",
-    "unpivot_pricing_metrics",
-    "value_percentiles_by_type",
-    "variant_props_stats",
-    "vocab_top_terms",
-    # Oldest r5 evidence (1).
-    "approx_topk_event_types",
+    # Never driver-verified: the full round-11 wave-2..5 cohort (15).
+    "strict_funnel_1h_counts",
+    "multi_touch_attribution",
+    "rfm_customer_segments",
+    "mom_revenue_growth",
+    "customer_decile_lift",
+    "event_interarrival_stats",
+    "jaccard_threshold_histogram",
+    "score_calibration_bins",
+    "lang_id_confusion",
+    "session_path_topk",
+    "chi_square_type_hour",
+    "quantile_loss_by_flag",
+    "item_cooccurrence_similarity",
+    "embedding_centroid_drift",
+    "holt_winters_hourly",
+    # r5-stale cohort: oldest remaining driver evidence (35).
+    "approx_stats_lineitem",
+    "dataset_hash_split",
+    "discounted_cumsum_closed_form",
+    "ewma_state_batch_equiv",
+    "hll_estimate_error_bound",
+    "hll_user_sketch_rollup",
+    "lang_id_heuristic",
+    "lateral_top2_orders_per_customer",
+    "listagg_status_profile",
+    "pipe_syntax_returnflag_profile",
+    "pmi_bigram_collocations",
+    "ppm_decode_pixel_stats",
+    "ppm_resize_pixel_stats",
+    "ppm_stream_frame_stats",
+    "pq_adc_topk_query0",
+    "pq_code_stats",
+    "pricing_summary",
+    "purchase_click_left_pairs",
+    "q11_important_part_value",
+    "q12_ship_delay_priority",
+    "q16_supplier_part_variety",
+    "q20_dominant_shipper",
+    "q5_local_supplier_revenue",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "reference_td_advantage_pipeline",
+    "salted_user_event_totals",
+    "seeded_batch_sample_1024",
+    "stratified_sample_events",
+    "tagged_union_entities",
+    "tfidf_source_terms",
+    "theta_user_set_algebra",
+    "topk_sketch_term_counts",
+    "unigram_logprob_by_source",
+    "wav_decode_sample_stats",
 ]
 
 
