@@ -2452,3 +2452,538 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_s"
         ),
     )
+
+
+# --- round 12 wave 1: hypothesis-testing / survival classics ---------------------
+#
+# Five inference shapes every analytics warehouse serves: rank correlation
+# (Kendall τ-b), a distribution-free two-sample test (Mann–Whitney U with
+# midrank ties — computed WITHOUT a global sort), a conversion A/B z-test,
+# a discrete Kolmogorov–Smirnov distance, and a Kaplan–Meier survival
+# curve.  Float discipline follows operators/helpers.py: every comparison
+# and count is exact integer/decimal arithmetic; transcendentals (sqrt,
+# exp, ln) run once on exact inputs with round(6) on the final columns.
+
+KS_TYPE_A = "click"
+KS_TYPE_B = "view"
+AB_COHORT_MOD = 2  # md5 parity split for the A/B test
+
+
+@register(
+    "kendall_tau_monthly",
+    oracle="""
+WITH m AS (
+    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+), p AS (
+    SELECT SUM(CASE WHEN (b.rev - a.rev) * (b.n_orders - a.n_orders) > 0 THEN 1 ELSE 0 END) AS nc,
+           SUM(CASE WHEN (b.rev - a.rev) * (b.n_orders - a.n_orders) < 0 THEN 1 ELSE 0 END) AS nd,
+           SUM(CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END) AS tx,
+           SUM(CASE WHEN b.n_orders = a.n_orders THEN 1 ELSE 0 END) AS ty,
+           COUNT(*) AS n0
+    FROM m a JOIN m b ON b.midx > a.midx
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_months,
+       CAST(nc AS BIGINT) AS n_concordant,
+       CAST(nd AS BIGINT) AS n_discordant,
+       ROUND(CAST(nc - nd AS DOUBLE) / SQRT(CAST((n0 - tx) AS DOUBLE) * (n0 - ty)), 6) AS tau_b
+FROM p
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def kendall_tau_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation between monthly revenue and monthly
+    order count — the tie-aware, outlier-proof companion to Pearson
+    (``acf_monthly_revenue``'s moment machinery) and the natural test
+    statistic for Theil–Sen's "is there a monotone trend at all?"
+    question.
+
+    Same scale shape as ``theil_sen_monthly_trend``: the O(n²) pair
+    stage runs on the BOUNDED monthly rollup (a few hundred rows), never
+    the orders scan; concordant/discordant/tie counts are exact integers
+    (sign tests on exact-decimal-derived doubles), and only the final
+    τ-b normalization touches sqrt, round(6)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+    ).agg(
+        F.sum(money("o_totalprice")).cast("double").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    a = m.select(
+        F.col("midx").alias("midx_a"),
+        F.col("rev").alias("rev_a"),
+        F.col("n_orders").alias("no_a"),
+    )
+    b = m.select(
+        F.col("midx").alias("midx_b"),
+        F.col("rev").alias("rev_b"),
+        F.col("n_orders").alias("no_b"),
+    )
+    prod = (F.col("rev_b") - F.col("rev_a")) * (F.col("no_b") - F.col("no_a"))
+    p = (
+        a.join(b, F.col("midx_b") > F.col("midx_a"))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).alias("nc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).alias("nd"),
+            F.sum(F.when(F.col("rev_b") == F.col("rev_a"), 1).otherwise(0)).alias("tx"),
+            F.sum(
+                F.when(F.col("no_b") == F.col("no_a"), 1).otherwise(0)
+            ).alias("ty"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    n_months = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return p.crossJoin(F.broadcast(n_months)).select(
+        "n_months",
+        F.col("nc").cast("bigint").alias("n_concordant"),
+        F.col("nd").cast("bigint").alias("n_discordant"),
+        F.round(
+            (F.col("nc") - F.col("nd")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "mann_whitney_flag_test",
+    oracle="""
+WITH x AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+           CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS isn,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isr
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), g AS (
+    SELECT v, CAST(SUM(isn) AS BIGINT) AS nn, CAST(SUM(isr) AS BIGINT) AS nr,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM x GROUP BY v
+), r AS (
+    SELECT nn, nr, c,
+           COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM g
+), s AS (
+    SELECT SUM(nr * (2 * cb + c + 1)) AS w2,
+           SUM(nr) AS nrt, SUM(nn) AS nnt,
+           SUM(CASE WHEN c > 1 THEN c * c * c - c ELSE 0 END) AS tie3
+    FROM r
+)
+SELECT CAST(nnt AS BIGINT) AS n_n, CAST(nrt AS BIGINT) AS n_r,
+       CAST(w2 - nrt * (nrt + 1) AS DOUBLE) / 2 AS u_r,
+       ROUND((CAST(w2 - nrt * (nrt + 1) AS DOUBLE) / 2 - CAST(nnt AS DOUBLE) * nrt / 2)
+             / SQRT(CAST(nnt AS DOUBLE) * nrt / 12
+                    * ((nnt + nrt + 1)
+                       - CAST(tie3 AS DOUBLE) / ((nnt + nrt) * (nnt + nrt - 1.0)))), 6) AS z
+FROM s
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def mann_whitney_flag_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test between return flags N
+    and R on ``l_extendedprice`` with midrank tie handling and the
+    tie-corrected normal z — the distribution-free two-sample test that
+    needs no normality story, next to the parametric moments the
+    profiling surface already serves.
+
+    Computed WITHOUT a global sort (the textbook rank assignment is the
+    banned data-sized window): prices collapse to the integer-cent VALUE
+    GRAIN first (ties carry counts), predecessor counts come from the
+    gini-style bit-length-bucket hierarchy, and 2·midrank = 2·cum_before
+    + c + 1 keeps every rank-mass term an exact integer — lifted to
+    DECIMAL for the sums — so U is exact on the half-integer grid and
+    only the final z touches sqrt, round(6).  The DuckDB oracle keeps
+    the direct one-window form over the value grain and hashes
+    identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = li.where(F.col("l_returnflag").isin("N", "R")).select(
+        (money("l_extendedprice") * 100).cast("bigint").alias("v"),
+        F.when(F.col("l_returnflag") == "N", 1).otherwise(0).alias("isn"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("isr"),
+    )
+    g = (
+        x.groupBy("v")
+        .agg(
+            F.sum("isn").cast("bigint").alias("nn"),
+            F.sum("isr").cast("bigint").alias("nr"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+        )
+        .withColumn("bucket", F.length(F.bin("v")).cast("int"))
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vb = g.withColumn("cum_b", F.sum("c").over(wv))
+    bt = g.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bto = bt.select(
+        "bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("boff")
+    )
+    r = vb.join(F.broadcast(bto), "bucket").select(
+        "nn",
+        "nr",
+        "c",
+        (F.col("boff") + F.col("cum_b") - F.col("c")).alias("cb"),
+    )
+    s = r.agg(
+        F.sum(
+            F.col("nr").cast("decimal(19,0)")
+            * (2 * F.col("cb") + F.col("c") + 1).cast("decimal(19,0)")
+        ).alias("w2"),
+        F.sum("nr").cast("bigint").alias("nrt"),
+        F.sum("nn").cast("bigint").alias("nnt"),
+        F.sum(
+            F.when(
+                F.col("c") > 1, F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            ).otherwise(F.lit(0))
+        ).alias("tie3"),
+    )
+    u2 = F.col("w2").cast("double") - F.col("nrt") * (F.col("nrt") + 1)
+    n_tot = F.col("nnt") + F.col("nrt")
+    return s.select(
+        F.col("nnt").alias("n_n"),
+        F.col("nrt").alias("n_r"),
+        (u2 / 2).alias("u_r"),
+        F.round(
+            (u2 / 2 - F.col("nnt").cast("double") * F.col("nrt") / 2)
+            / F.sqrt(
+                F.col("nnt").cast("double") * F.col("nrt") / 12
+                * (
+                    (n_tot + 1)
+                    - F.col("tie3").cast("double") / (n_tot * (n_tot - 1.0))
+                )
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "two_proportion_ab_test",
+    oracle=f"""
+WITH coh AS (
+    SELECT c_custkey,
+           CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) AS INT)
+               % {AB_COHORT_MOD} AS grp
+    FROM customer
+), succ AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+agg AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN s.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM coh LEFT JOIN succ s ON s.o_custkey = coh.c_custkey
+    GROUP BY grp
+), w AS (
+    SELECT MAX(CASE WHEN grp = 0 THEN n END) AS na,
+           MAX(CASE WHEN grp = 0 THEN k END) AS ka,
+           MAX(CASE WHEN grp = 1 THEN n END) AS nb,
+           MAX(CASE WHEN grp = 1 THEN k END) AS kb
+    FROM agg
+)
+SELECT na AS n_a, ka AS k_a, nb AS n_b, kb AS k_b,
+       ROUND(CAST(ka AS DOUBLE) / na, 6) AS rate_a,
+       ROUND(CAST(kb AS DOUBLE) / nb, 6) AS rate_b,
+       ROUND((CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+             / SQRT((CAST(ka + kb AS DOUBLE) / (na + nb))
+                    * (1.0 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z
+FROM w
+""",
+    tags=("analytics", "stats", "ab-test"),
+)
+def two_proportion_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic md5-parity customer
+    cohorts on urgent-order conversion (customer placed ≥1 URGENT-priority
+    order) — the
+    experiment readout every growth team runs; the md5 split doubles as
+    a seedable A/A harness (a healthy pipeline shows |z| small).
+
+    The cohort assignment is the engine-portable ``md5_bucket`` helper
+    (exactly uniform: 2 divides 16⁴); conversion is one key-only
+    semi-join-shaped probe (DISTINCT custkeys, LEFT JOIN null test);
+    counts are exact integers and the pooled-SE z is one shared formula
+    over the 2-row cohort table, round(6)."""
+    from .helpers import md5_bucket
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    coh = c.select(
+        "c_custkey", md5_bucket("c_custkey", AB_COHORT_MOD).alias("grp")
+    )
+    succ = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    agg = (
+        coh.join(succ, "c_custkey", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("k"),
+        )
+    )
+    w = agg.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == 0, F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == 1, F.col("k"))).alias("kb"),
+    )
+    pooled = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("ka").alias("k_a"),
+        F.col("nb").alias("n_b"),
+        F.col("kb").alias("k_b"),
+        F.round(F.col("ka").cast("double") / F.col("na"), 6).alias("rate_a"),
+        F.round(F.col("kb").cast("double") / F.col("nb"), 6).alias("rate_b"),
+        F.round(
+            (
+                F.col("ka").cast("double") / F.col("na")
+                - F.col("kb").cast("double") / F.col("nb")
+            )
+            / F.sqrt(
+                pooled
+                * (1.0 - pooled)
+                * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "ks_test_type_hours",
+    oracle=f"""
+WITH c AS (
+    SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+           CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    GROUP BY 1
+), sp AS (SELECT CAST(unnest(range(0, 24)) AS INT) AS hr),
+f AS (
+    SELECT sp.hr, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+    FROM sp LEFT JOIN c ON c.hr = sp.hr
+), cum AS (
+    SELECT hr,
+           SUM(ca) OVER (ORDER BY hr) AS cca, SUM(cb) OVER (ORDER BY hr) AS ccb,
+           SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+    FROM f
+), d AS (
+    SELECT hr, ABS(cca * nb - ccb * na) AS num, na, nb FROM cum
+), best AS (
+    SELECT MIN(hr) AS ks_hour FROM d
+    WHERE num = (SELECT MAX(num) FROM d)
+)
+SELECT (SELECT CAST(MAX(na) AS BIGINT) FROM d) AS n_a,
+       (SELECT CAST(MAX(nb) AS BIGINT) FROM d) AS n_b,
+       (SELECT ks_hour FROM best) AS ks_hour,
+       ROUND((SELECT CAST(MAX(num) AS DOUBLE) FROM d)
+             / ((SELECT CAST(MAX(na) AS DOUBLE) FROM d) * (SELECT MAX(nb) FROM d)), 6) AS ks_d,
+       ROUND(2 * EXP(-2.0 * ((SELECT CAST(MAX(num) AS DOUBLE) FROM d)
+                 / ((SELECT CAST(MAX(na) AS DOUBLE) FROM d) * (SELECT MAX(nb) FROM d)))
+                 * ((SELECT CAST(MAX(num) AS DOUBLE) FROM d)
+                 / ((SELECT CAST(MAX(na) AS DOUBLE) FROM d) * (SELECT MAX(nb) FROM d)))
+                 * (SELECT CAST(MAX(na) AS DOUBLE) * MAX(nb) / (MAX(na) + MAX(nb)) FROM d)), 6)
+           AS p_approx
+FROM (SELECT 1)
+""",
+    tags=("analytics", "stats"),
+)
+def ks_test_type_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete two-sample Kolmogorov–Smirnov distance between the
+    hour-of-day distributions of '{a}' and '{b}' events, with the hour
+    where the ECDFs diverge most and the asymptotic p-value — the
+    distribution-shift test behind "did the traffic mix change?", the
+    two-sample companion to the χ²/MI pair on the same axis.
+
+    The supremum is found on EXACT INTEGERS: |cca·nb − ccb·na| is the
+    cross-multiplied ECDF gap (no division until the end), so the argmax
+    hour can never flip on float noise; the 24-row zero-filled spine
+    bounds every window; D and the Smirnov p are two final rounded
+    doubles."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .groupBy(F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)
+            ).cast("bigint").alias("ca"),
+            F.sum(
+                F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)
+            ).cast("bigint").alias("cb"),
+        )
+    )
+    sp = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr0")
+    ).select(F.col("hr0").cast("int").alias("hr"))
+    f = sp.join(c, "hr", "left").select(
+        "hr",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    wcum = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = f.select(
+        "hr",
+        F.sum("ca").over(wcum).alias("cca"),
+        F.sum("cb").over(wcum).alias("ccb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    d = cum.select(
+        "hr",
+        F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")).alias("num"),
+        "na",
+        "nb",
+    )
+    top = d.agg(
+        F.max("num").alias("mnum"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+    )
+    best = (
+        d.join(F.broadcast(top), d["num"] == top["mnum"])
+        .agg(F.min("hr").alias("ks_hour"))
+    )
+    ksd = F.col("mnum").cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    ne = F.col("n_a").cast("double") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+    return top.crossJoin(F.broadcast(best)).select(
+        "n_a",
+        "n_b",
+        "ks_hour",
+        F.round(ksd, 6).alias("ks_d"),
+        F.round(2 * F.exp(-2.0 * ksd * ksd * ne), 6).alias("p_approx"),
+    )
+
+
+ks_test_type_hours.__doc__ = ks_test_type_hours.__doc__.format(
+    a=KS_TYPE_A, b=KS_TYPE_B
+)
+
+
+@register(
+    "survival_km_purchase",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS t0,
+           MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+           (SELECT MAX(epoch_us(ts)) FROM events) AS tmax
+    FROM events GROUP BY user_id
+), subj AS (
+    SELECT user_id,
+           CAST(CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+                     ELSE (tmax - t0) // 86400000000 END AS INT) AS day,
+           CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS is_event
+    FROM u
+), days AS (
+    SELECT day,
+           CAST(SUM(is_event) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS leaving
+    FROM subj GROUP BY day
+), risk AS (
+    SELECT day, d,
+           (SELECT COUNT(*) FROM subj) -
+               COALESCE(SUM(leaving) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+    FROM days
+), ev AS (SELECT day, d, CAST(n AS BIGINT) AS n FROM risk WHERE d > 0)
+SELECT day, n AS n_risk, d AS n_event,
+       ROUND(CASE WHEN MAX(CASE WHEN d >= n THEN 1 ELSE 0 END)
+                      OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             THEN 0.0
+             ELSE EXP(SUM(CASE WHEN d < n THEN LN(1.0 - CAST(d AS DOUBLE) / n) ELSE 0.0 END)
+                 OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 6)
+           AS km_survival
+FROM ev
+""",
+    tags=("analytics", "stats", "survival"),
+)
+def survival_km_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for days-until-first-purchase per
+    user (right-censored at the corpus horizon for users who never
+    purchase) — THE time-to-event estimator behind activation/churn
+    latency dashboards, handling censoring that a naive mean silently
+    gets wrong.
+
+    Subjects collapse to the user grain (one min-aggregate), then to
+    the DAY grain, so the at-risk window runs over the bounded corpus
+    day span; d_i/n_i are exact integer ratios of identical doubles on
+    both engines, the product survives as exp(Σ ln(1−d/n)) (the one
+    transcendental seam, shared by the KL/entropy family), round(6);
+    a fully-converting risk set (d == n) makes S an absorbing exact 0
+    via an integer flag rather than ln(0)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tmax = e.agg(F.max(us).alias("tmax"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(us).alias("t0"),
+            F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+        )
+        .crossJoin(F.broadcast(tmax))
+    )
+    subj = u.select(
+        "user_id",
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr("(tp - t0) div 86400000000"),
+        )
+        .otherwise(F.expr("(tmax - t0) div 86400000000"))
+        .cast("int")
+        .alias("day"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("is_event"),
+    )
+    days = subj.groupBy("day").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    total = subj.agg(F.count(F.lit(1)).alias("n_subj"))
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = days.crossJoin(F.broadcast(total)).select(
+        "day",
+        "d",
+        (
+            F.col("n_subj")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).cast("bigint").alias("n"),
+    )
+    ev = risk.where(F.col("d") > 0)
+    wkm = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # S hits exactly 0 when a risk set fully converts (d == n): the
+    # factor is 0, ln is undefined — the flag makes 0 absorbing.
+    term = F.when(
+        F.col("d") < F.col("n"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n")),
+    ).otherwise(F.lit(0.0))
+    zflag = F.max(
+        F.when(F.col("d") >= F.col("n"), 1).otherwise(0)
+    ).over(wkm)
+    return ev.select(
+        "day",
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_event"),
+        F.round(
+            F.when(zflag == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(term).over(wkm))
+            ),
+            6,
+        ).alias("km_survival"),
+    )

@@ -268,13 +268,24 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "customer_decile_lift",
     "event_interarrival_stats",
     "jaccard_threshold_histogram",
+    # round 12
+    "kendall_tau_monthly",
+    "mann_whitney_flag_test",
+    "two_proportion_ab_test",
+    "ks_test_type_hours",
+    "survival_km_purchase",
 )
 
 
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-11 closing sweeps (284/284 at sf0.01 AND sf0.1,
-# tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset()
+# emptied by the round-12 closing dual-scale sweeps on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset({
+    "kendall_tau_monthly",
+    "mann_whitney_flag_test",
+    "two_proportion_ab_test",
+    "ks_test_type_hours",
+    "survival_km_purchase",
+})
 
 
 @dataclass(frozen=True)
