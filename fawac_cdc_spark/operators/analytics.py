@@ -2987,3 +2987,272 @@ def survival_km_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("km_survival"),
     )
+
+
+# --- round 12 wave 2: product / revenue-curve classics ----------------------------
+
+
+@register(
+    "cohort_ltv_matrix",
+    oracle="""
+WITH fo AS (
+    SELECT o_custkey,
+           MIN(EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate))
+               AS cohort_midx
+    FROM orders GROUP BY o_custkey
+), sz AS (
+    SELECT cohort_midx, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM fo GROUP BY cohort_midx
+), rev AS (
+    SELECT f.cohort_midx,
+           CAST((EXTRACT(YEAR FROM o.o_orderdate) * 12 + EXTRACT(MONTH FROM o.o_orderdate))
+                - f.cohort_midx AS INT) AS age,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS m
+    FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+)
+SELECT CAST(r.cohort_midx AS INT) AS cohort_midx, r.age, s.n_customers,
+       CAST(r.m AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(r.m) OVER (PARTITION BY r.cohort_midx ORDER BY r.age) AS DOUBLE)
+             / s.n_customers, 6) AS cum_ltv_per_customer
+FROM rev r JOIN sz s ON s.cohort_midx = r.cohort_midx
+""",
+    tags=("analytics", "product", "ltv"),
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, each cohort's DECIMAL-exact revenue by month age plus the
+    cumulative LTV per cohort customer — the revenue twin of
+    ``retention_cohort_matrix`` and the payback-period chart every
+    subscription/commerce dashboard leads with.
+
+    Customer-grain first-order rollup, then a (cohort × age) rollup
+    bounded by months²; the cumulative window runs per cohort over its
+    ≤|months| ages.  Only the final per-customer ratio casts to double,
+    round(6)."""
+    o = load_table(spark, sf_dir, "orders")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    fo = o.groupBy("o_custkey").agg(F.min(midx).alias("cohort_midx"))
+    sz = fo.groupBy("cohort_midx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    rev = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort_midx",
+            (midx - F.col("cohort_midx")).cast("int").alias("age"),
+        )
+        .agg(F.sum(money("o_totalprice")).alias("m"))
+    )
+    wc = (
+        Window.partitionBy("cohort_midx")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sz), "cohort_midx")
+        .select(
+            F.col("cohort_midx").cast("int").alias("cohort_midx"),
+            "age",
+            "n_customers",
+            F.col("m").cast("double").alias("revenue"),
+            F.round(
+                F.sum("m").over(wc).cast("double") / F.col("n_customers"), 6
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
+
+
+ROLL_CORR_WIN = 7  # trailing days in the rolling correlation
+
+
+@register(
+    "rolling_corr_types_daily",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), w AS (
+    SELECT day, x, y,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn,
+           SUM(x) OVER tw AS sx, SUM(y) OVER tw AS sy,
+           SUM(x * x) OVER tw AS sxx, SUM(y * y) OVER tw AS syy,
+           SUM(x * y) OVER tw AS sxy
+    FROM d
+    WINDOW tw AS (ORDER BY day ROWS BETWEEN {ROLL_CORR_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS VARCHAR) AS day, x AS n_a, y AS n_purchase,
+       CASE WHEN ({ROLL_CORR_WIN} * sxx - sx * sx) > 0
+             AND ({ROLL_CORR_WIN} * syy - sy * sy) > 0
+            THEN ROUND(CAST({ROLL_CORR_WIN} * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST({ROLL_CORR_WIN} * sxx - sx * sx AS DOUBLE)
+                        * ({ROLL_CORR_WIN} * syy - sy * sy)), 6)
+       END AS roll_corr
+FROM w WHERE rn >= {ROLL_CORR_WIN}
+""",
+    tags=("analytics", "timeseries", "stats"),
+)
+def rolling_corr_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling Pearson correlation between daily
+    '{a}' and 'purchase' counts — the co-movement monitor behind
+    "is engagement still converting?", emitted only for full windows
+    and NULL where a window has zero variance.
+
+    All five running moments are EXACT INTEGER sums over the bounded
+    day series; the variance guards compare exact integers (no float
+    can flip emission), and the one double division rounds to 6."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    tw = Window.orderBy("day").rowsBetween(-(ROLL_CORR_WIN - 1), 0)
+    wr = Window.orderBy("day")
+    k = F.lit(ROLL_CORR_WIN)
+    w = d.select(
+        "day",
+        "x",
+        "y",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("x").over(tw).alias("sx"),
+        F.sum("y").over(tw).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(tw).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(tw).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(tw).alias("sxy"),
+    ).where(F.col("rn") >= ROLL_CORR_WIN)
+    vx = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = k * F.col("syy") - F.col("sy") * F.col("sy")
+    return w.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("x").alias("n_a"),
+        F.col("y").alias("n_purchase"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                (k * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.sqrt(vx.cast("double") * vy),
+                6,
+            ),
+        ).alias("roll_corr"),
+    )
+
+
+rolling_corr_types_daily.__doc__ = rolling_corr_types_daily.__doc__.format(
+    a=KS_TYPE_A
+)
+
+
+@register(
+    "abc_analysis_parts",
+    oracle="""
+WITH pr AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+    FROM lineitem GROUP BY l_partkey
+), u AS (
+    SELECT CAST(v * 10000 AS BIGINT) AS units FROM pr
+), g AS (
+    SELECT units, CAST(COUNT(*) AS BIGINT) AS c,
+           units * CAST(COUNT(*) AS BIGINT) AS m
+    FROM u GROUP BY units
+), r AS (
+    SELECT units, c, m,
+           COALESCE(SUM(m) OVER (ORDER BY units DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mb,
+           SUM(m) OVER () AS tot
+    FROM g
+), cl AS (
+    SELECT CASE WHEN 5 * mb < 4 * tot THEN 'A'
+                WHEN 20 * mb < 19 * tot THEN 'B'
+                ELSE 'C' END AS abc_class,
+           c, m, tot
+    FROM r
+)
+SELECT abc_class,
+       CAST(SUM(c) AS BIGINT) AS n_parts,
+       CAST(SUM(m) AS DOUBLE) / 10000 AS revenue,
+       ROUND(CAST(SUM(m) AS DOUBLE) / MAX(tot), 6) AS rev_share
+FROM cl GROUP BY abc_class
+""",
+    tags=("analytics", "product", "pareto"),
+)
+def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by discounted
+    revenue: class A holds the parts covering the first 80% of revenue
+    mass, B the next 15%, C the tail — the stocking-policy cut every
+    supply-chain dashboard runs, and the classification twin of
+    ``customer_decile_lift``'s Lorenz curve.
+
+    The ranked cumulative share is computed WITHOUT a global sort of
+    the part grain: per-part revenue collapses to exact integer
+    ten-thousandths (DECIMAL → bigint units), ties collapse to the
+    VALUE GRAIN, predecessor MASS comes from the gini-style bit-length
+    bucket hierarchy (within-bucket running mass + a ≤64-row bucket
+    offset window), and the 80/95 class tests are exact integer
+    cross-multiplications (5·mb < 4·tot, 20·mb < 19·tot) — no float
+    can flip a class, and a revenue tie block classifies ATOMICALLY
+    (pinned semantics, both engines group by value first).  Headroom:
+    20·total_units must fit int64 — total revenue below ~4.6e13
+    currency units, comfortably above any fixture or plausible corpus.
+    The DuckDB oracle keeps the direct one-window form over the value
+    grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    pr = li.groupBy("l_partkey").agg(F.sum(rev).alias("v"))
+    u = pr.select((F.col("v") * 10000).cast("bigint").alias("units"))
+    g = (
+        u.groupBy("units")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            "units",
+            "c",
+            (F.col("units") * F.col("c")).alias("m"),
+            F.length(F.bin("units")).cast("int").alias("bucket"),
+        )
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("units").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vb = g.withColumn("mb_in", F.coalesce(F.sum("m").over(wv), F.lit(0)))
+    bt = g.groupBy("bucket").agg(F.sum("m").alias("bm"))
+    wb = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bto = bt.select(
+        "bucket", F.coalesce(F.sum("bm").over(wb), F.lit(0)).alias("boff")
+    )
+    tot = g.agg(F.sum("m").alias("tot"))
+    r = (
+        vb.join(F.broadcast(bto), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "m",
+            "tot",
+            (F.col("boff") + F.col("mb_in")).alias("mb"),
+        )
+    )
+    cl = r.select(
+        F.when(5 * F.col("mb") < 4 * F.col("tot"), "A")
+        .when(20 * F.col("mb") < 19 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "c",
+        "m",
+        "tot",
+    )
+    return cl.groupBy("abc_class").agg(
+        F.sum("c").cast("bigint").alias("n_parts"),
+        (F.sum("m").cast("double") / 10000).alias("revenue"),
+        F.round(F.sum("m").cast("double") / F.max("tot"), 6).alias("rev_share"),
+    )

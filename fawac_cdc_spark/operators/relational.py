@@ -203,3 +203,45 @@ def exp_weight_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adv_weight"
         ),
     )
+
+
+@register(
+    "pivot_monthly_flag_revenue",
+    oracle="""
+SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
+       CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_a,
+       CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_n,
+       CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_r
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+    tags=("relational", "pivot"),
+)
+def pivot_monthly_flag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue PIVOTED to one column per return flag — the
+    wide-format report shape (the inverse of ``unpivot_pricing_metrics``
+    — together they close the melt/cast pair).
+
+    Uses the DataFrame ``pivot`` API with the VALUE LIST PROVIDED
+    (['A','N','R']): with explicit values Catalyst plans ONE pass
+    (no extra distinct-values job) and the pivot compiles to the same
+    conditional aggregation the oracle spells with CASE WHEN — exact
+    DECIMAL sums, zero-filled, cast to double per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    wide = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(midx.alias("midx"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(money("l_extendedprice")))
+    )
+    return wide.select(
+        "midx",
+        F.coalesce(F.col("A"), F.lit(0)).cast("double").alias("rev_a"),
+        F.coalesce(F.col("N"), F.lit(0)).cast("double").alias("rev_n"),
+        F.coalesce(F.col("R"), F.lit(0)).cast("double").alias("rev_r"),
+    )

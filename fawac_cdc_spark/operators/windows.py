@@ -721,22 +721,10 @@ def hourly_count_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The new-level expression, textually repeated wherever the recursive
-# step needs it (SQL cannot name a computed column within the same
-# SELECT — same device as the Holt oracle above).  r.s is the 24-slot
-# seasonal vector carried through the recursion as a DOUBLE[] column;
-# slot indexing is 1-based in DuckDB lists.
-_HW_NL = (
-    f"({HW_ALPHA} * (g.x - r.s[((g.rn - 1) % {HW_PERIOD}) + 1])"
-    f" + {1.0 - HW_ALPHA} * (r.level + r.trend))"
-)
-_HW_NT = f"({HW_BETA} * ({_HW_NL} - r.level) + {1.0 - HW_BETA} * r.trend)"
-
-
-@register(
-    "holt_winters_hourly",
-    oracle=f"""
-WITH RECURSIVE hrs AS (
+# The zero-filled hourly grid as oracle SQL — the DuckDB mirror of
+# hourly_count_spine, shared by the Holt-Winters oracle and the
+# seasonal-naive backtest (ONE definition so the two cannot drift).
+_HOURLY_SPINE_CTES = """hrs AS (
     SELECT event_type,
            CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h
     FROM events
@@ -752,7 +740,24 @@ grid AS (
            COALESCE(c.n, 0) AS x
     FROM types t CROSS JOIN spine s
     LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = s.h
-), seed0 AS (
+)"""
+
+# The new-level expression, textually repeated wherever the recursive
+# step needs it (SQL cannot name a computed column within the same
+# SELECT — same device as the Holt oracle above).  r.s is the 24-slot
+# seasonal vector carried through the recursion as a DOUBLE[] column;
+# slot indexing is 1-based in DuckDB lists.
+_HW_NL = (
+    f"({HW_ALPHA} * (g.x - r.s[((g.rn - 1) % {HW_PERIOD}) + 1])"
+    f" + {1.0 - HW_ALPHA} * (r.level + r.trend))"
+)
+_HW_NT = f"({HW_BETA} * ({_HW_NL} - r.level) + {1.0 - HW_BETA} * r.trend)"
+
+
+@register(
+    "holt_winters_hourly",
+    oracle=f"""
+WITH RECURSIVE {_HOURLY_SPINE_CTES}, seed0 AS (
     SELECT event_type,
            CAST(SUM(x) AS DOUBLE) / {HW_PERIOD} AS level,
            list(CAST(x AS DOUBLE) ORDER BY rn) AS xs
@@ -819,3 +824,69 @@ def holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("event_type", "rn")
     )
     return series.mapInPandas(_hw_stream, _HW_SCHEMA)
+
+
+# --- round 12: seasonal-naive forecast backtest --------------------------------
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle=f"""
+WITH {_HOURLY_SPINE_CTES}, lagged AS (
+    SELECT event_type, rn, x,
+           LAG(x, {HW_PERIOD}) OVER (PARTITION BY event_type ORDER BY rn) AS f_seasonal,
+           LAG(x, 1) OVER (PARTITION BY event_type ORDER BY rn) AS f_naive
+    FROM grid
+), scored AS (SELECT * FROM lagged WHERE rn > {HW_PERIOD})
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       ROUND(CAST(SUM(ABS(x - f_seasonal)) AS DOUBLE) / COUNT(*), 6) AS mae_seasonal,
+       ROUND(CAST(SUM(ABS(x - f_naive)) AS DOUBLE) / COUNT(*), 6) AS mae_naive1,
+       ROUND(SQRT(CAST(SUM((x - f_seasonal) * (x - f_seasonal)) AS DOUBLE) / COUNT(*)), 6)
+           AS rmse_seasonal,
+       ROUND(1.0 - CAST(SUM(ABS(x - f_seasonal)) AS DOUBLE)
+                   / CAST(SUM(ABS(x - f_naive)) AS DOUBLE), 6) AS skill_vs_naive1
+FROM scored GROUP BY event_type
+""",
+    tags=("window", "timeseries", "ml-eval"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the 24-hour SEASONAL-NAIVE forecast
+    (x̂_t = x_{t−24}) against the naive-1 baseline (x̂_t = x_{t−1}) on
+    the shared zero-filled hourly count spine — the forecast-evaluation
+    yardstick read BEFORE trusting anything fancier: Holt–Winters earns
+    its keep only if it beats this skill line (Hyndman fpp3 §5.8's
+    "never skip the naive benchmark").
+
+    Reuses ``hourly_count_spine`` (one map-side count + broadcast
+    zero-fill) and two lag windows over the bounded per-type series;
+    errors are EXACT INTEGERS (counts minus counts), so MAE/RMSE/skill
+    are single rounded divisions of exact sums.  Scored hours start
+    after the first seasonal period, aligning with the Holt–Winters
+    emission range."""
+    series = hourly_count_spine(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("rn")
+    lagged = series.select(
+        "event_type",
+        "rn",
+        F.col("n_events").alias("x"),
+        F.lag("n_events", HW_PERIOD).over(w).alias("f_seasonal"),
+        F.lag("n_events", 1).over(w).alias("f_naive"),
+    ).where(F.col("rn") > HW_PERIOD)
+    err_s = F.col("x") - F.col("f_seasonal")
+    err_n = F.col("x") - F.col("f_naive")
+    n = F.count(F.lit(1))
+    return lagged.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_hours"),
+        F.round(F.sum(F.abs(err_s)).cast("double") / n, 6).alias("mae_seasonal"),
+        F.round(F.sum(F.abs(err_n)).cast("double") / n, 6).alias("mae_naive1"),
+        F.round(
+            F.sqrt(F.sum(err_s * err_s).cast("double") / n), 6
+        ).alias("rmse_seasonal"),
+        F.round(
+            1.0
+            - F.sum(F.abs(err_s)).cast("double")
+            / F.sum(F.abs(err_n)).cast("double"),
+            6,
+        ).alias("skill_vs_naive1"),
+    )

@@ -274,6 +274,11 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "two_proportion_ab_test",
     "ks_test_type_hours",
     "survival_km_purchase",
+    "seasonal_naive_backtest",
+    "cohort_ltv_matrix",
+    "rolling_corr_types_daily",
+    "abc_analysis_parts",
+    "pivot_monthly_flag_revenue",
 )
 
 
@@ -285,6 +290,11 @@ PENDING_SWEEP: frozenset[str] = frozenset({
     "two_proportion_ab_test",
     "ks_test_type_hours",
     "survival_km_purchase",
+    "seasonal_naive_backtest",
+    "cohort_ltv_matrix",
+    "rolling_corr_types_daily",
+    "abc_analysis_parts",
+    "pivot_monthly_flag_revenue",
 })
 
 
