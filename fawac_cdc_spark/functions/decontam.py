@@ -553,3 +553,57 @@ def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_count_row("lineitem", erased_li, lineitem))
         .unionByName(_count_row("events", erased_ev, events))
     )
+
+
+# --- l-diversity audit (round 12) --------------------------------------------
+#
+# k-anonymity's known blind spot (Machanavajjhala et al. 2007): a cell
+# can hold >= k rows yet expose everyone in it when they all share the
+# SAME sensitive value.  l-diversity requires every quasi-identifier
+# cell to contain at least l distinct sensitive values.
+L_DIV = 3
+_LDIV_QUASI = "c_nationkey"
+_LDIV_SENSITIVE = "c_mktsegment"
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+WITH cells AS (
+    SELECT {_LDIV_QUASI},
+           CAST(COUNT(*) AS BIGINT) AS cell_n,
+           CAST(COUNT(DISTINCT {_LDIV_SENSITIVE}) AS BIGINT) AS l_div
+    FROM customer GROUP BY {_LDIV_QUASI}
+)
+SELECT CAST(l_div < {L_DIV} AS BOOLEAN) AS violates_l,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cell_n) AS BIGINT) AS n_rows,
+       CAST(MIN(l_div) AS BIGINT) AS min_l,
+       CAST(MAX(l_div) AS BIGINT) AS max_l
+FROM cells GROUP BY violates_l
+""",
+    tags=("governance", "privacy", "aggregate"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate to ``k_anonymity_audit``
+    for the attack k-anonymity misses: per quasi-identifier cell
+    (nation), the number of DISTINCT sensitive values (market segment)
+    must reach l=3, or everyone in the cell is disclosed even though
+    the cell is large.  Same shape and scale story as the k-audit: one
+    aggregate bounded by the quasi-id domain, one 2-row rollup, BIGINT
+    end to end."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(_LDIV_QUASI).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_n"),
+        F.count_distinct(F.col(_LDIV_SENSITIVE)).cast("bigint").alias("l_div"),
+    )
+    return (
+        cells.groupBy((F.col("l_div") < L_DIV).alias("violates_l"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("cell_n").cast("bigint").alias("n_rows"),
+            F.min("l_div").cast("bigint").alias("min_l"),
+            F.max("l_div").cast("bigint").alias("max_l"),
+        )
+        .select("violates_l", "n_cells", "n_rows", "min_l", "max_l")
+    )

@@ -1967,3 +1967,83 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cos, 6).alias("centroid_cosine"),
         F.round(1.0 - cos, 6).alias("drift"),
     )
+
+
+# --- round 12: int8-quantization clip calibration -------------------------------
+
+CLIP_P_LO = 0.01
+CLIP_P_HI = 0.99
+
+
+@register(
+    "embedding_clip_bounds",
+    oracle=f"""
+WITH dims AS (
+    SELECT u.z.d AS dim, u.z.q AS q
+    FROM (
+        SELECT unnest(list_transform(range(1, len(embedding) + 1),
+               i -> {{'d': i, 'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_DRIFT_Q}) AS BIGINT)}})) AS z
+        FROM embeddings
+    ) u
+), b AS (
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(quantile_cont(CAST(q AS DOUBLE), {CLIP_P_LO}), 6) AS DECIMAL(18,6)) AS lo,
+           CAST(ROUND(quantile_cont(CAST(q AS DOUBLE), {CLIP_P_HI}), 6) AS DECIMAL(18,6)) AS hi
+    FROM dims GROUP BY dim
+)
+SELECT b.dim, b.n,
+       ROUND(CAST(b.lo AS DOUBLE) / {_DRIFT_Q}, 6) AS p01,
+       ROUND(CAST(b.hi AS DOUBLE) / {_DRIFT_Q}, 6) AS p99,
+       CAST(SUM(CASE WHEN d.q < b.lo OR d.q > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped,
+       ROUND(CAST(SUM(CASE WHEN d.q < b.lo OR d.q > b.hi THEN 1 ELSE 0 END) AS DOUBLE)
+             / b.n, 6) AS clip_frac
+FROM dims d JOIN b ON b.dim = d.dim
+GROUP BY b.dim, b.n, b.lo, b.hi
+""",
+    tags=("similarity", "ml", "quantization"),
+)
+def embedding_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension p1/p99 clip calibration for int8 embedding
+    quantization — the range table computed BEFORE
+    ``embedding_int8_quant`` picks its scales: clipping at percentile
+    bounds instead of min/max keeps one outlier from wasting the whole
+    int8 range, and the clipped fraction shows what the clamp costs.
+
+    Embeddings quantize to the exact 1e-6 integer grid first (the
+    ``embedding_centroid_drift`` FLOOR convention), the exact percentile
+    runs per dimension (64 groups), bounds round to 6dp and lift to
+    DECIMAL BEFORE the clip comparison (bounds-before-compare), so the
+    clipped count is an exact integer-vs-decimal test on both engines.
+    One explode + two aggregates over |dims| keys; the bound table is
+    broadcastable anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("dim0", "ev")).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("ev").cast("double") * _DRIFT_Q).cast("bigint").alias("q"),
+    )
+    b = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr(f"percentile(cast(q as double), {CLIP_P_LO})"), 6)
+        .cast("decimal(18,6)")
+        .alias("lo"),
+        F.round(F.expr(f"percentile(cast(q as double), {CLIP_P_HI})"), 6)
+        .cast("decimal(18,6)")
+        .alias("hi"),
+    )
+    j = dims.join(F.broadcast(b), "dim")
+    clipped = F.when(
+        (F.col("q") < F.col("lo")) | (F.col("q") > F.col("hi")), 1
+    ).otherwise(0)
+    return j.groupBy("dim", "n", "lo", "hi").agg(
+        F.sum(clipped).cast("bigint").alias("n_clipped"),
+        F.round(F.sum(clipped).cast("double") / F.col("n"), 6).alias("clip_frac"),
+    ).select(
+        "dim",
+        "n",
+        F.round(F.col("lo").cast("double") / _DRIFT_Q, 6).alias("p01"),
+        F.round(F.col("hi").cast("double") / _DRIFT_Q, 6).alias("p99"),
+        "n_clipped",
+        "clip_frac",
+    )

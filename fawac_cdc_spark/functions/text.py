@@ -2034,3 +2034,162 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("labeled_lang") == F.col("guessed_lang")).alias("correct"),
     )
+
+
+# --- round 12: duplicate-n-gram coverage + segment-grain dedup ------------------
+
+DUPG_N = 3  # n-gram order for the within-doc duplication metric
+SEG_TOKENS = 10  # tokens per dedup segment (the paragraph proxy)
+
+
+@register(
+    "dup_ngram_char_fraction",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(t) - {DUPG_N} + 2),
+                  i -> array_to_string(t[i:i+{DUPG_N - 1}], ' '))) AS g
+    FROM toks WHERE len(t) >= {DUPG_N}
+), per AS (
+    SELECT doc_id, source, g,
+           CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(LENGTH(MIN(g)) AS BIGINT) AS glen
+    FROM grams GROUP BY doc_id, source, g
+)
+SELECT doc_id, source,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c * glen ELSE 0 END) AS DOUBLE)
+             / SUM(c * glen), 6) AS dup_char_share
+FROM per GROUP BY doc_id, source
+""",
+    tags=("text", "llm", "quality"),
+)
+def dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate 3-gram character coverage — the Rae et
+    al. 2021 (Gopher A1.1) "duplicate n-gram fraction" repetition rule
+    that ``gopher_quality_flags``' top-2-gram cap approximates: the
+    share of n-gram character mass sitting in n-grams that occur at
+    least twice IN THE SAME DOCUMENT.  High values mark boilerplate /
+    looping generations that slip past unigram ratios.
+
+    One explode to the (doc, gram) grain + one doc-keyed aggregate —
+    linear in corpus tokens like the exact-substring family; counts and
+    char masses are exact integers, one rounded division per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).where(F.size("t") >= DUPG_N)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {DUPG_N - 1}), "
+                f"i -> array_join(slice(t, i, {DUPG_N}), ' '))"
+            )
+        ).alias("g"),
+    )
+    per = grams.groupBy("doc_id", "source", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.length(F.min("g")).cast("bigint").alias("glen"),
+    )
+    dup_mass = F.sum(
+        F.when(F.col("c") >= 2, F.col("c") * F.col("glen")).otherwise(0)
+    )
+    return per.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_grams"),
+        F.round(
+            dup_mass.cast("double") / F.sum(F.col("c") * F.col("glen")), 6
+        ).alias("dup_char_share"),
+    )
+
+
+@register(
+    "segment_dedup_stats",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), segs AS (
+    SELECT doc_id, source,
+           CAST(u.i AS INT) AS seg_idx,
+           array_to_string(t[(u.i * {SEG_TOKENS} + 1):(u.i * {SEG_TOKENS} + {SEG_TOKENS})], ' ') AS seg
+    FROM toks, LATERAL (SELECT unnest(range(0, len(t) // {SEG_TOKENS})) AS i) u
+), keep AS (
+    SELECT seg, MIN(doc_id * 1000000 + seg_idx) AS first_occ,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM segs GROUP BY seg
+), flagged AS (
+    SELECT s.source,
+           CASE WHEN s.doc_id * 1000000 + s.seg_idx = k.first_occ THEN 0 ELSE 1 END AS removed
+    FROM segs s JOIN keep k ON k.seg = s.seg
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(removed) AS BIGINT) AS n_removed,
+       ROUND(CAST(SUM(removed) AS DOUBLE) / COUNT(*), 6) AS removed_share
+FROM flagged GROUP BY source
+""",
+    tags=("text", "llm", "dedup"),
+)
+def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-grain exact dedup across the corpus (the CCNet paragraph
+    dedup, with fixed {SEG}-token segments standing in for paragraphs —
+    the fixture text carries no newlines): every full segment is hashed
+    corpus-wide, the FIRST occurrence (smallest (doc_id, seg_idx))
+    survives, and each source reports its removed-segment share — the
+    boilerplate census between doc-grain ``dedup_exact_documents`` and
+    substring-grain ``substring_span_removal``.
+
+    Linear plan: one segment explode (⌊tokens/{SEG}⌋ per doc), one
+    segment-keyed aggregate for the first-occurrence key, one equi-join
+    back, one source rollup.  The first-occurrence key packs
+    (doc_id, seg_idx) into one BIGINT (seg_idx < 1e6 by construction:
+    it is bounded by tokens/{SEG} per document) so the min is a single
+    integer aggregate on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("t"))
+    segs = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) div {SEG_TOKENS}), "
+                f"i -> array_join(slice(t, (i - 1) * {SEG_TOKENS} + 1, {SEG_TOKENS}), ' '))"
+            )
+        ).alias("seg_idx0", "seg"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("seg_idx0").cast("int").alias("seg_idx"),
+        "seg",
+    )
+    keep = segs.groupBy("seg").agg(
+        F.min(F.col("doc_id") * 1_000_000 + F.col("seg_idx")).alias("first_occ"),
+    )
+    flagged = segs.join(keep, "seg").select(
+        "source",
+        F.when(
+            F.col("doc_id") * 1_000_000 + F.col("seg_idx") == F.col("first_occ"),
+            0,
+        )
+        .otherwise(1)
+        .alias("removed"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("removed").cast("bigint").alias("n_removed"),
+        F.round(F.sum("removed").cast("double") / F.count(F.lit(1)), 6).alias(
+            "removed_share"
+        ),
+    )
+
+
+segment_dedup_stats.__doc__ = segment_dedup_stats.__doc__.replace(
+    "{SEG}", str(SEG_TOKENS)
+)

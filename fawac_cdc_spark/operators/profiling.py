@@ -494,3 +494,76 @@ def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("events.event_type in domain", dom, e))
         .unionByName(row("events.value not null", nn, e))
     )
+
+
+# --- round 12: join-key skew profile ---------------------------------------------
+
+
+def _skew_block_sql(table: str, key: str) -> str:
+    """One key column's skew row as oracle SQL (shared shape)."""
+    return f"""
+SELECT '{table}.{key}' AS key_col,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_freq,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top1_share,
+       ROUND(quantile_cont(CAST(c AS DOUBLE), 0.5), 6) AS p50_freq,
+       ROUND(quantile_cont(CAST(c AS DOUBLE), 0.99), 6) AS p99_freq,
+       ROUND(quantile_cont(CAST(c AS DOUBLE), 0.99)
+             / quantile_cont(CAST(c AS DOUBLE), 0.5), 6) AS p99_p50_ratio
+FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS c FROM {table} GROUP BY {key})
+"""
+
+
+_SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+@register(
+    "join_key_skew_profile",
+    oracle=" UNION ALL ".join(_skew_block_sql(t, k) for t, k in _SKEW_KEYS),
+    tags=("profiling", "ops", "skew"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for the three hottest shuffle keys
+    (lineitem.l_orderkey, orders.o_custkey, events.user_id): key count,
+    heaviest-key share, and the p99/p50 frequency ratio — the numbers
+    that decide WHEN the salting / AQE-skew-join machinery
+    (``salted_user_event_totals``) is worth its extra pass.  A
+    top1_share near 1/n_keys and ratio near 1 mean plain hash
+    partitioning is fine; a fat ratio flags stragglers before they
+    happen.
+
+    Per key: one map-side-combinable count to the key grain, then one
+    percentile aggregate over key-grain frequencies (never row grain) —
+    both engines compute identical exact-integer inputs, round(6) on
+    the float columns."""
+    out = None
+    for table, key in _SKEW_KEYS:
+        t = load_table(spark, sf_dir, table)
+        freq = t.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        p50 = F.expr("percentile(cast(c as double), 0.5)")
+        p99 = F.expr("percentile(cast(c as double), 0.99)")
+        row = freq.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.max("c").cast("bigint").alias("max_freq"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top1_share"),
+            F.round(p50, 6).alias("p50_freq"),
+            F.round(p99, 6).alias("p99_freq"),
+            F.round(p99 / p50, 6).alias("p99_p50_ratio"),
+        ).select(
+            F.lit(f"{table}.{key}").alias("key_col"),
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            "top1_share",
+            "p50_freq",
+            "p99_freq",
+            "p99_p50_ratio",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -279,6 +279,11 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "rolling_corr_types_daily",
     "abc_analysis_parts",
     "pivot_monthly_flag_revenue",
+    "l_diversity_audit",
+    "dup_ngram_char_fraction",
+    "segment_dedup_stats",
+    "embedding_clip_bounds",
+    "join_key_skew_profile",
 )
 
 
@@ -295,6 +300,11 @@ PENDING_SWEEP: frozenset[str] = frozenset({
     "rolling_corr_types_daily",
     "abc_analysis_parts",
     "pivot_monthly_flag_revenue",
+    "l_diversity_audit",
+    "dup_ngram_char_fraction",
+    "segment_dedup_stats",
+    "embedding_clip_bounds",
+    "join_key_skew_profile",
 })
 
 
