@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -2046,4 +2046,116 @@ def embedding_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hi").cast("double") / _DRIFT_Q, 6).alias("p99"),
         "n_clipped",
         "clip_frac",
+    )
+
+
+# --- round 12: ANN recall@k grading curve ----------------------------------------
+
+RECALL_KS = (1, 5, 10)
+
+
+@register(
+    "ann_recall_curve",
+    oracle=f"""
+WITH {_SCORED_Q0_CTE},
+exact AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+    FROM scored_q0 QUALIFY r <= {max(RECALL_KS)}
+),
+b AS (
+    SELECT vec_id, embedding, {_bucket_sql_duck()} AS bucket FROM embeddings
+),
+qb AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0),
+cand AS (
+    SELECT b.vec_id,
+           ROUND(({_DOTQ_DUCK})
+                 / (({_NORM_DUCK.format(v='embedding')})
+                    * ({_NORM_DUCK.format(v='qv')})), 6) AS cos_sim
+    FROM b, qb WHERE b.vec_id <> 0 AND b.bucket = qb.qbucket
+),
+approx AS (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+    FROM cand QUALIFY r <= {max(RECALL_KS)}
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in RECALL_KS)}]) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / ks.k, 6) AS recall_at_k
+FROM ks
+LEFT JOIN exact e ON e.r <= ks.k
+LEFT JOIN approx a ON a.vec_id = e.vec_id AND a.r <= ks.k
+GROUP BY ks.k
+""",
+    tags=("similarity", "llm", "ml-eval"),
+)
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k curve (k = 1, 5, 10) of the single-bucket RP-LSH search
+    against the brute-force exact ranking for the fixed query vec_id=0
+    — the ANN grading harness as a first-class query: the same
+    measured-not-assumed discipline ``lsh_recall_vs_exact`` applies to
+    dedup, applied to retrieval, and the number that justifies (or
+    rejects) the multiprobe/IVF dials next to it.
+
+    Both top-k frontiers use the ONE shared scoring definition
+    (rounded cosine, vec_id tiebreak — engine-stable order); the exact
+    side is a TakeOrderedAndProject top-10, the approx side scores only
+    the query's LSH bucket; recall joins two ≤10-row frames, so
+    everything after candidate scoring is constant-size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    kmax = max(RECALL_KS)
+    exact = (
+        scored_vs_query0(e)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(kmax)
+        .select("vec_id", "cos_sim")
+    )
+    wr = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    exact_r = exact.select("vec_id", F.row_number().over(wr).alias("re"))
+    b = e.select("vec_id", "embedding", F.expr(_bucket_expr_spark()).alias("bucket"))
+    q = b.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        b.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(_DOTQ_SPARK)
+                / (
+                    F.expr(_NORM_SPARK.format(v="embedding"))
+                    * F.expr(_NORM_SPARK.format(v="qvec"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    approx = cand.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(kmax)
+    approx_r = approx.select("vec_id", F.row_number().over(wr).alias("ra"))
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in RECALL_KS])).alias("k0")
+    ).select(F.col("k0").cast("int").alias("k"))
+    hits = (
+        ks.crossJoin(F.broadcast(exact_r))
+        .where(F.col("re") <= F.col("k"))
+        .join(F.broadcast(approx_r), "vec_id", "left")
+    )
+    return hits.groupBy("k").agg(
+        F.sum(
+            F.when(
+                F.col("ra").isNotNull() & (F.col("ra") <= F.col("k")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("ra").isNotNull() & (F.col("ra") <= F.col("k")), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.col("k"),
+            6,
+        ).alias("recall_at_k"),
     )

@@ -896,3 +896,210 @@ def strict_funnel_1h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_count(s2, "click", 2))
         .unionByName(stage_count(s3, "purchase", 3))
     )
+
+
+# --- round 12: closed-form multiple regression ------------------------------------
+#
+# regr_slope/intercept/r2 (linear_trend_by_type) cover ONE feature; the
+# two-feature normal equations are still a closed form over nine moment
+# sums, solved by Cramer's rule.  The solve formulas are ONE set of SQL
+# strings interpolated into BOTH engines' final projection, so the float
+# operation order cannot differ; every moment is an exact DECIMAL/BIGINT
+# sum cast to double once.
+
+_OLS2_DET = (
+    "(n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2) "
+    "+ sx2 * (sx1 * s12 - s11 * sx2))"
+)
+_OLS2_B0 = (
+    "(sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y) "
+    "+ sx2 * (s1y * s12 - s11 * s2y))"
+)
+_OLS2_B1 = (
+    "(n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2) "
+    "+ sx2 * (sx1 * s2y - s1y * sx2))"
+)
+_OLS2_B2 = (
+    "(n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2) "
+    "+ sy * (sx1 * s12 - s11 * sx2))"
+)
+# One list of output expressions, consumed by the oracle's final SELECT
+# and by the Spark side's selectExpr — identical text, identical floats.
+_OLS2_COLS = (
+    "CAST(n AS BIGINT) AS n_rows",
+    f"ROUND({_OLS2_B0} / {_OLS2_DET}, 6) AS b_intercept",
+    f"ROUND({_OLS2_B1} / {_OLS2_DET}, 6) AS b_quantity",
+    f"ROUND({_OLS2_B2} / {_OLS2_DET}, 6) AS b_discount",
+    f"ROUND(1.0 - (syy - ({_OLS2_B0} / {_OLS2_DET}) * sy"
+    f" - ({_OLS2_B1} / {_OLS2_DET}) * s1y"
+    f" - ({_OLS2_B2} / {_OLS2_DET}) * s2y)"
+    " / (syy - sy * sy / n), 6) AS r2",
+)
+_OLS2_FINAL = "\nSELECT " + ",\n       ".join(_OLS2_COLS) + "\nFROM m\n"
+
+
+@register(
+    "ols_two_feature",
+    oracle=f"""
+WITH m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx1,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s11,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+    FROM lineitem
+){_OLS2_FINAL}
+""",
+    tags=("aggregate", "stats", "ml-eval"),
+)
+def ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature least squares in closed form:
+    ``l_extendedprice ~ b0 + b1·l_quantity + b2·l_discount`` solved by
+    Cramer's rule over the 3×3 normal equations, plus R² — the
+    multi-feature step past the built-in single-feature ``regr_*``
+    family, still ONE map-side-combinable aggregate (the classic
+    "ML on moments" pattern: nine exact sums summarize the scan).
+
+    Every moment is an exact BIGINT/DECIMAL sum cast to double once;
+    the solve runs through the SAME SQL formula strings on both engines
+    (``_OLS2_*``), so determinant arithmetic is bit-identical,
+    round(6) on the four outputs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    d = money("l_discount")
+    y = money("l_extendedprice")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx1"),
+        F.sum(d).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(d * d).cast("double").alias("s22"),
+        F.sum(q * d).cast("double").alias("s12"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(d * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    return m.selectExpr(*_OLS2_COLS)
+
+
+# --- round 12: distributed Poisson bootstrap --------------------------------------
+#
+# The resample-with-replacement bootstrap is shuffle-hostile at scale (it
+# needs n draws per replicate), so production systems use the POISSON
+# bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for Massive
+# Data Streams" — the Google approach): each row enters replicate b with
+# weight ~ Poisson(1), approximating multinomial resampling with one
+# independent draw per (row, replicate).  The draw is the repo's
+# deterministic md5-coin inverse-CDF idiom, so both engines replay the
+# identical resample.
+
+BOOT_REPS = 32
+_BOOT_COIN = 65536
+# Cumulative Poisson(1) CDF thresholds (k = 0..8): u < c_k  =>  weight k.
+# Exact repr literals so both engines compare the same doubles.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507642,
+    0.9999897508033254,
+    0.9999988805587655,
+)
+
+
+def _pois_w_sql(u: str) -> str:
+    """Inverse-CDF CASE chain (shared text on both engines)."""
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {branches} ELSE {len(_POIS1_CDF)} END)"
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (SELECT unnest(range(0, {BOOT_REPS})) AS b),
+w AS (
+    SELECT r.b,
+           {_pois_w_sql(f"(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 4) AS INT) % {_BOOT_COIN} + 0.5) / {_BOOT_COIN}.0")} AS wt,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS x
+    FROM orders, reps r
+), per AS (
+    SELECT b, CAST(SUM(wt) AS BIGINT) AS n_eff,
+           CAST(SUM(wt * x) AS DOUBLE) / SUM(wt) AS mean_b
+    FROM w GROUP BY b
+), full_m AS (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS full_mean
+    FROM orders
+)
+SELECT CAST({BOOT_REPS} AS INT) AS n_reps,
+       ROUND((SELECT full_mean FROM full_m), 6) AS full_mean,
+       ROUND(quantile_cont(mean_b, 0.5), 6) AS boot_p50,
+       ROUND(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+       ROUND(quantile_cont(mean_b, 0.975), 6) AS ci_hi
+FROM per
+""",
+    tags=("aggregate", "stats", "sampling"),
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value via the
+    POISSON bootstrap — the distributed-systems form of the bootstrap:
+    instead of materializing n draws per replicate, every order joins
+    replicate b with a deterministic Poisson(1) weight (md5-coin →
+    inverse CDF), so all {B} replicates ride ONE scan × {B} map-side
+    rows and reduce to {B} groups.  The CI is the 2.5/97.5 percentile
+    of the replicate means.
+
+    Determinism: the coin is the exactly-uniform dyadic md5 idiom
+    shared with the DP release; the CASE thresholds are exact repr
+    literals; each replicate mean is an exact DECIMAL sum over integer
+    weights divided once — so all {B} means are bit-identical doubles
+    on both engines and the percentile interpolation cannot drift.
+    Summary statistics are percentiles (never a float mean OF the
+    means, whose summation order is engine-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b")
+    # Spark side of the oracle's coin: the same md5 fragment over the
+    # (orderkey ':' replicate) composite key (helpers module docstring)
+    u_spark = (
+        f"(CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':' || "
+        f"CAST(b AS STRING)), 1, 4), 16, 10) AS INT) % {_BOOT_COIN} + 0.5) "
+        f"/ {_BOOT_COIN}.0"
+    )
+    w = o.select("o_orderkey", money("o_totalprice").alias("x")).select(
+        "o_orderkey", "x", reps
+    ).select(
+        "b", "x", F.expr(_pois_w_sql(u_spark)).alias("wt")
+    )
+    per = w.groupBy("b").agg(
+        F.sum("wt").cast("bigint").alias("n_eff"),
+        (F.sum(F.col("wt") * F.col("x")).cast("double") / F.sum("wt")).alias(
+            "mean_b"
+        ),
+    )
+    full_m = o.agg(
+        (F.sum(money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "full_mean"
+        )
+    )
+    return per.crossJoin(F.broadcast(full_m)).agg(
+        F.lit(BOOT_REPS).cast("int").alias("n_reps"),
+        F.round(F.max("full_mean"), 6).alias("full_mean"),
+        F.round(F.expr("percentile(mean_b, 0.5)"), 6).alias("boot_p50"),
+        F.round(F.expr("percentile(mean_b, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(mean_b, 0.975)"), 6).alias("ci_hi"),
+    )
+
+
+poisson_bootstrap_ci.__doc__ = poisson_bootstrap_ci.__doc__.replace(
+    "{B}", str(BOOT_REPS)
+)

@@ -284,6 +284,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "segment_dedup_stats",
     "embedding_clip_bounds",
     "join_key_skew_profile",
+    "ann_recall_curve",
+    "ols_two_feature",
+    "poisson_bootstrap_ci",
 )
 
 
@@ -305,6 +308,9 @@ PENDING_SWEEP: frozenset[str] = frozenset({
     "segment_dedup_stats",
     "embedding_clip_bounds",
     "join_key_skew_profile",
+    "ann_recall_curve",
+    "ols_two_feature",
+    "poisson_bootstrap_ci",
 })
 
 
