@@ -2506,12 +2506,15 @@ def kendall_tau_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sign tests on exact-decimal-derived doubles), and only the final
     τ-b normalization touches sqrt, round(6)."""
     o = load_table(spark, sf_dir, "orders")
+    # checkpoint the bounded month rollup (theil_sen's discipline): the
+    # scan feeds exactly one aggregate, and the O(n²) pair join + the
+    # n_months frame both reuse the materialized ~|months| rows
     m = o.groupBy(
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
     ).agg(
         F.sum(money("o_totalprice")).cast("double").alias("rev"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-    )
+    ).localCheckpoint(eager=True)
     a = m.select(
         F.col("midx").alias("midx_a"),
         F.col("rev").alias("rev_a"),

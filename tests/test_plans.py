@@ -114,6 +114,18 @@ _SCALAR_BROADCAST_OK = {
     "rfm_customer_segments",  # 1-row corpus max-date + 1-row quintile
     #                           boundary frames (VERDICT r11 #3)
     "customer_decile_lift",  # 1-row decile-boundary frame (VERDICT r11 #2)
+    # round 12
+    "kendall_tau_monthly",  # bounded month-pair inequality join + 1-row
+    #                         n_months frame (theil_sen's shape)
+    "ks_test_type_hours",  # 24-row spine + 1-row max/argmax frames
+    "survival_km_purchase",  # 1-row corpus-horizon + subject-count frames
+    "abc_analysis_parts",  # 1-row total-mass frame
+    "poisson_bootstrap_ci",  # 1-row full-mean frame + 32-replica explode
+    "ann_recall_curve",  # 1-row query vector + <=10-row rank frames
+    "cohort_ltv_matrix",  # broadcast cohort-size equi join (no NLJ, listed
+    #                       defensively for the 1-row shapes AQE may fold)
+    "seasonal_naive_backtest",  # the shared |hours|-row zero-fill spine
+    #                             (holt_winters_hourly's shape)
 }
 
 
@@ -1188,6 +1200,46 @@ def test_rfm_is_windowless_broadcast_boundaries(spark, sf_dir):
     assert "Window" not in plan
     assert "percentile" in plan.lower()
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kendall_pairs_only_on_monthly_aggregate(spark, sf_dir):
+    """The O(n²) concordance enumeration must run on the MONTHLY
+    aggregate (theil_sen's discipline): the inequality join's inputs
+    are bounded month rollups, never the orders scan."""
+    plan = _plan(spark, sf_dir, "kendall_tau_monthly")
+    join_part = plan.split("BroadcastNestedLoopJoin", 1)
+    assert len(join_part) == 2, "expected the bounded inequality pair join"
+    assert "orders.parquet" not in join_part[1].split("== Initial Plan ==")[0][:2000]
+
+
+def test_mann_whitney_windows_are_bucket_blocked(spark, sf_dir):
+    """No global sort of the price grain: every window spec in the
+    rank-sum plan is bucket-scoped (value-grain cumulative within
+    bucket, or the ≤64-row bucket-offset window ordered by bucket)."""
+    plan = _plan(spark, sf_dir, "mann_whitney_flag_test")
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    for line in specs:
+        assert "bucket" in line, line
+
+
+def test_abc_windows_are_bucket_blocked(spark, sf_dir):
+    """Same discipline for the ABC cumulative mass: every window spec
+    is bucket-scoped; classification itself is join+aggregate."""
+    plan = _plan(spark, sf_dir, "abc_analysis_parts")
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    for line in specs:
+        assert "bucket" in line, line
+
+
+def test_pivot_plans_single_pass(spark, sf_dir):
+    """PIVOT with an explicit value list must compile to ONE aggregate
+    pass over the join — no extra distinct-values job (no second scan
+    of lineitem) and no Expand."""
+    plan = _plan(spark, sf_dir, "pivot_monthly_flag_revenue")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" not in plan
 
 
 def test_attribution_pairs_join_on_user(spark, sf_dir):

@@ -2486,3 +2486,221 @@ def test_rfm_scores_boundary_semantics(spark, sf_dir):
         assert len(set(seq)) >= 2, axis  # the axis actually discriminates
     for r in rows:
         assert r["segment"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+
+
+# --- round 12 wave invariants ------------------------------------------------
+
+
+def test_kendall_tau_bounds_and_pair_count(spark, sf_dir):
+    """τ-b lies in [-1, 1]; concordant + discordant never exceed the
+    total pair count n(n-1)/2."""
+    (r,) = _SPECS["kendall_tau_monthly"].fn(spark, sf_dir).collect()
+    n0 = r["n_months"] * (r["n_months"] - 1) // 2
+    assert r["n_concordant"] + r["n_discordant"] <= n0
+    assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_mann_whitney_u_bounds(spark, sf_dir):
+    """0 <= U_R <= n_N * n_R, and U sits on the half-integer grid
+    (exact midrank arithmetic)."""
+    (r,) = _SPECS["mann_whitney_flag_test"].fn(spark, sf_dir).collect()
+    assert 0.0 <= r["u_r"] <= r["n_n"] * r["n_r"]
+    assert abs(r["u_r"] * 2 - round(r["u_r"] * 2)) < 1e-9
+
+
+def test_mann_whitney_matches_scipy_style_replica(spark, sf_dir):
+    """Independent midrank replica: recompute U from the raw prices in
+    pure Python (sorted midranks) and compare exactly."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+                   l_returnflag
+            FROM '{sf_dir}/lineitem.parquet'
+            WHERE l_returnflag IN ('N', 'R')"""
+    ).fetchall()
+    vals = sorted(v for v, _ in rows)
+    # midranks per value
+    import collections
+
+    pos = {}
+    start = 0
+    for v, grp in __import__("itertools").groupby(vals):
+        c = len(list(grp))
+        pos[v] = start + (c + 1) / 2  # 1-based midrank
+        start += c
+    w_r = sum(pos[v] for v, f in rows if f == "R")
+    n_r = sum(1 for _, f in rows if f == "R")
+    u_expect = w_r - n_r * (n_r + 1) / 2
+    (r,) = _SPECS["mann_whitney_flag_test"].fn(spark, sf_dir).collect()
+    assert r["u_r"] == u_expect
+
+
+def test_ks_bounds(spark, sf_dir):
+    """KS distance is in [0, 1], the argmax hour is a real hour, and the
+    asymptotic p-value is a probability."""
+    (r,) = _SPECS["ks_test_type_hours"].fn(spark, sf_dir).collect()
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert 0 <= r["ks_hour"] <= 23
+    assert 0.0 <= r["p_approx"] <= 2.0 + 1e-9  # 2*exp(...) caps at 2
+
+
+def test_km_survival_monotone_and_bounded(spark, sf_dir):
+    """S(t) is non-increasing in t, within [0, 1], and the risk set
+    shrinks as days advance."""
+    rows = sorted(
+        _SPECS["survival_km_purchase"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    s_prev, n_prev = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r["km_survival"] <= 1.0
+        assert r["km_survival"] <= s_prev + 1e-9
+        assert 1 <= r["n_event"] <= r["n_risk"]
+        if n_prev is not None:
+            assert r["n_risk"] <= n_prev
+        s_prev, n_prev = r["km_survival"], r["n_risk"]
+
+
+def test_abc_classes_partition_and_order(spark, sf_dir):
+    """A/B/C partition the parts; shares sum to 1; the mean revenue per
+    part is strictly ordered A > B > C (boundary semantics)."""
+    rows = {r["abc_class"]: r for r in _SPECS["abc_analysis_parts"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r["rev_share"] for r in rows.values()) - 1.0) <= 1e-5
+    means = {k: rows[k]["revenue"] / rows[k]["n_parts"] for k in rows}
+    assert means["A"] > means["B"] > means["C"]
+    # class A holds at most ~80% of mass + its boundary block
+    assert rows["A"]["rev_share"] <= 0.8 + rows["A"]["revenue"] / max(
+        rows["A"]["n_parts"], 1
+    ) / (sum(r["revenue"] for r in rows.values()))
+
+
+def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
+    """Within a cohort, cumulative LTV per customer is non-decreasing in
+    age and age 0 exists for every cohort (the first order itself)."""
+    rows = _SPECS["cohort_ltv_matrix"].fn(spark, sf_dir).collect()
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r["cohort_midx"], []).append(r)
+    for c, grp in by_c.items():
+        grp.sort(key=lambda r: r["age"])
+        assert grp[0]["age"] == 0, c
+        ltv = [g["cum_ltv_per_customer"] for g in grp]
+        assert all(b >= a - 1e-9 for a, b in zip(ltv, ltv[1:])), c
+
+
+def test_seasonal_naive_backtest_consistency(spark, sf_dir):
+    """MAE/RMSE are non-negative, RMSE >= MAE (Jensen), and the skill
+    formula ties out to the two MAEs."""
+    for r in _SPECS["seasonal_naive_backtest"].fn(spark, sf_dir).collect():
+        assert r["mae_seasonal"] >= 0 and r["mae_naive1"] >= 0
+        assert r["rmse_seasonal"] >= r["mae_seasonal"] - 1e-9
+        if r["mae_naive1"] > 0:
+            assert abs(
+                r["skill_vs_naive1"] - (1 - r["mae_seasonal"] / r["mae_naive1"])
+            ) <= 5e-6
+
+
+def test_segment_dedup_counts_consistent(spark, sf_dir):
+    """Removed < total per source, and corpus-wide kept-segment count
+    equals the number of DISTINCT segments."""
+    import duckdb
+
+    rows = _SPECS["segment_dedup_stats"].fn(spark, sf_dir).collect()
+    n_total = sum(r["n_segments"] for r in rows)
+    n_removed = sum(r["n_removed"] for r in rows)
+    con = duckdb.connect()
+    (n_distinct,) = con.execute(
+        f"""SELECT COUNT(DISTINCT seg) FROM (
+              SELECT array_to_string(t[(u.i * 10 + 1):(u.i * 10 + 10)], ' ') AS seg
+              FROM (SELECT string_split(text, ' ') AS t FROM '{sf_dir}/documents.parquet'),
+                   LATERAL (SELECT unnest(range(0, len(t) // 10)) AS i) u)"""
+    ).fetchone()
+    assert n_total - n_removed == n_distinct
+
+
+def test_dup_ngram_share_bounds(spark, sf_dir):
+    """dup share in [0,1]; n_dup_grams <= n_grams; a dup gram count is
+    never 1 by construction."""
+    for r in _SPECS["dup_ngram_char_fraction"].fn(spark, sf_dir).collect():
+        assert 0.0 <= r["dup_char_share"] <= 1.0
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        assert r["n_dup_grams"] != 1
+
+
+def test_embedding_clip_bounds_sane(spark, sf_dir):
+    """p01 <= p99 per dim; the clipped fraction is at most ~2% + tie
+    slack (the two 1% tails), never negative."""
+    rows = _SPECS["embedding_clip_bounds"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r["p01"] <= r["p99"]
+        assert 0 <= r["n_clipped"] <= r["n"]
+        assert r["clip_frac"] <= 0.03
+
+
+def test_ann_recall_curve_bounds(spark, sf_dir):
+    """n_hits <= k and recall in [0,1] for every k; recall@1 is 0 or 1."""
+    rows = {r["k"]: r for r in _SPECS["ann_recall_curve"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {1, 5, 10}
+    for k, r in rows.items():
+        assert 0 <= r["n_hits"] <= k
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    assert rows[1]["recall_at_k"] in (0.0, 1.0)
+
+
+def test_ols_two_feature_matches_numpy(spark, sf_dir):
+    """Cramer's-rule coefficients match numpy lstsq on the raw columns
+    to 4 decimals (independent replica)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    m = con.execute(
+        f"""SELECT CAST(l_quantity AS DOUBLE), CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE),
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchnumpy()
+    cols = list(m.values())
+    X = np.column_stack([np.ones_like(cols[0]), cols[0], cols[1]])
+    beta, *_ = np.linalg.lstsq(X, cols[2], rcond=None)
+    (r,) = _SPECS["ols_two_feature"].fn(spark, sf_dir).collect()
+    assert abs(r["b_intercept"] - beta[0]) < 1e-3
+    assert abs(r["b_quantity"] - beta[1]) < 1e-4
+    assert abs(r["b_discount"] - beta[2]) < 1e-3
+    assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_poisson_bootstrap_ci_brackets(spark, sf_dir):
+    """ci_lo <= boot_p50 <= ci_hi, and the full-sample mean falls inside
+    the 95% interval (it would take a catastrophically broken resample
+    to push the truth outside on this data)."""
+    (r,) = _SPECS["poisson_bootstrap_ci"].fn(spark, sf_dir).collect()
+    assert r["ci_lo"] <= r["boot_p50"] <= r["ci_hi"]
+    assert r["ci_lo"] <= r["full_mean"] <= r["ci_hi"]
+
+
+def test_l_diversity_rows_cover_table(spark, sf_dir):
+    """The violates/ok rows partition all customers and min_l >= 1."""
+    rows = _SPECS["l_diversity_audit"].fn(spark, sf_dir).collect()
+    import duckdb
+
+    (n_customers,) = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet'"
+    ).fetchone()
+    assert sum(r["n_rows"] for r in rows) == n_customers
+    for r in rows:
+        assert r["min_l"] >= 1
+
+
+def test_join_key_skew_profile_shape(spark, sf_dir):
+    """Three key rows; top1_share >= 1/n_keys; p99 >= p50 >= 1."""
+    rows = _SPECS["join_key_skew_profile"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["top1_share"] >= 1.0 / r["n_keys"] - 1e-9
+        assert r["p99_freq"] >= r["p50_freq"] >= 1.0
+        assert r["max_freq"] >= r["p99_freq"] - 1e-9
