@@ -2918,3 +2918,89 @@ def jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_j",
         )
     )
+
+
+# --- round 12: capture-recapture coverage estimate -------------------------------
+
+
+@register(
+    "capture_recapture_dups",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+{_BANDS_SQL},
+{_LSH_CAND_SQL},
+{_WIDE_SIMHASH_SQL.strip()},
+sbands AS (
+    SELECT doc_id, simhash, b.band,
+           (simhash // (CAST(1 AS BIGINT) << (band * {SIMHASH_BAND_BITS})))
+               % {1 << SIMHASH_BAND_BITS} AS key
+    FROM fp, (SELECT unnest(range(0, {SIMHASH_WIDE_BANDS})) AS band) b
+),
+scand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM sbands a JOIN sbands c
+      ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+),
+sim_pairs AS (
+    SELECT s.doc_a, s.doc_b
+    FROM scand s
+    JOIN fp fa ON fa.doc_id = s.doc_a
+    JOIN fp fb ON fb.doc_id = s.doc_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_MAX_HAMMING}
+),
+counts AS (
+    SELECT (SELECT COUNT(*) FROM cand) AS n1,
+           (SELECT COUNT(*) FROM sim_pairs) AS n2,
+           (SELECT COUNT(*) FROM cand c JOIN sim_pairs s
+             ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b) AS m
+)
+SELECT CAST(n1 AS BIGINT) AS n_minhash_pairs,
+       CAST(n2 AS BIGINT) AS n_simhash_pairs,
+       CAST(m AS BIGINT) AS n_both,
+       ROUND((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1, 6) AS chapman_estimate,
+       ROUND(CAST(n1 AS DOUBLE) / ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1), 6)
+           AS minhash_coverage,
+       ROUND(CAST(n2 AS DOUBLE) / ((CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - 1), 6)
+           AS simhash_coverage
+FROM counts
+""",
+    tags=("dedup", "llm", "ml-eval"),
+)
+def capture_recapture_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture–recapture (Chapman) estimate of the TRUE near-duplicate
+    pair count from two independent catchers — MinHash-LSH candidates
+    and banded-SimHash pairs: N̂ = (n1+1)(n2+1)/(m+1) − 1, where m is
+    the overlap.  The Lincoln–Petersen idea ecologists tag fish with,
+    applied to dedup: each method's coverage ratio (n_i/N̂) says how
+    much near-duplication BOTH sketches are missing, without any
+    exhaustive ground truth — the cheap always-on companion to the
+    exact-PPJoin grading of ``lsh_recall_vs_exact`` (which runs on a
+    sample at 100 TB; this runs on the catches alone).
+
+    Independence caveat (documented, inherent to the method): both
+    catchers key on text overlap, so N̂ is a LOWER bound on the true
+    pair count — correlated catchers inflate m.  Both pair sets reuse
+    the repo's shared candidate rules; the overlap is one equi-join on
+    the pair key; counts are exact integers into one shared final
+    formula, round(6)."""
+    bands = band_table_for(minhash_signatures_df(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    mh = lsh_candidate_pairs_for(bands)
+    fp = wide_simhash_df(spark, sf_dir).localCheckpoint(eager=True)
+    sh = simhash_candidate_pairs(fp).select("doc_a", "doc_b")
+    n1 = mh.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = sh.agg(F.count(F.lit(1)).alias("n2"))
+    m = mh.join(sh, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("m"))
+    counts = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    chapman = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (
+        F.col("m") + 1
+    ) - 1
+    return counts.select(
+        F.col("n1").cast("bigint").alias("n_minhash_pairs"),
+        F.col("n2").cast("bigint").alias("n_simhash_pairs"),
+        F.col("m").cast("bigint").alias("n_both"),
+        F.round(chapman, 6).alias("chapman_estimate"),
+        F.round(F.col("n1").cast("double") / chapman, 6).alias("minhash_coverage"),
+        F.round(F.col("n2").cast("double") / chapman, 6).alias("simhash_coverage"),
+    )

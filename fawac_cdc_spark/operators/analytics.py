@@ -3259,3 +3259,162 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("m").cast("double") / 10000).alias("revenue"),
         F.round(F.sum("m").cast("double") / F.max("tot"), 6).alias("rev_share"),
     )
+
+
+# --- round 12 wave 5: multiple testing + effect size -------------------------------
+
+BH_ALPHA = 0.1
+_HR_CELLS = 24
+
+
+@register(
+    "bh_fdr_type_hour",
+    oracle=f"""
+WITH c AS (
+    SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+), t AS (
+    SELECT event_type, CAST(SUM(o) AS BIGINT) AS ni FROM c GROUP BY 1
+), z AS (
+    SELECT c.event_type, c.hr, c.o,
+           CAST(t.ni AS DOUBLE) / {_HR_CELLS} AS e,
+           ROUND(EXP(-((c.o - CAST(t.ni AS DOUBLE) / {_HR_CELLS})
+                       * (c.o - CAST(t.ni AS DOUBLE) / {_HR_CELLS}))
+                     / (2 * (CAST(t.ni AS DOUBLE) / {_HR_CELLS})
+                        * (1 - 1.0 / {_HR_CELLS}))), 6) AS p_proxy
+    FROM c JOIN t USING (event_type)
+), ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_proxy, event_type, hr) AS INT) AS bh_rank,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM z
+), cut AS (
+    SELECT *, MAX(CASE WHEN p_proxy * m <= {BH_ALPHA} * bh_rank
+                       THEN bh_rank ELSE 0 END) OVER () AS istar
+    FROM ranked
+)
+SELECT event_type, hr, o AS n_obs, ROUND(e, 6) AS expected,
+       p_proxy, bh_rank,
+       CAST(bh_rank <= istar AS BOOLEAN) AS significant
+FROM cut
+""",
+    tags=("analytics", "stats", "multiple-testing"),
+)
+def bh_fdr_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over the (event_type, hour)
+    deviation tests: each cell's count is tested against its type's
+    uniform hourly expectation, the ~|types|·24 p-values are ranked,
+    and BH's step-up rule flags the largest prefix with
+    p_(i) ≤ α·i/m — the multiple-testing discipline that keeps a
+    120-cell anomaly dashboard from crying wolf α·m times a day.
+
+    The per-cell p is the Chernoff bound exp(−z²/2) of the binomial
+    normal approximation — a deterministic monotone transform of |z|
+    (identical double expression both engines, round(6) BEFORE
+    ranking), which is exactly what BH's RANK logic needs; the
+    documented trade is that the bound is conservative in absolute
+    scale.  The rank window runs over the bounded cell grid; the BH
+    comparison is p·m ≤ α·i on the rounded p — no float can flip the
+    cutoff except at the measure-zero boundary."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    t = c.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("ni"))
+    ee = F.col("ni").cast("double") / _HR_CELLS
+    dev = F.col("o") - ee
+    z = c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "hr",
+        "o",
+        ee.alias("e"),
+        F.round(
+            F.exp(-(dev * dev) / (2 * ee * (1 - 1.0 / _HR_CELLS))), 6
+        ).alias("p_proxy"),
+    )
+    wrank = Window.orderBy("p_proxy", "event_type", "hr")
+    wall = Window.partitionBy()
+    ranked = z.select(
+        "*",
+        F.row_number().over(wrank).cast("int").alias("bh_rank"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"),
+    )
+    cut = ranked.withColumn(
+        "istar",
+        F.max(
+            F.when(
+                F.col("p_proxy") * F.col("m") <= BH_ALPHA * F.col("bh_rank"),
+                F.col("bh_rank"),
+            ).otherwise(0)
+        ).over(wall),
+    )
+    return cut.select(
+        "event_type",
+        "hr",
+        F.col("o").alias("n_obs"),
+        F.round("e", 6).alias("expected"),
+        "p_proxy",
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("istar")).alias("significant"),
+    )
+
+
+# Shared effect-size formula text (identical float op order both engines):
+# pooled variance from exact moment sums via the computational formula.
+_COHEN_FINAL = (
+    "ROUND((sn / nn - sr / nr) / SQRT((((qn - sn * sn / nn) + (qr - sr * sr / nr))"
+    " / (nn + nr - 2))), 6)"
+)
+
+
+@register(
+    "effect_size_flags",
+    oracle=f"""
+WITH m AS (
+    SELECT CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS DOUBLE) AS nn,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS nr,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sn,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sr,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS qn,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS qr
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+)
+SELECT CAST(nn AS BIGINT) AS n_n, CAST(nr AS BIGINT) AS n_r,
+       ROUND(sn / nn, 6) AS mean_n, ROUND(sr / nr, 6) AS mean_r,
+       {_COHEN_FINAL} AS cohens_d,
+       ROUND({_COHEN_FINAL} * (1 - 3 / (4 * (nn + nr) - 9)), 6) AS hedges_g
+FROM m
+""",
+    tags=("analytics", "stats", "ml-eval"),
+)
+def effect_size_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g between return flags N and R on
+    ``l_extendedprice`` — the PRACTICAL-significance companion to
+    ``mann_whitney_flag_test``'s statistical significance: at warehouse
+    row counts everything is "significant", so the standardized mean
+    difference is the number that decides whether anyone should care.
+
+    One conditional-aggregate pass produces six exact moment sums
+    (decimal lifted, cast to double once); d and g come from ONE shared
+    formula text on both engines (pooled variance via the computational
+    formula), round(6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = money("l_extendedprice")
+    isn = F.col("l_returnflag") == "N"
+    isr = F.col("l_returnflag") == "R"
+    m = li.where(F.col("l_returnflag").isin("N", "R")).agg(
+        F.sum(F.when(isn, 1).otherwise(0)).cast("double").alias("nn"),
+        F.sum(F.when(isr, 1).otherwise(0)).cast("double").alias("nr"),
+        F.sum(F.when(isn, p)).cast("double").alias("sn"),
+        F.sum(F.when(isr, p)).cast("double").alias("sr"),
+        F.sum(F.when(isn, p * p)).cast("double").alias("qn"),
+        F.sum(F.when(isr, p * p)).cast("double").alias("qr"),
+    )
+    return m.selectExpr(
+        "CAST(nn AS BIGINT) AS n_n",
+        "CAST(nr AS BIGINT) AS n_r",
+        "ROUND(sn / nn, 6) AS mean_n",
+        "ROUND(sr / nr, 6) AS mean_r",
+        f"{_COHEN_FINAL} AS cohens_d",
+        f"ROUND({_COHEN_FINAL} * (1 - 3 / (4 * (nn + nr) - 9)), 6) AS hedges_g",
+    )

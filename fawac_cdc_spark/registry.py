@@ -287,6 +287,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "ann_recall_curve",
     "ols_two_feature",
     "poisson_bootstrap_ci",
+    "capture_recapture_dups",
+    "bh_fdr_type_hour",
+    "effect_size_flags",
 )
 
 
@@ -311,6 +314,9 @@ PENDING_SWEEP: frozenset[str] = frozenset({
     "ann_recall_curve",
     "ols_two_feature",
     "poisson_bootstrap_ci",
+    "capture_recapture_dups",
+    "bh_fdr_type_hour",
+    "effect_size_flags",
 })
 
 

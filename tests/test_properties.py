@@ -2704,3 +2704,40 @@ def test_join_key_skew_profile_shape(spark, sf_dir):
         assert r["top1_share"] >= 1.0 / r["n_keys"] - 1e-9
         assert r["p99_freq"] >= r["p50_freq"] >= 1.0
         assert r["max_freq"] >= r["p99_freq"] - 1e-9
+
+
+def test_bh_fdr_stepup_property(spark, sf_dir):
+    """BH correctness: the significant set is exactly the rank prefix
+    1..i* where i* = max{i : p_(i) <= alpha*i/m} (recomputed here
+    independently from the emitted p-values)."""
+    rows = sorted(
+        _SPECS["bh_fdr_type_hour"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    m = len(rows)
+    istar = max(
+        (r["bh_rank"] for r in rows if r["p_proxy"] * m <= 0.1 * r["bh_rank"]),
+        default=0,
+    )
+    for r in rows:
+        assert r["significant"] == (r["bh_rank"] <= istar), r
+
+
+def test_capture_recapture_consistency(spark, sf_dir):
+    """Overlap <= each catch; Chapman estimate >= the larger catch (the
+    estimator can never say fewer pairs exist than one catcher saw)."""
+    (r,) = _SPECS["capture_recapture_dups"].fn(spark, sf_dir).collect()
+    assert r["n_both"] <= min(r["n_minhash_pairs"], r["n_simhash_pairs"])
+    assert r["chapman_estimate"] >= max(r["n_minhash_pairs"], r["n_simhash_pairs"]) - 1
+    assert 0 < r["minhash_coverage"] <= 1.0 + 1e-9
+    assert 0 < r["simhash_coverage"] <= 1.0 + 1e-9
+
+
+def test_effect_size_sign_matches_means(spark, sf_dir):
+    """d and g share the sign of (mean_N - mean_R), |g| <= |d| (the
+    small-sample shrinkage), and the means tie out."""
+    (r,) = _SPECS["effect_size_flags"].fn(spark, sf_dir).collect()
+    diff = r["mean_n"] - r["mean_r"]
+    if abs(diff) > 1e-9:
+        assert (r["cohens_d"] > 0) == (diff > 0)
+    assert abs(r["hedges_g"]) <= abs(r["cohens_d"]) + 1e-9
