@@ -294,30 +294,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# emptied by the round-12 closing dual-scale sweeps on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset({
-    "kendall_tau_monthly",
-    "mann_whitney_flag_test",
-    "two_proportion_ab_test",
-    "ks_test_type_hours",
-    "survival_km_purchase",
-    "seasonal_naive_backtest",
-    "cohort_ltv_matrix",
-    "rolling_corr_types_daily",
-    "abc_analysis_parts",
-    "pivot_monthly_flag_revenue",
-    "l_diversity_audit",
-    "dup_ngram_char_fraction",
-    "segment_dedup_stats",
-    "embedding_clip_bounds",
-    "join_key_skew_profile",
-    "ann_recall_curve",
-    "ols_two_feature",
-    "poisson_bootstrap_ci",
-    "capture_recapture_dups",
-    "bh_fdr_type_hour",
-    "effect_size_flags",
-})
+# empty: the round-12 closing sweeps (305/305 at sf0.01 AND sf0.1,
+# tools/parity_last.json) ran on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)

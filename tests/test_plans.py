@@ -126,6 +126,8 @@ _SCALAR_BROADCAST_OK = {
     #                       defensively for the 1-row shapes AQE may fold)
     "seasonal_naive_backtest",  # the shared |hours|-row zero-fill spine
     #                             (holt_winters_hourly's shape)
+    "capture_recapture_dups",  # three 1-row catch-count frames folded
+    #                            (lsh_recall_vs_exact's shape)
 }
 
 
