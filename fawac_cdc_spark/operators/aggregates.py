@@ -1028,11 +1028,17 @@ def _pois_w_sql(u: str) -> str:
     "poisson_bootstrap_ci",
     oracle=f"""
 WITH reps AS (SELECT unnest(range(0, {BOOT_REPS})) AS b),
+dig AS (
+    SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+           list_transform(range(0, {BOOT_REPS // 8}),
+               i -> md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(i AS VARCHAR))) AS ds
+    FROM orders
+),
 w AS (
     SELECT r.b,
-           {_pois_w_sql(f"(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 4) AS INT) % {_BOOT_COIN} + 0.5) / {_BOOT_COIN}.0")} AS wt,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS x
-    FROM orders, reps r
+           {_pois_w_sql(f"(CAST('0x' || substr(ds[r.b // 8 + 1], (r.b % 8) * 4 + 1, 4) AS INT) % {_BOOT_COIN} + 0.5) / {_BOOT_COIN}.0")} AS wt,
+           x
+    FROM dig, reps r
 ), per AS (
     SELECT b, CAST(SUM(wt) AS BIGINT) AS n_eff,
            CAST(SUM(wt * x) AS DOUBLE) / SUM(wt) AS mean_b
@@ -1068,16 +1074,25 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means, whose summation order is engine-dependent)."""
     o = load_table(spark, sf_dir, "orders")
     reps = F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b")
-    # Spark side of the oracle's coin: the same md5 fragment over the
-    # (orderkey ':' replicate) composite key (helpers module docstring)
+    # One md5 digest carries 32 hex chars = EIGHT independent 16-bit
+    # coins, and the digests are HOISTED to the order grain before the
+    # replicate explode (4 md5s per order, not 32): the digest array
+    # rides into the exploded rows where each replicate slices its own
+    # 4-hex coin.
+    n_dig = BOOT_REPS // 8
+    # NB Spark [] is 0-indexed where DuckDB lists are 1-indexed
     u_spark = (
-        f"(CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':' || "
-        f"CAST(b AS STRING)), 1, 4), 16, 10) AS INT) % {_BOOT_COIN} + 0.5) "
-        f"/ {_BOOT_COIN}.0"
+        f"(CAST(conv(substr(ds[b div 8], (b % 8) * 4 + 1, 4), 16, 10) "
+        f"AS INT) % {_BOOT_COIN} + 0.5) / {_BOOT_COIN}.0"
     )
-    w = o.select("o_orderkey", money("o_totalprice").alias("x")).select(
-        "o_orderkey", "x", reps
-    ).select(
+    dig = o.select(
+        money("o_totalprice").alias("x"),
+        F.expr(
+            f"transform(sequence(0, {n_dig - 1}), "
+            "i -> md5(CAST(o_orderkey AS STRING) || ':' || CAST(i AS STRING)))"
+        ).alias("ds"),
+    )
+    w = dig.select("x", "ds", reps).select(
         "b", "x", F.expr(_pois_w_sql(u_spark)).alias("wt")
     )
     per = w.groupBy("b").agg(
