@@ -1,0 +1,776 @@
+"""Statistical-inference surface, wave II (round 12 extension).
+
+Classical analyst statistics the round-12 hypothesis-testing wave did
+not yet cover, each re-expressed with the repo's exact cross-engine
+arithmetic conventions: Spearman rank correlation (midranks over a
+bounded grain), one-way ANOVA from per-group moment sums, Welch's
+unequal-variance t, exact-decimal max drawdown, a deterministic
+md5-coin randomization (permutation) test, Herfindahl–Hirschman
+concentration, an EMD-based t-closeness audit (the ordered-attribute
+companion to ``k_anonymity_audit`` / ``l_diversity_audit``), and
+empirical-Bayes beta-binomial shrinkage of per-part return rates.
+
+Reference anchors: the reference logs per-step eval statistics and
+compares run configurations (``train_fawac_iql.py:145-166``,
+``fawac.py:597-611``); this module generalizes that monitoring surface
+to the inference toolkit an analyst runs on the same warehouse.
+
+Scale notes (100 TB design point): every operator reduces the scan to
+either a BOUNDED grain (calendar days, event types, priority × decile
+grids, sources) or a map-side-combinable moment aggregate before any
+window/join; the only row-expanding stage is the permutation test's
+32× replicate explode, which follows ``poisson_bootstrap_ci``'s
+hoisted-digest discipline (4 md5s per order carry all 32 coins).
+Per-term double sums over bounded grids follow the source_kl_drift /
+chi_square convention: exact-integer inputs, identical operand order,
+round(6) on final statistics only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .helpers import money
+
+# --- Spearman ----------------------------------------------------------------
+
+
+def _midrank2(grain: DataFrame, col: str, out: str) -> DataFrame:
+    """(value, 2*midrank) over a BOUNDED grain frame.
+
+    Collapses to the value grain (ties carry counts) and derives
+    2*midrank = 2*cum_before + c + 1 — an exact INTEGER, so Pearson on
+    midranks (= Spearman) needs no float ranks.  The window runs over
+    the value grain of an already-bounded frame (calendar days), the
+    same shape ``rolling_corr_types_daily`` pins."""
+    g = grain.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    return g.select(
+        col,
+        (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(out),
+    )
+
+
+@register(
+    "spearman_corr_daily",
+    oracle="""
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+    FROM events GROUP BY 1
+), gx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY x),
+rx AS (
+    SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2x
+    FROM gx
+), gy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY y),
+ry AS (
+    SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2y
+    FROM gy
+), j AS (
+    SELECT r2x, r2y FROM d JOIN rx USING (x) JOIN ry USING (y)
+), s AS (
+    SELECT COUNT(*) AS n, SUM(r2x) AS sx, SUM(r2y) AS sy,
+           SUM(r2x * r2x) AS sxx, SUM(r2y * r2y) AS syy,
+           SUM(r2x * r2y) AS sxy
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)),
+             6) AS rho_spearman
+FROM s
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily event count and daily
+    total value — the monotone-association monitor that survives the
+    heavy-tailed value column where Pearson (``rolling_corr_types_daily``)
+    saturates on outliers; tie-aware via midranks.
+
+    Ranks never touch a data-sized sort: the scan reduces to the
+    BOUNDED calendar-day grain first, midranks come from the value
+    grain of that frame as exact integers (2·midrank = 2·cum_before +
+    c + 1, ``mann_whitney_flag_test``'s identity), and Spearman is
+    Pearson on those integers — five exact integer moments, one double
+    division, round(6)."""
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            (F.sum(money("value")) * 100).cast("bigint").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rx = _midrank2(d, "x", "r2x")
+    ry = _midrank2(d, "y", "r2y")
+    j = d.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.cast("bigint").alias("n_days"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("rho_spearman"),
+    )
+
+
+# --- one-way ANOVA -----------------------------------------------------------
+
+# Shared single-row formula texts (the effect_size_flags discipline):
+# kk = #groups, nn = N, aa = sum_g s_g^2/n_g, ss = S, qq = sum x^2.
+_ANOVA_SSB = "(aa - ss * ss / nn)"
+_ANOVA_SSW = "(qq - aa)"
+
+
+@register(
+    "anova_f_event_types",
+    oracle=f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           SUM(CAST(value AS DECIMAL(18,2))) AS s_g,
+           SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q_g
+    FROM events GROUP BY 1
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS kk,
+           CAST(SUM(n_g) AS DOUBLE) AS nn,
+           SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) AS aa,
+           CAST(SUM(s_g) AS DOUBLE) AS ss,
+           CAST(SUM(q_g) AS DOUBLE) AS qq
+    FROM g
+)
+SELECT CAST(kk AS INT) AS k_types,
+       CAST(nn AS BIGINT) AS n_events,
+       ROUND(({_ANOVA_SSB} / (kk - 1.0)) / ({_ANOVA_SSW} / (nn - kk)), 6) AS f_stat,
+       ROUND({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW}), 6) AS eta_sq
+FROM m
+""",
+    tags=("analytics", "stats"),
+)
+def anova_f_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of event value across event types, with the
+    η² effect size — "do the type means differ at all?", the k-group
+    generalization the pairwise tests (``mann_whitney_flag_test``,
+    ``effect_size_flags``) build toward.
+
+    One map-side-combinable pass collects exact per-type decimal
+    moments (n, Σx, Σx²); between/within sums of squares come from the
+    computational identity SSB = Σ s_g²/n_g − S²/N, so the only
+    engine-ordered float sum is the k-term Σ s_g²/n_g over the BOUNDED
+    type grain (chi_square/source_kl_drift convention: exact inputs,
+    identical operand order, round(6) on the final F and η²)."""
+    e = load_table(spark, sf_dir, "events")
+    v = money("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(v).alias("s_g"),
+        F.sum(v * v).alias("q_g"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("double").alias("kk"),
+        F.sum("n_g").cast("double").alias("nn"),
+        F.sum(
+            F.col("s_g").cast("double") * F.col("s_g").cast("double") / F.col("n_g")
+        ).alias("aa"),
+        F.sum("s_g").cast("double").alias("ss"),
+        F.sum("q_g").cast("double").alias("qq"),
+    )
+    return m.selectExpr(
+        "CAST(kk AS INT) AS k_types",
+        "CAST(nn AS BIGINT) AS n_events",
+        f"ROUND(({_ANOVA_SSB} / (kk - 1.0)) / ({_ANOVA_SSW} / (nn - kk)), 6) AS f_stat",
+        f"ROUND({_ANOVA_SSB} / ({_ANOVA_SSB} + {_ANOVA_SSW}), 6) AS eta_sq",
+    )
+
+
+# --- Welch's t ---------------------------------------------------------------
+
+# Shared formula texts over the six exact moments (nn/nr counts,
+# sn/sr sums, qn/qr sums of squares — effect_size_flags' frame).
+_W_VN = "((qn - sn * sn / nn) / (nn - 1.0))"
+_W_VR = "((qr - sr * sr / nr) / (nr - 1.0))"
+_W_SE2 = f"({_W_VN} / nn + {_W_VR} / nr)"
+_W_T = f"ROUND((sn / nn - sr / nr) / SQRT({_W_SE2}), 6)"
+_W_DF = (
+    f"ROUND({_W_SE2} * {_W_SE2} / "
+    f"(({_W_VN} / nn) * ({_W_VN} / nn) / (nn - 1.0) + "
+    f"({_W_VR} / nr) * ({_W_VR} / nr) / (nr - 1.0)), 6)"
+)
+
+
+@register(
+    "welch_t_flags",
+    oracle=f"""
+WITH m AS (
+    SELECT CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS DOUBLE) AS nn,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS nr,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sn,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sr,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS qn,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS qr
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+)
+SELECT CAST(nn AS BIGINT) AS n_n, CAST(nr AS BIGINT) AS n_r,
+       {_W_T} AS t_welch,
+       {_W_DF} AS df_welch
+FROM m
+""",
+    tags=("analytics", "stats"),
+)
+def welch_t_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic and Welch–Satterthwaite
+    degrees of freedom between return flags N and R on
+    ``l_extendedprice`` — the significance companion to
+    ``effect_size_flags``' Cohen's d (same six moments, no
+    equal-variance assumption the pooled form would smuggle in).
+
+    One conditional-aggregate pass, exact decimal moments cast to
+    double once, t and df from ONE shared formula text on both engines,
+    round(6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = money("l_extendedprice")
+    isn = F.col("l_returnflag") == "N"
+    isr = F.col("l_returnflag") == "R"
+    m = li.where(F.col("l_returnflag").isin("N", "R")).agg(
+        F.sum(F.when(isn, 1).otherwise(0)).cast("double").alias("nn"),
+        F.sum(F.when(isr, 1).otherwise(0)).cast("double").alias("nr"),
+        F.sum(F.when(isn, p)).cast("double").alias("sn"),
+        F.sum(F.when(isr, p)).cast("double").alias("sr"),
+        F.sum(F.when(isn, p * p)).cast("double").alias("qn"),
+        F.sum(F.when(isr, p * p)).cast("double").alias("qr"),
+    )
+    return m.selectExpr(
+        "CAST(nn AS BIGINT) AS n_n",
+        "CAST(nr AS BIGINT) AS n_r",
+        f"{_W_T} AS t_welch",
+        f"{_W_DF} AS df_welch",
+    )
+
+
+# --- max drawdown ------------------------------------------------------------
+
+
+@register(
+    "max_drawdown_daily",
+    oracle="""
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) AS pnl
+    FROM events GROUP BY 1
+), c AS (
+    SELECT day,
+           SUM(pnl) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM d
+), r AS (
+    SELECT day, cum,
+           MAX(cum) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+    FROM c
+)
+SELECT CAST(day AS VARCHAR) AS trough_day,
+       CAST(runmax AS DOUBLE) AS peak_cum,
+       CAST(cum AS DOUBLE) AS trough_cum,
+       CAST(runmax - cum AS DOUBLE) AS max_drawdown
+FROM r
+ORDER BY runmax - cum DESC, day
+LIMIT 1
+""",
+    tags=("analytics", "timeseries"),
+)
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily event value — the
+    peak-to-trough risk statistic every monitoring dashboard puts next
+    to the equity/health curve; reports the trough day, the running
+    peak it fell from, and the exact drawdown.
+
+    The scan reduces to the BOUNDED calendar-day grain before any
+    window (``rolling_corr_types_daily``'s pinned shape); cumulative
+    sum, running max, and the drawdown are EXACT DECIMAL end to end
+    (no float can move the argmax), and the trough row is one
+    TakeOrderedAndProject with the earliest-day tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(money("value")).alias("pnl")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.select(
+        "day",
+        F.sum("pnl").over(wc).alias("cum"),
+    ).select(
+        "day",
+        "cum",
+        F.max("cum").over(wc).alias("runmax"),
+    )
+    return (
+        r.orderBy((F.col("runmax") - F.col("cum")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").cast("string").alias("trough_day"),
+            F.col("runmax").cast("double").alias("peak_cum"),
+            F.col("cum").cast("double").alias("trough_cum"),
+            (F.col("runmax") - F.col("cum")).cast("double").alias("max_drawdown"),
+        )
+    )
+
+
+# --- randomization (permutation) test ----------------------------------------
+
+PERM_REPS = 32
+_PERM_COIN_SPARK = (
+    "CAST(conv(substr(ds[b div 8], (b % 8) * 4 + 1, 4), 16, 10) AS INT) % 2"
+)
+_PERM_COIN_DUCK = (
+    "CAST('0x' || substr(ds[r.b // 8 + 1], (r.b % 8) * 4 + 1, 4) AS INT) % 2"
+)
+
+
+@register(
+    "permutation_test_mean_diff",
+    oracle=f"""
+WITH reps AS (SELECT unnest(range(0, {PERM_REPS})) AS b),
+base AS (
+    SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+           CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) AS INT) % 2 AS grp,
+           list_transform(range(0, {PERM_REPS // 8}),
+               i -> md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(i AS VARCHAR))) AS ds
+    FROM orders
+), obs AS (
+    SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN grp = 1 THEN x END) AS DOUBLE)
+               / SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+           - CAST(SUM(CASE WHEN grp = 0 THEN x END) AS DOUBLE)
+               / SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS obs_diff
+    FROM base
+), w AS (
+    SELECT r.b, {_PERM_COIN_DUCK} AS coin, x
+    FROM base, reps r
+), per AS (
+    SELECT b,
+           CAST(SUM(CASE WHEN coin = 1 THEN x END) AS DOUBLE) / SUM(coin)
+           - CAST(SUM(CASE WHEN coin = 0 THEN x END) AS DOUBLE)
+               / (COUNT(*) - SUM(coin)) AS diff_b
+    FROM w GROUP BY b
+)
+SELECT CAST({PERM_REPS} AS INT) AS n_reps,
+       (SELECT n_a FROM obs) AS n_a,
+       (SELECT n_b FROM obs) AS n_b,
+       ROUND((SELECT obs_diff FROM obs), 6) AS obs_diff,
+       ROUND((1.0 + SUM(CASE WHEN ABS(diff_b) >= ABS((SELECT obs_diff FROM obs))
+                             THEN 1 ELSE 0 END)) / ({PERM_REPS} + 1.0), 6) AS p_value
+FROM per
+""",
+    tags=("analytics", "stats", "ab-test", "sampling"),
+)
+def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization (permutation) test for the difference
+    in mean order value between the md5-parity order cohorts — the
+    assumption-free significance readout for the A/A harness
+    ``two_proportion_ab_test`` set up: under a healthy pipeline the
+    observed split is just one more random relabeling, so the p-value
+    is uniform.
+
+    The {R} relabelings are DETERMINISTIC md5 coins replayed
+    identically by both engines, hoisted to the order grain before the
+    replicate explode ({R}//8 digests carry eight 16-bit coins each —
+    ``poisson_bootstrap_ci``'s discipline); each replicate's mean
+    difference is two exact decimal sums and two divisions, so all
+    {R} diffs are bit-identical doubles and the ≥-count cannot drift.
+    p uses the add-one permutation estimator (Phipson–Smyth)."""
+    o = load_table(spark, sf_dir, "orders")
+    from .helpers import md5_bucket
+
+    n_dig = PERM_REPS // 8
+    base = o.select(
+        money("o_totalprice").alias("x"),
+        md5_bucket("o_orderkey", 2).alias("grp"),
+        F.expr(
+            f"transform(sequence(0, {n_dig - 1}), "
+            "i -> md5(CAST(o_orderkey AS STRING) || ':' || CAST(i AS STRING)))"
+        ).alias("ds"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        (
+            F.sum(F.when(F.col("grp") == 1, F.col("x"))).cast("double")
+            / F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            - F.sum(F.when(F.col("grp") == 0, F.col("x"))).cast("double")
+            / F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        ).alias("obs_diff"),
+    )
+    w = base.select(
+        "x",
+        "ds",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_REPS - 1))).alias("b"),
+    ).select("b", "x", F.expr(_PERM_COIN_SPARK).alias("coin"))
+    per = w.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("coin") == 1, F.col("x"))).cast("double")
+            / F.sum("coin")
+            - F.sum(F.when(F.col("coin") == 0, F.col("x"))).cast("double")
+            / (F.count(F.lit(1)) - F.sum("coin"))
+        ).alias("diff_b")
+    )
+    return per.crossJoin(F.broadcast(obs)).agg(
+        F.lit(PERM_REPS).cast("int").alias("n_reps"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(F.max("obs_diff"), 6).alias("obs_diff"),
+        F.round(
+            (
+                1.0
+                + F.sum(
+                    F.when(
+                        F.abs(F.col("diff_b")) >= F.abs(F.col("obs_diff")), 1
+                    ).otherwise(0)
+                )
+            )
+            / (PERM_REPS + 1.0),
+            6,
+        ).alias("p_value"),
+    )
+
+
+permutation_test_mean_diff.__doc__ = permutation_test_mean_diff.__doc__.replace(
+    "{R}", str(PERM_REPS)
+)
+
+
+# --- HHI concentration --------------------------------------------------------
+
+
+@register(
+    "hhi_source_concentration",
+    oracle="""
+WITH c AS (
+    SELECT source, CAST(SUM(n_chars) AS BIGINT) AS ch
+    FROM documents GROUP BY source
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS ns,
+           CAST(SUM(ch) AS BIGINT) AS tot,
+           CAST(SUM(CAST(ch AS DECIMAL(38,0)) * ch) AS DOUBLE) AS num,
+           CAST(MAX(ch) AS DOUBLE) AS mx
+    FROM c
+)
+SELECT ns AS n_sources,
+       tot AS total_chars,
+       ROUND(num / (CAST(tot AS DOUBLE) * tot), 6) AS hhi,
+       ROUND(CAST(tot AS DOUBLE) * tot / num, 6) AS effective_sources,
+       ROUND(mx / tot, 6) AS top_share
+FROM s
+""",
+    tags=("text", "analytics", "concentration"),
+)
+def hhi_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of corpus characters across
+    sources, with the effective source count (1/HHI) and the single
+    largest source's share — the one-number "is this corpus really
+    diverse?" gauge next to ``gini_concentration_by_source``'s full
+    Lorenz treatment (HHI is what mixture-rebalancing jobs threshold
+    on).
+
+    Two map-side-combinable aggregates: per-source char totals (exact
+    BIGINT), then Σ share² computed as Σ ch² / (Σ ch)² with the
+    numerator lifted to DECIMAL(38,0) — exact integers until three
+    final divisions, round(6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("ch"))
+    s = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("ch").cast("bigint").alias("tot"),
+        F.sum(F.col("ch").cast("decimal(38,0)") * F.col("ch"))
+        .cast("double")
+        .alias("num"),
+        F.max("ch").cast("double").alias("mx"),
+    )
+    tot_d = F.col("tot").cast("double")
+    return s.select(
+        F.col("ns").alias("n_sources"),
+        F.col("tot").alias("total_chars"),
+        F.round(F.col("num") / (tot_d * tot_d), 6).alias("hhi"),
+        F.round(tot_d * tot_d / F.col("num"), 6).alias("effective_sources"),
+        F.round(F.col("mx") / tot_d, 6).alias("top_share"),
+    )
+
+
+# --- t-closeness --------------------------------------------------------------
+
+T_CLOSENESS_T = 0.2  # release threshold on the EMD (standard texbook default)
+T_CLOSE_BUCKETS = 10
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+WITH b AS (
+    SELECT list_transform(
+               quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE),
+                             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               x -> CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS bs
+    FROM orders
+), assigned AS (
+    SELECT o_orderpriority,
+           CAST({T_CLOSE_BUCKETS} - len(list_filter(b.bs,
+               x -> CAST(o_totalprice AS DECIMAL(18,2)) > x)) AS INT) AS dec
+    FROM orders, b
+), grid AS (
+    SELECT p.o_orderpriority, d.dec
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+         (SELECT unnest(range(1, {T_CLOSE_BUCKETS + 1})) AS dec) d
+), cnt AS (
+    SELECT o_orderpriority, dec, CAST(COUNT(*) AS BIGINT) AS n_gd
+    FROM assigned GROUP BY 1, 2
+), cells AS (
+    SELECT g.o_orderpriority, g.dec, COALESCE(c.n_gd, 0) AS n_gd
+    FROM grid g LEFT JOIN cnt c
+      ON c.o_orderpriority = g.o_orderpriority AND c.dec = g.dec
+), cum AS (
+    SELECT o_orderpriority, dec, n_gd,
+           SUM(n_gd) OVER (PARTITION BY o_orderpriority ORDER BY dec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_gd,
+           SUM(n_gd) OVER (PARTITION BY o_orderpriority) AS n_g
+    FROM cells
+), gdec AS (
+    SELECT dec, SUM(n_gd) AS nd FROM cells GROUP BY dec
+), gcum AS (
+    SELECT dec, SUM(nd) OVER (ORDER BY dec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+    FROM gdec
+), tot AS (SELECT CAST(SUM(n_gd) AS BIGINT) AS n FROM cells)
+SELECT c.o_orderpriority,
+       CAST(MAX(c.n_g) AS BIGINT) AS n_orders,
+       ROUND(SUM(ABS(CAST(c.cum_gd AS DECIMAL(38,0)) * tot.n
+                     - CAST(g.cum_d AS DECIMAL(38,0)) * c.n_g))
+             / (CAST(MAX(c.n_g) AS DOUBLE) * MAX(tot.n)
+                * ({T_CLOSE_BUCKETS} - 1)), 6) AS emd,
+       CAST(CASE WHEN ROUND(SUM(ABS(CAST(c.cum_gd AS DECIMAL(38,0)) * tot.n
+                     - CAST(g.cum_d AS DECIMAL(38,0)) * c.n_g))
+             / (CAST(MAX(c.n_g) AS DOUBLE) * MAX(tot.n)
+                * ({T_CLOSE_BUCKETS} - 1)), 6) <= {T_CLOSENESS_T}
+            THEN 1 ELSE 0 END AS INT) AS within_t
+FROM cum c JOIN gcum g USING (dec), tot
+GROUP BY c.o_orderpriority
+""",
+    tags=("governance", "privacy", "analytics"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) of order price against the
+    quasi-identifier ``o_orderpriority``: per priority group, the Earth
+    Mover's Distance between the group's price-decile distribution and
+    the global one, flagged against t = {T} — the ordered-attribute
+    privacy gate that k-anonymity (``k_anonymity_audit``) and
+    l-diversity (``l_diversity_audit``) cannot express (a group can be
+    k-anonymous and l-diverse yet leak "this group skews expensive").
+
+    Deciles come from the broadcast-quantile-boundary recipe
+    (``assign_spend_deciles``' bounds-before-compare discipline, decile
+    1 = most expensive); the EMD over an ordered discrete domain with
+    unit spacing is Σ|cumdiff| / (k−1), computed CROSS-MULTIPLIED —
+    |cum_gd·N − cum_d·n_g| in DECIMAL(38,0), exact integers — with one
+    double division per group, round(6) BEFORE the threshold compare.
+    All windows run over the |groups|×{K} grid."""
+    o = load_table(spark, sf_dir, "orders")
+    p = money("o_totalprice")
+    bounds = o.agg(
+        F.expr(
+            "transform(percentile(cast(cast(o_totalprice as decimal(18,2)) "
+            "as double), array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), "
+            "x -> cast(round(x, 6) as decimal(18,6)))"
+        ).alias("bs")
+    )
+    assigned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderpriority",
+        (
+            T_CLOSE_BUCKETS
+            - F.expr(
+                "size(filter(bs, x -> cast(o_totalprice as decimal(18,2)) > x))"
+            )
+        )
+        .cast("int")
+        .alias("dec"),
+    )
+    cnt = assigned.groupBy("o_orderpriority", "dec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gd")
+    )
+    groups = o.select("o_orderpriority").distinct()
+    spine = F.explode(
+        F.sequence(F.lit(1), F.lit(T_CLOSE_BUCKETS))
+    ).alias("dec")
+    grid = groups.select("o_orderpriority", spine)
+    cells = grid.join(cnt, ["o_orderpriority", "dec"], "left").select(
+        "o_orderpriority",
+        "dec",
+        F.coalesce(F.col("n_gd"), F.lit(0)).alias("n_gd"),
+    ).localCheckpoint(eager=True)
+    wg = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    cum = cells.select(
+        "o_orderpriority",
+        "dec",
+        F.sum("n_gd").over(wg).alias("cum_gd"),
+        F.sum("n_gd").over(wn).alias("n_g"),
+    )
+    glob = cells.groupBy("dec").agg(F.sum("n_gd").alias("nd"))
+    wd = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = glob.select("dec", F.sum("nd").over(wd).alias("cum_d"))
+    tot = cells.agg(F.sum("n_gd").cast("bigint").alias("n"))
+    emd_raw = F.round(
+        F.sum(
+            F.abs(
+                F.col("cum_gd").cast("decimal(38,0)") * F.col("n")
+                - F.col("cum_d").cast("decimal(38,0)") * F.col("n_g")
+            )
+        )
+        / (
+            F.max("n_g").cast("double")
+            * F.max("n")
+            * (T_CLOSE_BUCKETS - 1)
+        ),
+        6,
+    )
+    return (
+        cum.join(F.broadcast(gcum), "dec")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_orders"),
+            emd_raw.alias("emd"),
+            F.when(emd_raw <= T_CLOSENESS_T, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("within_t"),
+        )
+    )
+
+
+t_closeness_audit.__doc__ = t_closeness_audit.__doc__.replace(
+    "{T}", str(T_CLOSENESS_T)
+).replace("{K}", str(T_CLOSE_BUCKETS))
+
+
+# --- empirical-Bayes shrinkage ------------------------------------------------
+
+EB_MIN_N = 10  # parts with fewer lineitems don't estimate a rate at all
+EB_TOPK = 15
+# Method-of-moments beta prior over FLOOR-quantized per-part rates
+# (r6 = k*1e6 div n, exact integer on both engines): m and v from the
+# exact integer sums (p parts, sr = SUM r6, sq = SUM r6^2), then
+# alpha + beta = m(1-m)/v - 1.  ONE formula text on both engines.
+_EB_M = "(sr / (p * 1000000.0))"
+_EB_V = (
+    "((sq / 1000000000000.0 - (sr / 1000000.0) * (sr / 1000000.0) / p)"
+    " / (p - 1.0))"
+)
+_EB_AB = f"({_EB_M} * (1.0 - {_EB_M}) / {_EB_V} - 1.0)"
+_EB_AL = f"({_EB_M} * {_EB_AB})"
+
+
+@register(
+    "eb_shrunk_part_rates",
+    oracle=f"""
+WITH g AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM lineitem GROUP BY 1 HAVING COUNT(*) >= {EB_MIN_N}
+), q AS (
+    SELECT l_partkey, n, k, (k * 1000000) // n AS r6 FROM g
+), mo AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS p,
+           CAST(SUM(r6) AS DOUBLE) AS sr,
+           CAST(SUM(CAST(r6 AS DECIMAL(38,0)) * r6) AS DOUBLE) AS sq
+    FROM q
+)
+SELECT l_partkey,
+       n AS n_lineitems,
+       k AS k_returns,
+       ROUND(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+       ROUND((k + {_EB_AL}) / (n + {_EB_AB}), 6) AS shrunk_rate
+FROM q, mo
+ORDER BY (k + {_EB_AL}) / (n + {_EB_AB}) DESC, l_partkey
+LIMIT {EB_TOPK}
+""",
+    tags=("analytics", "stats", "ml-eval"),
+)
+def eb_shrunk_part_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-part return rates
+    (top {K} parts by shrunken rate) — the "worst offenders" ranking
+    done right: raw rates over-rank small-n parts (3/10 beats 25/100),
+    so every part's rate shrinks toward the corpus prior in proportion
+    to its evidence, the standard method-of-moments EB recipe.
+
+    Determinism across engines: per-part rates quantize to the exact
+    integer grid r6 = k·10⁶ div n (integer floor division — n is
+    bounded per part, so no decimal-rounding boundary exists), the
+    prior moments are exact integer sums cast to double once, and
+    alpha/beta/shrunken rates come from ONE shared formula text — so
+    the ranking doubles are bit-identical and the top-{K} set cannot
+    drift.  The ranking itself is one TakeOrderedAndProject over the
+    part grain; at 100 TB the part grain is the bounded dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("k"),
+        )
+        .where(F.col("n") >= EB_MIN_N)
+    )
+    q = g.select(
+        "l_partkey",
+        "n",
+        "k",
+        F.expr("(k * CAST(1000000 AS BIGINT)) div n").alias("r6"),
+    )
+    mo = q.agg(
+        F.count(F.lit(1)).cast("double").alias("p"),
+        F.sum("r6").cast("double").alias("sr"),
+        F.sum(F.col("r6").cast("decimal(38,0)") * F.col("r6"))
+        .cast("double")
+        .alias("sq"),
+    )
+    shrunk = F.expr(f"(k + {_EB_AL}) / (n + {_EB_AB})")
+    return (
+        q.crossJoin(F.broadcast(mo))
+        .orderBy(shrunk.desc(), "l_partkey")
+        .limit(EB_TOPK)
+        .select(
+            "l_partkey",
+            F.col("n").alias("n_lineitems"),
+            F.col("k").alias("k_returns"),
+            F.round(F.col("k").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            F.round(shrunk, 6).alias("shrunk_rate"),
+        )
+    )
+
+
+eb_shrunk_part_rates.__doc__ = eb_shrunk_part_rates.__doc__.replace(
+    "{K}", str(EB_TOPK)
+)

@@ -32,6 +32,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.operators.tpch_ext",
     "fawac_cdc_spark.operators.layout",
     "fawac_cdc_spark.operators.analytics",
+    "fawac_cdc_spark.operators.stats_ext",
     "fawac_cdc_spark.operators.profiling",
     "fawac_cdc_spark.functions.text",
     "fawac_cdc_spark.functions.scalars",
@@ -290,13 +291,34 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "capture_recapture_dups",
     "bh_fdr_type_hour",
     "effect_size_flags",
+    # round 12, extension waves (registered after the r12 closing sweeps;
+    # listed in PENDING_SWEEP until the next dual-scale sweep lands)
+    "spearman_corr_daily",
+    "anova_f_event_types",
+    "welch_t_flags",
+    "max_drawdown_daily",
+    "permutation_test_mean_diff",
+    "hhi_source_concentration",
+    "t_closeness_audit",
+    "eb_shrunk_part_rates",
 )
 
 
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-12 closing sweeps (305/305 at sf0.01 AND sf0.1,
-# tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset()
+# the round-12 EXTENSION wave (stats II); they leave this set when the
+# next dual-scale full sweep lands on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "spearman_corr_daily",
+        "anova_f_event_types",
+        "welch_t_flags",
+        "max_drawdown_daily",
+        "permutation_test_mean_diff",
+        "hhi_source_concentration",
+        "t_closeness_audit",
+        "eb_shrunk_part_rates",
+    }
+)
 
 
 @dataclass(frozen=True)

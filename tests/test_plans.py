@@ -128,6 +128,11 @@ _SCALAR_BROADCAST_OK = {
     #                             (holt_winters_hourly's shape)
     "capture_recapture_dups",  # three 1-row catch-count frames folded
     #                            (lsh_recall_vs_exact's shape)
+    # round 12 extension (stats II)
+    "permutation_test_mean_diff",  # 1-row observed-diff frame + 32-replica
+    #                                explode (poisson_bootstrap_ci's shape)
+    "t_closeness_audit",  # 1-row decile-boundary frame + 1-row total
+    "eb_shrunk_part_rates",  # 1-row method-of-moments prior frame
 }
 
 

@@ -2741,3 +2741,277 @@ def test_effect_size_sign_matches_means(spark, sf_dir):
     if abs(diff) > 1e-9:
         assert (r["cohens_d"] > 0) == (diff > 0)
     assert abs(r["hedges_g"]) <= abs(r["cohens_d"]) + 1e-9
+
+
+# --- round-12 extension wave (stats II) -------------------------------------------
+
+
+def _duck(sf_dir):
+    from tools.parity import make_duckdb
+
+    return make_duckdb(sf_dir)
+
+
+def _midranks2(vals):
+    """2*midrank per value (exact ints), the engine's identity."""
+    from collections import Counter
+
+    cnt = Counter(vals)
+    uniq = sorted(cnt)
+    r2, before = {}, 0
+    for v in uniq:
+        r2[v] = 2 * before + cnt[v] + 1
+        before += cnt[v]
+    return [r2[v] for v in vals]
+
+
+def test_spearman_matches_pure_python_replica(spark, sf_dir):
+    """spearman_corr_daily == midrank Pearson computed independently in
+    exact Python integers over the same day rollup."""
+    (r,) = _SPECS["spearman_corr_daily"].fn(spark, sf_dir).collect()
+    day = (
+        _duck(sf_dir)
+        .execute(
+            "SELECT CAST(COUNT(*) AS BIGINT) x,"
+            " CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) y"
+            " FROM events GROUP BY CAST(ts AS DATE)"
+        )
+        .fetchall()
+    )
+    xs = [int(a) for a, _ in day]
+    ys = [int(b) for _, b in day]
+    rx, ry = _midranks2(xs), _midranks2(ys)
+    n = len(day)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    import math
+
+    want = round(
+        float(n * sxy - sx * sy)
+        / math.sqrt(float(n * sxx - sx * sx) * (n * syy - sy * sy)),
+        6,
+    )
+    assert r["n_days"] == n
+    assert r["rho_spearman"] == want
+    assert -1.0 <= r["rho_spearman"] <= 1.0
+
+
+def test_anova_f_matches_exact_moment_replica(spark, sf_dir):
+    """anova_f_event_types == the same computational formula evaluated
+    from exact integer-cent moments in Python (identical operand
+    order), plus bounds: F >= 0, 0 <= eta^2 <= 1."""
+    (r,) = _SPECS["anova_f_event_types"].fn(spark, sf_dir).collect()
+    rows = (
+        _duck(sf_dir)
+        .execute(
+            "SELECT CAST(COUNT(*) AS BIGINT),"
+            " CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT),"
+            " CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS"
+            " DECIMAL(18,2))) * 10000 AS BIGINT)"
+            " FROM events GROUP BY event_type ORDER BY event_type"
+        )
+        .fetchall()
+    )
+    kk = float(len(rows))
+    nn = float(sum(n for n, _, _ in rows))
+    # engine computes in dollars; replica converts cents back exactly
+    aa = sum((float(s) / 100.0) * (float(s) / 100.0) / n for n, s, _ in rows)
+    ss = float(sum(s for _, s, _ in rows)) / 100.0
+    qq = float(sum(q for _, _, q in rows)) / 10000.0
+    ssb = aa - ss * ss / nn
+    ssw = qq - aa
+    assert r["k_types"] == int(kk)
+    assert r["n_events"] == int(nn)
+    assert r["f_stat"] >= 0
+    assert 0.0 <= r["eta_sq"] <= 1.0
+    assert r["f_stat"] == pytest.approx((ssb / (kk - 1)) / (ssw / (nn - kk)), abs=2e-6)
+    assert r["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=2e-6)
+
+
+def test_welch_t_matches_exact_moment_replica(spark, sf_dir):
+    """welch_t_flags == Welch's t / Welch–Satterthwaite df from the same
+    exact moments; df must lie between min(n)-1 and n_n+n_r-2."""
+    (r,) = _SPECS["welch_t_flags"].fn(spark, sf_dir).collect()
+    rows = (
+        _duck(sf_dir)
+        .execute(
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT),"
+            " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT),"
+            " CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *"
+            " CAST(l_extendedprice AS DECIMAL(18,2))) * 10000 AS BIGINT)"
+            " FROM lineitem WHERE l_returnflag IN ('N','R')"
+            " GROUP BY 1 ORDER BY 1"
+        )
+        .fetchall()
+    )
+    by = {f: (float(n), float(s) / 100.0, float(q) / 10000.0) for f, n, s, q in rows}
+    nn, sn, qn = by["N"]
+    nr, sr, qr = by["R"]
+    vn = (qn - sn * sn / nn) / (nn - 1.0)
+    vr = (qr - sr * sr / nr) / (nr - 1.0)
+    se2 = vn / nn + vr / nr
+    import math
+
+    t = (sn / nn - sr / nr) / math.sqrt(se2)
+    df = se2 * se2 / (
+        (vn / nn) ** 2 / (nn - 1.0) + (vr / nr) ** 2 / (nr - 1.0)
+    )
+    assert r["n_n"] == int(nn) and r["n_r"] == int(nr)
+    assert r["t_welch"] == pytest.approx(t, abs=2e-6)
+    assert r["df_welch"] == pytest.approx(df, abs=1e-3)
+    assert min(nn, nr) - 1.0 <= r["df_welch"] <= nn + nr - 2.0
+
+
+def test_max_drawdown_matches_bruteforce(spark, sf_dir):
+    """max_drawdown_daily == the O(n) textbook scan over the exact
+    integer-cent daily series (ties broken by earliest day)."""
+    (r,) = _SPECS["max_drawdown_daily"].fn(spark, sf_dir).collect()
+    rows = (
+        _duck(sf_dir)
+        .execute(
+            "SELECT CAST(CAST(ts AS DATE) AS VARCHAR),"
+            " CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            " FROM events GROUP BY 1 ORDER BY 1"
+        )
+        .fetchall()
+    )
+    cum = peak = 0
+    best = None  # (dd, day, peak, cum)
+    for day, pnl in rows:
+        cum += int(pnl)
+        peak = max(peak, cum)
+        dd = peak - cum
+        if best is None or dd > best[0]:
+            best = (dd, day, peak, cum)
+    assert r["trough_day"] == best[1]
+    assert round(r["max_drawdown"], 2) == best[0] / 100.0
+    assert round(r["peak_cum"], 2) == best[2] / 100.0
+    assert round(r["trough_cum"], 2) == best[3] / 100.0
+    assert r["max_drawdown"] >= 0.0
+
+
+def test_permutation_test_p_value_grid_and_counts(spark, sf_dir):
+    """p is on the add-one grid {c/(R+1)}, within (0, 1], and the cohort
+    counts tile the order table."""
+    from fawac_cdc_spark.operators.stats_ext import PERM_REPS
+
+    (r,) = _SPECS["permutation_test_mean_diff"].fn(spark, sf_dir).collect()
+    n_orders = _duck(sf_dir).execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert r["n_reps"] == PERM_REPS
+    assert r["n_a"] + r["n_b"] == n_orders
+    grid = [round((1.0 + c) / (PERM_REPS + 1.0), 6) for c in range(PERM_REPS + 1)]
+    assert r["p_value"] in grid
+    assert 0.0 < r["p_value"] <= 1.0
+
+
+def test_hhi_matches_exact_replica(spark, sf_dir):
+    """hhi_source_concentration == exact integer replica; HHI in
+    [1/n_sources, 1]; effective_sources <= n_sources; top_share >=
+    1/n_sources."""
+    (r,) = _SPECS["hhi_source_concentration"].fn(spark, sf_dir).collect()
+    rows = (
+        _duck(sf_dir)
+        .execute(
+            "SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents GROUP BY source"
+        )
+        .fetchall()
+    )
+    chars = [int(c) for (c,) in rows]
+    tot = sum(chars)
+    num = sum(c * c for c in chars)
+    assert r["n_sources"] == len(chars)
+    assert r["total_chars"] == tot
+    assert r["hhi"] == round(float(num) / (float(tot) * tot), 6)
+    assert r["effective_sources"] == round(float(tot) * tot / float(num), 6)
+    assert r["top_share"] == round(float(max(chars)) / tot, 6)
+    assert round(1.0 / len(chars), 6) - 1e-9 <= r["hhi"] <= 1.0
+    assert r["effective_sources"] <= len(chars) + 1e-9
+
+
+def test_t_closeness_matches_exact_replica(spark, sf_dir):
+    """t_closeness_audit == a Python replica (same linear-interpolation
+    decile bounds, exact cross-multiplied EMD); EMD in [0, 1]; group
+    sizes tile the table; flag consistent with the rounded EMD."""
+    from fawac_cdc_spark.operators.stats_ext import (
+        T_CLOSE_BUCKETS,
+        T_CLOSENESS_T,
+    )
+
+    got = {
+        r["o_orderpriority"]: r
+        for r in _SPECS["t_closeness_audit"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        _duck(sf_dir)
+        .execute(
+            "SELECT o_orderpriority,"
+            " CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " FROM orders"
+        )
+        .fetchall()
+    )
+    cents = sorted(c for _, c in rows)
+    n = len(cents)
+    bounds = []
+    for q in [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]:
+        h = (n - 1) * q
+        lo = int(h)
+        frac = h - lo
+        v = cents[lo] / 100.0 + frac * (cents[min(lo + 1, n - 1)] / 100.0 - cents[lo] / 100.0)
+        bounds.append(round(v, 6))
+
+    def bucket(c):
+        price = c / 100.0
+        return T_CLOSE_BUCKETS - sum(1 for b in bounds if price > b + 5e-13)
+
+    from collections import Counter
+
+    cell = Counter((g, bucket(c)) for g, c in rows)
+    groups = sorted({g for g, _ in rows})
+    glob = Counter()
+    for (g, d), c in cell.items():
+        glob[d] += c
+    for g in groups:
+        n_g = sum(c for (gg, _), c in cell.items() if gg == g)
+        cum_g = cum_all = acc = 0
+        for d in range(1, T_CLOSE_BUCKETS + 1):
+            cum_g += cell.get((g, d), 0)
+            cum_all += glob.get(d, 0)
+            acc += abs(cum_g * n - cum_all * n_g)
+        emd = round(acc / (float(n_g) * n * (T_CLOSE_BUCKETS - 1)), 6)
+        assert got[g]["n_orders"] == n_g
+        assert got[g]["emd"] == pytest.approx(emd, abs=2e-6)
+        assert 0.0 <= got[g]["emd"] <= 1.0
+        assert got[g]["within_t"] == int(got[g]["emd"] <= T_CLOSENESS_T)
+    assert sum(r["n_orders"] for r in got.values()) == n
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
+    """Every shrunken rate lies between its raw rate and the prior mean
+    (the defining contraction of EB shrinkage), and the output is the
+    top-k by shrunken rate."""
+    rows = _SPECS["eb_shrunk_part_rates"].fn(spark, sf_dir).collect()
+    from fawac_cdc_spark.operators.stats_ext import EB_MIN_N, EB_TOPK
+
+    assert len(rows) == EB_TOPK
+    mom = (
+        _duck(sf_dir)
+        .execute(
+            f"""
+            WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+                              CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) k
+                       FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= {EB_MIN_N})
+            SELECT COUNT(*), SUM((k * 1000000) // n) FROM g
+            """
+        )
+        .fetchone()
+    )
+    m = float(mom[1]) / (float(mom[0]) * 1e6)
+    shrunks = [r["shrunk_rate"] for r in rows]
+    assert shrunks == sorted(shrunks, reverse=True)
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], round(m, 6)))
+        assert lo - 2e-6 <= r["shrunk_rate"] <= hi + 2e-6
+        assert r["n_lineitems"] >= EB_MIN_N
