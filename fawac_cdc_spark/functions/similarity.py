@@ -2159,3 +2159,117 @@ def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_k"),
     )
+
+
+# --- simplified silhouette (round 12 extension) ------------------------------
+#
+# Cluster-quality grading for the seed-centroid cells every IVF/SemDeDup
+# stage blocks on.  The SIMPLIFIED silhouette (Hruschka et al. 2004 — the
+# form large-scale systems and sklearn's minibatch literature use) scores
+# each point against CENTROID distances only: a = d(x, own centroid),
+# b = d(x, next-nearest centroid), s = (b - a) / max(a, b) — O(n·k)
+# instead of the O(n²) pairwise original, which is the only version that
+# exists at 100 TB.  Distances are cosine distances 1 − cos with the
+# SAME rounded-cosine arithmetic as the assignment itself.
+
+_SIL_Q = 1_000_000
+
+
+def _sil_s_text(ca: str, cb: str) -> str:
+    """Shared silhouette formula text: ca/cb are the rounded cosines to
+    the nearest and second-nearest centroid (cos desc ⇒ distance asc,
+    so 1−{ca} ≤ 1−{cb} and s ∈ [0, 1])."""
+    return (
+        f"(CASE WHEN (1.0 - ({cb})) > 0 "
+        f"THEN 1.0 - (1.0 - ({ca})) / (1.0 - ({cb})) ELSE 0.0 END)"
+    )
+
+
+_SIL_COS_DUCK = (
+    f"ROUND(({_dot2_duck('e.embedding', 'c.cvec')})"
+    f" / (({_NORM_DUCK.format(v='e.embedding')})"
+    f" * ({_NORM_DUCK.format(v='c.cvec')})), 6)"
+)
+
+
+@register(
+    "silhouette_by_cell",
+    oracle=f"""
+WITH cents AS (
+    SELECT vec_id AS cent_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < {N_CENTROIDS}
+), scored AS (
+    SELECT e.vec_id, c.cent_id,
+           {_SIL_COS_DUCK} AS cos,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_SIL_COS_DUCK} DESC, c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+), p AS (
+    SELECT a.vec_id, a.cent_id, a.cos AS ca, b.cos AS cb
+    FROM scored a JOIN scored b
+      ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+), t AS (
+    SELECT cent_id,
+           CAST(FLOOR({_sil_s_text("ca", "cb")} * {_SIL_Q}) AS BIGINT) AS s6
+    FROM p
+)
+SELECT cent_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(s6) AS DOUBLE) / (COUNT(*) * {_SIL_Q}.0), 6)
+           AS mean_silhouette
+FROM t GROUP BY cent_id
+""",
+    tags=("similarity", "llm", "kmeans", "ml-eval"),
+)
+def silhouette_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified silhouette of the seed-centroid assignment —
+    the cluster-quality readout that tells the IVF/SemDeDup pipeline
+    whether its blocking cells are tight (s → 1) or arbitrary (s → 0)
+    BEFORE committing a full dedup/index build to them.
+
+    Scale shape: the same shuffle-free broadcast fold as
+    ``cosine_assigned_cells``, extended to keep the top-TWO cosines per
+    vector (one array_sort over k structs per row, no window, no join);
+    per-point silhouettes are deterministic doubles (rounded-6 cosines,
+    ONE shared formula text) FLOOR-quantized to integers so the
+    per-cell means are exact integer sums — engine-ordered float
+    addition never touches the result."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents_row = (
+        e.where(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cvec"),
+                F.expr(_NORM_SPARK.format(v="embedding")).alias("nrm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    dot = _dot2_spark("embedding", "c.cvec")
+    sil_arr = (
+        "array_sort(transform(cents, c -> named_struct("
+        f"'neg_cos', coalesce(-round(({dot}) / (_nrm_e * c.nrm), 6), "
+        "double('Infinity')), 'cent_id', c.cent_id)))"
+    )
+    s_text = _sil_s_text("-sil[0].neg_cos", "-sil[1].neg_cos")
+    t = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_e"),
+        )
+        .crossJoin(F.broadcast(cents_row))
+        .select(F.expr(sil_arr).alias("sil"))
+        .select(
+            F.expr("sil[0].cent_id").alias("cent_id"),
+            F.floor(F.expr(s_text) * _SIL_Q).alias("s6"),
+        )
+    )
+    return t.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum("s6").cast("double") / (F.count(F.lit(1)) * float(_SIL_Q)), 6
+        ).alias("mean_silhouette"),
+    )

@@ -774,3 +774,267 @@ def eb_shrunk_part_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 eb_shrunk_part_rates.__doc__ = eb_shrunk_part_rates.__doc__.replace(
     "{K}", str(EB_TOPK)
 )
+
+
+# --- Page–Hinkley drift -------------------------------------------------------
+
+PH_DELTA = 0.5  # tolerated per-day drift in the daily mean (dollars)
+PH_LAMBDA = 20.0  # alarm threshold on the PH statistic
+
+
+@register(
+    "page_hinkley_by_type",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m
+    FROM events GROUP BY event_type, CAST(ts AS DATE)
+), base AS (
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu
+    FROM events GROUP BY event_type
+), r AS (
+    SELECT d.event_type, d.day,
+           SUM(d.m - b.mu - {PH_DELTA}) OVER (PARTITION BY d.event_type
+               ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+    FROM daily d JOIN base b USING (event_type)
+), ph AS (
+    SELECT event_type, day,
+           ROUND(run - MIN(run) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ph
+    FROM r
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(MAX(ph), 6) AS peak_ph,
+       CAST(MIN(CASE WHEN ph > {PH_LAMBDA} THEN day END) AS VARCHAR)
+           AS first_alarm_day,
+       CAST(MAX(CASE WHEN ph > {PH_LAMBDA} THEN 1 ELSE 0 END) AS INT) AS alarmed
+FROM ph GROUP BY event_type
+""",
+    tags=("analytics", "monitoring", "drift"),
+)
+def page_hinkley_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detector per event type (Page 1954, the
+    sequential form): running sum of daily-mean deviations beyond a
+    tolerated drift δ, minus its running minimum — the one-sided
+    change detector that ALARMS (PH > λ) instead of just charting the
+    excursion like ``cusum_drift_by_type``; reports the first alarm
+    day per type.
+
+    Same determinism story as CUSUM: exact-decimal daily/global means,
+    the running sum and running min accumulate identical doubles in
+    day order, PH rounds to 6 BEFORE the λ compare (bounds-before-
+    compare), and the windows run over the bounded per-type day grain."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    base = e.groupBy("event_type").agg(
+        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = daily.join(F.broadcast(base), "event_type").withColumn(
+        "run", F.sum(F.col("m") - F.col("mu") - PH_DELTA).over(w_run)
+    )
+    ph = r.select(
+        "event_type",
+        "day",
+        F.round(F.col("run") - F.min("run").over(w_run), 6).alias("ph"),
+    )
+    return ph.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max("ph"), 6).alias("peak_ph"),
+        F.min(F.when(F.col("ph") > PH_LAMBDA, F.col("day")))
+        .cast("string")
+        .alias("first_alarm_day"),
+        F.max(F.when(F.col("ph") > PH_LAMBDA, 1).otherwise(0))
+        .cast("int")
+        .alias("alarmed"),
+    )
+
+
+# --- Mood's median test --------------------------------------------------------
+
+
+@register(
+    "mood_median_event_types",
+    oracle="""
+WITH v AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events
+), med AS (
+    SELECT quantile_cont(CAST(c AS DOUBLE), 0.5) AS m FROM v
+), g AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN c > med.m THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN c > med.m THEN 0 ELSE 1 END) AS BIGINT) AS b
+    FROM v, med GROUP BY event_type
+), tot AS (
+    SELECT CAST(SUM(a) AS DOUBLE) AS ta, CAST(SUM(b) AS DOUBLE) AS tb,
+           CAST(SUM(a + b) AS DOUBLE) AS n,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM g
+), terms AS (
+    SELECT (g.a - (g.a + g.b) * tot.ta / tot.n)
+           * (g.a - (g.a + g.b) * tot.ta / tot.n)
+           / ((g.a + g.b) * tot.ta / tot.n)
+         + (g.b - (g.a + g.b) * tot.tb / tot.n)
+           * (g.b - (g.a + g.b) * tot.tb / tot.n)
+           / ((g.a + g.b) * tot.tb / tot.n) AS t
+    FROM g, tot
+)
+SELECT (SELECT k FROM tot) AS k_types,
+       (SELECT CAST(n AS BIGINT) FROM tot) AS n_events,
+       (SELECT CAST(ta AS BIGINT) FROM tot) AS n_above,
+       (SELECT k - 1 FROM tot) AS dof,
+       ROUND(SUM(t), 6) AS chi2
+FROM terms
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def mood_median_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types: does any type's value
+    distribution sit above/below the grand median? — the k-group
+    nonparametric companion to ``anova_f_event_types`` (no moments, no
+    normality) and the k-group generalization of the two-sample
+    Mann–Whitney already served.
+
+    The grand median is ONE exact percentile over integer cents (the
+    accepted exact-oracle convention; at most a half-integer, so the
+    c > m comparison is exact), the k×2 contingency table is exact
+    integers, and the chi-square terms follow the chi_square_type_hour
+    convention (identical operand order, round(6) on the final sum)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", (money("value") * 100).cast("bigint").alias("c")
+    )
+    med = v.agg(F.expr("percentile(CAST(c AS DOUBLE), 0.5)").alias("m"))
+    g = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("c") > F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("c") > F.col("m"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(
+        F.sum("a").cast("double").alias("ta"),
+        F.sum("b").cast("double").alias("tb"),
+        F.sum(F.col("a") + F.col("b")).cast("double").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ea = (F.col("a") + F.col("b")) * F.col("ta") / F.col("n")
+    eb = (F.col("a") + F.col("b")) * F.col("tb") / F.col("n")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("a") - ea) * (F.col("a") - ea) / ea
+            + (F.col("b") - eb) * (F.col("b") - eb) / eb
+        ).alias("t"),
+        "k",
+        "n",
+        "ta",
+    )
+    return terms.agg(
+        F.max("k").alias("k_types"),
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max("ta").cast("bigint").alias("n_above"),
+        (F.max("k") - 1).cast("bigint").alias("dof"),
+        F.round(F.sum("t"), 6).alias("chi2"),
+    )
+
+
+# --- Brown–Forsythe variance homogeneity ---------------------------------------
+
+
+@register(
+    "brown_forsythe_event_types",
+    oracle=f"""
+WITH v AS (
+    SELECT event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+    FROM events
+), med AS (
+    SELECT event_type,
+           CAST(quantile_cont(CAST(c AS DOUBLE), 0.5) * 2 AS BIGINT) AS m2
+    FROM v GROUP BY event_type
+), z AS (
+    SELECT v.event_type, ABS(2 * v.c - med.m2) AS z2
+    FROM v JOIN med USING (event_type)
+), g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(z2) AS DECIMAL(38,0)) AS s_g,
+           SUM(CAST(z2 AS DECIMAL(38,0)) * z2) AS q_g
+    FROM z GROUP BY event_type
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS kk,
+           CAST(SUM(n_g) AS DOUBLE) AS nn,
+           SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) AS aa,
+           CAST(SUM(s_g) AS DOUBLE) AS ss,
+           CAST(SUM(q_g) AS DOUBLE) AS qq
+    FROM g
+)
+SELECT CAST(kk AS INT) AS k_types,
+       CAST(nn AS BIGINT) AS n_events,
+       ROUND(({_ANOVA_SSB} / (kk - 1.0)) / ({_ANOVA_SSW} / (nn - kk)), 6) AS f_bf
+FROM m
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def brown_forsythe_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test of variance homogeneity across event types —
+    ANOVA's prerequisite check, done the robust way: a one-way ANOVA on
+    |x − median_g| (the median-centered Levene variant that survives
+    heavy tails).  Together with ``anova_f_event_types`` this is the
+    textbook two-step an analyst actually runs.
+
+    Exactness: per-type medians are exact percentiles over integer
+    cents, so 2·median is an exact integer and z2 = |2c − m2| is an
+    exact BIGINT per row; the ANOVA moment formula then reuses the
+    ``anova_f_event_types`` shared texts on decimal-lifted sums (units
+    cancel in F).  The only engine-ordered float sum is the k-term
+    Σ s_g²/n_g (chi-square convention), round(6) on F."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", (money("value") * 100).cast("bigint").alias("c")
+    )
+    med = v.groupBy("event_type").agg(
+        (F.expr("percentile(CAST(c AS DOUBLE), 0.5)") * 2)
+        .cast("bigint")
+        .alias("m2")
+    )
+    z = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("c") - F.col("m2")).alias("z2")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z2").cast("decimal(38,0)").alias("s_g"),
+        F.sum(F.col("z2").cast("decimal(38,0)") * F.col("z2")).alias("q_g"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("double").alias("kk"),
+        F.sum("n_g").cast("double").alias("nn"),
+        F.sum(
+            F.col("s_g").cast("double") * F.col("s_g").cast("double") / F.col("n_g")
+        ).alias("aa"),
+        F.sum("s_g").cast("double").alias("ss"),
+        F.sum("q_g").cast("double").alias("qq"),
+    )
+    return m.selectExpr(
+        "CAST(kk AS INT) AS k_types",
+        "CAST(nn AS BIGINT) AS n_events",
+        f"ROUND(({_ANOVA_SSB} / (kk - 1.0)) / ({_ANOVA_SSW} / (nn - kk)), 6) AS f_bf",
+    )

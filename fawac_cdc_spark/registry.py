@@ -301,6 +301,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "hhi_source_concentration",
     "t_closeness_audit",
     "eb_shrunk_part_rates",
+    "page_hinkley_by_type",
+    "mood_median_event_types",
+    "brown_forsythe_event_types",
+    "silhouette_by_cell",
 )
 
 
@@ -317,6 +321,10 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "hhi_source_concentration",
         "t_closeness_audit",
         "eb_shrunk_part_rates",
+        "page_hinkley_by_type",
+        "mood_median_event_types",
+        "brown_forsythe_event_types",
+        "silhouette_by_cell",
     }
 )
 

@@ -133,6 +133,9 @@ _SCALAR_BROADCAST_OK = {
     #                                explode (poisson_bootstrap_ci's shape)
     "t_closeness_audit",  # 1-row decile-boundary frame + 1-row total
     "eb_shrunk_part_rates",  # 1-row method-of-moments prior frame
+    "mood_median_event_types",  # 1-row grand-median frame
+    "silhouette_by_cell",  # 1-row folded centroid table (the
+    #                        cosine_assigned_cells broadcast shape)
 }
 
 

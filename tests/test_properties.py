@@ -3015,3 +3015,129 @@ def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
         lo, hi = sorted((r["raw_rate"], round(m, 6)))
         assert lo - 2e-6 <= r["shrunk_rate"] <= hi + 2e-6
         assert r["n_lineitems"] >= EB_MIN_N
+
+
+def test_page_hinkley_matches_pure_python_replica(spark, sf_dir):
+    """page_hinkley_by_type == the sequential PH loop replayed in Python
+    over the same exact daily means; the alarm flag is consistent with
+    the rounded peak and the first alarm day."""
+    from fawac_cdc_spark.operators.stats_ext import PH_DELTA, PH_LAMBDA
+
+    got = {
+        r["event_type"]: r
+        for r in _SPECS["page_hinkley_by_type"].fn(spark, sf_dir).collect()
+    }
+    rows = (
+        _duck(sf_dir)
+        .execute(
+            "SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,"
+            " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS m"
+            " FROM events GROUP BY 1, CAST(ts AS DATE) ORDER BY 1, 2"
+        )
+        .fetchall()
+    )
+    mu = {
+        t: float(s) / 100.0 / n
+        for t, n, s in _duck(sf_dir)
+        .execute(
+            "SELECT event_type, COUNT(*),"
+            " CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            " FROM events GROUP BY 1"
+        )
+        .fetchall()
+    }
+    series = {}
+    for t, day, m in rows:
+        series.setdefault(t, []).append((day, m))
+    for t, pts in series.items():
+        run = 0.0
+        runmin = None
+        peak = 0.0
+        first_alarm = None
+        for day, m in pts:
+            run += m - mu[t] - PH_DELTA
+            runmin = run if runmin is None else min(runmin, run)
+            ph = round(run - runmin, 6)
+            peak = max(peak, ph)
+            if ph > PH_LAMBDA and first_alarm is None:
+                first_alarm = day
+        r = got[t]
+        assert r["n_days"] == len(pts)
+        assert r["peak_ph"] == pytest.approx(peak, abs=2e-6)
+        assert r["first_alarm_day"] == first_alarm
+        assert r["alarmed"] == int(first_alarm is not None)
+        assert r["peak_ph"] >= 0.0
+
+
+def test_mood_median_counts_tile_and_chi2_nonneg(spark, sf_dir):
+    """The above/below split covers every event, n_above matches the
+    exact count above the grand median, chi2 >= 0, dof = k-1."""
+    (r,) = _SPECS["mood_median_event_types"].fn(spark, sf_dir).collect()
+    n, above = (
+        _duck(sf_dir)
+        .execute(
+            """
+            WITH v AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) c
+                       FROM events),
+            med AS (SELECT quantile_cont(CAST(c AS DOUBLE), 0.5) m FROM v)
+            SELECT COUNT(*), SUM(CASE WHEN c > med.m THEN 1 ELSE 0 END)
+            FROM v, med
+            """
+        )
+        .fetchone()
+    )
+    assert r["n_events"] == n
+    assert r["n_above"] == above
+    assert r["dof"] == r["k_types"] - 1
+    assert r["chi2"] >= 0.0
+
+
+def test_brown_forsythe_matches_anova_on_abs_deviations(spark, sf_dir):
+    """brown_forsythe == the ANOVA formula applied in Python to the
+    exact |2c - 2*median_g| integers."""
+    (r,) = _SPECS["brown_forsythe_event_types"].fn(spark, sf_dir).collect()
+    rows = (
+        _duck(sf_dir)
+        .execute(
+            """
+            WITH v AS (SELECT event_type,
+                              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) c
+                       FROM events),
+            med AS (SELECT event_type,
+                           CAST(quantile_cont(CAST(c AS DOUBLE), 0.5) * 2 AS BIGINT) m2
+                    FROM v GROUP BY 1)
+            SELECT v.event_type, ABS(2 * v.c - med.m2)
+            FROM v JOIN med USING (event_type)
+            """
+        )
+        .fetchall()
+    )
+    groups = {}
+    for t, z in rows:
+        groups.setdefault(t, []).append(int(z))
+    kk = float(len(groups))
+    nn = float(sum(len(g) for g in groups.values()))
+    aa = sum(float(sum(g)) ** 2 / len(g) for g in groups.values())
+    ss = float(sum(sum(g) for g in groups.values()))
+    qq = float(sum(z * z for g in groups.values() for z in g))
+    ssb = aa - ss * ss / nn
+    ssw = qq - aa
+    want = (ssb / (kk - 1.0)) / (ssw / (nn - kk))
+    assert r["k_types"] == int(kk)
+    assert r["n_events"] == int(nn)
+    assert r["f_bf"] == pytest.approx(want, abs=2e-6)
+    assert r["f_bf"] >= 0.0
+
+
+def test_silhouette_bounds_and_population(spark, sf_dir):
+    """Simplified silhouette: every cell mean in [0, 1] (centroid-
+    distance form is nonnegative by construction), populations tile the
+    embedding table, and cells match the assignment's census."""
+    rows = _SPECS["silhouette_by_cell"].fn(spark, sf_dir).collect()
+    n_vecs = _duck(sf_dir).execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert sum(r["n_vectors"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0.0 <= r["mean_silhouette"] <= 1.0
+    from fawac_cdc_spark.functions.similarity import N_CENTROIDS
+
+    assert len(rows) <= N_CENTROIDS
