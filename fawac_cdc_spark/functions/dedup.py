@@ -3004,3 +3004,100 @@ def capture_recapture_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n1").cast("double") / chapman, 6).alias("minhash_coverage"),
         F.round(F.col("n2").cast("double") / chapman, 6).alias("simhash_coverage"),
     )
+
+
+# --- near-dup source modularity (round 12 extension) --------------------------
+
+
+@register(
+    "near_dup_source_modularity",
+    oracle=f"""
+WITH {_GOOD_EDGES_CTE_SQL.strip()},
+lab AS (
+    SELECT da.source AS sa, db.source AS sb
+    FROM good g
+    JOIN documents da ON da.doc_id = g.doc_a
+    JOIN documents db ON db.doc_id = g.doc_b
+), w AS (
+    SELECT sa AS s, CAST(COUNT(*) AS BIGINT) AS e_s FROM lab WHERE sa = sb GROUP BY 1
+), d AS (
+    SELECT s, CAST(COUNT(*) AS BIGINT) AS d_s
+    FROM (SELECT sa AS s FROM lab UNION ALL SELECT sb FROM lab) GROUP BY 1
+), agg AS (
+    SELECT CAST((SELECT COUNT(*) FROM lab) AS BIGINT) AS m,
+           CAST((SELECT COALESCE(SUM(e_s), 0) FROM w) AS BIGINT) AS we,
+           (SELECT SUM(CAST(d_s AS DECIMAL(38,0)) * d_s) FROM d) AS ddq,
+           CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS ns
+)
+SELECT m AS n_edges,
+       we AS n_within,
+       m - we AS n_cross,
+       ns AS n_sources_touched,
+       ROUND(CAST(CAST(4 * m AS DECIMAL(38,0)) * we - ddq AS DOUBLE)
+             / CAST(CAST(2 * m AS DECIMAL(38,0)) * (2 * m) AS DOUBLE), 6)
+           AS modularity
+FROM agg
+""",
+    tags=("dedup", "llm", "graph", "analytics"),
+)
+def near_dup_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the SOURCE partition over the verified
+    near-dup graph — "is duplication a within-source phenomenon?", the
+    one number that decides whether a 100 TB dedup pass can shard by
+    source (Q → 1: near-dups stay inside sources, per-source dedup is
+    safe) or must run globally (Q → 0 or negative: cross-source copying
+    dominates and per-source sharding silently misses it).
+
+    Q = Σ_s [e_s/m − (d_s/2m)²] over the ONE shared edge derivation
+    (``near_dup_edges``; oracle: the shared ``good`` CTE), computed
+    CROSS-MULTIPLIED — (4m·Σe_s − Σd_s²) / 4m² with DECIMAL(38,0)
+    lifts — so everything is exact integers until one final division,
+    round(6).  Scale shape: two equi-joins of the edge list against the
+    (doc_id, source) projection and three map-side-combinable
+    aggregates; no window, no pair blowup beyond the already-blocked
+    edge set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    edges = near_dup_edges(spark, sf_dir)
+    lab = (
+        edges.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .select("sa", "sb")
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        lab.where(F.col("sa") == F.col("sb"))
+        .groupBy(F.col("sa").alias("s"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_s"))
+    )
+    d = (
+        lab.select(F.col("sa").alias("s"))
+        .unionAll(lab.select(F.col("sb").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_s"))
+    )
+    m_f = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    we_f = w.agg(F.coalesce(F.sum("e_s"), F.lit(0)).cast("bigint").alias("we"))
+    dd_f = d.agg(
+        F.sum(F.col("d_s").cast("decimal(38,0)") * F.col("d_s")).alias("ddq"),
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+    )
+    agg = m_f.crossJoin(F.broadcast(we_f)).crossJoin(F.broadcast(dd_f))
+    four_m = (4 * F.col("m")).cast("decimal(38,0)")
+    two_m = (2 * F.col("m")).cast("decimal(38,0)")
+    return agg.select(
+        F.col("m").alias("n_edges"),
+        F.col("we").alias("n_within"),
+        (F.col("m") - F.col("we")).alias("n_cross"),
+        F.col("ns").alias("n_sources_touched"),
+        F.round(
+            (four_m * F.col("we") - F.col("ddq")).cast("double")
+            / (two_m * (2 * F.col("m"))).cast("double"),
+            6,
+        ).alias("modularity"),
+    )

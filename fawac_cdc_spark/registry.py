@@ -33,6 +33,7 @@ _QUERY_MODULES = [
     "fawac_cdc_spark.operators.layout",
     "fawac_cdc_spark.operators.analytics",
     "fawac_cdc_spark.operators.stats_ext",
+    "fawac_cdc_spark.operators.markov",
     "fawac_cdc_spark.operators.profiling",
     "fawac_cdc_spark.functions.text",
     "fawac_cdc_spark.functions.scalars",
@@ -305,6 +306,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "mood_median_event_types",
     "brown_forsythe_event_types",
     "silhouette_by_cell",
+    "near_dup_source_modularity",
+    "markov_removal_attribution",
 )
 
 
@@ -325,6 +328,8 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "mood_median_event_types",
         "brown_forsythe_event_types",
         "silhouette_by_cell",
+        "near_dup_source_modularity",
+        "markov_removal_attribution",
     }
 )
 

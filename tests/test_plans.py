@@ -136,6 +136,8 @@ _SCALAR_BROADCAST_OK = {
     "mood_median_event_types",  # 1-row grand-median frame
     "silhouette_by_cell",  # 1-row folded centroid table (the
     #                        cosine_assigned_cells broadcast shape)
+    "near_dup_source_modularity",  # three 1-row count frames folded
+    #                                (lsh_recall_vs_exact's shape)
 }
 
 

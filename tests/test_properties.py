@@ -3141,3 +3141,97 @@ def test_silhouette_bounds_and_population(spark, sf_dir):
     from fawac_cdc_spark.functions.similarity import N_CENTROIDS
 
     assert len(rows) <= N_CENTROIDS
+
+
+def test_markov_attribution_matches_numpy_solve(spark, sf_dir):
+    """markov_removal_attribution == an independent numpy linear solve
+    of the absorbing chain (and each removal submatrix) over the same
+    transitions — validates the generated Cramer texts against a
+    completely different algorithm (LU vs Leibniz)."""
+    from fawac_cdc_spark.operators.markov import (
+        MARKOV_CHANNELS,
+        _TRANS_CTE_SQL,
+    )
+
+    got = {
+        r["channel"]: r
+        for r in _SPECS["markov_removal_attribution"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(MARKOV_CHANNELS)
+    rows = (
+        _duck(sf_dir)
+        .execute(f"WITH {_TRANS_CTE_SQL} SELECT src, dst, COUNT(*) FROM trans GROUP BY 1, 2")
+        .fetchall()
+    )
+    cnt = {(s, d): int(n) for s, d, n in rows}
+
+    def solve(states):
+        # (I - Q) p = r over the given transient states; row totals keep
+        # ALL outgoing mass (removal redirects to EXIT implicitly)
+        import numpy as np
+
+        k = len(states)
+        a = np.zeros((k, k))
+        b = np.zeros(k)
+        for i, si in enumerate(states):
+            tot = sum(n for (s, _), n in cnt.items() if s == si)
+            a[i, i] = tot - cnt.get((si, si), 0)
+            for j, sj in enumerate(states):
+                if i != j:
+                    a[i, j] = -cnt.get((si, sj), 0)
+            b[i] = cnt.get((si, "CONV"), 0)
+        return float(np.linalg.solve(a, b)[0])
+
+    full = ["START", *MARKOV_CHANNELS]
+    p = solve(full)
+    res = {}
+    for ch in MARKOV_CHANNELS:
+        p_c = solve([s for s in full if s != ch])
+        res[ch] = 1.0 - p_c / p
+    tot_re = sum(res.values())
+    for ch in MARKOV_CHANNELS:
+        r = got[ch]
+        assert r["base_conv_prob"] == pytest.approx(p, abs=2e-6)
+        assert r["removal_conv_prob"] == pytest.approx(p * (1 - res[ch]), abs=2e-6)
+        assert r["removal_effect"] == pytest.approx(res[ch], abs=2e-6)
+        assert r["attribution_share"] == pytest.approx(res[ch] / tot_re, abs=2e-6)
+        # removal can only hurt: p' <= p, so effects live in [0, 1]
+        assert -1e-9 <= r["removal_effect"] <= 1.0
+        assert 0.0 < r["base_conv_prob"] <= 1.0
+    assert sum(r["attribution_share"] for r in got.values()) == pytest.approx(
+        1.0, abs=1e-5
+    )
+
+
+def test_near_dup_modularity_matches_exact_replica(spark, sf_dir):
+    """near_dup_source_modularity == the exact integer Q computed in
+    Python over the same edge set; edge splits tile; Q <= 1."""
+    from fawac_cdc_spark.functions.dedup import _GOOD_EDGES_CTE_SQL
+
+    (r,) = _SPECS["near_dup_source_modularity"].fn(spark, sf_dir).collect()
+    pairs = (
+        _duck(sf_dir)
+        .execute(
+            f"""WITH {_GOOD_EDGES_CTE_SQL.strip()}
+            SELECT da.source, db.source
+            FROM good g
+            JOIN documents da ON da.doc_id = g.doc_a
+            JOIN documents db ON db.doc_id = g.doc_b"""
+        )
+        .fetchall()
+    )
+    m = len(pairs)
+    within = sum(1 for a, b in pairs if a == b)
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    q = (4 * m * within - sum(d * d for d in deg.values())) / float(4 * m * m)
+    assert r["n_edges"] == m
+    assert r["n_within"] == within
+    assert r["n_cross"] == m - within
+    assert r["n_sources_touched"] == len(deg)
+    assert r["modularity"] == round(q, 6)
+    assert r["modularity"] <= 1.0
