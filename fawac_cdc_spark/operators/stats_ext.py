@@ -1038,3 +1038,232 @@ def brown_forsythe_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(nn AS BIGINT) AS n_events",
         f"ROUND(({_ANOVA_SSB} / (kk - 1.0)) / ({_ANOVA_SSW} / (nn - kk)), 6) AS f_bf",
     )
+
+
+# --- partial autocorrelation (Durbin–Levinson) ---------------------------------
+
+from .analytics import ACF_MAX_LAG  # noqa: E402 — ONE lag-depth definition
+
+# Per-lag Pearson ACF of the monthly revenue rollup, shared formula text
+# (mirrors acf_monthly_revenue's arithmetic; rho rounds to 6 BEFORE the
+# recursion so both engines feed identical doubles into Durbin–Levinson).
+_PACF_RS = ", ".join(f"r{k}" for k in range(1, ACF_MAX_LAG + 1))
+
+
+def _dl_stages() -> list[list[str]]:
+    """Durbin–Levinson unrolled to ACF_MAX_LAG as chained column-text
+    stages over the rounded ACF inputs r1..rK — the generated-shared-
+    formula-text discipline (``markov_removal_attribution``'s Leibniz
+    texts): both engines evaluate the IDENTICAL float op sequence.
+
+    Stage pair per order k: first compute the reflection coefficient
+    phi_k_k from level k-1, then update phi_k_j (j<k).  Every stage
+    carries r1..rK and ALL phi levels computed so far (the full
+    triangle is O(K²) columns — trivially bounded)."""
+    stages: list[list[str]] = []
+    carried = [f"r{j}" for j in range(1, ACF_MAX_LAG + 1)] + ["phi_1_1"]
+    stages.append(
+        [f"r{j}" for j in range(1, ACF_MAX_LAG + 1)] + ["(r1) AS phi_1_1"]
+    )
+    for k in range(2, ACF_MAX_LAG + 1):
+        num = f"r{k} " + " ".join(f"- phi_{k-1}_{j} * r{k-j}" for j in range(1, k))
+        den = "1.0 " + " ".join(f"- phi_{k-1}_{j} * r{j}" for j in range(1, k))
+        stages.append(carried + [f"(({num}) / ({den})) AS phi_{k}_{k}"])
+        carried = carried + [f"phi_{k}_{k}"]
+        stages.append(
+            carried
+            + [
+                f"(phi_{k-1}_{j} - phi_{k}_{k} * phi_{k-1}_{k-j}) AS phi_{k}_{j}"
+                for j in range(1, k)
+            ]
+        )
+        carried = carried + [f"phi_{k}_{j}" for j in range(1, k)]
+    return stages
+
+
+def _pacf_oracle_sql() -> str:
+    piv = ", ".join(
+        f"MAX(CASE WHEN lag = {k} THEN r END) AS r{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    ctes = []
+    prev = "piv"
+    for i, stage in enumerate(_dl_stages()):
+        name = f"dl{i}"
+        ctes.append(f"{name} AS (SELECT {', '.join(stage)} FROM {prev})")
+        prev = name
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS lag, r{k} AS acf,"
+        f" ROUND(phi_{k}_{k}, 6) AS pacf FROM {prev}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH m AS (
+    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+), lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+p AS (
+    SELECT lags.lag, a.rev AS x, b.rev AS y
+    FROM m a JOIN lags ON TRUE JOIN m b ON b.midx = a.midx + lags.lag
+), per_lag AS (
+    SELECT lag,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                        * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6) AS r
+    FROM p GROUP BY lag
+), piv AS (
+    SELECT {piv} FROM per_lag
+),
+{", ".join(ctes)}
+{rows}
+"""
+
+
+@register(
+    "pacf_monthly_revenue",
+    oracle=_pacf_oracle_sql(),
+    tags=("analytics", "timeseries", "stats"),
+)
+def pacf_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of monthly order revenue to lag {K} via
+    the Durbin–Levinson recursion — the AR-order picker read next to
+    ``acf_monthly_revenue``'s raw correlogram (ACF says "there is
+    memory", PACF says "how many AR terms"), over the SAME per-lag
+    Pearson autocorrelation estimates.
+
+    The rhos round to 6 BEFORE entering the recursion on both engines,
+    so Durbin–Levinson consumes identical doubles; the recursion itself
+    is machine-generated chained formula text evaluated identically by
+    both engines (the ``markov_removal_attribution`` discipline), over
+    ONE bounded row.  The only data-sized pass is the DECIMAL-exact
+    month aggregate; the lag join is the checkpointed-rollup equi-join
+    ``acf_monthly_revenue`` pins."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = m.select(F.col("midx").alias("ai"), F.col("rev").alias("x"))
+    b = m.select(F.col("midx").alias("bi"), F.col("rev").alias("y"))
+    p = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("bi") == F.col("ai") + F.col("lag")
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    )
+    per_lag = p.groupBy("lag").agg(F.round(num / den, 6).alias("r"))
+    cur = per_lag.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ]
+    )
+    for stage in _dl_stages():
+        cur = cur.selectExpr(*stage)
+    stack_args = ", ".join(
+        f"{k}, r{k}, ROUND(phi_{k}_{k}, 6)" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return cur.selectExpr(
+        f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag, acf, pacf)"
+    ).select(F.col("lag").cast("int").alias("lag"), "acf", "pacf")
+
+
+pacf_monthly_revenue.__doc__ = pacf_monthly_revenue.__doc__.replace(
+    "{K}", str(ACF_MAX_LAG)
+)
+
+
+# --- McNemar's paired test ------------------------------------------------------
+
+
+@register(
+    "mcnemar_halves_test",
+    oracle="""
+WITH bounds AS (
+    SELECT MIN(CAST(ts AS DATE)) AS d0,
+           CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                          MAX(CAST(ts AS DATE))) + 1 AS BIGINT) AS span
+    FROM events
+), conv AS (
+    SELECT user_id,
+           MAX(CASE WHEN date_diff('day', bounds.d0, CAST(ts AS DATE)) * 2
+                         < bounds.span THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN date_diff('day', bounds.d0, CAST(ts AS DATE)) * 2
+                         >= bounds.span THEN 1 ELSE 0 END) AS in_b
+    FROM events, bounds
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+), cells AS (
+    SELECT CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_only,
+           CAST(SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second_only
+    FROM conv
+)
+SELECT n_both, n_first_only, n_second_only,
+       CASE WHEN n_first_only + n_second_only = 0 THEN NULL
+            ELSE ROUND((ABS(CAST(n_first_only - n_second_only AS DOUBLE)) - 1.0)
+                 * (ABS(CAST(n_first_only - n_second_only AS DOUBLE)) - 1.0)
+                 / (n_first_only + n_second_only), 6) END AS mcnemar_chi2
+FROM cells
+""",
+    tags=("analytics", "stats", "ab-test"),
+)
+def mcnemar_halves_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) on paired per-user
+    conversion between the first and second half of the observation
+    window — "did the set of converting users CHANGE?", the paired
+    companion to the independent-cohort ``two_proportion_ab_test``
+    (pairing on user removes the between-user variance that test eats).
+
+    The half boundary derives from the data's own day span with exact
+    integer arithmetic (day_offset·2 < span), per-user presence flags
+    are one MAX-aggregate, the 2×2 discordant cells are exact BIGINTs,
+    and the statistic is one shared-formula double, round(6)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    bounds = e.agg(
+        F.min(day).alias("d0"),
+        (F.datediff(F.max(day), F.min(day)) + 1).cast("bigint").alias("span"),
+    )
+    off2 = F.datediff(day, F.col("d0")) * 2
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(off2 < F.col("span"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(off2 >= F.col("span"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    cells = conv.agg(
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first_only"),
+        F.sum(F.when((F.col("in_a") == 0) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_second_only"),
+    )
+    d = (F.col("n_first_only") - F.col("n_second_only")).cast("double")
+    disc = F.col("n_first_only") + F.col("n_second_only")
+    return cells.select(
+        "n_both",
+        "n_first_only",
+        "n_second_only",
+        F.when(
+            disc != 0,
+            F.round((F.abs(d) - 1.0) * (F.abs(d) - 1.0) / disc, 6),
+        ).alias("mcnemar_chi2"),
+    )

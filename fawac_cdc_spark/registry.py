@@ -308,6 +308,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "silhouette_by_cell",
     "near_dup_source_modularity",
     "markov_removal_attribution",
+    "pacf_monthly_revenue",
+    "mcnemar_halves_test",
 )
 
 
@@ -330,6 +332,8 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "silhouette_by_cell",
         "near_dup_source_modularity",
         "markov_removal_attribution",
+        "pacf_monthly_revenue",
+        "mcnemar_halves_test",
     }
 )
 

@@ -138,6 +138,9 @@ _SCALAR_BROADCAST_OK = {
     #                        cosine_assigned_cells broadcast shape)
     "near_dup_source_modularity",  # three 1-row count frames folded
     #                                (lsh_recall_vs_exact's shape)
+    "pacf_monthly_revenue",  # 6-row lag frame against the month rollup
+    #                          (acf_monthly_revenue's shape)
+    "mcnemar_halves_test",  # 1-row day-span bounds frame
 }
 
 

@@ -3235,3 +3235,48 @@ def test_near_dup_modularity_matches_exact_replica(spark, sf_dir):
     assert r["n_sources_touched"] == len(deg)
     assert r["modularity"] == round(q, 6)
     assert r["modularity"] <= 1.0
+
+
+def test_pacf_matches_pure_python_durbin_levinson(spark, sf_dir):
+    """pacf_monthly_revenue == a hand-written Durbin–Levinson loop over
+    the engine's own rounded ACF values; pacf(1) == acf(1); all values
+    bounded by 1 + eps."""
+    rows = {
+        r["lag"]: r for r in _SPECS["pacf_monthly_revenue"].fn(spark, sf_dir).collect()
+    }
+    k_max = max(rows)
+    r = {k: rows[k]["acf"] for k in rows}
+    phi = {(1, 1): r[1]}
+    for k in range(2, k_max + 1):
+        num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+        den = 1.0 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    for k in range(1, k_max + 1):
+        assert rows[k]["pacf"] == pytest.approx(phi[(k, k)], abs=2e-6)
+        assert abs(rows[k]["pacf"]) <= 1.0 + 1e-6
+    assert rows[1]["pacf"] == rows[1]["acf"]
+
+
+def test_mcnemar_cells_and_statistic(spark, sf_dir):
+    """McNemar cells tile the converting-user set and the statistic
+    matches the continuity-corrected formula (NULL when no discordant
+    pairs)."""
+    (r,) = _SPECS["mcnemar_halves_test"].fn(spark, sf_dir).collect()
+    n_conv = (
+        _duck(sf_dir)
+        .execute(
+            "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type='purchase'"
+        )
+        .fetchone()[0]
+    )
+    assert r["n_both"] + r["n_first_only"] + r["n_second_only"] == n_conv
+    b, c = r["n_first_only"], r["n_second_only"]
+    if b + c == 0:
+        assert r["mcnemar_chi2"] is None
+    else:
+        assert r["mcnemar_chi2"] == pytest.approx(
+            (abs(b - c) - 1.0) ** 2 / (b + c), abs=2e-6
+        )
+        assert r["mcnemar_chi2"] >= 0.0
