@@ -782,6 +782,41 @@ PH_DELTA = 0.5  # tolerated per-day drift in the daily mean (dollars)
 PH_LAMBDA = 20.0  # alarm threshold on the PH statistic
 
 
+def _ph_daily_frames(spark: SparkSession, sf_dir: str):
+    """(daily, base): the exact per-(type, day) mean frame and the
+    per-type reference mean — ONE definition shared by the batch
+    detector and the streaming twin's feed builder, so the doubles the
+    stream consumes are bit-identical to the batch scan's."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    daily = e.groupBy("event_type", day.alias("day")).agg(
+        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    base = e.groupBy("event_type").agg(
+        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    return daily, base
+
+
+def ph_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, rn, day, m, mu): the day-ordered per-type daily-mean
+    series with the pinned reference mean — the feed contract of
+    ``streaming.cdc.page_hinkley_stream`` (rn is the per-type day
+    ordinal, the stream's ordering key)."""
+    daily, base = _ph_daily_frames(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.col("day").cast("string").alias("day"),
+            "m",
+            "mu",
+        )
+    )
+
+
 @register(
     "page_hinkley_by_type",
     oracle=f"""
@@ -827,14 +862,7 @@ def page_hinkley_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running sum and running min accumulate identical doubles in
     day order, PH rounds to 6 BEFORE the λ compare (bounds-before-
     compare), and the windows run over the bounded per-type day grain."""
-    e = load_table(spark, sf_dir, "events")
-    day = F.col("ts").cast("date")
-    daily = e.groupBy("event_type", day.alias("day")).agg(
-        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("m")
-    )
-    base = e.groupBy("event_type").agg(
-        (F.sum(money("value")).cast("double") / F.count(F.lit(1))).alias("mu")
-    )
+    daily, base = _ph_daily_frames(spark, sf_dir)
     w_run = (
         Window.partitionBy("event_type")
         .orderBy("day")

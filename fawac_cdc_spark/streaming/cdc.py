@@ -1966,3 +1966,95 @@ def holt_winters_stream(series: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Page–Hinkley drift detection on ingest (round 12 extension) -------------
+#
+# Streaming twin of operators.stats_ext.page_hinkley_by_type: the
+# day-ordered per-type daily-mean series arrives as a metrics feed
+# (operators.stats_ext.ph_daily_series is the feed contract, carrying
+# the PINNED reference mean — the monitoring semantics where the
+# baseline was fit offline and ingest only advances the detector), and
+# each (event_type)-keyed state advances run/running-min once per row.
+# Identical float op order to the batch window scan, so under
+# rn-ordered ingest stream == batch exactly (pinned in
+# tests/test_streaming.py).  State per type: 3 numbers.
+
+PH_SERIES_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("m", T.DoubleType()),
+        T.StructField("mu", T.DoubleType()),
+    ]
+)
+
+PH_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("ph", T.DoubleType()),
+        T.StructField("alarmed", T.IntegerType()),
+    ]
+)
+
+PH_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("rn_seen", T.IntegerType()),
+        T.StructField("run", T.DoubleType()),
+        T.StructField("runmin", T.DoubleType()),
+    ]
+)
+
+
+def page_hinkley_stream(series: DataFrame) -> DataFrame:
+    """Page–Hinkley ON INGEST — see the section comment for the feed
+    contract and the stream==batch argument.  Emits every row's rounded
+    PH statistic and its alarm flag (ph > λ, compared AFTER round(6),
+    the batch op's bounds-before-compare rule)."""
+    import pandas as pd
+
+    from ..operators.stats_ext import PH_DELTA, PH_LAMBDA
+
+    def advance(key, pdf_iter, state):
+        (etype,) = key
+        if state.exists:
+            rn_seen, run, runmin = state.get
+        else:
+            rn_seen, run, runmin = 0, 0.0, None
+        rows = sorted(
+            (int(r.rn), r.day, float(r.m), float(r.mu))
+            for pdf in pdf_iter
+            for r in pdf.itertuples()
+        )
+        out = []
+        for rn, day, m, mu in rows:
+            rn_seen += 1
+            run += m - mu - PH_DELTA
+            runmin = run if runmin is None else min(runmin, run)
+            ph = round(run - runmin, 6)
+            out.append((etype, rn, day, ph, int(ph > PH_LAMBDA)))
+        state.update((rn_seen, run, runmin))
+        yield pd.DataFrame(
+            out, columns=["event_type", "rn", "day", "ph", "alarmed"]
+        ).astype(
+            {
+                "event_type": "object",
+                "rn": "int32",
+                "day": "object",
+                "ph": "float64",
+                "alarmed": "int32",
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return series.groupBy("event_type").applyInPandasWithState(
+        advance,
+        outputStructType=PH_STREAM_OUTPUT_SCHEMA,
+        stateStructType=PH_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1727,3 +1727,50 @@ def test_holt_winters_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in all_specs()["holt_winters_hourly"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_page_hinkley_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming Page–Hinkley == the batch window scan: feed the SAME
+    day-ordered per-type daily-mean series (pinned reference mean) in
+    chunks, aggregate the emitted per-row PH values, and compare the
+    per-type summary to the registered batch detector exactly."""
+    from fawac_cdc_spark.operators.stats_ext import PH_LAMBDA, ph_daily_series
+    from fawac_cdc_spark.registry import all_specs
+
+    series = ph_daily_series(spark, sf_dir).orderBy("rn", "event_type").collect()
+    per = (len(series) + N_CHUNKS - 1) // N_CHUNKS
+    chunks = [series[i * per : (i + 1) * per] for i in range(N_CHUNKS)]
+    feed = _write_chunk_feed(
+        spark, tmp_path, "ph_series", chunks, cdc.PH_SERIES_SCHEMA
+    )
+    stream = (
+        spark.readStream.schema(cdc.PH_SERIES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    emitted = _run_to_memory(
+        spark, cdc.page_hinkley_stream(stream), "ph_stream_out", "update"
+    ).toPandas()
+    got = {}
+    for etype, grp in emitted.groupby("event_type"):
+        alarms = grp[grp["alarmed"] == 1]["day"]
+        got[etype] = (
+            len(grp),
+            round(grp["ph"].max(), 6),
+            alarms.min() if len(alarms) else None,
+            int(len(alarms) > 0),
+        )
+    want = {
+        r["event_type"]: (
+            r["n_days"],
+            r["peak_ph"],
+            r["first_alarm_day"],
+            r["alarmed"],
+        )
+        for r in all_specs()["page_hinkley_by_type"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # every emitted ph respects the rounded-threshold flag rule
+    assert (
+        (emitted["alarmed"] == 1) == (emitted["ph"] > PH_LAMBDA)
+    ).all()
