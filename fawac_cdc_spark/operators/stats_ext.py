@@ -1295,3 +1295,172 @@ def mcnemar_halves_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.abs(d) - 1.0) * (F.abs(d) - 1.0) / disc, 6),
         ).alias("mcnemar_chi2"),
     )
+
+
+# --- Cochran–Armitage trend test -------------------------------------------------
+
+# Shared formula texts over the exact sums (nt = N, kt = K, s1 = Σn_i·t_i,
+# s2 = Σn_i·t_i², st = Σt_i·k_i); pbar = K/N.
+_CA_T = "(st - s1 * kt / nt)"
+_CA_VAR = "((kt / nt) * (1.0 - kt / nt) * (s2 - s1 * s1 / nt))"
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle=f"""
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+    FROM orders GROUP BY o_custkey
+), b AS (
+    SELECT list_transform(
+               quantile_cont(CAST(s AS DOUBLE),
+                             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               x -> CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS bs
+    FROM spend
+), ranked AS (
+    SELECT o_custkey,
+           CAST(10 - len(list_filter(b.bs, x -> s > x)) AS INT) AS decile
+    FROM spend, b
+), conv AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), g AS (
+    SELECT r.decile AS t,
+           CAST(COUNT(*) AS BIGINT) AS n_i,
+           CAST(SUM(CASE WHEN c.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_i
+    FROM ranked r LEFT JOIN conv c ON c.o_custkey = r.o_custkey
+    GROUP BY r.decile
+), s AS (
+    SELECT CAST(SUM(n_i) AS DOUBLE) AS nt,
+           CAST(SUM(k_i) AS DOUBLE) AS kt,
+           CAST(SUM(n_i * t) AS DOUBLE) AS s1,
+           CAST(SUM(n_i * t * t) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(t AS BIGINT) * k_i) AS DOUBLE) AS st
+    FROM g
+)
+SELECT CAST(nt AS BIGINT) AS n_customers,
+       CAST(kt AS BIGINT) AS k_converted,
+       ROUND({_CA_T} / SQRT({_CA_VAR}), 6) AS z_trend
+FROM s
+""",
+    tags=("analytics", "stats", "ab-test", "lift"),
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Armitage test for a monotone trend in urgent-order
+    conversion across the spend deciles — "do bigger spenders convert
+    more, MONOTONICALLY?", the ordered-groups upgrade over the
+    unordered chi-square and the significance companion to
+    ``customer_decile_lift``'s descriptive table (decile index = the
+    CA score, so decile 1 = top spend).
+
+    Deciles come from the SAME broadcast-quantile-boundary assignment
+    as the lift table (:func:`assign_spend_deciles` semantics inlined
+    per engine); conversion is the key-only DISTINCT/LEFT-JOIN probe of
+    the A/B family; all five moments are exact integers cast to double
+    once, and T/Var(T) are ONE shared formula text, round(6) on z."""
+    from .analytics import assign_spend_deciles
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("s"))
+    ranked = assign_spend_deciles(spend)
+    conv = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    g = (
+        ranked.join(conv, "o_custkey", "left")
+        .groupBy(F.col("decile").alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("k_i"),
+        )
+    )
+    s = g.agg(
+        F.sum("n_i").cast("double").alias("nt"),
+        F.sum("k_i").cast("double").alias("kt"),
+        F.sum(F.col("n_i") * F.col("t")).cast("double").alias("s1"),
+        F.sum(F.col("n_i") * F.col("t") * F.col("t")).cast("double").alias("s2"),
+        F.sum(F.col("t").cast("bigint") * F.col("k_i")).cast("double").alias("st"),
+    )
+    return s.selectExpr(
+        "CAST(nt AS BIGINT) AS n_customers",
+        "CAST(kt AS BIGINT) AS k_converted",
+        f"ROUND({_CA_T} / SQRT({_CA_VAR}), 6) AS z_trend",
+    )
+
+
+# --- dispersion (variance-to-mean) index ------------------------------------------
+
+
+@register(
+    "dispersion_index_hourly",
+    oracle="""
+WITH hrs AS (
+    SELECT event_type,
+           CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS h
+    FROM events
+), bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hrs),
+counts AS (
+    SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+    FROM hrs GROUP BY event_type, h
+), spine AS (
+    SELECT unnest(range(h0, h1 + 1)) AS h, h0 FROM bounds
+), types AS (SELECT DISTINCT event_type FROM hrs),
+grid AS (
+    SELECT t.event_type, COALESCE(c.n, 0) AS x
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.h = s.h
+), m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx
+    FROM grid GROUP BY event_type
+)
+SELECT event_type, n_hours, sx AS n_events,
+       ROUND((sxx - CAST(sx AS DOUBLE) * sx / n_hours) / (n_hours - 1)
+             / (CAST(sx AS DOUBLE) / n_hours), 6) AS dispersion_index,
+       CAST(CASE WHEN ROUND((sxx - CAST(sx AS DOUBLE) * sx / n_hours)
+                            / (n_hours - 1)
+                            / (CAST(sx AS DOUBLE) / n_hours), 6) > 1.0
+                 THEN 1 ELSE 0 END AS INT) AS overdispersed
+FROM m
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def dispersion_index_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean (Fano) dispersion index of hourly event counts
+    per type on the zero-filled hour spine — the one-number Poisson
+    check run before trusting any count model or Poisson-based anomaly
+    threshold (index ≈ 1: Poisson-like; > 1: bursty/overdispersed, use
+    negative binomial).
+
+    Reuses the SHARED hourly spine derivation (``hourly_count_spine``;
+    oracle mirrors its CTEs) so zero hours count; sample variance and
+    mean come from exact integer moments with one shared expression,
+    rounded BEFORE the > 1 flag compare."""
+    from .windows import hourly_count_spine
+
+    g = hourly_count_spine(spark, sf_dir)
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("n_events").cast("bigint").alias("sx"),
+        F.sum(F.col("n_events").cast("decimal(38,0)") * F.col("n_events"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    disp = F.round(
+        (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n_hours"))
+        / (F.col("n_hours") - 1)
+        / (F.col("sx").cast("double") / F.col("n_hours")),
+        6,
+    )
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.col("sx").alias("n_events"),
+        disp.alias("dispersion_index"),
+        F.when(disp > 1.0, 1).otherwise(0).cast("int").alias("overdispersed"),
+    )

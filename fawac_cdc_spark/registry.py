@@ -310,6 +310,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "markov_removal_attribution",
     "pacf_monthly_revenue",
     "mcnemar_halves_test",
+    "cochran_armitage_trend",
+    "dispersion_index_hourly",
 )
 
 
@@ -334,6 +336,8 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "markov_removal_attribution",
         "pacf_monthly_revenue",
         "mcnemar_halves_test",
+        "cochran_armitage_trend",
+        "dispersion_index_hourly",
     }
 )
 

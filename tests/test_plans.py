@@ -141,6 +141,10 @@ _SCALAR_BROADCAST_OK = {
     "pacf_monthly_revenue",  # 6-row lag frame against the month rollup
     #                          (acf_monthly_revenue's shape)
     "mcnemar_halves_test",  # 1-row day-span bounds frame
+    "cochran_armitage_trend",  # 1-row decile-boundary frame
+    #                            (customer_decile_lift's shape)
+    "dispersion_index_hourly",  # |hours|-row zero-fill spine
+    #                             (holt_winters_hourly's shape)
 }
 
 

@@ -3280,3 +3280,74 @@ def test_mcnemar_cells_and_statistic(spark, sf_dir):
             (abs(b - c) - 1.0) ** 2 / (b + c), abs=2e-6
         )
         assert r["mcnemar_chi2"] >= 0.0
+
+
+def test_cochran_armitage_matches_replica_and_counts(spark, sf_dir):
+    """z_trend == the textbook CA statistic computed in Python from the
+    exact per-decile (n_i, k_i) table; counts tile the customer base."""
+    (r,) = _SPECS["cochran_armitage_trend"].fn(spark, sf_dir).collect()
+    rows = (
+        _duck(sf_dir)
+        .execute(
+            """
+            WITH spend AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+                FROM orders GROUP BY o_custkey
+            ), b AS (
+                SELECT list_transform(
+                           quantile_cont(CAST(s AS DOUBLE),
+                                         [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                           x -> CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS bs
+                FROM spend
+            ), ranked AS (
+                SELECT o_custkey,
+                       CAST(10 - len(list_filter(b.bs, x -> s > x)) AS INT) AS t
+                FROM spend, b
+            ), conv AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            SELECT r.t, COUNT(*),
+                   SUM(CASE WHEN c.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            FROM ranked r LEFT JOIN conv c ON c.o_custkey = r.o_custkey
+            GROUP BY r.t
+            """
+        )
+        .fetchall()
+    )
+    import math
+
+    nt = float(sum(n for _, n, _ in rows))
+    kt = float(sum(k for _, _, k in rows))
+    s1 = float(sum(n * t for t, n, _ in rows))
+    s2 = float(sum(n * t * t for t, n, _ in rows))
+    st = float(sum(t * k for t, _, k in rows))
+    tstat = st - s1 * kt / nt
+    var = (kt / nt) * (1.0 - kt / nt) * (s2 - s1 * s1 / nt)
+    assert r["n_customers"] == int(nt)
+    assert r["k_converted"] == int(kt)
+    assert r["z_trend"] == pytest.approx(tstat / math.sqrt(var), abs=2e-6)
+
+
+def test_dispersion_index_matches_exact_replica(spark, sf_dir):
+    """Per-type Fano index == the exact integer-moment replica over the
+    zero-filled hourly series; flag consistent with the rounded value."""
+    got = {
+        r["event_type"]: r
+        for r in _SPECS["dispersion_index_hourly"].fn(spark, sf_dir).collect()
+    }
+    from fawac_cdc_spark.operators.windows import hourly_count_spine
+
+    pdf = hourly_count_spine(spark, sf_dir).toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        xs = [int(v) for v in grp["n_events"]]
+        n = len(xs)
+        sx, sxx = sum(xs), sum(v * v for v in xs)
+        var = (sxx - sx * sx / n) / (n - 1)
+        disp = round(var / (sx / n), 6)
+        r = got[etype]
+        assert r["n_hours"] == n
+        assert r["n_events"] == sx
+        assert r["dispersion_index"] == pytest.approx(disp, abs=2e-6)
+        assert r["overdispersed"] == int(r["dispersion_index"] > 1.0)
