@@ -316,30 +316,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# the round-12 EXTENSION wave (stats II); they leave this set when the
-# next dual-scale full sweep lands on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "spearman_corr_daily",
-        "anova_f_event_types",
-        "welch_t_flags",
-        "max_drawdown_daily",
-        "permutation_test_mean_diff",
-        "hhi_source_concentration",
-        "t_closeness_audit",
-        "eb_shrunk_part_rates",
-        "page_hinkley_by_type",
-        "mood_median_event_types",
-        "brown_forsythe_event_types",
-        "silhouette_by_cell",
-        "near_dup_source_modularity",
-        "markov_removal_attribution",
-        "pacf_monthly_revenue",
-        "mcnemar_halves_test",
-        "cochran_armitage_trend",
-        "dispersion_index_hourly",
-    }
-)
+# empty: the round-12 extension closing sweeps (323/323 at sf0.01 AND
+# sf0.1, tools/parity_last.json) ran on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
