@@ -2273,3 +2273,102 @@ def silhouette_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s6").cast("double") / (F.count(F.lit(1)) * float(_SIL_Q)), 6
         ).alias("mean_silhouette"),
     )
+
+
+# --- embedding diversity (round 12 extension) ---------------------------------
+#
+# Mean pairwise cosine per label WITHOUT the O(n²) pair join: for unit
+# vectors u_i, sum_{i≠j} u_i·u_j = ||Σu||² − n, so the mean pairwise
+# cosine is (||Σu||² − Σ||u_i||²) / (n(n−1)) — one O(n·d) aggregate.
+# This identity is THE scale trick for corpus-diversity audits: the
+# naive pair join is quadratic in the label's population; this is one
+# map-side-combinable pass.  Unit components quantize to the 1e-6 FLOOR
+# grid (embedding_centroid_drift's convention) so the sums are exact
+# integers and engine summation order cannot matter.
+
+_DIV_Q = 1_000_000
+
+
+@register(
+    "embedding_diversity_by_label",
+    oracle=f"""
+WITH q AS (
+    SELECT label, vec_id, u.d AS d, u.q AS q
+    FROM (
+        SELECT label, vec_id,
+               unnest(list_transform(range(1, {EMB_DIM + 1}),
+                   i -> {{'d': i,
+                         'q': CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                              / ({_NORM_DUCK.format(v='embedding')})
+                              * {_DIV_Q}) AS BIGINT)}})) AS u
+        FROM embeddings
+    )
+), per_dim AS (
+    SELECT label, d,
+           CAST(SUM(q) AS DECIMAL(38,0)) AS s_d,
+           SUM(CAST(q AS DECIMAL(38,0)) * q) AS qq_d
+    FROM q GROUP BY label, d
+), per_label AS (
+    SELECT label,
+           SUM(s_d * s_d) AS s2,
+           SUM(qq_d) AS qq
+    FROM per_dim GROUP BY label
+), n AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings GROUP BY label
+)
+SELECT n.label, n.n_vectors,
+       ROUND(CAST(p.s2 - p.qq AS DOUBLE)
+             / (CAST(n.n_vectors AS DOUBLE) * (n.n_vectors - 1)
+                * {_DIV_Q}.0 * {_DIV_Q}), 6) AS mean_pairwise_cosine
+FROM per_label p JOIN n ON n.label = p.label
+""",
+    tags=("similarity", "llm", "ml-eval", "diversity"),
+)
+def embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise cosine similarity within each label — the
+    diversity/redundancy audit a curation pipeline reads before
+    sampling (a label whose members all point the same way contributes
+    near-duplicates) — computed by the SUM-VECTOR IDENTITY, never a
+    pair join: ||Σu||² − Σ||u||² over unit vectors equals the sum of
+    all pairwise dots, so one O(n·d) aggregate replaces the O(n²)
+    blowup.  See the section comment for the exactness story."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.select(
+            "label",
+            "vec_id",
+            F.expr(_NORM_SPARK.format(v="embedding")).alias("nrm"),
+            F.posexplode(F.col("embedding")).alias("d0", "v"),
+        )
+        .select(
+            "label",
+            (F.col("d0") + 1).alias("d"),
+            F.floor(F.col("v").cast("double") / F.col("nrm") * _DIV_Q)
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    per_dim = q.groupBy("label", "d").agg(
+        F.sum("q").cast("decimal(38,0)").alias("s_d"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("qq_d"),
+    )
+    per_label = per_dim.groupBy("label").agg(
+        F.sum(F.col("s_d") * F.col("s_d")).alias("s2"),
+        F.sum("qq_d").alias("qq"),
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    return per_label.join(F.broadcast(n), "label").select(
+        "label",
+        "n_vectors",
+        F.round(
+            (F.col("s2") - F.col("qq")).cast("double")
+            / (
+                F.col("n_vectors").cast("double")
+                * (F.col("n_vectors") - 1)
+                * float(_DIV_Q)
+                * _DIV_Q
+            ),
+            6,
+        ).alias("mean_pairwise_cosine"),
+    )

@@ -1464,3 +1464,114 @@ def dispersion_index_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         disp.alias("dispersion_index"),
         F.when(disp > 1.0, 1).otherwise(0).cast("int").alias("overdispersed"),
     )
+
+
+# --- Theil inequality with between/within decomposition ---------------------------
+
+# Shared per-row term texts (x = customer spend in cents as DOUBLE,
+# xt/nt = corpus totals, xg/ng = the customer's nation totals).  The
+# per-row ln terms FLOOR-quantize to the 1e-9 grid so the data-sized
+# sums are exact integers (the silhouette/centroid-drift convention:
+# quantize deterministic doubles, sum exactly; grid-boundary ulps are
+# absorbed by the final round(6)).
+_THEIL_Q = 1_000_000_000
+_THEIL_TOT_TERM = f"CAST(FLOOR((x / xt) * LN(x * nt / xt) * {_THEIL_Q}) AS BIGINT)"
+_THEIL_WIT_TERM = f"CAST(FLOOR((x / xt) * LN(x * ng / xg) * {_THEIL_Q}) AS BIGINT)"
+_THEIL_BET_TERM = "(xg / xt) * LN((xg / xt) * (nt / ng))"
+
+
+@register(
+    "theil_inequality_by_nation",
+    oracle=f"""
+WITH spend AS (
+    SELECT o.o_custkey,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS DOUBLE) AS x,
+           MAX(c.c_nationkey) AS nation
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_custkey
+), g AS (
+    SELECT nation, CAST(COUNT(*) AS DOUBLE) AS ng, CAST(SUM(x) AS DOUBLE) AS xg
+    FROM spend GROUP BY nation
+), tot AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS nt, CAST(SUM(x) AS DOUBLE) AS xt
+    FROM spend
+), rowterms AS (
+    SELECT {_THEIL_TOT_TERM} AS t_tot,
+           {_THEIL_WIT_TERM} AS t_wit
+    FROM spend JOIN g USING (nation), tot
+), bet AS (
+    SELECT ROUND(SUM({_THEIL_BET_TERM}), 6) AS theil_between
+    FROM g, tot
+)
+SELECT (SELECT CAST(nt AS BIGINT) FROM tot) AS n_customers,
+       ROUND(CAST(SUM(t_tot) AS DOUBLE) / {_THEIL_Q}, 6) AS theil_total,
+       (SELECT theil_between FROM bet) AS theil_between,
+       ROUND(CAST(SUM(t_wit) AS DOUBLE) / {_THEIL_Q}, 6) AS theil_within
+FROM rowterms
+""",
+    tags=("analytics", "stats", "concentration"),
+)
+def theil_inequality_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend with its exact
+    between-/within-nation decomposition (T = T_B + T_W) — the
+    inequality measure that, unlike Gini, DECOMPOSES additively, so it
+    answers "is spend inequality a between-market or within-market
+    phenomenon?" the way ``near_dup_source_modularity`` answers it for
+    duplication.
+
+    Scale shape: one customer-grain rollup, one 25-row nation rollup
+    (broadcast), and two map-side-combinable integer sums — the
+    per-customer ln terms FLOOR-quantize to the 1e-9 grid (shared
+    formula text, silhouette convention) so the data-sized sums are
+    exact integers; only the bounded 25-term between sum follows the
+    chi-square float-sum convention.  round(6) on all three indices."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(money("o_totalprice")) * 100)
+            .cast("bigint")
+            .cast("double")
+            .alias("x"),
+            F.max("c_nationkey").alias("nation"),
+        )
+    )
+    g = spend.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum("x").cast("double").alias("xg"),
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("double").alias("nt"),
+        F.sum("x").cast("double").alias("xt"),
+    )
+    rowterms = (
+        spend.join(F.broadcast(g), "nation")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            f"{_THEIL_TOT_TERM} AS t_tot",
+            f"{_THEIL_WIT_TERM} AS t_wit",
+        )
+    )
+    bet = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(F.round(F.expr(f"SUM({_THEIL_BET_TERM})"), 6).alias("theil_between"))
+    )
+    nt = tot.select(F.col("nt").cast("bigint").alias("n_customers"))
+    return (
+        rowterms.agg(
+            F.round(F.sum("t_tot").cast("double") / _THEIL_Q, 6).alias(
+                "theil_total"
+            ),
+            F.round(F.sum("t_wit").cast("double") / _THEIL_Q, 6).alias(
+                "theil_within"
+            ),
+        )
+        .crossJoin(F.broadcast(bet))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_customers", "theil_total", "theil_between", "theil_within"
+        )
+    )

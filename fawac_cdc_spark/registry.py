@@ -312,13 +312,18 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "mcnemar_halves_test",
     "cochran_armitage_trend",
     "dispersion_index_hourly",
+    "embedding_diversity_by_label",
+    "theil_inequality_by_nation",
 )
 
 
-# Queries registered since the last green full-registry parity sweep —
-# empty: the round-12 extension closing sweeps (323/323 at sf0.01 AND
-# sf0.1, tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset()
+# Queries registered since the last green full-registry parity sweep.
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "embedding_diversity_by_label",
+        "theil_inequality_by_nation",
+    }
+)
 
 
 @dataclass(frozen=True)

@@ -2058,3 +2058,73 @@ def page_hinkley_stream(series: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- dispersion (Fano) index on ingest (round 12 extension) -------------------
+#
+# Streaming twin of operators.stats_ext.dispersion_index_hourly: the
+# zero-filled hourly count series (operators.windows.hourly_count_spine
+# is the feed contract) advances exact INTEGER moments (n, Σx, Σx²) per
+# event type — so the state is 3 numbers, every emission's moments are
+# exactly the batch scan's over the rows seen so far, and at
+# end-of-feed stream == batch with NO float caveat at all (the
+# statistic derives from the integer moments).
+
+DISP_SERIES_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("rn", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+DISP_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_hours", T.LongType()),
+        T.StructField("sx", T.LongType()),
+        T.StructField("sxx", T.LongType()),
+    ]
+)
+
+DISP_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("sx", T.LongType()),
+        T.StructField("sxx", T.LongType()),
+    ]
+)
+
+
+def dispersion_stream(series: DataFrame) -> DataFrame:
+    """Exact running count moments ON INGEST — see the section comment.
+    Emits the per-type (n, Σx, Σx²) after every micro-batch; the Fano
+    index is a pure function of the final emission (the batch op's
+    formula), so the stream==batch pin compares integers."""
+    import pandas as pd
+
+    def advance(key, pdf_iter, state):
+        (etype,) = key
+        n, sx, sxx = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            for x in pdf["n_events"]:
+                xi = int(x)
+                n += 1
+                sx += xi
+                sxx += xi * xi
+        state.update((n, sx, sxx))
+        yield pd.DataFrame(
+            [(etype, n, sx, sxx)], columns=["event_type", "n_hours", "sx", "sxx"]
+        ).astype(
+            {"event_type": "object", "n_hours": "int64", "sx": "int64", "sxx": "int64"}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return series.groupBy("event_type").applyInPandasWithState(
+        advance,
+        outputStructType=DISP_STREAM_OUTPUT_SCHEMA,
+        stateStructType=DISP_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -145,6 +145,8 @@ _SCALAR_BROADCAST_OK = {
     #                            (customer_decile_lift's shape)
     "dispersion_index_hourly",  # |hours|-row zero-fill spine
     #                             (holt_winters_hourly's shape)
+    "theil_inequality_by_nation",  # 1-row corpus-total frame attached to
+    #                                the spend grain + two 1-row results
 }
 
 

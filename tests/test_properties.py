@@ -3351,3 +3351,46 @@ def test_dispersion_index_matches_exact_replica(spark, sf_dir):
         assert r["n_events"] == sx
         assert r["dispersion_index"] == pytest.approx(disp, abs=2e-6)
         assert r["overdispersed"] == int(r["dispersion_index"] > 1.0)
+
+
+def test_embedding_diversity_matches_bruteforce_pairs(spark, sf_dir):
+    """The sum-vector identity == the O(n²) brute-force mean pairwise
+    cosine over the same FLOOR-quantized unit vectors (small fixture, so
+    the quadratic check is affordable); bounds sanity."""
+    got = {
+        r["label"]: r
+        for r in _SPECS["embedding_diversity_by_label"].fn(spark, sf_dir).collect()
+    }
+    import numpy as np
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    for label, grp in pdf.groupby("label"):
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in grp["embedding"]])
+        nrm = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        q = np.floor(mat / nrm * 1_000_000)
+        n = len(q)
+        gram = q @ q.T
+        off = gram.sum() - np.trace(gram)
+        want = round(off / (n * (n - 1) * 1e12), 6)
+        r = got[label]
+        assert r["n_vectors"] == n
+        assert r["mean_pairwise_cosine"] == pytest.approx(want, abs=2e-6)
+        assert -1.0 - 1e-6 <= r["mean_pairwise_cosine"] <= 1.0 + 1e-6
+
+
+def test_theil_decomposition_identity_and_nonneg(spark, sf_dir):
+    """Theil: T_total ≈ T_between + T_within (the additive decomposition,
+    up to the 1e-9 quantization grid), all three nonnegative."""
+    (r,) = _SPECS["theil_inequality_by_nation"].fn(spark, sf_dir).collect()
+    assert r["theil_total"] >= -1e-6
+    assert r["theil_between"] >= -1e-6
+    assert r["theil_within"] >= -1e-6
+    assert r["theil_total"] == pytest.approx(
+        r["theil_between"] + r["theil_within"], abs=1e-4
+    )
+    n = (
+        _duck(sf_dir)
+        .execute("SELECT COUNT(DISTINCT o_custkey) FROM orders")
+        .fetchone()[0]
+    )
+    assert r["n_customers"] == n

@@ -1774,3 +1774,41 @@ def test_page_hinkley_stream_matches_batch(spark, sf_dir, tmp_path):
     assert (
         (emitted["alarmed"] == 1) == (emitted["ph"] > PH_LAMBDA)
     ).all()
+
+
+def test_dispersion_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming dispersion moments == the batch spine scan: feed the
+    SAME zero-filled hourly series in chunks; the final per-type
+    (n, Σx, Σx²) must equal the batch integers exactly, and the Fano
+    index reconstructed from them must equal the registered query."""
+    from fawac_cdc_spark.operators.windows import hourly_count_spine
+    from fawac_cdc_spark.registry import all_specs
+
+    series = hourly_count_spine(spark, sf_dir).orderBy("rn", "event_type").collect()
+    per = (len(series) + N_CHUNKS - 1) // N_CHUNKS
+    chunks = [series[i * per : (i + 1) * per] for i in range(N_CHUNKS)]
+    feed = _write_chunk_feed(
+        spark, tmp_path, "disp_series", chunks, cdc.DISP_SERIES_SCHEMA
+    )
+    stream = (
+        spark.readStream.schema(cdc.DISP_SERIES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    emitted = _run_to_memory(
+        spark, cdc.dispersion_stream(stream), "disp_stream_out", "update"
+    ).toPandas()
+    final = {}
+    for etype, grp in emitted.groupby("event_type"):
+        last = grp.loc[grp["n_hours"].idxmax()]
+        final[etype] = (int(last["n_hours"]), int(last["sx"]), int(last["sxx"]))
+    want = {
+        r["event_type"]: r
+        for r in all_specs()["dispersion_index_hourly"].fn(spark, sf_dir).collect()
+    }
+    assert set(final) == set(want)
+    for etype, (n, sx, sxx) in final.items():
+        r = want[etype]
+        assert n == r["n_hours"] and sx == r["n_events"]
+        disp = round(((sxx - sx * sx / n) / (n - 1)) / (sx / n), 6)
+        assert r["dispersion_index"] == pytest.approx(disp, abs=1e-6)
