@@ -1598,3 +1598,81 @@ def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("st").cast("long").alias("n_tokens"), "jsd_vs_corpus"
         )
     )
+
+
+# --- importance-weight effective sample size (round 12 extension) --------------
+
+_ESS_Q = 1_000_000_000_000  # 1e-12 FLOOR grid on the max-shifted weights
+
+
+@register(
+    "importance_weight_ess",
+    oracle=f"""
+WITH {_DSIR_LM_CTES},
+scored AS (
+    SELECT f.doc_id, ROUND(SUM(lw), 6) AS lr
+    FROM feats f JOIN lm ON f.b = lm.b
+    GROUP BY f.doc_id
+), mx AS (SELECT MAX(lr) AS m FROM scored),
+q AS (
+    SELECT CAST(FLOOR(EXP(lr - mx.m) * {_ESS_Q}) AS BIGINT) AS qw
+    FROM scored, mx
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qw) AS DECIMAL(38,0)) AS sw,
+           SUM(CAST(qw AS DECIMAL(38,0)) * qw) AS sww,
+           CAST(MAX(qw) AS DECIMAL(38,0)) AS mw
+    FROM q
+)
+SELECT n AS n_docs,
+       ROUND(CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE), 6) AS ess,
+       ROUND(CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE) / n, 6) AS ess_fraction,
+       ROUND(CAST(mw AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS top_weight_share
+FROM s
+""",
+    tags=("traindata", "llm", "selection", "ml-eval"),
+)
+def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights — the
+    diagnostic every importance-weighted data pipeline must report
+    before trusting a reweighted mixture: ESS = (Σw)²/Σw² collapses
+    toward 1 when a handful of documents dominate the weight mass
+    (then the "selected" corpus is effectively those few docs), and
+    approaches n when weights are flat.  Reads directly on
+    ``dsir_selected_docs``'s weights, plus the single largest weight's
+    share of the total mass.
+
+    Determinism + scale: per-doc log-ratios are the ONE shared DSIR
+    derivation (rounded 6 before use); weights exponentiate MAX-SHIFTED
+    (the shift cancels in both ratios, so no overflow and no loss at
+    the top), then FLOOR-quantize to the 1e-12 grid so all three sums
+    are exact integers — one broadcast 1-row max, two
+    map-side-combinable aggregates, no shuffle beyond the per-doc
+    rollup DSIR already pays."""
+    feats, lm = _dsir_feats_and_lm(spark, sf_dir)
+    scored = (
+        feats.join(F.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lw"), 6).alias("lr"))
+    )
+    mx = scored.agg(F.max("lr").alias("m"))
+    q = scored.crossJoin(F.broadcast(mx)).select(
+        F.floor(F.exp(F.col("lr") - F.col("m")) * _ESS_Q)
+        .cast("bigint")
+        .alias("qw")
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qw").cast("decimal(38,0)").alias("sw"),
+        F.sum(F.col("qw").cast("decimal(38,0)") * F.col("qw")).alias("sww"),
+        F.max("qw").cast("decimal(38,0)").alias("mw"),
+    )
+    ess = (F.col("sw") * F.col("sw")).cast("double") / F.col("sww").cast("double")
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_fraction"),
+        F.round(F.col("mw").cast("double") / F.col("sw").cast("double"), 6).alias(
+            "top_weight_share"
+        ),
+    )

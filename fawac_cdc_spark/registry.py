@@ -314,6 +314,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "dispersion_index_hourly",
     "embedding_diversity_by_label",
     "theil_inequality_by_nation",
+    "importance_weight_ess",
 )
 
 
@@ -322,6 +323,7 @@ PENDING_SWEEP: frozenset[str] = frozenset(
     {
         "embedding_diversity_by_label",
         "theil_inequality_by_nation",
+        "importance_weight_ess",
     }
 )
 

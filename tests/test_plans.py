@@ -147,6 +147,8 @@ _SCALAR_BROADCAST_OK = {
     #                             (holt_winters_hourly's shape)
     "theil_inequality_by_nation",  # 1-row corpus-total frame attached to
     #                                the spend grain + two 1-row results
+    "importance_weight_ess",  # 1-row max-shift frame + the dsir LM totals
+    #                           (dsir_selected_docs' shape)
 }
 
 

@@ -3394,3 +3394,40 @@ def test_theil_decomposition_identity_and_nonneg(spark, sf_dir):
         .fetchone()[0]
     )
     assert r["n_customers"] == n
+
+
+def test_importance_weight_ess_bounds_and_replica(spark, sf_dir):
+    """ESS replicated in exact Python integers from the engine's own
+    per-doc log-ratios; 1 <= ESS <= n; shares consistent."""
+    (r,) = _SPECS["importance_weight_ess"].fn(spark, sf_dir).collect()
+    import math
+
+    lrs = [
+        row["dsir_logratio"]
+        for row in _SPECS["dsir_selected_docs"]
+        .fn(spark, sf_dir)
+        .limit(0)
+        .collect()
+    ]
+    # independent recompute of the per-doc log-ratio grain via the
+    # shared Spark derivation (the oracle already cross-checks DuckDB)
+    from fawac_cdc_spark.functions.traindata import _dsir_feats_and_lm
+
+    feats, lm = _dsir_feats_and_lm(spark, sf_dir)
+    from pyspark.sql import functions as SF
+
+    scored = (
+        feats.join(SF.broadcast(lm), "b")
+        .groupBy("doc_id")
+        .agg(SF.round(SF.sum("lw"), 6).alias("lr"))
+        .collect()
+    )
+    lrs = [row["lr"] for row in scored]
+    m = max(lrs)
+    qs = [math.floor(math.exp(v - m) * 1_000_000_000_000) for v in lrs]
+    sw, sww = sum(qs), sum(x * x for x in qs)
+    assert r["n_docs"] == len(qs)
+    assert r["ess"] == pytest.approx(sw * sw / sww, abs=2e-5)
+    assert 1.0 - 1e-6 <= r["ess"] <= len(qs) + 1e-6
+    assert r["ess_fraction"] == pytest.approx(r["ess"] / len(qs), abs=2e-6)
+    assert r["top_weight_share"] == pytest.approx(max(qs) / sw, abs=2e-6)
