@@ -1070,7 +1070,10 @@ def brown_forsythe_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- partial autocorrelation (Durbin–Levinson) ---------------------------------
 
-from .analytics import ACF_MAX_LAG  # noqa: E402 — ONE lag-depth definition
+from .analytics import (  # noqa: E402 — ONE definition each
+    ACF_MAX_LAG,
+    SESSION_GAP_SECONDS,
+)
 
 # Per-lag Pearson ACF of the monthly revenue rollup, shared formula text
 # (mirrors acf_monthly_revenue's arithmetic; rho rounds to 6 BEFORE the
@@ -1574,4 +1577,285 @@ def theil_inequality_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_customers", "theil_total", "theil_between", "theil_within"
         )
+    )
+
+
+# --- Ljung–Box portmanteau test ---------------------------------------------------
+
+
+@register(
+    "ljung_box_monthly",
+    oracle=f"""
+WITH m AS (
+    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+), lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+p AS (
+    SELECT lags.lag, a.rev AS x, b.rev AS y
+    FROM m a JOIN lags ON TRUE JOIN m b ON b.midx = a.midx + lags.lag
+), per_lag AS (
+    SELECT lag,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                        * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6) AS r
+    FROM p GROUP BY lag
+), nm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM m)
+SELECT CAST((SELECT n FROM nm) AS BIGINT) AS n_months,
+       CAST({ACF_MAX_LAG} AS BIGINT) AS dof,
+       ROUND((SELECT n FROM nm) * ((SELECT n FROM nm) + 2)
+             * SUM(r * r / ((SELECT n FROM nm) - lag)), 6) AS q_stat
+FROM per_lag
+""",
+    tags=("analytics", "timeseries", "stats"),
+)
+def ljung_box_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau Q over the first {K} autocorrelations of
+    monthly revenue — the "is there ANY serial structure?" gate read
+    before the per-lag ACF/PACF detail (large Q rejects white noise
+    jointly instead of eyeballing {K} separate bars).
+
+    Reuses the EXACT same per-lag Pearson machinery as
+    ``acf_monthly_revenue`` (rhos rounded to 6 BEFORE entering Q, so
+    both engines square identical doubles); Q itself is a {K}-term
+    float sum over the bounded lag grid (chi-square convention),
+    round(6)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = m.select(F.col("midx").alias("ai"), F.col("rev").alias("x"))
+    b = m.select(F.col("midx").alias("bi"), F.col("rev").alias("y"))
+    p = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("bi") == F.col("ai") + F.col("lag")
+    )
+    cnt = F.count(F.lit(1))
+    num = cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(
+        (cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        * (cnt * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    )
+    per_lag = p.groupBy("lag").agg(F.round(num / den, 6).alias("r"))
+    nm = m.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        per_lag.crossJoin(F.broadcast(nm))
+        .agg(
+            F.max("n").cast("bigint").alias("n_months"),
+            F.lit(ACF_MAX_LAG).cast("bigint").alias("dof"),
+            F.round(
+                F.max("n")
+                * (F.max("n") + 2)
+                * F.sum(
+                    F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))
+                ),
+                6,
+            ).alias("q_stat"),
+        )
+    )
+
+
+ljung_box_monthly.__doc__ = ljung_box_monthly.__doc__.replace(
+    "{K}", str(ACF_MAX_LAG)
+)
+
+
+# --- session entropy rate -----------------------------------------------------------
+
+
+@register(
+    "session_entropy_rate",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts > LAG(ts) OVER w + INTERVAL {SESSION_GAP_SECONDS} SECOND
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM ordered
+),
+trans AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id, sess_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM sessioned
+),
+c AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS nij
+    FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+), ci AS (SELECT src, SUM(nij) AS ni FROM c GROUP BY src),
+tot AS (SELECT CAST(SUM(nij) AS DOUBLE) AS n FROM c),
+terms AS (
+    SELECT -(c.nij / tot.n) * LN(c.nij / CAST(ci.ni AS DOUBLE)) AS t
+    FROM c JOIN ci USING (src), tot
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_transitions,
+       ROUND(SUM(t), 6) AS entropy_rate_nats,
+       ROUND(EXP(SUM(t)), 6) AS perplexity
+FROM terms
+""",
+    tags=("analytics", "session", "information"),
+)
+def session_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the within-session event chain —
+    H = −Σ_ij p(i,j)·ln p(j|i) over the SAME transitions
+    ``session_transition_matrix`` counts (and
+    ``markov_removal_attribution`` models): the one number that says
+    how predictable user behavior is (low = rigid funnels, high ≈
+    ln|types| = users wander), with its perplexity companion.
+
+    The transition table is the shared sessionization discipline
+    (30-min strict gap, (ts, event_id) order); counts are exact
+    integers; the ≤|types|² ln terms follow the mutual_info convention
+    (identical operand order, round(6) on the final sum)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr(f"INTERVAL {SESSION_GAP_SECONDS} SECONDS")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sessioned = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    trans = sessioned.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(ws).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    c = (
+        trans.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+        .localCheckpoint(eager=True)
+    )
+    ci = c.groupBy("src").agg(F.sum("nij").alias("ni"))
+    tot = c.agg(F.sum("nij").cast("double").alias("n"))
+    terms = (
+        c.join(F.broadcast(ci), "src")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("nij") / F.col("n"))
+                * F.log(F.col("nij") / F.col("ni").cast("double"))
+            ).alias("t"),
+            "n",
+        )
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_transitions"),
+        F.round(F.sum("t"), 6).alias("entropy_rate_nats"),
+        F.round(F.exp(F.sum("t")), 6).alias("perplexity"),
+    )
+
+
+# --- Wald–Wolfowitz runs test --------------------------------------------------------
+
+
+@register(
+    "runs_test_daily_sign",
+    oracle="""
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) AS pnl
+    FROM events GROUP BY 1
+), ch AS (
+    SELECT day, pnl,
+           LAG(pnl) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS prev
+    FROM d
+), s AS (
+    SELECT day, CASE WHEN pnl > prev THEN 1 ELSE 0 END AS up
+    FROM ch WHERE prev IS NOT NULL AND pnl <> prev
+), r AS (
+    SELECT up,
+           CASE WHEN LAG(up) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND UNBOUNDED FOLLOWING) IS NULL
+                  OR up <> LAG(up) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND UNBOUNDED FOLLOWING)
+                THEN 1 ELSE 0 END AS new_run
+    FROM s
+), agg AS (
+    SELECT CAST(SUM(up) AS DOUBLE) AS n1,
+           CAST(SUM(1 - up) AS DOUBLE) AS n2,
+           CAST(SUM(new_run) AS BIGINT) AS runs
+    FROM r
+)
+SELECT CAST(n1 AS BIGINT) AS n_up,
+       CAST(n2 AS BIGINT) AS n_down,
+       runs AS n_runs,
+       ROUND((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) AS z
+FROM agg
+""",
+    tags=("analytics", "stats", "timeseries", "robust"),
+)
+def runs_test_daily_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the up/down sign sequence of daily
+    total event value — "do good and bad days cluster, or alternate
+    like noise?", the distribution-free randomness check that catches
+    regime structure the mean-based monitors (CUSUM, Page–Hinkley)
+    only see as drift.
+
+    Signs come from EXACT DECIMAL day-over-day comparisons (zero-change
+    days dropped, the standard convention, so no float can flip a
+    sign); the run count is one lag-compare over the bounded day grain,
+    and the normal z is one shared formula over three exact integers,
+    round(6)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(money("value")).alias("pnl")
+    )
+    wd = Window.orderBy("day")
+    ch = d.select("day", "pnl", F.lag("pnl").over(wd).alias("prev"))
+    s = ch.where(
+        F.col("prev").isNotNull() & (F.col("pnl") != F.col("prev"))
+    ).select("day", F.when(F.col("pnl") > F.col("prev"), 1).otherwise(0).alias("up"))
+    r = s.select(
+        "up",
+        F.when(
+            F.lag("up").over(wd).isNull() | (F.col("up") != F.lag("up").over(wd)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = r.agg(
+        F.sum("up").cast("double").alias("n1"),
+        F.sum(1 - F.col("up")).cast("double").alias("n2"),
+        F.sum("new_run").cast("bigint").alias("runs"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        n1.cast("bigint").alias("n_up"),
+        n2.cast("bigint").alias("n_down"),
+        F.col("runs").alias("n_runs"),
+        F.round((F.col("runs") - mu) / F.sqrt(var), 6).alias("z"),
     )

@@ -315,6 +315,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "embedding_diversity_by_label",
     "theil_inequality_by_nation",
     "importance_weight_ess",
+    "ljung_box_monthly",
+    "session_entropy_rate",
+    "runs_test_daily_sign",
 )
 
 
@@ -324,6 +327,9 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "embedding_diversity_by_label",
         "theil_inequality_by_nation",
         "importance_weight_ess",
+        "ljung_box_monthly",
+        "session_entropy_rate",
+        "runs_test_daily_sign",
     }
 )
 

@@ -149,6 +149,10 @@ _SCALAR_BROADCAST_OK = {
     #                                the spend grain + two 1-row results
     "importance_weight_ess",  # 1-row max-shift frame + the dsir LM totals
     #                           (dsir_selected_docs' shape)
+    "ljung_box_monthly",  # 6-row lag frame against the month rollup
+    #                       (acf_monthly_revenue's shape)
+    "session_entropy_rate",  # 1-row transition-total scalar
+    #                          (mutual_info_type_hour's shape)
 }
 
 

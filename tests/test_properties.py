@@ -3431,3 +3431,62 @@ def test_importance_weight_ess_bounds_and_replica(spark, sf_dir):
     assert 1.0 - 1e-6 <= r["ess"] <= len(qs) + 1e-6
     assert r["ess_fraction"] == pytest.approx(r["ess"] / len(qs), abs=2e-6)
     assert r["top_weight_share"] == pytest.approx(max(qs) / sw, abs=2e-6)
+
+
+def test_ljung_box_matches_acf_reconstruction(spark, sf_dir):
+    """Q reconstructed from the engine's own ACF values; Q >= 0."""
+    (r,) = _SPECS["ljung_box_monthly"].fn(spark, sf_dir).collect()
+    acf = {
+        row["lag"]: row["acf"]
+        for row in _SPECS["acf_monthly_revenue"].fn(spark, sf_dir).collect()
+    }
+    n = float(r["n_months"])
+    q = n * (n + 2) * sum(v * v / (n - k) for k, v in acf.items())
+    assert r["q_stat"] == pytest.approx(q, abs=2e-5)
+    assert r["q_stat"] >= 0.0
+    assert r["dof"] == len(acf)
+
+
+def test_session_entropy_rate_bounds(spark, sf_dir):
+    """0 <= H <= ln(k) for k source states; perplexity == exp(H);
+    transition total matches the transition-matrix census."""
+    import math
+
+    (r,) = _SPECS["session_entropy_rate"].fn(spark, sf_dir).collect()
+    tm = _SPECS["session_transition_matrix"].fn(spark, sf_dir).collect()
+    n_trans = sum(row["n"] for row in tm)
+    k = len({row["from_type"] for row in tm})
+    assert r["n_transitions"] == n_trans
+    assert -1e-9 <= r["entropy_rate_nats"] <= math.log(k) + 1e-6
+    assert r["perplexity"] == pytest.approx(
+        math.exp(r["entropy_rate_nats"]), abs=2e-5
+    )
+
+
+def test_runs_test_matches_pure_python_replica(spark, sf_dir):
+    """Runs/z replicated from the exact integer-cent daily series."""
+    (r,) = _SPECS["runs_test_daily_sign"].fn(spark, sf_dir).collect()
+    rows = (
+        _duck(sf_dir)
+        .execute(
+            "SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            " FROM events GROUP BY CAST(ts AS DATE) ORDER BY CAST(ts AS DATE)"
+        )
+        .fetchall()
+    )
+    pnl = [int(v) for (v,) in rows]
+    signs = [
+        1 if b > a else 0 for a, b in zip(pnl, pnl[1:]) if b != a
+    ]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    import math
+
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+    )
+    assert r["n_up"] == n1 and r["n_down"] == n2 and r["n_runs"] == runs
+    assert r["z"] == pytest.approx((runs - mu) / math.sqrt(var), abs=2e-6)
