@@ -321,17 +321,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
 )
 
 
-# Queries registered since the last green full-registry parity sweep.
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "embedding_diversity_by_label",
-        "theil_inequality_by_nation",
-        "importance_weight_ess",
-        "ljung_box_monthly",
-        "session_entropy_rate",
-        "runs_test_daily_sign",
-    }
-)
+# Queries registered since the last green full-registry parity sweep —
+# empty: the round-12 extension final sweeps (329/329 at sf0.01 AND
+# sf0.1, tools/parity_last.json) ran on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
