@@ -1276,3 +1276,43 @@ def test_attribution_pairs_join_on_user(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "user_id" in plan
+
+
+# --- round-12 extension plan pins ---------------------------------------------
+
+
+def test_embedding_diversity_has_no_pair_join(spark, sf_dir):
+    """The sum-vector identity's whole point: NO shuffle join between
+    two embedding-scan branches — every join in the plan is a broadcast
+    attach of the tiny label-grain frame.  A SortMergeJoin or shuffled
+    hash join appearing here would mean the O(n²) pair blowup crept
+    back in."""
+    plan = _plan(spark, sf_dir, "embedding_diversity_by_label")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_extension_topk_plans_use_take_ordered(spark, sf_dir):
+    """The EB shrinkage ranking and the drawdown argmax must plan as
+    TakeOrderedAndProject (top-k without a global sort), the repo's
+    pinned top-k discipline."""
+    for name in ("eb_shrunk_part_rates", "max_drawdown_daily"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert plan.count("Sort ") <= 1, name
+
+
+def test_permutation_test_hoists_digests_before_explode(spark, sf_dir):
+    """poisson_bootstrap's hoisted-digest discipline, pinned for the
+    permutation test: the md5 digest array must be computed BEFORE the
+    replicate Generate (explode), so the plan carries one Generate and
+    the digest transform feeds it — not 32 per-replicate md5 calls
+    after the blowup."""
+    plan = _plan(spark, sf_dir, "permutation_test_mean_diff")
+    # exactly one explode (the replicate blowup), never one per digest
+    assert plan.count("(3) Generate") + plan.count("Generate (") >= 1
+    # the digest ARRAY is built by a higher-order transform over md5
+    # (sequence(0,3) constant-folds to an UnsafeArrayData literal, so
+    # pin the lambda shape instead of the folded literal)
+    assert "lambdafunction(md5" in plan
