@@ -1812,3 +1812,47 @@ def test_dispersion_stream_matches_batch(spark, sf_dir, tmp_path):
         assert n == r["n_hours"] and sx == r["n_events"]
         disp = round(((sxx - sx * sx / n) / (n - 1)) / (sx / n), 6)
         assert r["dispersion_index"] == pytest.approx(disp, abs=1e-6)
+
+
+def test_page_hinkley_stream_sorts_within_batch(spark, sf_dir, tmp_path):
+    """Rows arriving SHUFFLED WITHIN each micro-batch must not change
+    the detector: the state handler sorts by rn before advancing, so
+    only cross-batch order is a contract.  Same summary equality as the
+    ordered-feed test."""
+    import random
+
+    from fawac_cdc_spark.operators.stats_ext import ph_daily_series
+    from fawac_cdc_spark.registry import all_specs
+
+    series = ph_daily_series(spark, sf_dir).orderBy("rn", "event_type").collect()
+    per = (len(series) + N_CHUNKS - 1) // N_CHUNKS
+    rng = random.Random(42)
+    chunks = []
+    for i in range(N_CHUNKS):
+        chunk = list(series[i * per : (i + 1) * per])
+        rng.shuffle(chunk)
+        chunks.append(chunk)
+    feed = _write_chunk_feed(
+        spark, tmp_path, "ph_series_shuf", chunks, cdc.PH_SERIES_SCHEMA
+    )
+    stream = (
+        spark.readStream.schema(cdc.PH_SERIES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    emitted = _run_to_memory(
+        spark, cdc.page_hinkley_stream(stream), "ph_stream_shuf_out", "update"
+    ).toPandas()
+    got = {}
+    for etype, grp in emitted.groupby("event_type"):
+        alarms = grp[grp["alarmed"] == 1]["day"]
+        got[etype] = (
+            len(grp),
+            round(grp["ph"].max(), 6),
+            alarms.min() if len(alarms) else None,
+        )
+    want = {
+        r["event_type"]: (r["n_days"], r["peak_ph"], r["first_alarm_day"])
+        for r in all_specs()["page_hinkley_by_type"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
