@@ -1274,10 +1274,17 @@ def assoc_rule_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "acf_monthly_revenue",
-    oracle=f"""
-WITH m AS (
+# ONE definition of the per-lag monthly-revenue autocorrelation
+# machinery (ADVICE r12): the DECIMAL-exact month rollup, the broadcast
+# lag equi-join, and the per-lag Pearson rho — shared by
+# ``acf_monthly_revenue`` here and by ``ljung_box_monthly`` /
+# ``pacf_monthly_revenue`` in operators/stats_ext.py, as Spark frames
+# AND as oracle CTE text (the ``_ph_daily_frames`` / ``_TRANS_CTE_SQL``
+# discipline), so an edit to one side cannot silently decouple Q or
+# PACF from the ACF the tests reconstruct.  per_lag carries
+# (lag, n_pairs, r) with rho rounded to 6 BEFORE any consumer squares
+# it (Ljung–Box) or feeds it into Durbin–Levinson (PACF).
+ACF_ORACLE_CTES = f"""m AS (
     SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
     FROM orders GROUP BY 1
@@ -1285,12 +1292,55 @@ WITH m AS (
 p AS (
     SELECT lags.lag, a.rev AS x, b.rev AS y
     FROM m a JOIN lags ON TRUE JOIN m b ON b.midx = a.midx + lags.lag
-)
-SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
-             / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
-                    * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6) AS acf
-FROM p GROUP BY lag
+), per_lag AS (
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                        * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6) AS r
+    FROM p GROUP BY lag
+)"""
+
+
+def acf_monthly_frames(spark: SparkSession, sf_dir: str):
+    """(m, per_lag): the checkpointed DECIMAL-exact monthly revenue
+    rollup and the lag-1..ACF_MAX_LAG Pearson autocorrelation frame
+    (lag, n_pairs, r) — the Spark half of ``ACF_ORACLE_CTES``; both
+    engines run the identical computational-formula float ops and seal
+    rho with round(6)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = m.select(F.col("midx").alias("ai"), F.col("rev").alias("x"))
+    b = m.select(F.col("midx").alias("bi"), F.col("rev").alias("y"))
+    p = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("bi") == F.col("ai") + F.col("lag")
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    )
+    per_lag = p.groupBy("lag").agg(
+        n.cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("r"),
+    )
+    return m, per_lag
+
+
+@register(
+    "acf_monthly_revenue",
+    oracle=f"""
+WITH {ACF_ORACLE_CTES}
+SELECT lag, n_pairs, r AS acf FROM per_lag
 """,
     tags=("analytics", "timeseries", "stats"),
 )
@@ -1311,31 +1361,8 @@ def acf_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles is accumulation-order-dependent in the last ulps; at the
     bounded month count both engines agree well inside the round(6)
     guard."""
-    o = load_table(spark, sf_dir, "orders")
-    m = (
-        o.groupBy(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
-        )
-        .agg(F.sum(money("o_totalprice")).cast("double").alias("rev"))
-        .localCheckpoint(eager=True)
-    )
-    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
-    a = m.select(F.col("midx").alias("ai"), F.col("rev").alias("x"))
-    b = m.select(F.col("midx").alias("bi"), F.col("rev").alias("y"))
-    p = (
-        a.crossJoin(F.broadcast(lags))
-        .join(b, F.col("bi") == F.col("ai") + F.col("lag"))
-    )
-    n = F.count(F.lit(1))
-    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
-    den = F.sqrt(
-        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
-        * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
-    )
-    return p.groupBy("lag").agg(
-        n.cast("bigint").alias("n_pairs"),
-        F.round(num / den, 6).alias("acf"),
-    )
+    _, per_lag = acf_monthly_frames(spark, sf_dir)
+    return per_lag.select("lag", "n_pairs", F.col("r").alias("acf"))
 
 
 @register(

@@ -517,7 +517,7 @@ def hhi_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- t-closeness --------------------------------------------------------------
 
-T_CLOSENESS_T = 0.2  # release threshold on the EMD (standard texbook default)
+T_CLOSENESS_T = 0.2  # release threshold on the EMD (standard textbook default)
 T_CLOSE_BUCKETS = 10
 
 
@@ -682,12 +682,24 @@ EB_TOPK = 15
 # (r6 = k*1e6 div n, exact integer on both engines): m and v from the
 # exact integer sums (p parts, sr = SUM r6, sq = SUM r6^2), then
 # alpha + beta = m(1-m)/v - 1.  ONE formula text on both engines.
+# Degenerate-input guard (ADVICE r12): the MoM expression divides by
+# the rate variance v and goes non-positive when v > m(1-m), so
+# alpha+beta clamps to a weak unit prior (total pseudo-count 1.0) when
+# v = 0 (all per-part rates equal — no shrinkage signal at all) or the
+# raw expression is <= 0 (over-dispersed beyond the beta family).  The
+# v<=0 branch is checked FIRST so neither engine ever evaluates the
+# division against a zero variance.
 _EB_M = "(sr / (p * 1000000.0))"
 _EB_V = (
     "((sq / 1000000000000.0 - (sr / 1000000.0) * (sr / 1000000.0) / p)"
     " / (p - 1.0))"
 )
-_EB_AB = f"({_EB_M} * (1.0 - {_EB_M}) / {_EB_V} - 1.0)"
+_EB_AB_RAW = f"({_EB_M} * (1.0 - {_EB_M}) / {_EB_V} - 1.0)"
+_EB_AB = (
+    f"(CASE WHEN {_EB_V} <= 0.0 THEN 1.0"
+    f" WHEN {_EB_AB_RAW} <= 0.0 THEN 1.0"
+    f" ELSE {_EB_AB_RAW} END)"
+)
 _EB_AL = f"({_EB_M} * {_EB_AB})"
 
 
@@ -730,7 +742,10 @@ def eb_shrunk_part_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior moments are exact integer sums cast to double once, and
     alpha/beta/shrunken rates come from ONE shared formula text — so
     the ranking doubles are bit-identical and the top-{K} set cannot
-    drift.  The ranking itself is one TakeOrderedAndProject over the
+    drift.  Degenerate corpora (zero rate variance, or variance beyond
+    the beta family's reach) clamp alpha+beta to a weak unit prior
+    instead of dividing by zero — see the ``_EB_AB`` comment (ADVICE
+    r12).  The ranking itself is one TakeOrderedAndProject over the
     part grain; at 100 TB the part grain is the bounded dimension."""
     li = load_table(spark, sf_dir, "lineitem")
     g = (
@@ -837,7 +852,8 @@ WITH daily AS (
 ), ph AS (
     SELECT event_type, day,
            ROUND(run - MIN(run) OVER (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ph
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               + 0.000000001, 6) AS ph
     FROM r
 )
 SELECT event_type,
@@ -861,7 +877,12 @@ def page_hinkley_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same determinism story as CUSUM: exact-decimal daily/global means,
     the running sum and running min accumulate identical doubles in
     day order, PH rounds to 6 BEFORE the λ compare (bounds-before-
-    compare), and the windows run over the bounded per-type day grain."""
+    compare), and the windows run over the bounded per-type day grain.
+    The round(6) applies the repo's +1e-9 half-way-tie nudge on ALL
+    THREE sides (this Spark scan, the DuckDB oracle above, and the
+    streaming twin's Python round in ``streaming/cdc.py``) so a double
+    landing exactly on the 1e-6 grid midpoint cannot split half-up vs
+    banker's rounding across engines (ADVICE r12)."""
     daily, base = _ph_daily_frames(spark, sf_dir)
     w_run = (
         Window.partitionBy("event_type")
@@ -874,7 +895,7 @@ def page_hinkley_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = r.select(
         "event_type",
         "day",
-        F.round(F.col("run") - F.min("run").over(w_run), 6).alias("ph"),
+        F.round(F.col("run") - F.min("run").over(w_run) + 1e-9, 6).alias("ph"),
     )
     return ph.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
@@ -1072,13 +1093,10 @@ def brown_forsythe_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .analytics import (  # noqa: E402 — ONE definition each
     ACF_MAX_LAG,
+    ACF_ORACLE_CTES,
     SESSION_GAP_SECONDS,
+    acf_monthly_frames,
 )
-
-# Per-lag Pearson ACF of the monthly revenue rollup, shared formula text
-# (mirrors acf_monthly_revenue's arithmetic; rho rounds to 6 BEFORE the
-# recursion so both engines feed identical doubles into Durbin–Levinson).
-_PACF_RS = ", ".join(f"r{k}" for k in range(1, ACF_MAX_LAG + 1))
 
 
 def _dl_stages() -> list[list[str]]:
@@ -1129,21 +1147,8 @@ def _pacf_oracle_sql() -> str:
         for k in range(1, ACF_MAX_LAG + 1)
     )
     return f"""
-WITH m AS (
-    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-    FROM orders GROUP BY 1
-), lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
-p AS (
-    SELECT lags.lag, a.rev AS x, b.rev AS y
-    FROM m a JOIN lags ON TRUE JOIN m b ON b.midx = a.midx + lags.lag
-), per_lag AS (
-    SELECT lag,
-           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
-                 / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
-                        * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6) AS r
-    FROM p GROUP BY lag
-), piv AS (
+WITH {ACF_ORACLE_CTES},
+piv AS (
     SELECT {piv} FROM per_lag
 ),
 {", ".join(ctes)}
@@ -1167,32 +1172,11 @@ def pacf_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     so Durbin–Levinson consumes identical doubles; the recursion itself
     is machine-generated chained formula text evaluated identically by
     both engines (the ``markov_removal_attribution`` discipline), over
-    ONE bounded row.  The only data-sized pass is the DECIMAL-exact
-    month aggregate; the lag join is the checkpointed-rollup equi-join
-    ``acf_monthly_revenue`` pins."""
-    o = load_table(spark, sf_dir, "orders")
-    m = (
-        o.groupBy(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
-        )
-        .agg(F.sum(money("o_totalprice")).cast("double").alias("rev"))
-        .localCheckpoint(eager=True)
-    )
-    lags = spark.range(1, ACF_MAX_LAG + 1).select(
-        F.col("id").cast("int").alias("lag")
-    )
-    a = m.select(F.col("midx").alias("ai"), F.col("rev").alias("x"))
-    b = m.select(F.col("midx").alias("bi"), F.col("rev").alias("y"))
-    p = a.crossJoin(F.broadcast(lags)).join(
-        b, F.col("bi") == F.col("ai") + F.col("lag")
-    )
-    n = F.count(F.lit(1))
-    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
-    den = F.sqrt(
-        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
-        * (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
-    )
-    per_lag = p.groupBy("lag").agg(F.round(num / den, 6).alias("r"))
+    ONE bounded row.  The per-lag rhos come from the ONE shared
+    machinery ``analytics.acf_monthly_frames`` / ``ACF_ORACLE_CTES``
+    (ADVICE r12 — formerly a thrice-copied block); the only data-sized
+    pass is its DECIMAL-exact month aggregate."""
+    _, per_lag = acf_monthly_frames(spark, sf_dir)
     cur = per_lag.agg(
         *[
             F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
@@ -1586,21 +1570,8 @@ def theil_inequality_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ljung_box_monthly",
     oracle=f"""
-WITH m AS (
-    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)) AS midx,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-    FROM orders GROUP BY 1
-), lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
-p AS (
-    SELECT lags.lag, a.rev AS x, b.rev AS y
-    FROM m a JOIN lags ON TRUE JOIN m b ON b.midx = a.midx + lags.lag
-), per_lag AS (
-    SELECT lag,
-           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
-                 / SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
-                        * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6) AS r
-    FROM p GROUP BY lag
-), nm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM m)
+WITH {ACF_ORACLE_CTES},
+nm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM m)
 SELECT CAST((SELECT n FROM nm) AS BIGINT) AS n_months,
        CAST({ACF_MAX_LAG} AS BIGINT) AS dof,
        ROUND((SELECT n FROM nm) * ((SELECT n FROM nm) + 2)
@@ -1615,34 +1586,13 @@ def ljung_box_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the per-lag ACF/PACF detail (large Q rejects white noise
     jointly instead of eyeballing {K} separate bars).
 
-    Reuses the EXACT same per-lag Pearson machinery as
-    ``acf_monthly_revenue`` (rhos rounded to 6 BEFORE entering Q, so
-    both engines square identical doubles); Q itself is a {K}-term
-    float sum over the bounded lag grid (chi-square convention),
-    round(6)."""
-    o = load_table(spark, sf_dir, "orders")
-    m = (
-        o.groupBy(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
-        )
-        .agg(F.sum(money("o_totalprice")).cast("double").alias("rev"))
-        .localCheckpoint(eager=True)
-    )
-    lags = spark.range(1, ACF_MAX_LAG + 1).select(
-        F.col("id").cast("int").alias("lag")
-    )
-    a = m.select(F.col("midx").alias("ai"), F.col("rev").alias("x"))
-    b = m.select(F.col("midx").alias("bi"), F.col("rev").alias("y"))
-    p = a.crossJoin(F.broadcast(lags)).join(
-        b, F.col("bi") == F.col("ai") + F.col("lag")
-    )
-    cnt = F.count(F.lit(1))
-    num = cnt * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
-    den = F.sqrt(
-        (cnt * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
-        * (cnt * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
-    )
-    per_lag = p.groupBy("lag").agg(F.round(num / den, 6).alias("r"))
+    Reuses the ONE shared per-lag Pearson machinery of
+    ``analytics.acf_monthly_frames`` / ``ACF_ORACLE_CTES`` (ADVICE
+    r12 — formerly a thrice-copied block; rhos round to 6 BEFORE
+    entering Q, so both engines square identical doubles); Q itself is
+    a {K}-term float sum over the bounded lag grid (chi-square
+    convention), round(6)."""
+    m, per_lag = acf_monthly_frames(spark, sf_dir)
     nm = m.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return (
         per_lag.crossJoin(F.broadcast(nm))

@@ -61,90 +61,109 @@ _QUERY_MODULES = [
 # sweeps (sf0.01 + sf0.1, recorded in tools/parity_last.json and gated by
 # tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
-# Rounds 10-11 rotations kept for history in git; round-12 below.
+# Rounds 10-12 rotations kept for history in git; round-13 below.
 #
-# Round-12 rotation (VERDICT r11 #1 — the window composes itself).
+# Round-13 rotation (VERDICT r12 #1 — the window composes itself).
 # Composition, in order:
-#   15 never-driver-verified  (the ENTIRE round-11 wave-2/3/4/5 cohort,
-#                             deferred from the r11 window per the
-#                             ADVICE r10 convention; the r11 registry
-#                             comment promised they lead this window.
-#                             Three of them additionally carry round-12
-#                             code/oracle changes that the driver hash
-#                             now pins: customer_decile_lift and
-#                             rfm_customer_segments were rewritten onto
-#                             broadcast quantile boundaries (VERDICT r11
-#                             #2/#3 — values change under the pinned
-#                             tie semantics), holt_winters_hourly gained
-#                             the recursive-CTE list-column oracle
-#                             (VERDICT r11 #4 — first hash ever instead
-#                             of rows-only), and quantile_loss_by_flag /
-#                             embedding_centroid_drift carry the ADVICE
-#                             r11 oracle-constant fixes.)
-# + 35 r5-stale               (the ENTIRE remaining r5 cohort — the
-#                             oldest driver evidence in the registry,
-#                             last hashed in the round-5 window.)
-# = 50.  Code-changed-but-values-identical queries NOT in the window
-# (gini_concentration_by_source: bucket-blocked rank rewrite, oracle
-# parity unchanged at all three scales; benford_first_digit_audit:
-# digit-domain filter on both engines, ADVICE r11) are r11-fresh and
-# stay covered by the closing dual-scale sweeps.  Operators REGISTERED
-# in round 12 land after this window froze and are explicitly DEFERRED
-# to the round-13 window (ADVICE r10 convention) — they ride the
+#   45 never-driver-verified  (the ENTIRE round-12 cohort: the 21-query
+#                             main wave, kendall_tau_monthly ..
+#                             effect_size_flags, plus the 24-query
+#                             extension waves, spearman_corr_daily ..
+#                             runs_test_daily_sign — all registered
+#                             after the r12 window froze and deferred
+#                             here per the ADVICE r10 convention; all
+#                             45 were green in the judge's independent
+#                             r12 parity run and in the closing
+#                             dual-scale sweeps, but have zero driver
+#                             rows.)
+# +  5 r6-stale               (from the 44-query cohort whose latest
+#                             driver hash is CORRECTNESS_r06 — the
+#                             oldest remaining evidence.  Chosen: the
+#                             LLM-pipeline composition family, because
+#                             traindata_end_to_end's VALUES change this
+#                             round (VERDICT r12 #3: the composed
+#                             pipeline gains semantic-dedup, span-
+#                             removal, and decontam stages) and the new
+#                             hash pins them; the other four are its
+#                             nearest pipeline siblings.)
+# = 50.  The REMAINING 39 r6-stale queries are the planned core of the
+# round-14 window (VERDICT r12 #1 asks for this note):
+#   anti_join_customers_without_orders, benchmark_decontam_flags,
+#   bloom_semi_join_gate, case_when_order_priority, cc_star_survivors,
+#   cdc_latest_state_per_user, conditional_agg_profile,
+#   constrained_best_order_per_priority, csv_scan_events_agg,
+#   density_binned_subsample, discounted_cumsum_per_user,
+#   episode_rollout_stats, event_value_stats, exp_weight_capped,
+#   grouping_sets_mixed, hash_sample_lineitem,
+#   hour_bitmap_user_activity, incremental_lsh_dedup, ivfpq_topk_query1,
+#   json_extract_props, kll_quantile_rank_bound, lsh_dedup_admissions,
+#   metrics_sink_roundtrip, mlp_inference_scores,
+#   nations_customers_except_suppliers, npz_scan_events_agg,
+#   npz_write_roundtrip_agg, order_date_parts,
+#   orders_lineitem_by_priority, packing_efficiency_stats,
+#   q10_returned_items, q3_shipping_priority,
+#   range_join_clicks_before_purchase, scalar_transform_lineitem,
+#   semi_join_urgent_customers, session_agg_30min_gap,
+#   topk_orders_per_status, value_decile_profile, zorder_bucket_stats
+# (39 + up to 11 round-13 registrations = the r14 window).  Operators
+# REGISTERED in round 13 land after this window froze and are DEFERRED
+# to the round-14 window (ADVICE r10 convention) — they ride the
 # closing dual-scale sweeps and tests/test_oracle_parity.py instead.
 _PRIORITY = [
-    # Never driver-verified: the full round-11 wave-2..5 cohort (15).
-    "strict_funnel_1h_counts",
-    "multi_touch_attribution",
-    "rfm_customer_segments",
-    "mom_revenue_growth",
-    "customer_decile_lift",
-    "event_interarrival_stats",
-    "jaccard_threshold_histogram",
-    "score_calibration_bins",
-    "lang_id_confusion",
-    "session_path_topk",
-    "chi_square_type_hour",
-    "quantile_loss_by_flag",
-    "item_cooccurrence_similarity",
-    "embedding_centroid_drift",
-    "holt_winters_hourly",
-    # r5-stale cohort: oldest remaining driver evidence (35).
-    "approx_stats_lineitem",
-    "dataset_hash_split",
-    "discounted_cumsum_closed_form",
-    "ewma_state_batch_equiv",
-    "hll_estimate_error_bound",
-    "hll_user_sketch_rollup",
-    "lang_id_heuristic",
-    "lateral_top2_orders_per_customer",
-    "listagg_status_profile",
-    "pipe_syntax_returnflag_profile",
-    "pmi_bigram_collocations",
-    "ppm_decode_pixel_stats",
-    "ppm_resize_pixel_stats",
-    "ppm_stream_frame_stats",
-    "pq_adc_topk_query0",
-    "pq_code_stats",
-    "pricing_summary",
-    "purchase_click_left_pairs",
-    "q11_important_part_value",
-    "q12_ship_delay_priority",
-    "q16_supplier_part_variety",
-    "q20_dominant_shipper",
-    "q5_local_supplier_revenue",
-    "q7_volume_shipping",
-    "q9_product_type_profit",
-    "reference_td_advantage_pipeline",
-    "salted_user_event_totals",
-    "seeded_batch_sample_1024",
-    "stratified_sample_events",
-    "tagged_union_entities",
-    "tfidf_source_terms",
-    "theta_user_set_algebra",
-    "topk_sketch_term_counts",
-    "unigram_logprob_by_source",
-    "wav_decode_sample_stats",
+    # Never driver-verified: round-12 main wave (21).
+    "kendall_tau_monthly",
+    "mann_whitney_flag_test",
+    "two_proportion_ab_test",
+    "ks_test_type_hours",
+    "survival_km_purchase",
+    "seasonal_naive_backtest",
+    "cohort_ltv_matrix",
+    "rolling_corr_types_daily",
+    "abc_analysis_parts",
+    "pivot_monthly_flag_revenue",
+    "l_diversity_audit",
+    "dup_ngram_char_fraction",
+    "segment_dedup_stats",
+    "embedding_clip_bounds",
+    "join_key_skew_profile",
+    "ann_recall_curve",
+    "ols_two_feature",
+    "poisson_bootstrap_ci",
+    "capture_recapture_dups",
+    "bh_fdr_type_hour",
+    "effect_size_flags",
+    # Never driver-verified: round-12 extension waves (24).
+    "spearman_corr_daily",
+    "anova_f_event_types",
+    "welch_t_flags",
+    "max_drawdown_daily",
+    "permutation_test_mean_diff",
+    "hhi_source_concentration",
+    "t_closeness_audit",
+    "eb_shrunk_part_rates",
+    "page_hinkley_by_type",
+    "mood_median_event_types",
+    "brown_forsythe_event_types",
+    "silhouette_by_cell",
+    "near_dup_source_modularity",
+    "markov_removal_attribution",
+    "pacf_monthly_revenue",
+    "mcnemar_halves_test",
+    "cochran_armitage_trend",
+    "dispersion_index_hourly",
+    "embedding_diversity_by_label",
+    "theil_inequality_by_nation",
+    "importance_weight_ess",
+    "ljung_box_monthly",
+    "session_entropy_rate",
+    "runs_test_daily_sign",
+    # r6-stale: the LLM-pipeline composition family (5); the composed
+    # traindata_end_to_end changes values this round (VERDICT r12 #3).
+    "traindata_end_to_end",
+    "llm_corpus_pipeline",
+    "packed_sequences",
+    "doc_fingerprints",
+    "leakage_safe_split_counts",
 ]
 
 

@@ -2034,7 +2034,11 @@ def page_hinkley_stream(series: DataFrame) -> DataFrame:
             rn_seen += 1
             run += m - mu - PH_DELTA
             runmin = run if runmin is None else min(runmin, run)
-            ph = round(run - runmin, 6)
+            # round(6) with the repo's +1e-9 half-way-tie nudge, now
+            # applied symmetrically on the batch op and oracle too
+            # (operators/stats_ext.py page_hinkley_by_type, ADVICE r12)
+            # — Python round() is banker's, SQL ROUND is half-up.
+            ph = round(run - runmin + 1e-9, 6)
             out.append((etype, rn, day, ph, int(ph > PH_LAMBDA)))
         state.update((rn_seen, run, runmin))
         yield pd.DataFrame(

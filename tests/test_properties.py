@@ -3402,13 +3402,6 @@ def test_importance_weight_ess_bounds_and_replica(spark, sf_dir):
     (r,) = _SPECS["importance_weight_ess"].fn(spark, sf_dir).collect()
     import math
 
-    lrs = [
-        row["dsir_logratio"]
-        for row in _SPECS["dsir_selected_docs"]
-        .fn(spark, sf_dir)
-        .limit(0)
-        .collect()
-    ]
     # independent recompute of the per-doc log-ratio grain via the
     # shared Spark derivation (the oracle already cross-checks DuckDB)
     from fawac_cdc_spark.functions.traindata import _dsir_feats_and_lm
