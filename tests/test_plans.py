@@ -1316,3 +1316,49 @@ def test_permutation_test_hoists_digests_before_explode(spark, sf_dir):
     # (sequence(0,3) constant-folds to an UnsafeArrayData literal, so
     # pin the lambda shape instead of the folded literal)
     assert "lambdafunction(md5" in plan
+
+
+# --- round-13 plan pins -------------------------------------------------------
+
+
+def test_pca_moment_reduction_is_distributed(spark, sf_dir):
+    """VERDICT r12 #2: the PCA moment fold must be a distributed exact
+    aggregation, not a driver-side loop over per-Arrow-batch partials.
+    Pins: (a) the totals frame plans as partial + final HashAggregate
+    around exactly ONE exchange keyed on the flattened index i — so
+    each map task ships at most 1 + d + d**2 combined rows no matter how
+    many batches it saw; (b) the sum is DECIMAL(38,0) (exact, order-
+    free); (c) collecting it yields exactly 1 + d + d**2 rows — the only
+    thing that ever reaches the driver."""
+    from fawac_cdc_spark.catalog import load_table
+    from fawac_cdc_spark.functions.similarity import (
+        EMB_DIM,
+        _pca_moment_totals_frame,
+    )
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    # a stand-in partials frame with the production schema: the plan
+    # shape is independent of how many partial rows the scan emits
+    def fake_parts(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"flat": [list(range(1 + EMB_DIM + EMB_DIM * EMB_DIM))] * len(pdf)}
+            )
+
+    parts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .mapInPandas(fake_parts, "flat array<long>")
+    )
+    df = _pca_moment_totals_frame(parts)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(i" in plan
+    assert plan.count("HashAggregate (") == 2  # partial + final
+    assert "sum(cast(v" in plan and "decimal(38,0)" in plan
+    assert "Join" not in plan and "Window" not in plan
+    rows = df.collect()
+    assert len(rows) == 1 + EMB_DIM + EMB_DIM * EMB_DIM
