@@ -2147,58 +2147,76 @@ def substring_span_removal_df(
     return rewrite_excising(t, covered)
 
 
-def _span_rewrite_oracle(n: int, covered_cte: str) -> str:
-    """Shared DuckDB scaffold for the span-removal family: positioned
-    tokens/grams (parallel ``unnest`` calls zip equal-length lists, no
-    WITH ORDINALITY needed), a caller-supplied ``covered`` CTE selecting
-    the excised (doc_id, p) positions, then the gaps-and-islands rewrite
-    with doc-unique span markers."""
-    return f"""
-WITH t AS (
-    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-), pos AS (
+def _span_rewrite_ctes(
+    n: int, covered_cte: str, t_sql: str | None = None, pfx: str = ""
+) -> str:
+    """The span-rewrite CTE chain (no leading WITH, no final SELECT):
+    positioned tokens/grams (parallel ``unnest`` calls zip equal-length
+    lists, no WITH ORDINALITY needed), a caller-supplied ``covered`` CTE
+    selecting the excised (doc_id, p) positions, then the gaps-and-
+    islands rewrite with doc-unique span markers, ending at
+    ``{pfx}rebuilt`` / ``{pfx}stats``.
+
+    ``t_sql`` overrides the (doc_id, toks) source relation (default: the
+    raw documents table); ``pfx`` prefixes every CTE name so the
+    composed traindata pipeline can instantiate the scaffold TWICE in
+    one query (span excision then decontamination) without name
+    collisions — the caller's ``covered_cte`` must reference
+    ``{pfx}grams`` and define ``{pfx}covered``."""
+    t_sql = t_sql or "SELECT doc_id, string_split(text, ' ') AS toks FROM documents"
+    return f"""{pfx}t AS (
+    {t_sql}
+), {pfx}pos AS (
     SELECT doc_id,
            unnest(range(0, len(toks))) AS p,
            unnest(toks) AS token
-    FROM t
-), grams_all AS (
+    FROM {pfx}t
+), {pfx}grams_all AS (
     SELECT doc_id,
            unnest(range(0, len(toks) - {n} + 1)) AS i,
            unnest(list_transform(range(1, len(toks) - {n} + 2),
                   j -> CAST('0x' || substr(md5(array_to_string(toks[j:j+{n - 1}], ' ')), 1, 15) AS BIGINT))) AS gram,
            unnest(list_transform(range(1, len(toks) - {n} + 2),
                   j -> len(list_filter(toks[j:j+{n - 1}], tok -> regexp_matches(tok, '{_MARKER_RE_SQL}'))) = 0)) AS ok
-    FROM t WHERE len(toks) >= {n}
-), grams AS (
-    SELECT doc_id, i, gram FROM grams_all WHERE ok
-), {covered_cte}, flagged AS (
-    SELECT pos.doc_id, pos.p, pos.token,
-           covered.p IS NOT NULL AS cov
-    FROM pos LEFT JOIN covered USING (doc_id, p)
-), isl AS (
+    FROM {pfx}t WHERE len(toks) >= {n}
+), {pfx}grams AS (
+    SELECT doc_id, i, gram FROM {pfx}grams_all WHERE ok
+), {covered_cte}, {pfx}flagged AS (
+    SELECT {pfx}pos.doc_id, {pfx}pos.p, {pfx}pos.token,
+           {pfx}covered.p IS NOT NULL AS cov
+    FROM {pfx}pos LEFT JOIN {pfx}covered USING (doc_id, p)
+), {pfx}isl AS (
     SELECT *, p - ROW_NUMBER() OVER (PARTITION BY doc_id, cov ORDER BY p) AS grp
-    FROM flagged
-), spans AS (
+    FROM {pfx}flagged
+), {pfx}spans AS (
     SELECT doc_id, grp, MIN(p) AS p0, SUM(LEN(token)) AS chars
-    FROM isl WHERE cov GROUP BY doc_id, grp
-), spans_k AS (
+    FROM {pfx}isl WHERE cov GROUP BY doc_id, grp
+), {pfx}spans_k AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p0) AS k
-    FROM spans
-), pieces AS (
-    SELECT doc_id, p, token AS piece FROM isl WHERE NOT cov
+    FROM {pfx}spans
+), {pfx}pieces AS (
+    SELECT doc_id, p, token AS piece FROM {pfx}isl WHERE NOT cov
     UNION ALL
     SELECT doc_id, p0 AS p,
            '<<dup:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) || '>>'
-    FROM spans_k
-), rebuilt AS (
+    FROM {pfx}spans_k
+), {pfx}rebuilt AS (
     SELECT doc_id, string_agg(piece, ' ' ORDER BY p) AS kept_text
-    FROM pieces GROUP BY doc_id
-), stats AS (
+    FROM {pfx}pieces GROUP BY doc_id
+), {pfx}stats AS (
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_spans_removed,
            CAST(SUM(chars) AS BIGINT) AS chars_removed
-    FROM spans_k GROUP BY doc_id
-)
+    FROM {pfx}spans_k GROUP BY doc_id
+)"""
+
+
+def _span_rewrite_oracle(n: int, covered_cte: str) -> str:
+    """Shared DuckDB scaffold for the span-removal family — the
+    unprefixed single-instance form of ``_span_rewrite_ctes`` with the
+    final rebuilt-plus-stats projection attached."""
+    return f"""
+WITH {_span_rewrite_ctes(n, covered_cte)}
 SELECT r.doc_id, r.kept_text,
        COALESCE(s.n_spans_removed, 0) AS n_spans_removed,
        COALESCE(s.chars_removed, 0) AS chars_removed
@@ -2206,14 +2224,15 @@ FROM rebuilt r LEFT JOIN stats s USING (doc_id)
 """
 
 
-def _corpus_dup_covered_cte(n: int) -> str:
+def _corpus_dup_covered_cte(n: int, pfx: str = "") -> str:
     """The symmetric (>= 2 distinct docs) covered-positions CTE — shared
-    by ``substring_span_removal`` and the composed stats query."""
-    return f"""dup AS (
-    SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
-), covered AS (
+    by ``substring_span_removal``, the composed stats query, and (with a
+    prefix) the composed traindata pipeline."""
+    return f"""{pfx}dup AS (
+    SELECT gram FROM {pfx}grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), {pfx}covered AS (
     SELECT DISTINCT g.doc_id, g.i + u.off AS p
-    FROM grams g JOIN dup USING (gram),
+    FROM {pfx}grams g JOIN {pfx}dup USING (gram),
          UNNEST(range(0, {n})) AS u(off)
 )"""
 

