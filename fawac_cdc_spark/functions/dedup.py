@@ -2019,11 +2019,15 @@ def _span_marker(doc_id_col, k_col):
     )
 
 
-def positioned_grams(t: DataFrame, n: int) -> DataFrame:
+def positioned_grams(
+    t: DataFrame, n: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Positioned (0-based start i) md5-hashed token n-grams of
     ``t = (doc_id, toks)`` — NOT distinct: every occurrence must mark its
     own coverage window.  Pure map (one generator), shared by the batch
-    span-removal family and the streaming span-dedup-on-ingest twin.
+    span-removal family and the streaming span-dedup-on-ingest twins
+    (``carry`` forwards extra columns such as the watermarked feed's
+    ``ingest_ts`` through the explode).
 
     Marker-shaped tokens (_MARKER_RE) are gram BREAKERS: a gram whose
     window contains one is dropped (null, filtered), so no original or
@@ -2040,7 +2044,7 @@ def positioned_grams(t: DataFrame, n: int) -> DataFrame:
     return (
         t.where(F.size("toks") >= n)
         .withColumn("bad", F.expr(f"transform(toks, t -> t rlike '{_MARKER_RE}')"))
-        .select("doc_id", F.posexplode(F.expr(gram_expr)).alias("i", "gram"))
+        .select("doc_id", *carry, F.posexplode(F.expr(gram_expr)).alias("i", "gram"))
         .where(F.col("gram").isNotNull())
     )
 

@@ -1470,6 +1470,181 @@ def semantic_dedup_stream(
     )
 
 
+# Watermark-buffered semantic dedup (VERDICT r12 #4): the same
+# buffer-until-watermark + admit-in-(ingest_ts, id)-order recipe proven
+# on the LSH gate (lsh_dedup_stream_watermarked above) applied to the
+# embedding side, removing semantic_dedup_stream's id-ordered-ingest
+# precondition.
+
+EMB_TS_STREAM_SCHEMA = T.StructType(
+    list(EMB_STREAM_SCHEMA) + [T.StructField("ingest_ts", T.TimestampType())]
+)
+
+# Seen-set state (ids/flat/nrms, as SEM_DEDUP_STATE_SCHEMA) plus the
+# parallel pending arrays of buffered not-yet-mature arrivals — the
+# embedding payload must be buffered too (unlike LSH there is no sketch
+# that preserves cosine), so pending cost is O(delay x cell rate x dim).
+WM_SEM_DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("flat", T.ArrayType(T.DoubleType())),
+        T.StructField("nrms", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_ids", T.ArrayType(T.LongType())),
+        T.StructField("pend_flat", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_us", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def read_embedding_stream_ts(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream source over embedding chunks that carry an
+    ``ingest_ts`` event-time column (the watermarked feed shape)."""
+    return (
+        spark.readStream.schema(EMB_TS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def semantic_dedup_stream_watermarked(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Semantic dedup ON INGEST with a WATERMARK-BUFFERED admission
+    order (VERDICT r12 #4): same cell routing and close-pair check as
+    :func:`semantic_dedup_stream`, but an arriving vector's verdict is
+    deferred — buffered (with its embedding) in per-cell state — until
+    the event-time watermark passes its ``ingest_ts``, then every
+    matured arrival is admitted in (ingest_ts, vec_id) order.
+
+    ORDERING CONTRACT (relaxed): admission equals the batch closed form
+    (``batch_equiv.semantic_dedup_admissions``) for ANY arrival order,
+    provided (a) vec ids are assigned in event-time order (true by
+    construction for ingest-sequence ids) and (b) each row's disorder is
+    within the watermark ``delay`` — later rows are dropped at the state
+    handler (the boundary the late-arrival test pins), never admitted.
+    The unbuffered twin could only promise "exactly one member of a
+    close pair is admitted"; this one pins WHICH member (the smallest
+    id, the batch form's survivor).
+
+    100 TB shape: the seen-set state is the honest O(cell vectors x dim)
+    slab (the cell blocking's point, as the twin documents); buffering
+    adds only the in-flight rows inside the watermark horizon.  Routing
+    stays a pure Arrow map; the sub-blocking dial is omitted here (the
+    b > 0 key schema composes identically if needed)."""
+    import numpy as np
+
+    from ..functions.similarity import EMB_DIM, SEMDEDUP_COS
+
+    cids = [int(c) for c, _ in centroids]
+    assert cids == sorted(cids), "centroids must be sorted by cent_id"
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cnrm = np.sqrt((cmat * cmat).sum(axis=1))
+    cid_arr = np.asarray(cids, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def route(emb: pd.Series) -> pd.Series:
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in emb], dtype=np.float64
+        )
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round((mat @ cmat.T) / (nrm[:, None] * cnrm[None, :]), 6)
+        return pd.Series(cid_arr[np.argmax(cos, axis=1)])
+
+    routed = embs.withWatermark("ingest_ts", delay).select(
+        "vec_id", "embedding", "ingest_ts", route("embedding").alias("cent_id")
+    )
+
+    def admit(key, pdf_iter, state):
+        cent_id = int(key[0])
+        if state.exists:
+            ids, flat, nrms, pend_ids, pend_flat, pend_us = state.get
+            ids = list(ids)
+            prior = np.asarray(flat, dtype=np.float64).reshape(len(ids), EMB_DIM)
+            prior_nrm = np.asarray(nrms, dtype=np.float64)
+            pmat = np.asarray(pend_flat, dtype=np.float64).reshape(
+                len(pend_ids), EMB_DIM
+            )
+            pend = [
+                (int(u), int(i), pmat[j])
+                for j, (u, i) in enumerate(zip(pend_us, pend_ids))
+            ]
+        else:
+            ids = []
+            prior = np.zeros((0, EMB_DIM))
+            prior_nrm = np.zeros(0)
+            pend = []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdf_iter:
+            for vid, vec, ts in zip(
+                pdf["vec_id"], pdf["embedding"], pdf["ingest_ts"]
+            ):
+                # same boundary note as lsh_dedup_stream_watermarked: a
+                # NEW arrival already at-or-behind the watermark is late
+                # beyond the delay — dropped here, never admitted.
+                ts_us = int(ts.value) // 1000
+                if ts_us > wm_us:
+                    pend.append((ts_us, int(vid), np.asarray(vec, dtype=np.float64)))
+        mature = sorted(
+            (t for t in pend if t[0] <= wm_us), key=lambda t: (t[0], t[1])
+        )
+        rest = [t for t in pend if t[0] > wm_us]
+        n_prior, n_new = prior.shape[0], len(mature)
+        mat = np.empty((n_prior + n_new, EMB_DIM))
+        mat[:n_prior] = prior
+        nrm = np.empty(n_prior + n_new)
+        nrm[:n_prior] = prior_nrm
+        out_ids: list[int] = []
+        out_n: list[int] = []
+        for j, (_, vid, vec) in enumerate(mature):
+            seen = n_prior + j
+            vnrm = float(np.sqrt((vec * vec).sum()))
+            if seen:
+                cos = np.round((mat[:seen] @ vec) / (nrm[:seen] * vnrm), 6)
+                n_dups = int((cos >= SEMDEDUP_COS).sum())
+            else:
+                n_dups = 0
+            out_ids.append(vid)
+            out_n.append(n_dups)
+            ids.append(vid)
+            mat[seen] = vec
+            nrm[seen] = vnrm
+        state.update(
+            (
+                ids,
+                mat.reshape(-1).tolist(),
+                nrm.tolist(),
+                [i for _, i, _ in rest],
+                np.concatenate([v for _, _, v in rest]).tolist() if rest else [],
+                [u for u, _, _ in rest],
+            )
+        )
+        if rest:
+            state.setTimeoutTimestamp(min(u for u, _, _ in rest) // 1000 + 1)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(out_ids, dtype="int64"),
+                    "cent_id": pd.Series([cent_id] * len(out_ids), dtype="int64"),
+                    "n_earlier_dups": pd.Series(out_n, dtype="int64"),
+                    "admitted": [n == 0 for n in out_n],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return routed.groupBy("cent_id").applyInPandasWithState(
+        admit,
+        outputStructType=SEM_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=WM_SEM_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # --- token-budget gate on ingest (round 7) ----------------------------------
 
 TOKEN_BUDGET_OUTPUT_SCHEMA = T.StructType(
@@ -1568,6 +1743,116 @@ def token_budget_stream(docs: DataFrame) -> DataFrame:
     )
 
 
+# Watermark-buffered token budget (VERDICT r12 #4): pending arrays on
+# top of the one-BIGINT running total; matured rows charge the budget in
+# (ingest_ts, ord_key) order.
+WM_TOKEN_BUDGET_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen_tokens", T.LongType()),
+        T.StructField("pend_keys", T.ArrayType(T.StringType())),
+        T.StructField("pend_ids", T.ArrayType(T.LongType())),
+        T.StructField("pend_ntok", T.ArrayType(T.LongType())),
+        T.StructField("pend_us", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def token_budget_stream_watermarked(
+    docs: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """Token-budget gate ON INGEST with a WATERMARK-BUFFERED admission
+    order (VERDICT r12 #4): same per-source running-total state as
+    :func:`token_budget_stream`, but arrivals are buffered until the
+    event-time watermark passes their ``ingest_ts``, then charged to the
+    budget in (ingest_ts, ord_key) order.
+
+    ORDERING CONTRACT (relaxed): admission equals the batch closed form
+    (``batch_equiv.token_budget_admissions``) for ANY arrival order,
+    provided (a) event times are assigned in ord_key order — true by
+    construction when the feed is a curriculum replay of the
+    ``shuffled_shard_manifest`` permutation stamping ``ingest_ts`` at
+    replay time — and (b) disorder stays within ``delay`` (later rows
+    are dropped at the state handler, never charged or admitted: the
+    documented completeness/latency trade, pinned by the late-arrival
+    test).  The unbuffered twin admits the earliest ARRIVALS out of
+    order; this one always admits the earliest ORDER POSITIONS.
+
+    100 TB shape: state per source is one BIGINT plus only the in-flight
+    rows inside the watermark horizon (doc ids + token counts — no text);
+    the per-row work at maturity is unchanged (a compare and an add)."""
+    from ..functions.traindata import TOKEN_BUDGET_PER_SOURCE, _shuffle_cols
+
+    ord_key, _ = _shuffle_cols()
+    keyed = docs.withWatermark("ingest_ts", delay).select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("ntok"),
+        ord_key.alias("ord_key"),
+        "ingest_ts",
+    )
+
+    def admit(key, pdf_iter, state):
+        (source,) = key
+        if state.exists:
+            seen, pend_keys, pend_ids, pend_ntok, pend_us = state.get
+            seen = int(seen)
+            pend = [
+                (int(u), str(k), int(d), int(n))
+                for u, k, d, n in zip(pend_us, pend_keys, pend_ids, pend_ntok)
+            ]
+        else:
+            seen, pend = 0, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdf_iter:
+            for k, d, n, ts in zip(
+                pdf["ord_key"], pdf["doc_id"], pdf["ntok"], pdf["ingest_ts"]
+            ):
+                # late beyond the delay: dropped, never charged/admitted
+                ts_us = int(ts.value) // 1000
+                if ts_us > wm_us:
+                    pend.append((ts_us, str(k), int(d), int(n)))
+        mature = sorted(t for t in pend if t[0] <= wm_us)
+        rest = [t for t in pend if t[0] > wm_us]
+        out_doc: list[int] = []
+        out_ntok: list[int] = []
+        out_ok: list[bool] = []
+        for _, _, doc_id, ntok in mature:
+            seen += ntok
+            out_doc.append(doc_id)
+            out_ntok.append(ntok)
+            out_ok.append(seen <= TOKEN_BUDGET_PER_SOURCE)
+        state.update(
+            (
+                seen,
+                [k for _, k, _, _ in rest],
+                [d for _, _, d, _ in rest],
+                [n for _, _, _, n in rest],
+                [u for u, _, _, _ in rest],
+            )
+        )
+        if rest:
+            state.setTimeoutTimestamp(min(u for u, _, _, _ in rest) // 1000 + 1)
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "source": [source] * len(out_doc),
+                    "ntok": out_ntok,
+                    "admitted": out_ok,
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=TOKEN_BUDGET_OUTPUT_SCHEMA,
+        stateStructType=WM_TOKEN_BUDGET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # --- span dedup on ingest (streaming exact-substring removal) ---------------
 
 SPAN_DEDUP_OUTPUT_SCHEMA = T.StructType(
@@ -1644,6 +1929,107 @@ def span_dedup_stream(docs: DataFrame) -> DataFrame:
         stateStructType=SPAN_DEDUP_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# Watermark-buffered span dedup (VERDICT r12 #4): -1 sentinel for "no
+# owner yet" (the WM_LSH convention) plus pending (doc, start, ts)
+# arrays per gram.
+WM_SPAN_DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("pend_ids", T.ArrayType(T.LongType())),
+        T.StructField("pend_i", T.ArrayType(T.IntegerType())),
+        T.StructField("pend_us", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def span_dedup_stream_watermarked(
+    docs: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """Exact-substring span dedup ON INGEST with a WATERMARK-BUFFERED
+    admission order (VERDICT r12 #4): same per-gram smallest-owner state
+    as :func:`span_dedup_stream`, but gram occurrences are buffered
+    until the watermark passes their document's ``ingest_ts``, then
+    judged in (ingest_ts, doc_id) order.
+
+    ORDERING CONTRACT (relaxed): verdicts equal the batch closed form
+    (``batch_equiv.span_removal_firstseen_df``) for ANY arrival order,
+    provided doc ids are assigned in event-time order and disorder stays
+    within ``delay`` (later rows are dropped at the state handler — the
+    late-arrival boundary test).  The unbuffered twin is first-arrival-
+    wins out of order; this one always keeps the smallest doc_id's
+    spans, matching Lee et al.'s batch first-occurrence semantics.
+
+    100 TB shape: state per gram is one long plus the in-flight
+    occurrences inside the watermark horizon; the gram table remains the
+    same pure per-row map (``positioned_grams`` with the event-time
+    column carried through the explode).
+
+    Watermark-advancement caveat: documents shorter than the gram
+    length are filtered out before the explode, and the optimizer can
+    evaluate that filter before the event-time stats are collected — so
+    only rows that SURVIVE to the gram table advance the watermark
+    (observed under Spark 4.1; the watermarked tests' flush docs carry
+    >= n tokens for exactly this reason).  A production feed with any
+    steady flow of gram-bearing documents advances normally."""
+    from ..functions.dedup import SUBSTRING_GRAM_N, positioned_grams
+
+    t = docs.withWatermark("ingest_ts", delay).select(
+        "doc_id", F.split("text", " ").alias("toks"), "ingest_ts"
+    )
+    grams = positioned_grams(t, SUBSTRING_GRAM_N, carry=("ingest_ts",))
+
+    def probe(key, pdf_iter, state):
+        if state.exists:
+            first, pend_ids, pend_i, pend_us = state.get
+            first = int(first)
+            pend = [
+                (int(u), int(d), int(i))
+                for u, d, i in zip(pend_us, pend_ids, pend_i)
+            ]
+        else:
+            first, pend = -1, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdf_iter:
+            for d, i, ts in zip(pdf["doc_id"], pdf["i"], pdf["ingest_ts"]):
+                ts_us = int(ts.value) // 1000
+                if ts_us > wm_us:
+                    pend.append((ts_us, int(d), int(i)))
+        mature = sorted(t for t in pend if t[0] <= wm_us)
+        rest = [t for t in pend if t[0] > wm_us]
+        out_d: list[int] = []
+        out_i: list[int] = []
+        out_dup: list[bool] = []
+        for _, d, i in mature:
+            out_d.append(d)
+            out_i.append(i)
+            out_dup.append(first >= 0 and first < d)
+            first = d if first < 0 else min(first, d)
+        state.update(
+            (
+                first,
+                [d for _, d, _ in rest],
+                [i for _, _, i in rest],
+                [u for u, _, _ in rest],
+            )
+        )
+        if rest:
+            state.setTimeoutTimestamp(min(u for u, _, _ in rest) // 1000 + 1)
+        if out_d:
+            yield pd.DataFrame(
+                {"doc_id": out_d, "i": out_i, "dup": out_dup}
+            ).astype({"doc_id": "int64", "i": "int32", "dup": "bool"})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return grams.groupBy("gram").applyInPandasWithState(
+        probe,
+        outputStructType=SPAN_DEDUP_OUTPUT_SCHEMA,
+        stateStructType=WM_SPAN_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
