@@ -18,7 +18,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fawac_cdc_spark.registry import BENCH_EXTRAS, all_specs  # noqa: E402
+from fawac_cdc_spark.registry import (  # noqa: E402
+    BENCH_EXTRAS,
+    EXT_HEADLINE,
+    all_specs,
+)
 from fawac_cdc_spark.session import get_spark  # noqa: E402
 
 # FROZEN since round 3 (20 queries) so cross-round numbers stay
@@ -50,18 +54,27 @@ HEADLINE = [
 ]
 
 
-def compact_record(timings: dict[str, float], sf: str) -> dict:
+def compact_record(
+    timings: dict[str, float], sf: str, ext_timings: dict[str, float] | None = None
+) -> dict:
     """The ONE compact headline record printed to stdout for the driver's
     tail capture — extras never belong here (they go to BENCH_FULL.json).
-    Factored so tests/test_tools.py measures the REAL record construction
-    instead of a hand-rebuilt replica that could drift (ADVICE r8)."""
-    return {
+    The frozen extension headline (registry.EXT_HEADLINE, round 13)
+    contributes only its TOTAL as ``ext_value`` so the line stays inside
+    the driver's tail-capture window; the per-query ext map lives in
+    BENCH_FULL.json.  Factored so tests/test_tools.py measures the REAL
+    record construction instead of a hand-rebuilt replica that could
+    drift (ADVICE r8)."""
+    rec = {
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if ext_timings is not None:
+        rec["ext_value"] = round(sum(ext_timings.values()), 3)
+    return rec
 
 
 def skew_experiment(spark, sf_dir: str) -> dict[str, float]:
@@ -194,12 +207,22 @@ def main() -> None:
     # as either side of tools/bench_compare.py — and the compact
     # headline-only JSON line prints LAST so the driver's tail capture
     # always contains a complete parseable record.
-    compact = compact_record(timings, sf)
+    # Frozen extension headline (registry.EXT_HEADLINE, VERDICT r12 #6):
+    # every name is in BENCH_EXTRAS, so the timings above are reused —
+    # one measurement, two gates (per-query via the extras intersection,
+    # total via ext_value/ext_queries in tools/bench_compare.py).
+    ext_timings = {name: extras[name] for name in EXT_HEADLINE}
+    compact = compact_record(timings, sf, ext_timings)
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     with open(full_path, "w") as fh:
-        json.dump({**compact, "extras": extras}, fh, indent=1, sort_keys=True)
+        json.dump(
+            {**compact, "ext_queries": ext_timings, "extras": extras},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     print(f"full record ({len(extras)} extras) -> {full_path}", file=sys.stderr)
     print(json.dumps(compact))
     spark.stop()

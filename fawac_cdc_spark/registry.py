@@ -346,6 +346,31 @@ BENCH_EXTRAS: tuple[str, ...] = (
 )
 
 
+# FROZEN extension headline (round 13, VERDICT r12 #6): the frozen
+# 20-query HEADLINE is all r3-era operators, so the newer LLM/stats
+# surface only rode unfrozen extras and a cross-round regression there
+# had no total-level gate.  This second list freezes ten of the heaviest
+# newer operators — set-similarity ground truth, graph dedup, bootstrap
+# stats, span rewrite, retrieval, ANN join, selection, histograms —
+# with its own bench_compare budget.  Every name is ALSO in
+# BENCH_EXTRAS (bench.py times each once and reuses the number), so the
+# extras-intersection per-query gate keeps covering them individually;
+# this list adds the frozen TOTAL ("ext_value" in the bench record).
+# Do not grow or reorder — add new queries to BENCH_EXTRAS instead.
+EXT_HEADLINE: tuple[str, ...] = (
+    "ppjoin_jaccard_pairs",
+    "pagerank_near_dup",
+    "semantic_cc_survivors",
+    "poisson_bootstrap_ci",
+    "substring_span_removal",
+    "bm25_topk_docs",
+    "knn_join_bucketed_top3",
+    "token_budget_selection",
+    "permutation_test_mean_diff",
+    "lineitem_depth_histograms",
+)
+
+
 # Queries registered since the last green full-registry parity sweep —
 # emptied again by the round-13 closing dual-scale sweep.
 PENDING_SWEEP: frozenset[str] = frozenset({"traindata_modern_pipeline"})

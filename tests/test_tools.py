@@ -91,6 +91,60 @@ def test_bench_compare_gates_extras_intersection(tmp_path):
     assert "extras missing from current run" in out3
 
 
+def test_ext_headline_is_frozen_and_rides_extras():
+    """The round-13 extension headline (VERDICT r12 #6): exactly ten
+    frozen names, every one a member of BENCH_EXTRAS (bench.py reuses
+    the extras timing — one measurement, two gates)."""
+    from fawac_cdc_spark.registry import BENCH_EXTRAS, EXT_HEADLINE, all_specs
+
+    assert len(EXT_HEADLINE) == 10
+    assert len(set(EXT_HEADLINE)) == 10
+    assert set(EXT_HEADLINE) <= set(BENCH_EXTRAS)
+    assert set(EXT_HEADLINE) <= set(all_specs())
+
+
+def test_bench_compare_gates_ext_total(tmp_path):
+    """The ext-headline TOTAL gets its own budget (same band as the main
+    total); a pre-round-13 baseline without ext info bootstraps the gate
+    instead of failing."""
+    base = {
+        "value": 10.0,
+        "queries": {"a": 1.0},
+        "ext_queries": {"x": 5.0, "y": 5.0},
+        "extras": {"x": 5.0, "y": 5.0},
+    }
+    now_bad = {
+        "value": 10.0,
+        "queries": {"a": 1.0},
+        "ext_queries": {"x": 5.5, "y": 5.5},
+        "extras": {"x": 5.5, "y": 5.5},
+    }
+    rc, out = _run_bench_compare(tmp_path, base, now_bad)
+    assert rc == 1 and "ext total budget exceeded" in out
+    now_ok = {
+        "value": 10.0,
+        "queries": {"a": 1.0},
+        "ext_queries": {"x": 5.1, "y": 5.1},
+        "extras": {"x": 5.1, "y": 5.1},
+    }
+    rc2, out2 = _run_bench_compare(tmp_path, base, now_ok)
+    assert rc2 == 0 and "ext total:" in out2
+    # compact-record fallback: ext_value alone also gates
+    rc3, out3 = _run_bench_compare(
+        tmp_path,
+        {"value": 10.0, "queries": {"a": 1.0}, "ext_value": 10.0},
+        {"value": 10.0, "queries": {"a": 1.0}, "ext_value": 11.0},
+    )
+    assert rc3 == 1 and "ext total budget exceeded" in out3
+    # bootstrap: baseline without ext info
+    rc4, out4 = _run_bench_compare(
+        tmp_path,
+        {"value": 10.0, "queries": {"a": 1.0}},
+        {"value": 10.0, "queries": {"a": 1.0}, "ext_value": 11.0},
+    )
+    assert rc4 == 0 and "ext gate bootstraps" in out4
+
+
 def test_bench_stdout_line_fits_driver_tail_capture():
     """The driver records only the TAIL of bench.py's stdout (~2000 chars);
     round 7's inline extras grew past it and BENCH_r07.json came back
@@ -102,12 +156,19 @@ def test_bench_stdout_line_fits_driver_tail_capture():
 
     assert len(bench.HEADLINE) == 20  # frozen since round 3
     # the REAL record constructor (ADVICE r8) — if bench.py ever adds a
-    # key to the compact record, this measures it
+    # key to the compact record, this measures it.  The extension
+    # headline (round 13) contributes only its TOTAL to the line.
+    from fawac_cdc_spark.registry import EXT_HEADLINE
+
     compact = bench.compact_record(
-        {name: 99999.999 for name in bench.HEADLINE}, "0.1"
+        {name: 99999.999 for name in bench.HEADLINE},
+        "0.1",
+        {name: 99999.999 for name in EXT_HEADLINE},
     )
     line = json.dumps(compact)
     assert "extras" not in compact
+    assert "ext_queries" not in compact  # per-query ext is file-only
+    assert compact["ext_value"] > 0
     assert len(line) < 1800, f"compact bench line too long: {len(line)} chars"
     # and the full record (with extras) goes to a file, not stdout
     src = open(os.path.join(_REPO, "bench.py")).read()

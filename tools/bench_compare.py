@@ -79,6 +79,23 @@ def main() -> int:
     print(f"total: {bt:.3f} -> {nt:.3f} ({(nt - bt) / bt:+.0%})")
     if nt > bt * (1 + total_tol):  # total gets a tighter band than per-query
         failures.append(f"total budget exceeded: {nt:.3f} > {bt:.3f}")
+    # Frozen extension-headline total (registry.EXT_HEADLINE, round 13):
+    # same band as the main total.  ext_value is the compact-record
+    # total; full records carry the per-query ext_queries map (its
+    # members also ride the extras gate above).  A baseline without ext
+    # info (pre-round-13) bootstraps the gate instead of failing.
+    def ext_total(doc: dict) -> float | None:
+        if "ext_queries" in doc:
+            return sum(doc["ext_queries"].values())
+        return doc.get("ext_value")
+
+    be, ne = ext_total(base), ext_total(now)
+    if be is not None and ne is not None:
+        print(f"ext total: {be:.3f} -> {ne:.3f} ({(ne - be) / be:+.0%})")
+        if ne > be * (1 + total_tol):
+            failures.append(f"ext total budget exceeded: {ne:.3f} > {be:.3f}")
+    elif ne is not None:
+        print(f"ext total: (no baseline) -> {ne:.3f} — ext gate bootstraps")
     for f_ in failures:
         print(f"FAIL {f_}")
     print(f"{len(common) - n_regressed}/{len(common)} within budget")
