@@ -41,21 +41,36 @@ from .dedup import MAX_SHINGLE_DF, _shingled_hashed, capped_shingles
 _EVAL_BUCKETS = 10  # bucket 0 of 10 => ~10% eval split
 _GRAM_N = 4
 
-_GRAMS_EXPR = (
-    f"array_distinct(transform(sequence(0, size(toks) - {_GRAM_N}), "
-    f"i -> cast(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {_GRAM_N}))), 1, 15), 16, 10) as bigint)))"
-)
+def _grams_expr(n: int) -> str:
+    """Spark expr text: distinct 60-bit hashed token n-grams of ``toks``
+    at order ``n`` — parametrized for the n-frontier; ``_GRAMS_EXPR``
+    below is the fixed-_GRAM_N instance the flag/rewrite family uses."""
+    return (
+        f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+        f"i -> cast(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, {n}))), 1, 15), 16, 10) as bigint)))"
+    )
 
-_GRAMS_SQL = (
-    f"list_distinct(list_transform(range(1, len(toks) - {_GRAM_N - 2}), "
-    f"i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+{_GRAM_N - 1}], ' ')), 1, 15) AS BIGINT)))"
-)
+
+def _grams_sql(n: int) -> str:
+    """DuckDB mirror of ``_grams_expr`` at order ``n``."""
+    return (
+        f"list_distinct(list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+{n - 1}], ' ')), 1, 15) AS BIGINT)))"
+    )
+
+
+_GRAMS_EXPR = _grams_expr(_GRAM_N)
+
+_GRAMS_SQL = _grams_sql(_GRAM_N)
 
 _IS_EVAL = f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {_EVAL_BUCKETS} = 0"
 
 
-def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, is_eval, gram) — distinct 60-bit 4-gram hashes per doc."""
+def _doc_grams(
+    spark: SparkSession, sf_dir: str, n: int = _GRAM_N
+) -> DataFrame:
+    """(doc_id, is_eval, gram) — distinct 60-bit n-gram hashes per doc
+    (default the module's 4-gram order; the n-frontier passes others)."""
     d = load_table(spark, sf_dir, "documents")
     is_eval = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -65,11 +80,11 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id", F.split("text", " ").alias("toks"))
-        .where(F.size("toks") >= _GRAM_N)
+        .where(F.size("toks") >= n)
         .select(
             "doc_id",
             is_eval.alias("is_eval"),
-            F.explode(F.expr(_GRAMS_EXPR)).alias("shingle"),
+            F.explode(F.expr(_grams_expr(n))).alias("shingle"),
         )
     )
 
@@ -606,4 +621,102 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_div").cast("bigint").alias("max_l"),
         )
         .select("violates_l", "n_cells", "n_rows", "min_l", "max_l")
+    )
+
+
+# --- contamination-rate frontier over the gram order (round 13) ----------------
+
+FRONTIER_NS = (3, 4, 5)
+
+
+def _frontier_ctes(n: int) -> str:
+    return f"""grams{n} AS (
+    SELECT doc_id, {_IS_EVAL} AS is_eval, unnest({_grams_sql(n)}) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE len(string_split(text, ' ')) >= {n})
+), capped{n} AS (
+    SELECT * FROM grams{n}
+    WHERE shingle NOT IN (
+        SELECT shingle FROM grams{n} GROUP BY shingle
+        HAVING COUNT(*) > {MAX_SHINGLE_DF}
+    )
+)"""
+
+
+def _frontier_sql() -> str:
+    ctes = ",\n".join(_frontier_ctes(n) for n in FRONTIER_NS)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({n} AS INT) AS gram_n,
+       CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_flagged
+FROM capped{n} c JOIN capped{n} e ON c.shingle = e.shingle
+WHERE NOT c.is_eval AND e.is_eval"""
+        for n in FRONTIER_NS
+    )
+    return f"""
+WITH {ctes},
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train
+       FROM documents WHERE NOT ({_IS_EVAL})),
+fl AS ({arms})
+SELECT fl.gram_n, tt.n_train, fl.n_flagged,
+       ROUND(CAST(fl.n_flagged AS DOUBLE) / tt.n_train, 6) AS flag_rate
+FROM fl, tt
+"""
+
+
+@register(
+    "decontam_n_frontier",
+    oracle=_frontier_sql(),
+    tags=("llm", "decontam", "frontier"),
+)
+def decontam_n_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination rate as a function of the overlap gram order — the
+    parameter frontier behind choosing ``_GRAM_N`` (the LLM-data
+    literature's 8-to-13-gram debate in miniature): short grams
+    over-flag by chance collisions, long grams under-flag paraphrases,
+    and this query measures the flagged-training-doc fraction at n = 3,
+    4, 5 so the operating point is a read, not folklore.  The
+    ``lsh_param_frontier`` discipline applied to decontamination.
+
+    Each arm reuses the ONE gram definition (``_grams_expr`` /
+    ``_grams_sql``, the flag family's own machinery parametrized by n)
+    with the same DF cap and broadcast eval-gram join as
+    ``benchmark_decontam_flags``; the denominator is ALL training docs
+    (docs shorter than n can never be flagged — that shrinking reach is
+    part of what the frontier shows).  |FRONTIER_NS| bounded scans; all
+    counts exact integers, one rounded division."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    tt = d.where(~is_eval).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    )
+    arms = []
+    for n in FRONTIER_NS:
+        grams = capped_shingles(_doc_grams(spark, sf_dir, n), MAX_SHINGLE_DF)
+        train = grams.where(~F.col("is_eval")).select("doc_id", "shingle")
+        evalg = grams.where(F.col("is_eval")).select(
+            F.col("shingle").alias("eval_shingle")
+        ).distinct()
+        arms.append(
+            train.join(
+                F.broadcast(evalg), F.col("shingle") == F.col("eval_shingle")
+            ).agg(
+                F.lit(n).cast("int").alias("gram_n"),
+                F.count_distinct("doc_id").cast("bigint").alias("n_flagged"),
+            )
+        )
+    fl = arms[0]
+    for a in arms[1:]:
+        fl = fl.unionByName(a)
+    return fl.crossJoin(F.broadcast(tt)).select(
+        "gram_n",
+        "n_train",
+        "n_flagged",
+        F.round(F.col("n_flagged").cast("double") / F.col("n_train"), 6).alias(
+            "flag_rate"
+        ),
     )

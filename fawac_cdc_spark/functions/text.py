@@ -2036,6 +2036,95 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cohens_kappa_langid",
+    oracle=f"""
+WITH guessed AS ({_lang_id_sql()}),
+conf AS (
+    SELECT labeled_lang, guessed_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM guessed GROUP BY 1, 2
+), tot AS (
+    SELECT CAST(SUM(n) AS HUGEINT) AS nt,
+           CAST(SUM(CASE WHEN labeled_lang = guessed_lang THEN n ELSE 0 END)
+                AS HUGEINT) AS diag
+    FROM conf
+), rows_ AS (SELECT labeled_lang AS l, CAST(SUM(n) AS HUGEINT) AS ni FROM conf GROUP BY 1),
+cols_ AS (SELECT guessed_lang AS l, CAST(SUM(n) AS HUGEINT) AS nj FROM conf GROUP BY 1),
+xm AS (SELECT CAST(SUM(r.ni * c.nj) AS HUGEINT) AS cross_mass
+       FROM rows_ r JOIN cols_ c USING (l))
+SELECT CAST(tot.nt AS BIGINT) AS n_docs,
+       ROUND(CAST(tot.diag AS DOUBLE) / CAST(tot.nt AS DOUBLE), 6)
+           AS observed_agreement,
+       ROUND(CAST(xm.cross_mass AS DOUBLE) / (CAST(tot.nt AS DOUBLE) * CAST(tot.nt AS DOUBLE)), 6)
+           AS expected_agreement,
+       ROUND(CAST(tot.diag * tot.nt - xm.cross_mass AS DOUBLE)
+             / CAST(tot.nt * tot.nt - xm.cross_mass AS DOUBLE), 6) AS kappa
+FROM tot, xm
+""",
+    tags=("text", "llm", "ml-eval"),
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the heuristic language identifier against the
+    declared label — chance-corrected agreement, the one-number summary
+    read next to ``lang_id_confusion``'s full matrix (raw accuracy
+    flatters any classifier on a skewed label mix; kappa doesn't).
+
+    Determinism: every input is an exact integer count, and kappa is
+    computed through the all-integer identity
+    κ = (diag·N − Σᵢ nᵢ·n₍ᵢ₎) / (N² − Σᵢ nᵢ·n₍ᵢ₎) — numerator and
+    denominator are exact DECIMAL(38,0) (HUGEINT on the oracle; N ~10¹²
+    at the design point puts the products near 10²⁴, past int64), so
+    both engines divide the identical pair of integers; round(6) on the
+    three ratios.  Languages never guessed (or never labeled)
+    contribute zero cross mass — the inner join on the label realizes
+    that without a special case.  Reuses the ONE lang-ID definition
+    (``lang_id_heuristic`` / ``_lang_id_sql``); everything after the
+    per-doc argmax is a |langs|²-row aggregate."""
+    guessed = lang_id_heuristic(spark, sf_dir)
+    conf = guessed.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = conf.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nt"),
+        F.sum(
+            F.when(F.col("labeled_lang") == F.col("guessed_lang"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("diag"),
+    )
+    rows_ = conf.groupBy(F.col("labeled_lang").alias("l")).agg(
+        F.sum("n").cast("decimal(38,0)").alias("ni")
+    )
+    cols_ = conf.groupBy(F.col("guessed_lang").alias("l")).agg(
+        F.sum("n").cast("decimal(38,0)").alias("nj")
+    )
+    xm = (
+        rows_.join(cols_, "l")
+        .agg(F.sum(F.col("ni") * F.col("nj")).cast("decimal(38,0)").alias("cross_mass"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(xm))
+        .select(
+            F.col("nt").cast("bigint").alias("n_docs"),
+            F.round(F.col("diag").cast("double") / F.col("nt").cast("double"), 6).alias(
+                "observed_agreement"
+            ),
+            F.round(
+                F.col("cross_mass").cast("double")
+                / (F.col("nt").cast("double") * F.col("nt").cast("double")),
+                6,
+            ).alias("expected_agreement"),
+            F.round(
+                (F.col("diag") * F.col("nt") - F.col("cross_mass")).cast("double")
+                / (F.col("nt") * F.col("nt") - F.col("cross_mass")).cast("double"),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
 # --- round 12: duplicate-n-gram coverage + segment-grain dedup ------------------
 
 DUPG_N = 3  # n-gram order for the within-doc duplication metric

@@ -1922,3 +1922,104 @@ def importance_weight_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_weight_share"
         ),
     )
+
+
+# --- PSI between the train and eval split (round 13) ---------------------------
+
+# Shared formula texts: Laplace-smoothed bin shares and the PSI term —
+# ct/ce are exact per-bin counts, nt/ne exact totals lifted to double;
+# the +1/+10 smoothing keeps empty bins finite (and makes the all-ten-
+# bins spine load-bearing: a bin absent from BOTH splits still
+# contributes when the split sizes differ).
+_PSI_P = "((ct + 1.0) / (nt + 10.0))"
+_PSI_Q = "((ce + 1.0) / (ne + 10.0))"
+_PSI_TERM = f"(({_PSI_P} - {_PSI_Q}) * ln({_PSI_P} / {_PSI_Q}))"
+
+
+@register(
+    "psi_train_eval_quality",
+    oracle=f"""
+WITH q AS (
+    SELECT ROUND({_UNIQ_RATIO_SQL}, 6) AS q, {_IS_EVAL} AS is_eval
+    FROM documents
+), binned AS (
+    SELECT LEAST(CAST(FLOOR(q * 10) AS INT), 9) AS bin, is_eval FROM q
+), counts AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN is_eval THEN 0 ELSE 1 END) AS BIGINT) AS ct,
+           CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS ce
+    FROM binned GROUP BY 1
+), spine AS (SELECT unnest(range(0, 10)) AS bin),
+full_ AS (
+    SELECT spine.bin, COALESCE(ct, 0) AS ct, COALESCE(ce, 0) AS ce
+    FROM spine LEFT JOIN counts ON counts.bin = spine.bin
+), tot AS (
+    SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(ce) AS DOUBLE) AS ne
+    FROM full_
+)
+SELECT CAST(tot.nt AS BIGINT) AS n_train,
+       CAST(tot.ne AS BIGINT) AS n_eval,
+       ROUND(SUM({_PSI_TERM}), 6) AS psi
+FROM full_, tot GROUP BY tot.nt, tot.ne
+""",
+    tags=("traindata", "llm", "ml-eval", "drift"),
+)
+def psi_train_eval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the rule-based quality score
+    between the md5-coin train and eval splits — the standard "did my
+    split shear the distribution?" check run before trusting eval
+    metrics (PSI < 0.1 stable, > 0.25 shifted, by the usual reading).
+    A HASH split should score ~0; a large PSI flags a broken coin or a
+    quality-correlated id assignment.
+
+    Complements the KL/JSD drift family (those compare sources against
+    the corpus; this compares the SPLIT halves on the ONE shared
+    quality definition ``uniq_ratio_col``/``UNIQ_RATIO_SQL``, with the
+    decontam module's eval coin, so it can never drift from the filters
+    and splits it audits).  Determinism: the score rounds to 6 BEFORE
+    the decile floor, bins are exact integer counts over an explicit
+    10-bin spine (Laplace-smoothed so empties stay finite), and the
+    10-term PSI sum follows the chi-square convention (identical
+    per-term text on both engines, round 6).  One scan + one ≤10-key
+    aggregate."""
+    from .text import uniq_ratio_col
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _EVAL_BUCKETS
+        == 0
+    )
+    q = F.round(uniq_ratio_col(), 6)
+    binned = d.select(
+        F.least(F.floor(q * 10).cast("int"), F.lit(9)).alias("bin"),
+        is_eval.alias("is_eval"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_eval"), 0).otherwise(1)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("is_eval"), 1).otherwise(0)).cast("bigint").alias("ce"),
+    )
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    full = (
+        spine.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("ce", F.lit(0)).alias("ce"),
+        )
+    )
+    tot = full.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("ce").cast("double").alias("ne"),
+    )
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .groupBy("nt", "ne")
+        .agg(F.round(F.sum(F.expr(_PSI_TERM)), 6).alias("psi"))
+        .select(
+            F.col("nt").cast("bigint").alias("n_train"),
+            F.col("ne").cast("bigint").alias("n_eval"),
+            "psi",
+        )
+    )

@@ -1809,3 +1809,228 @@ def runs_test_daily_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("runs").alias("n_runs"),
         F.round((F.col("runs") - mu) / F.sqrt(var), 6).alias("z"),
     )
+
+
+# --- Kruskal-Wallis H (round 13) ----------------------------------------------
+
+# Shared formula text (interpolated into BOTH engines): the per-group
+# rank-mass term and the tie-corrected H.  w2g is the exact integer
+# 2*(rank sum) of the group (sum of ng*(2*cum_before + c + 1) over the
+# value grain), so t = (w2g/2)^2 / ng up to the one double cast; nn/t3
+# are the exact totals lifted to double once.
+_KW_T = "(CAST(w2g AS DOUBLE) * CAST(w2g AS DOUBLE) / (4.0 * ng))"
+_KW_H = (
+    "((12.0 / (nn * (nn + 1.0)) * st - 3.0 * (nn + 1.0))"
+    " / (1.0 - t3 / (nn * nn * nn - nn)))"
+)
+
+
+@register(
+    "kruskal_wallis_event_types",
+    oracle=f"""
+WITH x AS (
+    SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+    FROM events
+), g AS (
+    SELECT v, event_type, CAST(COUNT(*) AS BIGINT) AS ng FROM x GROUP BY 1, 2
+), vg AS (
+    SELECT v, CAST(SUM(ng) AS BIGINT) AS c FROM g GROUP BY 1
+), r AS (
+    SELECT v, c,
+           COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM vg
+), per_type AS (
+    SELECT g.event_type,
+           CAST(SUM(g.ng) AS BIGINT) AS ng,
+           CAST(SUM(CAST(g.ng AS HUGEINT) * (2 * r.cb + r.c + 1)) AS HUGEINT) AS w2g
+    FROM g JOIN r USING (v) GROUP BY 1
+), terms AS (
+    SELECT {_KW_T} AS t FROM per_type
+), tot AS (
+    SELECT CAST(SUM(c) AS DOUBLE) AS nn,
+           CAST(SUM(CASE WHEN c > 1
+                         THEN CAST(c AS HUGEINT) * c * c - c ELSE 0 END)
+                AS DOUBLE) AS t3
+    FROM vg
+)
+SELECT CAST((SELECT COUNT(*) FROM per_type) AS INT) AS k_types,
+       CAST(tot.nn AS BIGINT) AS n_events,
+       CAST((SELECT COUNT(*) - 1 FROM per_type) AS BIGINT) AS dof,
+       ROUND({_KW_H}, 6) AS h_stat
+FROM (SELECT SUM(t) AS st FROM terms), tot
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def kruskal_wallis_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across ALL event types on the event value — the
+    k-group generalization of ``mann_whitney_flag_test`` (rank-based
+    one-way ANOVA), read next to the parametric ``anova_f_event_types``
+    and the median-based ``mood_median_event_types`` when normality is
+    in doubt; tie-corrected via the standard 1 − Σ(t³−t)/(N³−N) factor.
+
+    Same no-global-sort rank machinery as Mann–Whitney: values collapse
+    to the integer-cent VALUE GRAIN, predecessor counts come from the
+    bit-length-bucket hierarchy (every window is bucket-scoped; no
+    data-sized single-task sort), and 2·(rank sum) per group is an
+    exact DECIMAL(38,0)/HUGEINT integer — H touches doubles only in the
+    final k-term formula (shared text ``_KW_H``, chi-square convention,
+    round 6)."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_type", (money("value") * 100).cast("bigint").alias("v")
+    )
+    g = x.groupBy("v", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng")
+    )
+    vg = (
+        g.groupBy("v")
+        .agg(F.sum("ng").cast("bigint").alias("c"))
+        .withColumn("bucket", F.length(F.bin("v")).cast("int"))
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vb = vg.withColumn("cum_b", F.sum("c").over(wv))
+    bt = vg.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bto = bt.select(
+        "bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("boff")
+    )
+    r = vb.join(F.broadcast(bto), "bucket").select(
+        "v", "c", (F.col("boff") + F.col("cum_b") - F.col("c")).alias("cb")
+    )
+    per_type = (
+        g.join(r, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("ng").cast("bigint").alias("ng"),
+            F.sum(
+                F.col("ng").cast("decimal(38,0)")
+                * (2 * F.col("cb") + F.col("c") + 1).cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("w2g"),
+        )
+    )
+    tot = r.agg(
+        F.sum("c").cast("double").alias("nn"),
+        F.sum(
+            F.when(
+                F.col("c") > 1,
+                F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+                - F.col("c"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("t3"),
+    )
+    agg = per_type.agg(
+        F.count(F.lit(1)).cast("int").alias("k_types"),
+        F.sum(F.expr(_KW_T)).alias("st"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "k_types",
+            F.col("nn").cast("bigint").alias("n_events"),
+            (F.col("k_types") - 1).cast("bigint").alias("dof"),
+            F.round(F.expr(_KW_H), 6).alias("h_stat"),
+        )
+    )
+
+
+# --- best single changepoint in daily revenue (round 13) ----------------------
+
+# Shared formula texts: the variance-reduction score of splitting the
+# day-ordered series after position k (SSE_total - SSE_left - SSE_right
+# with the sum-of-squares terms cancelled: only segment sums survive),
+# and the two segment means.  sl/s are EXACT decimal prefix/grand sums
+# (window cumsum of DECIMAL money in day order — bit-identical across
+# engines), k/tn exact counts lifted to double; every float op below is
+# the identical text on both sides and the score rounds to 6 BEFORE the
+# argmax (bounds-before-compare).
+_CP_RED = (
+    "round((cast(sl as double) * cast(sl as double) / k"
+    " + (cast(s as double) - cast(sl as double))"
+    " * (cast(s as double) - cast(sl as double)) / (tn - k))"
+    " - cast(s as double) * cast(s as double) / tn, 6)"
+)
+_CP_LMEAN = "round(cast(sl as double) / k, 6)"
+_CP_RMEAN = "round((cast(s as double) - cast(sl as double)) / (tn - k), 6)"
+
+
+@register(
+    "best_changepoint_daily",
+    oracle=f"""
+WITH daily AS (
+    SELECT o_orderdate AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+    FROM orders GROUP BY 1
+), pre AS (
+    SELECT day,
+           SUM(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS k
+    FROM daily
+), tot AS (SELECT SUM(x) AS s, CAST(COUNT(*) AS DOUBLE) AS tn FROM daily),
+scored AS (
+    SELECT day, k, sl, s, tn, {_CP_RED} AS red
+    FROM pre, tot WHERE k < tn
+)
+SELECT CAST(tn AS BIGINT) AS n_days,
+       CAST(day AS VARCHAR) AS split_day,
+       CAST(k AS BIGINT) AS k_left,
+       red AS sse_reduction,
+       {_CP_LMEAN} AS left_mean,
+       {_CP_RMEAN} AS right_mean
+FROM scored ORDER BY red DESC, day LIMIT 1
+""",
+    tags=("analytics", "timeseries", "stats"),
+)
+def best_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single changepoint in daily order revenue — binary
+    segmentation's first split: the day boundary maximizing the
+    between-segment variance reduction (equivalently, the split a
+    one-break piecewise-constant fit would choose), with the two
+    segment means — the structural-break detector read next to the
+    drift family (CUSUM charts the excursion, Page–Hinkley alarms,
+    this one LOCATES the break).
+
+    O(T) after the rollup: the candidate scores need only the exact
+    decimal prefix sums (the Σx² terms cancel in the reduction), so the
+    whole search is one window cumsum + one broadcast totals attach +
+    one TakeOrderedAndProject over the bounded day grain; ties break to
+    the earliest day on the round-6 score.  At 100 TB the day grain is
+    the bounded dimension (the repo's standard rollup argument)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(money("o_totalprice")).alias("x")
+    )
+    wpre = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("x").over(wpre).alias("sl"),
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("k"),
+    )
+    tot = daily.agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).cast("double").alias("tn")
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(F.col("k") < F.col("tn"))
+        .withColumn("red", F.expr(_CP_RED))
+    )
+    return (
+        scored.orderBy(F.desc("red"), "day")
+        .limit(1)
+        .select(
+            F.col("tn").cast("bigint").alias("n_days"),
+            F.col("day").cast("string").alias("split_day"),
+            F.col("k").cast("bigint").alias("k_left"),
+            F.col("red").alias("sse_reduction"),
+            F.expr(_CP_LMEAN).alias("left_mean"),
+            F.expr(_CP_RMEAN).alias("right_mean"),
+        )
+    )

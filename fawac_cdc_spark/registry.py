@@ -161,8 +161,8 @@ _PRIORITY = [
     "ljung_box_monthly",
     "session_entropy_rate",
     "runs_test_daily_sign",
-    # r6-stale: the LLM-pipeline composition family (5); the composed
-    # traindata_end_to_end changes values this round (VERDICT r12 #3).
+    # r6-stale: the LLM-pipeline composition family (5); see the window
+    # comment above for why these five.
     "traindata_end_to_end",
     "llm_corpus_pipeline",
     "packed_sequences",
@@ -343,6 +343,11 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "runs_test_daily_sign",
     # round 13
     "traindata_modern_pipeline",
+    "cohens_kappa_langid",
+    "kruskal_wallis_event_types",
+    "best_changepoint_daily",
+    "psi_train_eval_quality",
+    "decontam_n_frontier",
 )
 
 
@@ -373,7 +378,14 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 # Queries registered since the last green full-registry parity sweep —
 # emptied again by the round-13 closing dual-scale sweep.
-PENDING_SWEEP: frozenset[str] = frozenset({"traindata_modern_pipeline"})
+PENDING_SWEEP: frozenset[str] = frozenset({
+    "traindata_modern_pipeline",
+    "cohens_kappa_langid",
+    "kruskal_wallis_event_types",
+    "best_changepoint_daily",
+    "psi_train_eval_quality",
+    "decontam_n_frontier",
+})
 
 
 @dataclass(frozen=True)

@@ -159,6 +159,13 @@ _SCALAR_BROADCAST_OK = {
     #                               shape; usually checkpoint-truncated
     #                               out of the final plan — listed
     #                               defensively)
+    "cohens_kappa_langid",  # 1-row cross-mass frame attached to 1-row totals
+    "kruskal_wallis_event_types",  # 1-row exact-totals frame (nn, t3)
+    "best_changepoint_daily",  # 1-row grand-sum/count frame against the
+    #                            bounded day grain
+    "psi_train_eval_quality",  # 1-row split-totals frame over the 10-bin spine
+    "decontam_n_frontier",  # 1-row training-population frame attached to
+    #                         the 3-row frontier union
 }
 
 

@@ -3530,3 +3530,116 @@ def test_modern_pipeline_idempotence_and_stage_consistency(spark, sf_dir):
     assert tot_packed["t"] >= tot_final["t"]
     chunked_docs = packed.agg(SF.sum("n_chunks").alias("c")).collect()[0]["c"]
     assert chunked_docs >= n_final
+
+
+def test_cohens_kappa_matches_confusion_replica(spark, sf_dir):
+    """Kappa recomputed in exact Python integers from the confusion
+    matrix the engine itself emits (the oracle already cross-checks the
+    counts), via the same all-integer identity."""
+    (r,) = _SPECS["cohens_kappa_langid"].fn(spark, sf_dir).collect()
+    conf = _SPECS["lang_id_confusion"].fn(spark, sf_dir).collect()
+    n = sum(c["n_docs"] for c in conf)
+    diag = sum(c["n_docs"] for c in conf if c["correct"])
+    rows: dict = {}
+    cols: dict = {}
+    for c in conf:
+        rows[c["labeled_lang"]] = rows.get(c["labeled_lang"], 0) + c["n_docs"]
+        cols[c["guessed_lang"]] = cols.get(c["guessed_lang"], 0) + c["n_docs"]
+    cross = sum(ni * cols.get(l, 0) for l, ni in rows.items())
+    assert r["n_docs"] == n
+    assert r["observed_agreement"] == round(diag / n, 6)
+    assert r["kappa"] == pytest.approx((diag * n - cross) / (n * n - cross), abs=2e-6)
+
+
+def test_kruskal_wallis_matches_rank_replica(spark, sf_dir):
+    """H recomputed with pandas average ranks + the textbook tie-corrected
+    formula; the engine's no-global-sort machinery must agree."""
+    (r,) = _SPECS["kruskal_wallis_event_types"].fn(spark, sf_dir).collect()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    v = (e["value"].astype("float64") * 100).round().astype("int64")
+    ranks = v.rank(method="average")
+    n = len(v)
+    groups = ranks.groupby(e["event_type"])
+    h = 12.0 / (n * (n + 1)) * sum(
+        g.sum() ** 2 / len(g) for _, g in groups
+    ) - 3.0 * (n + 1)
+    counts = v.value_counts()
+    tie3 = float(sum(c**3 - c for c in counts if c > 1))
+    h_corr = h / (1.0 - tie3 / (float(n) ** 3 - n))
+    assert r["n_events"] == n
+    assert r["k_types"] == e["event_type"].nunique()
+    assert r["h_stat"] == pytest.approx(h_corr, abs=1e-4)
+
+
+def test_best_changepoint_matches_pandas_replica(spark, sf_dir):
+    """The argmax split recomputed from the daily rollup in pandas (exact
+    decimal dailies via cents-integer sums)."""
+    (r,) = _SPECS["best_changepoint_daily"].fn(spark, sf_dir).collect()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    cents = (o["o_totalprice"].astype("float64") * 100).round().astype("int64")
+    daily = cents.groupby(o["o_orderdate"]).sum().sort_index() / 100.0
+    xs = daily.to_numpy()
+    tname = daily.index
+    s, tn = xs.sum(), len(xs)
+    best = None
+    sl = 0.0
+    for k in range(1, tn):
+        sl += xs[k - 1]
+        red = round((sl * sl / k + (s - sl) * (s - sl) / (tn - k)) - s * s / tn, 6)
+        if best is None or red > best[0]:
+            best = (red, k, str(tname[k - 1])[:10])
+    assert r["n_days"] == tn
+    assert r["k_left"] == best[1]
+    assert r["split_day"][:10] == best[2]
+    assert r["sse_reduction"] == pytest.approx(best[0], abs=1e-3)
+
+
+def test_psi_split_is_stable_and_replicated(spark, sf_dir):
+    """PSI recomputed from the engine's own per-doc quality scores and
+    the md5 coin.  No "< 0.1 stable" assertion: at fixture scale the
+    eval half holds only tens of docs, and small-sample PSI is
+    dominated by binomial noise (measured ~0.3 at sf0.001) — the
+    stability reading is a large-sample statement.  PSI >= 0 holds
+    identically (every (p-q)·ln(p/q) term is nonnegative)."""
+    import hashlib
+    import math
+
+    (r,) = _SPECS["psi_train_eval_quality"].fn(spark, sf_dir).collect()
+    from fawac_cdc_spark.catalog import load_table
+    from fawac_cdc_spark.functions.text import uniq_ratio_col
+    from pyspark.sql import functions as SF
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", SF.round(uniq_ratio_col(), 6).alias("q")
+    )
+    ct = [0] * 10
+    ce = [0] * 10
+    for row in d.collect():
+        b = min(int(row["q"] * 10 // 1), 9)
+        is_eval = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:8], 16) % 10 == 0
+        (ce if is_eval else ct)[b] += 1
+    nt, ne = float(sum(ct)), float(sum(ce))
+    psi = sum(
+        ((c + 1.0) / (nt + 10.0) - (e + 1.0) / (ne + 10.0))
+        * math.log(((c + 1.0) / (nt + 10.0)) / ((e + 1.0) / (ne + 10.0)))
+        for c, e in zip(ct, ce)
+    )
+    assert r["n_train"] == int(nt) and r["n_eval"] == int(ne)
+    assert r["psi"] == pytest.approx(psi, abs=2e-6)
+    assert r["psi"] >= 0.0  # PSI is a sum of nonnegative terms
+
+
+def test_decontam_frontier_consistent_with_flag_query(spark, sf_dir):
+    """The n=4 arm of the frontier must equal the distinct flagged-doc
+    count of benchmark_decontam_flags (same grams, cap, and coin), and
+    every arm is bounded by the training population."""
+    rows = {
+        r["gram_n"]: r
+        for r in _SPECS["decontam_n_frontier"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {3, 4, 5}
+    flagged4 = _SPECS["benchmark_decontam_flags"].fn(spark, sf_dir).count()
+    assert rows[4]["n_flagged"] == flagged4
+    for r in rows.values():
+        assert 0 <= r["n_flagged"] <= r["n_train"]
+        assert r["flag_rate"] == round(r["n_flagged"] / r["n_train"], 6)
