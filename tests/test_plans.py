@@ -1375,3 +1375,12 @@ def test_pca_moment_reduction_is_distributed(spark, sf_dir):
     assert "Join" not in plan and "Window" not in plan
     rows = df.collect()
     assert len(rows) == 1 + EMB_DIM + EMB_DIM * EMB_DIM
+
+
+def test_changepoint_plans_take_ordered(spark, sf_dir):
+    """best_changepoint_daily's argmax must compile to
+    TakeOrderedAndProject over the bounded day grain (the repo's pinned
+    top-k discipline), never a global range-partition sort."""
+    plan = _plan(spark, sf_dir, "best_changepoint_daily")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
