@@ -2034,3 +2034,118 @@ def best_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_CP_RMEAN).alias("right_mean"),
         )
     )
+
+
+# --- Welch's heteroscedastic one-way ANOVA (round 13) --------------------------
+
+# Shared formula texts over the k-row weight frame's aggregates:
+# a_num = sum of w_g*(m_g - weighted mean)^2, lam = sum of
+# (1 - w_g/W)^2/(n_g - 1); kk exact count lifted to double.
+_WELCH_F = (
+    "((a_num / (kk - 1.0))"
+    " / (1.0 + 2.0 * (kk - 2.0) / (kk * kk - 1.0) * lam))"
+)
+_WELCH_DF2 = "((kk * kk - 1.0) / (3.0 * lam))"
+
+
+@register(
+    "welch_anova_event_types",
+    oracle=f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           SUM(CAST(value AS DECIMAL(18,2))) AS s_g,
+           SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q_g
+    FROM events GROUP BY 1
+), w AS (
+    SELECT n_g,
+           CAST(s_g AS DOUBLE) / n_g AS m_g,
+           n_g / ((CAST(q_g AS DOUBLE)
+                   - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g)
+                  / (n_g - 1.0)) AS w_g
+    FROM g
+), t1 AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS kk,
+           CAST(SUM(n_g) AS BIGINT) AS n_events,
+           SUM(w_g) AS sw, SUM(w_g * m_g) AS swm
+    FROM w
+), t2 AS (
+    SELECT SUM(w_g * (m_g - t1.swm / t1.sw) * (m_g - t1.swm / t1.sw)) AS a_num,
+           SUM((1.0 - w_g / t1.sw) * (1.0 - w_g / t1.sw) / (n_g - 1.0)) AS lam
+    FROM w, t1
+)
+SELECT CAST(t1.kk AS INT) AS k_types,
+       t1.n_events,
+       ROUND({_WELCH_F}, 6) AS f_welch,
+       ROUND({_WELCH_DF2}, 6) AS df2
+FROM t1, t2
+""",
+    tags=("analytics", "stats"),
+)
+def welch_anova_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across event types — the
+    k-group generalization of ``welch_t_flags``, read when the classic
+    ``anova_f_event_types`` is untrustworthy because group variances
+    differ (its equal-variance assumption is exactly what
+    ``brown_forsythe_event_types`` tests); reports Welch's F and its
+    Satterthwaite denominator degrees of freedom.
+
+    Same moment discipline as the ANOVA family: per-group (n, Σx, Σx²)
+    are EXACT decimal sums, each group's mean/variance/weight derives
+    from them in the identical double op sequence on both engines, and
+    the k-term weight sums follow the chi-square convention (bounded
+    group grid, round 6 on the final statistics).  One map-side-
+    combinable aggregate + two k-row reductions."""
+    e = load_table(spark, sf_dir, "events")
+    v = money("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(v).alias("s_g"),
+        F.sum(v * v).alias("q_g"),
+    )
+    w = g.select(
+        "n_g",
+        (F.col("s_g").cast("double") / F.col("n_g")).alias("m_g"),
+        (
+            F.col("n_g")
+            / (
+                (
+                    F.col("q_g").cast("double")
+                    - F.col("s_g").cast("double")
+                    * F.col("s_g").cast("double")
+                    / F.col("n_g")
+                )
+                / (F.col("n_g") - 1.0)
+            )
+        ).alias("w_g"),
+    )
+    t1 = w.agg(
+        F.count(F.lit(1)).cast("double").alias("kk"),
+        F.sum("n_g").cast("bigint").alias("n_events"),
+        F.sum("w_g").alias("sw"),
+        F.sum(F.col("w_g") * F.col("m_g")).alias("swm"),
+    )
+    t2 = (
+        w.crossJoin(F.broadcast(t1))
+        .agg(
+            F.sum(
+                F.col("w_g")
+                * (F.col("m_g") - F.col("swm") / F.col("sw"))
+                * (F.col("m_g") - F.col("swm") / F.col("sw"))
+            ).alias("a_num"),
+            F.sum(
+                (1.0 - F.col("w_g") / F.col("sw"))
+                * (1.0 - F.col("w_g") / F.col("sw"))
+                / (F.col("n_g") - 1.0)
+            ).alias("lam"),
+        )
+    )
+    return (
+        t1.crossJoin(F.broadcast(t2))
+        .select(
+            F.col("kk").cast("int").alias("k_types"),
+            "n_events",
+            F.round(F.expr(_WELCH_F), 6).alias("f_welch"),
+            F.round(F.expr(_WELCH_DF2), 6).alias("df2"),
+        )
+    )

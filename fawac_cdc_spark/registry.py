@@ -348,6 +348,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "best_changepoint_daily",
     "psi_train_eval_quality",
     "decontam_n_frontier",
+    "welch_anova_event_types",
 )
 
 
@@ -385,6 +386,7 @@ PENDING_SWEEP: frozenset[str] = frozenset({
     "best_changepoint_daily",
     "psi_train_eval_quality",
     "decontam_n_frontier",
+    "welch_anova_event_types",
 })
 
 

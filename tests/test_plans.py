@@ -166,6 +166,7 @@ _SCALAR_BROADCAST_OK = {
     "psi_train_eval_quality",  # 1-row split-totals frame over the 10-bin spine
     "decontam_n_frontier",  # 1-row training-population frame attached to
     #                         the 3-row frontier union
+    "welch_anova_event_types",  # two 1-row moment frames (t1, t2) folded
 }
 
 

@@ -3643,3 +3643,29 @@ def test_decontam_frontier_consistent_with_flag_query(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r["n_flagged"] <= r["n_train"]
         assert r["flag_rate"] == round(r["n_flagged"] / r["n_train"], 6)
+
+
+def test_welch_anova_matches_moment_replica(spark, sf_dir):
+    """Welch's F and df2 recomputed in Python floats from exact
+    per-group integer-cent moments."""
+    (r,) = _SPECS["welch_anova_event_types"].fn(spark, sf_dir).collect()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    cents = (e["value"].astype("float64") * 100).round().astype("int64")
+    stats = []
+    for _, g in cents.groupby(e["event_type"]):
+        n = len(g)
+        s = float(g.sum()) / 100.0
+        q = float((g.astype(object) * g.astype(object)).sum()) / 10000.0
+        m = s / n
+        v = (q - s * s / n) / (n - 1.0)
+        stats.append((n, m, n / v))
+    k = len(stats)
+    sw = sum(w for _, _, w in stats)
+    mw = sum(w * m for _, m, w in stats) / sw
+    a_num = sum(w * (m - mw) ** 2 for _, m, w in stats)
+    lam = sum((1.0 - w / sw) ** 2 / (n - 1.0) for n, _, w in stats)
+    f_welch = (a_num / (k - 1.0)) / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * lam)
+    assert r["k_types"] == k
+    assert r["n_events"] == len(cents)
+    assert r["f_welch"] == pytest.approx(f_welch, abs=1e-4)
+    assert r["df2"] == pytest.approx((k * k - 1.0) / (3.0 * lam), abs=1e-3)
