@@ -378,16 +378,9 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# emptied again by the round-13 closing dual-scale sweep.
-PENDING_SWEEP: frozenset[str] = frozenset({
-    "traindata_modern_pipeline",
-    "cohens_kappa_langid",
-    "kruskal_wallis_event_types",
-    "best_changepoint_daily",
-    "psi_train_eval_quality",
-    "decontam_n_frontier",
-    "welch_anova_event_types",
-})
+# empty: the round-13 closing sweeps (336/336 at sf0.01 AND sf0.1,
+# tools/parity_last.json) ran on the final tree.
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
