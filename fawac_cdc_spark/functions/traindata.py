@@ -120,7 +120,10 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # packing semantics cannot drift between the query and its diagnostic.
 # (traindata_end_to_end packs CHUNKS over the survivor set, a genuinely
 # different pipeline stage, so it keeps its own CTE.)
-_PACKED_SQL = f"""WITH t AS (
+# The cumsum half (t + seq) is budget-free — the budget only enters at
+# the pack_id division — so the budget-frontier query shares this text
+# verbatim and varies only the divisor.
+_PACK_SEQ_SQL = f"""WITH t AS (
     SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
            CAST({PACK_SHARD_SQL} AS INT) AS pack_shard
     FROM documents
@@ -131,7 +134,9 @@ _PACKED_SQL = f"""WITH t AS (
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     AS BIGINT), 0) AS tok_before
     FROM t
-), packed AS (
+)"""
+
+_PACKED_SQL = f"""{_PACK_SEQ_SQL}, packed AS (
     SELECT source, pack_shard,
            tok_before // {PACK_BUDGET} AS pack_id,
            COUNT(*) AS n_docs,
@@ -139,6 +144,30 @@ _PACKED_SQL = f"""WITH t AS (
     FROM seq
     GROUP BY source, pack_shard, tok_before // {PACK_BUDGET}
 )"""
+
+
+def _pack_seq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, pack_shard, doc_id, ntok, tok_before): the budget-free
+    cumsum half of the packing machinery — Spark mirror of
+    ``_PACK_SEQ_SQL``, shared by ``packed_sequences`` and the
+    budget-frontier query."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        _pack_shard_col().alias("pack_shard"),
+        F.size(F.split("text", " ")).alias("ntok"),
+    )
+    w = (
+        Window.partitionBy("source", "pack_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.withColumn(
+        "tok_before", F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
+    )
 
 
 @register(
@@ -164,23 +193,7 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus).  Straddling documents overflow their pack (best-effort
     boundaries), the standard trade against splitting documents
     mid-sequence; shard boundaries waste at most one pack each."""
-    d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    t = d.select(
-        "doc_id",
-        "source",
-        _pack_shard_col().alias("pack_shard"),
-        F.size(F.split("text", " ")).alias("ntok"),
-    )
-    w = (
-        Window.partitionBy("source", "pack_shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seq = t.withColumn(
-        "tok_before", F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("long")
-    )
+    seq = _pack_seq_frame(spark, sf_dir)
     pack = (F.col("tok_before") / PACK_BUDGET).cast("long")
     return (
         seq.groupBy("source", "pack_shard", pack.alias("pack_id"))
@@ -2023,3 +2036,85 @@ def psi_train_eval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi",
         )
     )
+
+
+# --- packing budget frontier (round 13) ----------------------------------------
+
+PACK_FRONTIER_BUDGETS = (512, 1024, 2048)
+
+
+def _pack_frontier_arm_sql(b: int) -> str:
+    return f"""SELECT CAST({b} AS INT) AS budget,
+       CAST(COUNT(*) AS BIGINT) AS n_packs,
+       ROUND(CAST(SUM(n_docs) AS DOUBLE) / COUNT(*), 6) AS avg_docs_per_pack,
+       ROUND(CAST(SUM(pack_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_pack_tokens,
+       ROUND(CAST(SUM(CASE WHEN pack_tokens > {b} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS overflow_pack_rate
+FROM (
+    SELECT source, pack_shard, tok_before // {b} AS pack_id,
+           COUNT(*) AS n_docs, SUM(ntok) AS pack_tokens
+    FROM seq GROUP BY 1, 2, 3
+)"""
+
+
+@register(
+    "packing_budget_frontier",
+    oracle=f"""
+{_PACK_SEQ_SQL}
+{" UNION ALL ".join("(" + _pack_frontier_arm_sql(b) + ")" for b in PACK_FRONTIER_BUDGETS)}
+""",
+    tags=("traindata", "llm", "packing", "frontier"),
+)
+def packing_budget_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing statistics as a function of the sequence budget (512 /
+    1024 / 2048 tokens) — the knob a pre-training run actually turns:
+    shorter budgets mean more packs, fewer whole docs per pack, and a
+    higher overflow rate (straddling documents overflow their pack in
+    this best-effort scheme), so GPU-token waste vs document integrity
+    is a read off this frontier, not folklore.  The
+    ``lsh_param_frontier`` / ``decontam_n_frontier`` discipline applied
+    to packing.
+
+    The expensive half — the per-(source, shard) token cumsum — is
+    budget-FREE and computed ONCE (``_pack_seq_frame`` /
+    ``_PACK_SEQ_SQL``, shared verbatim with ``packed_sequences``); each
+    budget arm is one re-aggregation of the same frame at a different
+    pack divisor.  All counts exact integers; the three ratios are one
+    rounded division each."""
+    seq = _pack_seq_frame(spark, sf_dir).localCheckpoint(eager=True)
+    arms = []
+    for b in PACK_FRONTIER_BUDGETS:
+        packs = (
+            seq.groupBy(
+                "source",
+                "pack_shard",
+                (F.col("tok_before") / b).cast("long").alias("pack_id"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("ntok").cast("long").alias("pack_tokens"),
+            )
+        )
+        arms.append(
+            packs.agg(
+                F.lit(b).cast("int").alias("budget"),
+                F.count(F.lit(1)).cast("bigint").alias("n_packs"),
+                F.round(
+                    F.sum("n_docs").cast("double") / F.count(F.lit(1)), 6
+                ).alias("avg_docs_per_pack"),
+                F.round(
+                    F.sum("pack_tokens").cast("double") / F.count(F.lit(1)), 6
+                ).alias("avg_pack_tokens"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("pack_tokens") > b, 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("overflow_pack_rate"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

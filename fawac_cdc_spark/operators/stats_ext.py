@@ -1824,11 +1824,11 @@ _KW_H = (
     " / (1.0 - t3 / (nn * nn * nn - nn)))"
 )
 
-
-@register(
-    "kruskal_wallis_event_types",
-    oracle=f"""
-WITH x AS (
+# ONE oracle definition of the per-type rank-mass machinery (value
+# grain, predecessor counts, exact 2*(rank sum) per type, exact
+# totals) — shared by kruskal_wallis_event_types and the Dunn post-hoc
+# so the pairwise z's can never drift from the H they follow.
+_KW_CTES = """x AS (
     SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
     FROM events
 ), g AS (
@@ -1845,37 +1845,21 @@ WITH x AS (
            CAST(SUM(g.ng) AS BIGINT) AS ng,
            CAST(SUM(CAST(g.ng AS HUGEINT) * (2 * r.cb + r.c + 1)) AS HUGEINT) AS w2g
     FROM g JOIN r USING (v) GROUP BY 1
-), terms AS (
-    SELECT {_KW_T} AS t FROM per_type
 ), tot AS (
     SELECT CAST(SUM(c) AS DOUBLE) AS nn,
            CAST(SUM(CASE WHEN c > 1
                          THEN CAST(c AS HUGEINT) * c * c - c ELSE 0 END)
                 AS DOUBLE) AS t3
     FROM vg
-)
-SELECT CAST((SELECT COUNT(*) FROM per_type) AS INT) AS k_types,
-       CAST(tot.nn AS BIGINT) AS n_events,
-       CAST((SELECT COUNT(*) - 1 FROM per_type) AS BIGINT) AS dof,
-       ROUND({_KW_H}, 6) AS h_stat
-FROM (SELECT SUM(t) AS st FROM terms), tot
-""",
-    tags=("analytics", "stats", "robust"),
-)
-def kruskal_wallis_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kruskal–Wallis H across ALL event types on the event value — the
-    k-group generalization of ``mann_whitney_flag_test`` (rank-based
-    one-way ANOVA), read next to the parametric ``anova_f_event_types``
-    and the median-based ``mood_median_event_types`` when normality is
-    in doubt; tie-corrected via the standard 1 − Σ(t³−t)/(N³−N) factor.
+)"""
 
-    Same no-global-sort rank machinery as Mann–Whitney: values collapse
-    to the integer-cent VALUE GRAIN, predecessor counts come from the
-    bit-length-bucket hierarchy (every window is bucket-scoped; no
-    data-sized single-task sort), and 2·(rank sum) per group is an
-    exact DECIMAL(38,0)/HUGEINT integer — H touches doubles only in the
-    final k-term formula (shared text ``_KW_H``, chi-square convention,
-    round 6)."""
+
+def _kw_rank_frames(spark: SparkSession, sf_dir: str):
+    """(per_type, tot): the Spark half of ``_KW_CTES`` — per event type
+    the exact (ng, w2g = 2*(rank sum) as DECIMAL(38,0)) over the
+    integer-cent value grain with bit-length-bucket predecessor counts,
+    plus the 1-row exact totals (nn, t3) lifted to double.  Shared by
+    Kruskal–Wallis and the Dunn post-hoc."""
     e = load_table(spark, sf_dir, "events")
     x = e.select(
         "event_type", (money("value") * 100).cast("bigint").alias("v")
@@ -1927,6 +1911,39 @@ def kruskal_wallis_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("t3"),
     )
+    return per_type, tot
+
+
+@register(
+    "kruskal_wallis_event_types",
+    oracle=f"""
+WITH {_KW_CTES}, terms AS (
+    SELECT {_KW_T} AS t FROM per_type
+)
+SELECT CAST((SELECT COUNT(*) FROM per_type) AS INT) AS k_types,
+       CAST(tot.nn AS BIGINT) AS n_events,
+       CAST((SELECT COUNT(*) - 1 FROM per_type) AS BIGINT) AS dof,
+       ROUND({_KW_H}, 6) AS h_stat
+FROM (SELECT SUM(t) AS st FROM terms), tot
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def kruskal_wallis_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across ALL event types on the event value — the
+    k-group generalization of ``mann_whitney_flag_test`` (rank-based
+    one-way ANOVA), read next to the parametric ``anova_f_event_types``
+    and the median-based ``mood_median_event_types`` when normality is
+    in doubt; tie-corrected via the standard 1 − Σ(t³−t)/(N³−N) factor.
+
+    Same no-global-sort rank machinery as Mann–Whitney: values collapse
+    to the integer-cent VALUE GRAIN, predecessor counts come from the
+    bit-length-bucket hierarchy (every window is bucket-scoped; no
+    data-sized single-task sort), and 2·(rank sum) per group is an
+    exact DECIMAL(38,0)/HUGEINT integer — H touches doubles only in the
+    final k-term formula (shared text ``_KW_H``, chi-square convention,
+    round 6).  Machinery shared with ``dunn_posthoc_event_types``
+    (``_kw_rank_frames`` / ``_KW_CTES``)."""
+    per_type, tot = _kw_rank_frames(spark, sf_dir)
     agg = per_type.agg(
         F.count(F.lit(1)).cast("int").alias("k_types"),
         F.sum(F.expr(_KW_T)).alias("st"),
@@ -2148,4 +2165,183 @@ def welch_anova_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(_WELCH_F), 6).alias("f_welch"),
             F.round(F.expr(_WELCH_DF2), 6).alias("df2"),
         )
+    )
+
+
+# --- Friedman test over (day x event type) blocks (round 13) -------------------
+
+# Shared formula texts: r2j is the exact integer 2*(rank sum) of a
+# treatment over the complete blocks (midranks via the count identity
+# 2r = 2*cnt_less + cnt_eq + 1 on exact decimal cell values), so
+# t = (r2j/2)^2 up to one double cast; bb/kk exact counts lifted to
+# double.  Plain midrank Friedman (no tie-correction factor): decimal
+# day-sums virtually never tie, and when they do both engines assign
+# the identical midranks, so the statistic is engine-stable either way.
+_FRIED_T = "(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / 4.0)"
+_FRIED_CHI = "(12.0 / (bb * kk * (kk + 1.0)) * st - 3.0 * bb * (kk + 1.0))"
+
+
+@register(
+    "friedman_daily_types",
+    oracle=f"""
+WITH cell AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           SUM(CAST(value AS DECIMAL(18,2))) AS val
+    FROM events GROUP BY 1, 2
+), kf AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events),
+full_days AS (
+    SELECT day FROM cell GROUP BY day
+    HAVING COUNT(*) = (SELECT k FROM kf)
+), c2 AS (
+    SELECT cell.* FROM cell JOIN full_days USING (day)
+), r AS (
+    SELECT a.day, a.event_type,
+           CAST(SUM(CASE WHEN b.val < a.val THEN 2
+                         WHEN b.val = a.val THEN 1 ELSE 0 END) AS BIGINT)
+               + 1 AS r2
+    FROM c2 a JOIN c2 b ON a.day = b.day
+    GROUP BY a.day, a.event_type
+), rj AS (
+    SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2j FROM r GROUP BY 1
+), bb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bb FROM full_days),
+ag AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS kk, SUM({_FRIED_T}) AS st FROM rj
+)
+SELECT CAST(ag.kk AS INT) AS k_types,
+       CAST(bb.bb AS BIGINT) AS n_blocks,
+       CAST(ag.kk - 1 AS BIGINT) AS dof,
+       ROUND({_FRIED_CHI}, 6) AS chi2_friedman
+FROM ag, bb
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test of event types over day blocks: each day with ALL
+    types present is one block, the types are ranked within the day by
+    their exact-decimal revenue sum, and the chi-square statistic asks
+    whether any type systematically out-ranks the others ACROSS days —
+    the repeated-measures companion to ``kruskal_wallis_event_types``
+    (KW pools all values; Friedman blocks out the day effect, so a
+    global busy-day shift cannot masquerade as a type difference).
+
+    Midranks come from the count identity 2r = 2·|less| + |equal| + 1
+    over a within-day self-join — the day grain is bounded and each
+    day contributes k² comparisons (k = |types|), so the join is
+    O(days·k²), never data-sized; 2·(rank sum) per type stays an exact
+    integer and only the final k-term formula touches doubles (shared
+    text, chi-square convention, round 6).  Incomplete days are
+    excluded (the classical complete-block design), with the block
+    count reported."""
+    e = load_table(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.sum(money("value")).alias("val"))
+    kf = e.agg(F.count_distinct("event_type").cast("bigint").alias("k"))
+    full_days = (
+        cell.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(kf))
+        .where(F.col("c") == F.col("k"))
+        .select("day")
+    )
+    c2 = cell.join(full_days, "day", "left_semi").localCheckpoint(eager=True)
+    a = c2.select("day", "event_type", F.col("val").alias("va"))
+    b = c2.select(F.col("day").alias("day_b"), F.col("val").alias("vb"))
+    r = (
+        a.join(b, F.col("day") == F.col("day_b"))
+        .groupBy("day", "event_type")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("vb") < F.col("va"), 2)
+                    .when(F.col("vb") == F.col("va"), 1)
+                    .otherwise(0)
+                ).cast("bigint")
+                + 1
+            ).alias("r2")
+        )
+    )
+    rj = r.groupBy("event_type").agg(F.sum("r2").cast("bigint").alias("r2j"))
+    bb = full_days.agg(F.count(F.lit(1)).cast("double").alias("bb"))
+    ag = rj.agg(
+        F.count(F.lit(1)).cast("double").alias("kk"),
+        F.sum(F.expr(_FRIED_T)).alias("st"),
+    )
+    return (
+        ag.crossJoin(F.broadcast(bb))
+        .select(
+            F.col("kk").cast("int").alias("k_types"),
+            F.col("bb").cast("bigint").alias("n_blocks"),
+            (F.col("kk") - 1).cast("bigint").alias("dof"),
+            F.round(F.expr(_FRIED_CHI), 6).alias("chi2_friedman"),
+        )
+    )
+
+
+# --- Dunn's post-hoc pairwise comparisons (round 13) ---------------------------
+
+# Shared formula texts over the pair frame (na/nb exact counts,
+# w2a/w2b exact 2*(rank sum) integers, nn/t3 the shared exact totals):
+# mean ranks and the tie-corrected Dunn z.
+_DUNN_MRA = "(CAST(w2a AS DOUBLE) / (2.0 * na))"
+_DUNN_MRB = "(CAST(w2b AS DOUBLE) / (2.0 * nb))"
+_DUNN_Z = (
+    f"(({_DUNN_MRA} - {_DUNN_MRB})"
+    " / sqrt((nn * (nn + 1.0) / 12.0 - t3 / (12.0 * (nn - 1.0)))"
+    " * (1.0 / na + 1.0 / nb)))"
+)
+
+
+@register(
+    "dunn_posthoc_event_types",
+    oracle=f"""
+WITH {_KW_CTES}, pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.ng AS na, b.ng AS nb, a.w2g AS w2a, b.w2g AS w2b
+    FROM per_type a JOIN per_type b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND({_DUNN_MRA}, 6) AS mean_rank_a,
+       ROUND({_DUNN_MRB}, 6) AS mean_rank_b,
+       ROUND({_DUNN_Z}, 6) AS z
+FROM pairs, tot
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def dunn_posthoc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise z for every event-type pair — the
+    follow-up a significant ``kruskal_wallis_event_types`` demands
+    (H says "SOME type differs"; Dunn says WHICH pairs), with the
+    standard tie-corrected variance N(N+1)/12 − Σ(t³−t)/(12(N−1)) and
+    mean ranks from the SAME rank-mass machinery (``_kw_rank_frames`` /
+    ``_KW_CTES`` — one definition, so the z's can never drift from the
+    H they follow).  Consumers apply their own multiplicity control
+    over the k(k−1)/2 rows (the BH machinery lives in
+    ``bh_fdr_type_hour``).
+
+    The pair frame is the k-row per-type table self-joined on the type
+    order — k² tiny rows; the 1-row totals attach by broadcast; every
+    input to the z is an exact integer, one shared-text double formula,
+    round 6."""
+    per_type, tot = _kw_rank_frames(spark, sf_dir)
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("ng").alias("na"),
+        F.col("w2g").alias("w2a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("ng").alias("nb"),
+        F.col("w2g").alias("w2b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(F.expr(_DUNN_MRA), 6).alias("mean_rank_a"),
+        F.round(F.expr(_DUNN_MRB), 6).alias("mean_rank_b"),
+        F.round(F.expr(_DUNN_Z), 6).alias("z"),
     )

@@ -349,6 +349,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "psi_train_eval_quality",
     "decontam_n_frontier",
     "welch_anova_event_types",
+    "packing_budget_frontier",
+    "friedman_daily_types",
+    "dunn_posthoc_event_types",
 )
 
 
@@ -378,9 +381,12 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-13 closing sweeps (336/336 at sf0.01 AND sf0.1,
-# tools/parity_last.json) ran on the final tree.
-PENDING_SWEEP: frozenset[str] = frozenset()
+# emptied again by each closing dual-scale sweep.
+PENDING_SWEEP: frozenset[str] = frozenset({
+    "packing_budget_frontier",
+    "friedman_daily_types",
+    "dunn_posthoc_event_types",
+})
 
 
 @dataclass(frozen=True)

@@ -167,6 +167,9 @@ _SCALAR_BROADCAST_OK = {
     "decontam_n_frontier",  # 1-row training-population frame attached to
     #                         the 3-row frontier union
     "welch_anova_event_types",  # two 1-row moment frames (t1, t2) folded
+    "friedman_daily_types",  # 1-row k-count + 1-row block-count frames
+    "dunn_posthoc_event_types",  # k-row type-order pair join (k~5) + the
+    #                              1-row shared KW totals frame
 }
 
 

@@ -3669,3 +3669,65 @@ def test_welch_anova_matches_moment_replica(spark, sf_dir):
     assert r["n_events"] == len(cents)
     assert r["f_welch"] == pytest.approx(f_welch, abs=1e-4)
     assert r["df2"] == pytest.approx((k * k - 1.0) / (3.0 * lam), abs=1e-3)
+
+
+def test_packing_budget_frontier_consistent(spark, sf_dir):
+    """The 2048 arm must agree with packed_sequences' own aggregate
+    (same seq frame, same divisor), and the frontier must be monotone:
+    smaller budgets can only create more packs."""
+    rows = {
+        r["budget"]: r
+        for r in _SPECS["packing_budget_frontier"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {512, 1024, 2048}
+    packed = _SPECS["packed_sequences"].fn(spark, sf_dir).toPandas()
+    assert rows[2048]["n_packs"] == len(packed)
+    assert rows[2048]["avg_pack_tokens"] == round(
+        float(packed["pack_tokens"].sum()) / len(packed), 6
+    )
+    assert rows[512]["n_packs"] >= rows[1024]["n_packs"] >= rows[2048]["n_packs"]
+    for r in rows.values():
+        assert 0.0 <= r["overflow_pack_rate"] <= 1.0
+
+
+def test_friedman_matches_pandas_replica(spark, sf_dir):
+    """Friedman chi-square recomputed with pandas midranks over the
+    complete day blocks."""
+    (r,) = _SPECS["friedman_daily_types"].fn(spark, sf_dir).collect()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    cents = (e["value"].astype("float64") * 100).round().astype("int64")
+    cell = cents.groupby([e["ts"].dt.date, e["event_type"]]).sum().unstack()
+    k = e["event_type"].nunique()
+    full = cell.dropna()
+    ranks = full.rank(axis=1, method="average")
+    b = len(full)
+    rj = ranks.sum(axis=0)
+    chi = 12.0 / (b * k * (k + 1)) * float((rj**2).sum()) - 3.0 * b * (k + 1)
+    assert r["k_types"] == k and r["n_blocks"] == b
+    assert r["chi2_friedman"] == pytest.approx(chi, abs=1e-4)
+
+
+def test_dunn_consistent_with_kruskal_machinery(spark, sf_dir):
+    """Dunn's pairwise z recomputed from pandas average ranks (the same
+    replica machinery as the KW test): mean ranks and tie-corrected
+    variance must agree, and the pair set is the full k-choose-2."""
+    import math
+
+    rows = _SPECS["dunn_posthoc_event_types"].fn(spark, sf_dir).collect()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    v = (e["value"].astype("float64") * 100).round().astype("int64")
+    ranks = v.rank(method="average")
+    n = len(v)
+    mr = ranks.groupby(e["event_type"]).mean()
+    ng = ranks.groupby(e["event_type"]).size()
+    counts = v.value_counts()
+    tie3 = float(sum(c**3 - c for c in counts if c > 1))
+    var_base = n * (n + 1) / 12.0 - tie3 / (12.0 * (n - 1))
+    k = len(mr)
+    assert len(rows) == k * (k - 1) // 2
+    for row in rows:
+        a, b = row["type_a"], row["type_b"]
+        assert a < b
+        assert row["mean_rank_a"] == pytest.approx(mr[a], abs=1e-4)
+        z = (mr[a] - mr[b]) / math.sqrt(var_base * (1.0 / ng[a] + 1.0 / ng[b]))
+        assert row["z"] == pytest.approx(z, abs=1e-4)
