@@ -109,10 +109,11 @@ _QUERY_MODULES = [
 #   range_join_clicks_before_purchase, scalar_transform_lineitem,
 #   semi_join_urgent_customers, session_agg_30min_gap,
 #   topk_orders_per_status, value_decile_profile, zorder_bucket_stats
-# (39 + up to 11 round-13 registrations = the r14 window).  Operators
-# REGISTERED in round 13 land after this window froze and are DEFERRED
-# to the round-14 window (ADVICE r10 convention) — they ride the
-# closing dual-scale sweeps and tests/test_oracle_parity.py instead.
+# (39 + the 10 round-13 registrations + 1 r8-stale pick = the r14
+# window).  Operators REGISTERED in round 13 land after this window
+# froze and are DEFERRED to the round-14 window (ADVICE r10
+# convention) — they ride the closing dual-scale sweeps and
+# tests/test_oracle_parity.py instead.
 _PRIORITY = [
     # Never driver-verified: round-12 main wave (21).
     "kendall_tau_monthly",
@@ -381,12 +382,9 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# emptied again by each closing dual-scale sweep.
-PENDING_SWEEP: frozenset[str] = frozenset({
-    "packing_budget_frontier",
-    "friedman_daily_types",
-    "dunn_posthoc_event_types",
-})
+# empty: the round-13 closing sweeps (339/339 at sf0.01 AND sf0.1 on
+# the final tree, tools/parity_last.json).
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
