@@ -2077,7 +2077,12 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines divide the identical pair of integers; round(6) on the
     three ratios.  Languages never guessed (or never labeled)
     contribute zero cross mass — the inner join on the label realizes
-    that without a special case.  Reuses the ONE lang-ID definition
+    that without a special case.  Degenerate precondition (documented,
+    not guarded — the EB-shrinkage convention): kappa is undefined when
+    expected agreement is 1 (a single language on BOTH sides makes the
+    denominator N² − Σnᵢn₍ᵢ₎ zero); both engines then emit the same
+    NULL/NaN, and a corpus with one language has nothing to correct
+    for chance anyway.  Reuses the ONE lang-ID definition
     (``lang_id_heuristic`` / ``_lang_id_sql``); everything after the
     per-doc argmax is a |langs|²-row aggregate."""
     guessed = lang_id_heuristic(spark, sf_dir)

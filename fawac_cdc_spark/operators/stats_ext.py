@@ -2231,7 +2231,12 @@ def friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer and only the final k-term formula touches doubles (shared
     text, chi-square convention, round 6).  Incomplete days are
     excluded (the classical complete-block design), with the block
-    count reported."""
+    count reported.  Degenerate precondition (documented, not guarded —
+    the EB-shrinkage convention): with ZERO complete blocks the
+    statistic divides by b = 0 and both engines emit the same
+    NULL/NaN; the fixture's daily grid is complete by construction,
+    and a corpus with no complete blocks has no repeated-measures
+    question to ask."""
     e = load_table(spark, sf_dir, "events")
     cell = e.groupBy(
         F.col("ts").cast("date").alias("day"), "event_type"
