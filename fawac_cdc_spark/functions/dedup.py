@@ -3124,3 +3124,73 @@ def near_dup_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity"),
     )
+
+
+# --- dedup survivor-bias audit (round 13) --------------------------------------
+
+
+from .text import UNIQ_RATIO_SQL as _UQ_SQL  # noqa: E402 — ONE definition
+
+
+@register(
+    "dedup_quality_bias",
+    oracle=f"""
+WITH {SURVIVORS_CTE_SQL},
+cohorts AS (
+    SELECT CASE WHEN q.doc_id IN (SELECT doc_id FROM survivors)
+                THEN 'kept' ELSE 'dropped' END AS cohort,
+           q.n_tokens,
+           CAST(FLOOR(({_UQ_SQL}) * 1000000) AS BIGINT) AS q6
+    FROM quality q
+)
+SELECT cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(q6) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_quality,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_ntok
+FROM cohorts GROUP BY cohort
+""",
+    tags=("dedup", "llm", "ml-eval"),
+)
+def dedup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-bias audit of the dedup front half: mean quality score
+    and mean length of the KEPT corpus vs the docs the exact + near-dup
+    stages DROPPED (both cohorts drawn from the quality-filtered
+    population, so the comparison isolates the dedup decisions).
+    Deduplication that systematically discards higher-quality or longer
+    documents is a real curation failure mode (boilerplate-heavy dups
+    are usually LOW quality — a reversed gap is the alarm), and this is
+    the one-query check a pipeline publishes next to its dedup rates.
+
+    Uses the ONE survivor definition (``corpus_survivors`` /
+    ``SURVIVORS_CTE_SQL``) and the ONE quality definition
+    (``text.uniq_ratio_col`` / ``UNIQ_RATIO_SQL``) so the audit can
+    never drift from the pipeline and score it audits.  Determinism: the uniq-ratio quality score is
+    FLOOR-quantized to the 1e-6 integer grid BEFORE summing (the
+    data-sized float sum would be accumulation-order-dependent; integer
+    sums are exact on both engines), token counts are exact integers,
+    and each mean is one rounded division."""
+    from .text import uniq_ratio_col
+
+    quality = load_table(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 5
+    )
+    kept_ids = corpus_survivors(spark, sf_dir).select("doc_id")
+    q6 = F.floor(uniq_ratio_col() * 1000000).cast("bigint")
+    cohorts = quality.join(
+        kept_ids.withColumn("is_kept", F.lit(1)), "doc_id", "left"
+    ).select(
+        F.when(F.col("is_kept").isNotNull(), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("cohort"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        q6.alias("q6"),
+    )
+    return cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("q6").cast("double") / (F.count(F.lit(1)) * 1000000.0), 6
+        ).alias("avg_quality"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_ntok"),
+    )

@@ -2287,3 +2287,85 @@ def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 segment_dedup_stats.__doc__ = segment_dedup_stats.__doc__.replace(
     "{SEG}", str(SEG_TOKENS)
 )
+
+
+# --- Hill tail-index estimator over document lengths (round 13) ----------------
+
+HILL_K = 100  # top-order statistics entering the estimator
+
+
+@register(
+    "hill_tail_index_doclen",
+    oracle=f"""
+WITH lens AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS ntok FROM documents
+), ranked AS (
+    SELECT ntok,
+           ROW_NUMBER() OVER (ORDER BY ntok DESC, doc_id) AS rn
+    FROM lens
+), top AS (SELECT * FROM ranked WHERE rn <= {HILL_K + 1}),
+thr AS (SELECT CAST(MAX(CASE WHEN rn = {HILL_K + 1} THEN ntok END) AS DOUBLE) AS xk
+        FROM top)
+SELECT CAST({HILL_K} AS INT) AS k_order_stats,
+       CAST(thr.xk AS BIGINT) AS threshold_ntok,
+       ROUND(SUM(ln(ntok / thr.xk)) / {HILL_K}, 6) AS mean_log_excess,
+       ROUND({HILL_K} / SUM(ln(ntok / thr.xk)), 6) AS alpha_hill
+FROM top, thr WHERE rn <= {HILL_K}
+GROUP BY thr.xk
+""",
+    tags=("text", "llm", "stats", "profiling"),
+)
+def hill_tail_index_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index over the top
+    {K} order statistics — the "how heavy is the long-document tail?"
+    read that sizes packing budgets, chunk policies, and per-task skew
+    headroom (a Pareto-ish tail with small α means a few giant docs
+    dominate token mass; ``zipf_fit_by_source`` asks the same question
+    of the VOCABULARY, this asks it of document sizes).
+
+    α̂ = k / Σᵢ ln(x⁽ⁱ⁾/x⁽ᵏ⁺¹⁾) over the k largest lengths with the
+    (k+1)-th as threshold.  The top-(k+1) frontier is a
+    TakeOrderedAndProject under the deterministic (ntok desc, doc_id)
+    total order — ties at the cut resolve identically on both engines —
+    and the k-term log sum follows the chi-square convention (bounded
+    grid, round 6); lengths are exact integers throughout.  At 100 TB
+    the ordered pass keeps k+1 rows per partition and merges k·P on the
+    driver — the pinned top-k discipline, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
+    top = lens.orderBy(F.desc("ntok"), "doc_id").limit(HILL_K + 1).select(
+        "ntok",
+        F.row_number()
+        .over(Window.orderBy(F.desc("ntok"), F.asc("doc_id")))
+        .alias("rn"),
+    )
+    thr = top.agg(
+        F.max(F.when(F.col("rn") == HILL_K + 1, F.col("ntok")))
+        .cast("double")
+        .alias("xk")
+    )
+    return (
+        top.where(F.col("rn") <= HILL_K)
+        .crossJoin(F.broadcast(thr))
+        .groupBy("xk")
+        .agg(
+            F.lit(HILL_K).cast("int").alias("k_order_stats"),
+            F.round(
+                F.sum(F.log(F.col("ntok") / F.col("xk"))) / HILL_K, 6
+            ).alias("mean_log_excess"),
+            F.round(
+                HILL_K / F.sum(F.log(F.col("ntok") / F.col("xk"))), 6
+            ).alias("alpha_hill"),
+        )
+        .select(
+            "k_order_stats",
+            F.col("xk").cast("bigint").alias("threshold_ntok"),
+            "mean_log_excess",
+            "alpha_hill",
+        )
+    )
+
+
+hill_tail_index_doclen.__doc__ = hill_tail_index_doclen.__doc__.replace(
+    "{K}", str(HILL_K)
+)

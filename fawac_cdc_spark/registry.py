@@ -353,6 +353,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "packing_budget_frontier",
     "friedman_daily_types",
     "dunn_posthoc_event_types",
+    "hill_tail_index_doclen",
+    "dedup_quality_bias",
 )
 
 
@@ -382,9 +384,8 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-13 closing sweeps (339/339 at sf0.01 AND sf0.1 on
-# the final tree, tools/parity_last.json).
-PENDING_SWEEP: frozenset[str] = frozenset()
+# emptied by each closing dual-scale sweep.
+PENDING_SWEEP: frozenset[str] = frozenset({"hill_tail_index_doclen", "dedup_quality_bias"})
 
 
 @dataclass(frozen=True)

@@ -170,6 +170,8 @@ _SCALAR_BROADCAST_OK = {
     "friedman_daily_types",  # 1-row k-count + 1-row block-count frames
     "dunn_posthoc_event_types",  # k-row type-order pair join (k~5) + the
     #                              1-row shared KW totals frame
+    "hill_tail_index_doclen",  # 1-row threshold frame against the
+    #                            TakeOrdered top-(k+1) frontier
 }
 
 

@@ -3731,3 +3731,53 @@ def test_dunn_consistent_with_kruskal_machinery(spark, sf_dir):
         assert row["mean_rank_a"] == pytest.approx(mr[a], abs=1e-4)
         z = (mr[a] - mr[b]) / math.sqrt(var_base * (1.0 / ng[a] + 1.0 / ng[b]))
         assert row["z"] == pytest.approx(z, abs=1e-4)
+
+
+def test_hill_tail_index_matches_pandas_replica(spark, sf_dir):
+    """Hill estimator recomputed from the pandas top-(k+1) order
+    statistics under the same (ntok desc, doc_id) total order."""
+    import math
+
+    from fawac_cdc_spark.functions.text import HILL_K
+
+    (r,) = _SPECS["hill_tail_index_doclen"].fn(spark, sf_dir).collect()
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lens = d["text"].str.split(" ").str.len()
+    order = sorted(zip(-lens, d["doc_id"]))[: HILL_K + 1]
+    xs = [-t for t, _ in order]
+    thr = float(xs[HILL_K])
+    s = sum(math.log(x / thr) for x in xs[:HILL_K])
+    assert r["k_order_stats"] == HILL_K
+    assert r["threshold_ntok"] == int(thr)
+    assert r["alpha_hill"] == pytest.approx(HILL_K / s, abs=1e-4)
+    assert r["mean_log_excess"] == pytest.approx(s / HILL_K, abs=1e-5)
+
+
+def test_dedup_quality_bias_consistent_with_survivors(spark, sf_dir):
+    """The kept cohort must be exactly corpus_survivors (count equality),
+    the two cohorts must partition the quality-filtered population, and
+    the kept average quality recomputes exactly from the engine's own
+    survivor frame on the floor-quantized grid."""
+    from fawac_cdc_spark.functions.dedup import corpus_survivors
+    from fawac_cdc_spark.functions.text import uniq_ratio_col
+    from pyspark.sql import functions as SF
+
+    rows = {r["cohort"]: r for r in _SPECS["dedup_quality_bias"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"kept", "dropped"}
+    surv = corpus_survivors(spark, sf_dir)
+    n_kept = surv.count()
+    assert rows["kept"]["n_docs"] == n_kept
+    from fawac_cdc_spark.catalog import load_table
+
+    n_quality = (
+        load_table(spark, sf_dir, "documents")
+        .where(SF.size(SF.split("text", " ")) >= 5)
+        .count()
+    )
+    assert rows["kept"]["n_docs"] + rows["dropped"]["n_docs"] == n_quality
+    (chk,) = surv.agg(
+        SF.sum(SF.floor(uniq_ratio_col() * 1000000).cast("bigint")).alias("s")
+    ).collect()
+    assert rows["kept"]["avg_quality"] == round(chk["s"] / (n_kept * 1000000.0), 6)
+    for r in rows.values():
+        assert 0.0 <= r["avg_quality"] <= 1.0
