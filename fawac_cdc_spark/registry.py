@@ -109,11 +109,12 @@ _QUERY_MODULES = [
 #   range_join_clicks_before_purchase, scalar_transform_lineitem,
 #   semi_join_urgent_customers, session_agg_30min_gap,
 #   topk_orders_per_status, value_decile_profile, zorder_bucket_stats
-# (39 + the 10 round-13 registrations + 1 r8-stale pick = the r14
-# window).  Operators REGISTERED in round 13 land after this window
-# froze and are DEFERRED to the round-14 window (ADVICE r10
-# convention) — they ride the closing dual-scale sweeps and
-# tests/test_oracle_parity.py instead.
+# (39 + the 12 round-13 registrations = 51; the r14 window takes 50 by
+# the rotation rules — never-verified first — and defers the remainder).
+# Operators REGISTERED in round 13 land after this window froze and are
+# DEFERRED to the round-14 window (ADVICE r10 convention) — they ride
+# the closing dual-scale sweeps and tests/test_oracle_parity.py
+# instead.
 _PRIORITY = [
     # Never driver-verified: round-12 main wave (21).
     "kendall_tau_monthly",
@@ -384,8 +385,9 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# emptied by each closing dual-scale sweep.
-PENDING_SWEEP: frozenset[str] = frozenset({"hill_tail_index_doclen", "dedup_quality_bias"})
+# empty: the round-13 closing sweeps (341/341 at sf0.01 AND sf0.1 on
+# the final tree, tools/parity_last.json).
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
