@@ -61,115 +61,85 @@ _QUERY_MODULES = [
 # sweeps (sf0.01 + sf0.1, recorded in tools/parity_last.json and gated by
 # tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
-# Rounds 10-12 rotations kept for history in git; round-13 below.
+# Rounds 10-13 rotations kept for history in git; round-14 below.
 #
-# Round-13 rotation (VERDICT r12 #1 — the window composes itself).
-# Composition, in order:
-#   45 never-driver-verified  (the ENTIRE round-12 cohort: the 21-query
-#                             main wave, kendall_tau_monthly ..
-#                             effect_size_flags, plus the 24-query
-#                             extension waves, spearman_corr_daily ..
-#                             runs_test_daily_sign — all registered
-#                             after the r12 window froze and deferred
-#                             here per the ADVICE r10 convention; all
-#                             45 were green in the judge's independent
-#                             r12 parity run and in the closing
-#                             dual-scale sweeps, but have zero driver
-#                             rows.)
-# +  5 r6-stale               (from the 44-query cohort whose latest
+# Round-14 rotation (VERDICT r13 #1 — executed exactly as the r13
+# registry note planned it).  Composition, in order:
+#   12 never-driver-verified  (the ENTIRE round-13 cohort,
+#                             traindata_modern_pipeline ..
+#                             dedup_quality_bias — registered after the
+#                             r13 window froze and deferred here per the
+#                             ADVICE r10 convention; all 12 were green
+#                             in the judge's independent r13 parity run
+#                             and in the closing dual-scale sweeps, but
+#                             have zero driver rows.)
+# + 38 r6-stale               (of the 39-query cohort whose latest
 #                             driver hash is CORRECTNESS_r06 — the
-#                             oldest remaining evidence.  Chosen: the
-#                             LLM-pipeline composition family — VERDICT
-#                             r12 #3's composed modern pipeline landed
-#                             this round as the NEW query
-#                             traindata_modern_pipeline (the frozen-
-#                             headline traindata_end_to_end keeps its
-#                             r3-era semantics so the bench gate stays
-#                             comparable; the new query is benched as
-#                             an extra per the VERDICT done-criterion),
-#                             so re-hashing its five stage-sharing
-#                             siblings this round keeps the whole
-#                             family's evidence fresh together.)
-# = 50.  The REMAINING 39 r6-stale queries are the planned core of the
-# round-14 window (VERDICT r12 #1 asks for this note):
-#   anti_join_customers_without_orders, benchmark_decontam_flags,
-#   bloom_semi_join_gate, case_when_order_priority, cc_star_survivors,
-#   cdc_latest_state_per_user, conditional_agg_profile,
-#   constrained_best_order_per_priority, csv_scan_events_agg,
-#   density_binned_subsample, discounted_cumsum_per_user,
-#   episode_rollout_stats, event_value_stats, exp_weight_capped,
-#   grouping_sets_mixed, hash_sample_lineitem,
-#   hour_bitmap_user_activity, incremental_lsh_dedup, ivfpq_topk_query1,
-#   json_extract_props, kll_quantile_rank_bound, lsh_dedup_admissions,
-#   metrics_sink_roundtrip, mlp_inference_scores,
-#   nations_customers_except_suppliers, npz_scan_events_agg,
-#   npz_write_roundtrip_agg, order_date_parts,
-#   orders_lineitem_by_priority, packing_efficiency_stats,
-#   q10_returned_items, q3_shipping_priority,
-#   range_join_clicks_before_purchase, scalar_transform_lineitem,
-#   semi_join_urgent_customers, session_agg_30min_gap,
-#   topk_orders_per_status, value_decile_profile, zorder_bucket_stats
-# (39 + the 12 round-13 registrations = 51; the r14 window takes 50 by
-# the rotation rules — never-verified first — and defers the remainder).
-# Operators REGISTERED in round 13 land after this window froze and are
-# DEFERRED to the round-14 window (ADVICE r10 convention) — they ride
+#                             oldest remaining evidence; listed in the
+#                             r13 note, taken alphabetically.)
+# = 50.  Deferred: `zorder_bucket_stats` (the one r6-stale query that
+# did not fit — its layout plan shape is independently pinned by
+# tests/test_layout.py and it rides every dual-scale sweep).  The
+# round-15 window plan (VERDICT r12 #1 asks for this note):
+# zorder_bucket_stats + 49 of the 48-query r8-stale cohort and any
+# round-14 registrations, never-verified first per the rotation rules.
+# Operators REGISTERED in round 14 land after this window froze and are
+# DEFERRED to the round-15 window (ADVICE r10 convention) — they ride
 # the closing dual-scale sweeps and tests/test_oracle_parity.py
 # instead.
 _PRIORITY = [
-    # Never driver-verified: round-12 main wave (21).
-    "kendall_tau_monthly",
-    "mann_whitney_flag_test",
-    "two_proportion_ab_test",
-    "ks_test_type_hours",
-    "survival_km_purchase",
-    "seasonal_naive_backtest",
-    "cohort_ltv_matrix",
-    "rolling_corr_types_daily",
-    "abc_analysis_parts",
-    "pivot_monthly_flag_revenue",
-    "l_diversity_audit",
-    "dup_ngram_char_fraction",
-    "segment_dedup_stats",
-    "embedding_clip_bounds",
-    "join_key_skew_profile",
-    "ann_recall_curve",
-    "ols_two_feature",
-    "poisson_bootstrap_ci",
-    "capture_recapture_dups",
-    "bh_fdr_type_hour",
-    "effect_size_flags",
-    # Never driver-verified: round-12 extension waves (24).
-    "spearman_corr_daily",
-    "anova_f_event_types",
-    "welch_t_flags",
-    "max_drawdown_daily",
-    "permutation_test_mean_diff",
-    "hhi_source_concentration",
-    "t_closeness_audit",
-    "eb_shrunk_part_rates",
-    "page_hinkley_by_type",
-    "mood_median_event_types",
-    "brown_forsythe_event_types",
-    "silhouette_by_cell",
-    "near_dup_source_modularity",
-    "markov_removal_attribution",
-    "pacf_monthly_revenue",
-    "mcnemar_halves_test",
-    "cochran_armitage_trend",
-    "dispersion_index_hourly",
-    "embedding_diversity_by_label",
-    "theil_inequality_by_nation",
-    "importance_weight_ess",
-    "ljung_box_monthly",
-    "session_entropy_rate",
-    "runs_test_daily_sign",
-    # r6-stale: the LLM-pipeline composition family (5); see the window
-    # comment above for why these five.
-    "traindata_end_to_end",
-    "llm_corpus_pipeline",
-    "packed_sequences",
-    "doc_fingerprints",
-    "leakage_safe_split_counts",
+    # Never driver-verified: the round-13 registrations (12).
+    "traindata_modern_pipeline",
+    "cohens_kappa_langid",
+    "kruskal_wallis_event_types",
+    "best_changepoint_daily",
+    "psi_train_eval_quality",
+    "decontam_n_frontier",
+    "welch_anova_event_types",
+    "packing_budget_frontier",
+    "friedman_daily_types",
+    "dunn_posthoc_event_types",
+    "hill_tail_index_doclen",
+    "dedup_quality_bias",
+    # r6-stale (38 of 39; zorder_bucket_stats deferred, see note above).
+    "anti_join_customers_without_orders",
+    "benchmark_decontam_flags",
+    "bloom_semi_join_gate",
+    "case_when_order_priority",
+    "cc_star_survivors",
+    "cdc_latest_state_per_user",
+    "conditional_agg_profile",
+    "constrained_best_order_per_priority",
+    "csv_scan_events_agg",
+    "density_binned_subsample",
+    "discounted_cumsum_per_user",
+    "episode_rollout_stats",
+    "event_value_stats",
+    "exp_weight_capped",
+    "grouping_sets_mixed",
+    "hash_sample_lineitem",
+    "hour_bitmap_user_activity",
+    "incremental_lsh_dedup",
+    "ivfpq_topk_query1",
+    "json_extract_props",
+    "kll_quantile_rank_bound",
+    "lsh_dedup_admissions",
+    "metrics_sink_roundtrip",
+    "mlp_inference_scores",
+    "nations_customers_except_suppliers",
+    "npz_scan_events_agg",
+    "npz_write_roundtrip_agg",
+    "order_date_parts",
+    "orders_lineitem_by_priority",
+    "packing_efficiency_stats",
+    "q10_returned_items",
+    "q3_shipping_priority",
+    "range_join_clicks_before_purchase",
+    "scalar_transform_lineitem",
+    "semi_join_urgent_customers",
+    "session_agg_30min_gap",
+    "topk_orders_per_status",
+    "value_decile_profile",
 ]
 
 
