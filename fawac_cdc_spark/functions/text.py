@@ -2330,7 +2330,17 @@ def hill_tail_index_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the k-term log sum follows the chi-square convention (bounded
     grid, round 6); lengths are exact integers throughout.  At 100 TB
     the ordered pass keeps k+1 rows per partition and merges k·P on the
-    driver — the pinned top-k discipline, never a global sort."""
+    driver — the pinned top-k discipline, never a global sort.
+
+    Degenerate preconditions (documented per the EB-shrinkage
+    convention, ADVICE r13): the corpus must have MORE than {K} docs
+    (otherwise the (k+1)-th threshold is NULL and every output column
+    follows it) and a non-flat top-{K} tail (if all top-{K} lengths tie
+    with the threshold, Σln(x/xk) = 0 and α̂ divides by zero — NULL on
+    Spark doubles vs Inf on DuckDB).  Both are corpus-shape
+    pathologies, not data errors: a sub-{K}-doc corpus has no tail to
+    estimate and a flat tail has α̂ = ∞ by definition; callers sizing
+    packing budgets should treat either as "no heavy tail"."""
     d = load_table(spark, sf_dir, "documents")
     lens = d.select("doc_id", F.size(F.split("text", " ")).alias("ntok"))
     top = lens.orderBy(F.desc("ntok"), "doc_id").limit(HILL_K + 1).select(

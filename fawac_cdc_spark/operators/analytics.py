@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .helpers import money
+from .helpers import money, rank_bucket
 from ..registry import register
 
 from ..streaming.batch_equiv import SESSION_GAP_MIN
@@ -2624,7 +2624,8 @@ def mann_whitney_flag_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Computed WITHOUT a global sort (the textbook rank assignment is the
     banned data-sized window): prices collapse to the integer-cent VALUE
     GRAIN first (ties carry counts), predecessor counts come from the
-    gini-style bit-length-bucket hierarchy, and 2·midrank = 2·cum_before
+    order-preserving bit-length-bucket hierarchy (``rank_bucket`` —
+    sign-safe for negative grains, ADVICE r13), and 2·midrank = 2·cum_before
     + c + 1 keeps every rank-mass term an exact integer — lifted to
     DECIMAL for the sums — so U is exact on the half-integer grid and
     only the final z touches sqrt, round(6).  The DuckDB oracle keeps
@@ -2643,7 +2644,7 @@ def mann_whitney_flag_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("isr").cast("bigint").alias("nr"),
             F.count(F.lit(1)).cast("bigint").alias("c"),
         )
-        .withColumn("bucket", F.length(F.bin("v")).cast("int"))
+        .withColumn("bucket", rank_bucket("v"))
     )
     wv = (
         Window.partitionBy("bucket")

@@ -97,6 +97,32 @@ def md5_bucket_sql(expr: str, modulus: int, prefix_len: int = 4) -> str:
     )
 
 
+def rank_bucket(col: Column | str) -> Column:
+    """Order-preserving bit-length bucket key for the no-global-sort rank
+    machinery (Mann-Whitney / Kruskal-Wallis / Dunn / Gini-style
+    predecessor counts) over a BIGINT value grain.
+
+    Splits the domain into <=127 CONTIGUOUS buckets so that v1 < v2 in
+    different buckets implies bucket(v1) < bucket(v2); each window is
+    bucket-scoped and an exclusive prefix sum over the (tiny) bucket
+    totals restores global predecessor counts without a data-sized
+    single-task sort.  Nonnegative v keeps the historical key
+    ``length(bin(v))`` (1..64, doubling ranges); negative v maps to
+    ``-length(bin(-v-1))`` so more-negative values take strictly smaller
+    buckets — the plain ``F.length(F.bin(v))`` key emitted the 64-char
+    two's-complement for negatives, ranking them into the TOP bucket and
+    silently diverging from an exact ORDER BY v (ADVICE r13).  For
+    nonnegative data the key is bit-identical to the historical one, so
+    existing parity hashes are unchanged.
+    """
+    c = _c(col)
+    return (
+        F.when(c >= 0, F.length(F.bin(c)))
+        .otherwise(-F.length(F.bin(-c - F.lit(1))))
+        .cast("int")
+    )
+
+
 def one_row_audit(
     label_col: str,
     label: str,

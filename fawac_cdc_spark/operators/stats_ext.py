@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from .helpers import money
+from .helpers import money, rank_bucket
 
 # --- Spearman ----------------------------------------------------------------
 
@@ -1870,7 +1870,7 @@ def _kw_rank_frames(spark: SparkSession, sf_dir: str):
     vg = (
         g.groupBy("v")
         .agg(F.sum("ng").cast("bigint").alias("c"))
-        .withColumn("bucket", F.length(F.bin("v")).cast("int"))
+        .withColumn("bucket", rank_bucket("v"))
     )
     wv = (
         Window.partitionBy("bucket")
@@ -2074,13 +2074,18 @@ WITH g AS (
            SUM(CAST(value AS DECIMAL(18,2))) AS s_g,
            SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS q_g
     FROM events GROUP BY 1
-), w AS (
+), w0 AS (
     SELECT n_g,
            CAST(s_g AS DOUBLE) / n_g AS m_g,
-           n_g / ((CAST(q_g AS DOUBLE)
-                   - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g)
-                  / (n_g - 1.0)) AS w_g
+           CASE WHEN n_g >= 2
+                THEN (CAST(q_g AS DOUBLE)
+                      - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g)
+                     / (n_g - 1.0)
+                ELSE 0.0 END AS var_g
     FROM g
+), w AS (
+    SELECT n_g, m_g, n_g / var_g AS w_g
+    FROM w0 WHERE n_g >= 2 AND var_g > 0.0
 ), t1 AS (
     SELECT CAST(COUNT(*) AS DOUBLE) AS kk,
            CAST(SUM(n_g) AS BIGINT) AS n_events,
@@ -2112,7 +2117,16 @@ def welch_anova_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from them in the identical double op sequence on both engines, and
     the k-term weight sums follow the chi-square convention (bounded
     group grid, round 6 on the final statistics).  One map-side-
-    combinable aggregate + two k-row reductions."""
+    combinable aggregate + two k-row reductions.
+
+    Degenerate groups — ``n_g < 2`` (no variance estimate exists) or
+    zero sample variance (infinite weight) — are EXCLUDED from the
+    weight frame on BOTH engines (ADVICE r13: a raw 1/0 here yields
+    NULL on Spark doubles but Inf on DuckDB, a silent cross-engine
+    divergence; the fixture has no such groups, so hashes are
+    unchanged).  ``k_types``/``n_events`` therefore count the
+    ANALYZABLE groups, matching scipy's behavior of refusing
+    singleton groups rather than folding them in."""
     e = load_table(spark, sf_dir, "events")
     v = money("value")
     g = e.groupBy("event_type").agg(
@@ -2120,21 +2134,24 @@ def welch_anova_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v).alias("s_g"),
         F.sum(v * v).alias("q_g"),
     )
-    w = g.select(
+    w0 = g.select(
         "n_g",
         (F.col("s_g").cast("double") / F.col("n_g")).alias("m_g"),
-        (
-            F.col("n_g")
-            / (
-                (
-                    F.col("q_g").cast("double")
-                    - F.col("s_g").cast("double")
-                    * F.col("s_g").cast("double")
-                    / F.col("n_g")
-                )
-                / (F.col("n_g") - 1.0)
+        F.when(
+            F.col("n_g") >= 2,
+            (
+                F.col("q_g").cast("double")
+                - F.col("s_g").cast("double")
+                * F.col("s_g").cast("double")
+                / F.col("n_g")
             )
-        ).alias("w_g"),
+            / (F.col("n_g") - 1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("var_g"),
+    )
+    w = w0.where((F.col("n_g") >= 2) & (F.col("var_g") > 0.0)).select(
+        "n_g", "m_g", (F.col("n_g") / F.col("var_g")).alias("w_g")
     )
     t1 = w.agg(
         F.count(F.lit(1)).cast("double").alias("kk"),

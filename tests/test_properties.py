@@ -3781,3 +3781,76 @@ def test_dedup_quality_bias_consistent_with_survivors(spark, sf_dir):
     assert rows["kept"]["avg_quality"] == round(chk["s"] / (n_kept * 1000000.0), 6)
     for r in rows.values():
         assert 0.0 <= r["avg_quality"] <= 1.0
+
+
+# --- round 14: sign-safe rank buckets (ADVICE r13) -----------------------------
+
+
+def test_rank_bucket_is_order_preserving_over_signed_domain(spark):
+    """The no-global-sort rank machinery's bucket key must be MONOTONE in
+    the value — including negatives, which the historical plain
+    length(bin(v)) key ranked into the top two's-complement bucket.  Also
+    pins backward compatibility: for v >= 0 the key equals the historical
+    one, so existing parity hashes are untouched."""
+    from fawac_cdc_spark.operators.helpers import rank_bucket
+
+    vals = list(range(-70, 70)) + [
+        -(2**62), -(2**33), -(2**31), 2**31, 2**33, 2**62 - 1
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    rows = df.select(
+        "v",
+        rank_bucket("v").alias("b"),
+        F.length(F.bin("v")).cast("int").alias("old"),
+    ).collect()
+    by_v = sorted(rows, key=lambda r: r["v"])
+    for a, b in zip(by_v, by_v[1:]):
+        assert a["b"] <= b["b"], (a["v"], a["b"], b["v"], b["b"])
+    for r in rows:
+        if r["v"] >= 0:
+            assert r["b"] == r["old"]
+        else:
+            assert r["b"] < 0  # strictly below every nonnegative bucket
+
+
+def test_bucketed_predecessor_counts_match_sorted_ranks_with_negatives(spark):
+    """End-to-end replica of the _kw_rank_frames predecessor-count
+    machinery on a mixed-sign value grain: cum-before counts from the
+    bucket hierarchy must equal the exact ORDER BY v ranks (this is the
+    silent divergence ADVICE r13 flagged for negative event values)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from fawac_cdc_spark.operators.helpers import rank_bucket
+
+    rng = random.Random(14)
+    vals = [rng.randint(-10_000, 10_000) for _ in range(2_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    vg = df.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c")).withColumn(
+        "bucket", rank_bucket("v")
+    )
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vb = vg.withColumn("cum_b", F.sum("c").over(wv))
+    bt = vg.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bto = bt.select(
+        "bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("boff")
+    )
+    got = {
+        r["v"]: r["cb"]
+        for r in vb.join(F.broadcast(bto), "bucket")
+        .select("v", (F.col("boff") + F.col("cum_b") - F.col("c")).alias("cb"))
+        .collect()
+    }
+    svals = sorted(vals)
+    expect, seen = {}, 0
+    for v in svals:
+        if v not in expect:
+            expect[v] = seen
+        seen += 1
+    assert got == expect
