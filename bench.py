@@ -54,8 +54,43 @@ HEADLINE = [
 ]
 
 
+def drift_probe(spark) -> float:
+    """Fixed-work host-calibration probe (round 14, VERDICT r13 #4).
+
+    Cross-session totals on this shared host drift ±15% on byte-identical
+    code (BASELINE.md drift studies, r5 and r13), so a regression gate
+    comparing two sessions needs to know how fast THIS host is right now.
+    The probe is a constant synthetic shuffle+agg — data from
+    ``spark.range`` (no parquet, no page-cache dependence), fixed row
+    count, fixed key cardinality — timed min-of-3 with run 1 absorbing
+    codegen, exactly like the headline queries.  Identical work every
+    session, so probe_now / probe_baseline is a pure host-speed ratio:
+    tools/bench_compare.py annotates its verdict with it and REFUSES to
+    judge when the host is >15% slower than the baseline session (rc=2,
+    re-run when quiet) instead of crying regression on drift.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 30_000_000, 1, 32).select(
+        (F.col("id") % 65536).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    agg = df.groupBy("k").agg(
+        F.sum("v").alias("s"), F.avg("v").alias("a"), F.max("v").alias("m")
+    )
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        agg.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def compact_record(
-    timings: dict[str, float], sf: str, ext_timings: dict[str, float] | None = None
+    timings: dict[str, float],
+    sf: str,
+    ext_timings: dict[str, float] | None = None,
+    probe: float | None = None,
 ) -> dict:
     """The ONE compact headline record printed to stdout for the driver's
     tail capture — extras never belong here (they go to BENCH_FULL.json).
@@ -74,6 +109,10 @@ def compact_record(
     }
     if ext_timings is not None:
         rec["ext_value"] = round(sum(ext_timings.values()), 3)
+    if probe is not None:
+        # fixed-work host-calibration reading (drift_probe) — lets
+        # tools/bench_compare.py tell host drift from real regression.
+        rec["probe_seconds"] = probe
     return rec
 
 
@@ -170,6 +209,11 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
 
+    # Host-calibration probe FIRST (fixed synthetic work, no data deps):
+    # its number is only comparable across sessions if it always runs at
+    # the same point in the session lifecycle.
+    probe = drift_probe(spark)
+
     # Warmup: JVM + codegen + parquet footer caches. No Python-worker
     # pre-warm: idle pyspark workers measurably slow later JVM stages, and
     # min-of-N already absorbs worker cold start (run 1 pays it, run 2 is
@@ -212,7 +256,7 @@ def main() -> None:
     # one measurement, two gates (per-query via the extras intersection,
     # total via ext_value/ext_queries in tools/bench_compare.py).
     ext_timings = {name: extras[name] for name in EXT_HEADLINE}
-    compact = compact_record(timings, sf, ext_timings)
+    compact = compact_record(timings, sf, ext_timings, probe)
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )

@@ -164,11 +164,13 @@ def test_bench_stdout_line_fits_driver_tail_capture():
         {name: 99999.999 for name in bench.HEADLINE},
         "0.1",
         {name: 99999.999 for name in EXT_HEADLINE},
+        probe=99999.999,
     )
     line = json.dumps(compact)
     assert "extras" not in compact
     assert "ext_queries" not in compact  # per-query ext is file-only
     assert compact["ext_value"] > 0
+    assert compact["probe_seconds"] > 0  # host-drift probe rides the line
     assert len(line) < 1800, f"compact bench line too long: {len(line)} chars"
     # and the full record (with extras) goes to a file, not stdout
     src = open(os.path.join(_REPO, "bench.py")).read()
@@ -247,3 +249,50 @@ def test_sweep_record_merges_scales_and_refuses_toy_runs(tmp_path):
         update_sweep_record(path, "/data/sf0.1-v2", names)
     rec = json.load(open(path))
     assert rec["total"] == 3  # record untouched by the failed call
+
+
+def test_bench_compare_gates_ext_per_query(tmp_path):
+    """Round 14 (VERDICT r13 #2): when BOTH records carry the ext_queries
+    map, every frozen ext member gets the per-query band and a vanished
+    member fails — the frozen ext baseline is a first-class rc gate."""
+    base = {
+        "value": 2.0,
+        "queries": {"a": 1.0, "b": 1.0},
+        "ext_queries": {"x": 1.0, "y": 2.0},
+    }
+    now = {
+        "value": 2.0,
+        "queries": {"a": 1.0, "b": 1.0},
+        # y regresses 2x; ext total 1.0+4.0 also breaches the 5% band
+        "ext_queries": {"x": 1.0, "y": 4.0},
+    }
+    rc, out = _run_bench_compare(tmp_path, base, now)
+    assert rc == 1
+    assert "FAIL ext y" in out
+    assert "1/2 ext within budget" in out
+    # vanished ext member fails even when timings are fine
+    now2 = {"value": 2.0, "queries": {"a": 1.0, "b": 1.0}, "ext_queries": {"x": 1.0}}
+    rc2, out2 = _run_bench_compare(tmp_path, base, now2)
+    assert rc2 == 1
+    assert "ext queries missing" in out2
+
+
+def test_bench_compare_refuses_to_judge_on_host_drift(tmp_path):
+    """Round 14 (VERDICT r13 #4): a fixed-work probe >15% slower than the
+    baseline session means the '+N%' readings are drift, not regression —
+    the gate returns rc=2 (re-run when quiet) instead of rc=1; a FASTER
+    host is annotated but judged normally."""
+    base = {"value": 2.0, "queries": {"a": 1.0, "b": 1.0}, "probe_seconds": 1.0}
+    slow = {"value": 2.6, "queries": {"a": 1.6, "b": 1.0}, "probe_seconds": 1.3}
+    rc, out = _run_bench_compare(tmp_path, base, slow)
+    assert rc == 2
+    assert "REFUSE-TO-JUDGE" in out
+    fast = {"value": 1.8, "queries": {"a": 0.9, "b": 0.9}, "probe_seconds": 0.8}
+    rc2, out2 = _run_bench_compare(tmp_path, base, fast)
+    assert rc2 == 0
+    assert "host probe" in out2
+    # pre-probe baselines bootstrap instead of failing
+    old = {"value": 2.0, "queries": {"a": 1.0, "b": 1.0}}
+    rc3, out3 = _run_bench_compare(tmp_path, old, slow)
+    assert rc3 == 1  # the real regression still fails; no refuse path
+    assert "probe bootstraps" in out3

@@ -89,6 +89,33 @@ def main() -> int:
             return sum(doc["ext_queries"].values())
         return doc.get("ext_value")
 
+    # Per-query ext gate (round 14, VERDICT r13 #2): when BOTH records
+    # carry the ext_queries map (full bench records and the committed
+    # tools/bench_ext_r{N}.json snapshots do; driver compact records
+    # carry only ext_value), each frozen ext member gets the same
+    # per-query band, and a vanished member fails like a missing
+    # headline query.  This makes the frozen ext baseline a first-class
+    # rc gate rather than a total-only check.
+    ext_common = sorted(
+        set(base.get("ext_queries", {})) & set(now.get("ext_queries", {}))
+    )
+    n_ext_regressed = 0
+    for name in ext_common:
+        b, n = base["ext_queries"][name], now["ext_queries"][name]
+        delta = (n - b) / b
+        flag = "REGRESS" if delta > tol else "ok"
+        if delta > tol:
+            n_ext_regressed += 1
+            failures.append(f"ext {name}: {b:.3f}s -> {n:.3f}s (+{delta:.0%})")
+        print(f"[{flag}] ext {name}: {b:.3f} -> {n:.3f} ({delta:+.0%})")
+    ext_missing = set(base.get("ext_queries", {})) - set(
+        now.get("ext_queries", {})
+    )
+    if ext_missing:
+        failures.append(
+            f"ext queries missing from current run: {sorted(ext_missing)}"
+        )
+
     be, ne = ext_total(base), ext_total(now)
     if be is not None and ne is not None:
         print(f"ext total: {be:.3f} -> {ne:.3f} ({(ne - be) / be:+.0%})")
@@ -96,14 +123,40 @@ def main() -> int:
             failures.append(f"ext total budget exceeded: {ne:.3f} > {be:.3f}")
     elif ne is not None:
         print(f"ext total: (no baseline) -> {ne:.3f} — ext gate bootstraps")
+    # Host-calibration probe (round 14, VERDICT r13 #4): bench.py times a
+    # fixed synthetic shuffle+agg (probe_seconds) whose work never changes,
+    # so now/base is a pure host-speed ratio.  A host >15% slower than the
+    # baseline session makes every "+N%" above drift, not regression — the
+    # gate then REFUSES TO JUDGE (rc=2: re-run when quiet) instead of
+    # relying on the operator to notice.  A faster host is annotated only
+    # (it can mask a small true regression, but never invents one).
+    probe_drift = None
+    bp, np_ = base.get("probe_seconds"), now.get("probe_seconds")
+    if bp and np_:
+        probe_drift = (np_ - bp) / bp
+        print(f"host probe: {bp:.3f} -> {np_:.3f} ({probe_drift:+.0%})")
+    elif np_:
+        print(f"host probe: (no baseline) -> {np_:.3f} — probe bootstraps")
     for f_ in failures:
         print(f"FAIL {f_}")
     print(f"{len(common) - n_regressed}/{len(common)} within budget")
+    if ext_common:
+        print(
+            f"{len(ext_common) - n_ext_regressed}/{len(ext_common)} "
+            "ext within budget"
+        )
     if extras_common:
         print(
             f"{len(extras_common) - n_extra_regressed}/{len(extras_common)} "
             "extras within budget"
         )
+    if probe_drift is not None and probe_drift > 0.15:
+        print(
+            f"REFUSE-TO-JUDGE: host probe {probe_drift:+.0%} vs baseline "
+            "session (tol +15%) — timings above are drift-contaminated; "
+            "re-run on a quiet host (rc=2)"
+        )
+        return 2
     return 1 if failures else 0
 
 
