@@ -515,7 +515,12 @@ def lsh_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys — exactly what the stream's smallest-doc-per-band-key state
     converges to under id-ordered arrival (pinned stream==batch in
     ``tests/test_streaming.py``).  One band self-join bounded by band
-    keys (never all-pairs), one per-doc aggregate."""
+    keys (never all-pairs), one per-doc aggregate.
+
+    For arbitrary (shuffled / multi-producer) feeds use the default
+    ``cdc.lsh_dedup_stream_watermarked`` twin, which converges to this
+    same closed form without the id-ordered precondition — see the
+    variant table in ``streaming/cdc.py``'s module docstring."""
     from ..functions.dedup import band_table_for, minhash_signatures_df
 
     bands = band_table_for(minhash_signatures_df(spark, sf_dir)).localCheckpoint(
@@ -600,7 +605,10 @@ def semantic_dedup_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     every earlier-SEEN vector, admitted or not — the same conservative
     convention as ``incremental_lsh_dedup``), which is exactly what the
     stream's append-only per-cell state converges to under id-ordered
-    arrival (pinned stream==batch in ``tests/test_streaming.py``).
+    arrival (pinned stream==batch in ``tests/test_streaming.py``); for
+    arbitrary feeds the default ``cdc.semantic_dedup_stream_watermarked``
+    twin converges here with no ordering precondition (variant table in
+    ``streaming/cdc.py``).
 
     Scale shape: nearest-cell assignment is the shared broadcast-argmax
     pass (`cosine_assigned_cells`), the pair probe is a cent_id
@@ -700,7 +708,10 @@ def token_budget_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     not yet exceeded the budget.  Same `budget_prefix_cums` two-phase
     distributed prefix sum as ``token_budget_selection``; the stream
     converges to exactly this under ord_key-ordered ingest
-    (stream==batch pinned in ``tests/test_streaming.py``)."""
+    (stream==batch pinned in ``tests/test_streaming.py``); for arbitrary
+    feeds the default ``cdc.token_budget_stream_watermarked`` twin
+    converges here with no ordering precondition (variant table in
+    ``streaming/cdc.py``)."""
     from ..functions.traindata import (
         TOKEN_BUDGET_PER_SOURCE,
         budget_prefix_cums,
@@ -826,7 +837,10 @@ def span_removal_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     excised iff some covering n-gram was already seen in a STRICTLY
     smaller doc_id — first occurrence kept, exactly what the stream's
     smallest-doc-per-gram state converges to under id-ordered arrival
-    (pinned stream==batch in ``tests/test_streaming.py``).  The apply
+    (pinned stream==batch in ``tests/test_streaming.py``); for arbitrary
+    feeds the default ``cdc.span_dedup_stream_watermarked`` twin
+    converges here with no ordering precondition (variant table in
+    ``streaming/cdc.py``).  The apply
     half of Lee et al. 2022 in its incremental-corpus form: re-ingesting
     yesterday's corpus plus a new batch only rewrites the new batch.
 

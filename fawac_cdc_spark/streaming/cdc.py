@@ -16,6 +16,29 @@ Scale notes: every pipeline keys its state by user_id/event_type so the
 state store partitions horizontally; watermarks bound state size; the
 upsert sink writes versioned snapshots (swap-on-commit) — the plain-
 parquet stand-in for Delta/Iceberg MERGE.
+
+On-ingest dedup/selection gates — WHICH VARIANT TO USE (round 14,
+VERDICT r13 #6).  Each family ships two forms.  **Default to the
+``*_watermarked`` variant**: it buffers per key/bucket until the
+event-time watermark closes, so arrival order never changes the
+admitted set and the stream provably matches the batch query under
+ANY shuffled feed.  The legacy un-suffixed form is the lower-latency
+fast path that admits on FIRST ARRIVAL; it equals the batch semantics
+ONLY when the feed delivers candidates in monotone id order (exact
+contract in each function's docstring) — safe for replaying an ordered
+log or a monotonically-keyed CDC topic, wrong for multi-producer /
+shuffled ingestion.
+
+| family (admit rule)             | default                            | legacy fast path safe when             | stream==batch pinned by (tests/test_streaming.py) |
+|---------------------------------|------------------------------------|----------------------------------------|-----------------------------------------------------|
+| LSH near-dup gate               | ``lsh_dedup_stream_watermarked``   | doc_id-ordered feed                     | ``test_lsh_dedup_watermarked_matches_batch_under_shuffled_arrival`` (+ ``_drops_beyond_delay``); legacy: ``test_lsh_dedup_stream_matches_batch`` |
+| semantic (SemDeDup cell) gate   | ``semantic_dedup_stream_watermarked`` | vec_id-ordered feed                  | ``test_semantic_dedup_watermarked_matches_batch_under_shuffled_arrival`` (+ ``_drops_beyond_delay``); legacy: ``test_semantic_dedup_stream_matches_batch`` |
+| token-budget selection gate     | ``token_budget_stream_watermarked``| admission-order == batch order feed     | ``test_token_budget_watermarked_matches_batch_under_shuffled_arrival`` (+ ``_drops_beyond_delay``); legacy: ``test_token_budget_stream_matches_batch`` |
+| duplicated-span excision gate   | ``span_dedup_stream_watermarked``  | doc_id-ordered feed (first-seen spans)  | ``test_span_dedup_watermarked_matches_batch_under_shuffled_arrival`` (+ ``_drops_beyond_delay``); legacy: ``test_span_dedup_stream_matches_batch`` |
+
+The ``streaming/batch_equiv.py`` closed forms mirror the BATCH
+semantics both variants converge to; their docstrings point back at
+the watermarked twin.
 """
 
 from __future__ import annotations
