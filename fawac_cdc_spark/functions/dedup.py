@@ -3194,3 +3194,123 @@ def dedup_quality_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_ntok"),
     )
+
+
+# --- round 14: blocked edit-distance (fuzzy-title) near-dup audit ---------------
+
+TITLE_TOKENS = 5  # the "title" = the document's first 5 tokens
+MAX_TITLE_BLOCK = 200  # DF cap per block, the capped_shingles discipline
+FUZZY_LEV_MAX = 2  # 1..2 edits = fuzzy pair (0 edits is exact dedup's job)
+
+
+@register(
+    "fuzzy_title_dedup",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:{TITLE_TOKENS}], ' ')
+               AS title
+    FROM documents
+), b AS (
+    SELECT doc_id, title, string_split(title, ' ')[1] AS blk FROM t
+), keep AS (
+    SELECT blk FROM b GROUP BY blk
+    HAVING COUNT(*) <= {MAX_TITLE_BLOCK}
+), c AS (SELECT b.* FROM b JOIN keep USING (blk)),
+pairs AS (
+    SELECT a.doc_id AS ida, z.doc_id AS idb,
+           levenshtein(a.title, z.title) AS lev
+    FROM c a JOIN c z ON a.blk = z.blk AND a.doc_id < z.doc_id
+), fz AS (SELECT * FROM pairs WHERE lev BETWEEN 1 AND {FUZZY_LEV_MAX})
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keep) AS n_blocks,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs_compared,
+       CAST(COUNT(*) AS BIGINT) AS n_fuzzy_pairs,
+       CAST(COUNT(DISTINCT ida) + COUNT(DISTINCT idb)
+            - COUNT(DISTINCT CASE WHEN ida IN (SELECT idb FROM fz)
+                                  THEN ida END) AS BIGINT) AS n_docs_affected
+FROM fz
+""",
+    tags=("dedup", "llm", "text"),
+)
+def fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup audit on document "titles" (the
+    first {T} tokens): how many title pairs differ by only 1–{L} edits?
+    Catches the typo/near-variant duplicates that token-set measures
+    (Jaccard/MinHash) under-weigh — one character edit barely moves a
+    shingle set but is exactly what fuzzy-title matching is for; the
+    string-metric complement to ``ngram_jaccard_pairs`` on the
+    shortest, highest-signal field.
+
+    Scale discipline is the shingle family's, applied to blocks: pairs
+    are generated ONLY within a (first title token) block, and any
+    block larger than {M} docs is dropped BEFORE the self-join (the
+    ``capped_shingles`` DF-cap rule — a stop-word leading token would
+    otherwise quadratically explode; the cap is a published audit
+    parameter, and the n_blocks/n_pairs_compared columns expose exactly
+    what was examined).  levenshtein() agrees between Spark and DuckDB
+    (classic unit-cost edit distance, verified).  n_docs_affected is the
+    exact |A ∪ B| of fuzzy-pair members via inclusion–exclusion
+    (distinct a-side + distinct b-side − ids seen on both), which keeps
+    the reduction on the two pair columns instead of materializing the
+    union."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, TITLE_TOKENS), " "
+        ).alias("title"),
+    ).withColumn("blk", F.split(F.col("title"), " ").getItem(0))
+    keep = (
+        b.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .where(F.col("bc") <= MAX_TITLE_BLOCK)
+        .select("blk")
+    )
+    c = b.join(keep, "blk", "left_semi").localCheckpoint(eager=True)
+    z = c.select(
+        F.col("blk").alias("blk_z"),
+        F.col("doc_id").alias("idb"),
+        F.col("title").alias("title_z"),
+    )
+    pairs = c.join(
+        z, (F.col("blk") == F.col("blk_z")) & (F.col("doc_id") < F.col("idb"))
+    ).select(
+        F.col("doc_id").alias("ida"),
+        "idb",
+        F.levenshtein("title", "title_z").alias("lev"),
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    fz = pairs.where(
+        (F.col("lev") >= 1) & (F.col("lev") <= FUZZY_LEV_MAX)
+    ).localCheckpoint(eager=True)
+    nb = keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+    npc = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_compared")
+    )
+    both = fz.select(F.col("ida").alias("i")).join(
+        fz.select(F.col("idb").alias("i")).distinct(), "i", "left_semi"
+    )
+    agg = fz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fuzzy_pairs"),
+        F.count_distinct("ida").alias("da"),
+        F.count_distinct("idb").alias("db"),
+    )
+    nboth = both.agg(F.count_distinct("i").alias("dboth"))
+    return (
+        agg.crossJoin(F.broadcast(npc))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nboth))
+        .select(
+            "n_blocks",
+            "n_pairs_compared",
+            "n_fuzzy_pairs",
+            (F.col("da") + F.col("db") - F.col("dboth"))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    )
+
+
+fuzzy_title_dedup.__doc__ = fuzzy_title_dedup.__doc__.format(
+    T=TITLE_TOKENS, L=FUZZY_LEV_MAX, M=MAX_TITLE_BLOCK
+)

@@ -2399,3 +2399,140 @@ def embedding_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_pairwise_cosine"),
     )
+
+
+# --- round 14: Hopkins clusterability audit -------------------------------------
+
+HOPKINS_M = 50  # probe count (fixed, published audit parameter)
+HOPKINS_BOX = 0.4  # synthetic-probe box half-width, covers the corpus range
+
+
+def _hopkins_noise_spark(seed: str, idx: str) -> str:
+    """Component expr for a synthetic probe vector: md5(seed||'_'||i) to
+    ~U[-BOX, BOX], the portable helpers.md5_int32 coin per component."""
+    return (
+        f"cast(((conv(substring(md5(concat('hp', cast({seed} as string), '_', "
+        f"cast({idx} as string))), 1, 8), 16, 10) % 801) - 400) as double)"
+        f" / 1000.0 * {HOPKINS_BOX} / 0.4"
+    )
+
+
+def _hopkins_noise_duck(seed: str, idx: str) -> str:
+    return (
+        f"CAST(((CAST('0x' || substr(md5('hp' || CAST({seed} AS VARCHAR) || '_' || "
+        f"CAST({idx} AS VARCHAR)), 1, 8) AS BIGINT) % 801) - 400) AS DOUBLE)"
+        f" / 1000.0 * {HOPKINS_BOX} / 0.4"
+    )
+
+
+_HOPKINS_D2_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (double(x) - double(y)) *"
+    " (double(x) - double(y))), 0D, (acc, t) -> acc + t)"
+)
+
+
+@register(
+    "hopkins_clusterability",
+    oracle=f"""
+WITH real_probes AS (
+    SELECT vec_id AS pid, embedding AS pvec
+    FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {HOPKINS_M}
+), synth_probes AS (
+    SELECT CAST(unnest(range(0, {HOPKINS_M})) AS BIGINT) AS pid
+), sp AS (
+    SELECT pid,
+           list_transform(range(1, {EMB_DIM} + 1),
+                          i -> CAST(({_hopkins_noise_duck('pid', 'i')}) AS FLOAT))
+               AS pvec
+    FROM synth_probes
+), wd AS (
+    SELECT p.pid,
+           MIN(sqrt(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+               i -> (CAST(p.pvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                  * (CAST(p.pvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))))))
+               AS dmin
+    FROM real_probes p, embeddings e WHERE e.vec_id <> p.pid
+    GROUP BY p.pid
+), ud AS (
+    SELECT p.pid,
+           MIN(sqrt(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+               i -> (CAST(p.pvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                  * (CAST(p.pvec[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))))))
+               AS dmin
+    FROM sp p, embeddings e
+    GROUP BY p.pid
+)
+SELECT CAST({HOPKINS_M} AS INT) AS m_probes,
+       ROUND((SELECT SUM(dmin) FROM wd), 6) AS sum_w,
+       ROUND((SELECT SUM(dmin) FROM ud), 6) AS sum_u,
+       ROUND((SELECT SUM(dmin) FROM ud)
+             / ((SELECT SUM(dmin) FROM ud) + (SELECT SUM(dmin) FROM wd)), 6)
+           AS hopkins_h
+""",
+    tags=("similarity", "stats", "llm"),
+)
+def hopkins_clusterability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopkins statistic of the embedding corpus — the clusterability
+    audit run BEFORE committing to IVF/k-means index training: H ≈ 0.5
+    means the corpus is uniform noise (cells won't help; SemDeDup's
+    blocking assumption is weak), H → 1 means strongly clustered
+    (exactly the structure ``kmeans_refined_ivf_cells`` exploits).
+    Compares nearest-neighbor distances from m SYNTHETIC uniform probes
+    (u) against m REAL sampled vectors (w, self excluded):
+    H = Σu / (Σu + Σw).
+
+    Both probe sets are deterministic: real probes are the m smallest
+    by the portable md5 order (TakeOrdered frontier, never a global
+    sort), synthetic probes are md5-seeded per-component uniforms over
+    the published box (the two noise exprs are generated from one
+    skeleton per engine, machine-generated-formula convention).  The
+    probe pass is ONE broadcast of 2m tiny rows against the embeddings
+    scan (the cosine_topk discipline: a fixed-m NLJ is m extra scans'
+    work, linear in the corpus, not a pair join); per-pair squared
+    distances ride the shared zip_with fold and the min/Σ reduction
+    tolerates last-ULP fold-order skew under round 6.  At 100 TB the
+    pass is embarrassingly parallel and m stays fixed — the audit costs
+    m scans regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rp = (
+        e.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec"))
+        .orderBy(F.md5(F.col("pid").cast("string")), "pid")
+        .limit(HOPKINS_M)
+        .withColumn("is_real", F.lit(1))
+    )
+    sp = (
+        spark.range(HOPKINS_M)
+        .select(F.col("id").alias("pid"))
+        .select(
+            "pid",
+            F.expr(
+                f"transform(sequence(1, {EMB_DIM}), "
+                f"i -> cast(({_hopkins_noise_spark('pid', 'i')}) as float))"
+            ).alias("pvec"),
+            F.lit(0).alias("is_real"),
+        )
+    )
+    probes = rp.unionByName(sp)
+    d2 = F.expr(_HOPKINS_D2_SPARK.format(a="pvec", b="embedding"))
+    dmin = (
+        e.crossJoin(F.broadcast(probes))
+        .where((F.col("is_real") == 0) | (F.col("vec_id") != F.col("pid")))
+        .groupBy("is_real", "pid")
+        .agg(F.min(F.sqrt(d2)).alias("dmin"))
+    )
+    t = dmin.groupBy().agg(
+        F.sum(F.when(F.col("is_real") == 1, F.col("dmin"))).alias("sw"),
+        F.sum(F.when(F.col("is_real") == 0, F.col("dmin"))).alias("su"),
+    )
+    return t.select(
+        F.lit(HOPKINS_M).cast("int").alias("m_probes"),
+        F.round(F.col("sw"), 6).alias("sum_w"),
+        F.round(F.col("su"), 6).alias("sum_u"),
+        F.round(F.col("su") / (F.col("su") + F.col("sw")), 6).alias(
+            "hopkins_h"
+        ),
+    )
+
+
+

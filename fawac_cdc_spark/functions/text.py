@@ -2379,3 +2379,80 @@ def hill_tail_index_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
 hill_tail_index_doclen.__doc__ = hill_tail_index_doclen.__doc__.replace(
     "{K}", str(HILL_K)
 )
+
+
+# --- round 14: vocabulary-richness estimators -----------------------------------
+
+
+@register(
+    "vocab_richness_estimators",
+    oracle="""
+WITH tok AS (
+    SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents
+), tf AS (
+    SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), fof AS (
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM tf GROUP BY 1
+)
+SELECT source, n_tokens, vocab, f1, f2,
+       ROUND(vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+           AS chao1,
+       ROUND(CAST(f1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass
+FROM fof ORDER BY source
+""",
+    tags=("text", "llm", "stats", "profiling"),
+)
+def vocab_richness_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-richness estimators from the frequency-of-
+    frequencies spectrum: Chao1's lower bound on the TRUE vocabulary
+    size (bias-corrected form, finite even when no token occurs exactly
+    twice) and the Good–Turing unseen-probability mass f1/N ("what
+    fraction of the next batch's tokens will be words this source has
+    never shown us?") — the two numbers that tell a data-mixture
+    planner which sources are lexically saturated vs still yielding new
+    vocabulary, the estimator-grade companion to the ``heaps_vocab_
+    growth`` curve and the ``capture_recapture_dups`` shape applied to
+    vocabulary instead of duplicates.
+
+    Two map-side-combinable aggregates — (source, token) term counts,
+    then the per-source spectrum reduction — with every count an exact
+    BIGINT; the estimators are one double expression each, round 6.
+    At 100 TB the (source, token) grain is the same shuffle the TF-IDF
+    / unigram-LM family already rides (hash-partitioned by the
+    composite key, no skew pivot: the hottest token spreads across
+    sources), and the spectrum frame is |sources| rows.  Degenerate
+    note (EB convention): an empty source cannot occur (the grain
+    derives from its own tokens); chao1's +1 denominator and gt's N ≥
+    f1 ≥ 0 keep both estimators finite on every real spectrum."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("source", "tk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    fof = tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    return fof.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("vocab")
+            + F.col("f1").cast("double") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1"),
+        F.round(F.col("f1").cast("double") / F.col("n_tokens"), 6).alias(
+            "gt_unseen_mass"
+        ),
+    ).orderBy("source")

@@ -2118,3 +2118,74 @@ def packing_budget_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# --- round 14: leave-one-source-out influence audit -----------------------------
+
+
+@register(
+    "jackknife_source_influence",
+    oracle="""
+WITH per AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS nn, CAST(SUM(n_tokens) AS BIGINT) AS tt
+    FROM per
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(tt - n_tokens AS DOUBLE) / (nn - n_docs), 6)
+           AS mean_ntok_excl,
+       ROUND(CAST(tt - n_tokens AS DOUBLE) / (nn - n_docs)
+             - CAST(tt AS DOUBLE) / nn, 6) AS influence
+FROM per, tot ORDER BY source
+""",
+    tags=("traindata", "llm", "stats", "profiling"),
+)
+def jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out (jackknife) influence of each source on the
+    corpus mean document length: what happens to mean tokens-per-doc if
+    a source is ABLATED from the mixture?  The exact closed form of the
+    ablation a mixture planner would otherwise re-run the pipeline for —
+    a positive influence means dropping the source RAISES the corpus
+    mean (it contributes short docs) — and the additive counterpart to
+    ``weighted_source_mixture``'s reweighting and ``doremi``-style
+    mixture tuning (those ask "how much of each"; this asks "what does
+    each one do to the aggregate").
+
+    One map-side-combinable per-source aggregate (counts and token
+    totals as exact BIGINTs), one 1-row total broadcast, and the
+    leave-one-out mean is the exact identity (T - T_s)/(N - N_s) — no
+    resampling, no second scan, identical double op sequence on both
+    engines, round 6.  At 100 TB this is the cheapest query in the
+    mixture family: the scan is one pass and the reduction is
+    |sources| rows.  Degenerate note (EB convention): a single-source
+    corpus divides by N - N_s = 0 (NULL-vs-Inf cross-engine) — there is
+    no mixture to ablate."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("n_tokens").cast("bigint").alias("tt"),
+    )
+    excl = (F.col("tt") - F.col("n_tokens")).cast("double") / (
+        F.col("nn") - F.col("n_docs")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(excl, 6).alias("mean_ntok_excl"),
+            F.round(excl - F.col("tt").cast("double") / F.col("nn"), 6).alias(
+                "influence"
+            ),
+        )
+        .orderBy("source")
+    )

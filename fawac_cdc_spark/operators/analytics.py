@@ -3446,3 +3446,237 @@ def effect_size_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_COHEN_FINAL} AS cohens_d",
         f"ROUND({_COHEN_FINAL} * (1 - 3 / (4 * (nn + nr) - 9)), 6) AS hedges_g",
     )
+
+
+# --- round 14: distribution-shift + seasonality-strength classics --------------
+
+
+@register(
+    "cvm_test_type_hours",
+    oracle=f"""
+WITH c AS (
+    SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+           CAST(SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM events WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    GROUP BY 1
+), sp AS (SELECT CAST(unnest(range(0, 24)) AS INT) AS hr),
+f AS (
+    SELECT sp.hr, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+    FROM sp LEFT JOIN c ON c.hr = sp.hr
+), cum AS (
+    SELECT hr, ca, cb,
+           SUM(ca) OVER (ORDER BY hr) AS cca, SUM(cb) OVER (ORDER BY hr) AS ccb,
+           SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+    FROM f
+), t AS (
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           SUM((ca + cb) * CAST(cca * nb - ccb * na AS DOUBLE)
+                         * CAST(cca * nb - ccb * na AS DOUBLE)) AS num
+    FROM cum
+)
+SELECT n_a, n_b,
+       ROUND(num / (CAST(n_a AS DOUBLE) * n_b
+                    * CAST(n_a + n_b AS DOUBLE) * (n_a + n_b)
+                    * (n_a + n_b)), 6) AS cvm_t
+FROM t
+""",
+    tags=("analytics", "stats"),
+)
+def cvm_test_type_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete two-sample Cramér–von Mises statistic between the
+    hour-of-day distributions of '{a}' and '{b}' events — KS's
+    whole-curve companion on the same axis (KS reads the single worst
+    ECDF gap; CvM integrates the SQUARED gap over the pooled sample, so
+    a broad mild shift that never spikes still registers).
+
+    Rides the exact-integer ECDF machinery of ``ks_test_type_hours``:
+    the 24-row zero-filled hour spine bounds every window, the gap is
+    the cross-multiplied integer (cca·nb − ccb·na) cast to double only
+    for the square (its bigint square can overflow; the double of an
+    exact ≤2^53 integer is still exact), and
+    T = Σ c_k·gap_k² / (na·nb·(na+nb)²) is one 24-term reduction
+    (chi-square convention, round 6).  n_a/n_b are exact BIGINTs."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+        .groupBy(F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    sp = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr0")
+    ).select(F.col("hr0").cast("int").alias("hr"))
+    f = sp.join(c, "hr", "left").select(
+        "hr",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    wcum = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = f.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(wcum).alias("cca"),
+        F.sum("cb").over(wcum).alias("ccb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    gap = (F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na")).cast(
+        "double"
+    )
+    t = cum.agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.sum((F.col("ca") + F.col("cb")) * gap * gap).alias("num"),
+    )
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    return t.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("num") / (nad * nbd * nn * nn * nn), 6).alias("cvm_t"),
+    )
+
+
+cvm_test_type_hours.__doc__ = cvm_test_type_hours.__doc__.format(
+    a=KS_TYPE_A, b=KS_TYPE_B
+)
+
+
+# Seasonal-strength quantization grid (FLOOR-quantize convention,
+# helpers.py docstring): detrended/remainder doubles land on a 1e-6
+# integer grid before any data-sized sum, so every reduction is exact.
+SEAS_GRID = 1_000_000
+SEAS_HALF = 24  # centered moving-average window: 11 back, 12 forward
+
+
+@register(
+    "seasonal_strength_hourly",
+    oracle=f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hr,
+           SUM(CAST(value AS DECIMAL(18,2))) AS rev
+    FROM events GROUP BY 1
+), tr AS (
+    SELECT hr, rev,
+           SUM(rev) OVER w AS s24, COUNT(*) OVER w AS c24
+    FROM hourly
+    WINDOW w AS (ORDER BY hr ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+), det AS (
+    SELECT CAST(EXTRACT(HOUR FROM hr) AS INT) AS hod,
+           CAST(FLOOR((CAST({SEAS_HALF} * rev AS DOUBLE) - CAST(s24 AS DOUBLE))
+                      / {SEAS_HALF} * {SEAS_GRID}) AS BIGINT) AS q
+    FROM tr WHERE c24 = {SEAS_HALF}
+), seas AS (
+    SELECT hod, SUM(q) AS sq, CAST(COUNT(*) AS BIGINT) AS cq FROM det GROUP BY hod
+), rem AS (
+    SELECT CAST(FLOOR(det.q - CAST(seas.sq AS DOUBLE) / seas.cq) AS BIGINT) AS r,
+           det.q
+    FROM det JOIN seas USING (hod)
+), v AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS DOUBLE) AS sq1,
+           CAST(SUM(CAST(q AS HUGEINT) * q) AS DOUBLE) AS sq2,
+           CAST(SUM(r) AS DOUBLE) AS sr1,
+           CAST(SUM(CAST(r AS HUGEINT) * r) AS DOUBLE) AS sr2
+    FROM rem
+)
+SELECT n AS n_hours,
+       ROUND((sq2 - sq1 * sq1 / n) / n / ({SEAS_GRID}.0 * {SEAS_GRID}), 6)
+           AS var_detrended,
+       ROUND((sr2 - sr1 * sr1 / n) / n / ({SEAS_GRID}.0 * {SEAS_GRID}), 6)
+           AS var_remainder,
+       ROUND(GREATEST(0.0, 1.0 - (sr2 - sr1 * sr1 / n)
+                               / (sq2 - sq1 * sq1 / n)), 6)
+           AS seasonal_strength
+FROM v
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def seasonal_strength_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal-strength decomposition of the hourly revenue
+    series: detrend with a centered 24-observation moving average,
+    estimate the hour-of-day seasonal component as per-hour means of
+    the detrended series, and report
+    strength = max(0, 1 − Var(remainder)/Var(detrended)) — the
+    "how much of the non-trend variation is the daily cycle?" dial
+    behind ``seasonal_hour_anomalies`` and ``holt_winters_hourly``
+    (those ASSUME a daily cycle; this measures it, Hyndman's F_s).
+
+    Determinism (the FLOOR-quantize convention, helpers.py): hourly
+    revenues are exact decimals, the 24-row trend window sum stays
+    decimal, and the detrended value (24x − S24)/24 — a double derived
+    from exact decimals, bit-identical cross-engine — is FLOOR-quantized
+    to the 1e-6 integer grid BEFORE any data-sized reduction, as is the
+    remainder after subtracting the per-hour-of-day seasonal mean; both
+    variances then reduce over exact integers (DECIMAL(38,0)/HUGEINT
+    squares), and only the three final statistics are rounded doubles.
+    Scale: one hourly rollup, one bounded ROWS window over the hour
+    spine (documented bounded-frame single-partition window), one
+    24-row seasonal join — no data-sized sort, no all-pairs.  Edge rows
+    without a full 24-observation window are trimmed (classical moving-
+    average decomposition); a series shorter than 24 observed hours
+    yields zero rows upstream of the 1-row reduction (n_hours = 0,
+    NULL stats on both engines — no seasonality question to ask)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.sum(money("value")).alias("rev")
+    )
+    w24 = Window.orderBy("hr").rowsBetween(-11, 12)
+    tr = hourly.select(
+        "hr",
+        "rev",
+        F.sum("rev").over(w24).alias("s24"),
+        F.count(F.lit(1)).over(w24).alias("c24"),
+    )
+    det = tr.where(F.col("c24") == SEAS_HALF).select(
+        F.hour("hr").cast("int").alias("hod"),
+        F.floor(
+            (
+                (SEAS_HALF * F.col("rev")).cast("double")
+                - F.col("s24").cast("double")
+            )
+            / SEAS_HALF
+            * SEAS_GRID
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    seas = det.groupBy("hod").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).cast("bigint").alias("cq")
+    )
+    rem = det.join(F.broadcast(seas), "hod").select(
+        "q",
+        F.floor(F.col("q") - F.col("sq").cast("double") / F.col("cq"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    v = rem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("double").alias("sq1"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+        .cast("double")
+        .alias("sq2"),
+        F.sum("r").cast("double").alias("sr1"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+        .cast("double")
+        .alias("sr2"),
+    )
+    g2 = float(SEAS_GRID) * SEAS_GRID
+    vq = (F.col("sq2") - F.col("sq1") * F.col("sq1") / F.col("n"))
+    vr = (F.col("sr2") - F.col("sr1") * F.col("sr1") / F.col("n"))
+    return v.select(
+        F.col("n").alias("n_hours"),
+        F.round(vq / F.col("n") / g2, 6).alias("var_detrended"),
+        F.round(vr / F.col("n") / g2, 6).alias("var_remainder"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - vr / vq), 6).alias(
+            "seasonal_strength"
+        ),
+    )

@@ -2197,11 +2197,10 @@ def welch_anova_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRIED_T = "(CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE) / 4.0)"
 _FRIED_CHI = "(12.0 / (bb * kk * (kk + 1.0)) * st - 3.0 * bb * (kk + 1.0))"
 
-
-@register(
-    "friedman_daily_types",
-    oracle=f"""
-WITH cell AS (
+# ONE CTE text for the Friedman block-rank machinery, shared by
+# friedman_daily_types and kendall_w_daily_types (round 14) so the W can
+# never drift from the chi-square it rescales.
+_FRIED_CTES = f"""cell AS (
     SELECT CAST(ts AS DATE) AS day, event_type,
            SUM(CAST(value AS DECIMAL(18,2))) AS val
     FROM events GROUP BY 1, 2
@@ -2223,37 +2222,15 @@ full_days AS (
 ), bb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bb FROM full_days),
 ag AS (
     SELECT CAST(COUNT(*) AS DOUBLE) AS kk, SUM({_FRIED_T}) AS st FROM rj
-)
-SELECT CAST(ag.kk AS INT) AS k_types,
-       CAST(bb.bb AS BIGINT) AS n_blocks,
-       CAST(ag.kk - 1 AS BIGINT) AS dof,
-       ROUND({_FRIED_CHI}, 6) AS chi2_friedman
-FROM ag, bb
-""",
-    tags=("analytics", "stats", "robust"),
-)
-def friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Friedman test of event types over day blocks: each day with ALL
-    types present is one block, the types are ranked within the day by
-    their exact-decimal revenue sum, and the chi-square statistic asks
-    whether any type systematically out-ranks the others ACROSS days —
-    the repeated-measures companion to ``kruskal_wallis_event_types``
-    (KW pools all values; Friedman blocks out the day effect, so a
-    global busy-day shift cannot masquerade as a type difference).
+)"""
 
-    Midranks come from the count identity 2r = 2·|less| + |equal| + 1
-    over a within-day self-join — the day grain is bounded and each
-    day contributes k² comparisons (k = |types|), so the join is
-    O(days·k²), never data-sized; 2·(rank sum) per type stays an exact
-    integer and only the final k-term formula touches doubles (shared
-    text, chi-square convention, round 6).  Incomplete days are
-    excluded (the classical complete-block design), with the block
-    count reported.  Degenerate precondition (documented, not guarded —
-    the EB-shrinkage convention): with ZERO complete blocks the
-    statistic divides by b = 0 and both engines emit the same
-    NULL/NaN; the fixture's daily grid is complete by construction,
-    and a corpus with no complete blocks has no repeated-measures
-    question to ask."""
+
+def _fried_frames(spark: SparkSession, sf_dir: str):
+    """(bb, ag): the Spark half of ``_FRIED_CTES`` — the 1-row complete-
+    block count (bb, double) and the 1-row k-term reduction (kk, st =
+    sum of squared half-rank-sums).  Shared by the Friedman test and
+    Kendall's W (round 14) so both statistics derive from the SAME rank
+    frames."""
     e = load_table(spark, sf_dir, "events")
     cell = e.groupBy(
         F.col("ts").cast("date").alias("day"), "event_type"
@@ -2289,6 +2266,44 @@ def friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("kk"),
         F.sum(F.expr(_FRIED_T)).alias("st"),
     )
+    return bb, ag
+
+
+@register(
+    "friedman_daily_types",
+    oracle=f"""
+WITH {_FRIED_CTES}
+SELECT CAST(ag.kk AS INT) AS k_types,
+       CAST(bb.bb AS BIGINT) AS n_blocks,
+       CAST(ag.kk - 1 AS BIGINT) AS dof,
+       ROUND({_FRIED_CHI}, 6) AS chi2_friedman
+FROM ag, bb
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def friedman_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test of event types over day blocks: each day with ALL
+    types present is one block, the types are ranked within the day by
+    their exact-decimal revenue sum, and the chi-square statistic asks
+    whether any type systematically out-ranks the others ACROSS days —
+    the repeated-measures companion to ``kruskal_wallis_event_types``
+    (KW pools all values; Friedman blocks out the day effect, so a
+    global busy-day shift cannot masquerade as a type difference).
+
+    Midranks come from the count identity 2r = 2·|less| + |equal| + 1
+    over a within-day self-join — the day grain is bounded and each
+    day contributes k² comparisons (k = |types|), so the join is
+    O(days·k²), never data-sized; 2·(rank sum) per type stays an exact
+    integer and only the final k-term formula touches doubles (shared
+    text, chi-square convention, round 6).  Incomplete days are
+    excluded (the classical complete-block design), with the block
+    count reported.  Degenerate precondition (documented, not guarded —
+    the EB-shrinkage convention): with ZERO complete blocks the
+    statistic divides by b = 0 and both engines emit the same
+    NULL/NaN; the fixture's daily grid is complete by construction,
+    and a corpus with no complete blocks has no repeated-measures
+    question to ask."""
+    bb, ag = _fried_frames(spark, sf_dir)
     return (
         ag.crossJoin(F.broadcast(bb))
         .select(
@@ -2366,4 +2381,437 @@ def dunn_posthoc_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_DUNN_MRA), 6).alias("mean_rank_a"),
         F.round(F.expr(_DUNN_MRB), 6).alias("mean_rank_b"),
         F.round(F.expr(_DUNN_Z), 6).alias("z"),
+    )
+
+
+# --- round 14: concordance / stratified / survival-comparison classics ---------
+
+# Kendall's W rescales the Friedman chi-square: W = chi2 / (b * (k - 1)).
+_KENDALL_W = f"({_FRIED_CHI} / (bb * (kk - 1.0)))"
+
+
+@register(
+    "kendall_w_daily_types",
+    oracle=f"""
+WITH {_FRIED_CTES}
+SELECT CAST(ag.kk AS INT) AS k_types,
+       CAST(bb.bb AS BIGINT) AS n_blocks,
+       ROUND({_KENDALL_W}, 6) AS w_kendall
+FROM ag, bb
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def kendall_w_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W over the (day x event
+    type) rank blocks — the EFFECT SIZE for ``friedman_daily_types``
+    (W = chi2 / (b*(k-1)), in [0, 1]: 0 = days rank the types at
+    random, 1 = every day ranks them identically), the number a report
+    quotes next to the test's p-value.
+
+    Rides the SAME rank frames as Friedman (``_fried_frames`` /
+    ``_FRIED_CTES`` — one definition, so W can never drift from the
+    chi-square it rescales); same scale shape (O(days*k^2) bounded
+    self-join, exact integer rank sums, one shared-text double formula,
+    round 6) and the same zero-complete-blocks degenerate note."""
+    bb, ag = _fried_frames(spark, sf_dir)
+    return ag.crossJoin(F.broadcast(bb)).select(
+        F.col("kk").cast("int").alias("k_types"),
+        F.col("bb").cast("bigint").alias("n_blocks"),
+        F.round(F.expr(_KENDALL_W), 6).alias("w_kendall"),
+    )
+
+
+# Shared formula texts over the per-stratum 2x2 counts (a = exposed
+# cases, b = exposed non-cases, c = unexposed cases, d = unexposed
+# non-cases, nn = a+b+c+d, all exact BIGINTs lifted to double):
+_MH_OR = "(sad / sbc)"
+_MH_CHI = "((sa - se) * (sa - se) / sv)"
+
+
+@register(
+    "mantel_haenszel_returns",
+    oracle=f"""
+WITH s AS (
+    SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr,
+           CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) > 0.05
+                          AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) > 0.05
+                          AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) <= 0.05
+                          AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) <= 0.05
+                          AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM lineitem GROUP BY 1
+), t AS (
+    SELECT CAST(COUNT(*) AS INT) AS n_strata,
+           SUM(CAST(a AS DOUBLE) * d / (a + b + c + d)) AS sad,
+           SUM(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS sbc,
+           SUM(CAST(a AS DOUBLE)) AS sa,
+           SUM(CAST(a + b AS DOUBLE) * (a + c) / (a + b + c + d)) AS se,
+           SUM(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+               / (CAST(a + b + c + d AS DOUBLE) * (a + b + c + d)
+                  * (a + b + c + d - 1.0))) AS sv
+    FROM s WHERE a + b + c + d >= 2
+)
+SELECT n_strata,
+       CAST(sa AS BIGINT) AS n_exposed_cases,
+       ROUND({_MH_OR}, 6) AS or_mh,
+       ROUND({_MH_CHI}, 6) AS chi2_cmh
+FROM t
+""",
+    tags=("analytics", "stats"),
+)
+def mantel_haenszel_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel test + MH common odds ratio for the
+    deep-discount → return association, STRATIFIED by ship year — the
+    confounder-adjusted 2x2 the pooled ``two_proportion_ab_test`` shape
+    gets wrong when the stratum mix shifts (Simpson's-paradox-proof
+    association reading; uncorrected CMH, no continuity term).
+
+    One map-side-combinable aggregate builds the per-year 2x2 counts as
+    exact BIGINTs; the k-row stratum frame reduces through the standard
+    MH sums (ad/n, bc/n, E = row*col/n, V = hypergeometric variance) in
+    the identical double op sequence on both engines (bounded year
+    grid, chi-square convention, round 6 on the final OR and chi2).
+    Degenerate strata with n < 2 are excluded on BOTH engines (V
+    divides by n-1; same convention as welch_anova's weight frame); a
+    zero sbc (no discordant exposure anywhere) makes the OR NULL-vs-Inf
+    cross-engine — documented corpus-shape pathology, unreachable on a
+    fixture with both flags in every year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exp_ = money("l_discount") > 0.05
+    case = F.col("l_returnflag") == "R"
+    s = li.groupBy(F.year("l_shipdate").cast("int").alias("yr")).agg(
+        F.sum(F.when(exp_ & case, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(exp_ & ~case, 1).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when(~exp_ & case, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(~exp_ & ~case, 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+    nn = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    t = s.where(nn >= 2).agg(
+        F.count(F.lit(1)).cast("int").alias("n_strata"),
+        F.sum(F.col("a").cast("double") * F.col("d") / nn).alias("sad"),
+        F.sum(F.col("b").cast("double") * F.col("c") / nn).alias("sbc"),
+        F.sum(F.col("a").cast("double")).alias("sa"),
+        F.sum(
+            (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c")) / nn
+        ).alias("se"),
+        F.sum(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nn.cast("double") * nn * (nn - 1.0))
+        ).alias("sv"),
+    )
+    return t.select(
+        "n_strata",
+        F.col("sa").cast("bigint").alias("n_exposed_cases"),
+        F.round(F.expr(_MH_OR), 6).alias("or_mh"),
+        F.round(F.expr(_MH_CHI), 6).alias("chi2_cmh"),
+    )
+
+
+# Log-rank shared formula texts over the event-day frame (d, d1 exact
+# integers; n, n1 exact at-risk integers lifted to double):
+_LR_E1 = "SUM(CAST(d AS DOUBLE) * n1 / n)"
+_LR_V = (
+    "SUM(CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)"
+    " * (1.0 - CAST(n1 AS DOUBLE) / n) * (n - d) / (n - 1.0)"
+    " ELSE 0.0 END)"
+)
+
+
+@register(
+    "logrank_test_purchase",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+               AS grp,
+           MIN(epoch_us(ts)) AS t0,
+           MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+           (SELECT MAX(epoch_us(ts)) FROM events) AS tmax
+    FROM events GROUP BY user_id
+), subj AS (
+    SELECT grp,
+           CAST(CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+                     ELSE (tmax - t0) // 86400000000 END AS INT) AS day,
+           CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS is_event
+    FROM u
+), days AS (
+    SELECT day,
+           CAST(SUM(is_event) AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN grp = 1 THEN is_event ELSE 0 END) AS BIGINT) AS d1,
+           CAST(COUNT(*) AS BIGINT) AS leaving,
+           CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaving1
+    FROM subj GROUP BY day
+), risk AS (
+    SELECT day, d, d1,
+           (SELECT COUNT(*) FROM subj)
+               - COALESCE(SUM(leaving) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+           (SELECT COUNT(*) FROM subj WHERE grp = 1)
+               - COALESCE(SUM(leaving1) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+    FROM days
+), ev AS (SELECT * FROM risk WHERE d > 0), t AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_event_days,
+           CAST(SUM(d1) AS BIGINT) AS o1,
+           {_LR_E1} AS e1, {_LR_V} AS v
+    FROM ev
+)
+SELECT n_event_days, o1, ROUND(e1, 6) AS e1,
+       ROUND((o1 - e1) * (o1 - e1) / v, 6) AS chi2_logrank
+FROM t
+""",
+    tags=("analytics", "stats", "survival"),
+)
+def logrank_test_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) test comparing the days-until-first-
+    purchase survival curves of two deterministic md5-coin user cohorts
+    — the hypothesis test that goes with ``survival_km_purchase``'s
+    estimator (KM draws the curves; log-rank says whether they differ),
+    censoring-correct where a naive mean-latency comparison is not.
+
+    Same subject/risk-set machinery as the KM query: users collapse to
+    one row (grain aggregate), day-grain counts, at-risk sizes from an
+    exclusive prefix sum over the BOUNDED day spine (the documented
+    single-partition bounded-frame window), pooled and group-1 tallies
+    carried side by side as exact integers; O, E, V reduce over event
+    days in the identical double op sequence (chi-square convention,
+    round 6).  The md5 cohort split is the portable helpers.md5_int32
+    coin — bit-identical on both engines.  Degenerate preconditions
+    (EB-convention note): single-subject risk sets contribute V = 0 by
+    the guarded term, and a corpus where the cohorts never co-occupy a
+    risk set leaves V = 0 → chi2 NULL-vs-Inf cross-engine (no
+    comparison to make); unreachable on the md5-halved fixture."""
+    from .helpers import md5_int32
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tmax = e.agg(F.max(us).alias("tmax"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(us).alias("t0"),
+            F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+        )
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            (md5_int32(F.col("user_id").cast("string")) % 2).alias("grp"),
+            F.when(
+                F.col("tp").isNotNull(), F.expr("(tp - t0) div 86400000000")
+            )
+            .otherwise(F.expr("(tmax - t0) div 86400000000"))
+            .cast("int")
+            .alias("day"),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("is_event"),
+        )
+    )
+    days = u.groupBy("day").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("is_event")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("leaving1"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).alias("n_subj"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n_subj1"),
+    )
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = days.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "d",
+        "d1",
+        (
+            F.col("n_subj") - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).cast("bigint").alias("n"),
+        (
+            F.col("n_subj1")
+            - F.coalesce(F.sum("leaving1").over(wprev), F.lit(0))
+        ).cast("bigint").alias("n1"),
+    )
+    t = risk.where(F.col("d") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_days"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.expr(_LR_E1).alias("e1"),
+        F.expr(_LR_V).alias("v"),
+    )
+    return t.select(
+        "n_event_days",
+        "o1",
+        F.round(F.col("e1"), 6).alias("e1"),
+        F.round(
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v"),
+            6,
+        ).alias("chi2_logrank"),
+    )
+
+
+@register(
+    "grubbs_outlier_daily",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+), m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(rev) AS DOUBLE) AS s,
+           CAST(SUM(CAST(rev AS DECIMAL(38,4)) * rev) AS DOUBLE) AS q
+    FROM daily
+), sc AS (
+    SELECT daily.day, CAST(rev AS DOUBLE) AS x, n_days, s, q,
+           ABS(CAST(rev AS DOUBLE) - s / n_days) AS dev
+    FROM daily, m
+), best AS (
+    SELECT day, x, n_days, dev,
+           SQRT((q - s * s / n_days) / (n_days - 1.0)) AS sd
+    FROM sc
+    ORDER BY dev DESC, day ASC LIMIT 1
+)
+SELECT n_days,
+       CAST(day AS VARCHAR) AS outlier_day,
+       ROUND(x, 6) AS outlier_revenue,
+       ROUND(dev / sd, 6) AS g_stat
+FROM best
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def grubbs_outlier_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic (maximum studentized deviate) over daily
+    order revenue — "is the most extreme day a statistical outlier?",
+    the single-outlier companion to the per-row ``mad_robust_outliers``
+    and ``rolling_zscore_anomalies`` batch screens (Grubbs asks about
+    THE extreme; those flag many).
+
+    Daily revenues are exact DECIMAL sums; n/Σx/Σx² reduce in one
+    1-row moment frame (Σx² exact DECIMAL(38,4) — day revenue squared
+    stays far inside 38 digits at any plausible scale), so mean/sd
+    derive from identical doubles on both engines; the argmax day is a
+    TakeOrdered top-1 under the deterministic (|dev| DESC, day) order —
+    exact-decimal inputs mean the deviation doubles are bit-identical
+    cross-engine and the tie-break is total.  One aggregate + one
+    broadcast of the 1-row moments + top-1: no global sort, no second
+    scan.  Degenerate note (EB convention): a constant series has
+    sd = 0 → G NULL-vs-NaN cross-engine; a one-day corpus divides by
+    n-1 = 0.  Both are "no outlier question to ask" shapes."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(money("o_totalprice")).alias("rev")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("rev").cast("double").alias("s"),
+        F.sum(F.col("rev").cast("decimal(38,4)") * F.col("rev"))
+        .cast("double")
+        .alias("q"),
+    )
+    sc = daily.crossJoin(F.broadcast(m)).select(
+        "day",
+        F.col("rev").cast("double").alias("x"),
+        "n_days",
+        "s",
+        "q",
+        F.abs(F.col("rev").cast("double") - F.col("s") / F.col("n_days")).alias(
+            "dev"
+        ),
+    )
+    best = sc.orderBy(F.desc("dev"), F.asc("day")).limit(1)
+    sd = F.sqrt(
+        (F.col("q") - F.col("s") * F.col("s") / F.col("n_days"))
+        / (F.col("n_days") - 1.0)
+    )
+    return best.select(
+        "n_days",
+        F.col("day").cast("string").alias("outlier_day"),
+        F.round(F.col("x"), 6).alias("outlier_revenue"),
+        F.round(F.col("dev") / sd, 6).alias("g_stat"),
+    )
+
+
+@register(
+    "bowker_symmetry_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+), cnt AS (
+    SELECT prev_type AS a, event_type AS b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT LEAST(a, b) AS x, GREATEST(a, b) AS y,
+           CAST(SUM(CASE WHEN a < b THEN n ELSE 0 END) AS BIGINT) AS nxy,
+           CAST(SUM(CASE WHEN a > b THEN n ELSE 0 END) AS BIGINT) AS nyx
+    FROM cnt GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS INT) AS n_pairs_tested,
+       CAST(SUM(nxy + nyx) AS BIGINT) AS n_transitions,
+       ROUND(SUM(CAST((nxy - nyx) AS DOUBLE) * (nxy - nyx) / (nxy + nyx)), 6)
+           AS chi2_bowker
+FROM pairs WHERE nxy + nyx > 0
+""",
+    tags=("analytics", "stats", "markov"),
+)
+def bowker_symmetry_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's test of symmetry on the user event-type transition
+    matrix — the k×k generalization of ``mcnemar_halves_test``: do
+    users flow view→purchase at the same rate as purchase→view, for
+    every unordered type pair at once?  A significant chi2 means the
+    session graph has DIRECTION (funnels), which is exactly what
+    ``session_transition_matrix`` displays and this tests.
+
+    Transitions come from one LAG window per user (the state-chain
+    grain, partitioned by user_id — horizontal, never data-sized per
+    task) under the total (ts, event_id) order, so ties cannot flip
+    pairs cross-engine; the off-diagonal counts fold to unordered
+    pairs via LEAST/GREATEST (k²→k(k-1)/2 tiny rows) and the statistic
+    is one exact-integer-ratio sum, round 6.  Pairs never observed in
+    either direction drop out (0/0 is outside the test's domain — the
+    classical dof only counts discordant-capable pairs)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    cnt = (
+        seq.where(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .groupBy(
+            F.col("prev_type").alias("a"), F.col("event_type").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    pairs = cnt.groupBy(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).agg(
+        F.sum(F.when(F.col("a") < F.col("b"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("nxy"),
+        F.sum(F.when(F.col("a") > F.col("b"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("nyx"),
+    )
+    disc = F.col("nxy") + F.col("nyx")
+    return pairs.where(disc > 0).agg(
+        F.count(F.lit(1)).cast("int").alias("n_pairs_tested"),
+        F.sum(disc).cast("bigint").alias("n_transitions"),
+        F.round(
+            F.sum(
+                (F.col("nxy") - F.col("nyx")).cast("double")
+                * (F.col("nxy") - F.col("nyx"))
+                / disc
+            ),
+            6,
+        ).alias("chi2_bowker"),
     )

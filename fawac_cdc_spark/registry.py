@@ -326,6 +326,18 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "dunn_posthoc_event_types",
     "hill_tail_index_doclen",
     "dedup_quality_bias",
+    # round 14
+    "kendall_w_daily_types",
+    "mantel_haenszel_returns",
+    "logrank_test_purchase",
+    "grubbs_outlier_daily",
+    "bowker_symmetry_transitions",
+    "cvm_test_type_hours",
+    "seasonal_strength_hourly",
+    "vocab_richness_estimators",
+    "fuzzy_title_dedup",
+    "jackknife_source_influence",
+    "hopkins_clusterability",
 )
 
 
@@ -355,9 +367,23 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-13 closing sweeps (341/341 at sf0.01 AND sf0.1 on
-# the final tree, tools/parity_last.json).
-PENDING_SWEEP: frozenset[str] = frozenset()
+# the round-14 wave rides tests/test_oracle_parity.py and per-query
+# parity runs until the closing dual-scale sweep lands and empties this.
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "kendall_w_daily_types",
+        "mantel_haenszel_returns",
+        "logrank_test_purchase",
+        "grubbs_outlier_daily",
+        "bowker_symmetry_transitions",
+        "cvm_test_type_hours",
+        "seasonal_strength_hourly",
+        "vocab_richness_estimators",
+        "fuzzy_title_dedup",
+        "jackknife_source_influence",
+        "hopkins_clusterability",
+    }
+)
 
 
 @dataclass(frozen=True)

@@ -128,6 +128,17 @@ _SCALAR_BROADCAST_OK = {
     #                             (holt_winters_hourly's shape)
     "capture_recapture_dups",  # three 1-row catch-count frames folded
     #                            (lsh_recall_vs_exact's shape)
+    # round 14
+    "kendall_w_daily_types",  # the shared Friedman 1-row bb/ag frames
+    "logrank_test_purchase",  # 1-row corpus-horizon + cohort-count frames
+    #                           (survival_km_purchase's shape)
+    "grubbs_outlier_daily",  # 1-row moment frame against the day rollup
+    "cvm_test_type_hours",  # 24-row spine + 1-row reduction (ks shape)
+    "jackknife_source_influence",  # 1-row corpus-total frame
+    "fuzzy_title_dedup",  # three 1-row audit-count frames folded
+    "hopkins_clusterability",  # 2m-row probe frame against the embeddings
+    #                            scan (cosine_topk_query0's fixed-m NLJ:
+    #                            m extra scans, linear in the corpus)
     # round 12 extension (stats II)
     "permutation_test_mean_diff",  # 1-row observed-diff frame + 32-replica
     #                                explode (poisson_bootstrap_ci's shape)

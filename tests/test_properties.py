@@ -3854,3 +3854,248 @@ def test_bucketed_predecessor_counts_match_sorted_ranks_with_negatives(spark):
             expect[v] = seen
         seen += 1
     assert got == expect
+
+
+# --- round 14 wave invariants ------------------------------------------------
+
+
+def test_kendall_w_bounds_and_friedman_identity(spark, sf_dir):
+    """W in [0, 1] and W == chi2_friedman / (b*(k-1)) exactly up to the
+    shared round(6) — both queries ride the same _fried_frames."""
+    (w,) = _SPECS["kendall_w_daily_types"].fn(spark, sf_dir).collect()
+    (f,) = _SPECS["friedman_daily_types"].fn(spark, sf_dir).collect()
+    assert 0.0 <= w["w_kendall"] <= 1.0
+    assert w["k_types"] == f["k_types"] and w["n_blocks"] == f["n_blocks"]
+    expect = f["chi2_friedman"] / (f["n_blocks"] * (f["k_types"] - 1))
+    assert abs(w["w_kendall"] - expect) < 5e-6  # two independent round(6)s
+
+
+def test_mantel_haenszel_replica(spark, sf_dir):
+    """Independent per-stratum 2x2 replica via duckdb + pure Python."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT EXTRACT(YEAR FROM l_shipdate),
+                   CAST(l_discount AS DECIMAL(18,2)) > 0.05,
+                   l_returnflag = 'R', COUNT(*)
+            FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2, 3"""
+    ).fetchall()
+    strata = {}
+    for yr, ex, rf, c in rows:
+        t = strata.setdefault(yr, [0, 0, 0, 0])
+        t[(0 if ex else 2) + (0 if rf else 1)] += c
+    sad = sbc = sa = se = sv = 0.0
+    n_strata = 0
+    for a, b, c_, d in strata.values():
+        n = a + b + c_ + d
+        if n < 2:
+            continue
+        n_strata += 1
+        sad += a * d / n
+        sbc += b * c_ / n
+        sa += a
+        se += (a + b) * (a + c_) / n
+        sv += (a + b) * (c_ + d) * (a + c_) * (b + d) / (float(n) * n * (n - 1))
+    (r,) = _SPECS["mantel_haenszel_returns"].fn(spark, sf_dir).collect()
+    assert r["n_strata"] == n_strata
+    assert abs(r["or_mh"] - sad / sbc) < 1e-5
+    assert abs(r["chi2_cmh"] - (sa - se) ** 2 / sv) < 1e-5
+
+
+def test_logrank_bounds(spark, sf_dir):
+    """chi2 >= 0; O1 is a subset count of all purchasing users; E1 > 0
+    when any events exist; O1 + O0 over event days equals the total
+    purchasing-user count (every purchaser is an event exactly once)."""
+    import duckdb
+
+    (r,) = _SPECS["logrank_test_purchase"].fn(spark, sf_dir).collect()
+    n_purch = duckdb.connect().execute(
+        f"""SELECT COUNT(DISTINCT user_id) FROM '{sf_dir}/events.parquet'
+            WHERE event_type = 'purchase'"""
+    ).fetchone()[0]
+    assert r["chi2_logrank"] >= 0.0
+    assert 0 <= r["o1"] <= n_purch
+    assert r["e1"] > 0.0
+
+
+def test_grubbs_replica(spark, sf_dir):
+    """Pure-Python max studentized deviate over the daily revenue."""
+    import duckdb
+    import math
+
+    vals = [
+        float(v)
+        for (v,) in duckdb.connect().execute(
+            f"""SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FROM '{sf_dir}/orders.parquet' GROUP BY o_orderdate"""
+        ).fetchall()
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt(sum((x - mean) ** 2 for x in vals) / (n - 1))
+    g = max(abs(x - mean) for x in vals) / sd
+    (r,) = _SPECS["grubbs_outlier_daily"].fn(spark, sf_dir).collect()
+    assert r["n_days"] == n
+    assert abs(r["g_stat"] - g) < 1e-4
+
+
+def test_bowker_replica(spark, sf_dir):
+    """Independent transition-count replica (python lag over the total
+    (ts, event_id) order) for the symmetry statistic."""
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.connect().execute(
+        f"""SELECT user_id, event_type FROM '{sf_dir}/events.parquet'
+            ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    cnt: Counter = Counter()
+    prev_u = prev_t = None
+    for u, t in rows:
+        if u == prev_u and prev_t is not None and prev_t != t:
+            cnt[(prev_t, t)] += 1
+        prev_u, prev_t = u, t
+    pairs = {}
+    for (a, b), n in cnt.items():
+        x, y = min(a, b), max(a, b)
+        k = pairs.setdefault((x, y), [0, 0])
+        k[0 if a < b else 1] += n
+    chi2 = sum(
+        (nxy - nyx) ** 2 / (nxy + nyx) for nxy, nyx in pairs.values() if nxy + nyx
+    )
+    (r,) = _SPECS["bowker_symmetry_transitions"].fn(spark, sf_dir).collect()
+    assert r["n_pairs_tested"] == sum(1 for v in pairs.values() if sum(v))
+    assert r["n_transitions"] == sum(sum(v) for v in pairs.values())
+    assert abs(r["chi2_bowker"] - chi2) < 1e-5
+
+
+def test_cvm_bounds_and_ks_consistency(spark, sf_dir):
+    """T >= 0, and the CvM sample sizes equal the KS query's (same
+    types, same filter, same spine)."""
+    (c,) = _SPECS["cvm_test_type_hours"].fn(spark, sf_dir).collect()
+    (k,) = _SPECS["ks_test_type_hours"].fn(spark, sf_dir).collect()
+    assert c["cvm_t"] >= 0.0
+    assert (c["n_a"], c["n_b"]) == (k["n_a"], k["n_b"])
+
+
+def test_seasonal_strength_bounds(spark, sf_dir):
+    """strength in [0, 1]; variances nonnegative; the strength matches
+    its own definition from the reported variances."""
+    (r,) = _SPECS["seasonal_strength_hourly"].fn(spark, sf_dir).collect()
+    assert r["var_detrended"] >= 0.0 and r["var_remainder"] >= 0.0
+    assert 0.0 <= r["seasonal_strength"] <= 1.0
+    if r["var_detrended"] > 0:
+        expect = max(0.0, 1.0 - r["var_remainder"] / r["var_detrended"])
+        assert abs(r["seasonal_strength"] - expect) < 5e-5
+
+
+def test_vocab_richness_replica(spark, sf_dir):
+    """Pure-Python frequency-of-frequencies replica per source."""
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.connect().execute(
+        f"SELECT source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    per: dict[str, Counter] = {}
+    for src, text in rows:
+        per.setdefault(src, Counter()).update(text.split(" "))
+    got = {
+        r["source"]: r
+        for r in _SPECS["vocab_richness_estimators"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per)
+    for src, tf in per.items():
+        n = sum(tf.values())
+        v = len(tf)
+        f1 = sum(1 for c in tf.values() if c == 1)
+        f2 = sum(1 for c in tf.values() if c == 2)
+        r = got[src]
+        assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (n, v, f1, f2)
+        assert abs(r["chao1"] - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))) < 1e-5
+        assert abs(r["gt_unseen_mass"] - f1 / n) < 1e-6
+
+
+def test_fuzzy_title_replica(spark, sf_dir):
+    """Pure-Python blocked Levenshtein replica (O(block^2) at sf0.001)."""
+    import duckdb
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    from fawac_cdc_spark.functions.dedup import (
+        FUZZY_LEV_MAX,
+        MAX_TITLE_BLOCK,
+        TITLE_TOKENS,
+    )
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    blocks: dict[str, list[tuple[int, str]]] = {}
+    for did, text in rows:
+        title = " ".join(text.split(" ")[:TITLE_TOKENS])
+        blocks.setdefault(title.split(" ")[0], []).append((did, title))
+    kept = {k: v for k, v in blocks.items() if len(v) <= MAX_TITLE_BLOCK}
+    n_pairs = n_fuzzy = 0
+    affected = set()
+    for docs in kept.values():
+        docs.sort()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                n_pairs += 1
+                d = lev(docs[i][1], docs[j][1])
+                if 1 <= d <= FUZZY_LEV_MAX:
+                    n_fuzzy += 1
+                    affected.add(docs[i][0])
+                    affected.add(docs[j][0])
+    (r,) = _SPECS["fuzzy_title_dedup"].fn(spark, sf_dir).collect()
+    assert r["n_blocks"] == len(kept)
+    assert r["n_pairs_compared"] == n_pairs
+    assert r["n_fuzzy_pairs"] == n_fuzzy
+    assert r["n_docs_affected"] == len(affected)
+
+
+def test_jackknife_influence_replica(spark, sf_dir):
+    """Exact leave-one-out identity replica; influences are consistent
+    with the direction of each source's mean vs the corpus mean."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT source, COUNT(*), SUM(len(string_split(text, ' ')))
+            FROM '{sf_dir}/documents.parquet' GROUP BY 1"""
+    ).fetchall()
+    nn = sum(r[1] for r in rows)
+    tt = sum(r[2] for r in rows)
+    got = {
+        r["source"]: r
+        for r in _SPECS["jackknife_source_influence"].fn(spark, sf_dir).collect()
+    }
+    for src, nd, nt in rows:
+        r = got[src]
+        assert (r["n_docs"], r["n_tokens"]) == (nd, nt)
+        excl = (tt - nt) / (nn - nd)
+        assert abs(r["mean_ntok_excl"] - excl) < 1e-5
+        assert abs(r["influence"] - (excl - tt / nn)) < 1e-5
+        # dropping a shorter-than-average source raises the mean
+        assert (r["influence"] > 0) == (nt / nd < tt / nn) or r["influence"] == 0
+
+
+def test_hopkins_bounds(spark, sf_dir):
+    """H in (0, 1); both distance sums positive; m pinned."""
+    from fawac_cdc_spark.functions.similarity import HOPKINS_M
+
+    (r,) = _SPECS["hopkins_clusterability"].fn(spark, sf_dir).collect()
+    assert r["m_probes"] == HOPKINS_M
+    assert r["sum_w"] > 0.0 and r["sum_u"] > 0.0
+    assert 0.0 < r["hopkins_h"] < 1.0
