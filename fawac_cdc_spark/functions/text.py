@@ -2456,3 +2456,114 @@ def vocab_richness_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gt_unseen_mass"
         ),
     ).orderBy("source")
+
+
+# --- round 14: rank-biased overlap between the lexical and dense rankers --------
+
+RBO_P = 0.9  # persistence: weight (1-p)p^(d-1) on depth d
+RBO_DEPTH = 10  # truncation depth = both systems' top-k
+
+# Truncated, normalized RBO over the bounded depth spine: weights sum to
+# exactly 1 over d=1..DEPTH, so rbo in [0, 1].
+_RBO_W = f"((1.0 - {RBO_P}) * power({RBO_P}, d - 1) / (1.0 - power({RBO_P}, {RBO_DEPTH})))"
+
+
+@register(
+    "rbo_retrieval_agreement",
+    oracle=f"""
+WITH {_BM25_SCORED_CTE},
+lex AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+    FROM bm25_scored ORDER BY bm25 DESC, doc_id LIMIT {RBO_DEPTH}
+),
+{_SCORED_Q0_CTE},
+dense AS (
+    SELECT vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rb
+    FROM scored_q0 ORDER BY cos_sim DESC, vec_id LIMIT {RBO_DEPTH}
+),
+m AS (
+    SELECT GREATEST(ra, rb) AS deepest FROM lex JOIN dense USING (doc_id)
+),
+spine AS (SELECT CAST(unnest(range(1, {RBO_DEPTH} + 1)) AS INT) AS d),
+xd AS (
+    SELECT d,
+           CAST((SELECT COUNT(*) FROM m WHERE deepest <= d) AS BIGINT) AS x
+    FROM spine
+)
+SELECT CAST({RBO_DEPTH} AS INT) AS depth,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_overlap_total,
+       ROUND(SUM({_RBO_W} * x / d), 6) AS rbo
+FROM xd
+""",
+    tags=("text", "llm", "retrieval", "stats"),
+)
+def rbo_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010; truncated at depth {D},
+    p={P}, weights normalized to sum 1) between the two retrieval
+    systems the engine already ships: the LEXICAL BM25 top-{D} and the
+    DENSE cosine top-{D} against query 0 — the "do my rankers agree, and
+    at the top where it matters?" audit read before trusting
+    ``rrf_fused_topk_docs``'s fusion (RBO ≈ 1 means fusion is redundant;
+    RBO ≈ 0 means the two systems retrieve from disjoint pools and
+    fusion genuinely widens recall).  Top-weighted by construction,
+    unlike Kendall/Spearman on ranks.
+
+    Composes the two existing ONE-definition scoring machineries
+    (``bm25_scored_df`` / ``_BM25_SCORED_CTE`` and ``scored_vs_query0``
+    / ``_SCORED_Q0_CTE``) — no third copy of either scorer; both
+    top-{D}s are TakeOrderedAndProject frontiers on round(6)-stable
+    orders.  The overlap-at-depth table is |matches| ≤ {D} rows joined
+    to a {D}-row spine (bounded, broadcast), and the statistic is one
+    {D}-term weighted sum (shared weight text, chi-square convention,
+    round 6).  At 100 TB the cost is the two scorers' documented linear
+    passes; the RBO arithmetic is constant-size."""
+    from .similarity import scored_vs_query0
+    from ..catalog import load_table as _lt
+
+    lex = (
+        bm25_scored_df(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RBO_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .alias("ra"),
+        )
+    )
+    dense = (
+        scored_vs_query0(_lt(spark, sf_dir, "embeddings"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(RBO_DEPTH)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+            .alias("rb"),
+        )
+    )
+    m = lex.join(dense, "doc_id").select(
+        F.greatest("ra", "rb").alias("deepest")
+    )
+    spine = spark.range(1, RBO_DEPTH + 1).select(F.col("id").cast("int").alias("d"))
+    xd = (
+        spine.join(F.broadcast(m), F.col("deepest") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("deepest").cast("bigint").alias("x"))
+    )
+    tot = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap_total"))
+    return (
+        xd.agg(F.sum(F.expr(_RBO_W) * F.col("x") / F.col("d")).alias("s"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(RBO_DEPTH).cast("int").alias("depth"),
+            "n_overlap_total",
+            F.round(F.col("s"), 6).alias("rbo"),
+        )
+    )
+
+
+rbo_retrieval_agreement.__doc__ = rbo_retrieval_agreement.__doc__.format(
+    D=RBO_DEPTH, P=RBO_P
+)

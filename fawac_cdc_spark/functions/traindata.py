@@ -2189,3 +2189,90 @@ def jackknife_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- round 14: data-loader shuffle-quality audit ---------------------------------
+
+
+@register(
+    "shuffle_adjacency_audit",
+    oracle=f"""
+WITH keyed AS (
+    SELECT source, {_SHUF_KEY_SQL} AS ord_key, {_SHUF_SHARD_SQL} AS shard
+    FROM documents
+), adj AS (
+    SELECT source,
+           LAG(source) OVER (PARTITION BY shard ORDER BY ord_key) AS prev_src
+    FROM keyed
+), obs AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_adjacent,
+           CAST(SUM(CASE WHEN source = prev_src THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same
+    FROM adj WHERE prev_src IS NOT NULL
+), mix AS (
+    SELECT SUM(CAST(c AS DOUBLE) * c) / (SUM(c) * SUM(CAST(c AS DOUBLE))) AS exp_rate
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source)
+)
+SELECT n_adjacent, n_same,
+       ROUND(CAST(n_same AS DOUBLE) / n_adjacent, 6) AS observed_rate,
+       ROUND(exp_rate, 6) AS expected_rate,
+       ROUND(CAST(n_same AS DOUBLE) / n_adjacent / exp_rate, 6)
+           AS adjacency_ratio
+FROM obs, mix
+""",
+    tags=("traindata", "llm", "stats"),
+)
+def shuffle_adjacency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit of the training data loader's order: within
+    the deterministic shard permutation (``shuffled_shard_manifest``'s
+    ord_key), how often are ADJACENT documents from the same source,
+    versus the Σp_s² rate a perfect shuffle implies?  adjacency_ratio ≈
+    1 means the md5 permutation destroyed source runs (the property that
+    keeps per-batch gradient mixes unbiased); >> 1 means source
+    clumping survived and consecutive training batches are correlated —
+    the audit that catches a broken shuffle key before a training run
+    does.
+
+    One definition of the permutation (``_SHUF_KEY_SQL`` /
+    ``_shuffle_cols``, shared with the manifest query); the LAG window
+    partitions BY SHARD so each task orders only its shard (the
+    manifest's scale dial — never a global sort); counts are exact
+    BIGINTs, the expected rate is the exact Σc_s·c_s/N² identity from
+    the |sources|-row mix frame, and only the three final rates are
+    rounded doubles (round 6).  Cross-shard boundary pairs are excluded
+    (first row of each shard has no predecessor) — matching how shards
+    are actually consumed: one file per shard, order within."""
+    d = load_table(spark, sf_dir, "documents")
+    ord_key, shard = _shuffle_cols()
+    keyed = d.select(
+        "source", ord_key.alias("ord_key"), shard.alias("shard")
+    )
+    from pyspark.sql import Window as _W
+
+    adj = keyed.select(
+        "source",
+        F.lag("source")
+        .over(_W.partitionBy("shard").orderBy("ord_key"))
+        .alias("prev_src"),
+    ).where(F.col("prev_src").isNotNull())
+    obs = adj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_adjacent"),
+        F.sum(F.when(F.col("source") == F.col("prev_src"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_same"),
+    )
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    mix = cnt.agg(
+        (
+            F.sum(F.col("c").cast("double") * F.col("c"))
+            / (F.sum("c") * F.sum(F.col("c").cast("double")))
+        ).alias("exp_rate")
+    )
+    rate = F.col("n_same").cast("double") / F.col("n_adjacent")
+    return obs.crossJoin(F.broadcast(mix)).select(
+        "n_adjacent",
+        "n_same",
+        F.round(rate, 6).alias("observed_rate"),
+        F.round(F.col("exp_rate"), 6).alias("expected_rate"),
+        F.round(rate / F.col("exp_rate"), 6).alias("adjacency_ratio"),
+    )

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from .helpers import money, rank_bucket
+from .helpers import MONEY, money, rank_bucket
 
 # --- Spearman ----------------------------------------------------------------
 
@@ -2814,4 +2814,155 @@ def bowker_symmetry_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("chi2_bowker"),
+    )
+
+
+# --- round 14 wave 2: split-conformal prediction interval audit ----------------
+
+CONF_ALPHA = 0.1  # target 90% coverage
+CONF_GRID = 1_000_000  # FLOOR-quantize grid for residuals (helpers.py)
+# md5 decile split: 0-4 train (fit the per-type mean), 5-7 calibration
+# (order statistic), 8-9 test (empirical coverage).
+_CONF_BUCKET_DUCK = (
+    "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 10"
+)
+
+
+@register(
+    "conformal_residual_coverage",
+    oracle=f"""
+WITH scored AS (
+    SELECT {_CONF_BUCKET_DUCK} AS bucket,
+           event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+    FROM events
+), mu AS (
+    SELECT event_type,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m
+    FROM scored WHERE bucket <= 4 GROUP BY 1
+), resid AS (
+    SELECT s.bucket,
+           CAST(FLOOR(ABS(s.v - mu.m) * {CONF_GRID}) AS BIGINT) AS rq
+    FROM scored s JOIN mu USING (event_type)
+    WHERE s.bucket >= 5
+), cal AS (SELECT rq FROM resid WHERE bucket <= 7),
+tst AS (SELECT rq FROM resid WHERE bucket >= 8),
+kk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+           CAST(CEIL((1.0 - {CONF_ALPHA}) * (COUNT(*) + 1)) AS BIGINT) AS k
+    FROM cal
+), qh AS (
+    SELECT rq AS q FROM cal ORDER BY rq LIMIT 1
+    OFFSET (SELECT k - 1 FROM kk)
+)
+SELECT (SELECT n_cal FROM kk) AS n_cal,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tst) AS n_test,
+       (SELECT k FROM kk) AS k_order,
+       ROUND((SELECT CAST(q AS DOUBLE) FROM qh) / {CONF_GRID}, 6) AS q_hat,
+       ROUND((SELECT CAST(SUM(CASE WHEN rq <= (SELECT q FROM qh)
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+              FROM tst), 6) AS coverage
+""",
+    tags=("analytics", "stats", "llm"),
+)
+def conformal_residual_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction-interval audit on event values: fit
+    the trivial per-type mean on an md5-decile TRAIN split, take the
+    conformal quantile q̂ = the ⌈(1−α)(n+1)⌉-th smallest absolute
+    residual on a disjoint CALIBRATION split, and report the EMPIRICAL
+    coverage of |v − μ_type| ≤ q̂ on a held-out TEST split — the
+    distribution-free guarantee check (coverage ≈ 90% by the conformal
+    theorem REGARDLESS of the value distribution) that a model-serving
+    pipeline runs before trusting its intervals; the inferential
+    companion to ``score_calibration_bins`` (calibration of
+    probabilities) on the regression side.
+
+    Determinism: the three-way split is the portable md5 coin on
+    event_id; the per-type train means derive from exact decimal sums;
+    residual doubles (identical cross-engine) are FLOOR-quantized to
+    the 1e-6 grid BEFORE selection (helpers.py convention), so q̂ is an
+    exact integer ORDER STATISTIC — the conformal quantile is defined
+    as a k-th smallest, no interpolation seam — and coverage compares
+    exact integers.  Scale: Spark finds the k-th smallest via the
+    sign-safe ``rank_bucket`` grain hierarchy (value-grain counts →
+    bucket-scoped cumulative → first grain with cum ≥ k), never a
+    global sort; the oracle keeps the direct ORDER BY/OFFSET form.
+    Degenerate note (EB convention): an empty calibration or test
+    split (sub-decile corpus) leaves q̂/coverage NULL on both engines —
+    no interval to audit."""
+    from .helpers import md5_int32
+
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (md5_int32(F.col("event_id").cast("string")) % 10).alias("bucket"),
+        "event_type",
+        money("value").cast("double").alias("v"),
+    )
+    mu = (
+        scored.where(F.col("bucket") <= 4)
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.col("v").cast(MONEY)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    resid = (
+        scored.where(F.col("bucket") >= 5)
+        .join(F.broadcast(mu), "event_type")
+        .select(
+            "bucket",
+            F.floor(F.abs(F.col("v") - F.col("m")) * CONF_GRID)
+            .cast("bigint")
+            .alias("rq"),
+        )
+    )
+    cal = resid.where(F.col("bucket") <= 7).select("rq")
+    tst = resid.where(F.col("bucket") >= 8).select("rq")
+    kk = cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.ceil((1.0 - CONF_ALPHA) * (F.count(F.lit(1)) + 1))
+        .cast("bigint")
+        .alias("k"),
+    )
+    # k-th smallest via the sign-safe grain hierarchy (no global sort)
+    gr = cal.groupBy("rq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).withColumn("bucket", rank_bucket("rq"))
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("rq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vb = gr.withColumn("cum_b", F.sum("c").over(wv))
+    bt = gr.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bto = bt.select(
+        "bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("boff")
+    )
+    cum = vb.join(F.broadcast(bto), "bucket").select(
+        "rq", (F.col("boff") + F.col("cum_b")).alias("cum")
+    )
+    qh = (
+        cum.crossJoin(F.broadcast(kk))
+        .where(F.col("cum") >= F.col("k"))
+        .agg(F.min("rq").alias("q"))
+    )
+    cov = (
+        tst.crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.sum(F.when(F.col("rq") <= F.col("q"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+            F.round(F.max("q").cast("double") / CONF_GRID, 6).alias("q_hat"),
+        )
+    )
+    return kk.crossJoin(F.broadcast(cov)).select(
+        "n_cal", "n_test", F.col("k").alias("k_order"), "q_hat", "coverage"
     )

@@ -338,6 +338,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "fuzzy_title_dedup",
     "jackknife_source_influence",
     "hopkins_clusterability",
+    "rbo_retrieval_agreement",
+    "shuffle_adjacency_audit",
+    "conformal_residual_coverage",
 )
 
 
@@ -382,6 +385,9 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "fuzzy_title_dedup",
         "jackknife_source_influence",
         "hopkins_clusterability",
+        "rbo_retrieval_agreement",
+        "shuffle_adjacency_audit",
+        "conformal_residual_coverage",
     }
 )
 

@@ -139,6 +139,11 @@ _SCALAR_BROADCAST_OK = {
     "hopkins_clusterability",  # 2m-row probe frame against the embeddings
     #                            scan (cosine_topk_query0's fixed-m NLJ:
     #                            m extra scans, linear in the corpus)
+    "rbo_retrieval_agreement",  # 10-row depth spine inequality-joined to
+    #                             the <=10-row match frame (bounded both
+    #                             sides) + 1-row total
+    "shuffle_adjacency_audit",  # 1-row obs x 1-row mix frames
+    "conformal_residual_coverage",  # 1-row k/q/coverage frames folded
     # round 12 extension (stats II)
     "permutation_test_mean_diff",  # 1-row observed-diff frame + 32-replica
     #                                explode (poisson_bootstrap_ci's shape)

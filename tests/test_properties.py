@@ -4099,3 +4099,39 @@ def test_hopkins_bounds(spark, sf_dir):
     assert r["m_probes"] == HOPKINS_M
     assert r["sum_w"] > 0.0 and r["sum_u"] > 0.0
     assert 0.0 < r["hopkins_h"] < 1.0
+
+
+def test_rbo_bounds_and_rrf_consistency(spark, sf_dir):
+    """RBO in [0, 1]; the overlap total is bounded by the depth; RBO is
+    0 iff the two top-10 lists share nothing."""
+    (r,) = _SPECS["rbo_retrieval_agreement"].fn(spark, sf_dir).collect()
+    assert 0 <= r["n_overlap_total"] <= r["depth"]
+    assert 0.0 <= r["rbo"] <= 1.0
+    assert (r["rbo"] == 0.0) == (r["n_overlap_total"] == 0)
+
+
+def test_shuffle_adjacency_near_one(spark, sf_dir):
+    """The md5 permutation is a (near-)perfect shuffle: the observed
+    same-source adjacency rate must sit near the Sum p_s^2 expectation
+    (binomial 5-sigma band), and the identity columns must be exact."""
+    (r,) = _SPECS["shuffle_adjacency_audit"].fn(spark, sf_dir).collect()
+    import math
+
+    p = r["expected_rate"]
+    sd = math.sqrt(p * (1 - p) / r["n_adjacent"])
+    assert abs(r["observed_rate"] - p) < 5 * sd
+    assert abs(r["observed_rate"] - r["n_same"] / r["n_adjacent"]) < 1e-6
+    assert abs(r["adjacency_ratio"] - r["observed_rate"] / p) < 1e-4
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """The split-conformal theorem: coverage >= 1 - alpha - binomial
+    noise on the finite test split (5 sigma), and the order statistic
+    index k = ceil(0.9 * (n_cal + 1)) is exact."""
+    import math
+
+    (r,) = _SPECS["conformal_residual_coverage"].fn(spark, sf_dir).collect()
+    assert r["k_order"] == math.ceil(0.9 * (r["n_cal"] + 1))
+    assert r["q_hat"] >= 0.0
+    sd = math.sqrt(0.1 * 0.9 / r["n_test"])
+    assert r["coverage"] >= 0.9 - 5 * sd
