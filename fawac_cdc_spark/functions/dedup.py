@@ -3203,6 +3203,40 @@ MAX_TITLE_BLOCK = 200  # DF cap per block, the capped_shingles discipline
 FUZZY_LEV_MAX = 2  # 1..2 edits = fuzzy pair (0 edits is exact dedup's job)
 
 
+def _fuzzy_title_pairs(spark: SparkSession, sf_dir: str):
+    """(keep, pairs): the DF-capped block list and the within-block
+    title pair frame with Levenshtein distances — split out of
+    ``fuzzy_title_dedup`` (pre-localCheckpoint) so tests/test_plans.py
+    can pin that the pair join keys on the block column."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, TITLE_TOKENS), " "
+        ).alias("title"),
+    ).withColumn("blk", F.split(F.col("title"), " ").getItem(0))
+    keep = (
+        b.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .where(F.col("bc") <= MAX_TITLE_BLOCK)
+        .select("blk")
+    )
+    c = b.join(keep, "blk", "left_semi").localCheckpoint(eager=True)
+    z = c.select(
+        F.col("blk").alias("blk_z"),
+        F.col("doc_id").alias("idb"),
+        F.col("title").alias("title_z"),
+    )
+    pairs = c.join(
+        z, (F.col("blk") == F.col("blk_z")) & (F.col("doc_id") < F.col("idb"))
+    ).select(
+        F.col("doc_id").alias("ida"),
+        "idb",
+        F.levenshtein("title", "title_z").alias("lev"),
+    )
+    return keep, pairs
+
+
 @register(
     "fuzzy_title_dedup",
     oracle=f"""
@@ -3253,32 +3287,7 @@ def fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct a-side + distinct b-side − ids seen on both), which keeps
     the reduction on the two pair columns instead of materializing the
     union."""
-    d = load_table(spark, sf_dir, "documents")
-    b = d.select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.split("text", " "), 1, TITLE_TOKENS), " "
-        ).alias("title"),
-    ).withColumn("blk", F.split(F.col("title"), " ").getItem(0))
-    keep = (
-        b.groupBy("blk")
-        .agg(F.count(F.lit(1)).alias("bc"))
-        .where(F.col("bc") <= MAX_TITLE_BLOCK)
-        .select("blk")
-    )
-    c = b.join(keep, "blk", "left_semi").localCheckpoint(eager=True)
-    z = c.select(
-        F.col("blk").alias("blk_z"),
-        F.col("doc_id").alias("idb"),
-        F.col("title").alias("title_z"),
-    )
-    pairs = c.join(
-        z, (F.col("blk") == F.col("blk_z")) & (F.col("doc_id") < F.col("idb"))
-    ).select(
-        F.col("doc_id").alias("ida"),
-        "idb",
-        F.levenshtein("title", "title_z").alias("lev"),
-    )
+    keep, pairs = _fuzzy_title_pairs(spark, sf_dir)
     pairs = pairs.localCheckpoint(eager=True)
     fz = pairs.where(
         (F.col("lev") >= 1) & (F.col("lev") <= FUZZY_LEV_MAX)

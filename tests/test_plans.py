@@ -1406,3 +1406,53 @@ def test_changepoint_plans_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "best_changepoint_daily")
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+# --- round 14 plan pins --------------------------------------------------------
+
+
+def test_grubbs_is_take_ordered_top1(spark, sf_dir):
+    """The argmax day must be a TakeOrderedAndProject frontier, never a
+    global sort of the day grain."""
+    plan = _plan(spark, sf_dir, "grubbs_outlier_daily")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hopkins_probe_pass_is_single_scan_nlj(spark, sf_dir):
+    """The Hopkins probe pass is ONE broadcast NLJ of the 2m-row probe
+    frame against the embeddings scan (fixed-m extra-scans shape) — and
+    the real-probe frontier is TakeOrdered, not a global sort."""
+    plan = _plan(spark, sf_dir, "hopkins_clusterability")
+    # Catalyst pushes the crossJoin through the probe union, planning one
+    # NLJ per branch — still the fixed-m extra-scans shape (<= 2 passes).
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_title_pairs_are_block_equi_joined(spark, sf_dir):
+    """The title pair join must key on the block column (equi-join on
+    blk), never an unkeyed pair expansion.  The final query plan hides
+    the join behind a localCheckpoint, so pin the exposed pair frame."""
+    from fawac_cdc_spark.functions.dedup import _fuzzy_title_pairs
+
+    _, pairs = _fuzzy_title_pairs(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = [l for l in plan.splitlines() if "keys [1]" in l.lower()]
+    assert keys and all("blk" in l for l in keys), keys
+
+
+def test_conformal_quantile_windows_are_bucket_blocked(spark, sf_dir):
+    """The conformal order statistic must ride the sign-safe bucket
+    hierarchy: every window spec in the plan is bucket-scoped (the
+    mann_whitney discipline on the residual grain)."""
+    plan = _plan(spark, sf_dir, "conformal_residual_coverage")
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    for line in specs:
+        assert "bucket" in line, line
