@@ -2966,3 +2966,278 @@ def conformal_residual_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kk.crossJoin(F.broadcast(cov)).select(
         "n_cal", "n_test", F.col("k").alias("k_order"), "q_hat", "coverage"
     )
+
+
+# --- round 14 wave 3: KW effect sizes / energy distance / L-moments ------------
+
+# Effect sizes rescale the tie-corrected H: eta^2_H = (H - k + 1)/(n - k),
+# epsilon^2 = H/((n*n - 1)/(n + 1)) = H*(n + 1)/(n*n - 1).
+_KW_ETA2 = f"(({_KW_H} - kk + 1.0) / (nn - kk))"
+_KW_EPS2 = f"({_KW_H} * (nn + 1.0) / (nn * nn - 1.0))"
+
+
+@register(
+    "kw_effect_sizes_event_types",
+    oracle=f"""
+WITH {_KW_CTES}, terms AS (
+    SELECT {_KW_T} AS t FROM per_type
+), ag AS (
+    SELECT CAST((SELECT COUNT(*) FROM per_type) AS DOUBLE) AS kk,
+           (SELECT SUM(t) FROM terms) AS st
+)
+SELECT CAST(ag.kk AS INT) AS k_types,
+       CAST(tot.nn AS BIGINT) AS n_events,
+       ROUND({_KW_ETA2}, 6) AS eta2_h,
+       ROUND({_KW_EPS2}, 6) AS epsilon2
+FROM ag, tot
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def kw_effect_sizes_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect sizes for the Kruskal–Wallis test: η²_H = (H−k+1)/(n−k)
+    and ε² = H·(n+1)/(n²−1) — the "is the significant difference LARGE?"
+    numbers a report quotes next to ``kruskal_wallis_event_types``'s
+    p-value (with n in the hundred-thousands, H is always significant;
+    the effect sizes say whether anyone should care), playing the same
+    role for KW that ``kendall_w_daily_types`` plays for Friedman.
+
+    Rides the SAME ``_kw_rank_frames`` / ``_KW_CTES`` machinery as H
+    itself (one definition — the effect sizes can never drift from the
+    statistic they rescale), so the sign-safe bucket hierarchy, exact
+    DECIMAL rank masses, shared-text double formulas and round(6) all
+    carry over; this query only adds two rescaling expressions on the
+    same 1-row frames."""
+    per_type, tot = _kw_rank_frames(spark, sf_dir)
+    ag = per_type.agg(
+        F.count(F.lit(1)).cast("double").alias("kk"),
+        F.sum(F.expr(_KW_T)).alias("st"),
+    )
+    return ag.crossJoin(F.broadcast(tot)).select(
+        F.col("kk").cast("int").alias("k_types"),
+        F.col("nn").cast("bigint").alias("n_events"),
+        F.round(F.expr(_KW_ETA2), 6).alias("eta2_h"),
+        F.round(F.expr(_KW_EPS2), 6).alias("epsilon2"),
+    )
+
+
+@register(
+    "energy_distance_type_hours",
+    oracle="""
+WITH c AS (
+    SELECT CAST(EXTRACT(HOUR FROM ts) AS INT) AS hr,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c
+), g AS (
+    SELECT x.hr AS i, y.hr AS j, ABS(x.hr - y.hr) AS dij,
+           x.ca AS cai, x.cb AS cbi, y.ca AS caj, y.cb AS cbj
+    FROM c x, c y
+), s AS (
+    SELECT SUM(CAST(dij AS DOUBLE) * cai * cbj) AS sab,
+           SUM(CAST(dij AS DOUBLE) * cai * caj) AS saa,
+           SUM(CAST(dij AS DOUBLE) * cbi * cbj) AS sbb
+    FROM g
+)
+SELECT tot.na AS n_a, tot.nb AS n_b,
+       ROUND(2.0 * sab / (CAST(na AS DOUBLE) * nb)
+             - saa / (CAST(na AS DOUBLE) * na)
+             - sbb / (CAST(nb AS DOUBLE) * nb), 6) AS energy_dist
+FROM s, tot
+""",
+    tags=("analytics", "stats"),
+)
+def energy_distance_type_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Székely's two-sample ENERGY DISTANCE between the hour-of-day
+    distributions of click and view events:
+    E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the metric-space two-sample test
+    completing the trio on this axis (KS reads the worst ECDF gap, CvM
+    the integrated squared gap, energy the full pairwise-distance
+    geometry; E = 0 iff the distributions are equal), and the 1-D form
+    of the statistic that generalizes to embeddings.
+
+    The hour grain makes every expectation a 24×24 GRID sum: per-hour
+    counts are exact BIGINTs, |i−j| is an exact integer, and each
+    d·count·count term stays integer-exact until the three grid sums
+    (≤ 576 terms, chi-square convention) divide by the exact pair
+    counts — one rounded double at the end.  The grid self-join is the
+    Friedman O(k²) bounded-join discipline on a 24-row frame; at 100 TB
+    only the first per-hour aggregate touches data."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.where(F.col("event_type").isin("click", "view"))
+        .groupBy(F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    ).localCheckpoint(eager=True)
+    tot = c.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    y = c.select(
+        F.col("hr").alias("hr_y"),
+        F.col("ca").alias("caj"),
+        F.col("cb").alias("cbj"),
+    )
+    g = c.crossJoin(F.broadcast(y)).select(
+        F.abs(F.col("hr") - F.col("hr_y")).cast("double").alias("dij"),
+        F.col("ca").alias("cai"),
+        F.col("cb").alias("cbi"),
+        "caj",
+        "cbj",
+    )
+    s = g.agg(
+        F.sum(F.col("dij") * F.col("cai") * F.col("cbj")).alias("sab"),
+        F.sum(F.col("dij") * F.col("cai") * F.col("caj")).alias("saa"),
+        F.sum(F.col("dij") * F.col("cbi") * F.col("cbj")).alias("sbb"),
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            2.0 * F.col("sab") / (nad * F.col("nb"))
+            - F.col("saa") / (nad * F.col("na"))
+            - F.col("sbb") / (nbd * F.col("nb")),
+            6,
+        ).alias("energy_dist"),
+    )
+
+
+# L-moment ratios from the probability-weighted moments b0/b1/b2:
+# lambda1 = b0, lambda2 = 2*b1 - b0, lambda3 = 6*b2 - 6*b1 + b0.
+_LMOM_L1 = "(b0 / 100.0)"
+_LMOM_L2 = "((2.0 * b1 - b0) / 100.0)"
+_LMOM_TAU2 = "((2.0 * b1 - b0) / b0)"
+_LMOM_TAU3 = "((6.0 * b2 - 6.0 * b1 + b0) / (2.0 * b1 - b0))"
+
+
+@register(
+    "l_moments_event_values",
+    oracle=f"""
+WITH x AS (
+    SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events
+), g AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY v
+), r AS (
+    SELECT v, c,
+           COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM g
+), w AS (
+    SELECT v, c, cb,
+           CAST(c AS HUGEINT) * cb + (CAST(c AS HUGEINT) * (c - 1)) // 2 AS w1,
+           CAST(c AS HUGEINT) * cb * cb
+               + 2 * CAST(cb AS HUGEINT) * ((CAST(c AS HUGEINT) * (c - 1)) // 2)
+               + (CAST(c - 1 AS HUGEINT) * c * (2 * c - 1)) // 6
+               - (CAST(c AS HUGEINT) * cb
+                  + (CAST(c AS HUGEINT) * (c - 1)) // 2) AS w2
+    FROM r
+), t AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS HUGEINT) * c) AS DOUBLE) AS sb0,
+           CAST(SUM(CAST(v AS HUGEINT) * w1) AS DOUBLE) AS sb1,
+           CAST(SUM(CAST(v AS HUGEINT) * w2) AS DOUBLE) AS sb2
+    FROM w
+), b AS (
+    SELECT n,
+           sb0 / n AS b0,
+           sb1 / (CAST(n AS DOUBLE) * (n - 1.0)) AS b1,
+           sb2 / (CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0)) AS b2
+    FROM t
+)
+SELECT n AS n_events,
+       ROUND({_LMOM_L1}, 6) AS l1,
+       ROUND({_LMOM_L2}, 6) AS l2,
+       ROUND({_LMOM_TAU2}, 6) AS l_cv,
+       ROUND({_LMOM_TAU3}, 6) AS l_skew
+FROM b
+""",
+    tags=("analytics", "stats", "robust", "profiling"),
+)
+def l_moments_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample L-moments of the event value distribution — the
+    order-statistic moment family (Hosking 1990): L-location λ₁,
+    L-scale λ₂, L-CV τ₂ and L-skewness τ₃.  L-moments exist whenever
+    the mean does, are far less outlier-sensitive than classical
+    skewness (which needs finite third moments — see
+    ``hill_tail_index_doclen`` for why heavy tails make that
+    optimistic), and are THE standard summary for fitting heavy-tailed
+    distributions; the robust companion to the classical moment profile
+    in ``event_value_stats``.
+
+    The textbook formula needs the SORTED sample (b_r weights x₍ᵢ₎ by
+    falling factorials of its rank) — the banned global sort.  Here
+    each probability-weighted moment folds to the VALUE GRAIN in closed
+    form: a grain value with count c and exact predecessor count cb
+    (the sign-safe ``rank_bucket`` hierarchy) occupies ranks cb+1..cb+c,
+    so Σ(i−1) = c·cb + c(c−1)/2 and Σ(i−1)(i−2) telescope to exact
+    integer weights W₁/W₂ — every numerator is an exact
+    DECIMAL(38,0)/HUGEINT (integer division only where divisibility is
+    exact), and b₀/b₁/b₂ touch doubles in one identical op sequence
+    (shared formula texts, round 6).  DECIMAL window: the W₂ weights
+    grow as n³ — exact to n ≈ 10¹²·³ rows, far beyond the design point.
+    Degenerate note (EB convention): n < 3 divides by zero (no third
+    L-moment exists); a constant sample has λ₂ = 0 → τ₃ NULL-vs-NaN
+    cross-engine (no shape to measure)."""
+    e = load_table(spark, sf_dir, "events")
+    x = e.select((money("value") * 100).cast("bigint").alias("v"))
+    g = x.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    gb = g.withColumn("bucket", rank_bucket("v"))
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vb = gb.withColumn("cum_b", F.sum("c").over(wv))
+    bt = gb.groupBy("bucket").agg(F.sum("c").alias("bc"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bto = bt.select(
+        "bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("boff")
+    )
+    r = vb.join(F.broadcast(bto), "bucket").select(
+        "v",
+        "c",
+        (F.col("boff") + F.col("cum_b") - F.col("c")).alias("cb"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    c, cb = F.col("c"), F.col("cb")
+    s1 = F.expr("(CAST(c AS DECIMAL(38,0)) * (c - 1)) div 2")
+    s2 = F.expr(
+        "(CAST(c - 1 AS DECIMAL(38,0)) * c * (2 * c - 1)) div 6"
+    )
+    w1 = (dec(c) * cb + s1).alias("w1")
+    w2 = (
+        dec(c) * cb * cb + 2 * dec(cb) * s1 + s2 - (dec(c) * cb + s1)
+    ).alias("w2")
+    w = r.select("v", "c", w1, w2)
+    t = w.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(dec(F.col("v")) * F.col("c")).cast("double").alias("sb0"),
+        F.sum(dec(F.col("v")) * F.col("w1")).cast("double").alias("sb1"),
+        F.sum(dec(F.col("v")) * F.col("w2")).cast("double").alias("sb2"),
+    )
+    nd = F.col("n").cast("double")
+    b = t.select(
+        "n",
+        (F.col("sb0") / F.col("n")).alias("b0"),
+        (F.col("sb1") / (nd * (F.col("n") - 1.0))).alias("b1"),
+        (F.col("sb2") / (nd * (F.col("n") - 1.0) * (F.col("n") - 2.0))).alias(
+            "b2"
+        ),
+    )
+    return b.select(
+        F.col("n").alias("n_events"),
+        F.round(F.expr(_LMOM_L1), 6).alias("l1"),
+        F.round(F.expr(_LMOM_L2), 6).alias("l2"),
+        F.round(F.expr(_LMOM_TAU2), 6).alias("l_cv"),
+        F.round(F.expr(_LMOM_TAU3), 6).alias("l_skew"),
+    )

@@ -341,6 +341,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "rbo_retrieval_agreement",
     "shuffle_adjacency_audit",
     "conformal_residual_coverage",
+    "kw_effect_sizes_event_types",
+    "energy_distance_type_hours",
+    "l_moments_event_values",
 )
 
 
@@ -388,6 +391,9 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "rbo_retrieval_agreement",
         "shuffle_adjacency_audit",
         "conformal_residual_coverage",
+        "kw_effect_sizes_event_types",
+        "energy_distance_type_hours",
+        "l_moments_event_values",
     }
 )
 

@@ -144,6 +144,11 @@ _SCALAR_BROADCAST_OK = {
     #                             sides) + 1-row total
     "shuffle_adjacency_audit",  # 1-row obs x 1-row mix frames
     "conformal_residual_coverage",  # 1-row k/q/coverage frames folded
+    "kw_effect_sizes_event_types",  # the shared 1-row KW totals frame
+    "energy_distance_type_hours",  # 24-row hour-grid self-join (both
+    #                                sides bounded; Friedman's O(k^2)
+    #                                discipline) + 1-row totals
+    "l_moments_event_values",  # 1-row PWM totals frame
     # round 12 extension (stats II)
     "permutation_test_mean_diff",  # 1-row observed-diff frame + 32-replica
     #                                explode (poisson_bootstrap_ci's shape)
@@ -1452,6 +1457,16 @@ def test_conformal_quantile_windows_are_bucket_blocked(spark, sf_dir):
     hierarchy: every window spec in the plan is bucket-scoped (the
     mann_whitney discipline on the residual grain)."""
     plan = _plan(spark, sf_dir, "conformal_residual_coverage")
+    specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert specs
+    for line in specs:
+        assert "bucket" in line, line
+
+
+def test_l_moments_windows_are_bucket_blocked(spark, sf_dir):
+    """The PWM rank machinery must never global-sort the value grain:
+    every window spec is bucket-scoped (mann_whitney's discipline)."""
+    plan = _plan(spark, sf_dir, "l_moments_event_values")
     specs = [l for l in plan.splitlines() if "windowspecdefinition" in l]
     assert specs
     for line in specs:

@@ -4135,3 +4135,64 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
     assert r["q_hat"] >= 0.0
     sd = math.sqrt(0.1 * 0.9 / r["n_test"])
     assert r["coverage"] >= 0.9 - 5 * sd
+
+
+def test_kw_effect_sizes_identity(spark, sf_dir):
+    """eta2/epsilon2 match their definitions from the KW query's own H."""
+    (h,) = _SPECS["kruskal_wallis_event_types"].fn(spark, sf_dir).collect()
+    (r,) = _SPECS["kw_effect_sizes_event_types"].fn(spark, sf_dir).collect()
+    k, n = h["k_types"], h["n_events"]
+    assert (r["k_types"], r["n_events"]) == (k, n)
+    assert abs(r["eta2_h"] - (h["h_stat"] - k + 1) / (n - k)) < 5e-6
+    assert abs(r["epsilon2"] - h["h_stat"] * (n + 1) / (n * n - 1)) < 5e-6
+
+
+def test_energy_distance_replica(spark, sf_dir):
+    """Pure-Python grid replica of the two-sample energy distance."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT EXTRACT(HOUR FROM ts), event_type, COUNT(*)
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('click', 'view') GROUP BY 1, 2"""
+    ).fetchall()
+    ca = {h: 0 for h in range(24)}
+    cb = {h: 0 for h in range(24)}
+    for h, t, n in rows:
+        (ca if t == "click" else cb)[int(h)] += n
+    na, nb = sum(ca.values()), sum(cb.values())
+    sab = sum(abs(i - j) * ca[i] * cb[j] for i in range(24) for j in range(24))
+    saa = sum(abs(i - j) * ca[i] * ca[j] for i in range(24) for j in range(24))
+    sbb = sum(abs(i - j) * cb[i] * cb[j] for i in range(24) for j in range(24))
+    expect = 2 * sab / (na * nb) - saa / (na * na) - sbb / (nb * nb)
+    (r,) = _SPECS["energy_distance_type_hours"].fn(spark, sf_dir).collect()
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["energy_dist"] >= 0.0  # E is a metric: nonnegative
+    assert abs(r["energy_dist"] - expect) < 1e-5
+
+
+def test_l_moments_replica(spark, sf_dir):
+    """Pure-Python sorted-sample PWM replica: b_r from the textbook
+    falling-factorial weights on the fully sorted values."""
+    import duckdb
+
+    vals = sorted(
+        v
+        for (v,) in duckdb.connect().execute(
+            f"""SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                FROM '{sf_dir}/events.parquet'"""
+        ).fetchall()
+    )
+    n = len(vals)
+    b0 = sum(vals) / n
+    b1 = sum(v * i for i, v in enumerate(vals)) / (n * (n - 1))
+    b2 = sum(v * i * (i - 1) for i, v in enumerate(vals)) / (
+        n * (n - 1) * (n - 2)
+    )
+    (r,) = _SPECS["l_moments_event_values"].fn(spark, sf_dir).collect()
+    assert r["n_events"] == n
+    assert abs(r["l1"] - b0 / 100) < 1e-4
+    assert abs(r["l2"] - (2 * b1 - b0) / 100) < 1e-4
+    assert abs(r["l_cv"] - (2 * b1 - b0) / b0) < 1e-5
+    assert abs(r["l_skew"] - (6 * b2 - 6 * b1 + b0) / (2 * b1 - b0)) < 1e-5
+    assert r["l2"] >= 0.0  # L-scale is nonnegative
