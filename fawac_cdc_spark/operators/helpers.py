@@ -142,3 +142,37 @@ def one_row_audit(
     return f.crossJoin(t).select(
         F.lit(label).alias(label_col), flagged_name, total_name
     )
+
+
+def bucketed_predecessor_counts(gr, val_col: str = "v", cnt_col: str = "c"):
+    """(val, cnt, cb): exact EXCLUSIVE predecessor counts over a value
+    grain without a global sort — the shared machinery behind every
+    rank/order-statistic operator (Mann-Whitney/KW/Dunn ranks, L-moment
+    PWM weights, conformal/decile order statistics).
+
+    ``gr`` is a grain frame (one row per distinct value with its count);
+    the value is bucketed with the sign-safe :func:`rank_bucket`, each
+    bucket cumulates internally (bucket-scoped window — the plan-pinned
+    no-global-sort discipline), and an exclusive prefix sum over the
+    <=127-row bucket totals (broadcast) restores global positions:
+    a value with predecessor count cb occupies ranks cb+1 .. cb+cnt.
+    """
+    from pyspark.sql import Window
+
+    gb = gr.withColumn("bucket", rank_bucket(val_col))
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vb = gb.withColumn("cum_b", F.sum(cnt_col).over(wv))
+    bt = gb.groupBy("bucket").agg(F.sum(cnt_col).alias("bc"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bto = bt.select(
+        "bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("boff")
+    )
+    return vb.join(F.broadcast(bto), "bucket").select(
+        val_col,
+        cnt_col,
+        (F.col("boff") + F.col("cum_b") - F.col(cnt_col)).alias("cb"),
+    )

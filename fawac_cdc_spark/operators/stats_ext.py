@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from .helpers import MONEY, money, rank_bucket
+from .helpers import MONEY, bucketed_predecessor_counts, money, rank_bucket
 
 # --- Spearman ----------------------------------------------------------------
 
@@ -2926,23 +2926,10 @@ def conformal_residual_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("k"),
     )
-    # k-th smallest via the sign-safe grain hierarchy (no global sort)
-    gr = cal.groupBy("rq").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    ).withColumn("bucket", rank_bucket("rq"))
-    wv = (
-        Window.partitionBy("bucket")
-        .orderBy("rq")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    vb = gr.withColumn("cum_b", F.sum("c").over(wv))
-    bt = gr.groupBy("bucket").agg(F.sum("c").alias("bc"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    bto = bt.select(
-        "bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("boff")
-    )
-    cum = vb.join(F.broadcast(bto), "bucket").select(
-        "rq", (F.col("boff") + F.col("cum_b")).alias("cum")
+    # k-th smallest via the shared sign-safe grain hierarchy
+    gr = cal.groupBy("rq").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cum = bucketed_predecessor_counts(gr, "rq", "c").select(
+        "rq", (F.col("cb") + F.col("c")).alias("cum")
     )
     qh = (
         cum.crossJoin(F.broadcast(kk))
@@ -3191,23 +3178,7 @@ def l_moments_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     x = e.select((money("value") * 100).cast("bigint").alias("v"))
     g = x.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    gb = g.withColumn("bucket", rank_bucket("v"))
-    wv = (
-        Window.partitionBy("bucket")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    vb = gb.withColumn("cum_b", F.sum("c").over(wv))
-    bt = gb.groupBy("bucket").agg(F.sum("c").alias("bc"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    bto = bt.select(
-        "bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("boff")
-    )
-    r = vb.join(F.broadcast(bto), "bucket").select(
-        "v",
-        "c",
-        (F.col("boff") + F.col("cum_b") - F.col("c")).alias("cb"),
-    )
+    r = bucketed_predecessor_counts(g, "v", "c")
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     c, cb = F.col("c"), F.col("cb")
     s1 = F.expr("(CAST(c AS DECIMAL(38,0)) * (c - 1)) div 2")
@@ -3240,4 +3211,114 @@ def l_moments_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_LMOM_L2), 6).alias("l2"),
         F.round(F.expr(_LMOM_TAU2), 6).alias("l_cv"),
         F.round(F.expr(_LMOM_TAU3), 6).alias("l_skew"),
+    )
+
+
+# --- round 14 wave 4: quantile treatment effects --------------------------------
+
+# Deciles are the k-th-smallest order statistics with k = ceil(q * n)
+# (type-1 / inverse-ECDF quantile: exact, no interpolation seam).
+_QTE_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
+
+
+@register(
+    "decile_treatment_effects",
+    oracle=f"""
+WITH x AS (
+    SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+               AS grp,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+    FROM events
+), n AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY grp
+), d AS (SELECT CAST(unnest([{", ".join(str(d) for d in _QTE_DECILES)}]) AS INT) AS dec),
+k AS (
+    SELECT grp, dec, n, CAST(CEIL(dec * n / 10.0) AS BIGINT) AS kth
+    FROM n, d
+), q AS (
+    SELECT k.grp, k.dec,
+           (SELECT MIN(v) FROM (
+               SELECT v, SUM(CAST(1 AS BIGINT))
+                   OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS rn
+               FROM x WHERE x.grp = k.grp) WHERE rn >= k.kth) AS qv
+    FROM k
+)
+SELECT a.dec AS decile,
+       ROUND(CAST(a.qv AS DOUBLE) / 100, 6) AS q_treat,
+       ROUND(CAST(b.qv AS DOUBLE) / 100, 6) AS q_control,
+       ROUND(CAST(a.qv - b.qv AS DOUBLE) / 100, 6) AS qte
+FROM q a JOIN q b ON a.dec = b.dec AND a.grp = 1 AND b.grp = 0
+ORDER BY decile
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def decile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the EXACT decile-by-decile difference
+    of the event-value distribution between the two md5-coin user
+    cohorts (``logrank_test_purchase``'s split) — the distributional
+    read an A/B mean difference hides (a treatment that helps the
+    median but hurts the tail nets to zero in ``two_proportion``-style
+    means; the QTE column shows WHERE in the distribution the effect
+    lives).  Deciles are type-1 (inverse-ECDF) order statistics
+    k = ⌈q·n⌉ — exact values from the sample, no interpolation seam.
+
+    Scale shape: values collapse to the integer-cent grain PER COHORT,
+    exclusive predecessor counts come from the shared
+    ``bucketed_predecessor_counts`` hierarchy (sign-safe, bucket-scoped
+    windows — never a global sort), and each decile is the first grain
+    value whose inclusive cumulative reaches k: the 18-row (cohort ×
+    decile) frame joins the grain ONCE via a broadcast inequality on
+    the tiny side, reduced by MIN.  The oracle keeps the direct
+    windowed-ECDF form.  All comparisons are exact integers; the three
+    output columns are rounded doubles of exact cents."""
+    from .helpers import md5_int32
+
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        (md5_int32(F.col("user_id").cast("string")) % 2).alias("grp"),
+        (money("value") * 100).cast("bigint").alias("v"),
+    )
+    gr = x.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # per-cohort predecessor counts: run the shared hierarchy with the
+    # cohort folded into the bucket key via partitioned windows
+    cum = None
+    for grp in (0, 1):
+        part = bucketed_predecessor_counts(
+            gr.where(F.col("grp") == grp).select("v", "c"), "v", "c"
+        ).withColumn("grp", F.lit(grp))
+        cum = part if cum is None else cum.unionByName(part)
+    cum = cum.select("grp", "v", (F.col("cb") + F.col("c")).alias("cum"))
+    n = x.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    d = spark.range(1, 10).select(F.col("id").cast("int").alias("dec"))
+    k = n.crossJoin(F.broadcast(d)).select(
+        F.col("grp").alias("grp_k"),
+        "dec",
+        F.ceil(F.col("dec") * F.col("n") / 10.0).alias("kth"),
+    )
+    q = (
+        cum.join(
+            F.broadcast(k),
+            (F.col("grp") == F.col("grp_k")) & (F.col("cum") >= F.col("kth")),
+        )
+        .groupBy("grp", "dec")
+        .agg(F.min("v").alias("qv"))
+    )
+    a = q.where(F.col("grp") == 1).select(
+        F.col("dec").alias("decile"), F.col("qv").alias("qa")
+    )
+    b = q.where(F.col("grp") == 0).select(
+        F.col("dec").alias("dec_b"), F.col("qv").alias("qb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("decile") == F.col("dec_b"))
+        .select(
+            "decile",
+            F.round(F.col("qa").cast("double") / 100, 6).alias("q_treat"),
+            F.round(F.col("qb").cast("double") / 100, 6).alias("q_control"),
+            F.round((F.col("qa") - F.col("qb")).cast("double") / 100, 6).alias(
+                "qte"
+            ),
+        )
+        .orderBy("decile")
     )

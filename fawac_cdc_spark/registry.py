@@ -344,6 +344,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "kw_effect_sizes_event_types",
     "energy_distance_type_hours",
     "l_moments_event_values",
+    "decile_treatment_effects",
 )
 
 
@@ -394,6 +395,7 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "kw_effect_sizes_event_types",
         "energy_distance_type_hours",
         "l_moments_event_values",
+        "decile_treatment_effects",
     }
 )
 

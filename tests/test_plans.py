@@ -149,6 +149,9 @@ _SCALAR_BROADCAST_OK = {
     #                                sides bounded; Friedman's O(k^2)
     #                                discipline) + 1-row totals
     "l_moments_event_values",  # 1-row PWM totals frame
+    "decile_treatment_effects",  # 18-row (cohort x decile) k-frame
+    #                              inequality-joined to the value grain
+    #                              (tiny side broadcast, grain side linear)
     # round 12 extension (stats II)
     "permutation_test_mean_diff",  # 1-row observed-diff frame + 32-replica
     #                                explode (poisson_bootstrap_ci's shape)

@@ -4196,3 +4196,36 @@ def test_l_moments_replica(spark, sf_dir):
     assert abs(r["l_cv"] - (2 * b1 - b0) / b0) < 1e-5
     assert abs(r["l_skew"] - (6 * b2 - 6 * b1 + b0) / (2 * b1 - b0)) < 1e-5
     assert r["l2"] >= 0.0  # L-scale is nonnegative
+
+
+def test_decile_treatment_effects_replica(spark, sf_dir):
+    """Pure-Python type-1 decile replica per md5 cohort."""
+    import duckdb
+    import math
+
+    rows = duckdb.connect().execute(
+        f"""SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 2,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    by = {0: [], 1: []}
+    for g, v in rows:
+        by[g].append(v)
+    for g in by:
+        by[g].sort()
+    got = {
+        r["decile"]: r
+        for r in _SPECS["decile_treatment_effects"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    for dec in range(1, 10):
+        qt = by[1][math.ceil(dec * len(by[1]) / 10) - 1] / 100
+        qc = by[0][math.ceil(dec * len(by[0]) / 10) - 1] / 100
+        r = got[dec]
+        assert abs(r["q_treat"] - qt) < 1e-6
+        assert abs(r["q_control"] - qc) < 1e-6
+        assert abs(r["qte"] - (qt - qc)) < 1e-5
+    # deciles are monotone within each cohort
+    qs = [got[d]["q_treat"] for d in range(1, 10)]
+    assert qs == sorted(qs)
