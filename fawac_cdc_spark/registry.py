@@ -374,30 +374,9 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# the round-14 wave rides tests/test_oracle_parity.py and per-query
-# parity runs until the closing dual-scale sweep lands and empties this.
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "kendall_w_daily_types",
-        "mantel_haenszel_returns",
-        "logrank_test_purchase",
-        "grubbs_outlier_daily",
-        "bowker_symmetry_transitions",
-        "cvm_test_type_hours",
-        "seasonal_strength_hourly",
-        "vocab_richness_estimators",
-        "fuzzy_title_dedup",
-        "jackknife_source_influence",
-        "hopkins_clusterability",
-        "rbo_retrieval_agreement",
-        "shuffle_adjacency_audit",
-        "conformal_residual_coverage",
-        "kw_effect_sizes_event_types",
-        "energy_distance_type_hours",
-        "l_moments_event_values",
-        "decile_treatment_effects",
-    }
-)
+# empty: the round-14 closing sweeps (359/359 at sf0.01 AND sf0.1 on
+# the final tree, tools/parity_last.json).
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
