@@ -2428,10 +2428,9 @@ _MH_OR = "(sad / sbc)"
 _MH_CHI = "((sa - se) * (sa - se) / sv)"
 
 
-@register(
-    "mantel_haenszel_returns",
-    oracle=f"""
-WITH s AS (
+# ONE CTE text for the per-ship-year discount/return 2x2 counts, shared
+# by mantel_haenszel_returns and simpsons_paradox_audit (round 14).
+_MH_STRATA_CTE = """s AS (
     SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr,
            CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) > 0.05
                           AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
@@ -2442,7 +2441,28 @@ WITH s AS (
            CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) <= 0.05
                           AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
     FROM lineitem GROUP BY 1
-), t AS (
+)"""
+
+
+def _mh_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(yr, a, b, c, d): the per-ship-year discount/return 2x2 counts —
+    the ONE Spark definition (oracle mirror: ``_MH_STRATA_CTE``), shared
+    by the CMH test and the Simpson's-paradox audit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exp_ = money("l_discount") > 0.05
+    case = F.col("l_returnflag") == "R"
+    return li.groupBy(F.year("l_shipdate").cast("int").alias("yr")).agg(
+        F.sum(F.when(exp_ & case, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(exp_ & ~case, 1).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when(~exp_ & case, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(~exp_ & ~case, 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+
+
+@register(
+    "mantel_haenszel_returns",
+    oracle=f"""
+WITH {_MH_STRATA_CTE}, t AS (
     SELECT CAST(COUNT(*) AS INT) AS n_strata,
            SUM(CAST(a AS DOUBLE) * d / (a + b + c + d)) AS sad,
            SUM(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS sbc,
@@ -2478,15 +2498,7 @@ def mantel_haenszel_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero sbc (no discordant exposure anywhere) makes the OR NULL-vs-Inf
     cross-engine — documented corpus-shape pathology, unreachable on a
     fixture with both flags in every year."""
-    li = load_table(spark, sf_dir, "lineitem")
-    exp_ = money("l_discount") > 0.05
-    case = F.col("l_returnflag") == "R"
-    s = li.groupBy(F.year("l_shipdate").cast("int").alias("yr")).agg(
-        F.sum(F.when(exp_ & case, 1).otherwise(0)).cast("bigint").alias("a"),
-        F.sum(F.when(exp_ & ~case, 1).otherwise(0)).cast("bigint").alias("b"),
-        F.sum(F.when(~exp_ & case, 1).otherwise(0)).cast("bigint").alias("c"),
-        F.sum(F.when(~exp_ & ~case, 1).otherwise(0)).cast("bigint").alias("d"),
-    )
+    s = _mh_strata(spark, sf_dir)
     nn = F.col("a") + F.col("b") + F.col("c") + F.col("d")
     t = s.where(nn >= 2).agg(
         F.count(F.lit(1)).cast("int").alias("n_strata"),
@@ -3322,3 +3334,309 @@ def decile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- round 14 wave 5: Simpson audit + daily-OLS regression diagnostics ---------
+
+
+@register(
+    "simpsons_paradox_audit",
+    oracle=f"""
+WITH {_MH_STRATA_CTE}, pooled AS (
+    SELECT CAST(SUM(a) AS DOUBLE) * SUM(d)
+               / (CAST(SUM(b) AS DOUBLE) * SUM(c)) AS or_pooled
+    FROM s
+), per AS (
+    SELECT yr,
+           CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS or_s
+    FROM s WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+), agg AS (
+    SELECT CAST(COUNT(*) AS INT) AS n_strata_tested,
+           CAST(SUM(CASE WHEN (or_s > 1.0) <> (p.or_pooled > 1.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+           MAX(p.or_pooled) AS or_pooled
+    FROM per, pooled p
+)
+SELECT n_strata_tested, n_flipped,
+       ROUND(or_pooled, 6) AS or_pooled,
+       CAST(CASE WHEN n_flipped = n_strata_tested AND n_strata_tested > 0
+                 THEN 1 ELSE 0 END AS INT) AS full_reversal
+FROM agg
+""",
+    tags=("analytics", "stats"),
+)
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit on the discount → return association:
+    does the POOLED odds ratio point the same way as each ship-year
+    stratum's own odds ratio?  ``n_flipped`` counts strata whose
+    association direction disagrees with the pooled direction, and
+    ``full_reversal`` = 1 is the textbook paradox (every stratum
+    reverses the aggregate) — the alarm that says "do not read the
+    pooled number; use ``mantel_haenszel_returns``'s adjusted OR".
+
+    Shares the per-stratum 2x2 frame with the CMH test
+    (``_mh_strata`` / ``_MH_STRATA_CTE`` — one definition, so the audit
+    can never disagree with the test about what a stratum IS).  Strata
+    with any empty cell are excluded (their OR is 0/0-degenerate; the
+    classical audit only reads defined directions).  All counts exact
+    BIGINTs; the direction comparison is on identical doubles; one
+    rounded output column."""
+    s = _mh_strata(spark, sf_dir)
+    pooled = s.agg(
+        (
+            F.sum("a").cast("double") * F.sum("d")
+            / (F.sum("b").cast("double") * F.sum("c"))
+        ).alias("or_pooled")
+    )
+    per = s.where(
+        (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+    ).select(
+        (
+            F.col("a").cast("double") * F.col("d")
+            / (F.col("b").cast("double") * F.col("c"))
+        ).alias("or_s")
+    )
+    agg = per.crossJoin(F.broadcast(pooled)).agg(
+        F.count(F.lit(1)).cast("int").alias("n_strata_tested"),
+        F.sum(
+            F.when(
+                (F.col("or_s") > 1.0) != (F.col("or_pooled") > 1.0), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_flipped"),
+        F.max("or_pooled").alias("or_pooled"),
+    )
+    return agg.select(
+        "n_strata_tested",
+        "n_flipped",
+        F.round(F.col("or_pooled"), 6).alias("or_pooled"),
+        F.when(
+            (F.col("n_flipped") == F.col("n_strata_tested"))
+            & (F.col("n_strata_tested") > 0),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("full_reversal"),
+    )
+
+
+# Daily-OLS residual machinery (shared by Durbin-Watson and Cook's
+# distance): regress exact-decimal daily revenue on the integer day
+# index; residuals are FLOOR-quantized to the 1e-6 grid so every
+# data-sized reduction is exact.
+OLS_GRID = 1_000_000
+
+_DAILY_OLS_CTES = f"""daily AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+), idx AS (
+    SELECT day, y,
+           CAST(datediff('day', (SELECT MIN(day) FROM daily), day) AS BIGINT) AS t
+    FROM daily
+), m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(t * t) AS DOUBLE) AS stt,
+           SUM(y) AS sy, SUM(t * y) AS sty
+    FROM idx
+), fit AS (
+    SELECT n, st, stt,
+           (n * sty - st * sy) / (n * stt - st * st) AS slope,
+           (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n AS icept
+    FROM m
+), resid AS (
+    SELECT idx.day, idx.t, fit.n, fit.st, fit.stt,
+           CAST(FLOOR((idx.y - (fit.icept + fit.slope * idx.t))
+                      * {OLS_GRID}) AS BIGINT) AS eq
+    FROM idx, fit
+)"""
+
+
+def _daily_ols_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, t, n, st, stt, eq): the Spark half of ``_DAILY_OLS_CTES`` —
+    exact-decimal daily revenue regressed on the integer day index in
+    one closed form (the ``ols_two_feature`` moment discipline), with
+    the residual FLOOR-quantized to the 1e-6 grid (helpers.py
+    convention) so Durbin–Watson and Cook's distance reduce over exact
+    integers.  The moments ride ONE map-side-combinable aggregate and a
+    1-row broadcast; no window touches the orders scan."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(money("o_totalprice")).cast("double").alias("y")
+    )
+    dmin = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(dmin)).select(
+        "day", "y", F.datediff("day", "d0").cast("bigint").alias("t")
+    )
+    m = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("double").alias("stt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    slope = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    fit = m.select(
+        "n",
+        "st",
+        "stt",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("st")) / F.col("n")).alias("icept"),
+    )
+    return idx.crossJoin(F.broadcast(fit)).select(
+        "day",
+        "t",
+        "n",
+        "st",
+        "stt",
+        F.floor(
+            (F.col("y") - (F.col("icept") + F.col("slope") * F.col("t")))
+            * OLS_GRID
+        )
+        .cast("bigint")
+        .alias("eq"),
+    )
+
+
+@register(
+    "durbin_watson_daily",
+    oracle=f"""
+WITH {_DAILY_OLS_CTES}, lagged AS (
+    SELECT eq, LAG(eq) OVER (ORDER BY t) AS ep, n FROM resid
+), sums AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN ep IS NOT NULL
+                         THEN CAST(eq - ep AS HUGEINT) * (eq - ep)
+                         ELSE 0 END) AS DOUBLE) AS sd2,
+           CAST(SUM(CAST(eq AS HUGEINT) * eq) AS DOUBLE) AS se2
+    FROM lagged
+)
+SELECT n_days,
+       ROUND(sd2 / se2, 6) AS dw,
+       ROUND(1.0 - sd2 / se2 / 2.0, 6) AS rho_lag1_approx
+FROM sums
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin–Watson statistic of the daily-revenue trend residuals —
+    THE autocorrelation alarm every regression report runs before
+    quoting OLS standard errors (DW ≈ 2 means independent residuals;
+    DW → 0 means positive serial correlation and the trend's t-stats
+    are fiction), complementing ``acf_monthly_revenue`` (which reads
+    the raw series; DW reads what the TREND FIT leaves behind) with
+    ``rho_lag1_approx`` = 1 − DW/2 as the familiar translation.
+
+    The OLS fit is the shared closed-form moment discipline
+    (``_daily_ols_residuals`` / ``_DAILY_OLS_CTES``, one definition
+    with Cook's distance); residuals are FLOOR-quantized to the 1e-6
+    grid so both quadratic sums are exact DECIMAL(38,0)/HUGEINT
+    integers — the lag-1 difference rides one bounded day-grain window
+    (the documented bounded-frame single-partition case).  Degenerate
+    note (EB convention): a constant series has se2 = 0 → DW
+    NULL-vs-NaN cross-engine (no residual process to test)."""
+    r = _daily_ols_residuals(spark, sf_dir)
+    w = Window.orderBy("t")
+    lagged = r.select(
+        "eq", "n", F.lag("eq").over(w).alias("ep")
+    )
+    dec = F.col("eq").cast("decimal(38,0)")
+    sums = lagged.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                (F.col("eq") - F.col("ep")).cast("decimal(38,0)")
+                * (F.col("eq") - F.col("ep")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("sd2"),
+        F.sum(dec * F.col("eq")).cast("double").alias("se2"),
+    )
+    return sums.select(
+        "n_days",
+        F.round(F.col("sd2") / F.col("se2"), 6).alias("dw"),
+        F.round(1.0 - F.col("sd2") / F.col("se2") / 2.0, 6).alias(
+            "rho_lag1_approx"
+        ),
+    )
+
+
+COOKS_TOP = 5
+
+
+@register(
+    "cooks_distance_top_days",
+    oracle=f"""
+WITH {_DAILY_OLS_CTES}, sse AS (
+    SELECT CAST(SUM(CAST(eq AS HUGEINT) * eq) AS DOUBLE)
+               / ({OLS_GRID}.0 * {OLS_GRID}) AS sse_v
+    FROM resid
+), scored AS (
+    SELECT day,
+           CAST(eq AS DOUBLE) / {OLS_GRID} AS e,
+           1.0 / n + (t - st / n) * (t - st / n) / (stt - st * st / n) AS h,
+           sse_v / (n - 2.0) AS s2
+    FROM resid, sse
+), cook AS (
+    SELECT day, ROUND(e, 6) AS residual, ROUND(h, 6) AS leverage,
+           ROUND(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6) AS cooks_d
+    FROM scored
+)
+SELECT * FROM cook ORDER BY cooks_d DESC, day LIMIT {COOKS_TOP}
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def cooks_distance_top_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {K} most influential days of the daily-revenue trend fit by
+    Cook's distance D = e²·h / (p·s²·(1−h)²) — "which single days are
+    dragging the trend line?", the influence diagnostic that separates
+    a big residual (``grubbs_outlier_daily``'s question) from a big
+    residual AT HIGH LEVERAGE (this one — an extreme day at the series
+    edge bends the slope far more than the same residual mid-series).
+
+    Same ONE-definition residual machinery as Durbin–Watson
+    (``_daily_ols_residuals``): leverage is the closed form
+    1/n + (t−t̄)²/Sxx from the already-broadcast exact moments, s² from
+    the exact quantized SSE, and the top-{K} is a TakeOrderedAndProject
+    under the deterministic (D desc, day) order — residual doubles are
+    grid-quantized so the ranking can never flip cross-engine."""
+    r = _daily_ols_residuals(spark, sf_dir)
+    sse = r.agg(
+        (
+            F.sum(F.col("eq").cast("decimal(38,0)") * F.col("eq")).cast("double")
+            / (float(OLS_GRID) * OLS_GRID)
+        ).alias("sse_v")
+    )
+    h = 1.0 / F.col("n") + (F.col("t") - F.col("st") / F.col("n")) * (
+        F.col("t") - F.col("st") / F.col("n")
+    ) / (F.col("stt") - F.col("st") * F.col("st") / F.col("n"))
+    scored = r.crossJoin(F.broadcast(sse)).select(
+        "day",
+        (F.col("eq").cast("double") / OLS_GRID).alias("e"),
+        h.alias("h"),
+        (F.col("sse_v") / (F.col("n") - 2.0)).alias("s2"),
+    )
+    cook = scored.select(
+        "day",
+        F.round(F.col("e"), 6).alias("residual"),
+        F.round(F.col("h"), 6).alias("leverage"),
+        F.round(
+            F.col("e")
+            * F.col("e")
+            * F.col("h")
+            / (2.0 * F.col("s2") * (1.0 - F.col("h")) * (1.0 - F.col("h"))),
+            6,
+        ).alias("cooks_d"),
+    )
+    return cook.orderBy(F.desc("cooks_d"), F.asc("day")).limit(COOKS_TOP)
+
+
+cooks_distance_top_days.__doc__ = cooks_distance_top_days.__doc__.format(
+    K=COOKS_TOP
+)

@@ -347,6 +347,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "energy_distance_type_hours",
     "l_moments_event_values",
     "decile_treatment_effects",
+    "simpsons_paradox_audit",
+    "durbin_watson_daily",
+    "cooks_distance_top_days",
 )
 
 
@@ -376,9 +379,15 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# empty: the round-14 closing sweeps (359/359 at sf0.01 AND sf0.1 on
-# the final tree, tools/parity_last.json).
-PENDING_SWEEP: frozenset[str] = frozenset()
+# the wave-5 trio rides per-query parity runs until the final-tree
+# dual-scale sweep lands and empties this.
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "simpsons_paradox_audit",
+        "durbin_watson_daily",
+        "cooks_distance_top_days",
+    }
+)
 
 
 @dataclass(frozen=True)

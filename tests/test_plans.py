@@ -149,6 +149,10 @@ _SCALAR_BROADCAST_OK = {
     #                                sides bounded; Friedman's O(k^2)
     #                                discipline) + 1-row totals
     "l_moments_event_values",  # 1-row PWM totals frame
+    "simpsons_paradox_audit",  # 1-row pooled-OR frame vs the year strata
+    "durbin_watson_daily",  # 1-row OLS moment/fit frames (ols_two_feature's
+    #                         closed-form shape) against the day grain
+    "cooks_distance_top_days",  # same 1-row fit frames + 1-row SSE frame
     "decile_treatment_effects",  # 18-row (cohort x decile) k-frame
     #                              inequality-joined to the value grain
     #                              (tiny side broadcast, grain side linear)

@@ -4229,3 +4229,89 @@ def test_decile_treatment_effects_replica(spark, sf_dir):
     # deciles are monotone within each cohort
     qs = [got[d]["q_treat"] for d in range(1, 10)]
     assert qs == sorted(qs)
+
+
+def test_simpsons_audit_consistency(spark, sf_dir):
+    """The audit's pooled OR direction and stratum count must agree with
+    an independent duckdb recomputation of the shared 2x2 frame."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT EXTRACT(YEAR FROM l_shipdate),
+                   CAST(l_discount AS DECIMAL(18,2)) > 0.05,
+                   l_returnflag = 'R', COUNT(*)
+            FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2, 3"""
+    ).fetchall()
+    strata = {}
+    for yr, ex, rf, cnt in rows:
+        t = strata.setdefault(yr, [0, 0, 0, 0])
+        t[(0 if ex else 2) + (0 if rf else 1)] += cnt
+    sa = sum(t[0] for t in strata.values())
+    sb = sum(t[1] for t in strata.values())
+    sc = sum(t[2] for t in strata.values())
+    sd = sum(t[3] for t in strata.values())
+    pooled = sa * sd / (sb * sc)
+    tested = [t for t in strata.values() if all(t)]
+    flipped = sum(
+        1 for a, b, c, d in tested if (a * d / (b * c) > 1) != (pooled > 1)
+    )
+    (r,) = _SPECS["simpsons_paradox_audit"].fn(spark, sf_dir).collect()
+    assert r["n_strata_tested"] == len(tested)
+    assert r["n_flipped"] == flipped
+    assert abs(r["or_pooled"] - pooled) < 1e-5
+    assert r["full_reversal"] in (0, 1)
+
+
+def _daily_ols_py(sf_dir):
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    d0 = rows[0][0]
+    pts = [((day - d0).days, float(y)) for day, y in rows]
+    n = len(pts)
+    st = sum(t for t, _ in pts)
+    stt = sum(t * t for t, _ in pts)
+    sy = sum(y for _, y in pts)
+    sty = sum(t * y for t, y in pts)
+    slope = (n * sty - st * sy) / (n * stt - st * st)
+    icept = (sy - slope * st) / n
+    return pts, n, st, stt, slope, icept
+
+
+def test_durbin_watson_replica(spark, sf_dir):
+    """Pure-Python DW replica on the same quantized-residual grid."""
+    import math
+
+    pts, n, st, stt, slope, icept = _daily_ols_py(sf_dir)
+    eq = [math.floor((y - (icept + slope * t)) * 1e6) for t, y in pts]
+    dw = sum((a - b) ** 2 for a, b in zip(eq[1:], eq)) / sum(e * e for e in eq)
+    (r,) = _SPECS["durbin_watson_daily"].fn(spark, sf_dir).collect()
+    assert r["n_days"] == n
+    assert 0.0 <= r["dw"] <= 4.0
+    assert abs(r["dw"] - dw) < 1e-5
+    assert abs(r["rho_lag1_approx"] - (1 - dw / 2)) < 1e-5
+
+
+def test_cooks_distance_replica(spark, sf_dir):
+    """Pure-Python Cook's D replica; top-5 set and values match."""
+    import math
+
+    pts, n, st, stt, slope, icept = _daily_ols_py(sf_dir)
+    eq = [math.floor((y - (icept + slope * t)) * 1e6) for t, y in pts]
+    sse = sum(e * e for e in eq) / 1e12
+    s2 = sse / (n - 2)
+    sxx = stt - st * st / n
+    cooks = []
+    for (t, _), e in zip(pts, eq):
+        h = 1 / n + (t - st / n) ** 2 / sxx
+        ev = e / 1e6
+        cooks.append((ev * ev * h / (2 * s2 * (1 - h) ** 2), t))
+    cooks.sort(key=lambda x: (-round(x[0], 6), x[1]))
+    got = _SPECS["cooks_distance_top_days"].fn(spark, sf_dir).collect()
+    assert len(got) == 5
+    for row, (d, _) in zip(got, cooks[:5]):
+        assert abs(row["cooks_d"] - d) < 1e-4
+        assert 0.0 < row["leverage"] < 1.0
