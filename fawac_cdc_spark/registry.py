@@ -379,15 +379,9 @@ EXT_HEADLINE: tuple[str, ...] = (
 
 
 # Queries registered since the last green full-registry parity sweep —
-# the wave-5 trio rides per-query parity runs until the final-tree
-# dual-scale sweep lands and empties this.
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "simpsons_paradox_audit",
-        "durbin_watson_daily",
-        "cooks_distance_top_days",
-    }
-)
+# empty: the round-14 closing sweeps (362/362 at sf0.01 AND sf0.1 on
+# the final tree, tools/parity_last.json).
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
