@@ -80,11 +80,11 @@ _QUERY_MODULES = [
 # = 50.  Deferred: `zorder_bucket_stats` (the one r6-stale query that
 # did not fit — its layout plan shape is independently pinned by
 # tests/test_layout.py and it rides every dual-scale sweep).  The
-# round-15 window plan (VERDICT r12 #1 asks for this note): the 18
+# round-15 window plan (VERDICT r12 #1 asks for this note): the 21
 # never-driver-verified round-14 registrations first
-# (kendall_w_daily_types .. decile_treatment_effects), then
-# zorder_bucket_stats, then 31 of the 48-query r8-stale cohort = 50;
-# the remaining 17 r8-stale queries become the r16 core.
+# (kendall_w_daily_types .. cooks_distance_top_days), then
+# zorder_bucket_stats, then 28 of the 48-query r8-stale cohort = 50;
+# the remaining 20 r8-stale queries become the r16 core.
 # Operators REGISTERED in round 14 land after this window froze and are
 # DEFERRED to the round-15 window (ADVICE r10 convention) — they ride
 # the closing dual-scale sweeps and tests/test_oracle_parity.py
