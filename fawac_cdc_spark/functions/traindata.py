@@ -2241,7 +2241,10 @@ def shuffle_adjacency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |sources|-row mix frame, and only the three final rates are
     rounded doubles (round 6).  Cross-shard boundary pairs are excluded
     (first row of each shard has no predecessor) — matching how shards
-    are actually consumed: one file per shard, order within."""
+    are actually consumed: one file per shard, order within.
+    Degenerate note (EB convention): a corpus with at most one doc per
+    shard has n_adjacent = 0 and the rates divide by zero (NULL-vs-Inf
+    cross-engine) — there is no adjacency to audit."""
     d = load_table(spark, sf_dir, "documents")
     ord_key, shard = _shuffle_cols()
     keyed = d.select(

@@ -3496,7 +3496,11 @@ def cvm_test_type_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the square (its bigint square can overflow; the double of an
     exact ≤2^53 integer is still exact), and
     T = Σ c_k·gap_k² / (na·nb·(na+nb)²) is one 24-term reduction
-    (chi-square convention, round 6).  n_a/n_b are exact BIGINTs."""
+    (chi-square convention, round 6).  n_a/n_b are exact BIGINTs.
+    Degenerate note (EB convention, shared with the KS/energy pair on
+    this axis): an empty sample on either side divides by zero
+    (NULL-vs-Inf cross-engine) — there is no second distribution to
+    compare."""
     e = load_table(spark, sf_dir, "events")
     c = (
         e.where(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))

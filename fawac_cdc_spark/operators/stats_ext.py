@@ -3063,7 +3063,9 @@ def energy_distance_type_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ 576 terms, chi-square convention) divide by the exact pair
     counts — one rounded double at the end.  The grid self-join is the
     Friedman O(k²) bounded-join discipline on a 24-row frame; at 100 TB
-    only the first per-hour aggregate touches data."""
+    only the first per-hour aggregate touches data.  Degenerate note
+    (EB convention, shared with cvm/KS): an empty sample on either side
+    divides by zero (NULL-vs-Inf cross-engine)."""
     e = load_table(spark, sf_dir, "events")
     c = (
         e.where(F.col("event_type").isin("click", "view"))
