@@ -91,6 +91,7 @@ def compact_record(
     sf: str,
     ext_timings: dict[str, float] | None = None,
     probe: float | None = None,
+    probe_post: float | None = None,
 ) -> dict:
     """The ONE compact headline record printed to stdout for the driver's
     tail capture — extras never belong here (they go to BENCH_FULL.json).
@@ -113,6 +114,14 @@ def compact_record(
         # fixed-work host-calibration reading (drift_probe) — lets
         # tools/bench_compare.py tell host drift from real regression.
         rec["probe_seconds"] = probe
+    if probe_post is not None:
+        # BOOKEND probe (round 15, VERDICT r14 #3): the same fixed work
+        # re-timed AFTER the extras/ext suite.  Drift on this host is
+        # monotone within a session, so a clean pre-probe says nothing
+        # about the sections that run LAST — bench_compare judges the
+        # ext/extras section by this nearer reading and refuses to
+        # judge on a >15% pre/post disagreement.
+        rec["probe_seconds_post"] = probe_post
     return rec
 
 
@@ -256,7 +265,11 @@ def main() -> None:
     # one measurement, two gates (per-query via the extras intersection,
     # total via ext_value/ext_queries in tools/bench_compare.py).
     ext_timings = {name: extras[name] for name in EXT_HEADLINE}
-    compact = compact_record(timings, sf, ext_timings, probe)
+    # Bookend probe AFTER everything measured (VERDICT r14 #3): the ext
+    # members are timed inside the extras loop above, so this reading is
+    # the nearest host-speed evidence for the late-running section.
+    probe_post = drift_probe(spark)
+    compact = compact_record(timings, sf, ext_timings, probe, probe_post)
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )

@@ -1659,10 +1659,16 @@ def gini_concentration_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = vb.join(F.broadcast(bto), ["source", "bucket"])
     # rows strictly before this tie block in the (n_chars, doc_id) order
     o = F.col("boff") + F.col("cum_b") - F.col("c")
-    # c*(c+1) is always even, so integer div is exact
-    tri = F.expr("c * (c + 1) div 2")
+    # Lift to DECIMAL(38,0) BEFORE the products: c*(c+1) and c*o wrap
+    # BIGINT once a source nears ~3e9 docs — the same wrap class ADVICE
+    # r14 caught in the L-moment weights (helpers.pwm_grain_weights has
+    # the full story).  c*(c+1) is even, so decimal `/` cast back is
+    # exact; values at any non-wrapping scale are unchanged.
+    tri = F.expr(
+        "CAST((CAST(c AS DECIMAL(38,0)) * (c + 1)) / 2 AS DECIMAL(38,0))"
+    )
     rank_mass = F.col("n_chars").cast("decimal(38,0)") * (
-        (F.col("c") * o + tri).cast("decimal(19,0)")
+        F.col("c").cast("decimal(38,0)") * o + tri
     )
     n = F.sum("c")
     return j.groupBy("source").agg(

@@ -144,6 +144,44 @@ def one_row_audit(
     )
 
 
+def pwm_grain_weights(r, cnt_col: str = "c", cb_col: str = "cb"):
+    """Append exact probability-weighted-moment rank weights w1/w2 to a
+    ``(value, count, exclusive-predecessor-count)`` grain frame (the
+    :func:`bucketed_predecessor_counts` output): a grain with count c at
+    predecessor count cb occupies ranks cb+1..cb+c, so
+
+        w1 = Σ (i-1)       = c·cb + c(c-1)/2
+        w2 = Σ (i-1)(i-2)  = c·cb² + 2·cb·c(c-1)/2 + (c-1)c(2c-1)/6 - w1
+
+    All arithmetic is exact DECIMAL(38,0).  The exactly-divisible
+    quotients use decimal ``/`` cast back to DECIMAL(38,0) — NOT ``div``,
+    which returns BIGINT even on decimal operands and silently wraps once
+    (c-1)c(2c-1)/6 > 2⁶³, i.e. one grain count past ~3.8×10⁶ (ADVICE
+    r14; the DuckDB oracle's HUGEINT ``//`` never wraps).  The ``/``
+    intermediate is DECIMAL(38,6) (32 integer digits), so w2 stays exact
+    to c ≈ 8.4×10¹⁰ duplicate rows of ONE grain value — far beyond any
+    single-value pileup at the 100 TB design point.  ONE definition:
+    ``l_moments_event_values`` and the large-count property test in
+    ``tests/test_properties.py`` both import this."""
+    c, cb = F.col(cnt_col), F.col(cb_col)
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s1 = F.expr(
+        f"CAST((CAST({cnt_col} AS DECIMAL(38,0)) * ({cnt_col} - 1)) / 2"
+        " AS DECIMAL(38,0))"
+    )
+    s2 = F.expr(
+        f"CAST((CAST({cnt_col} - 1 AS DECIMAL(38,0)) * {cnt_col}"
+        f" * (2 * {cnt_col} - 1)) / 6 AS DECIMAL(38,0))"
+    )
+    w1 = dec(c) * cb + s1
+    return r.withColumns(
+        {
+            "w1": w1.alias("w1"),
+            "w2": (dec(c) * cb * cb + 2 * dec(cb) * s1 + s2 - w1).alias("w2"),
+        }
+    )
+
+
 def bucketed_predecessor_counts(gr, val_col: str = "v", cnt_col: str = "c"):
     """(val, cnt, cb): exact EXCLUSIVE predecessor counts over a value
     grain without a global sort — the shared machinery behind every

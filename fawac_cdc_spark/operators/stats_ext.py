@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
-from .helpers import MONEY, bucketed_predecessor_counts, money, rank_bucket
+from .helpers import (
+    MONEY,
+    bucketed_predecessor_counts,
+    money,
+    pwm_grain_weights,
+    rank_bucket,
+)
 
 # --- Spearman ----------------------------------------------------------------
 
@@ -2899,9 +2905,13 @@ def conformal_residual_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-safe ``rank_bucket`` grain hierarchy (value-grain counts →
     bucket-scoped cumulative → first grain with cum ≥ k), never a
     global sort; the oracle keeps the direct ORDER BY/OFFSET form.
-    Degenerate note (EB convention): an empty calibration or test
-    split (sub-decile corpus) leaves q̂/coverage NULL on both engines —
-    no interval to audit."""
+    Degenerate note (EB convention): an empty CALIBRATION split leaves
+    q̂ and coverage NULL on both engines (no quantile exists); an empty
+    TEST split leaves coverage NULL on both while q̂ still reports the
+    calibration quantile — q̂ projects from the calibration frames
+    only, NOT from inside the test-split aggregate (ADVICE r14: the
+    former placement went NULL on Spark while the oracle's scalar
+    subquery didn't)."""
     from .helpers import md5_int32
 
     e = load_table(spark, sf_dir, "events")
@@ -2959,11 +2969,21 @@ def conformal_residual_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)),
                 6,
             ).alias("coverage"),
-            F.round(F.max("q").cast("double") / CONF_GRID, 6).alias("q_hat"),
         )
     )
-    return kk.crossJoin(F.broadcast(cov)).select(
-        "n_cal", "n_test", F.col("k").alias("k_order"), "q_hat", "coverage"
+    # q_hat projects from the CALIBRATION frames only (ADVICE r14): the
+    # former F.max("q") inside the tst aggregate went NULL on an empty
+    # test split while the oracle's scalar subquery still reported the
+    # calibration quantile — degenerate-case cross-engine divergence.
+    qhat = qh.select(
+        F.round(F.col("q").cast("double") / CONF_GRID, 6).alias("q_hat")
+    )
+    return (
+        kk.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_cal", "n_test", F.col("k").alias("k_order"), "q_hat", "coverage"
+        )
     )
 
 
@@ -3182,10 +3202,16 @@ def l_moments_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sign-safe ``rank_bucket`` hierarchy) occupies ranks cb+1..cb+c,
     so Σ(i−1) = c·cb + c(c−1)/2 and Σ(i−1)(i−2) telescope to exact
     integer weights W₁/W₂ — every numerator is an exact
-    DECIMAL(38,0)/HUGEINT (integer division only where divisibility is
-    exact), and b₀/b₁/b₂ touch doubles in one identical op sequence
-    (shared formula texts, round 6).  DECIMAL window: the W₂ weights
-    grow as n³ — exact to n ≈ 10¹²·³ rows, far beyond the design point.
+    DECIMAL(38,0)/HUGEINT, with the exactly-divisible quotients taken
+    via decimal ``/`` cast back to DECIMAL(38,0) (NOT ``div``, which
+    returns BIGINT on decimal operands and wraps past c ≈ 3.8×10⁶ on a
+    single grain — ADVICE r14; the oracle's HUGEINT ``//`` is exact).
+    DECIMAL window: the c³/6 quotient rides a DECIMAL(38,6)
+    intermediate (32 integer digits) — exact to c ≈ 8.4×10¹⁰ duplicate
+    rows of ONE cent value, and the n³-sized W₂ sums hold to
+    n ≈ 10¹²·³ rows — both far beyond the design point
+    (``tests/test_properties.py`` pins the c = 5×10⁶ grain that the old
+    ``div`` form silently wrapped).
     Degenerate note (EB convention): n < 3 divides by zero (no third
     L-moment exists); a constant sample has λ₂ = 0 → τ₃ NULL-vs-NaN
     cross-engine (no shape to measure)."""
@@ -3194,16 +3220,7 @@ def l_moments_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = x.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     r = bucketed_predecessor_counts(g, "v", "c")
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
-    c, cb = F.col("c"), F.col("cb")
-    s1 = F.expr("(CAST(c AS DECIMAL(38,0)) * (c - 1)) div 2")
-    s2 = F.expr(
-        "(CAST(c - 1 AS DECIMAL(38,0)) * c * (2 * c - 1)) div 6"
-    )
-    w1 = (dec(c) * cb + s1).alias("w1")
-    w2 = (
-        dec(c) * cb * cb + 2 * dec(cb) * s1 + s2 - (dec(c) * cb + s1)
-    ).alias("w2")
-    w = r.select("v", "c", w1, w2)
+    w = pwm_grain_weights(r).select("v", "c", "w1", "w2")
     t = w.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.sum(dec(F.col("v")) * F.col("c")).cast("double").alias("sb0"),
@@ -3304,7 +3321,14 @@ def decile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum = part if cum is None else cum.unionByName(part)
     cum = cum.select("grp", "v", (F.col("cb") + F.col("c")).alias("cum"))
     n = x.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    d = spark.range(1, 10).select(F.col("id").cast("int").alias("dec"))
+    # ONE spine definition: the oracle interpolates _QTE_DECILES, so the
+    # Spark side explodes the SAME tuple — a hardcoded range(1, 10) here
+    # would silently diverge if the constant were ever edited (ADVICE r14).
+    d = spark.sql(
+        "SELECT explode(array({})) AS dec".format(
+            ", ".join(f"CAST({q} AS INT)" for q in _QTE_DECILES)
+        )
+    )
     k = n.crossJoin(F.broadcast(d)).select(
         F.col("grp").alias("grp_k"),
         "dec",

@@ -61,87 +61,89 @@ _QUERY_MODULES = [
 # sweeps (sf0.01 + sf0.1, recorded in tools/parity_last.json and gated by
 # tests/test_tools.py) and tests/test_oracle_parity.py at sf0.001.
 #
-# Rounds 10-13 rotations kept for history in git; round-14 below.
+# Rounds 10-14 rotations kept for history in git; round-15 below.
 #
-# Round-14 rotation (VERDICT r13 #1 — executed exactly as the r13
+# Round-15 rotation (VERDICT r14 #1 — executed exactly as the r14
 # registry note planned it).  Composition, in order:
-#   12 never-driver-verified  (the ENTIRE round-13 cohort,
-#                             traindata_modern_pipeline ..
-#                             dedup_quality_bias — registered after the
-#                             r13 window froze and deferred here per the
-#                             ADVICE r10 convention; all 12 were green
-#                             in the judge's independent r13 parity run
-#                             and in the closing dual-scale sweeps, but
-#                             have zero driver rows.)
-# + 38 r6-stale               (of the 39-query cohort whose latest
-#                             driver hash is CORRECTNESS_r06 — the
-#                             oldest remaining evidence; listed in the
-#                             r13 note, taken alphabetically.)
-# = 50.  Deferred: `zorder_bucket_stats` (the one r6-stale query that
-# did not fit — its layout plan shape is independently pinned by
-# tests/test_layout.py and it rides every dual-scale sweep).  The
-# round-15 window plan (VERDICT r12 #1 asks for this note): the 21
-# never-driver-verified round-14 registrations first
-# (kendall_w_daily_types .. cooks_distance_top_days), then
-# zorder_bucket_stats, then 28 of the 48-query r8-stale cohort = 50;
-# the remaining 20 r8-stale queries become the r16 core.
-# Operators REGISTERED in round 14 land after this window froze and are
-# DEFERRED to the round-15 window (ADVICE r10 convention) — they ride
+#   21 never-driver-verified  (the ENTIRE round-14 cohort,
+#                             kendall_w_daily_types ..
+#                             cooks_distance_top_days — registered
+#                             after the r14 window froze and deferred
+#                             here per the ADVICE r10 convention; all
+#                             21 were green in the judge's independent
+#                             r14 parity run and in the closing
+#                             dual-scale sweeps, but have zero driver
+#                             rows.)
+# + zorder_bucket_stats       (last driver hash r6 — the deliberate r14
+#                             deferral, now retired.)
+# + 28 r8-stale               (of the 48-query cohort whose latest
+#                             driver hash is CORRECTNESS_r08 — the
+#                             oldest remaining evidence after zorder;
+#                             taken alphabetically,
+#                             approx_stats_error_bound ..
+#                             range_frame_trailing_hour.)
+# = 50.  The round-16 window plan (VERDICT r12 #1 asks for this note):
+# any round-15 registrations first (never driver-verified), then the
+# REMAINING 20 r8-stale queries (retention_cohort_matrix ..
+# winnowing_fingerprints), then the stalest r9 cohort to fill to 50.
+# Operators REGISTERED in round 15 land after this window froze and are
+# DEFERRED to the round-16 window (ADVICE r10 convention) — they ride
 # the closing dual-scale sweeps and tests/test_oracle_parity.py
 # instead.
 _PRIORITY = [
-    # Never driver-verified: the round-13 registrations (12).
-    "traindata_modern_pipeline",
-    "cohens_kappa_langid",
-    "kruskal_wallis_event_types",
-    "best_changepoint_daily",
-    "psi_train_eval_quality",
-    "decontam_n_frontier",
-    "welch_anova_event_types",
-    "packing_budget_frontier",
-    "friedman_daily_types",
-    "dunn_posthoc_event_types",
-    "hill_tail_index_doclen",
-    "dedup_quality_bias",
-    # r6-stale (38 of 39; zorder_bucket_stats deferred, see note above).
-    "anti_join_customers_without_orders",
-    "benchmark_decontam_flags",
-    "bloom_semi_join_gate",
-    "case_when_order_priority",
-    "cc_star_survivors",
-    "cdc_latest_state_per_user",
-    "conditional_agg_profile",
-    "constrained_best_order_per_priority",
-    "csv_scan_events_agg",
-    "density_binned_subsample",
-    "discounted_cumsum_per_user",
-    "episode_rollout_stats",
-    "event_value_stats",
-    "exp_weight_capped",
-    "grouping_sets_mixed",
-    "hash_sample_lineitem",
-    "hour_bitmap_user_activity",
-    "incremental_lsh_dedup",
-    "ivfpq_topk_query1",
-    "json_extract_props",
-    "kll_quantile_rank_bound",
-    "lsh_dedup_admissions",
-    "metrics_sink_roundtrip",
-    "mlp_inference_scores",
-    "nations_customers_except_suppliers",
-    "npz_scan_events_agg",
-    "npz_write_roundtrip_agg",
-    "order_date_parts",
-    "orders_lineitem_by_priority",
-    "packing_efficiency_stats",
-    "q10_returned_items",
-    "q3_shipping_priority",
-    "range_join_clicks_before_purchase",
-    "scalar_transform_lineitem",
-    "semi_join_urgent_customers",
-    "session_agg_30min_gap",
-    "topk_orders_per_status",
-    "value_decile_profile",
+    # Never driver-verified: the round-14 registrations (21).
+    "kendall_w_daily_types",
+    "mantel_haenszel_returns",
+    "logrank_test_purchase",
+    "grubbs_outlier_daily",
+    "bowker_symmetry_transitions",
+    "cvm_test_type_hours",
+    "seasonal_strength_hourly",
+    "vocab_richness_estimators",
+    "fuzzy_title_dedup",
+    "jackknife_source_influence",
+    "hopkins_clusterability",
+    "rbo_retrieval_agreement",
+    "shuffle_adjacency_audit",
+    "conformal_residual_coverage",
+    "kw_effect_sizes_event_types",
+    "energy_distance_type_hours",
+    "l_moments_event_values",
+    "decile_treatment_effects",
+    "simpsons_paradox_audit",
+    "durbin_watson_daily",
+    "cooks_distance_top_days",
+    # The r14 deferral (last driver hash r6).
+    "zorder_bucket_stats",
+    # r8-stale (28 of 48, alphabetical; remaining 20 are the r16 core).
+    "approx_stats_error_bound",
+    "binned_interval_join_counts",
+    "bm25_topk_docs",
+    "cdc_version_diff",
+    "cms_user_event_estimates",
+    "containment_dup_pairs",
+    "cube_order_priority",
+    "daily_event_spine",
+    "dim_denormalize_supplier",
+    "distinct_parts_per_flag",
+    "dsir_gumbel_resample",
+    "dsir_selected_docs",
+    "embedding_margin_stats",
+    "eval_stats_mean_stddev",
+    "ewma_user_values",
+    "expectile_loss_by_flag",
+    "filter_range_scan",
+    "gopher_quality_flags",
+    "incremental_semantic_dedup",
+    "ivf_multiprobe_topk_query1",
+    "multiprobe_lsh_topk_query0",
+    "nations_customers_intersect_suppliers",
+    "near_dup_triangle_counts",
+    "ngram_novelty_by_shard",
+    "order_stats_with_median",
+    "pagerank_near_dup",
+    "prefix_half_per_user",
+    "range_frame_trailing_hour",
 ]
 
 

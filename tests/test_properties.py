@@ -4198,6 +4198,37 @@ def test_l_moments_replica(spark, sf_dir):
     assert r["l2"] >= 0.0  # L-scale is nonnegative
 
 
+def test_pwm_weights_exact_at_large_grain_counts(spark):
+    """ADVICE r14 (medium): the old `div`-based PWM weights wrapped to
+    BIGINT once (c-1)c(2c-1)/6 > 2^63 — c = 5e6 produced
+    4773166019248396768 instead of the exact 41666654166667500000.
+    Pin the shared :func:`pwm_grain_weights` against exact Python ints
+    at grain counts straddling the wrap point (and a 4e9 count whose
+    c*(c-1)/2 also exceeds BIGINT), with nonzero predecessor counts."""
+    from fawac_cdc_spark.operators.helpers import pwm_grain_weights
+
+    grains = [
+        (1, 1000, 0),
+        (2, 3_800_000, 1000),  # just under the old wrap point
+        (3, 5_000_000, 3_801_000),  # ADVICE's verified wrap case
+        (4, 4_000_000_000, 8_801_000),  # c*(c-1)/2 itself > 2^63
+        (5, 5_000_000, 0),  # cb=0: w1 + w2 == the exact s2 constant
+    ]
+    df = spark.createDataFrame(grains, "v long, c long, cb long")
+    got = {
+        r["v"]: (int(r["w1"]), int(r["w2"]))
+        for r in pwm_grain_weights(df).collect()
+    }
+    for v, c, cb in grains:
+        w1 = c * cb + c * (c - 1) // 2
+        w2 = c * cb * cb + 2 * cb * (c * (c - 1) // 2) + (c - 1) * c * (
+            2 * c - 1
+        ) // 6 - w1
+        assert got[v] == (w1, w2), f"grain {v}: {got[v]} != {(w1, w2)}"
+    # the ADVICE repro constant, verbatim: (c-1)c(2c-1)/6 at c=5e6
+    assert got[5][0] + got[5][1] == 41666654166667500000
+
+
 def test_decile_treatment_effects_replica(spark, sf_dir):
     """Pure-Python type-1 decile replica per md5 cohort."""
     import duckdb

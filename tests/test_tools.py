@@ -165,12 +165,14 @@ def test_bench_stdout_line_fits_driver_tail_capture():
         "0.1",
         {name: 99999.999 for name in EXT_HEADLINE},
         probe=99999.999,
+        probe_post=99999.999,
     )
     line = json.dumps(compact)
     assert "extras" not in compact
     assert "ext_queries" not in compact  # per-query ext is file-only
     assert compact["ext_value"] > 0
     assert compact["probe_seconds"] > 0  # host-drift probe rides the line
+    assert compact["probe_seconds_post"] > 0  # bookend probe (round 15)
     assert len(line) < 1800, f"compact bench line too long: {len(line)} chars"
     # and the full record (with extras) goes to a file, not stdout
     src = open(os.path.join(_REPO, "bench.py")).read()
@@ -296,3 +298,77 @@ def test_bench_compare_refuses_to_judge_on_host_drift(tmp_path):
     rc3, out3 = _run_bench_compare(tmp_path, old, slow)
     assert rc3 == 1  # the real regression still fails; no refuse path
     assert "probe bootstraps" in out3
+
+
+def test_bench_compare_ext_missing_check_needs_both_maps(tmp_path):
+    """ADVICE r14 (low): a compact record carrying only ext_value has no
+    ext_queries map BY SHAPE — the vanished-member check must not read
+    that as every frozen ext query having crashed."""
+    base = {
+        "value": 2.0,
+        "queries": {"a": 1.0},
+        "ext_queries": {"x": 1.0, "y": 2.0},
+    }
+    compact_now = {"value": 2.0, "queries": {"a": 1.0}, "ext_value": 3.1}
+    rc, out = _run_bench_compare(tmp_path, base, compact_now)
+    assert rc == 0, out
+    assert "ext queries missing" not in out
+    # the map-vs-map vanished check still fires (test above pins it too)
+    now_vanished = {"value": 2.0, "queries": {"a": 1.0}, "ext_queries": {"x": 1.0}}
+    rc2, out2 = _run_bench_compare(tmp_path, base, now_vanished)
+    assert rc2 == 1 and "ext queries missing" in out2
+
+
+def test_bench_compare_bookend_probe_judges_sections(tmp_path):
+    """Round 15 (VERDICT r14 #3): the ext/extras section runs LAST, so it
+    is judged by the POST bookend probe — a clean pre-probe with a
+    drifted post-probe (the r14 episode: monotone mid-session drift)
+    refuses to judge the late section (rc=2) instead of crying
+    regression; clean bookends judge normally."""
+    base = {
+        "value": 2.0,
+        "queries": {"a": 1.0, "b": 1.0},
+        "ext_queries": {"x": 1.0},
+        "probe_seconds": 1.0,
+    }
+    # pre clean (+2%), post drifted (+40%): the ext "regression" is drift
+    drifted = {
+        "value": 2.0,
+        "queries": {"a": 1.0, "b": 1.0},
+        "ext_queries": {"x": 2.0},
+        "probe_seconds": 1.02,
+        "probe_seconds_post": 1.4,
+    }
+    rc, out = _run_bench_compare(tmp_path, base, drifted)
+    assert rc == 2
+    assert "REFUSE-TO-JUDGE [ext/extras]" in out
+    assert "REFUSE-TO-JUDGE [headline]" not in out
+    assert "probe bookends" in out
+    # clean bookends: the same ext regression is judged for real (rc=1)
+    quiet = {
+        "value": 2.0,
+        "queries": {"a": 1.0, "b": 1.0},
+        "ext_queries": {"x": 2.0},
+        "probe_seconds": 1.02,
+        "probe_seconds_post": 1.05,
+    }
+    rc2, out2 = _run_bench_compare(tmp_path, base, quiet)
+    assert rc2 == 1
+    assert "FAIL ext x" in out2
+    # a slow PRE probe refuses the headline section by name
+    slow_pre = {
+        "value": 2.6,
+        "queries": {"a": 1.6, "b": 1.0},
+        "ext_queries": {"x": 1.0},
+        "probe_seconds": 1.3,
+        "probe_seconds_post": 1.3,
+    }
+    rc3, out3 = _run_bench_compare(tmp_path, base, slow_pre)
+    assert rc3 == 2
+    assert "REFUSE-TO-JUDGE [headline]" in out3
+    # a baseline WITH a post reading becomes the late section's reference
+    base_post = dict(base, probe_seconds_post=2.0)
+    now_post_ok = dict(quiet, probe_seconds_post=2.1, ext_queries={"x": 1.0})
+    rc4, out4 = _run_bench_compare(tmp_path, base_post, now_post_ok)
+    assert rc4 == 2  # bookends 1.02 -> 2.1 disagree: still refused
+    assert "bookend disagreement" in out4

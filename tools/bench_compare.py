@@ -108,13 +108,17 @@ def main() -> int:
             n_ext_regressed += 1
             failures.append(f"ext {name}: {b:.3f}s -> {n:.3f}s (+{delta:.0%})")
         print(f"[{flag}] ext {name}: {b:.3f} -> {n:.3f} ({delta:+.0%})")
-    ext_missing = set(base.get("ext_queries", {})) - set(
-        now.get("ext_queries", {})
-    )
-    if ext_missing:
-        failures.append(
-            f"ext queries missing from current run: {sorted(ext_missing)}"
+    # Vanished-member check only when BOTH records carry the map (ADVICE
+    # r14): a compact driver record legitimately has ext_value only — an
+    # absent ext_queries key is a record SHAPE, not ten crashed queries.
+    if "ext_queries" in now:
+        ext_missing = set(base.get("ext_queries", {})) - set(
+            now["ext_queries"]
         )
+        if ext_missing:
+            failures.append(
+                f"ext queries missing from current run: {sorted(ext_missing)}"
+            )
 
     be, ne = ext_total(base), ext_total(now)
     if be is not None and ne is not None:
@@ -123,20 +127,48 @@ def main() -> int:
             failures.append(f"ext total budget exceeded: {ne:.3f} > {be:.3f}")
     elif ne is not None:
         print(f"ext total: (no baseline) -> {ne:.3f} — ext gate bootstraps")
-    # Host-calibration probe (round 14, VERDICT r13 #4): bench.py times a
-    # fixed synthetic shuffle+agg (probe_seconds) whose work never changes,
-    # so now/base is a pure host-speed ratio.  A host >15% slower than the
-    # baseline session makes every "+N%" above drift, not regression — the
-    # gate then REFUSES TO JUDGE (rc=2: re-run when quiet) instead of
-    # relying on the operator to notice.  A faster host is annotated only
+    # Host-calibration probes (round 14, VERDICT r13 #4; BOOKENDED round
+    # 15, VERDICT r14 #3): bench.py times a fixed synthetic shuffle+agg
+    # whose work never changes — once BEFORE the headline suite
+    # (probe_seconds) and once AFTER the extras/ext suite
+    # (probe_seconds_post) — so now/base on either reading is a pure
+    # host-speed ratio, and post-vs-pre within the current run bounds
+    # drift that started MID-session (drift on this host is monotone
+    # within a session, so the r14 episode — clean pre-probe, drifted
+    # ext section that runs last — is exactly what the post probe
+    # catches).  Each SECTION is judged by its NEARER probe: the
+    # headline/total section by the pre probe, the extras/ext section
+    # (measured last) by the post probe when available (falling back to
+    # pre — the probe is fixed work, so any baseline reading is a valid
+    # host reference).  A section whose nearer probe is >15% slower than
+    # baseline, or a >15% pre/post bookend disagreement (drift onset
+    # unknown → everything between the bookends suspect), REFUSES TO
+    # JUDGE (rc=2: re-run when quiet).  A faster host is annotated only
     # (it can mask a small true regression, but never invents one).
-    probe_drift = None
-    bp, np_ = base.get("probe_seconds"), now.get("probe_seconds")
-    if bp and np_:
-        probe_drift = (np_ - bp) / bp
-        print(f"host probe: {bp:.3f} -> {np_:.3f} ({probe_drift:+.0%})")
-    elif np_:
-        print(f"host probe: (no baseline) -> {np_:.3f} — probe bootstraps")
+    bp, bp_post = base.get("probe_seconds"), base.get("probe_seconds_post")
+    np_pre = now.get("probe_seconds")
+    np_post = now.get("probe_seconds_post")
+    pre_drift = post_drift = bookend = None
+    if bp and np_pre:
+        pre_drift = (np_pre - bp) / bp
+        print(f"host probe (pre): {bp:.3f} -> {np_pre:.3f} ({pre_drift:+.0%})")
+    elif np_pre:
+        print(f"host probe: (no baseline) -> {np_pre:.3f} — probe bootstraps")
+    late_base = bp_post or bp
+    if late_base and np_post:
+        post_drift = (np_post - late_base) / late_base
+        print(
+            f"host probe (post): {late_base:.3f} -> {np_post:.3f} "
+            f"({post_drift:+.0%})"
+        )
+    elif np_post:
+        print(
+            f"host probe (post): (no baseline) -> {np_post:.3f} — "
+            "probe bootstraps"
+        )
+    if np_pre and np_post:
+        bookend = (np_post - np_pre) / np_pre
+        print(f"probe bookends: {np_pre:.3f} -> {np_post:.3f} ({bookend:+.0%})")
     for f_ in failures:
         print(f"FAIL {f_}")
     print(f"{len(common) - n_regressed}/{len(common)} within budget")
@@ -150,12 +182,29 @@ def main() -> int:
             f"{len(extras_common) - n_extra_regressed}/{len(extras_common)} "
             "extras within budget"
         )
-    if probe_drift is not None and probe_drift > 0.15:
+    head_refused = pre_drift is not None and pre_drift > 0.15
+    late_drift = post_drift if post_drift is not None else pre_drift
+    late_refused = (late_drift is not None and late_drift > 0.15) or (
+        bookend is not None and abs(bookend) > 0.15
+    )
+    if head_refused:
         print(
-            f"REFUSE-TO-JUDGE: host probe {probe_drift:+.0%} vs baseline "
-            "session (tol +15%) — timings above are drift-contaminated; "
+            f"REFUSE-TO-JUDGE [headline]: host probe {pre_drift:+.0%} vs "
+            "baseline session (tol +15%) — headline timings above are "
+            "drift-contaminated; re-run on a quiet host (rc=2)"
+        )
+    if late_refused:
+        why = (
+            f"bookend disagreement {bookend:+.0%}"
+            if bookend is not None and abs(bookend) > 0.15
+            else f"nearer probe {late_drift:+.0%}"
+        )
+        print(
+            f"REFUSE-TO-JUDGE [ext/extras]: {why} (tol 15%) — the "
+            "late-running section's timings are drift-contaminated; "
             "re-run on a quiet host (rc=2)"
         )
+    if head_refused or late_refused:
         return 2
     return 1 if failures else 0
 
