@@ -352,6 +352,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "simpsons_paradox_audit",
     "durbin_watson_daily",
     "cooks_distance_top_days",
+    # round 15
+    "pca_gram_matrix",
 )
 
 
@@ -380,10 +382,12 @@ EXT_HEADLINE: tuple[str, ...] = (
 )
 
 
-# Queries registered since the last green full-registry parity sweep —
-# empty: the round-14 closing sweeps (362/362 at sf0.01 AND sf0.1 on
-# the final tree, tools/parity_last.json).
-PENDING_SWEEP: frozenset[str] = frozenset()
+# Queries registered since the last green full-registry parity sweep.
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "pca_gram_matrix",
+    }
+)
 
 
 @dataclass(frozen=True)

@@ -2130,6 +2130,29 @@ def test_bpe_learned_merges_match_replica_randomized(spark):
         assert got == _bpe_replica(freqs, BPE_N_MERGES), f"trial {trial}"
 
 
+def test_pca_gram_matrix_query_feeds_the_eigen_consumers(spark, sf_dir):
+    """The driver-oracled pca_gram_matrix query (round 15, VERDICT r14
+    #5) must return exactly the totals the eigendecomposing consumers
+    collect via _exact_embedding_moments — same flat indexing, same
+    exact integers — so its driver-hash evidence covers the distributed
+    half of the rows-only PCA family."""
+    from fawac_cdc_spark.functions.similarity import (
+        EMB_DIM,
+        _exact_embedding_moments,
+    )
+
+    d = EMB_DIM
+    got = {
+        r["i"]: r["t"]
+        for r in _SPECS["pca_gram_matrix"].fn(spark, sf_dir).collect()
+    }
+    n, s, g = _exact_embedding_moments(spark, sf_dir)
+    assert len(got) == 1 + d + d * d
+    assert got[0] == n
+    assert [got[1 + i] for i in range(d)] == s
+    assert [got[1 + d + i] for i in range(d * d)] == g
+
+
 def test_pca_matches_exact_numpy_replica(spark, sf_dir):
     """The distributed Gram is EXACT integer arithmetic on 1e-6-quantized
     embeddings, so the replica eigendecomposes the bit-identical
