@@ -1071,28 +1071,60 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights divided once — so all {B} means are bit-identical doubles
     on both engines and the percentile interpolation cannot drift.
     Summary statistics are percentiles (never a float mean OF the
-    means, whose summation order is engine-dependent)."""
+    means, whose summation order is engine-dependent).
+
+    Round-15 profile (VERDICT r14 #2): the original plan sliced and
+    conv'd a digest on EVERY exploded row (4.8M substr/conv at sf0.1)
+    and ran entirely on the scan's single input split — 5.5 s, one
+    task.  Now all string work (16 8-hex convs/order; the high half of
+    conv(8 hex) IS conv(first 4 hex), so the coins are bit-identical
+    to the oracle's 4-hex slices) sits at the order grain behind a
+    pre-explode hash repartition, and the exploded rows do one array
+    access + div/mod + the weight CASE: 0.8 s, 32 tasks, same hash."""
     o = load_table(spark, sf_dir, "orders")
-    reps = F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b")
     # One md5 digest carries 32 hex chars = EIGHT independent 16-bit
-    # coins, and the digests are HOISTED to the order grain before the
-    # replicate explode (4 md5s per order, not 32): the digest array
-    # rides into the exploded rows where each replicate slices its own
-    # 4-hex coin.
+    # coins; ALL string work stays at the ORDER grain (round-15 profile:
+    # the former plan sliced+conv'd the digest on every exploded row —
+    # 4.8M substr/conv at sf0.1, ~60% of runtime).  Here each digest is
+    # conv'd in 8-hex (32-bit) chunks — 16 convs/order instead of 32 —
+    # each chunk split arithmetically into its two 16-bit coins (bit-
+    # identical to the oracle's per-replicate 4-hex slices: the high
+    # half of conv(8 hex) IS conv(first 4 hex)), and the full Poisson
+    # weight vector is computed per order so the replicate explode
+    # emits three scalar columns and does no string work at all.
     n_dig = BOOT_REPS // 8
-    # NB Spark [] is 0-indexed where DuckDB lists are 1-indexed
-    u_spark = (
-        f"(CAST(conv(substr(ds[b div 8], (b % 8) * 4 + 1, 4), 16, 10) "
-        f"AS INT) % {_BOOT_COIN} + 0.5) / {_BOOT_COIN}.0"
+    # NO lambda higher-order functions here: transform(...) bodies run
+    # INTERPRETED (outside whole-stage codegen) and a lambda-built coin
+    # array measured 3x SLOWER than the original plan.  A plain array()
+    # literal of 16 conv expressions stays fully codegen'd.
+    chunk_convs = ", ".join(
+        f"CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':{j}'), "
+        f"{q * 8 + 1}, 8), 16, 10) AS BIGINT)"
+        for j in range(n_dig)
+        for q in range(4)
     )
-    dig = o.select(
+    # Hash-repartition BEFORE the 32x explode (round-15 profile): the
+    # replicate explode amplifies per-row CPU 32-fold, so the md5/conv/
+    # CASE work must run at full width even when the scan yields few
+    # input splits (one 150k-row parquet file at sf0.1 left the WHOLE
+    # query on a single task: 5.5 s single-threaded vs 0.8 s spread).
+    # Column-form repartition follows spark.sql.shuffle.partitions —
+    # cores locally, the cluster-tuned width at scale — and shuffles
+    # only the slim pre-explode grain (key + price).
+    dig = o.repartition("o_orderkey").select(
         money("o_totalprice").alias("x"),
-        F.expr(
-            f"transform(sequence(0, {n_dig - 1}), "
-            "i -> md5(CAST(o_orderkey AS STRING) || ':' || CAST(i AS STRING)))"
-        ).alias("ds"),
+        F.expr(f"array({chunk_convs})").alias("cs"),
     )
-    w = dig.select("x", "ds", reps).select(
+    reps = F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b")
+    # Per exploded row: one array access + div/mod — the high 16 bits of
+    # conv(8 hex) ARE conv(first 4 hex), so the coin values (and every
+    # weight downstream) are bit-identical to the oracle's 4-hex slices.
+    u_spark = (
+        f"((CASE WHEN b % 2 = 0 THEN element_at(cs, CAST(b div 2 AS INT) + 1)"
+        f" div {_BOOT_COIN} ELSE element_at(cs, CAST(b div 2 AS INT) + 1)"
+        f" % {_BOOT_COIN} END + 0.5) / {_BOOT_COIN}.0)"
+    )
+    w = dig.select("x", "cs", reps).select(
         "b", "x", F.expr(_pois_w_sql(u_spark)).alias("wt")
     )
     per = w.groupBy("b").agg(
