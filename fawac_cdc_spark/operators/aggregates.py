@@ -1108,10 +1108,15 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CASE work must run at full width even when the scan yields few
     # input splits (one 150k-row parquet file at sf0.1 left the WHOLE
     # query on a single task: 5.5 s single-threaded vs 0.8 s spread).
-    # Column-form repartition follows spark.sql.shuffle.partitions —
-    # cores locally, the cluster-tuned width at scale — and shuffles
-    # only the slim pre-explode grain (key + price).
-    dig = o.repartition("o_orderkey").select(
+    # The width is EXPLICIT (defaultParallelism = every core): a
+    # column-only repartition is AQE-coalesced right back to one
+    # partition (the pre-explode grain is a few MB — far below the
+    # advisory size — but carries 32x its bytes in downstream CPU,
+    # which size-based coalescing cannot see); an explicit count is
+    # exempt from coalescing.  Shuffles only the slim (key, price) rows.
+    dig = o.repartition(
+        spark.sparkContext.defaultParallelism, "o_orderkey"
+    ).select(
         money("o_totalprice").alias("x"),
         F.expr(f"array({chunk_convs})").alias("cs"),
     )

@@ -20,7 +20,12 @@ either a BOUNDED grain (calendar days, event types, priority × decile
 grids, sources) or a map-side-combinable moment aggregate before any
 window/join; the only row-expanding stage is the permutation test's
 32× replicate explode, which follows ``poisson_bootstrap_ci``'s
-hoisted-digest discipline (4 md5s per order carry all 32 coins).
+round-15 discipline: ALL string work (md5 + 8-hex conv chunks carrying
+two 16-bit coins each) at the order grain, an explicit-width hash
+repartition before the explode (the CPU-amplified stage must not
+inherit the scan's split count, and AQE would coalesce a column-only
+repartition of this few-MB grain right back to one partition), and
+only array access + integer arithmetic on the exploded rows.
 Per-term double sums over bounded grids follow the source_kl_drift /
 chi_square convention: exact-integer inputs, identical operand order,
 round(6) on final statistics only.
@@ -343,8 +348,16 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- randomization (permutation) test ----------------------------------------
 
 PERM_REPS = 32
+# Spark coin: ONE array access + div/mod per exploded row — the digests
+# are conv'd in 8-hex chunks at the ORDER grain (the low bit of a 4-hex
+# slice is bit 0 / bit 16 of its 8-hex chunk, so the coins are
+# bit-identical to the oracle's per-replicate 4-hex slices); see
+# poisson_bootstrap_ci's round-15 profile for why no string work may
+# ride the 32x explode.
 _PERM_COIN_SPARK = (
-    "CAST(conv(substr(ds[b div 8], (b % 8) * 4 + 1, 4), 16, 10) AS INT) % 2"
+    "CAST((CASE WHEN b % 2 = 0"
+    " THEN element_at(cs, CAST(b div 2 AS INT) + 1) div 65536"
+    " ELSE element_at(cs, CAST(b div 2 AS INT) + 1) END) % 2 AS INT)"
 )
 _PERM_COIN_DUCK = (
     "CAST('0x' || substr(ds[r.b // 8 + 1], (r.b % 8) * 4 + 1, 4) AS INT) % 2"
@@ -411,10 +424,6 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select(
         money("o_totalprice").alias("x"),
         md5_bucket("o_orderkey", 2).alias("grp"),
-        F.expr(
-            f"transform(sequence(0, {n_dig - 1}), "
-            "i -> md5(CAST(o_orderkey AS STRING) || ':' || CAST(i AS STRING)))"
-        ).alias("ds"),
     )
     obs = base.agg(
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
@@ -426,9 +435,26 @@ def permutation_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
         ).alias("obs_diff"),
     )
-    w = base.select(
+    # All string work (16 codegen'd 8-hex convs/order — lambda
+    # transform() runs interpreted) at the order grain behind a
+    # pre-explode hash repartition; see poisson_bootstrap_ci.
+    chunk_convs = ", ".join(
+        f"CAST(conv(substr(md5(CAST(o_orderkey AS STRING) || ':{j}'), "
+        f"{q * 8 + 1}, 8), 16, 10) AS BIGINT)"
+        for j in range(n_dig)
+        for q in range(4)
+    )
+    # Explicit width: a column-only repartition is AQE-coalesced back
+    # to one partition on this few-MB grain (see poisson_bootstrap_ci).
+    wbase = o.repartition(
+        spark.sparkContext.defaultParallelism, "o_orderkey"
+    ).select(
+        money("o_totalprice").alias("x"),
+        F.expr(f"array({chunk_convs})").alias("cs"),
+    )
+    w = wbase.select(
         "x",
-        "ds",
+        "cs",
         F.explode(F.sequence(F.lit(0), F.lit(PERM_REPS - 1))).alias("b"),
     ).select("b", "x", F.expr(_PERM_COIN_SPARK).alias("coin"))
     per = w.groupBy("b").agg(
