@@ -217,7 +217,13 @@ def lineitem_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c, kind in _HIST_COLS
     )
-    melted = li.selectExpr(f"stack({k}, {melt_args}) as (col_name, v)").where(
+    # Widen before the k-fold melt (round-15 discipline, see
+    # poisson_bootstrap_ci): stack() amplifies rows k-fold, so the melt
+    # and its map-side partial aggregation must not inherit the scan's
+    # split count (one single-row-group file at sf0.1 = one task).
+    melted = li.repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey", "l_linenumber"
+    ).selectExpr(f"stack({k}, {melt_args}) as (col_name, v)").where(
         F.col("v").isNotNull()
     )
 
@@ -326,8 +332,12 @@ def lineitem_depth_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c, kind in _HIST_COLS
     )
+    # Widen before the k-fold melt (see lineitem_column_histograms).
     counts = (
-        li.selectExpr(f"stack({k}, {melt_args}) as (col_name, v)")
+        li.repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey", "l_linenumber"
+        )
+        .selectExpr(f"stack({k}, {melt_args}) as (col_name, v)")
         .where(F.col("v").isNotNull())
         .groupBy("col_name", "v")
         .agg(F.count(F.lit(1)).alias("cnt"))
