@@ -182,6 +182,51 @@ def pwm_grain_weights(r, cnt_col: str = "c", cb_col: str = "cb"):
     )
 
 
+def bucketed_prefix_sums(gr, val_col: str, cnt_cols: list[str]):
+    """INCLUSIVE prefix sums of one or more count columns over a value
+    grain without a global sort — the generalized form of the
+    :func:`bucketed_predecessor_counts` machinery (one bucket pass,
+    N simultaneous running totals; round 15, for the two-sample ECDF
+    comparisons that need both cohorts' cumulatives at every value).
+
+    Returns the grain columns plus ``cum_<name>`` per count column:
+    the total of that count over all grain values <= this value.
+    Same plan shape as the single-count form: sign-safe
+    :func:`rank_bucket` buckets, bucket-scoped windows, and one
+    broadcast exclusive prefix over the <=127-row bucket-total frame.
+    """
+    from pyspark.sql import Window
+
+    gb = gr.withColumn("bucket", rank_bucket(val_col))
+    wv = (
+        Window.partitionBy("bucket")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vb = gb.withColumns(
+        {f"cum_b_{c}": F.sum(c).over(wv) for c in cnt_cols}
+    )
+    bt = gb.groupBy("bucket").agg(
+        *[F.sum(c).alias(f"bc_{c}") for c in cnt_cols]
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bto = bt.select(
+        "bucket",
+        *[
+            F.coalesce(F.sum(f"bc_{c}").over(wb), F.lit(0)).alias(f"boff_{c}")
+            for c in cnt_cols
+        ],
+    )
+    return vb.join(F.broadcast(bto), "bucket").select(
+        val_col,
+        *cnt_cols,
+        *[
+            (F.col(f"boff_{c}") + F.col(f"cum_b_{c}")).alias(f"cum_{c}")
+            for c in cnt_cols
+        ],
+    )
+
+
 def bucketed_predecessor_counts(gr, val_col: str = "v", cnt_col: str = "c"):
     """(val, cnt, cb): exact EXCLUSIVE predecessor counts over a value
     grain without a global sort — the shared machinery behind every
@@ -194,23 +239,11 @@ def bucketed_predecessor_counts(gr, val_col: str = "v", cnt_col: str = "c"):
     no-global-sort discipline), and an exclusive prefix sum over the
     <=127-row bucket totals (broadcast) restores global positions:
     a value with predecessor count cb occupies ranks cb+1 .. cb+cnt.
+    (Thin wrapper over :func:`bucketed_prefix_sums` — ONE definition of
+    the bucket machinery.)
     """
-    from pyspark.sql import Window
-
-    gb = gr.withColumn("bucket", rank_bucket(val_col))
-    wv = (
-        Window.partitionBy("bucket")
-        .orderBy(val_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    vb = gb.withColumn("cum_b", F.sum(cnt_col).over(wv))
-    bt = gb.groupBy("bucket").agg(F.sum(cnt_col).alias("bc"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    bto = bt.select(
-        "bucket", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("boff")
-    )
-    return vb.join(F.broadcast(bto), "bucket").select(
+    return bucketed_prefix_sums(gr, val_col, [cnt_col]).select(
         val_col,
         cnt_col,
-        (F.col("boff") + F.col("cum_b") - F.col(cnt_col)).alias("cb"),
+        (F.col(f"cum_{cnt_col}") - F.col(cnt_col)).alias("cb"),
     )

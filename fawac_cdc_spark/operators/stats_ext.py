@@ -3692,3 +3692,425 @@ def cooks_distance_top_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 cooks_distance_top_days.__doc__ = cooks_distance_top_days.__doc__.format(
     K=COOKS_TOP
 )
+
+
+# --- round 15 wave 1: variance homogeneity / exact KS / ICC / trend ------------
+
+# Bartlett shared formula texts over the bounded type grain: vg is the
+# per-type sample variance, sp2 the pooled variance; the correction C
+# uses only counts.
+_BART_SP2 = "(swv / (nn - kk))"
+_BART_T = f"(((nn - kk) * LN({_BART_SP2}) - swl) / cc)"
+
+
+@register(
+    "bartlett_test_event_types",
+    oracle=f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s_g,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q_g
+    FROM events GROUP BY 1
+), v AS (
+    SELECT n_g,
+           (q_g - s_g * s_g / n_g) / (n_g - 1.0) AS vg
+    FROM g
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS kk,
+           CAST(SUM(n_g) AS DOUBLE) AS nn,
+           SUM((n_g - 1.0) * vg) AS swv,
+           SUM((n_g - 1.0) * LN(vg)) AS swl,
+           SUM(1.0 / (n_g - 1.0)) AS sinv
+    FROM v
+), c AS (
+    SELECT kk, nn, swv, swl,
+           1.0 + (sinv - 1.0 / (nn - kk)) / (3.0 * (kk - 1.0)) AS cc
+    FROM m
+)
+SELECT CAST(kk AS INT) AS k_types,
+       CAST(nn AS BIGINT) AS n_events,
+       CAST(kk - 1 AS INT) AS dof,
+       ROUND({_BART_T}, 6) AS bartlett_t
+FROM c
+""",
+    tags=("analytics", "stats"),
+)
+def bartlett_test_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of equal variances across event types — the
+    parametric variance-homogeneity check that decides between classic
+    ANOVA (``anova_f_event_types``) and its heteroscedasticity-robust
+    replacements (``welch_anova_event_types``,
+    ``brown_forsythe_event_types``): under normality T ~ χ²(k−1), and a
+    large T says the pooled-variance F is the wrong test.  Bartlett is
+    the sensitive-but-fragile member of that trio (it reacts to
+    non-normality as much as to variance), which is exactly why a
+    dashboard shows it NEXT TO Brown-Forsythe rather than instead.
+
+    One map-side-combinable pass collects exact per-type decimal
+    moments (n, Σx, Σx²); each type's variance touches doubles in one
+    identical op sequence (the ``welch_t_flags`` _W_VN shape), and the
+    three k-term reductions (Σ(n−1)v, Σ(n−1)ln v, Σ1/(n−1)) run over
+    the BOUNDED type grain (chi_square convention: exact inputs,
+    identical operand order, round(6) on the final T only).
+    Degenerate note (EB convention): a type with n<2 or zero variance
+    has no ln(v) — NULL propagates on both engines identically."""
+    e = load_table(spark, sf_dir, "events")
+    v = money("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(v).cast("double").alias("s_g"),
+        F.sum(v * v).cast("double").alias("q_g"),
+    )
+    vg = g.select(
+        "n_g",
+        (
+            (F.col("q_g") - F.col("s_g") * F.col("s_g") / F.col("n_g"))
+            / (F.col("n_g") - 1.0)
+        ).alias("vg"),
+    )
+    m = vg.agg(
+        F.count(F.lit(1)).cast("double").alias("kk"),
+        F.sum("n_g").cast("double").alias("nn"),
+        F.sum((F.col("n_g") - 1.0) * F.col("vg")).alias("swv"),
+        F.sum((F.col("n_g") - 1.0) * F.log("vg")).alias("swl"),
+        F.sum(1.0 / (F.col("n_g") - 1.0)).alias("sinv"),
+    )
+    c = m.select(
+        "kk",
+        "nn",
+        "swv",
+        "swl",
+        (
+            1.0
+            + (F.col("sinv") - 1.0 / (F.col("nn") - F.col("kk")))
+            / (3.0 * (F.col("kk") - 1.0))
+        ).alias("cc"),
+    )
+    return c.selectExpr(
+        "CAST(kk AS INT) AS k_types",
+        "CAST(nn AS BIGINT) AS n_events",
+        "CAST(kk - 1 AS INT) AS dof",
+        f"ROUND({_BART_T}, 6) AS bartlett_t",
+    )
+
+
+@register(
+    "ks_test_flag_values",
+    oracle="""
+WITH x AS (
+    SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+           l_returnflag AS f
+    FROM lineitem WHERE l_returnflag IN ('N', 'R')
+), g AS (
+    SELECT v,
+           CAST(SUM(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+    FROM x GROUP BY v
+), cum AS (
+    SELECT v,
+           SUM(c1) OVER (ORDER BY v) AS m1,
+           SUM(c2) OVER (ORDER BY v) AS m2
+    FROM g
+), n AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM g),
+d AS (
+    SELECT MAX(ABS(CAST(m1 * (SELECT n2 FROM n) AS BIGINT)
+                   - CAST(m2 * (SELECT n1 FROM n) AS BIGINT))) AS dnum
+    FROM cum
+)
+SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n_n,
+       CAST((SELECT n2 FROM n) AS BIGINT) AS n_r,
+       ROUND(CAST((SELECT dnum FROM d) AS DOUBLE)
+             / ((SELECT n1 FROM n) * CAST((SELECT n2 FROM n) AS DOUBLE)),
+             6) AS ks_d,
+       ROUND(CAST((SELECT MIN(v) FROM cum
+                   WHERE ABS(CAST(m1 * (SELECT n2 FROM n) AS BIGINT)
+                             - CAST(m2 * (SELECT n1 FROM n) AS BIGINT))
+                         = (SELECT dnum FROM d)) AS DOUBLE) / 100,
+             6) AS ks_at_value
+FROM d
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def ks_test_flag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the 'N' and
+    'R' return-flag cohorts on line-item price — sup-norm ECDF distance
+    over the CONTINUOUS value domain (``ks_test_type_hours`` compares
+    over the bounded 24-hour grid; this is the order-statistic form a
+    drift monitor wants on a numeric feature), plus the value where the
+    ECDFs diverge most (where in the price range the two populations
+    actually differ).
+
+    Exactness at scale: prices collapse to the integer-cent grain with
+    BOTH cohort counts per grain value, one pass of the shared
+    ``bucketed_prefix_sums`` hierarchy (sign-safe buckets, bucket-scoped
+    windows — never a data-sized sorted partition) yields both running
+    ECDFs simultaneously, and the sup is taken over the cross-multiplied
+    INTEGER comparison |m1·n2 − m2·n1| — no float ever enters the
+    argmax, so the D statistic and its location are exact on both
+    engines (one double division + round(6) at the end).  The oracle
+    keeps the direct single-window form."""
+    from .helpers import bucketed_prefix_sums
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("N", "R")
+    )
+    g = (
+        li.select(
+            (money("l_extendedprice") * 100).cast("bigint").alias("v"),
+            F.col("l_returnflag").alias("f"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("f") == "N", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("f") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    cum = bucketed_prefix_sums(g, "v", ["c1", "c2"])
+    n = g.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    scored = cum.crossJoin(F.broadcast(n)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum_c1") * F.col("n2") - F.col("cum_c2") * F.col("n1")
+        ).alias("dn"),
+    )
+    d = scored.agg(F.max("dn").alias("dnum"))
+    at = (
+        scored.crossJoin(F.broadcast(d))
+        .where(F.col("dn") == F.col("dnum"))
+        .agg(F.min("v").alias("v_at"))
+    )
+    return (
+        n.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(at))
+        .select(
+            F.col("n1").alias("n_n"),
+            F.col("n2").alias("n_r"),
+            F.round(
+                F.col("dnum").cast("double")
+                / (F.col("n1") * F.col("n2").cast("double")),
+                6,
+            ).alias("ks_d"),
+            F.round(F.col("v_at").cast("double") / 100, 6).alias(
+                "ks_at_value"
+            ),
+        )
+    )
+
+
+# ICC shared formula texts over the exact moments: aaq is the
+# FLOOR-quantized between-user raw term (integer cents^2), so both
+# engines feed bit-identical inputs to the final double formula.
+_ICC_SSB = "(aaq - ss * ss / nn)"
+_ICC_SSW = "(qq - aaq)"
+_ICC_MSB = f"({_ICC_SSB} / (kk - 1.0))"
+_ICC_MSW = f"({_ICC_SSW} / (nn - kk))"
+_ICC_N0 = "((nn - sn2 / nn) / (kk - 1.0))"
+
+
+@register(
+    "icc_user_events",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_u,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS s_u
+    FROM events GROUP BY 1
+), q AS (
+    SELECT CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS DOUBLE) AS qq
+    FROM events
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS kk,
+           CAST(SUM(n_u) AS DOUBLE) AS nn,
+           CAST(SUM(s_u) AS DOUBLE) AS ss,
+           CAST(SUM((CAST(s_u AS HUGEINT) * s_u) // n_u) AS DOUBLE) AS aaq,
+           CAST(SUM(CAST(n_u AS HUGEINT) * n_u) AS DOUBLE) AS sn2
+    FROM u
+)
+SELECT CAST(kk AS INT) AS k_users,
+       CAST(nn AS BIGINT) AS n_events,
+       ROUND({_ICC_MSB} / {_ICC_MSW}, 6) AS f_users,
+       ROUND(({_ICC_MSB} - {_ICC_MSW})
+             / ({_ICC_MSB} + ({_ICC_N0} - 1.0) * {_ICC_MSW}), 6) AS icc1
+FROM m, q
+""",
+    tags=("analytics", "stats"),
+)
+def icc_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1) — the one-way intraclass correlation of event values
+    within users: how much of the value variance is explained by WHO
+    generated the event.  The repeated-measures companion to
+    ``anova_f_event_types`` (types are a bounded factor; users are a
+    data-sized random factor), and the statistic behind "do we need
+    user-level clustering of standard errors?" — ICC near 0 says events
+    are exchangeable, ICC near 1 says effective sample size is #users.
+    Unbalanced design uses the n₀ correction (Σn is per-user counts):
+    ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW), n₀ = (N − Σn_u²/N)/(k−1).
+
+    Scale + determinism: the user grain is ONE map-side-combinable pass
+    (count, exact cent sum per user).  The between-user raw term
+    Σ s_u²/n_u is a DATA-SIZED sum of rationals — an order-dependent
+    float sum at scale — so it is FLOOR-QUANTIZED to the integer cent²
+    grid per user (s_u² div n_u: HUGEINT ``//`` on the oracle, exact
+    DECIMAL-product ``div`` on Spark — s_u² is exact in DECIMAL(38,0)
+    to |s_u| ≈ 10¹⁹ cents, and the BIGINT quotient holds to
+    s_u²/n_u < 2⁶³, i.e. user lifetime value below ~$92M-√n — the
+    helpers.py FLOOR-quantize convention, deviation < 1 cent² per
+    user).  Everything else is exact integers; the final formula is
+    one identical double op sequence, round(6)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = (money("value") * 100).cast("bigint")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u"),
+        F.sum(cents).cast("bigint").alias("s_u"),
+    )
+    q = e.agg(F.sum(cents * cents).cast("double").alias("qq"))
+    m = u.agg(
+        F.count(F.lit(1)).cast("double").alias("kk"),
+        F.sum("n_u").cast("double").alias("nn"),
+        F.sum("s_u").cast("double").alias("ss"),
+        F.sum(F.expr("(CAST(s_u AS DECIMAL(38,0)) * s_u) div n_u"))
+        .cast("double")
+        .alias("aaq"),
+        F.sum(F.col("n_u") * F.col("n_u")).cast("double").alias("sn2"),
+    )
+    return m.crossJoin(F.broadcast(q)).selectExpr(
+        "CAST(kk AS INT) AS k_users",
+        "CAST(nn AS BIGINT) AS n_events",
+        f"ROUND({_ICC_MSB} / {_ICC_MSW}, 6) AS f_users",
+        f"ROUND(({_ICC_MSB} - {_ICC_MSW})"
+        f" / ({_ICC_MSB} + ({_ICC_N0} - 1.0) * {_ICC_MSW}), 6) AS icc1",
+    )
+
+
+@register(
+    "mann_kendall_trend_daily",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS yc
+    FROM orders GROUP BY 1
+), s AS (
+    SELECT CAST(SUM(CASE WHEN b.yc > a.yc THEN 1
+                         WHEN b.yc < a.yc THEN -1 ELSE 0 END) AS BIGINT) AS s
+    FROM daily a JOIN daily b ON a.day < b.day
+), t AS (
+    SELECT CAST(COALESCE(SUM(CAST(c AS BIGINT) * (c - 1) * (2 * c + 5)), 0)
+                AS BIGINT) AS tie_term
+    FROM (SELECT COUNT(*) AS c FROM daily GROUP BY yc) WHERE c > 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+v AS (
+    SELECT (SELECT n FROM n) AS n_days,
+           (SELECT s FROM s) AS s_stat,
+           ((SELECT n FROM n) * ((SELECT n FROM n) - 1.0)
+                * (2.0 * (SELECT n FROM n) + 5.0)
+            - (SELECT tie_term FROM t)) / 18.0 AS var_s
+)
+SELECT n_days, s_stat, ROUND(var_s, 6) AS var_s,
+       ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                  ELSE 0.0 END, 6) AS z_mk
+FROM v
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily order revenue: S = Σ_{i<j}
+    sign(y_j − y_i), tie-corrected Var(S), and the continuity-corrected
+    Z — the NONPARAMETRIC companion to ``theil_sen_monthly_trend``
+    (whose slope estimates the trend MK tests; together they are the
+    standard monotone-trend toolkit for series with outliers, where an
+    OLS slope t-test is fragile).
+
+    Exactness: daily revenue is the exact integer cent sum, so every
+    sign comparison, S, and the tie term Σc(c−1)(2c+5) are exact
+    integers; Var(S) and Z are one identical double op sequence,
+    round(6).  Scale: the pairwise comparison is a CALENDAR-bounded
+    grid self-join (days × days — bounded by time span, never by row
+    count; ``theil_sen_monthly_trend``'s shape, allowlisted the same
+    way), and the day grain itself is one map-side-combinable pass."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum((money("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("yc")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("yc").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("yc").alias("yb"))
+    s = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    t = (
+        daily.groupBy("yc")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c").cast("bigint")
+                    * (F.col("c") - 1)
+                    * (2 * F.col("c") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    v = (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_days",
+            "s_stat",
+            (
+                (
+                    F.col("n_days") * (F.col("n_days") - 1.0)
+                    * (2.0 * F.col("n_days") + 5.0)
+                    - F.col("tie_term")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    return v.select(
+        "n_days",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1) / F.sqrt("var_s"),
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1) / F.sqrt("var_s"),
+            )
+            .otherwise(0.0),
+            6,
+        ).alias("z_mk"),
+    )

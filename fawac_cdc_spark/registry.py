@@ -354,6 +354,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "cooks_distance_top_days",
     # round 15
     "pca_gram_matrix",
+    "bartlett_test_event_types",
+    "ks_test_flag_values",
+    "icc_user_events",
+    "mann_kendall_trend_daily",
 )
 
 
@@ -386,6 +390,10 @@ EXT_HEADLINE: tuple[str, ...] = (
 PENDING_SWEEP: frozenset[str] = frozenset(
     {
         "pca_gram_matrix",
+        "bartlett_test_event_types",
+        "ks_test_flag_values",
+        "icc_user_events",
+        "mann_kendall_trend_daily",
     }
 )
 

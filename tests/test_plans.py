@@ -200,6 +200,14 @@ _SCALAR_BROADCAST_OK = {
     #                              1-row shared KW totals frame
     "hill_tail_index_doclen",  # 1-row threshold frame against the
     #                            TakeOrdered top-(k+1) frontier
+    # round 15
+    "mann_kendall_trend_daily",  # calendar-bounded day-pair inequality
+    #                              join + 1-row S/tie/count frames
+    #                              (theil_sen_monthly_trend's shape)
+    "ks_test_flag_values",  # 1-row n1/n2 totals + 1-row sup/argmax
+    #                         frames attached to the value grain
+    "icc_user_events",  # 1-row Σx² frame attached to the 1-row
+    #                     user-moment frame
 }
 
 

@@ -4369,3 +4369,124 @@ def test_cooks_distance_replica(spark, sf_dir):
     for row, (d, _) in zip(got, cooks[:5]):
         assert abs(row["cooks_d"] - d) < 1e-4
         assert 0.0 < row["leverage"] < 1.0
+
+
+# --- round 15 wave 1 replicas --------------------------------------------------
+
+
+def test_bartlett_replica(spark, sf_dir):
+    """Pure-Python Bartlett replica from exact per-type moments."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT event_type, COUNT(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            FROM '{sf_dir}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    k = len(rows)
+    n = sum(r[1] for r in rows)
+    vs = [(c, (q - s * s / c) / (c - 1)) for _, c, s, q in rows]
+    sp2 = sum((c - 1) * v for c, v in vs) / (n - k)
+    num = (n - k) * math.log(sp2) - sum((c - 1) * math.log(v) for c, v in vs)
+    cc = 1 + (sum(1 / (c - 1) for c, _ in vs) - 1 / (n - k)) / (3 * (k - 1))
+    (r,) = _SPECS["bartlett_test_event_types"].fn(spark, sf_dir).collect()
+    assert (r["k_types"], r["n_events"], r["dof"]) == (k, n, k - 1)
+    assert abs(r["bartlett_t"] - num / cc) < 1e-5
+    assert r["bartlett_t"] >= 0.0
+
+
+def test_ks_flag_values_replica(spark, sf_dir):
+    """Pure-Python exact two-sample KS over the cent grain."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                   l_returnflag
+            FROM '{sf_dir}/lineitem.parquet'
+            WHERE l_returnflag IN ('N', 'R')"""
+    ).fetchall()
+    from collections import Counter
+
+    c1 = Counter(v for v, f in rows if f == "N")
+    c2 = Counter(v for v, f in rows if f == "R")
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    m1 = m2 = 0
+    best, at = -1, None
+    for v in sorted(set(c1) | set(c2)):
+        m1 += c1.get(v, 0)
+        m2 += c2.get(v, 0)
+        d = abs(m1 * n2 - m2 * n1)
+        if d > best:
+            best, at = d, v
+    (r,) = _SPECS["ks_test_flag_values"].fn(spark, sf_dir).collect()
+    assert (r["n_n"], r["n_r"]) == (n1, n2)
+    assert abs(r["ks_d"] - best / (n1 * n2)) < 1e-6
+    assert abs(r["ks_at_value"] - at / 100) < 1e-6
+    assert 0.0 <= r["ks_d"] <= 1.0
+
+
+def test_icc_replica_and_quantization_bound(spark, sf_dir):
+    """Pure-Python ICC(1) replica with the SAME floor-quantized
+    between-user term, plus the claim that quantization moves the raw
+    term by < 1 cent^2 per user."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT user_id, COUNT(*),
+                   SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FROM '{sf_dir}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    q = duckdb.connect().execute(
+        f"""SELECT SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchone()[0]
+    k = len(rows)
+    n = sum(c for _, c, _ in rows)
+    ss = sum(s for _, _, s in rows)
+    aaq = sum((s * s) // c for _, c, s in rows)
+    aa_true = sum(s * s / c for _, c, s in rows)
+    assert 0 <= aa_true - aaq < k  # < 1 cent^2 per user
+    sn2 = sum(c * c for _, c, _ in rows)
+    msb = (aaq - ss * ss / n) / (k - 1)
+    msw = (q - aaq) / (n - k)
+    n0 = (n - sn2 / n) / (k - 1)
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    (r,) = _SPECS["icc_user_events"].fn(spark, sf_dir).collect()
+    assert (r["k_users"], r["n_events"]) == (k, n)
+    assert abs(r["f_users"] - msb / msw) < 1e-5
+    assert abs(r["icc1"] - icc) < 1e-6
+    assert -1.0 <= r["icc1"] <= 1.0
+
+
+def test_mann_kendall_replica(spark, sf_dir):
+    """Pure-Python pairwise S + tie-corrected variance replica."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT o_orderdate,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    ys = [y for _, y in rows]
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = [c for c in Counter(ys).values() if c > 1]
+    var_s = (n * (n - 1) * (2 * n + 5) - sum(c * (c - 1) * (2 * c + 5) for c in ties)) / 18
+    z = (s - 1) / math.sqrt(var_s) if s > 0 else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+    (r,) = _SPECS["mann_kendall_trend_daily"].fn(spark, sf_dir).collect()
+    assert (r["n_days"], r["s_stat"]) == (n, s)
+    assert abs(r["var_s"] - var_s) < 1e-5
+    assert abs(r["z_mk"] - z) < 1e-5
