@@ -4114,3 +4114,406 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_mk"),
     )
+
+
+# --- round 15 wave 2: cross-correlation / extreme values / turning points ------
+
+CCF_MAX_LAG = 7
+# ln2/ln3 as an exact repr literal so both engines share one double
+# (libm vs JVM log may differ in the last ulp on computed logs).
+_LN2_OVER_LN3 = "0.6309297535714574"
+_GEV_C = f"(2.0 / (3.0 + t3) - {_LN2_OVER_LN3})"
+_GEV_SHAPE = "(7.8590 * cg + 2.9554 * cg * cg)"
+
+
+@register(
+    "ccf_daily_types",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day, event_type FROM events
+    WHERE event_type IN ('click', 'view')
+), cnts AS (
+    SELECT day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b
+    FROM d GROUP BY 1
+), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM cnts),
+spine AS (
+    SELECT CAST(unnest(generate_series((SELECT d0 FROM span),
+                                       (SELECT d1 FROM span),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+), s AS (
+    SELECT spine.day, COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+    FROM spine LEFT JOIN cnts USING (day)
+), lags AS (SELECT CAST(unnest(range(0, {CCF_MAX_LAG + 1})) AS INT) AS lag),
+j AS (
+    SELECT l.lag, x.a, y.b
+    FROM lags l CROSS JOIN s x JOIN s y ON y.day = x.day + l.lag
+), m AS (
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+           CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab,
+           CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+           CAST(SUM(CAST(b AS HUGEINT) * b) AS DOUBLE) AS sbb
+    FROM j GROUP BY 1
+)
+SELECT lag, n AS n_days,
+       ROUND((n * sab - sa * sb)
+             / SQRT((n * saa - sa * sa) * (n * sbb - sb * sb)), 6) AS ccf
+FROM m
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def ccf_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily click and view count
+    series at lags 0..{L}: does click volume LEAD view volume (or vice
+    versa), and by how many days?  The lead-lag companion to
+    ``acf_monthly_revenue`` (autocorrelation of one series) and
+    ``rolling_corr_types_daily`` (contemporaneous correlation only) —
+    the CCF peak's lag is the standard read for "which series is the
+    leading indicator", feeding anomaly root-causing and forecast
+    feature selection.
+
+    Exactness: both series are zero-filled INTEGER counts on the
+    calendar-bounded day spine, so every lagged co-moment (Σab, Σa²,
+    Σb², sums, n) is an exact integer — the correlation touches doubles
+    in one identical op sequence per lag, round(6).  Scale: the spine
+    is calendar-bounded; each lag aligns via an EQUI-join on the
+    date_add-shifted key (never an inequality scan), and the {L1}-row
+    lag frame rides a broadcast."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    cnts = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    span = cnts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    s = (
+        spine.join(cnts, "day", "left")
+        .select(
+            "day",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    lags = spark.sql(
+        f"SELECT explode(sequence(0, {CCF_MAX_LAG})) AS lag"
+    ).select(F.col("lag").cast("int").alias("lag"))
+    x = s.crossJoin(F.broadcast(lags)).select(
+        "lag", "a", F.expr("date_add(day, lag)").alias("day2")
+    )
+    y = s.select(F.col("day").alias("day2"), "b")
+    j = x.join(F.broadcast(y), "day2")
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+    )
+    return m.select(
+        "lag",
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+            / F.sqrt(
+                (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+                * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+            ),
+            6,
+        ).alias("ccf"),
+    )
+
+
+ccf_daily_types.__doc__ = ccf_daily_types.__doc__.replace(
+    "{L1}", str(CCF_MAX_LAG + 1)
+).replace("{L}", str(CCF_MAX_LAG))
+
+
+@register(
+    "gev_shape_daily_max",
+    oracle=f"""
+WITH dm AS (
+    SELECT CAST(ts AS DATE) AS day,
+           MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+    FROM events WHERE value IS NOT NULL GROUP BY 1
+), g AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM dm GROUP BY v
+), r AS (
+    SELECT v, c,
+           COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+    FROM g
+), w AS (
+    SELECT v, c, cb,
+           CAST(c AS HUGEINT) * cb + (CAST(c AS HUGEINT) * (c - 1)) // 2 AS w1,
+           CAST(c AS HUGEINT) * cb * cb
+               + 2 * CAST(cb AS HUGEINT) * ((CAST(c AS HUGEINT) * (c - 1)) // 2)
+               + (CAST(c - 1 AS HUGEINT) * c * (2 * c - 1)) // 6
+               - (CAST(c AS HUGEINT) * cb
+                  + (CAST(c AS HUGEINT) * (c - 1)) // 2) AS w2
+    FROM r
+), t AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS HUGEINT) * c) AS DOUBLE) AS sb0,
+           CAST(SUM(CAST(v AS HUGEINT) * w1) AS DOUBLE) AS sb1,
+           CAST(SUM(CAST(v AS HUGEINT) * w2) AS DOUBLE) AS sb2
+    FROM w
+), b AS (
+    SELECT n, sb0 / n AS b0,
+           sb1 / (CAST(n AS DOUBLE) * (n - 1.0)) AS b1,
+           sb2 / (CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0)) AS b2
+    FROM t
+), lm AS (
+    SELECT n, {_LMOM_L1} AS l1, {_LMOM_L2} AS l2, {_LMOM_TAU3} AS t3 FROM b
+), cg_t AS (SELECT n, l1, l2, t3, {_GEV_C} AS cg FROM lm)
+SELECT n AS n_days,
+       ROUND(l1, 6) AS l1, ROUND(l2, 6) AS l2, ROUND(t3, 6) AS l_skew,
+       ROUND({_GEV_SHAPE}, 6) AS gev_shape
+FROM cg_t
+""",
+    tags=("analytics", "stats", "robust", "timeseries"),
+)
+def gev_shape_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEV shape parameter of the DAILY BLOCK MAXIMA of event values,
+    estimated from sample L-moments (Hosking 1990's rational
+    approximation: c = 2/(3+τ₃) − ln2/ln3, κ ≈ 7.8590c + 2.9554c²) —
+    extreme-value theory's capacity-planning read: κ > 0 means daily
+    peaks are bounded-tail (Weibull domain), κ ≈ 0 Gumbel, κ < 0
+    heavy-tailed Fréchet peaks where "the worst day so far" keeps being
+    beaten (the block-maxima counterpart to the exceedance-based
+    ``hill_tail_index_doclen``).
+
+    Machinery reuse: the block maxima collapse to a value grain, and
+    the probability-weighted moments ride the SAME sign-safe
+    ``bucketed_predecessor_counts`` + ``pwm_grain_weights`` path as
+    ``l_moments_event_values`` — exact integer weights, doubles in one
+    identical op sequence, ln2/ln3 pinned as a shared repr literal
+    (computed logs can differ by an ulp across libm implementations).
+    Degenerate note (EB convention): fewer than 3 distinct-day maxima
+    or a constant series leaves τ₃ (and κ) NULL on both engines."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dm = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max((money("value") * 100).cast("bigint")).alias("v")
+    )
+    g = dm.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    r = bucketed_predecessor_counts(g, "v", "c")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    w = pwm_grain_weights(r).select("v", "c", "w1", "w2")
+    t = w.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(dec(F.col("v")) * F.col("c")).cast("double").alias("sb0"),
+        F.sum(dec(F.col("v")) * F.col("w1")).cast("double").alias("sb1"),
+        F.sum(dec(F.col("v")) * F.col("w2")).cast("double").alias("sb2"),
+    )
+    nd = F.col("n").cast("double")
+    b = t.select(
+        "n",
+        (F.col("sb0") / F.col("n")).alias("b0"),
+        (F.col("sb1") / (nd * (F.col("n") - 1.0))).alias("b1"),
+        (F.col("sb2") / (nd * (F.col("n") - 1.0) * (F.col("n") - 2.0))).alias(
+            "b2"
+        ),
+    )
+    lm = b.selectExpr(
+        "n",
+        f"{_LMOM_L1} AS l1",
+        f"{_LMOM_L2} AS l2",
+        f"{_LMOM_TAU3} AS t3",
+    )
+    return lm.selectExpr("*", f"{_GEV_C} AS cg").selectExpr(
+        "n AS n_days",
+        "ROUND(l1, 6) AS l1",
+        "ROUND(l2, 6) AS l2",
+        "ROUND(t3, 6) AS l_skew",
+        f"ROUND({_GEV_SHAPE}, 6) AS gev_shape",
+    )
+
+
+POT_PCTS = (50, 75, 90, 95)
+
+
+@register(
+    "pot_mean_excess_doclen",
+    oracle=f"""
+WITH g AS (
+    SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1
+), cum AS (
+    SELECT v, SUM(c) OVER (ORDER BY v) AS m FROM g
+), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+ps AS (SELECT CAST(unnest([{", ".join(str(p) for p in POT_PCTS)}]) AS INT) AS p),
+k AS (
+    SELECT p, ((SELECT n FROM n) * p + 99) // 100 AS kth FROM ps
+), u AS (
+    SELECT p, (SELECT MIN(v) FROM cum WHERE m >= k.kth) AS u FROM k
+)
+SELECT u.p AS p_pct,
+       CAST(u.u AS BIGINT) AS u_chars,
+       CAST(SUM(g.c) AS BIGINT) AS n_exceed,
+       ROUND(CAST(SUM(g.c * (g.v - u.u)) AS DOUBLE) / SUM(g.c), 6)
+           AS mean_excess
+FROM u JOIN g ON g.v > u.u
+GROUP BY 1, 2
+""",
+    tags=("analytics", "stats", "robust", "llm"),
+)
+def pot_mean_excess_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold mean-excess frontier for document length:
+    at each of the {P} exact order-statistic thresholds, the exceedance
+    count and the mean excess E[X − u | X > u] — the mean-residual-life
+    read used to CHOOSE the POT threshold before fitting a generalized
+    Pareto tail (a mean excess that grows linearly in u is the GPD
+    signature; its slope's sign matches ``hill_tail_index_doclen``'s
+    verdict, and the flat/linear breakpoint is where the tail model
+    starts).  Together with ``gev_shape_daily_max`` this completes the
+    block-maxima + threshold-exceedance EVT pair.
+
+    Exactness: thresholds are exact k-th smallest order statistics
+    (k = ⌈p·n/100⌉ via pure integer arithmetic) from the shared
+    ``bucketed_predecessor_counts`` grain hierarchy — never a global
+    sort; exceedance sums are exact integers over the grain, divided
+    once, round(6).  The 4-row threshold frame attaches by broadcast
+    inequality join against the grain (conformal's shape)."""
+    from .helpers import bucketed_prefix_sums
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.col("n_chars").cast("bigint").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cum = bucketed_prefix_sums(g, "v", ["c"]).select(
+        "v", "c", F.col("cum_c").alias("m")
+    )
+    n = g.agg(F.sum("c").cast("bigint").alias("n"))
+    ps = spark.sql(
+        "SELECT explode(array({})) AS p".format(
+            ", ".join(f"CAST({p} AS INT)" for p in POT_PCTS)
+        )
+    )
+    k = ps.crossJoin(F.broadcast(n)).select(
+        "p", F.expr("(n * p + 99) div 100").alias("kth")
+    )
+    u = (
+        cum.crossJoin(F.broadcast(k))
+        .where(F.col("m") >= F.col("kth"))
+        .groupBy("p")
+        .agg(F.min("v").alias("u"))
+    )
+    return (
+        g.join(F.broadcast(u), F.col("v") > F.col("u"))
+        .groupBy("p", "u")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_exceed"),
+            F.round(
+                F.sum(F.col("c") * (F.col("v") - F.col("u"))).cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("mean_excess"),
+        )
+        .select(
+            F.col("p").alias("p_pct"),
+            F.col("u").cast("bigint").alias("u_chars"),
+            "n_exceed",
+            "mean_excess",
+        )
+    )
+
+
+pot_mean_excess_doclen.__doc__ = pot_mean_excess_doclen.__doc__.replace(
+    "{P}", str(len(POT_PCTS))
+)
+
+
+@register(
+    "turning_points_daily",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS yc
+    FROM orders GROUP BY 1
+), w AS (
+    SELECT yc,
+           LAG(yc) OVER (ORDER BY day) AS pv,
+           LEAD(yc) OVER (ORDER BY day) AS nx
+    FROM daily
+), t AS (
+    SELECT CAST(SUM(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                          AND CAST(yc - pv AS HUGEINT) * (nx - yc) < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w
+)
+SELECT n AS n_days, tp AS turning_points,
+       ROUND(2.0 * (n - 2) / 3.0, 6) AS expected_tp,
+       ROUND((tp - 2.0 * (n - 2) / 3.0)
+             / SQRT((16.0 * n - 29.0) / 90.0), 6) AS z_tp
+FROM t
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def turning_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points test for randomness of the daily revenue series:
+    count strict local extrema (sign change of consecutive differences),
+    compare with the i.i.d. expectation 2(n−2)/3, and report the normal
+    z — the third member of the randomness panel next to
+    ``runs_test_daily_sign`` (signs vs median) and
+    ``durbin_watson_daily`` (residual autocorrelation): too FEW turning
+    points means momentum/trend, too MANY means alternation faster than
+    chance (e.g. a day-parity batch artifact).
+
+    Exactness: daily revenue is the exact integer cent sum; the strict
+    sign test rides an exact HUGEINT/DECIMAL product (no overflow at
+    any revenue scale), and the lag/lead windows run over the
+    calendar-bounded day grain.  The only doubles are the closed-form
+    moments of T, round(6)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum((money("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("yc")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "yc",
+        F.lag("yc").over(w).alias("pv"),
+        F.lead("yc").over(w).alias("nx"),
+    )
+    t = lagged.agg(
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull()
+                & F.col("nx").isNotNull()
+                & (
+                    (F.col("yc") - F.col("pv")).cast("decimal(38,0)")
+                    * (F.col("nx") - F.col("yc"))
+                    < 0
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.col("tp").alias("turning_points"),
+        F.round(2.0 * (F.col("n") - 2) / 3.0, 6).alias("expected_tp"),
+        F.round(
+            (F.col("tp") - 2.0 * (F.col("n") - 2) / 3.0)
+            / F.sqrt((16.0 * F.col("n") - 29.0) / 90.0),
+            6,
+        ).alias("z_tp"),
+    )

@@ -358,6 +358,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "ks_test_flag_values",
     "icc_user_events",
     "mann_kendall_trend_daily",
+    "ccf_daily_types",
+    "gev_shape_daily_max",
+    "pot_mean_excess_doclen",
+    "turning_points_daily",
 )
 
 
@@ -394,6 +398,10 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "ks_test_flag_values",
         "icc_user_events",
         "mann_kendall_trend_daily",
+        "ccf_daily_types",
+        "gev_shape_daily_max",
+        "pot_mean_excess_doclen",
+        "turning_points_daily",
     }
 )
 

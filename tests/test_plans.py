@@ -208,6 +208,13 @@ _SCALAR_BROADCAST_OK = {
     #                         frames attached to the value grain
     "icc_user_events",  # 1-row Σx² frame attached to the 1-row
     #                     user-moment frame
+    "ccf_daily_types",  # 1-row span frame -> calendar spine + 8-row lag
+    #                     frame (holt_winters_hourly's spine shape)
+    "gev_shape_daily_max",  # 1-row exact-moment totals frame
+    "pot_mean_excess_doclen",  # 4-row threshold frame by broadcast
+    #                            inequality against the value grain
+    #                            (conformal's shape)
+    "turning_points_daily",  # 1-row T/n frame over the bounded day grain
 }
 
 

@@ -4490,3 +4490,134 @@ def test_mann_kendall_replica(spark, sf_dir):
     assert (r["n_days"], r["s_stat"]) == (n, s)
     assert abs(r["var_s"] - var_s) < 1e-5
     assert abs(r["z_mk"] - z) < 1e-5
+
+
+# --- round 15 wave 2 replicas --------------------------------------------------
+
+
+def test_ccf_replica(spark, sf_dir):
+    """Pure-Python zero-filled CCF replica over the day spine."""
+    import datetime as dt
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT CAST(ts AS DATE), event_type, COUNT(*)
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('click', 'view') GROUP BY 1, 2"""
+    ).fetchall()
+    a, b = {}, {}
+    for day, t, c in rows:
+        (a if t == "click" else b)[day] = c
+    d0 = min(min(a), min(b))
+    d1 = max(max(a), max(b))
+    days = [d0 + dt.timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    sa = [a.get(d, 0) for d in days]
+    sb = [b.get(d, 0) for d in days]
+    got = {
+        r["lag"]: r for r in _SPECS["ccf_daily_types"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(8))
+    import math
+
+    for lag in range(8):
+        xs = sa[: len(sa) - lag]
+        ys = sb[lag:]
+        n = len(xs)
+        assert got[lag]["n_days"] == n
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        r = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert abs(got[lag]["ccf"] - r) < 1e-5
+        assert -1.0 <= got[lag]["ccf"] <= 1.0
+
+
+def test_gev_shape_replica(spark, sf_dir):
+    """Pure-Python sorted block-maxima PWM replica + Hosking shape."""
+    import math
+
+    import duckdb
+
+    vals = sorted(
+        v
+        for (v,) in duckdb.connect().execute(
+            f"""SELECT MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                FROM '{sf_dir}/events.parquet'
+                WHERE value IS NOT NULL GROUP BY CAST(ts AS DATE)"""
+        ).fetchall()
+    )
+    n = len(vals)
+    b0 = sum(vals) / n
+    b1 = sum(v * i for i, v in enumerate(vals)) / (n * (n - 1))
+    b2 = sum(v * i * (i - 1) for i, v in enumerate(vals)) / (
+        n * (n - 1) * (n - 2)
+    )
+    t3 = (6 * b2 - 6 * b1 + b0) / (2 * b1 - b0)
+    c = 2 / (3 + t3) - 0.6309297535714574
+    shape = 7.8590 * c + 2.9554 * c * c
+    (r,) = _SPECS["gev_shape_daily_max"].fn(spark, sf_dir).collect()
+    assert r["n_days"] == n
+    assert abs(r["l1"] - b0 / 100) < 1e-4
+    assert abs(r["l2"] - (2 * b1 - b0) / 100) < 1e-4
+    assert abs(r["l_skew"] - t3) < 1e-5
+    assert abs(r["gev_shape"] - shape) < 1e-5
+    assert math.isfinite(r["gev_shape"])
+
+
+def test_pot_mean_excess_replica(spark, sf_dir):
+    """Pure-Python exact-order-statistic threshold + excess replica."""
+    import duckdb
+
+    vals = sorted(
+        v
+        for (v,) in duckdb.connect().execute(
+            f"SELECT n_chars FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    n = len(vals)
+    got = {
+        r["p_pct"]: r
+        for r in _SPECS["pot_mean_excess_doclen"].fn(spark, sf_dir).collect()
+    }
+    for p in (50, 75, 90, 95):
+        kth = (n * p + 99) // 100
+        u = vals[kth - 1]
+        exc = [v - u for v in vals if v > u]
+        if not exc:
+            assert p not in got
+            continue
+        r = got[p]
+        assert r["u_chars"] == u
+        assert r["n_exceed"] == len(exc)
+        assert abs(r["mean_excess"] - sum(exc) / len(exc)) < 1e-5
+        assert r["mean_excess"] > 0
+
+
+def test_turning_points_replica(spark, sf_dir):
+    """Pure-Python strict-local-extrema replica."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT o_orderdate,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    ys = [y for _, y in rows]
+    n = len(ys)
+    tp = sum(
+        1
+        for i in range(1, n - 1)
+        if (ys[i] - ys[i - 1]) * (ys[i + 1] - ys[i]) < 0
+    )
+    (r,) = _SPECS["turning_points_daily"].fn(spark, sf_dir).collect()
+    assert (r["n_days"], r["turning_points"]) == (n, tp)
+    assert abs(r["expected_tp"] - 2 * (n - 2) / 3) < 1e-6
+    assert abs(
+        r["z_tp"] - (tp - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    ) < 1e-5
