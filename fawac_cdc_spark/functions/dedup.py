@@ -3323,3 +3323,56 @@ def fuzzy_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 fuzzy_title_dedup.__doc__ = fuzzy_title_dedup.__doc__.format(
     T=TITLE_TOKENS, L=FUZZY_LEV_MAX, M=MAX_TITLE_BLOCK
 )
+
+
+# --- round 15 wave 3: LSH band-bucket load profile -----------------------------
+
+
+@register(
+    "minhash_band_load_profile",
+    oracle=f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+{_BANDS_SQL},
+buckets AS (
+    SELECT band, key, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM bands GROUP BY 1, 2
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pair_load
+FROM buckets GROUP BY band
+""",
+    tags=("dedup", "llm", "minhash", "profiling"),
+)
+def minhash_band_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational load profile of the LSH band state: per band, the
+    bucket count, how many buckets collide (size > 1), the largest
+    bucket, and the PAIR LOAD Σ C(sz, 2) that band would feed into
+    candidate generation — the capacity audit an operator reads before
+    trusting ``minhash_lsh_candidates`` / ``incremental_lsh_dedup`` at
+    a new corpus scale: pair_load is EXACTLY the per-band join output
+    size, and a max_bucket approaching the DF-cap territory says the
+    band key is degenerating (near-constant shingles) before the join
+    blows up, not after.
+
+    Derivation shares the ONE signature/band machinery
+    (``minhash_signatures_for`` + ``band_table_for`` on Spark,
+    ``_MINHASH_SIG_SQL`` + ``_BANDS_SQL`` on the oracle), so this
+    audit can never drift from the candidate rule it audits.  Exact
+    integers end-to-end: bucket sizes, collision counts, and the
+    triangular pair sums (sz(sz−1)/2 is integer-exact on both
+    engines)."""
+    bands = band_table_for(minhash_signatures_df(spark, sf_dir))
+    buckets = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_colliding"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias("pair_load"),
+    )

@@ -2573,3 +2573,175 @@ def rbo_retrieval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 rbo_retrieval_agreement.__doc__ = rbo_retrieval_agreement.__doc__.format(
     D=RBO_DEPTH, P=RBO_P
 )
+
+
+# --- round 15 wave 3: per-doc LM surprise outliers -----------------------------
+
+PPL_TOP_K = 10
+PPL_GRID = 1_000_000_000  # 1e-9 NLL quantization grid (FLOOR-quantize conv.)
+
+
+@register(
+    "doc_perplexity_outliers",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+    FROM documents
+), freq AS (
+    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+), total AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM freq),
+q AS (
+    SELECT toks.doc_id, toks.source,
+           CAST(FLOOR(-ln(freq.n / total.t) * {PPL_GRID}) AS BIGINT) AS qn
+    FROM toks JOIN freq USING (term), total
+), pd AS (
+    SELECT doc_id, source,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(qn) AS BIGINT) AS qs
+    FROM q GROUP BY doc_id, source
+)
+SELECT doc_id, source, n_toks,
+       ROUND(CAST(qs AS DOUBLE) / (n_toks * {PPL_GRID}.0), 6) AS doc_nll
+FROM pd
+ORDER BY CAST(qs AS DOUBLE) / (n_toks * {PPL_GRID}.0) DESC, doc_id
+LIMIT {PPL_TOP_K}
+""",
+    tags=("text", "llm", "quality", "lm"),
+)
+def doc_perplexity_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {K} most SURPRISING documents under the corpus unigram LM —
+    the per-document drill-down of ``unigram_logprob_by_source``'s
+    per-source bands: quality pipelines pull exactly this list to
+    eyeball before choosing a perplexity filter threshold (the top of
+    it is where mojibake, rare-token spam, and wrong-language slips
+    concentrate).
+
+    Determinism upgrade over the per-source aggregate: each token's
+    −ln(n/N) (one identical double op on exact integer counts) is
+    FLOOR-quantized to the 1e-9 grid (helpers.py convention), so the
+    per-document sum is an EXACT INTEGER regardless of summation order
+    — the ranking key qs/n_toks is a bit-identical double on both
+    engines and ties break on doc_id, making the top-{K} fully
+    deterministic (TakeOrderedAndProject, never a global sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").cast("double").alias("t"))
+    q = (
+        toks.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            F.floor(-F.log(F.col("n") / F.col("t")) * PPL_GRID)
+            .cast("bigint")
+            .alias("qn"),
+        )
+    )
+    pd_ = q.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.sum("qn").cast("bigint").alias("qs"),
+    )
+    scored = pd_.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        (F.col("qs").cast("double") / (F.col("n_toks") * float(PPL_GRID))).alias(
+            "nll_exact"
+        ),
+    )
+    return (
+        scored.orderBy(F.desc("nll_exact"), F.asc("doc_id"))
+        .limit(PPL_TOP_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_toks",
+            F.round("nll_exact", 6).alias("doc_nll"),
+        )
+    )
+
+
+doc_perplexity_outliers.__doc__ = doc_perplexity_outliers.__doc__.replace(
+    "{K}", str(PPL_TOP_K)
+)
+
+
+BURST_TOP_WORDS = 20
+
+
+@register(
+    "burstiness_word_stats",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dc AS (
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY 1, 2
+), w AS (
+    SELECT term,
+           CAST(SUM(c) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS sum_c2
+    FROM dc GROUP BY 1
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+top AS (
+    SELECT term, n_total, doc_freq, sum_c2 FROM w
+    ORDER BY n_total DESC, term LIMIT {BURST_TOP_WORDS}
+)
+SELECT term, n_total, doc_freq,
+       ROUND((CAST(sum_c2 AS DOUBLE)
+              - CAST(n_total AS DOUBLE) * n_total / (SELECT d FROM nd))
+             / n_total, 6) AS burstiness_vmr
+FROM top
+""",
+    tags=("text", "llm", "corpus-stats"),
+)
+def burstiness_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (variance-to-mean ratio across documents, zeros
+    included) of the {W} highest-frequency corpus words — Church &
+    Gale's contagion diagnostic: function words land near VMR ≈ 1
+    (Poisson-scattered), while topical/templated words are BURSTY
+    (VMR ≫ 1: absent from most docs, piled up in a few).  Bursty
+    high-frequency words are the fingerprint of boilerplate and
+    near-duplicate template families, so this list is read next to
+    ``dup_ngram_char_fraction`` when tuning dedup aggressiveness.
+
+    VMR = Var(c)/E[c] over ALL D documents with zero counts included —
+    via the computational identity on exact integer moments
+    (Σc, Σc² per word over its PRESENT docs; absent docs contribute
+    nothing to either), one identical double op sequence, round(6).
+    Top-{W} selection keys on (n_total DESC, term) — exact integers,
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dc = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = dc.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    top = w.orderBy(F.desc("n_total"), F.asc("term")).limit(BURST_TOP_WORDS)
+    return top.crossJoin(F.broadcast(nd)).select(
+        "term",
+        "n_total",
+        "doc_freq",
+        F.round(
+            (
+                F.col("sum_c2").cast("double")
+                - F.col("n_total").cast("double") * F.col("n_total") / F.col("d")
+            )
+            / F.col("n_total"),
+            6,
+        ).alias("burstiness_vmr"),
+    )
+
+
+burstiness_word_stats.__doc__ = burstiness_word_stats.__doc__.replace(
+    "{W}", str(BURST_TOP_WORDS)
+)

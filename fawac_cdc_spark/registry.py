@@ -362,6 +362,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "gev_shape_daily_max",
     "pot_mean_excess_doclen",
     "turning_points_daily",
+    "doc_perplexity_outliers",
+    "burstiness_word_stats",
+    "minhash_band_load_profile",
 )
 
 
@@ -402,6 +405,9 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "gev_shape_daily_max",
         "pot_mean_excess_doclen",
         "turning_points_daily",
+        "doc_perplexity_outliers",
+        "burstiness_word_stats",
+        "minhash_band_load_profile",
     }
 )
 

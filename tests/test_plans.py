@@ -215,6 +215,10 @@ _SCALAR_BROADCAST_OK = {
     #                            inequality against the value grain
     #                            (conformal's shape)
     "turning_points_daily",  # 1-row T/n frame over the bounded day grain
+    "doc_perplexity_outliers",  # 1-row corpus token total (the
+    #                             unigram_logprob_by_source scalar)
+    "burstiness_word_stats",  # 1-row corpus doc-count frame attached to
+    #                           the top-k word frame
 }
 
 

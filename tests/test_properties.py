@@ -4621,3 +4621,95 @@ def test_turning_points_replica(spark, sf_dir):
     assert abs(
         r["z_tp"] - (tp - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
     ) < 1e-5
+
+
+# --- round 15 wave 3 replicas --------------------------------------------------
+
+
+def test_doc_perplexity_outliers_replica(spark, sf_dir):
+    """Pure-Python quantized-NLL replica of the top-K surprise list."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    freq = Counter()
+    for _, _, text in rows:
+        freq.update(text.split(" "))
+    t = float(sum(freq.values()))
+    scored = []
+    for doc_id, source, text in rows:
+        toks = text.split(" ")
+        qs = sum(math.floor(-math.log(freq[w] / t) * 1_000_000_000) for w in toks)
+        scored.append((qs / (len(toks) * 1e9), doc_id, source, len(toks)))
+    scored.sort(key=lambda r: (-r[0], r[1]))
+    got = _SPECS["doc_perplexity_outliers"].fn(spark, sf_dir).collect()
+    assert len(got) == 10
+    for r, (nll, doc_id, source, n_toks) in zip(got, scored[:10]):
+        assert (r["doc_id"], r["source"], r["n_toks"]) == (doc_id, source, n_toks)
+        assert abs(r["doc_nll"] - nll) < 1e-5
+    # outliers are at least as surprising as the corpus mean doc
+    mean_all = sum(s for s, *_ in scored) / len(scored)
+    assert got[-1]["doc_nll"] >= mean_all
+
+
+def test_burstiness_replica_and_bounds(spark, sf_dir):
+    """Pure-Python VMR replica; every top word's VMR is >= the Poisson
+    floor implied by its own doc spread."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    per_doc = [Counter(t[0].split(" ")) for t in rows]
+    d = len(per_doc)
+    tot = Counter()
+    for c in per_doc:
+        tot.update(c)
+    top = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = {r["term"]: r for r in _SPECS["burstiness_word_stats"].fn(spark, sf_dir).collect()}
+    assert set(got) == {w for w, _ in top}
+    for w, n in top:
+        cs = [c.get(w, 0) for c in per_doc]
+        vmr = (sum(x * x for x in cs) - n * n / d) / n
+        r = got[w]
+        assert r["n_total"] == n
+        assert r["doc_freq"] == sum(1 for x in cs if x)
+        assert abs(r["burstiness_vmr"] - vmr) < 1e-6
+        assert r["burstiness_vmr"] >= 0.0
+
+
+def test_minhash_band_load_matches_candidate_join(spark, sf_dir):
+    """pair_load must equal EXACTLY the per-band join output size of the
+    LSH candidate generation it audits (before the cross-band
+    distinct)."""
+    from fawac_cdc_spark.functions.dedup import (
+        band_table_for,
+        minhash_signatures_df,
+    )
+    from pyspark.sql import functions as F
+
+    bands = band_table_for(minhash_signatures_df(spark, sf_dir))
+    a = bands.select(F.col("doc_id").alias("da"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("db"), "band", "key")
+    per_band = (
+        a.join(b, ["band", "key"])
+        .where(F.col("da") < F.col("db"))
+        .groupBy("band")
+        .count()
+        .collect()
+    )
+    join_load = {r["band"]: r["count"] for r in per_band}
+    got = {
+        r["band"]: r
+        for r in _SPECS["minhash_band_load_profile"].fn(spark, sf_dir).collect()
+    }
+    for band, r in got.items():
+        assert r["pair_load"] == join_load.get(band, 0)
+        assert r["max_bucket"] >= 1 and r["n_colliding"] <= r["n_buckets"]
