@@ -245,6 +245,20 @@ def main() -> None:
 
     timings = {name: time_query(name) for name in HEADLINE}
 
+    # Headline-only mode (round 15, VERDICT r14 #4): used by
+    # tools/bench_dispersion.py to measure per-query single-run
+    # dispersion with the driver's exact lifecycle (probe, warmup,
+    # headline) without paying for the extras/ext suites N times.
+    # Extras timings are irrelevant to headline dispersion, and the
+    # headline queries run before extras either way, so skipping the
+    # tail cannot change what is being measured.
+    if os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1":
+        probe_post = drift_probe(spark)
+        compact = compact_record(timings, sf, None, probe, probe_post)
+        print(json.dumps(compact))
+        spark.stop()
+        return
+
     # Non-frozen side experiments: excluded from "value" so the
     # frozen-suite totals stay comparable across rounds.
     extras = skew_experiment(spark, sf_dir)

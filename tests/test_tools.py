@@ -372,3 +372,50 @@ def test_bench_compare_bookend_probe_judges_sections(tmp_path):
     rc4, out4 = _run_bench_compare(tmp_path, base_post, now_post_ok)
     assert rc4 == 2  # bookends 1.02 -> 2.1 disagree: still refused
     assert "bookend disagreement" in out4
+
+
+def test_bench_compare_annotates_measured_dispersion(tmp_path, monkeypatch):
+    """Round 15 (VERDICT r14 #4): a per-query regression line cites the
+    committed single-run dispersion calibration — inside the measured
+    spread vs OUTSIDE it — so driver single-pass upticks are adjudicated
+    with a number.  Informational only: rc is unchanged."""
+    disp = tmp_path / "disp.json"
+    disp.write_text(
+        json.dumps(
+            {
+                "n_runs": 5,
+                "queries": {
+                    "a": {"spread": 1.9},
+                    "b": {"spread": 1.1},
+                },
+            }
+        )
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DISPERSION", str(disp))
+    base = {"value": 2.0, "queries": {"a": 1.0, "b": 1.0}}
+    # a +80% (inside x1.9), b +80% (OUTSIDE x1.1)
+    now = {"value": 3.6, "queries": {"a": 1.8, "b": 1.8}}
+    b, n = tmp_path / "base.json", tmp_path / "now.json"
+    b.write_text(json.dumps(base))
+    n.write_text(json.dumps(now))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "bench_compare.py"),
+         str(b), str(n)],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "SPARK_GRAFT_DISPERSION": str(disp)},
+    )
+    assert proc.returncode == 1  # regressions still fail
+    out = proc.stdout
+    assert "[REGRESS] a" in out and "inside measured single-run spread x1.90" in out
+    assert "[REGRESS] b" in out and "OUTSIDE measured single-run spread x1.10" in out
+    # without a calibration file the lines carry no annotation
+    proc2 = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tools", "bench_compare.py"),
+         str(b), str(n)],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "SPARK_GRAFT_DISPERSION": str(tmp_path / "nope.json")},
+    )
+    assert proc2.returncode == 1
+    assert "single-run spread" not in proc2.stdout

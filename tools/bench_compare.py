@@ -18,6 +18,7 @@ a raw bench.py output line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -29,11 +30,37 @@ def load(path: str) -> dict:
     return doc
 
 
+def load_dispersion() -> dict:
+    """Per-query single-run spread ratios from the committed
+    tools/bench_dispersion.json calibration (VERDICT r14 #4) — lets a
+    per-query regression line say whether the reading is inside or
+    outside its MEASURED fresh-session dispersion, so a driver
+    single-pass uptick can be adjudicated with a number instead of an
+    inference.  Informational only: rc semantics are unchanged.
+    SPARK_GRAFT_DISPERSION overrides the path (tests)."""
+    path = os.environ.get(
+        "SPARK_GRAFT_DISPERSION",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_dispersion.json"),
+    )
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return {
+            q: st["spread"]
+            for q, st in rec.get("queries", {}).items()
+            if st.get("spread")
+        }
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> int:
     base_path, now_path = sys.argv[1], sys.argv[2]
     tol = float(sys.argv[3]) / 100.0 if len(sys.argv) > 3 else 0.35
     total_tol = float(sys.argv[4]) / 100.0 if len(sys.argv) > 4 else 0.05
     base, now = load(base_path), load(now_path)
+    dispersion = load_dispersion()
     failures: list[str] = []
     n_regressed = 0
     common = sorted(set(base["queries"]) & set(now["queries"]))
@@ -41,10 +68,18 @@ def main() -> int:
         b, n = base["queries"][name], now["queries"][name]
         delta = (n - b) / b
         flag = "REGRESS" if delta > tol else "ok"
+        note = ""
+        if delta > tol and name in dispersion:
+            spread = dispersion[name]
+            side = "inside" if (1 + delta) <= spread else "OUTSIDE"
+            note = (
+                f" [{side} measured single-run spread x{spread:.2f}"
+                " — BASELINE.md dispersion table]"
+            )
         if delta > tol:
             n_regressed += 1
             failures.append(f"{name}: {b:.3f}s -> {n:.3f}s (+{delta:.0%})")
-        print(f"[{flag}] {name}: {b:.3f} -> {n:.3f} ({delta:+.0%})")
+        print(f"[{flag}] {name}: {b:.3f} -> {n:.3f} ({delta:+.0%}){note}")
     missing = set(base["queries"]) - set(now["queries"])
     if missing:
         failures.append(f"queries missing from current run: {sorted(missing)}")
