@@ -2745,3 +2745,108 @@ def burstiness_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 burstiness_word_stats.__doc__ = burstiness_word_stats.__doc__.replace(
     "{W}", str(BURST_TOP_WORDS)
 )
+
+
+# --- round 15 wave 4: n-gram entropy information profile -----------------------
+
+ENTROPY_ORDERS = (1, 2, 3)
+ENTROPY_GRID = 1_000_000_000
+
+
+@register(
+    "ngram_entropy_orders",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+    {" UNION ALL ".join(
+        f"SELECT CAST({n} AS INT) AS n, "
+        f"unnest(list_transform(range(1, len(toks) + 2 - {n}), "
+        f"i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' '))) AS gram "
+        f"FROM t"
+        for n in ENTROPY_ORDERS
+    )}
+), cnt AS (
+    SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2
+), tot AS (
+    SELECT n, CAST(SUM(c) AS BIGINT) AS nt,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM cnt GROUP BY 1
+), q AS (
+    SELECT cnt.n,
+           CAST(FLOOR((CAST(c AS DOUBLE) / tot.nt)
+                      * ln(CAST(tot.nt AS DOUBLE) / c) * {ENTROPY_GRID})
+                AS BIGINT) AS qh
+    FROM cnt JOIN tot USING (n)
+)
+SELECT q.n AS gram_order,
+       (SELECT n_distinct FROM tot WHERE tot.n = q.n) AS n_distinct,
+       (SELECT nt FROM tot WHERE tot.n = q.n) AS n_grams,
+       ROUND(CAST(SUM(qh) AS DOUBLE) / {ENTROPY_GRID}, 6) AS entropy_nats
+FROM q GROUP BY q.n
+""",
+    tags=("text", "llm", "corpus-stats"),
+)
+def ngram_entropy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the corpus 1/2/3-gram distributions — the
+    information profile behind LM difficulty estimates: H₁ bounds any
+    unigram model's cross-entropy, H₂−H₁ approximates the conditional
+    entropy H(next|prev) (what a bigram LM can exploit —
+    ``bigram_perplexity_by_source`` measures the model side of the same
+    quantity), and a flat H₂≈2·H₁ profile says tokens are near-i.i.d.
+    (synthetic or shuffled text) while natural corpora drop sharply.
+
+    Determinism: each distinct gram's p·ln(1/p) term (one identical
+    double op on exact integer counts) is FLOOR-quantized to the 1e-9
+    grid BEFORE the data-sized sum over the gram vocabulary
+    (helpers.py convention — vocabulary grain is data-sized, so a raw
+    float sum would be order-dependent), making the entropy an exact
+    integer sum divided once, round(6).  Scale: grams explode ~3× the
+    token stream and immediately collapse to map-side-combined counts;
+    the per-order totals frame broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.split("text", " ").alias("toks"))
+    parts = []
+    for n in ENTROPY_ORDERS:
+        parts.append(
+            t.select(
+                F.lit(n).cast("int").alias("n"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) + 1 - {n}), "
+                        f"i -> concat_ws(' ', slice(toks, i, {n})))"
+                    )
+                ).alias("gram"),
+            )
+        )
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = grams.unionByName(p)
+    cnt = grams.groupBy("n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("n").agg(
+        F.sum("c").cast("bigint").alias("nt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    q = cnt.join(F.broadcast(tot), "n").select(
+        "n",
+        "n_distinct",
+        "nt",
+        F.floor(
+            (F.col("c").cast("double") / F.col("nt"))
+            * F.log(F.col("nt").cast("double") / F.col("c"))
+            * ENTROPY_GRID
+        )
+        .cast("bigint")
+        .alias("qh"),
+    )
+    return q.groupBy("n", "n_distinct", "nt").agg(
+        F.round(
+            F.sum("qh").cast("double") / ENTROPY_GRID, 6
+        ).alias("entropy_nats")
+    ).select(
+        F.col("n").alias("gram_order"),
+        "n_distinct",
+        F.col("nt").alias("n_grams"),
+        "entropy_nats",
+    )

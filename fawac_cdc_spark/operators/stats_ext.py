@@ -4517,3 +4517,354 @@ def turning_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_tp"),
     )
+
+
+# --- round 15 wave 4: partial correlation / Hurst / Lorenz ---------------------
+
+# Shared pairwise-correlation text over exact integer co-moments of the
+# zero-filled daily count spine (n, s*, q** columns).
+_PC_R = "((nn * {sxy} - {sx} * {sy}) / SQRT((nn * {sxx} - {sx} * {sx}) * (nn * {syy} - {sy} * {sy})))"
+
+
+@register(
+    "partial_corr_daily_types",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day, event_type FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+), cnts AS (
+    SELECT day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+    FROM d GROUP BY 1
+), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM cnts),
+spine AS (
+    SELECT CAST(unnest(generate_series((SELECT d0 FROM span),
+                                       (SELECT d1 FROM span),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+), s AS (
+    SELECT COALESCE(a, 0) AS a, COALESCE(b, 0) AS b, COALESCE(c, 0) AS c
+    FROM spine LEFT JOIN cnts USING (day)
+), m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+           CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+           CAST(SUM(c) AS DOUBLE) AS sc,
+           CAST(SUM(CAST(a AS HUGEINT) * a) AS DOUBLE) AS saa,
+           CAST(SUM(CAST(b AS HUGEINT) * b) AS DOUBLE) AS sbb,
+           CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS scc,
+           CAST(SUM(CAST(a AS HUGEINT) * b) AS DOUBLE) AS sab,
+           CAST(SUM(CAST(a AS HUGEINT) * c) AS DOUBLE) AS sac,
+           CAST(SUM(CAST(b AS HUGEINT) * c) AS DOUBLE) AS sbc
+    FROM s
+), r AS (
+    SELECT CAST(nn AS BIGINT) AS n_days,
+           {_PC_R.format(sxy="sab", sx="sa", sy="sb", sxx="saa", syy="sbb")} AS rab,
+           {_PC_R.format(sxy="sac", sx="sa", sy="sc", sxx="saa", syy="scc")} AS rac,
+           {_PC_R.format(sxy="sbc", sx="sb", sy="sc", sxx="sbb", syy="scc")} AS rbc
+    FROM m
+)
+SELECT n_days,
+       ROUND(rab, 6) AS r_click_view,
+       ROUND(rac, 6) AS r_click_purchase,
+       ROUND(rbc, 6) AS r_view_purchase,
+       ROUND((rab - rac * rbc) / SQRT((1.0 - rac * rac) * (1.0 - rbc * rbc)),
+             6) AS r_click_view_given_purchase
+FROM r
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def partial_corr_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order PARTIAL correlation between daily click and view
+    counts CONTROLLING for purchase count: r_ab·c = (r_ab − r_ac·r_bc)
+    / √((1−r_ac²)(1−r_bc²)) — the confounder check that tells whether
+    the click↔view co-movement ``ccf_daily_types`` measures survives
+    removing overall-traffic days (a high r_ab that collapses once
+    purchases are partialled out is common-cause load, not a funnel
+    relationship).
+
+    Exactness: all three series are zero-filled integer counts on the
+    shared calendar spine, so the 3×3 co-moment matrix is exact
+    integers in one map-side pass; the three pairwise correlations
+    share ONE interpolated formula text, and the partial is a closed
+    double form, round(6) on outputs only."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    cnts = e.groupBy(F.to_date("ts").alias("day")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(col)
+            for t, col in (("click", "a"), ("view", "b"), ("purchase", "c"))
+        ]
+    )
+    span = cnts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    s = spine.join(cnts, "day", "left").select(
+        *[F.coalesce(col, F.lit(0)).alias(col) for col in ("a", "b", "c")]
+    )
+    m = s.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        *[F.sum(col).cast("double").alias(f"s{col}") for col in ("a", "b", "c")],
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("scc"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+        F.sum(F.col("a") * F.col("c")).cast("double").alias("sac"),
+        F.sum(F.col("b") * F.col("c")).cast("double").alias("sbc"),
+    )
+    r = m.selectExpr(
+        "CAST(nn AS BIGINT) AS n_days",
+        f"{_PC_R.format(sxy='sab', sx='sa', sy='sb', sxx='saa', syy='sbb')} AS rab",
+        f"{_PC_R.format(sxy='sac', sx='sa', sy='sc', sxx='saa', syy='scc')} AS rac",
+        f"{_PC_R.format(sxy='sbc', sx='sb', sy='sc', sxx='sbb', syy='scc')} AS rbc",
+    )
+    return r.selectExpr(
+        "n_days",
+        "ROUND(rab, 6) AS r_click_view",
+        "ROUND(rac, 6) AS r_click_purchase",
+        "ROUND(rbc, 6) AS r_view_purchase",
+        "ROUND((rab - rac * rbc)"
+        " / SQRT((1.0 - rac * rac) * (1.0 - rbc * rbc)), 6)"
+        " AS r_click_view_given_purchase",
+    )
+
+
+HURST_KS = (1, 2, 4, 8, 16)
+
+
+@register(
+    "hurst_aggvar_daily",
+    oracle=f"""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS yc
+    FROM orders GROUP BY 1
+), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+spine AS (
+    SELECT CAST(unnest(generate_series((SELECT d0 FROM span),
+                                       (SELECT d1 FROM span),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+), idx AS (
+    SELECT CAST(datediff('day', (SELECT d0 FROM span), spine.day) AS BIGINT)
+               AS t,
+           COALESCE(yc, 0) AS yc
+    FROM spine LEFT JOIN daily USING (day)
+), n AS (SELECT CAST(MAX(t) + 1 AS BIGINT) AS n FROM idx),
+ks AS (SELECT CAST(unnest([{", ".join(str(k) for k in HURST_KS)}]) AS INT) AS k),
+blocks AS (
+    SELECT ks.k, idx.t // ks.k AS blk, SUM(yc) AS s
+    FROM idx, ks
+    WHERE idx.t // ks.k < (SELECT n FROM n) // ks.k
+    GROUP BY 1, 2
+), vk AS (
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           (CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE)
+            - CAST(SUM(s) AS DOUBLE) * SUM(s) / COUNT(*))
+               / (CAST(k AS DOUBLE) * k * COUNT(*)) AS var_k
+    FROM blocks GROUP BY 1
+), pts AS (
+    SELECT LN(CAST(k AS DOUBLE)) AS x, LN(var_k) AS y FROM vk
+), fit AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM pts
+)
+SELECT (SELECT n FROM n) AS n_days,
+       CAST({len(HURST_KS)} AS INT) AS n_scales,
+       ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS aggvar_slope,
+       ROUND(1.0 + (m * sxy - sx * sy) / (m * sxx - sx * sx) / 2.0, 6)
+           AS hurst_h
+FROM fit
+""",
+    tags=("analytics", "stats", "timeseries"),
+)
+def hurst_aggvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by the AGGREGATED-VARIANCE
+    method: variance of k-day block means scales as k^(2H−2), so the
+    log-log OLS slope β over k ∈ {K} gives H = 1 + β/2 — the
+    long-range-dependence read (H ≈ 0.5 short-memory, H → 1 persistent
+    trends, H < 0.5 mean-reverting) that says whether
+    ``acf_monthly_revenue``'s slow decay is genuine long memory; it
+    also decides if day-level bootstrap CIs need block resampling.
+
+    Exactness: block sums are exact integer cents over the bounded day
+    grain (complete blocks only — the ragged tail is dropped on both
+    engines by the same integer predicate); each scale's variance
+    comes from the computational identity on exact Σs, Σs², and the
+    5-point log-log fit is a closed double form.  Scale: the k-grid is
+    a broadcast constant; everything else is one map-side pass plus a
+    ≤|days|×{NK}-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum((money("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("yc")
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        "d0",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        ),
+    )
+    # Zero-filled calendar index: an order-less day is a 0-revenue
+    # observation, so every k-block exists and B = n div k exactly —
+    # without the spine the block POPULATION would vary by which days
+    # happen to be non-empty, silently changing the variance definition
+    # per scale.
+    idx = spine.join(daily, "day", "left").select(
+        F.datediff("day", "d0").cast("bigint").alias("t"),
+        F.coalesce("yc", F.lit(0)).alias("yc"),
+    )
+    n = idx.agg((F.max("t") + 1).cast("bigint").alias("n"))
+    ks = spark.sql(
+        "SELECT explode(array({})) AS k".format(
+            ", ".join(f"CAST({k} AS INT)" for k in HURST_KS)
+        )
+    )
+    blocks = (
+        idx.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .where(F.expr("t div k") < F.expr("n div k"))
+        .groupBy("k", F.expr("t div k").alias("blk"))
+        .agg(F.sum("yc").alias("s"))
+    )
+    vk = blocks.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (
+            (
+                F.sum(
+                    F.col("s").cast("decimal(38,0)") * F.col("s")
+                ).cast("double")
+                - F.sum("s").cast("double") * F.sum("s") / F.count(F.lit(1))
+            )
+            / (F.col("k").cast("double") * F.col("k") * F.count(F.lit(1)))
+        ).alias("var_k"),
+    )
+    pts = vk.select(
+        F.log(F.col("k").cast("double")).alias("x"),
+        F.log("var_k").alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = "(m * sxy - sx * sy) / (m * sxx - sx * sx)"
+    return fit.crossJoin(F.broadcast(n)).selectExpr(
+        "n AS n_days",
+        f"CAST({len(HURST_KS)} AS INT) AS n_scales",
+        f"ROUND({slope}, 6) AS aggvar_slope",
+        f"ROUND(1.0 + {slope} / 2.0, 6) AS hurst_h",
+    )
+
+
+LORENZ_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+
+
+@register(
+    "lorenz_curve_customer_spend",
+    oracle=f"""
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS v
+    FROM orders GROUP BY 1
+), g AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM cust GROUP BY v
+), cum AS (
+    SELECT v, c,
+           SUM(c) OVER (ORDER BY v) AS mc,
+           SUM(CAST(v AS HUGEINT) * c) OVER (ORDER BY v) AS ms
+    FROM g
+), tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s
+    FROM g
+), ds AS (SELECT CAST(unnest([{", ".join(str(d) for d in LORENZ_DECILES)}]) AS INT) AS dec),
+k AS (
+    SELECT dec, ((SELECT n FROM tot) * dec + 9) // 10 AS kth FROM ds
+), pick AS (
+    SELECT k.dec, k.kth,
+           (SELECT MIN(v) FROM cum WHERE mc >= k.kth) AS vq
+    FROM k
+)
+SELECT p.dec AS decile,
+       CAST(p.kth AS BIGINT) AS n_cust_cum,
+       ROUND(CAST(cum.ms - CAST(cum.v AS HUGEINT) * (cum.mc - p.kth) AS DOUBLE)
+             / CAST((SELECT s FROM tot) AS DOUBLE), 6) AS spend_share_cum
+FROM pick p JOIN cum ON cum.v = p.vq
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def lorenz_curve_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve of customer lifetime spend at decile grid
+    points: L(d) = share of total spend held by the poorest ⌈d·n/10⌉
+    customers — the concentration curve behind
+    ``gini_concentration_by_source``'s scalar (a dashboard plots THIS;
+    the Gini is twice the area above it) and the whale-risk read for
+    revenue planning (L(9) near 0.5 means the top decile carries half
+    the business).
+
+    Value-atomic exactness: customer spends collapse to the integer
+    cent grain; one pass of the shared ``bucketed_prefix_sums``
+    hierarchy carries BOTH running totals (count and HUGEINT/DECIMAL
+    spend mass); the decile boundary is the exact k-th smallest
+    (⌈d·n/10⌉ by integer arithmetic), and the partial tie block at the
+    boundary value contributes exactly (kth − predecessors)·v — all
+    integers until one final division, round(6).  Never a global sort;
+    the 10-row decile frame broadcasts."""
+    from .helpers import bucketed_prefix_sums
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum((money("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    g = cust.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    gm = g.select("v", "c", (F.col("v").cast("decimal(38,0)") * F.col("c")).alias("vm"))
+    cum = bucketed_prefix_sums(gm, "v", ["c", "vm"]).select(
+        "v", "c", F.col("cum_c").alias("mc"), F.col("cum_vm").alias("ms")
+    )
+    tot = g.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("c")).alias("s"),
+    )
+    ds = spark.sql(
+        "SELECT explode(array({})) AS dec".format(
+            ", ".join(f"CAST({d} AS INT)" for d in LORENZ_DECILES)
+        )
+    )
+    k = ds.crossJoin(F.broadcast(tot)).select(
+        "dec", F.expr("(n * dec + 9) div 10").alias("kth"), "s"
+    )
+    pick = (
+        cum.crossJoin(F.broadcast(k))
+        .where(F.col("mc") >= F.col("kth"))
+        .groupBy("dec", "kth", "s")
+        .agg(F.min("v").alias("vq"))
+    )
+    return (
+        pick.join(F.broadcast(cum.select("v", "mc", "ms")), F.col("vq") == F.col("v"))
+        .select(
+            F.col("dec").alias("decile"),
+            F.col("kth").cast("bigint").alias("n_cust_cum"),
+            F.round(
+                (
+                    F.col("ms")
+                    - F.col("v").cast("decimal(38,0)")
+                    * (F.col("mc") - F.col("kth"))
+                ).cast("double")
+                / F.col("s").cast("double"),
+                6,
+            ).alias("spend_share_cum"),
+        )
+    )

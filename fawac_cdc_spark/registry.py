@@ -365,6 +365,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "doc_perplexity_outliers",
     "burstiness_word_stats",
     "minhash_band_load_profile",
+    "partial_corr_daily_types",
+    "hurst_aggvar_daily",
+    "lorenz_curve_customer_spend",
+    "ngram_entropy_orders",
 )
 
 
@@ -408,6 +412,10 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "doc_perplexity_outliers",
         "burstiness_word_stats",
         "minhash_band_load_profile",
+        "partial_corr_daily_types",
+        "hurst_aggvar_daily",
+        "lorenz_curve_customer_spend",
+        "ngram_entropy_orders",
     }
 )
 

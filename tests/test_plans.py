@@ -219,6 +219,13 @@ _SCALAR_BROADCAST_OK = {
     #                             unigram_logprob_by_source scalar)
     "burstiness_word_stats",  # 1-row corpus doc-count frame attached to
     #                           the top-k word frame
+    "partial_corr_daily_types",  # 1-row span frame -> calendar spine
+    #                              (ccf_daily_types' shape)
+    "hurst_aggvar_daily",  # 1-row min-day/n frames + 5-row k-grid
+    "lorenz_curve_customer_spend",  # 1-row totals + 10-row decile frame
+    #                                 by broadcast inequality against
+    #                                 the spend grain (conformal shape)
+    "ngram_entropy_orders",  # 3-row per-order totals frame broadcast
 }
 
 

@@ -4713,3 +4713,151 @@ def test_minhash_band_load_matches_candidate_join(spark, sf_dir):
     for band, r in got.items():
         assert r["pair_load"] == join_load.get(band, 0)
         assert r["max_bucket"] >= 1 and r["n_colliding"] <= r["n_buckets"]
+
+
+# --- round 15 wave 4 replicas --------------------------------------------------
+
+
+def test_partial_corr_replica(spark, sf_dir):
+    """Pure-Python zero-filled partial correlation replica."""
+    import datetime as dt
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT CAST(ts AS DATE), event_type, COUNT(*)
+            FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('click', 'view', 'purchase') GROUP BY 1, 2"""
+    ).fetchall()
+    series = {"click": {}, "view": {}, "purchase": {}}
+    for day, t, c in rows:
+        series[t][day] = c
+    d0 = min(min(s) for s in series.values() if s)
+    d1 = max(max(s) for s in series.values() if s)
+    days = [d0 + dt.timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    a = [series["click"].get(d, 0) for d in days]
+    b = [series["view"].get(d, 0) for d in days]
+    c = [series["purchase"].get(d, 0) for d in days]
+
+    def corr(x, y):
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        return (n * sum(p * q for p, q in zip(x, y)) - sx * sy) / math.sqrt(
+            (n * sum(p * p for p in x) - sx * sx)
+            * (n * sum(q * q for q in y) - sy * sy)
+        )
+
+    rab, rac, rbc = corr(a, b), corr(a, c), corr(b, c)
+    part = (rab - rac * rbc) / math.sqrt((1 - rac**2) * (1 - rbc**2))
+    (r,) = _SPECS["partial_corr_daily_types"].fn(spark, sf_dir).collect()
+    assert r["n_days"] == len(days)
+    assert abs(r["r_click_view"] - rab) < 1e-5
+    assert abs(r["r_click_view_given_purchase"] - part) < 1e-5
+    assert -1.0 <= r["r_click_view_given_purchase"] <= 1.0
+
+
+def test_hurst_aggvar_replica(spark, sf_dir):
+    """Pure-Python aggregated-variance replica (calendar-indexed,
+    complete blocks only)."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT o_orderdate,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    d0 = min(d for d, _ in rows)
+    by_t = {(d - d0).days: y for d, y in rows}
+    n = max(by_t) + 1
+    pts = []
+    for k in (1, 2, 4, 8, 16):
+        nb = n // k
+        sums = [0] * nb
+        for t, y in by_t.items():
+            if t // k < nb:
+                sums[t // k] += y
+        bsum = sum(sums)
+        b2 = sum(s * s for s in sums)
+        var_k = (b2 - bsum * bsum / nb) / (k * k * nb)
+        pts.append((math.log(k), math.log(var_k)))
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    (r,) = _SPECS["hurst_aggvar_daily"].fn(spark, sf_dir).collect()
+    assert (r["n_days"], r["n_scales"]) == (n, 5)
+    assert abs(r["aggvar_slope"] - slope) < 1e-4
+    assert abs(r["hurst_h"] - (1 + slope / 2)) < 1e-4
+
+
+def test_lorenz_replica_and_shape(spark, sf_dir):
+    """Pure-Python value-atomic Lorenz replica; the curve is monotone,
+    convex-ish (share <= decile fraction), and ends at 1."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT o_custkey,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    n, s = len(vals), sum(vals)
+    got = {
+        r["decile"]: r
+        for r in _SPECS["lorenz_curve_customer_spend"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(1, 11))
+    prev = 0.0
+    for d in range(1, 11):
+        kth = (n * d + 9) // 10
+        share = sum(vals[:kth]) / s
+        r = got[d]
+        assert r["n_cust_cum"] == kth
+        assert abs(r["spend_share_cum"] - share) < 1e-6
+        assert r["spend_share_cum"] >= prev  # monotone
+        assert r["spend_share_cum"] <= d / 10 + 1e-9  # below the diagonal
+        prev = r["spend_share_cum"]
+    assert abs(got[10]["spend_share_cum"] - 1.0) < 1e-9
+
+
+def test_ngram_entropy_replica(spark, sf_dir):
+    """Pure-Python quantized n-gram entropy replica; conditional
+    entropies shrink with order (H2 - H1 <= H1)."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    got = {
+        r["gram_order"]: r
+        for r in _SPECS["ngram_entropy_orders"].fn(spark, sf_dir).collect()
+    }
+    hs = {}
+    for n in (1, 2, 3):
+        cnt = Counter()
+        for (text,) in rows:
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                cnt[" ".join(toks[i : i + n])] += 1
+        nt = sum(cnt.values())
+        q = sum(
+            math.floor((c / nt) * math.log(nt / c) * 1_000_000_000)
+            for c in cnt.values()
+        )
+        hs[n] = q / 1e9
+        r = got[n]
+        assert r["n_distinct"] == len(cnt)
+        assert r["n_grams"] == nt
+        assert abs(r["entropy_nats"] - hs[n]) < 1e-5
+    # conditional entropy decreases with context
+    assert hs[2] - hs[1] <= hs[1] + 1e-9
+    assert hs[3] - hs[2] <= hs[2] - hs[1] + 1e-6
