@@ -4868,3 +4868,391 @@ def lorenz_curve_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend_share_cum"),
         )
     )
+
+
+# --- round 15 wave 5: binary segmentation depth 2 / Sen CI / Bowley ------------
+
+# Segment-parametrized changepoint reduction (the _CP_RED shape with the
+# segment total/length as parameters): score of splitting a segment with
+# prefix {sl}, candidate size {k}, segment mass {sseg}, length {nseg}.
+_CP2_RED = (
+    "round((cast({sl} as double) * cast({sl} as double) / {k}"
+    " + (cast({sseg} as double) - cast({sl} as double))"
+    " * (cast({sseg} as double) - cast({sl} as double)) / ({nseg} - {k}))"
+    " - cast({sseg} as double) * cast({sseg} as double) / {nseg}, 6)"
+)
+
+
+@register(
+    "top2_changepoints_daily",
+    oracle=f"""
+WITH daily AS (
+    SELECT o_orderdate AS day, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+    FROM orders GROUP BY 1
+), pre AS (
+    SELECT day,
+           SUM(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS k
+    FROM daily
+), tot AS (SELECT SUM(x) AS s, CAST(COUNT(*) AS DOUBLE) AS tn FROM daily),
+full_scored AS (
+    SELECT day, k, sl, s, tn,
+           {_CP2_RED.format(sl="sl", k="k", sseg="s", nseg="tn")} AS red
+    FROM pre, tot WHERE k < tn
+), cp1 AS (SELECT * FROM full_scored ORDER BY red DESC, day LIMIT 1),
+left_scored AS (
+    SELECT p.day, p.k,
+           {_CP2_RED.format(sl="p.sl", k="p.k", sseg="c.sl", nseg="c.k")} AS red
+    FROM pre p, cp1 c WHERE p.k < c.k
+), right_scored AS (
+    SELECT p.day, p.k - c.k AS k,
+           {_CP2_RED.format(sl="(p.sl - c.sl)", k="(p.k - c.k)",
+                            sseg="(c.s - c.sl)", nseg="(c.tn - c.k)")} AS red
+    FROM pre p, cp1 c WHERE p.k > c.k AND p.k < c.tn
+)
+SELECT 'full' AS segment, CAST(day AS VARCHAR) AS split_day,
+       CAST(k AS BIGINT) AS k_in_segment, red AS sse_reduction
+FROM cp1
+UNION ALL
+SELECT 'left', CAST(day AS VARCHAR), CAST(k AS BIGINT), red
+FROM (SELECT * FROM left_scored ORDER BY red DESC, day LIMIT 1)
+UNION ALL
+SELECT 'right', CAST(day AS VARCHAR), CAST(k AS BIGINT), red
+FROM (SELECT * FROM right_scored ORDER BY red DESC, day LIMIT 1)
+""",
+    tags=("analytics", "timeseries", "stats"),
+)
+def top2_changepoints_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation to DEPTH 2 on daily revenue: the best single
+    changepoint (``best_changepoint_daily``'s split) plus the best
+    sub-split of each resulting half — the three-row output a
+    structural-break dashboard plots as nested break candidates, and
+    the standard greedy step toward multi-changepoint detection (each
+    sub-split's sse_reduction is exactly the gain PELT/BinSeg would
+    evaluate next; a near-zero left/right reduction says one break
+    explains the series).
+
+    Everything derives from the SAME exact-decimal prefix-sum frame as
+    the depth-1 query: a sub-segment's score needs only the global
+    prefix sl, the parent split's (k₁, sl₁) scalars, and the shared
+    segment-parametrized formula text — so the depth-2 search is two
+    more broadcast attaches + TakeOrderedAndProject over the bounded
+    day grain, never a second scan.  Ties break to the earliest day on
+    the round-6 score (both engines).  A length-≤1 half yields no row
+    for that segment, identically on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(money("o_totalprice")).alias("x")
+    )
+    wpre = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("x").over(wpre).alias("sl"),
+        F.row_number().over(Window.orderBy("day")).cast("double").alias("k"),
+    )
+    tot = daily.agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).cast("double").alias("tn")
+    )
+    full_scored = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(F.col("k") < F.col("tn"))
+        .withColumn(
+            "red",
+            F.expr(_CP2_RED.format(sl="sl", k="k", sseg="s", nseg="tn")),
+        )
+    )
+    cp1 = (
+        full_scored.orderBy(F.desc("red"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("day1"),
+            F.col("k").alias("k1"),
+            F.col("sl").alias("sl1"),
+            "s",
+            "tn",
+            F.col("red").alias("red1"),
+        )
+    )
+    with_cp1 = pre.crossJoin(F.broadcast(cp1))
+    left_best = (
+        with_cp1.where(F.col("k") < F.col("k1"))
+        .withColumn(
+            "red",
+            F.expr(_CP2_RED.format(sl="sl", k="k", sseg="sl1", nseg="k1")),
+        )
+        .orderBy(F.desc("red"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.lit("left").alias("segment"),
+            F.col("day").cast("string").alias("split_day"),
+            F.col("k").cast("bigint").alias("k_in_segment"),
+            F.col("red").alias("sse_reduction"),
+        )
+    )
+    right_best = (
+        with_cp1.where((F.col("k") > F.col("k1")) & (F.col("k") < F.col("tn")))
+        .withColumn(
+            "red",
+            F.expr(
+                _CP2_RED.format(
+                    sl="(sl - sl1)",
+                    k="(k - k1)",
+                    sseg="(s - sl1)",
+                    nseg="(tn - k1)",
+                )
+            ),
+        )
+        .orderBy(F.desc("red"), F.asc("day"))
+        .limit(1)
+        .select(
+            F.lit("right").alias("segment"),
+            F.col("day").cast("string").alias("split_day"),
+            (F.col("k") - F.col("k1")).cast("bigint").alias("k_in_segment"),
+            F.col("red").alias("sse_reduction"),
+        )
+    )
+    first = cp1.select(
+        F.lit("full").alias("segment"),
+        F.col("day1").cast("string").alias("split_day"),
+        F.col("k1").cast("bigint").alias("k_in_segment"),
+        F.col("red1").alias("sse_reduction"),
+    )
+    return first.unionByName(left_best).unionByName(right_best)
+
+
+# z_{0.975} as an exact repr literal (shared by both engines).
+_Z975 = "1.959963984540054"
+SEN_SLOPE_GRID = 1_000_000
+
+
+@register(
+    "sen_slope_ci_monthly",
+    oracle=f"""
+WITH m AS (
+    SELECT (EXTRACT(YEAR FROM o_orderdate) * 12
+            + EXTRACT(MONTH FROM o_orderdate)) AS midx,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS rc
+    FROM orders GROUP BY 1
+), sl AS (
+    SELECT CAST(FLOOR((CAST(b.rc - a.rc AS DOUBLE) / (b.midx - a.midx))
+                      * {SEN_SLOPE_GRID}) AS BIGINT) AS q
+    FROM m a JOIN m b ON b.midx > a.midx
+), g AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS c FROM sl GROUP BY q),
+cum AS (SELECT q, SUM(c) OVER (ORDER BY q) AS mc FROM g),
+mm AS (SELECT CAST(SUM(c) AS BIGINT) AS mp FROM g),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m),
+ties AS (
+    SELECT CAST(COALESCE(SUM(CAST(c AS BIGINT) * (c - 1) * (2 * c + 5)), 0)
+                AS BIGINT) AS tie_term
+    FROM (SELECT COUNT(*) AS c FROM m GROUP BY rc) WHERE c > 1
+), cc AS (
+    SELECT CAST(FLOOR({_Z975} * SQRT(
+               ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1.0)
+                    * (2.0 * (SELECT n FROM nn) + 5.0)
+                - (SELECT tie_term FROM ties)) / 18.0)) AS BIGINT) AS c
+), ranks AS (
+    SELECT GREATEST(1, CAST(FLOOR(((SELECT mp FROM mm) - c) / 2.0) AS BIGINT)
+                       + 1) AS k_lo,
+           ((SELECT mp FROM mm) + 1) // 2 AS k_med,
+           LEAST((SELECT mp FROM mm),
+                 CAST(CEIL(((SELECT mp FROM mm) + c) / 2.0) AS BIGINT) + 1)
+               AS k_hi
+    FROM cc
+)
+SELECT (SELECT n FROM nn) AS n_months,
+       (SELECT mp FROM mm) AS n_pairs,
+       ROUND(CAST((SELECT MIN(q) FROM cum WHERE mc >= r.k_lo) AS DOUBLE)
+             / ({SEN_SLOPE_GRID} * 100.0), 6) AS slope_lo,
+       ROUND(CAST((SELECT MIN(q) FROM cum WHERE mc >= r.k_med) AS DOUBLE)
+             / ({SEN_SLOPE_GRID} * 100.0), 6) AS slope_med,
+       ROUND(CAST((SELECT MIN(q) FROM cum WHERE mc >= r.k_hi) AS DOUBLE)
+             / ({SEN_SLOPE_GRID} * 100.0), 6) AS slope_hi
+FROM ranks r
+""",
+    tags=("analytics", "stats", "robust", "timeseries"),
+)
+def sen_slope_ci_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's slope with its distribution-free 95% confidence interval on
+    monthly revenue: the pairwise-slope order statistics at the
+    Gilbert (1987) ranks k_lo = ⌊(M−C)/2⌋+1, k_hi = ⌈(M+C)/2⌉+1 with
+    C = ⌊z₀.₉₇₅·√Var(S)⌋ from the Mann-Kendall variance — the interval
+    that turns ``theil_sen_monthly_trend``'s point slope and
+    ``mann_kendall_trend_daily``'s yes/no into "the trend is between
+    lo and hi per month" (a CI straddling zero reads as no trend, the
+    same verdict as an insignificant MK Z).
+
+    Exact-order-statistic discipline: pairwise slopes are
+    FLOOR-quantized to the 1e-6 cents/month grid (both engines floor
+    the SAME double — exact integer cent diffs divided once), so every
+    rank selection is an exact integer k-th smallest over the
+    quantized-slope grain via prefix sums; the lower median (rank
+    ⌊(M+1)/2⌋) replaces the interpolated median by design.  Scale: the
+    pair join is the calendar-bounded month grid
+    (``theil_sen_monthly_trend``'s allowlisted shape)."""
+    from .helpers import bucketed_prefix_sums
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx")
+    ).agg(
+        F.sum((money("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rc")
+    )
+    a = m.select(F.col("midx").alias("ma"), F.col("rc").alias("ra"))
+    b = m.select(F.col("midx").alias("mb"), F.col("rc").alias("rb"))
+    # try_divide: ANSI mode may evaluate the fused BNLJ projection on a
+    # pair before the mb > ma condition filters it (div-by-zero on the
+    # diagonal); matched rows always have mb > ma, so no NULL survives.
+    sl = a.join(F.broadcast(b), F.col("mb") > F.col("ma")).select(
+        F.floor(
+            F.expr(
+                "try_divide(CAST(rb - ra AS DOUBLE), mb - ma)"
+                f" * {SEN_SLOPE_GRID}"
+            )
+        )
+        .cast("bigint")
+        .alias("q")
+    )
+    g = sl.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cum = bucketed_prefix_sums(g, "q", ["c"]).select(
+        "q", F.col("cum_c").alias("mc")
+    )
+    mm = g.agg(F.sum("c").cast("bigint").alias("mp"))
+    nn = m.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        m.groupBy("rc")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c").cast("bigint")
+                    * (F.col("c") - 1)
+                    * (2 * F.col("c") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    ranks = (
+        mm.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "mp",
+            "n",
+            f"CAST(FLOOR({_Z975} * SQRT((n * (n - 1.0) * (2.0 * n + 5.0)"
+            " - tie_term) / 18.0)) AS BIGINT) AS c",
+        )
+        .selectExpr(
+            "mp",
+            "n",
+            "GREATEST(1, CAST(FLOOR((mp - c) / 2.0) AS BIGINT) + 1) AS k_lo",
+            "(mp + 1) div 2 AS k_med",
+            "LEAST(mp, CAST(CEIL((mp + c) / 2.0) AS BIGINT) + 1) AS k_hi",
+        )
+    )
+    with_r = cum.crossJoin(F.broadcast(ranks))
+    sel = [
+        with_r.where(F.col("mc") >= F.col(k))
+        .agg(F.min("q").alias(f"q_{k}"))
+        for k in ("k_lo", "k_med", "k_hi")
+    ]
+    out = nn.crossJoin(F.broadcast(mm))
+    for s in sel:
+        out = out.crossJoin(F.broadcast(s))
+    denom = SEN_SLOPE_GRID * 100.0
+    return out.select(
+        F.col("n").alias("n_months"),
+        F.col("mp").alias("n_pairs"),
+        F.round(F.col("q_k_lo").cast("double") / denom, 6).alias("slope_lo"),
+        F.round(F.col("q_k_med").cast("double") / denom, 6).alias("slope_med"),
+        F.round(F.col("q_k_hi").cast("double") / denom, 6).alias("slope_hi"),
+    )
+
+
+BOWLEY_PCTS = (10, 25, 50, 75, 90)
+
+
+@register(
+    "bowley_skewness_values",
+    oracle=f"""
+WITH g AS (
+    SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+), cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS mc FROM g),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+q AS (
+    SELECT {", ".join(
+        f"(SELECT MIN(v) FROM cum WHERE mc >= ((SELECT n FROM n) * {p} + 99) // 100) AS q{p}"
+        for p in BOWLEY_PCTS
+    )}
+)
+SELECT (SELECT n FROM n) AS n_events,
+       ROUND(CAST(q25 AS DOUBLE) / 100, 6) AS q25,
+       ROUND(CAST(q50 AS DOUBLE) / 100, 6) AS q50,
+       ROUND(CAST(q75 AS DOUBLE) / 100, 6) AS q75,
+       ROUND(CAST(q75 + q25 - 2 * q50 AS DOUBLE) / (q75 - q25), 6)
+           AS bowley_skew,
+       ROUND(CAST(q90 + q10 - 2 * q50 AS DOUBLE) / (q90 - q10), 6)
+           AS kelly_skew
+FROM q
+""",
+    tags=("analytics", "stats", "robust"),
+)
+def bowley_skewness_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile (Bowley) and decile (Kelly) skewness of the event value
+    distribution — the outlier-immune shape coefficients computed from
+    exact order statistics only: Bowley = (Q₃+Q₁−2·Q₂)/(Q₃−Q₁) in
+    [−1, 1], Kelly the same on the 10/90 deciles.  The robust
+    counterpart to the moment-based skewness family and the L-skewness
+    τ₃ (``l_moments_event_values``): three estimators of "which way
+    does the distribution lean" with different breakdown points, read
+    together when tails are suspect (``hill_tail_index_doclen``'s
+    territory).
+
+    All five quantiles are exact type-1 k-th smallest order statistics
+    (k = ⌈p·n/100⌉, pure integer arithmetic) over the shared
+    cent-grain prefix-sum hierarchy — one grain pass serves every
+    rank; ratios are one identical double op sequence, round(6)."""
+    from .helpers import bucketed_prefix_sums
+
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.select((money("value") * 100).cast("bigint").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = bucketed_prefix_sums(g, "v", ["c"]).select(
+        "v", F.col("cum_c").alias("mc")
+    )
+    n = g.agg(F.sum("c").cast("bigint").alias("n"))
+    with_n = cum.crossJoin(F.broadcast(n))
+    out = n
+    for p in BOWLEY_PCTS:
+        qp = (
+            with_n.where(F.col("mc") >= F.expr(f"(n * {p} + 99) div 100"))
+            .agg(F.min("v").alias(f"q{p}"))
+        )
+        out = out.crossJoin(F.broadcast(qp))
+    return out.select(
+        F.col("n").alias("n_events"),
+        F.round(F.col("q25").cast("double") / 100, 6).alias("q25"),
+        F.round(F.col("q50").cast("double") / 100, 6).alias("q50"),
+        F.round(F.col("q75").cast("double") / 100, 6).alias("q75"),
+        F.round(
+            (F.col("q75") + F.col("q25") - 2 * F.col("q50")).cast("double")
+            / (F.col("q75") - F.col("q25")),
+            6,
+        ).alias("bowley_skew"),
+        F.round(
+            (F.col("q90") + F.col("q10") - 2 * F.col("q50")).cast("double")
+            / (F.col("q90") - F.col("q10")),
+            6,
+        ).alias("kelly_skew"),
+    )

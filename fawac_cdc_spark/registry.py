@@ -369,6 +369,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "hurst_aggvar_daily",
     "lorenz_curve_customer_spend",
     "ngram_entropy_orders",
+    "top2_changepoints_daily",
+    "sen_slope_ci_monthly",
+    "bowley_skewness_values",
 )
 
 
@@ -416,6 +419,9 @@ PENDING_SWEEP: frozenset[str] = frozenset(
         "hurst_aggvar_daily",
         "lorenz_curve_customer_spend",
         "ngram_entropy_orders",
+        "top2_changepoints_daily",
+        "sen_slope_ci_monthly",
+        "bowley_skewness_values",
     }
 )
 

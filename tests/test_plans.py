@@ -226,6 +226,11 @@ _SCALAR_BROADCAST_OK = {
     #                                 by broadcast inequality against
     #                                 the spend grain (conformal shape)
     "ngram_entropy_orders",  # 3-row per-order totals frame broadcast
+    "top2_changepoints_daily",  # 1-row totals + 1-row first-split frames
+    #                             over the bounded day grain
+    "sen_slope_ci_monthly",  # bounded month-pair inequality join + 1-row
+    #                          rank frames (theil_sen's shape)
+    "bowley_skewness_values",  # 1-row n + five 1-row quantile frames
 }
 
 

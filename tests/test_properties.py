@@ -4861,3 +4861,123 @@ def test_ngram_entropy_replica(spark, sf_dir):
     # conditional entropy decreases with context
     assert hs[2] - hs[1] <= hs[1] + 1e-9
     assert hs[3] - hs[2] <= hs[2] - hs[1] + 1e-6
+
+
+# --- round 15 wave 5 replicas --------------------------------------------------
+
+
+def test_top2_changepoints_replica(spark, sf_dir):
+    """Pure-Python binary-segmentation replica over the daily rollup."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT o_orderdate,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    days = [d for d, _ in rows]
+    xs = [x for _, x in rows]  # exact integer cents
+    n = len(xs)
+
+    def best(lo, hi):  # best split of xs[lo:hi]; returns (red, day, k_in_seg)
+        seg = xs[lo:hi]
+        m = len(seg)
+        s = sum(seg)  # exact int
+        cand = []
+        run = 0
+        for k in range(1, m):
+            run += seg[k - 1]  # exact int prefix (mirrors decimal sl)
+            rd, sd = run / 1e2, s / 1e2  # dollars, doubles of exact cents
+            red = round(rd * rd / k + (sd - rd) * (sd - rd) / (m - k)
+                        - sd * sd / m, 6)
+            cand.append((-red, days[lo + k - 1], k))
+        cand.sort()
+        return cand[0] if cand else None
+
+    def close(a, b):
+        return abs(a - b) <= 1e-6 + 1e-9 * max(abs(a), abs(b))
+
+    got = {r["segment"]: r for r in _SPECS["top2_changepoints_daily"].fn(spark, sf_dir).collect()}
+    full = best(0, n)
+    assert str(got["full"]["split_day"]) == str(full[1])
+    k1 = got["full"]["k_in_segment"]
+    assert full[2] == k1
+    assert close(got["full"]["sse_reduction"], -full[0])
+    left = best(0, k1)
+    right = best(k1, n)
+    if left:
+        assert str(got["left"]["split_day"]) == str(left[1])
+        assert got["left"]["k_in_segment"] == left[2]
+    if right:
+        assert str(got["right"]["split_day"]) == str(right[1])
+        assert got["right"]["k_in_segment"] == right[2]
+    # a sub-split can never beat its parent's reduction budget direction:
+    # reductions are nonnegative by definition of the argmax over k
+    for seg in got:
+        assert got[seg]["sse_reduction"] >= -1e-6
+
+
+def test_sen_slope_ci_replica(spark, sf_dir):
+    """Pure-Python quantized pairwise-slope order-statistic replica."""
+    import math
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""SELECT (EXTRACT(YEAR FROM o_orderdate) * 12
+                    + EXTRACT(MONTH FROM o_orderdate)),
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    pts = sorted(rows)
+    n = len(pts)
+    slopes = sorted(
+        math.floor((b[1] - a[1]) / (b[0] - a[0]) * 1_000_000)
+        for i, a in enumerate(pts)
+        for b in pts[i + 1 :]
+    )
+    m = len(slopes)
+    from collections import Counter
+
+    ties = [c for c in Counter(v for _, v in pts).values() if c > 1]
+    var_s = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(c * (c - 1) * (2 * c + 5) for c in ties)
+    ) / 18
+    cc = math.floor(1.959963984540054 * math.sqrt(var_s))
+    k_lo = max(1, math.floor((m - cc) / 2) + 1)
+    k_med = (m + 1) // 2
+    k_hi = min(m, math.ceil((m + cc) / 2) + 1)
+    (r,) = _SPECS["sen_slope_ci_monthly"].fn(spark, sf_dir).collect()
+    assert (r["n_months"], r["n_pairs"]) == (n, m)
+    assert abs(r["slope_lo"] - slopes[k_lo - 1] / 1e8) < 1e-6
+    assert abs(r["slope_med"] - slopes[k_med - 1] / 1e8) < 1e-6
+    assert abs(r["slope_hi"] - slopes[k_hi - 1] / 1e8) < 1e-6
+    assert r["slope_lo"] <= r["slope_med"] <= r["slope_hi"]
+
+
+def test_bowley_skewness_replica(spark, sf_dir):
+    """Pure-Python exact type-1 quantile replica; both coefficients in
+    [-1, 1]."""
+    import duckdb
+
+    vals = sorted(
+        v
+        for (v,) in duckdb.connect().execute(
+            f"""SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                FROM '{sf_dir}/events.parquet'"""
+        ).fetchall()
+    )
+    n = len(vals)
+    q = {p: vals[(n * p + 99) // 100 - 1] for p in (10, 25, 50, 75, 90)}
+    (r,) = _SPECS["bowley_skewness_values"].fn(spark, sf_dir).collect()
+    assert r["n_events"] == n
+    for p in (25, 50, 75):
+        assert abs(r[f"q{p}"] - q[p] / 100) < 1e-9
+    bow = (q[75] + q[25] - 2 * q[50]) / (q[75] - q[25])
+    kel = (q[90] + q[10] - 2 * q[50]) / (q[90] - q[10])
+    assert abs(r["bowley_skew"] - bow) < 1e-6
+    assert abs(r["kelly_skew"] - kel) < 1e-6
+    assert -1.0 <= r["bowley_skew"] <= 1.0
+    assert -1.0 <= r["kelly_skew"] <= 1.0
