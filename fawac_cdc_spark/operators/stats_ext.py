@@ -4875,11 +4875,19 @@ def lorenz_curve_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Segment-parametrized changepoint reduction (the _CP_RED shape with the
 # segment total/length as parameters): score of splitting a segment with
 # prefix {sl}, candidate size {k}, segment mass {sseg}, length {nseg}.
+# NO round(6) here, deliberately breaking the house convention: the
+# score is in squared cents-of-revenue (~5x10^13 at sf0.1), past the
+# 2^43 magnitude where a 6-decimal value is not representable in a
+# double — Spark's BigDecimal-based round and DuckDB's multiply-based
+# round then disagree by one ulp on IDENTICAL inputs (measured at
+# sf0.1: ...872.0 vs ...871.99).  The unrounded score is one identical
+# double op sequence over exact decimal prefixes on both engines, so
+# raw values hash-match and the day-tie argmax stays deterministic.
 _CP2_RED = (
-    "round((cast({sl} as double) * cast({sl} as double) / {k}"
+    "((cast({sl} as double) * cast({sl} as double) / {k}"
     " + (cast({sseg} as double) - cast({sl} as double))"
     " * (cast({sseg} as double) - cast({sl} as double)) / ({nseg} - {k}))"
-    " - cast({sseg} as double) * cast({sseg} as double) / {nseg}, 6)"
+    " - cast({sseg} as double) * cast({sseg} as double) / {nseg})"
 )
 
 
@@ -4939,8 +4947,11 @@ def top2_changepoints_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment-parametrized formula text — so the depth-2 search is two
     more broadcast attaches + TakeOrderedAndProject over the bounded
     day grain, never a second scan.  Ties break to the earliest day on
-    the round-6 score (both engines).  A length-≤1 half yields no row
-    for that segment, identically on both engines."""
+    the RAW double score (see the _CP2_RED note: at squared-revenue
+    magnitudes a 6-decimal round is unrepresentable and
+    engine-divergent, so the raw identical-op-sequence double is the
+    deterministic object here).  A length-≤1 half yields no row for
+    that segment, identically on both engines."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(money("o_totalprice")).alias("x")

@@ -1382,18 +1382,24 @@ def test_extension_topk_plans_use_take_ordered(spark, sf_dir):
 
 
 def test_permutation_test_hoists_digests_before_explode(spark, sf_dir):
-    """poisson_bootstrap's hoisted-digest discipline, pinned for the
-    permutation test: the md5 digest array must be computed BEFORE the
-    replicate Generate (explode), so the plan carries one Generate and
-    the digest transform feeds it — not 32 per-replicate md5 calls
-    after the blowup."""
+    """poisson_bootstrap's round-15 coin discipline, pinned for the
+    permutation test: ALL md5/conv string work runs at the ORDER grain
+    before the replicate Generate (explode), behind an explicit-width
+    repartition — the exploded rows do only array access + integer
+    arithmetic (the former per-exploded-row substr/conv was ~60% of the
+    query's runtime and ran on the scan's single split)."""
     plan = _plan(spark, sf_dir, "permutation_test_mean_diff")
-    # exactly one explode (the replicate blowup), never one per digest
-    assert plan.count("(3) Generate") + plan.count("Generate (") >= 1
-    # the digest ARRAY is built by a higher-order transform over md5
-    # (sequence(0,3) constant-folds to an UnsafeArrayData literal, so
-    # pin the lambda shape instead of the folded literal)
-    assert "lambdafunction(md5" in plan
+    # the replicate blowup exists
+    assert plan.count("Generate") >= 1
+    # the coin chunks are a plain array literal of codegen'd convs (no
+    # interpreted lambda transform), hoisted pre-explode
+    assert "conv(substr(md5" in plan
+    assert "lambdafunction(md5" not in plan
+    # the pre-explode widen is an explicit round-robin-free hash
+    # repartition (AQE would coalesce a column-only one to 1 partition)
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(o_orderkey" in plan
+    # the per-exploded-row coin is element_at arithmetic
+    assert "element_at" in plan
 
 
 # --- round-13 plan pins -------------------------------------------------------
