@@ -1459,7 +1459,10 @@ def ivf_multiprobe_topk_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_margin_stats",
     oracle=f"""
 WITH cent AS (
-    SELECT label, i, ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cval
+    SELECT label, i,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                               AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS cval
     FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) u
     GROUP BY label, i
 ),
@@ -1484,13 +1487,17 @@ margins AS (
                - MAX(CASE WHEN clabel <> label THEN cos END) AS margin
     FROM scored
     GROUP BY vec_id, label
+), mq AS (
+    SELECT label, margin,
+           CAST(ROUND(margin * 1000000) AS BIGINT) AS q
+    FROM margins
 )
 SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(SUM(margin) / COUNT(*), 6) AS avg_margin,
+       ROUND(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS avg_margin,
        ROUND(MIN(margin), 6) AS min_margin,
        CAST(COUNT(*) FILTER (WHERE margin < 0) AS BIGINT) AS n_confused
-FROM margins
+FROM mq
 GROUP BY label
 """,
     tags=("similarity", "llm", "audit"),
@@ -1510,17 +1517,33 @@ def embedding_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny per-label aggregate.  The corpus crosses exactly one
     hashpartitioning exchange (the centroid mean) plus the final
     |labels|-row group-by; nothing is ever corpus x labels shaped on
-    disk or shuffle.  Centroid dims are rounded to 6 BEFORE the cosine
-    (the sum-order-sensitive step); the cosine itself is the repo's ONE
-    fold/divide/round(6) pipeline."""
+    disk or shuffle.
+
+    Determinism (hardened round 15 — this query fired the repo's first
+    observed round(6) KNIFE-EDGE flake, a 1e-6 avg_margin flip between
+    two otherwise-green sf0.01 sweeps): the two data-sized float sums
+    are now exact-integer sums on the 1e-6 grid (helpers.py
+    FLOOR/ROUND-quantize convention, the _PCA_SCALE precedent) —
+    centroid dims quantize each component before summation, and
+    avg_margin sums the per-vector margins' exact 6-decimal integers —
+    so neither engine's summation order can move a boundary case.
+    min/n_confused compare identical per-vector doubles (order-free);
+    the cosine itself is the repo's ONE fold/divide/round(6)
+    pipeline."""
     e = load_table(spark, sf_dir, "embeddings")
     cent = (
         e.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(
-            F.round(F.sum(F.col("val").cast("double")) / F.count(F.lit(1)), 6).alias(
-                "cval"
-            )
+            F.round(
+                F.sum(
+                    F.round(F.col("val").cast("double") * 1000000, 0).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / (F.count(F.lit(1)) * 1000000.0),
+                6,
+            ).alias("cval")
         )
     )
     cvecs = cent.groupBy("label").agg(
@@ -1555,9 +1578,14 @@ def embedding_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cents_row))
         .select("vec_id", "label", F.expr(f"({own}) - ({best_other})").alias("margin"))
     )
-    return margins.groupBy("label").agg(
+    mq = margins.withColumn(
+        "q", F.round(F.col("margin") * 1000000, 0).cast("bigint")
+    )
+    return mq.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.sum("margin") / F.count(F.lit(1)), 6).alias("avg_margin"),
+        F.round(
+            F.sum("q").cast("double") / (F.count(F.lit(1)) * 1000000.0), 6
+        ).alias("avg_margin"),
         F.round(F.min("margin"), 6).alias("min_margin"),
         F.count(F.when(F.col("margin") < 0, 1)).alias("n_confused"),
     )

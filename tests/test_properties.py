@@ -790,14 +790,21 @@ def test_token_budget_selection_is_exact_prefix(spark, sf_dir):
 
 
 def test_embedding_margin_matches_numpy(spark, sf_dir):
-    """Independent numpy replica: per-label centroids (dims rounded to 6),
+    """Independent numpy replica: per-label centroids from the 1e-6
+    integer-quantized component sums (round-15 knife-edge hardening —
+    mirrors the query's order-independent exact-sum definition),
     margin = own-centroid cosine minus best other-centroid cosine."""
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     labels = emb["label"].to_numpy()
+
+    def q6(x):  # ROUND half away from zero on the 1e-6 grid
+        return np.sign(x) * np.floor(np.abs(x) * 1_000_000 + 0.5)
+
     cents = {}
     for lab in np.unique(labels):
-        cents[lab] = np.round(vecs[labels == lab].mean(axis=0), 6)
+        sub = vecs[labels == lab]
+        cents[lab] = np.round(q6(sub).sum(axis=0) / (len(sub) * 1e6), 6)
     margins = {}
     for lab in np.unique(labels):
         ms = []
