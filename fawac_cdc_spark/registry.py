@@ -400,30 +400,10 @@ EXT_HEADLINE: tuple[str, ...] = (
 )
 
 
-# Queries registered since the last green full-registry parity sweep.
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "pca_gram_matrix",
-        "bartlett_test_event_types",
-        "ks_test_flag_values",
-        "icc_user_events",
-        "mann_kendall_trend_daily",
-        "ccf_daily_types",
-        "gev_shape_daily_max",
-        "pot_mean_excess_doclen",
-        "turning_points_daily",
-        "doc_perplexity_outliers",
-        "burstiness_word_stats",
-        "minhash_band_load_profile",
-        "partial_corr_daily_types",
-        "hurst_aggvar_daily",
-        "lorenz_curve_customer_spend",
-        "ngram_entropy_orders",
-        "top2_changepoints_daily",
-        "sen_slope_ci_monthly",
-        "bowley_skewness_values",
-    }
-)
+# Queries registered since the last green full-registry parity sweep —
+# empty: the round-15 closing sweeps (381/381 at sf0.01 AND sf0.1 on
+# the final tree, tools/parity_last.json).
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)

@@ -372,6 +372,13 @@ def test_bench_compare_bookend_probe_judges_sections(tmp_path):
     rc4, out4 = _run_bench_compare(tmp_path, base_post, now_post_ok)
     assert rc4 == 2  # bookends 1.02 -> 2.1 disagree: still refused
     assert "bookend disagreement" in out4
+    # bookend refusal is ONE-SIDED: a post-probe FASTER than pre is the
+    # normal session warm-up signature, never contamination evidence
+    warm = dict(quiet, probe_seconds=1.0, probe_seconds_post=0.6)
+    warm["ext_queries"] = {"x": 1.0}
+    rc5, out5 = _run_bench_compare(tmp_path, base, warm)
+    assert rc5 == 0, out5
+    assert "REFUSE-TO-JUDGE" not in out5
 
 
 def test_bench_compare_annotates_measured_dispersion(tmp_path, monkeypatch):

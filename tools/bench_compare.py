@@ -219,8 +219,14 @@ def main() -> int:
         )
     head_refused = pre_drift is not None and pre_drift > 0.15
     late_drift = post_drift if post_drift is not None else pre_drift
+    # Bookend refusal is ONE-SIDED: drift on this host is monotone
+    # SLOWER within a session, so only post > pre is contamination
+    # evidence.  A faster post-probe is the normal session warm-up
+    # signature (the round-15 dispersion calibration measured pre
+    # 0.51-0.82 s vs post 0.37-0.52 s on five quiet runs — an abs()
+    # rule would have refused every one of them).
     late_refused = (late_drift is not None and late_drift > 0.15) or (
-        bookend is not None and abs(bookend) > 0.15
+        bookend is not None and bookend > 0.15
     )
     if head_refused:
         print(

@@ -4,10 +4,12 @@ Round 15 (VERDICT r14 #4): twice in a row a driver single-pass bench
 total moved (+1%, +5.7%) while the like-for-like quiet min-of-5 on the
 same code IMPROVED — the adjudication "that's single-run dispersion"
 was correct both times but rested on inference, not a number.  This
-tool measures the number ONCE: N fresh-session single-pass
-(driver-profile: SPARK_GRAFT_BENCH_RUNS=1) runs of the headline suite
-on one quiet host, recorded per query as min/median/max and the
-max/min SPREAD ratio.  Future verdicts can then say "q10 +41% is
+tool measures the number ONCE: N fresh-session DRIVER-PROFILE runs of
+the headline suite on one quiet host — i.e. exactly what one
+BENCH_r{N}.json reading is: a single bench.py invocation with its
+default min-of-3 per query (SPARK_GRAFT_BENCH_RUNS inherited, not
+forced to 1) — recorded per query as min/median/max and the max/min
+SPREAD ratio.  Future verdicts can then say "q10 +41% is
 inside its measured single-run spread x1.6" with a committed artifact
 (tools/bench_dispersion.json + the BASELINE.md table), and
 tools/bench_compare.py annotates per-query regressions that fall
@@ -35,7 +37,6 @@ def main() -> int:
     for i in range(n_runs):
         env = dict(
             os.environ,
-            SPARK_GRAFT_BENCH_RUNS="1",
             SPARK_GRAFT_BENCH_HEADLINE_ONLY="1",
         )
         proc = subprocess.run(
@@ -74,8 +75,8 @@ def main() -> int:
     record = {
         "n_runs": n_runs,
         "protocol": (
-            "fresh-session single-pass headline runs "
-            "(SPARK_GRAFT_BENCH_RUNS=1, headline-only), quiet host"
+            "fresh-session driver-profile headline runs (bench.py "
+            "default min-of-3 per query, headline-only), quiet host"
         ),
         "total": {
             "min": totals[0],
