@@ -936,3 +936,186 @@ def multimodal_curation_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("brightness").alias("max_brightness"),
         )
     )
+
+
+# --- round 15: edge density / sharpness audit over the real PPM decode ---------
+
+EDGE_THRESHOLD = 128  # luminance-sum step (0..765 scale) that counts as an edge
+_EDGE_SCHEMA = (
+    "doc_id long, width int, height int, n_hpairs int,"
+    " mean_hgrad double, n_edges int, edge_frac double"
+)
+
+
+def _ppm_edge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        doc, width, height, npair, mg, ne, ef = [], [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = decode_ppm(payload)
+            lum = px.astype("int64").sum(axis=2)  # h x w, 0..765
+            grad = np.abs(np.diff(lum, axis=1))  # h x (w-1)
+            n = grad.size
+            s = int(grad.sum())
+            edges = int((grad >= EDGE_THRESHOLD).sum())
+            doc.append(doc_id)
+            width.append(w)
+            height.append(h)
+            npair.append(n)
+            # exact integer sums / n: bit-identical to the oracle's division
+            mg.append(s / n)
+            ne.append(edges)
+            ef.append(edges / n)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "width": pd.Series(width, dtype="int32"),
+                "height": pd.Series(height, dtype="int32"),
+                "n_hpairs": pd.Series(npair, dtype="int32"),
+                "mean_hgrad": pd.Series(mg, dtype="float64"),
+                "n_edges": pd.Series(ne, dtype="int32"),
+                "edge_frac": pd.Series(ef, dtype="float64"),
+            }
+        )
+
+
+@register(
+    "ppm_edge_density",
+    oracle=f"""
+WITH geo AS (
+    SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), g AS (
+    SELECT doc_id, w, h,
+           list_transform(range(0, (w - 1) * h), k ->
+               abs(((doc_id * 7 + (3 * ((k // (w - 1)) * w + (k % (w - 1)) + 1) + 0) * 13) % 256
+                    + (doc_id * 7 + (3 * ((k // (w - 1)) * w + (k % (w - 1)) + 1) + 1) * 13) % 256
+                    + (doc_id * 7 + (3 * ((k // (w - 1)) * w + (k % (w - 1)) + 1) + 2) * 13) % 256)
+                   -
+                   ((doc_id * 7 + (3 * ((k // (w - 1)) * w + (k % (w - 1))) + 0) * 13) % 256
+                    + (doc_id * 7 + (3 * ((k // (w - 1)) * w + (k % (w - 1))) + 1) * 13) % 256
+                    + (doc_id * 7 + (3 * ((k // (w - 1)) * w + (k % (w - 1))) + 2) * 13) % 256))
+           ) AS grads
+    FROM geo
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST((w - 1) * h AS INT) AS n_hpairs,
+       CAST(list_sum(grads) AS DOUBLE) / ((w - 1) * h) AS mean_hgrad,
+       CAST(len(list_filter(grads, x -> x >= {EDGE_THRESHOLD})) AS INT) AS n_edges,
+       CAST(len(list_filter(grads, x -> x >= {EDGE_THRESHOLD})) AS DOUBLE)
+           / ((w - 1) * h) AS edge_frac
+FROM g
+""",
+    tags=("multimodal", "llm", "pandas-udf", "decode"),
+)
+def ppm_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal edge density over the REAL P6 decode — the
+    sharpness/flatness audit an image-curation pipeline banding on
+    ``ppm_decode_pixel_stats``'s channel means also needs: per image,
+    the mean absolute horizontal luminance gradient and the fraction of
+    adjacent-pixel steps ≥ {T} (on the 0..765 r+g+b scale).  Blurry or
+    synthetic-flat images sit near zero on both; dithered noise maxes
+    edge_frac — the standard cheap proxy pair before any learned
+    quality scorer sees a pixel.
+
+    Same decode seam as the pixel-stats query: payloads synthesize in
+    one ``mapInPandas`` stage, a GENERIC P6 parser + numpy gradient
+    consumes the bytes in a second (both pure maps — no shuffle, runs
+    as wide as the scan), and the oracle recomputes every gradient
+    relationally from the deterministic raster definition — exact
+    integer sums divided once, so the decoded statistics are
+    value-checked bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id").mapInPandas(
+        _ppm_payload_batches, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(_ppm_edge_batches, _EDGE_SCHEMA)
+
+
+ppm_edge_density.__doc__ = ppm_edge_density.__doc__.replace(
+    "{T}", str(EDGE_THRESHOLD)
+)
+
+
+_ZCR_SCHEMA = (
+    "doc_id long, n_samples int, n_crossings int, zcr double,"
+    " crest_factor double"
+)
+
+
+def _wav_zcr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        doc, ns, nc, zc, cf = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, samples = decode_wav(payload)
+            n = len(samples)
+            s = samples.astype("int64")
+            nonneg = s >= 0
+            crossings = int((nonneg[1:] != nonneg[:-1]).sum())
+            rms = float(np.sqrt((s * s).sum() / n))
+            peak = int(np.abs(s).max())
+            doc.append(doc_id)
+            ns.append(n)
+            nc.append(crossings)
+            # exact integer counts / (n-1): bit-identical to the oracle
+            zc.append(crossings / (n - 1))
+            cf.append(peak / rms)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "n_crossings": pd.Series(nc, dtype="int32"),
+                "zcr": pd.Series(zc, dtype="float64"),
+                "crest_factor": pd.Series(cf, dtype="float64"),
+            }
+        )
+
+
+@register(
+    "wav_zero_crossing_rate",
+    oracle="""
+WITH geo AS (
+    SELECT doc_id, 64 + doc_id % 33 AS n FROM documents
+), s AS (
+    SELECT doc_id, n,
+           list_transform(range(0, n),
+                          i -> (doc_id * 31 + i * 97) % 4001 - 2000) AS smp
+    FROM geo
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_samples,
+       CAST(len(list_filter(range(1, n), i ->
+            (smp[i] >= 0) <> (smp[i + 1] >= 0))) AS INT) AS n_crossings,
+       CAST(len(list_filter(range(1, n), i ->
+            (smp[i] >= 0) <> (smp[i + 1] >= 0))) AS DOUBLE) / (n - 1) AS zcr,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
+                  / n) AS crest_factor
+FROM s
+""",
+    tags=("multimodal", "llm", "pandas-udf", "decode", "audio"),
+)
+def wav_zero_crossing_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate + crest factor over the REAL RIFF/WAVE decode
+    — the audio twin of ``ppm_edge_density``: ZCR is the classic cheap
+    voiced/unvoiced + noisiness proxy (high = hissy/noisy, low =
+    tonal/DC-ish) and the crest factor (peak/RMS) flags clipped or
+    over-compressed clips — the two first-pass features an audio
+    curation pipeline computes before any model scores a sample.
+
+    Same decode seam as ``wav_decode_sample_stats``: payloads
+    synthesize in one ``mapInPandas`` stage, the GENERIC RIFF chunk
+    walker + numpy consume the bytes in a second (pure maps, no
+    shuffle), and the oracle recomputes crossings and the crest factor
+    relationally from the deterministic sample definition — integer
+    crossing counts divided once; the crest factor is one identical
+    double op sequence (peak and Σx² are exact integers)."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id").mapInPandas(
+        _wav_payload_batches, "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(_wav_zcr_batches, _ZCR_SCHEMA)

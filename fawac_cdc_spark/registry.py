@@ -372,6 +372,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "top2_changepoints_daily",
     "sen_slope_ci_monthly",
     "bowley_skewness_values",
+    "ppm_edge_density",
+    "wav_zero_crossing_rate",
 )
 
 
@@ -400,10 +402,15 @@ EXT_HEADLINE: tuple[str, ...] = (
 )
 
 
-# Queries registered since the last green full-registry parity sweep —
-# empty: the round-15 closing sweeps (381/381 at sf0.01 AND sf0.1 on
-# the final tree, tools/parity_last.json).
-PENDING_SWEEP: frozenset[str] = frozenset()
+# Queries registered since the last green full-registry parity sweep
+# (the round-15 multimodal extension wave; per-query parity green at
+# sf0.001 + sf0.01, awaiting the next full dual-scale sweep).
+PENDING_SWEEP: frozenset[str] = frozenset(
+    {
+        "ppm_edge_density",
+        "wav_zero_crossing_rate",
+    }
+)
 
 
 @dataclass(frozen=True)

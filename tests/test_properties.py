@@ -4988,3 +4988,73 @@ def test_bowley_skewness_replica(spark, sf_dir):
     assert abs(r["kelly_skew"] - kel) < 1e-6
     assert -1.0 <= r["bowley_skew"] <= 1.0
     assert -1.0 <= r["kelly_skew"] <= 1.0
+
+
+# --- round 15 multimodal extension-wave replicas -------------------------------
+
+
+def test_ppm_edge_density_replica(spark, sf_dir):
+    """Pure-Python replica from the deterministic raster definition —
+    independent of BOTH the decoder and the oracle's relational form."""
+    import duckdb
+
+    ids = [
+        d
+        for (d,) in duckdb.connect().execute(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in _SPECS["ppm_edge_density"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ids)
+    for d in ids[:50]:
+        w, h = 8 + d % 5, 6 + d % 3
+
+        def lum(p):
+            return sum((d * 7 + (3 * p + c) * 13) % 256 for c in range(3))
+
+        grads = [
+            abs(lum(r_ * w + c + 1) - lum(r_ * w + c))
+            for r_ in range(h)
+            for c in range(w - 1)
+        ]
+        r = got[d]
+        assert (r["width"], r["height"], r["n_hpairs"]) == (w, h, len(grads))
+        assert abs(r["mean_hgrad"] - sum(grads) / len(grads)) < 1e-9
+        assert r["n_edges"] == sum(1 for g in grads if g >= 128)
+        assert abs(r["edge_frac"] - r["n_edges"] / len(grads)) < 1e-9
+        assert 0.0 <= r["edge_frac"] <= 1.0
+
+
+def test_wav_zcr_replica(spark, sf_dir):
+    """Pure-Python replica from the deterministic sample definition."""
+    import math
+
+    import duckdb
+
+    ids = [
+        d
+        for (d,) in duckdb.connect().execute(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in _SPECS["wav_zero_crossing_rate"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ids)
+    for d in ids[:50]:
+        n = 64 + d % 33
+        smp = [(d * 31 + i * 97) % 4001 - 2000 for i in range(n)]
+        zc = sum(
+            1 for i in range(1, n) if (smp[i] >= 0) != (smp[i - 1] >= 0)
+        )
+        rms = math.sqrt(sum(x * x for x in smp) / n)
+        peak = max(abs(x) for x in smp)
+        r = got[d]
+        assert (r["n_samples"], r["n_crossings"]) == (n, zc)
+        assert abs(r["zcr"] - zc / (n - 1)) < 1e-9
+        assert abs(r["crest_factor"] - peak / rms) < 1e-9
+        assert r["crest_factor"] >= 1.0  # peak >= rms always
