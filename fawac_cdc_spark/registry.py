@@ -83,9 +83,11 @@ _QUERY_MODULES = [
 #                             approx_stats_error_bound ..
 #                             range_frame_trailing_hour.)
 # = 50.  The round-16 window plan (VERDICT r12 #1 asks for this note):
-# any round-15 registrations first (never driver-verified), then the
-# REMAINING 20 r8-stale queries (retention_cohort_matrix ..
-# winnowing_fingerprints), then the stalest r9 cohort to fill to 50.
+# the 21 round-15 registrations first (never driver-verified:
+# pca_gram_matrix .. wav_zero_crossing_rate, registration order), then
+# the REMAINING 20 r8-stale queries (retention_cohort_matrix ..
+# winnowing_fingerprints), then 9 of the 43-query r9-stale cohort
+# (alphabetical) to fill to 50.
 # Operators REGISTERED in round 15 land after this window froze and are
 # DEFERRED to the round-16 window (ADVICE r10 convention) — they ride
 # the closing dual-scale sweeps and tests/test_oracle_parity.py
@@ -402,15 +404,10 @@ EXT_HEADLINE: tuple[str, ...] = (
 )
 
 
-# Queries registered since the last green full-registry parity sweep
-# (the round-15 multimodal extension wave; per-query parity green at
-# sf0.001 + sf0.01, awaiting the next full dual-scale sweep).
-PENDING_SWEEP: frozenset[str] = frozenset(
-    {
-        "ppm_edge_density",
-        "wav_zero_crossing_rate",
-    }
-)
+# Queries registered since the last green full-registry parity sweep —
+# empty: the round-15 closing sweeps (383/383 at sf0.01 AND sf0.1 on
+# the final tree, tools/parity_last.json).
+PENDING_SWEEP: frozenset[str] = frozenset()
 
 
 @dataclass(frozen=True)
