@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.helpers import md5_bucket, md5_bucket_sql
+from ..operators.helpers import fan_out, md5_bucket, md5_bucket_sql
 from ..registry import register
 
 # MinHash parameters: k=8 affine hashes mod a Mersenne prime.
@@ -62,8 +62,13 @@ _SHINGLES_SQL = (
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) pairs — distinct 3-token shingles per document."""
-    d = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) pairs — distinct 3-token shingles per document.
+
+    ``fan_out`` before the explode: the shingle expansion runs one md5
+    per 3-gram (~n_tokens per doc), a ~100x CPU amplification of the
+    scanned bytes, so the explode stage must not inherit the scan's
+    split count (one row group at fixture scale = ONE task)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
@@ -102,8 +107,11 @@ _HASHED_SHINGLES_SQL = (
 
 
 def _shingled_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle-hash) pairs — distinct 60-bit 3-gram hashes."""
-    d = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle-hash) pairs — distinct 60-bit 3-gram hashes.
+
+    ``fan_out`` before the explode — same CPU-amplification discipline
+    as :func:`_shingled` (one md5 per 3-gram)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
@@ -180,8 +188,17 @@ def jaccard_candidate_pairs(
         # pass does not recompute it (the un-materialized form pays a
         # second tokenize+md5 scan — measured +22-33% at sf0.1)
         sh = sh.localCheckpoint(eager=True)
+    # fan_out on the groupBy key BEFORE the aggregation: the explicit-width
+    # exchange is reused by the groupBy (same key, same count) and — unlike
+    # the bare groupBy shuffle — is exempt from AQE size-based coalescing,
+    # so the collect_list aggregation, the checkpoint, AND both downstream
+    # explode branches (the ≤C(max_df,2)-per-shingle pair expansion and the
+    # per-doc count explode) run at full width instead of inheriting the
+    # one-partition coalesce of a few-MB grouped table whose downstream CPU
+    # is quadratically amplified (round-15 explode discipline; the pair
+    # stage measured 1.83 s -> 0.58 s at sf0.1 from the width change alone).
     groups = (
-        capped_shingles(sh, max_df)
+        fan_out(capped_shingles(sh, max_df), "shingle")
         .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )
@@ -326,8 +343,16 @@ def minhash_signatures_for(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFra
 
 
 def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """:func:`minhash_signatures_for` over the ``documents`` table."""
-    return minhash_signatures_for(load_table(spark, sf_dir, "documents"))
+    """:func:`minhash_signatures_for` over the ``documents`` table.
+
+    ``fan_out`` here in the BATCH wrapper (not in ..._for, which the
+    streaming twins share): the per-row shingle transform runs one md5
+    per 3-gram plus 8 affine folds — the explode-discipline CPU
+    amplification — while a micro-batch frame is already partitioned by
+    its source and must not pay a per-batch shuffle."""
+    return minhash_signatures_for(
+        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def lsh_candidate_pairs_for(bands: DataFrame) -> DataFrame:
@@ -525,8 +550,12 @@ _WIDE_TOKEN_HASHES_SQL = (
 
 
 def wide_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit fingerprints for the ``documents`` table."""
-    return wide_simhash_from(load_table(spark, sf_dir, "documents"))
+    """60-bit fingerprints for the ``documents`` table.
+
+    ``fan_out`` in the BATCH wrapper (the streaming twin partitions by
+    its source): one md5 per distinct token plus 60 bit-sum aggregates
+    is the explode-discipline amplification profile."""
+    return wide_simhash_from(fan_out(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def wide_simhash_from(d: DataFrame) -> DataFrame:
@@ -853,8 +882,13 @@ def corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     kept = quality.join(exact_kept.select("doc_id"), "doc_id", "left_semi")
+    # fan_out before the shingle explode: the semi-join output is
+    # AQE-coalesced to ~one partition at the few-MB corpus grain, and the
+    # md5-per-3-gram expansion downstream is a ~100x CPU amplification
+    # size-based coalescing cannot see (same discipline as _shingled).
     sh = (
-        kept.select("doc_id", F.split("text", " ").alias("toks"))
+        fan_out(kept.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(F.expr(_HASHED_SHINGLES_EXPR)).alias("shingle"))
     )

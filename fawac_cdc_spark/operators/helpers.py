@@ -123,6 +123,39 @@ def rank_bucket(col: Column | str) -> Column:
     )
 
 
+def fan_out(df, *keys: str):
+    """Explicit-width hash repartition BEFORE a CPU-amplifying explode.
+
+    The round-15 poisson_bootstrap_ci profile (BASELINE.md) established
+    the discipline this helper names: a stage whose per-row CPU is
+    k-fold amplified past its input bytes (shingle/n-gram explodes with
+    an md5 per element, replicate explodes, wide ``stack()`` melts) must
+    run at full width even when the scan yields few input splits — the
+    sf fixtures are single-row-group parquet files, so every scan is ONE
+    task, and size-based AQE coalescing cannot see downstream CPU
+    amplification (a column-only repartition of a few-MB grain is
+    coalesced right back to one partition; an explicit count is exempt).
+
+    Width: ``spark.fawac.fanout.partitions`` when set (cluster runs size
+    this to ``max(cores, input_bytes / target_partition_bytes)``), else
+    ``defaultParallelism`` — scale-adaptive via the session, never a
+    constant.  Keys must be high-cardinality (doc_id, orderkey) so the
+    hash spreads evenly.  The shuffle moves only the slim pre-explode
+    rows; at 100 TB it is one extra pass of the base grain against a
+    k~100x amplified compute stage downstream — and the pipelines this
+    guards all shuffle their exploded stream right after anyway, so the
+    relative cost stays bounded by ~1/k.
+    """
+    spark = df.sparkSession
+    width = int(
+        spark.conf.get(
+            "spark.fawac.fanout.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    return df.repartition(width, *[F.col(k) for k in keys])
+
+
 def one_row_audit(
     label_col: str,
     label: str,
