@@ -337,7 +337,11 @@ def decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``substring_span_removal``."""
     from .dedup import positioned_grams, rewrite_excising
 
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.helpers import fan_out
+
+    # fan_out before the gram explode (explode discipline: one md5 per
+    # n-gram over a single-split scan).
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     is_eval = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")

@@ -2166,7 +2166,13 @@ def substring_span_removal_df(
     cost O(occurrences), not O(df^2).
     """
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # fan_out before the gram explode AND the rewrite's posexplode: both
+    # consumers amplify per-row CPU ~n_tokens-fold (md5 per gram, regex
+    # per token), and ``docs`` is often a one-partition checkpoint (the
+    # composed pipelines) or a single-split scan (explode discipline).
+    t = fan_out(d.select("doc_id", F.col("text")), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     grams = positioned_grams(t, n).localCheckpoint(
         eager=True
     )  # feeds both the df count and the join-back

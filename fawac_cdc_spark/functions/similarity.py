@@ -953,17 +953,32 @@ def close_pair_edges(
     ``semantic_dedup_admissions_df``, and ``semantic_cc_survivors`` (a
     third hand-inlined copy was how the family would drift; the oracles
     mirror it per query because their output shapes differ)."""
+    from ..operators.helpers import fan_out
+
     key_list = list(keys)
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("nrm_a"),
+    # fan_out both join sides on the blocking key: the within-cell pair
+    # probe amplifies CPU quadratically in the cell population (a 64-dim
+    # rounded-cosine fold per candidate pair), while the assignment frame
+    # is a few-MB one-partition checkpoint — AQE's size-based coalescing
+    # would run the whole probe on ONE task (explode discipline; measured
+    # 2.10 s -> 0.70 s at sf0.1).  The explicit-width exchanges are
+    # reused by the join, so this adds no extra shuffle.
+    a = fan_out(
+        assigned.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("nrm_a"),
+            *key_list,
+        ),
         *key_list,
     )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("nrm_b"),
+    b = fan_out(
+        assigned.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("b_emb"),
+            F.col("nrm").alias("nrm_b"),
+            *key_list,
+        ),
         *key_list,
     )
     return (

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.helpers import md5_bucket, md5_bucket_sql
+from ..operators.helpers import fan_out, md5_bucket, md5_bucket_sql
 from ..registry import register
 from .text import UNIQ_RATIO_SQL as _UNIQ_RATIO_SQL
 
@@ -644,7 +644,12 @@ def modern_corpus_stages(
     # -- decontamination over the rewritten corpus (train side rewritten,
     #    eval split dropped; eval grams broadcast — fixed-size benchmark
     #    vs growing corpus, same rationale as decontam_span_removal)
-    t2 = sp.select("doc_id", F.split("kept_text", " ").alias("toks"))
+    # fan_out: ``sp`` is a one-partition eager checkpoint, and both t2
+    # consumers (the gram re-extraction and the decontam rewrite) are
+    # explode stages with md5-per-gram CPU amplification.
+    t2 = fan_out(sp.select("doc_id", "kept_text"), "doc_id").select(
+        "doc_id", F.split("kept_text", " ").alias("toks")
+    )
     coin = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")

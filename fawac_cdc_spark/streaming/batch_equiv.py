@@ -871,7 +871,13 @@ def span_removal_firstseen_df(
 
     n = SUBSTRING_GRAM_N
     d = docs if docs is not None else load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # fan_out before the gram explode + rewrite posexplode (explode
+    # discipline — same shape as substring_span_removal_df).
+    from ..operators.helpers import fan_out
+
+    t = fan_out(d.select("doc_id", F.col("text")), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     grams = positioned_grams(t, n).localCheckpoint(eager=True)
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     covered = (
