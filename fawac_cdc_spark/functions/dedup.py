@@ -2525,8 +2525,12 @@ def ppjoin_pairs_df(
 
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     wn = Window.partitionBy("doc_id")
+    # fan_out on the window key: the per-doc rank/count windows otherwise
+    # run at AQE's size-coalesced width (one task for a few-MB stream);
+    # the explicit-width exchange satisfies the windows' required
+    # distribution, so no second shuffle (measured 1.31 -> 0.88 s).
     pos = (
-        sh.join(df_tbl, "shingle")
+        fan_out(sh.join(df_tbl, "shingle"), "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(wn))
     )
@@ -2564,6 +2568,11 @@ def ppjoin_pairs_df(
         F.sort_array(F.collect_list("shingle")).alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+    # fan_out the candidate stream before the verify joins: both set-side
+    # joins broadcast (doc-count-sized array tables), so without it the
+    # whole array_intersect verify inherits the distinct's one-partition
+    # coalesce (measured: verify chain 2.56 -> 1.75 s at sf0.1).
+    cand = fan_out(cand, "doc_a")
     return (
         cand.join(
             sets.select(
@@ -2648,7 +2657,11 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH side everywhere.
     """
     d = load_table(spark, sf_dir, "documents")
-    bands = band_table_for(minhash_signatures_for(d)).localCheckpoint(eager=True)
+    # fan_out before the signature map (explode discipline, same as
+    # minhash_signatures_df / lsh_param_frontier).
+    bands = band_table_for(minhash_signatures_for(fan_out(d, "doc_id"))).localCheckpoint(
+        eager=True
+    )
     cand = lsh_candidate_pairs_for(bands)
     exact = ppjoin_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
@@ -2852,7 +2865,9 @@ def lsh_param_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this harness runs on a hash-sampled slice (the exact side is
     the bounded cost), exactly like lsh_recall_vs_exact."""
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_for(d).localCheckpoint(eager=True)
+    # fan_out before the per-doc signature map (md5 per 3-gram + 8 affine
+    # folds over a single-split scan — explode discipline).
+    sig = minhash_signatures_for(fan_out(d, "doc_id")).localCheckpoint(eager=True)
     exact = (
         ppjoin_pairs_df(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -3262,12 +3277,20 @@ def _fuzzy_title_pairs(spark: SparkSession, sf_dir: str):
         .select("blk")
     )
     c = b.join(keep, "blk", "left_semi").localCheckpoint(eager=True)
-    z = c.select(
-        F.col("blk").alias("blk_z"),
-        F.col("doc_id").alias("idb"),
-        F.col("title").alias("title_z"),
+    # fan_out both sides of the within-block pair join on the block key:
+    # the join output pays one Levenshtein per candidate pair (quadratic
+    # CPU amplification within blocks) while the checkpointed input is
+    # one few-MB partition — the close_pair_edges discipline.
+    cf = fan_out(c, "blk")
+    z = fan_out(
+        c.select(
+            F.col("blk").alias("blk_z"),
+            F.col("doc_id").alias("idb"),
+            F.col("title").alias("title_z"),
+        ),
+        "blk_z",
     )
-    pairs = c.join(
+    pairs = cf.join(
         z, (F.col("blk") == F.col("blk_z")) & (F.col("doc_id") < F.col("idb"))
     ).select(
         F.col("doc_id").alias("ida"),

@@ -2628,8 +2628,14 @@ def hopkins_clusterability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = rp.unionByName(sp)
     d2 = F.expr(_HOPKINS_D2_SPARK.format(a="pvec", b="embedding"))
+    # fan_out the streamed scan side of the broadcast NLJ: each corpus
+    # row pays 2m 64-dim distance folds (the CPU amplification the
+    # explode discipline names), and the fixture scan is one split.
+    from ..operators.helpers import fan_out
+
     dmin = (
-        e.crossJoin(F.broadcast(probes))
+        fan_out(e, "vec_id")
+        .crossJoin(F.broadcast(probes))
         .where((F.col("is_real") == 0) | (F.col("vec_id") != F.col("pid")))
         .groupBy("is_real", "pid")
         .agg(F.min(F.sqrt(d2)).alias("dmin"))
