@@ -71,7 +71,11 @@ def _doc_grams(
 ) -> DataFrame:
     """(doc_id, is_eval, gram) — distinct 60-bit n-gram hashes per doc
     (default the module's 4-gram order; the n-frontier passes others)."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..operators.helpers import fan_out
+
+    # fan_out before the gram explode (md5 per n-gram — explode
+    # discipline over the single-split fixture scan).
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     is_eval = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")

@@ -227,7 +227,14 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling std is the one sum-order-sensitive term), and scoring
     requires ZSCORE_MIN_PREV=30+ trailing points so early-window noise
     never flags."""
-    e = load_table(spark, sf_dir, "events")
+    from .helpers import fan_out
+
+    # fan_out on the window key: the sliding 100-row frame recomputes
+    # 3 aggregates per row (~100x CPU amplification of the scanned
+    # bytes), and AQE's size-coalesce would run every type's window in
+    # ONE task; the explicit-width exchange satisfies the window
+    # distribution (parallelism bounded by the type cardinality).
+    e = fan_out(load_table(spark, sf_dir, "events"), "event_type")
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
