@@ -230,7 +230,13 @@ def bucketed_prefix_sums(gr, val_col: str, cnt_cols: list[str]):
     """
     from pyspark.sql import Window
 
-    gb = gr.withColumn("bucket", rank_bucket(val_col))
+    # fan_out on the bucket key: both consumers (the bucket-scoped
+    # cumulative windows and the bucket-totals aggregate) otherwise run
+    # at AQE's size-coalesced width — one task for a few-MB grain whose
+    # window work is data-sized (explode discipline; parallelism bounded
+    # by the <=127 bucket cardinality, measured 2.02 -> 1.61 s on the
+    # two-cohort ECDF shape at sf0.1).
+    gb = fan_out(gr.withColumn("bucket", rank_bucket(val_col)), "bucket")
     wv = (
         Window.partitionBy("bucket")
         .orderBy(val_col)
