@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.helpers import fan_out
 from ..registry import register
 
 EMB_DIM = 64
@@ -344,11 +345,21 @@ def cosine_assigned_cells(e: DataFrame, n_cells: int = N_CENTROIDS) -> DataFrame
         f"'neg_cos', coalesce(-round(({dot}) / (_nrm_e * c.nrm), 6), double('Infinity')), "
         "'cent_id', c.cent_id))).cent_id"
     )
+
+    # fan_out the corpus side of the broadcast fold: the argmax costs
+    # k x d fused mult-adds per row (~512x the scanned bytes), and the
+    # fixture scan is one split (explode discipline) — the broadcast
+    # side is untouched, so the assignment stays shuffle-light (one
+    # slim repartition pass instead of the k-fold payload shuffle the
+    # old crossJoin+window form paid).
     return (
-        e.select(
+        fan_out(
+            e.select(
+                "vec_id",
+                "embedding",
+                F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_e"),
+            ),
             "vec_id",
-            "embedding",
-            F.expr(_NORM_SPARK.format(v="embedding")).alias("_nrm_e"),
         )
         .crossJoin(F.broadcast(cents_row))
         .select("vec_id", "embedding", F.expr(pick).alias("cent_id"))
@@ -544,6 +555,9 @@ def kmeans_refined_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.expr(rounded).alias("cvec")
     )
 
+    # fan_out the corpus once: both Lloyd assignment passes fold k x d
+    # mult-adds per row over the single-split scan (explode discipline).
+    e = fan_out(e, "vec_id")
     a1 = _assign_min_l2(e, init)
 
     # centroid update: per-dim mean over members, rounded — k·d aggregated
@@ -875,9 +889,13 @@ def bucketed_cosine_pairs(e: DataFrame, with_labels: bool = False) -> DataFrame:
         if with_labels
         else ["vec_id", "neighbor_id"]
     )
+    # fan_out both join sides on the bucket key (the close_pair_edges
+    # discipline): the within-bucket pair stream pays a 64-dim cosine
+    # fold per candidate, and the checkpointed projection is one few-MB
+    # partition AQE would otherwise keep coalesced through the join.
     return (
-        b.select(*a_cols)
-        .join(b.select(*c_cols), "bucket")
+        fan_out(b.select(*a_cols), "bucket")
+        .join(fan_out(b.select(*c_cols), "bucket"), "bucket")
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .select(*out, cos.alias("cos_sim"))
     )
@@ -953,7 +971,6 @@ def close_pair_edges(
     ``semantic_dedup_admissions_df``, and ``semantic_cc_survivors`` (a
     third hand-inlined copy was how the family would drift; the oracles
     mirror it per query because their output shapes differ)."""
-    from ..operators.helpers import fan_out
 
     key_list = list(keys)
     # fan_out both join sides on the blocking key: the within-cell pair
@@ -2631,7 +2648,6 @@ def hopkins_clusterability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out the streamed scan side of the broadcast NLJ: each corpus
     # row pays 2m 64-dim distance folds (the CPU amplification the
     # explode discipline names), and the fixture scan is one split.
-    from ..operators.helpers import fan_out
 
     dmin = (
         fan_out(e, "vec_id")
