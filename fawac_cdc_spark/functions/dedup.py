@@ -1004,11 +1004,21 @@ def connected_components_min_label(
     # explode + self-join), and without the checkpoint every round's
     # join re-runs it TWICE (the union doubles the subtree) — measured
     # 22.5 s -> 6.1 s for connected_component_survivors at sf0.1.
+    # Column-only repartition before the checkpoint: the union of two
+    # fan_out-width edge branches would otherwise checkpoint 2x width
+    # partitions, and EVERY round's join/groupBy re-reads them — at
+    # fixture scale that is pure per-round task overhead (the session's
+    # parallelismFirst=false exists for exactly these iterative loops).
+    # Column-only (no explicit count) is deliberately AQE-coalescible:
+    # partition count follows the edge bytes (1 at fixture scale, wide
+    # at 100 TB) — the loop body is join+min, not a CPU-amplified stage,
+    # so size-based width is the RIGHT width here.
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
     labels = vertices.select("doc_id", F.col("doc_id").alias("component"))
