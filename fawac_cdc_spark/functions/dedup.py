@@ -1172,18 +1172,36 @@ def connected_components_star(
     """
 
     def _parts(n_edges: int) -> int:
-        return max(8, min(2048, n_edges // 500_000 + 1))
+        # floor 1, not 8: the loop body is join+min (no CPU
+        # amplification), so there is nothing for extra near-empty
+        # partitions to parallelize at small edge counts — they are pure
+        # per-round task overhead (round-15 optimization profile:
+        # 1.6 s/round over 590 edges with the old floor); at 100 TB the
+        # same rule still scales the width up with the data.
+        return max(1, min(2048, n_edges // 500_000 + 1))
 
-    cur = (
+    def _ckpt_with_fp(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        # convergence probe PIGGYBACKS on the checkpoint job via
+        # observe() (the min-label loop's pattern) — the former separate
+        # _edge_fingerprint aggregate was one extra job per round.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("src", "dst")), F.lit(0)).alias("h"),
+        ).localCheckpoint(eager=True)
+        return out, (int(obs.get["n"]), int(obs.get["h"]))
+
+    cur, fp = _ckpt_with_fp(
         edges.where(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.greatest("doc_a", "doc_b").alias("src"),
             F.least("doc_a", "doc_b").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    fp = _edge_fingerprint(cur)
     rounds = 0
     converged = fp[0] == 0  # no edges: nothing to contract
     for _ in range(max_iter):
@@ -1215,16 +1233,14 @@ def connected_components_star(
             .where(F.col("src") != F.col("dst"))
             .unionAll(small_min.select("src", F.col("m").alias("dst")))
         )
-        cur = (
+        cur, new_fp = _ckpt_with_fp(
             small.select(
                 F.greatest("src", "dst").alias("src"),
                 F.least("src", "dst").alias("dst"),
             )
             .distinct()
             .coalesce(_parts(fp[0]))
-            .localCheckpoint(eager=True)
         )
-        new_fp = _edge_fingerprint(cur)
         if new_fp == fp:
             converged = True
             break
