@@ -333,16 +333,25 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate all windows as one higher-order array expression — same
     fingerprint, embarrassingly parallel. md5-derived hashes keep Spark
     and the oracle bit-identical."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= WINNOW_K)
+    from ..operators.helpers import fan_out
+
+    # fan_out: one md5 per CHARACTER position is the heaviest per-row
+    # amplification in the registry (explode discipline); the hash array
+    # is also projected ONCE so the min and the distinct-count read the
+    # same evaluation instead of re-running ~|text| md5s per row.
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").where(F.length("text") >= WINNOW_K),
+        "doc_id",
+    )
     hashes = F.expr(
         f"transform(sequence(0, length(text) - {WINNOW_K}), "
         f"i -> cast(conv(substr(md5(substring(text, i + 1, {WINNOW_K})), 1, 8), 16, 10)"
         f" as bigint))"
     )
-    return d.select(
+    return d.select("doc_id", hashes.alias("hs")).select(
         "doc_id",
-        F.array_min(hashes).alias("min_gram_hash"),
-        F.size(F.array_distinct(hashes)).alias("n_distinct_grams"),
+        F.array_min("hs").alias("min_gram_hash"),
+        F.size(F.array_distinct("hs")).alias("n_distinct_grams"),
     )
 
 

@@ -359,8 +359,13 @@ def repetition_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pre-training pipeline runs: 1 − distinct/total over sliding
     2-grams, as one array expression per document (no explode, no
     shuffle)."""
-    d = load_table(spark, sf_dir, "documents").where(
-        F.size(F.split("text", " ")) >= 2
+    # fan_out before the per-doc gram array build (explode discipline —
+    # the interpreted transform runs ~n_tokens concats per row).
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").where(
+            F.size(F.split("text", " ")) >= 2
+        ),
+        "doc_id",
     )
     grams = F.expr(
         "transform(sequence(0, size(split(text, ' ')) - 2), "
