@@ -186,7 +186,11 @@ def jaccard_candidate_pairs(
         # the hot-list count and the anti-join probe both consume the
         # shingle stream; materialize the explode+hash once so the cap
         # pass does not recompute it (the un-materialized form pays a
-        # second tokenize+md5 scan — measured +22-33% at sf0.1)
+        # second tokenize+md5 scan — measured +22-33% at sf0.1 in r6;
+        # RE-MEASURED in the round-15 optimization pass after the
+        # fan_out width change: removal is a wash on a quiet host
+        # (interleaved stash A/B 2.28/3.60/3.34 vs 2.51/3.21/3.29 s for
+        # ngram/llm/traindata), so the checkpoint stays)
         sh = sh.localCheckpoint(eager=True)
     # fan_out on the groupBy key BEFORE the aggregation: the explicit-width
     # exchange is reused by the groupBy (same key, same count) and — unlike

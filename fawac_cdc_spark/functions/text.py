@@ -333,13 +333,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate all windows as one higher-order array expression — same
     fingerprint, embarrassingly parallel. md5-derived hashes keep Spark
     and the oracle bit-identical."""
-    from ..operators.helpers import fan_out
+    from ..operators.helpers import fan_out_if_narrow
 
-    # fan_out: one md5 per CHARACTER position is the heaviest per-row
-    # amplification in the registry (explode discipline); the hash array
-    # is also projected ONCE so the min and the distinct-count read the
-    # same evaluation instead of re-running ~|text| md5s per row.
-    d = fan_out(
+    # fan_out_if_narrow: one md5 per CHARACTER position is the heaviest
+    # per-row amplification in the registry, but this is a pure map — the
+    # repartition is load-bearing only when the scan yields fewer splits
+    # than cores (the single-split fixture); with ample splits the guard
+    # leaves the plan shuffle-free.  The hash array is also projected
+    # ONCE so the min and the distinct-count read the same evaluation
+    # instead of re-running ~|text| md5s per row.
+    d = fan_out_if_narrow(
         load_table(spark, sf_dir, "documents").where(F.length("text") >= WINNOW_K),
         "doc_id",
     )

@@ -359,13 +359,15 @@ def repetition_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pre-training pipeline runs: 1 − distinct/total over sliding
     2-grams, as one array expression per document (no explode, no
     shuffle)."""
-    # fan_out before the per-doc gram array build (explode discipline —
-    # the interpreted transform runs ~n_tokens concats per row).
-    d = fan_out(
-        load_table(spark, sf_dir, "documents").where(
-            F.size(F.split("text", " ")) >= 2
-        ),
-        "doc_id",
+    # NO fan_out here, deliberately: this is a PURE MAP whose shuffle-free
+    # plan is a pinned design contract (test_traindata_map_ops_have_no_
+    # shuffle) — at scale the scan's natural split parallelism carries the
+    # per-row gram work, and a repartition would move the full corpus text
+    # once for nothing.  The single-split fixture scan leaves it on one
+    # task at bench scale; that cost is the fixture layout, not the plan
+    # (round-15 optimization notes).
+    d = load_table(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 2
     )
     grams = F.expr(
         "transform(sequence(0, size(split(text, ' ')) - 2), "

@@ -156,6 +156,30 @@ def fan_out(df, *keys: str):
     return df.repartition(width, *[F.col(k) for k in keys])
 
 
+def fan_out_if_narrow(df, *keys: str):
+    """:func:`fan_out`, applied ONLY when the input's physical
+    parallelism is below the fan-out width.
+
+    For a PURE MAP directly over a scan the repartition is load-bearing
+    exactly when the scan yields fewer splits than cores (the
+    single-row-group fixture layout); with ample splits the scan's
+    natural parallelism already carries the per-row CPU and the
+    repartition would move the full payload once for nothing (guide §8:
+    move heavy bytes minimally).  This guard derives the decision from
+    the input's split count — scale-adaptive, never a constant.
+    """
+    spark = df.sparkSession
+    width = int(
+        spark.conf.get(
+            "spark.fawac.fanout.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width, *[F.col(k) for k in keys])
+
+
 def one_row_audit(
     label_col: str,
     label: str,

@@ -1515,3 +1515,33 @@ def test_l_moments_windows_are_bucket_blocked(spark, sf_dir):
     assert specs
     for line in specs:
         assert "bucket" in line, line
+
+
+def test_fan_out_width_and_conditional_guard(spark):
+    """Round-15 optimization internals: ``helpers.fan_out`` repartitions
+    to the configured width (explicit count — AQE-coalesce-exempt), and
+    ``helpers.fan_out_if_narrow`` is a NO-OP when the input already has
+    at least that many partitions (pure-map-over-scan guard: at scale
+    the plan stays shuffle-free)."""
+    from pyspark.sql import functions as F
+
+    from fawac_cdc_spark.operators.helpers import fan_out, fan_out_if_narrow
+
+    width = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1).select(F.col("id").alias("k"))
+    wide = spark.range(0, 1000, 1, width).select(F.col("id").alias("k"))
+
+    assert fan_out(narrow, "k").rdd.getNumPartitions() == width
+    assert fan_out_if_narrow(narrow, "k").rdd.getNumPartitions() == width
+    # already-wide input: the guard must leave the plan untouched
+    guarded = fan_out_if_narrow(wide, "k")
+    assert "Exchange" not in guarded._jdf.queryExecution().executedPlan().toString()
+    # conf override wins over defaultParallelism
+    spark.conf.set("spark.fawac.fanout.partitions", "7")
+    try:
+        assert fan_out(narrow, "k").rdd.getNumPartitions() == 7
+    finally:
+        spark.conf.unset("spark.fawac.fanout.partitions")
+    # values are a pure repartition: identical multiset
+    a = sorted(r["k"] for r in fan_out(narrow, "k").collect())
+    assert a == list(range(1000))
