@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.helpers import fan_out, md5_bucket, md5_bucket_sql
+from ..operators.helpers import fan_out, fan_out_if_narrow, md5_bucket, md5_bucket_sql
 from ..registry import register
 
 # MinHash parameters: k=8 affine hashes mod a Mersenne prime.
@@ -64,11 +64,14 @@ _SHINGLES_SQL = (
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) pairs — distinct 3-token shingles per document.
 
-    ``fan_out`` before the explode: the shingle expansion runs one md5
-    per 3-gram (~n_tokens per doc), a ~100x CPU amplification of the
-    scanned bytes, so the explode stage must not inherit the scan's
-    split count (one row group at fixture scale = ONE task)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    ``fan_out_if_narrow`` before the explode: the shingle expansion runs
+    one md5 per 3-gram (~n_tokens per doc), a ~100x CPU amplification of
+    the scanned bytes, so the explode stage must not inherit the scan's
+    split count (one row group at fixture scale = ONE task).  Guarded:
+    with ample scan splits (any real deployment) the plan stays
+    shuffle-free — the scan's natural parallelism carries the per-row
+    CPU and shuffling the text payload would be pure waste (guide §8)."""
+    d = fan_out_if_narrow(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
@@ -109,9 +112,10 @@ _HASHED_SHINGLES_SQL = (
 def _shingled_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle-hash) pairs — distinct 60-bit 3-gram hashes.
 
-    ``fan_out`` before the explode — same CPU-amplification discipline
-    as :func:`_shingled` (one md5 per 3-gram)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    ``fan_out_if_narrow`` before the explode — same guarded
+    CPU-amplification discipline as :func:`_shingled` (one md5 per
+    3-gram; shuffle-free once the scan has ample splits)."""
+    d = fan_out_if_narrow(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .where(F.size("toks") >= 3)
@@ -349,13 +353,14 @@ def minhash_signatures_for(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFra
 def minhash_signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`minhash_signatures_for` over the ``documents`` table.
 
-    ``fan_out`` here in the BATCH wrapper (not in ..._for, which the
-    streaming twins share): the per-row shingle transform runs one md5
-    per 3-gram plus 8 affine folds — the explode-discipline CPU
+    ``fan_out_if_narrow`` here in the BATCH wrapper (not in ..._for,
+    which the streaming twins share): the per-row shingle transform runs
+    one md5 per 3-gram plus 8 affine folds — the explode-discipline CPU
     amplification — while a micro-batch frame is already partitioned by
-    its source and must not pay a per-batch shuffle."""
+    its source and must not pay a per-batch shuffle.  Guarded: with
+    ample scan splits the batch plan is shuffle-free too."""
     return minhash_signatures_for(
-        fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+        fan_out_if_narrow(load_table(spark, sf_dir, "documents"), "doc_id")
     )
 
 
@@ -556,10 +561,13 @@ _WIDE_TOKEN_HASHES_SQL = (
 def wide_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit fingerprints for the ``documents`` table.
 
-    ``fan_out`` in the BATCH wrapper (the streaming twin partitions by
-    its source): one md5 per distinct token plus 60 bit-sum aggregates
-    is the explode-discipline amplification profile."""
-    return wide_simhash_from(fan_out(load_table(spark, sf_dir, "documents"), "doc_id"))
+    ``fan_out_if_narrow`` in the BATCH wrapper (the streaming twin
+    partitions by its source): one md5 per distinct token plus 60
+    bit-sum aggregates is the explode-discipline amplification profile.
+    Guarded: shuffle-free once the scan has ample splits."""
+    return wide_simhash_from(
+        fan_out_if_narrow(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def wide_simhash_from(d: DataFrame) -> DataFrame:
@@ -981,74 +989,128 @@ def connected_components_min_label(
 
     ``vertices`` is (doc_id,), ``edges`` is undirected (doc_a, doc_b).
     Every vertex starts labeled with its own id; each round every vertex
-    takes the min of its own label and its neighbors' labels.  Converges
-    in O(graph diameter) rounds — near-dup clusters are dense, so the
-    diameter is small in practice; the O(log n) alternative for adversarial
-    chains is the large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14), which this loop's
-    edge-join structure would extend to.
+    takes the min of its own label and its neighbors' labels.  The loop
+    itself runs over edge-touched vertices only (isolated vertices can
+    never change label and rejoin as self-labeled singletons at the
+    end).  Converges in O(graph diameter) rounds — near-dup clusters
+    are dense, so the diameter is small in practice; the O(log n)
+    alternative for adversarial chains is the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) in :func:`connected_components_star` — measured
+    on the real near-dup graph at sf0.1 (round 16) the two are a wash,
+    so this simpler loop stays the shared default.
 
-    Each round is one shuffle (join + groupBy on the vertex key);
-    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
-    with iterations.  The convergence check PIGGYBACKS on the checkpoint
-    job via ``observe()`` (a sum over a changed-flag column computed in
-    the same projection), halving the per-round job count vs the former
-    separate join-and-count job.  Round-7 measured A/B at sf0.1
-    (min-of-3, same session, identical labels): the edge checkpoint
-    below is the dominant win — ``connected_component_survivors``
-    22.5 s -> 5.2 s, ``semantic_cc_survivors`` 8.7 s -> 4.1 s,
-    ``leakage_safe_split_counts`` similarly — the observe merge alone
-    was within noise at fixture scale but removes a per-round shuffle
-    join that scales with the vertex count.
+    Each round is ONE join + ONE grouped min (self-loops in the edge
+    list carry the own-label term, so there is no join back to the old
+    label table); ``localCheckpoint`` truncates the lineage so the plan
+    doesn't grow with iterations, and the convergence probe (label-set
+    fingerprint) PIGGYBACKS on each checkpoint job via ``observe()``.
+    Round-7 measured A/B at sf0.1 (min-of-3, same session, identical
+    labels): the edge checkpoint below is the dominant win —
+    ``connected_component_survivors`` 22.5 s -> 5.2 s,
+    ``semantic_cc_survivors`` 8.7 s -> 4.1 s,
+    ``leakage_safe_split_counts`` similarly.  Round-16 A/B (same
+    session, interleaved, identical labels): the fused seed +
+    self-loop one-join rounds + edge-touched label set read
+    3.48-4.06 s -> 3.26-3.54 s for the full survivor query.
     """
-    from pyspark.sql import Observation
-
     # Materialize the symmetrized edge list ONCE: the caller's edge
     # derivation is often an expensive candidate-pair pipeline (shingle
     # explode + self-join), and without the checkpoint every round's
     # join re-runs it TWICE (the union doubles the subtree) — measured
     # 22.5 s -> 6.1 s for connected_component_survivors at sf0.1.
-    # Column-only repartition before the checkpoint: the union of two
-    # fan_out-width edge branches would otherwise checkpoint 2x width
-    # partitions, and EVERY round's join/groupBy re-reads them — at
-    # fixture scale that is pure per-round task overhead (the session's
-    # parallelismFirst=false exists for exactly these iterative loops).
-    # Column-only (no explicit count) is deliberately AQE-coalescible:
-    # partition count follows the edge bytes (1 at fixture scale, wide
-    # at 100 TB) — the loop body is join+min, not a CPU-amplified stage,
-    # so size-based width is the RIGHT width here.
+    # Symmetrize by EXPLODING both orientations out of one pass over the
+    # edge stream instead of a self-union: the union form ran the whole
+    # candidate-pair subtree twice inside the checkpoint job (round-16;
+    # guide §2.4 — one subtree execution, two output rows per edge).
+    # Column-only repartition before the checkpoint: an explicit-count
+    # exchange would checkpoint fan_out-width partitions, and EVERY
+    # round's join/groupBy re-reads them — at fixture scale that is pure
+    # per-round task overhead (the session's parallelismFirst=false
+    # exists for exactly these iterative loops).  Column-only (no
+    # explicit count) is deliberately AQE-coalescible: partition count
+    # follows the edge bytes (1 at fixture scale, wide at 100 TB) — the
+    # loop body is join+min, not a CPU-amplified stage, so size-based
+    # width is the RIGHT width here.
+    # SELF-LOOPS at both endpoints ride along (round-16): with (v, v)
+    # rows present, one round of propagation is ONE join + ONE grouped
+    # min — min over {self} ∪ neighbors — instead of the former
+    # join + groupBy + join-back-to-labels (the self label arrived via
+    # the second join).  Duplicate self-loops (one per incident edge)
+    # are harmless under min and keep this a single pass over the edge
+    # stream.  The round-15 one-join-per-round prototype measured 3x
+    # slower because its self-loops spanned the FULL vertex set; these
+    # span edge-touched vertices only.
     sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
-            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    labels = vertices.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(max_iter):
-        nbr_min = (
+
+    # Iterate over EDGE-TOUCHED vertices only (round-16; guide §2.3 —
+    # shuffle fewer bytes): a vertex with no incident edge can never
+    # change its own-id label, so carrying the full vertex set through
+    # every round's join + checkpoint scales the loop with |V| instead
+    # of |V_edges| (at 100 TB: every document vs the near-dup graph).
+    # Untouched vertices re-enter as self-labeled singletons in the
+    # final left join.  PRECONDITION (holds for every caller — edges
+    # are derived from the vertex table): edge endpoints are members of
+    # ``vertices``.
+    #
+    # Convergence is a label-set fingerprint comparison (count +
+    # order-insensitive hash-sum piggybacked on each checkpoint via
+    # observe() — ``connected_components_star``'s exact pattern): labels
+    # are monotone non-increasing per vertex, so an unchanged
+    # fingerprint means the fixpoint.  The SEED is round 1 of
+    # propagation, fused into one aggregate: with self-loops present,
+    # min(src) over dst's group is exactly min(self, min(neighbors)).
+    def _labels_ckpt(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("doc_id", "component")), F.lit(0)).alias("h"),
+        ).localCheckpoint(eager=True)
+        return out, (int(obs.get["n"]), int(obs.get["h"]))
+
+    labels, fp = _labels_ckpt(
+        sym.groupBy("dst")
+        .agg(F.min("src").alias("component"))
+        .select(F.col("dst").alias("doc_id"), "component")
+    )
+    for _ in range(max_iter - 1):
+        labels, new_fp = _labels_ckpt(
             sym.join(labels, sym["src"] == labels["doc_id"])
             .groupBy("dst")
-            .agg(F.min("component").alias("nbr_min"))
+            .agg(F.min("component").alias("component"))
+            .select(F.col("dst").alias("doc_id"), "component")
         )
-        new_c = F.least(F.col("component"), F.coalesce("nbr_min", "component"))
-        obs = Observation()
-        new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["dst"], "left")
-            .select(
-                "doc_id",
-                new_c.alias("component"),
-                (new_c != F.col("component")).cast("long").alias("_chg"),
-            )
-            .observe(obs, F.sum("_chg").alias("n_changed"))
-            .select("doc_id", "component")
-            .localCheckpoint(eager=True)
-        )
-        labels = new_labels
-        if (obs.get["n_changed"] or 0) == 0:
+        if new_fp == fp:
             break
-    return labels
+        fp = new_fp
+    return vertices.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
 
 
 # Shared recursive-CTE fragment: exact transitive closure over the verified
@@ -1128,16 +1190,6 @@ def connected_component_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    """(count, order-insensitive hash-sum) of an edge set — a cheap
-    driver-side convergence probe (one aggregate, never a collect)."""
-    row = edges.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.hash("src", "dst")), F.lit(0)).alias("h"),
-    ).first()
-    return int(row["n"]), int(row["h"])
-
-
 def connected_components_star(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 16, strict: bool = True
 ) -> tuple[DataFrame, int]:
@@ -1161,11 +1213,12 @@ def connected_components_star(
 
     Partitioning is SIZE-AWARE: the convergence probe already counts the
     edge set every round, so each materialization coalesces to
-    ~500k edges/partition (min 8). Iterative loops otherwise inherit the
-    session shuffle width, and at small edge counts the per-round task
-    overhead of hundreds of near-empty partitions dominates wall clock
-    (measured 2.5× at sf0.1); at 100 TB the same rule scales the width
-    back up with the data.
+    ~500k edges/partition (floor 1 — the loop body is join+min with no
+    CPU amplification, so near-empty extra partitions are pure per-round
+    task overhead). Iterative loops otherwise inherit the session
+    shuffle width, and at small edge counts that overhead dominates wall
+    clock (measured 2.5× at sf0.1); at 100 TB the same rule scales the
+    width back up with the data.
 
     Exhausting ``max_iter`` without the fingerprint converging means the
     labels are NOT component labels (edges still span multiple stars) —
@@ -2687,11 +2740,12 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH side everywhere.
     """
     d = load_table(spark, sf_dir, "documents")
-    # fan_out before the signature map (explode discipline, same as
-    # minhash_signatures_df / lsh_param_frontier).
-    bands = band_table_for(minhash_signatures_for(fan_out(d, "doc_id"))).localCheckpoint(
-        eager=True
-    )
+    # fan_out_if_narrow before the signature map (guarded explode
+    # discipline, same as minhash_signatures_df / lsh_param_frontier:
+    # shuffle-free once the scan has ample splits).
+    bands = band_table_for(
+        minhash_signatures_for(fan_out_if_narrow(d, "doc_id"))
+    ).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs_for(bands)
     exact = ppjoin_pairs_df(spark, sf_dir).select("doc_a", "doc_b")
     hit = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
@@ -2895,9 +2949,12 @@ def lsh_param_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this harness runs on a hash-sampled slice (the exact side is
     the bounded cost), exactly like lsh_recall_vs_exact."""
     d = load_table(spark, sf_dir, "documents")
-    # fan_out before the per-doc signature map (md5 per 3-gram + 8 affine
-    # folds over a single-split scan — explode discipline).
-    sig = minhash_signatures_for(fan_out(d, "doc_id")).localCheckpoint(eager=True)
+    # fan_out_if_narrow before the per-doc signature map (md5 per 3-gram
+    # + 8 affine folds — guarded explode discipline: only the narrow
+    # fixture scan pays the repartition).
+    sig = minhash_signatures_for(fan_out_if_narrow(d, "doc_id")).localCheckpoint(
+        eager=True
+    )
     exact = (
         ppjoin_pairs_df(spark, sf_dir)
         .select("doc_a", "doc_b")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.helpers import fan_out
+from ..operators.helpers import fan_out, fan_out_if_narrow
 from ..registry import register
 
 EMB_DIM = 64
@@ -305,7 +305,9 @@ def cosine_assigned_cells(e: DataFrame, n_cells: int = N_CENTROIDS) -> DataFrame
     their norms hoisted) fold into ONE array-of-structs row via a tiny
     k-row aggregate, that single row broadcasts, and each vector's
     argmax is a sorted-struct expression over the array — so the CORPUS
-    side sees no join key, no window, and above all NO SHUFFLE.  The
+    side sees no join key, no window, and — once the input scan has
+    ample splits — NO SHUFFLE (a narrow fixture-layout input pays one
+    slim guarded repartition so the k·d fold runs at full width).  The
     previous form (broadcast crossJoin + row_number window) materialized
     n x k rows WITH their embedding payloads and hash-shuffled them on
     vec_id just to take an argmax — k times the corpus bytes through the
@@ -346,14 +348,17 @@ def cosine_assigned_cells(e: DataFrame, n_cells: int = N_CENTROIDS) -> DataFrame
         "'cent_id', c.cent_id))).cent_id"
     )
 
-    # fan_out the corpus side of the broadcast fold: the argmax costs
-    # k x d fused mult-adds per row (~512x the scanned bytes), and the
-    # fixture scan is one split (explode discipline) — the broadcast
-    # side is untouched, so the assignment stays shuffle-light (one
-    # slim repartition pass instead of the k-fold payload shuffle the
-    # old crossJoin+window form paid).
+    # fan_out_if_narrow the corpus side of the broadcast fold: the
+    # argmax costs k x d fused mult-adds per row (~512x the scanned
+    # bytes) and the fixture scan is one split (explode discipline) —
+    # but ONLY a narrow input repartitions: with ample scan splits the
+    # corpus side stays a pure shuffle-free map (the broadcast side is
+    # untouched either way).  Callers feeding a known AQE-coalesced
+    # intermediate (the composed traindata pipeline's semi-join) apply
+    # an unconditional fan_out themselves, which makes the guard here a
+    # no-op — one exchange total.
     return (
-        fan_out(
+        fan_out_if_narrow(
             e.select(
                 "vec_id",
                 "embedding",
@@ -546,8 +551,11 @@ def kmeans_refined_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined cell's population and centroid norm.
 
     Generalizes the reference's iterative update loop (``fawac.py:521-551``
-    train steps / A41) to index training. The driver round-trip is
-    O(k·d) — 8×64 doubles — per iteration; vectors never leave executors.
+    train steps / A41) to index training. The centroid update stays
+    entirely on executors — a k-row (cid, cvec) checkpoint feeds the
+    second pass's broadcast build — so the driver never touches data at
+    all (pyspark.ml KMeans pays a collect + re-broadcast per iteration
+    instead); vectors never leave executors either way.
     """
     e = load_table(spark, sf_dir, "embeddings")
     rounded = f"transform(embedding, x -> round(double(x), 6))"
@@ -555,25 +563,34 @@ def kmeans_refined_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.expr(rounded).alias("cvec")
     )
 
-    # fan_out the corpus once: both Lloyd assignment passes fold k x d
-    # mult-adds per row over the single-split scan (explode discipline).
-    e = fan_out(e, "vec_id")
+    # fan_out_if_narrow the corpus once: both Lloyd assignment passes
+    # fold k x d mult-adds per row over the single-split fixture scan
+    # (guarded explode discipline — shuffle-free with ample splits).
+    e = fan_out_if_narrow(e, "vec_id")
     a1 = _assign_min_l2(e, init)
 
-    # centroid update: per-dim mean over members, rounded — k·d aggregated
-    # values collected to the driver (pyspark.ml KMeans' per-iteration cycle)
+    # centroid update: per-dim mean over members, rounded — identical
+    # (cid, dim) avg groups as ever, but assembled to (cid, cvec) rows
+    # IN-PLAN (ordered collect_list) instead of collect() + a driver
+    # loop + createDataFrame + re-broadcast (round 16; guide §5 — the
+    # driver should do almost no data work).  The k-row result is
+    # eagerly checkpointed so the second Lloyd pass's broadcast build
+    # and the final stats join read it without re-running the first
+    # assignment pass.
     dims = (
         a1.select("cid", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("cid", "dim")
         .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cval"))
     )
-    rows = dims.collect()
-    by_cid: dict[int, list[float]] = {}
-    for r in rows:
-        by_cid.setdefault(r["cid"], [0.0] * EMB_DIM)[r["dim"]] = r["cval"]
-    c1 = spark.createDataFrame(
-        [(cid, vec) for cid, vec in sorted(by_cid.items())],
-        "cid bigint, cvec array<double>",
+    c1 = (
+        dims.groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cval))),"
+                " s -> s.cval)"
+            ).alias("cvec")
+        )
+        .localCheckpoint(eager=True)
     )
 
     a2 = _assign_min_l2(e, c1)
@@ -2645,12 +2662,13 @@ def hopkins_clusterability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = rp.unionByName(sp)
     d2 = F.expr(_HOPKINS_D2_SPARK.format(a="pvec", b="embedding"))
-    # fan_out the streamed scan side of the broadcast NLJ: each corpus
-    # row pays 2m 64-dim distance folds (the CPU amplification the
-    # explode discipline names), and the fixture scan is one split.
+    # fan_out_if_narrow the streamed scan side of the broadcast NLJ:
+    # each corpus row pays 2m 64-dim distance folds (the CPU
+    # amplification the explode discipline names), and the fixture scan
+    # is one split — with ample splits the probe stays shuffle-free.
 
     dmin = (
-        fan_out(e, "vec_id")
+        fan_out_if_narrow(e, "vec_id")
         .crossJoin(F.broadcast(probes))
         .where((F.col("is_real") == 0) | (F.col("vec_id") != F.col("pid")))
         .groupBy("is_real", "pid")

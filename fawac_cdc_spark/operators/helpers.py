@@ -167,6 +167,18 @@ def fan_out_if_narrow(df, *keys: str):
     repartition would move the full payload once for nothing (guide §8:
     move heavy bytes minimally).  This guard derives the decision from
     the input's split count — scale-adaptive, never a constant.
+
+    VALIDITY: only apply this helper DIRECTLY over a file scan (or a
+    plain projection/filter of one).  ``df.rdd.getNumPartitions()``
+    reads the PRE-AQE partition count — exact for a scan (AQE never
+    coalesces scan splits) but misleading for a shuffled/coalesced
+    intermediate, where the pre-AQE count is the session shuffle width,
+    not the executed width: the guard would silently no-op on a frame
+    AQE later collapses to one partition.  For a known one-partition
+    checkpoint or AQE-coalesced intermediate use unconditional
+    :func:`fan_out` at the call site instead.  The RDD conversion also
+    costs a driver-side physical planning pass per call — fine at query
+    build time, not inside per-round loops.
     """
     spark = df.sparkSession
     width = int(

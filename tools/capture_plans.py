@@ -1,10 +1,12 @@
-"""Capture .explain("formatted") output for named queries to plans/r15/.
+"""Capture .explain("formatted") output for named queries to plans/<round>/.
 
 Usage:
     python tools/capture_plans.py <suffix> [query ...]
 
 With no query names: the frozen 20-query HEADLINE + 10-query EXT_HEADLINE.
-Writes plans/r15/<query>_<suffix>.txt (suffix = "before" / "after").
+Writes plans/<round>/<query>_<suffix>.txt (suffix = "before" / "after");
+the round directory defaults to r16 and is overridable via
+$SPARK_GRAFT_PLANS_ROUND.
 """
 
 from __future__ import annotations
@@ -24,7 +26,9 @@ def main() -> None:
     names = sys.argv[2:] or list(dict.fromkeys(list(HEADLINE) + list(EXT_HEADLINE)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
